@@ -1,13 +1,44 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.tfidf.{TfIdf, TfIdfQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are organized in QueryPacks (one per operator family from
+  * SURVEY.md §2 and the training-pipeline extensions); this object is the
+  * union the driver consumes.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def packs: Seq[QueryPack] = Seq(
+    TfIdfQueries,
+    pos.PosQueries,
+    relational.RelationalQueries,
+    relational.WindowQueries,
+    relational.ScalarFuncQueries,
+    dedup.DedupQueries,
+    sim.SimilarityQueries,
+    text.TextAnalysisQueries,
+    mm.MultimodalQueries,
+    streaming.StreamingQueries)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Full reference TF-IDF (DF → top-100 → TF → score) over documents.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TfIdf.pipeline(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+      TfIdf.Default)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.flatMap(_.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (non-SQL-expressible ops, e.g.
+    * Porter stemming) get the driver's weaker rows-only check.
+    */
+  lazy val oracleSql: Map[String, String] = packs.flatMap(_.oracles).toMap
 }

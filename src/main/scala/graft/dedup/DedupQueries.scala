@@ -1,0 +1,10 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.QueryPack
+
+object DedupQueries extends QueryPack {
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  override val oracles: Map[String, String] = Map()
+}

@@ -1,0 +1,270 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+import graft.relational.Det._
+
+/** The generic relational operator surface (SURVEY.md §2.1-§2.5 closure):
+  * scan/filter/project, hash & broadcast & sort-merge joins, semi/anti
+  * joins, aggregations (incl. exact count-distinct, rollup, cube), distinct,
+  * having, top-k, set ops. All Catalyst built-ins — the value here is the
+  * declarative plan shape (pushdown, broadcast, partial aggregation), each
+  * hash-checked against DuckDB.
+  *
+  * Scale notes: filters/projections sit where Catalyst pushes them into the
+  * parquet scan; small dimensions (nation, customer at these SFs) are
+  * broadcast explicitly; the lineitem⨝orders join keys both large sides on
+  * orderkey so AQE picks shuffled-hash/SMJ at real scale. Double sums go
+  * through Det.dsum (exact decimal) so results are order-independent — which
+  * is also what you want on a 1000-executor cluster, where partial-agg
+  * ordering is nondeterministic.
+  */
+object RelationalQueries extends QueryPack {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S1/P-family: scan + filter + project, pushdown-friendly.
+    "q_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 40 && col("l_discount") < 0.05)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net_price"))),
+
+    // A-family: TPC-H Q1-shaped wide aggregation (partial agg = stripes).
+    "q1_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 4).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          davg(col("l_quantity"), 2).as("avg_qty"),
+          davg(col("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // J2-family: 3-way join (broadcast dims, co-keyed fact join) + agg.
+    "q_join_3way" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      val nat = t(s, d, "nation")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Broadcast equi-join + agg by dimension attribute.
+    "q_join_broadcast" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      val cust = t(s, d, "customer")
+      ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice"), 4).as("total"))
+    }),
+
+    // J1: left-semi — customers having at least one high-value order.
+    "q_semi_join" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val big = t(s, d, "orders").filter(col("o_totalprice") > 200000)
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // J3: left-anti — customers with no high-value order (every customer has
+    // SOME order in the testdata, so anti-join against the unfiltered table
+    // would be vacuously empty).
+    "q_anti_join" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val big = t(s, d, "orders").filter(col("o_totalprice") > 300000)
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // A3: exact count-distinct per key (the DocumentFreq pattern on TPC-H).
+    "q_count_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"))),
+
+    // Grouping sets: rollup.
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))),
+
+    // Grouping sets: cube.
+    "q_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice"), 4).as("total"))),
+
+    // HAVING (post-aggregation filter).
+    "q_having" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice"), 4).as("spend"))
+        .filter(col("n_orders") >= 10)),
+
+    // DISTINCT projection.
+    "q_distinct" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_orderstatus"), col("o_orderpriority")).distinct()),
+
+    // T1-family: global top-k with deterministic tiebreak
+    // (TakeOrderedAndProject, not a global sort).
+    "q_topk_global" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(50)),
+
+    // Set operations over compatible projections.
+    "q_set_ops" -> ((s, d) => {
+      val bal = t(s, d, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, d, "supplier").filter(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").as("nationkey"))
+      bal.intersect(sup)
+    }),
+
+    // UNION ALL + aggregation over the union.
+    "q_union_all" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sp = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.union(sp).groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+    }),
+
+    // Conditional aggregation (CASE WHEN inside agg).
+    "q_case_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+          count(lit(1)).as("n"))),
+
+    // Statistical aggregates (deterministic stddev via exact sums).
+    "q_stats_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          davg(col("l_extendedprice"), 4).as("avg_price"),
+          dstddev(col("l_extendedprice")).as("sd_price")))
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_partkey, l_quantity,
+        |       round(l_extendedprice * (1 - l_discount), 4) AS net_price
+        |FROM lineitem WHERE l_quantity > 40 AND l_discount < 0.05""".stripMargin,
+
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${dsumSql("l_quantity", 2)} AS sum_qty,
+         |       ${dsumSql("l_extendedprice", 4)} AS sum_base_price,
+         |       ${dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+         |       ${davgSql("l_quantity", 2)} AS avg_qty,
+         |       ${davgSql("l_discount", 4)} AS avg_disc,
+         |       count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_3way" ->
+      s"""SELECT n_name,
+         |       ${dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+         |       count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin,
+
+    "q_join_broadcast" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |       ${dsumSql("o_totalprice", 4)} AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${dsumSql("l_quantity", 2)} AS sum_qty, count(*) AS n
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |       ${dsumSql("o_totalprice", 4)} AS total
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_having" ->
+      s"""SELECT o_custkey, count(*) AS n_orders,
+         |       ${dsumSql("o_totalprice", 4)} AS spend
+         |FROM orders GROUP BY o_custkey HAVING count(*) >= 10""".stripMargin,
+
+    "q_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "q_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier
+        |) GROUP BY nationkey""".stripMargin,
+
+    "q_case_agg" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_stats_agg" ->
+      s"""SELECT l_linestatus,
+         |       min(l_extendedprice) AS min_price,
+         |       max(l_extendedprice) AS max_price,
+         |       ${davgSql("l_extendedprice", 4)} AS avg_price,
+         |       ${dstddevSql("l_extendedprice")} AS sd_price
+         |FROM lineitem GROUP BY l_linestatus""".stripMargin
+  )
+}

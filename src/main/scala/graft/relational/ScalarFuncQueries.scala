@@ -1,0 +1,128 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** Scalar-function surface (SURVEY.md §2.6): string, date/time, math, JSON
+  * and array functions — all codegen'd built-ins, each oracle-checked.
+  * Math functions whose libm results can differ by 1 ulp across engines
+  * (sqrt/ln/exp) are rounded on both sides.
+  */
+object ScalarFuncQueries extends QueryPack {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_string_funcs" -> ((s, d) =>
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 5).as("type_prefix"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+          lpad(col("p_brand"), 12, "_").as("brand_padded"),
+          reverse(col("p_brand")).as("brand_rev"),
+          trim(col("p_name")).as("name_trim"),
+          (instr(col("p_type"), "a") > 0).as("type_has_a"))),
+
+    "q_date_funcs" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("qtr"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("days_since"))),
+
+    "q_json_funcs" -> ((s, d) =>
+      t(s, d, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_int"),
+          get_json_object(col("props"), "$.missing").as("k_missing"))),
+
+    "q_math_funcs" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          abs(col("l_quantity") - 25).as("qty_dev"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+          round(log(col("l_extendedprice") + 1), 6).as("price_ln"),
+          pmod(col("l_linenumber"), lit(3)).as("ln_mod"),
+          signum(col("l_discount") - 0.05).as("disc_sign"))),
+
+    "q_array_funcs" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).as("first_elem"),
+          element_at(col("embedding"), -1).as("last_elem"),
+          array_max(col("embedding")).as("max_elem"),
+          array_min(col("embedding")).as("min_elem")))
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |       upper(p_name) AS name_upper,
+        |       CAST(length(p_name) AS INT) AS name_len,
+        |       substring(p_type, 1, 5) AS type_prefix,
+        |       concat_ws('|', p_brand, p_type) AS brand_type,
+        |       regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+        |       lpad(p_brand, 12, '_') AS brand_padded,
+        |       reverse(p_brand) AS brand_rev,
+        |       trim(p_name) AS name_trim,
+        |       (strpos(p_type, 'a') > 0) AS type_has_a
+        |FROM part""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |       CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+        |       CAST(extract(month FROM o_orderdate) AS INT) AS mo,
+        |       CAST(extract(day FROM o_orderdate) AS INT) AS dom,
+        |       CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
+        |       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |       date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since
+        |FROM orders""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_id,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+        |       json_extract_string(props, '$.missing') AS k_missing
+        |FROM events""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       abs(l_quantity - 25) AS qty_dev,
+        |       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |       round(sqrt(l_extendedprice), 6) AS price_sqrt,
+        |       round(ln(l_extendedprice + 1), 6) AS price_ln,
+        |       l_linenumber % 3 AS ln_mod,
+        |       CASE WHEN l_discount - 0.05 > 0 THEN 1.0
+        |            WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS disc_sign
+        |FROM lineitem""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS INT) AS dim,
+        |       embedding[1] AS first_elem,
+        |       embedding[-1] AS last_elem,
+        |       list_max(embedding) AS max_elem,
+        |       list_min(embedding) AS min_elem
+        |FROM embeddings""".stripMargin
+  )
+}

@@ -1,0 +1,117 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryPack, Tables}
+
+/** Window-function surface (SURVEY.md §2.6 — absent in the reference,
+  * provided from built-ins over `events`/`orders`): row_number, rank,
+  * dense_rank, lag/lead, running aggregates, per-group top-k.
+  *
+  * Determinism: every ORDER BY carries a unique tiebreak column
+  * (event_id / orderkey); running double sums go through DECIMAL so the
+  * cumulative aggregation is bit-identical cross-engine regardless of how
+  * the engine internally accumulates (DuckDB uses segment trees for window
+  * aggs — plain double prefix sums would NOT match).
+  *
+  * Scale: all windows partition by a high-cardinality key (user_id,
+  * custkey) — no global-ordering window without PARTITION BY appears in the
+  * surface, because a single unpartitioned window is the classic 100 TB
+  * anti-pattern (one task sorts everything).
+  */
+object WindowQueries extends QueryPack {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_window_rownum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("rn"))
+    }),
+
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc)
+      t(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+        .filter(col("rnk") <= 5)
+    }),
+
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"))
+    }),
+
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast(DecimalType(18, 4))).over(w)
+            .cast("double").as("running_value"),
+          count(lit(1)).over(w).as("running_n"))
+    }),
+
+    // Per-group top-k: top-3 orders by value per customer.
+    "q_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    })
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_window_rownum" ->
+      """SELECT user_id, event_id, event_type, rn FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events
+        |) WHERE rn <= 3""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT event_type, event_id, value, rnk, drnk FROM (
+        |  SELECT event_type, event_id, value,
+        |         rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS rnk,
+        |         dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS drnk
+        |  FROM events
+        |) WHERE rnk <= 5""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT user_id, event_id, value,
+        |       lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value,
+        |       lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_value
+        |FROM events""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4)))
+        |            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        |       count(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        |FROM events""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3""".stripMargin
+  )
+}

@@ -1,0 +1,111 @@
+package graft.tfidf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.{Stopwords, Tokenize}
+import graft.functions.StemExpr
+
+/** The reference's complete TF-IDF dataflow (DocumentFreq.java + IDF.java),
+  * re-expressed as one declarative four-branch DAG so Catalyst plans it as:
+  *
+  *   documents ─ clean ─ split ─ explode ─ stopword InSet filter ─ stem
+  *      ├─► DF      = groupBy(term).agg(countDistinct(doc_id))      [A3]
+  *      ├─► top-k   = orderBy(df desc, term asc).limit(k)           [T1]
+  *      ├─► TF      = tokens ⋉ broadcast(top-k) → count(doc,term)   [J1,A4/5]
+  *      └─► score   = TF ⨝ broadcast(DF) → tf·ln(N/(df+1))          [J2,P9]
+  *
+  * Scale notes (100 TB): the only wide exchanges are the two groupBys
+  * (partial/final HashAggregate — the stripes pattern, automatic), both keyed
+  * on high-cardinality (term) / (doc_id, term). Both joins broadcast the
+  * ≤k-row side, so the token stream is never shuffled for a join. The top-k
+  * is TakeOrderedAndProject (per-partition top-k, driver merge), never a
+  * global sort. countDistinct(doc_id) is exact, as the reference's HashSet
+  * dedup is (DocumentFreq.java:82-88); swap to approx_count_distinct only as
+  * a documented opt-in.
+  *
+  * Semantics pinned by BASELINE.md: score = tf * ln(corpusConstant/(df+1))
+  * (IDF.java:164, Math.log = natural log, 10000 hardcoded); TF is the
+  * INTENDED per-(doc,term) count (PDF p.2), not the literal
+  * write-inside-loop inflation of IDF.java:103-104; top-k ties break by term
+  * ascending (the reference's comparator is non-deterministic,
+  * DocumentFreq.java:108-119).
+  */
+object TfIdf {
+
+  /** Mirrors the reference CLI flags (DocumentFreq.java:136-143,
+    * IDF.java:188-199) plus the pinned constants.
+    */
+  final case class Config(
+      corpusConstant: Double = 10000.0,
+      topK: Int = 100,
+      caseSensitive: Boolean = false,
+      useStopwords: Boolean = true,
+      stem: Boolean = true)
+
+  val Default: Config = Config()
+
+  /** Stemming as a Column: native codegen'd Catalyst expression. */
+  def stemCol(c: Column): Column = StemExpr.stem(c)
+
+  /** docs(doc_id, text) -> one row per surviving token:
+    * (doc_id, term) where term is stop-filtered and (optionally) stemmed.
+    * The stopword filter is an InSet literal filter (codegen'd, no UDF, no
+    * broadcast round-trip) applied BEFORE stemming, exactly as the reference
+    * does (DocumentFreq.java:66-69).
+    */
+  def terms(docs: DataFrame, cfg: Config = Default): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), Tokenize.explodeTokens(col("text"), cfg.caseSensitive).as("token"))
+    val filtered =
+      if (cfg.useStopwords) tok.filter(!col("token").isInCollection(Stopwords.set))
+      else tok.filter(col("token") =!= "")
+    val termed =
+      if (cfg.stem) filtered.select(col("doc_id"), stemCol(col("token")).as("term"))
+      else filtered.withColumnRenamed("token", "term")
+    termed
+  }
+
+  /** DF(term) = exact count of distinct documents containing term. */
+  def documentFrequency(terms: DataFrame): DataFrame =
+    terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+
+  /** Global top-k terms by DF desc, term asc (deterministic tiebreak).
+    * Plans as TakeOrderedAndProject — no single-reducer bottleneck.
+    */
+  def topTerms(df: DataFrame, k: Int): DataFrame =
+    df.orderBy(col("df").desc, col("term").asc).limit(k)
+
+  /** TF over terms restricted to the top-k table (broadcast left-semi join —
+    * the reference's replicated-map membership probe, IDF.java:93).
+    */
+  def termFrequency(terms: DataFrame, top: DataFrame): DataFrame =
+    terms
+      .join(broadcast(top.select("term")), Seq("term"), "left_semi")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** score = tf * ln(corpusConstant / (df + 1)) — IDF.java:164. */
+  def scores(tf: DataFrame, dfTable: DataFrame, corpusConstant: Double): DataFrame =
+    tf.join(broadcast(dfTable), Seq("term"))
+      .select(
+        col("doc_id"),
+        col("term"),
+        col("tf"),
+        col("df"),
+        (col("tf") * log(lit(corpusConstant) / (col("df") + lit(1)))).as("score"))
+
+  /** The full pipeline: docs(doc_id, text) -> (doc_id, term, tf, df, score).
+    * The tokenized relation feeds both the DF and TF branches; callers that
+    * materialize twice should persist it (see SparkEntry).
+    */
+  def pipeline(docs: DataFrame, cfg: Config = Default): DataFrame = {
+    val t = terms(docs, cfg)
+    val dfT = documentFrequency(t)
+    val top = topTerms(dfT, cfg.topK)
+    val tf = termFrequency(t, top)
+    // Join against the top-k's own (term, df) — k rows — rather than the full
+    // DF table: same result (TF terms ⊆ top-k), smaller broadcast.
+    scores(tf, top, cfg.corpusConstant)
+  }
+}
