@@ -15,10 +15,12 @@ object Tables {
       // testdata is microsecond-aligned, so this is lossless).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      import org.apache.spark.sql.functions.{col, timestamp_micros}
+      import org.apache.spark.sql.functions.{expr, timestamp_micros}
       import org.apache.spark.sql.types.LongType
+      // NB: integer division — `/ 1000` would be DOUBLE division, and
+      // 2024-epoch nanos exceed 2^53, silently shifting timestamps by 1us.
       if (df.schema("ts").dataType == LongType)
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else df
     } else spark.read.parquet(s"$dir/$name.parquet")
   }

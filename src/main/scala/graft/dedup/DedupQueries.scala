@@ -1,10 +1,277 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
-import graft.QueryPack
+import graft.{QueryPack, Tables}
 
+/** Deduplication operators for the training-data-pipeline north star
+  * (BASELINE.json): exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup — each a first-class query with a DuckDB
+  * oracle.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup is one hash-shuffle on md5(text) — the canonical pattern.
+  *   - MinHash signatures are ONE pass + one groupBy(doc_id); LSH banding
+  *     turns all-pairs O(n^2) into a self-equi-join on (band, band_key) —
+  *     the only pairs ever materialized are same-bucket candidates. Bucket
+  *     skew (a degenerate band key) is the known hazard; AQE skew-join
+  *     handles it, and the band count is a dial.
+  *   - SimHash is a single aggregation to a 32-bit value; its candidate
+  *     join buckets on the two 16-bit halves (Manku'07 rotation trick,
+  *     specialized to hamming<=bits/2 windows).
+  *   - embedding near-dup buckets by label (stand-in for an IVF/coarse
+  *     quantizer cell at scale — see sim.SimilarityQueries for the ANN
+  *     variants); the dot product stays array-local (zip_with + aggregate,
+  *     no posexplode shuffle), with a DECIMAL accumulator so the result is
+  *     bit-identical to the oracle's exact decimal sum.
+  */
 object DedupQueries extends QueryPack {
-  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  override val oracles: Map[String, String] = Map()
+
+  import Shingles._
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
+
+  import graft.sim.VecMath.dotDec
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: one shuffle on the content hash; canonical = min doc_id.
+    "dedup_exact" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))),
+
+    // MinHash signatures (k=8 permutations as lexicographic md5 minima).
+    "dedup_minhash" -> ((s, d) => signatures(docs(s, d))),
+
+    // LSH candidate pairs (4 bands x 2 rows) + exact 3-gram Jaccard verify.
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val sh = docShingles(docs(s, d))
+      val bnd = bands(signatures(docs(s, d)))
+      val cand = bnd.as("a")
+        .join(bnd.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(countDistinct(col("a.band")).as("n_shared_bands"))
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = cand
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"),
+          col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      cand
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(sz.as("za"), col("doc_a") === col("za.doc_id"))
+        .join(sz.as("zb"), col("doc_b") === col("zb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+          round(coalesce(col("inter"), lit(0L)).cast("double") /
+            (col("za.sz") + col("zb.sz") - coalesce(col("inter"), lit(0L))), 6)
+            .as("jaccard"))
+    }),
+
+    // SimHash values (32-bit, portable md5-nibble lanes).
+    "dedup_simhash" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      toks.groupBy("doc_id")
+        .agg(SimHash.laneAggs(col("tok")).head, SimHash.laneAggs(col("tok")).tail: _*)
+        .select(col("doc_id"), SimHash.combine.as("simhash"))
+    }),
+
+    // SimHash near-dup pairs: bucket by either 16-bit half, verify hamming.
+    "dedup_simhash_pairs" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val sh = toks.groupBy("doc_id")
+        .agg(SimHash.laneAggs(col("tok")).head, SimHash.laneAggs(col("tok")).tail: _*)
+        .select(col("doc_id"), SimHash.combine.as("simhash"))
+      val keyed = sh.select(col("doc_id"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("half"), shiftright(col("simhash"), 16).as("hkey")),
+          struct(lit(1).as("half"), col("simhash").bitwiseAND(65535L).as("hkey")))).as("hk"))
+        .select(col("doc_id"), col("simhash"), col("hk.half"), col("hk.hkey"))
+      keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.half") === col("b.half") && col("a.hkey") === col("b.hkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 8)
+    }),
+
+    // Word-3-gram Jaccard similarity for same-(lang, source) pairs.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sh = docShingles(dd)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val pairs = dd.select(col("doc_id"), col("lang"), col("source")).as("a")
+        .join(dd.select(col("doc_id"), col("lang"), col("source")).as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val inter = pairs
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"),
+          col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      pairs
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(sz.as("za"), col("doc_a") === col("za.doc_id"))
+        .join(sz.as("zb"), col("doc_b") === col("zb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          round(coalesce(col("inter"), lit(0L)).cast("double") /
+            (col("za.sz") + col("zb.sz") - coalesce(col("inter"), lit(0L))), 6)
+            .as("jaccard"))
+    }),
+
+    // Embedding-cosine near-dup within label buckets (coarse-cell stand-in).
+    "dedup_embedding_cosine" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          dotDec(col("embedding"), col("embedding")).as("norm2"))
+      e.as("a")
+        .join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.label").as("label"),
+          round(dotDec(col("a.embedding"), col("b.embedding")) /
+            (sqrt(col("a.norm2")) * sqrt(col("b.norm2"))), 4).as("cos"))
+        .filter(col("cos") >= 0.3)
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Shared CTEs: tokens / distinct 3-gram shingles / sizes. */
+  private val shCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+      |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      |  FROM toks WHERE len(tk) >= 3
+      |)""".stripMargin
+
+  private val sigSelect: String =
+    (0 until MinhashK).map(i => s"min(md5('$i|' || sh)) AS m$i").mkString(", ")
+
+  private val sigCte: String =
+    s"$shCte, sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id)"
+
+  private val bandsCte: String = {
+    val rows = (0 until Bands).map { b =>
+      val ms = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($ms) AS band_key FROM sig"
+    }
+    s"$sigCte, bands AS (${rows.mkString(" UNION ALL ")})"
+  }
+
+  private val simhashCte: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |  FROM documents
+       |), lanes AS (
+       |  SELECT doc_id, ${SimHash.laneAggsSql("tok")}
+       |  FROM toks GROUP BY doc_id
+       |), sh AS (
+       |  SELECT doc_id, ${SimHash.combineSql} AS simhash FROM lanes
+       |)""".stripMargin
+
+  override val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_minhash" ->
+      s"$sigCte SELECT doc_id, ${(0 until MinhashK).map(i => s"m$i").mkString(", ")} FROM sig",
+
+    "dedup_minhash_lsh" ->
+      s"""$bandsCte,
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         count(DISTINCT a.band) AS n_shared_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+         |       round(CAST(COALESCE(i.inter, 0) AS DOUBLE) /
+         |             (za.sz + zb.sz - COALESCE(i.inter, 0)), 6) AS jaccard
+         |FROM cand c
+         |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |JOIN sz za ON za.doc_id = c.doc_a
+         |JOIN sz zb ON zb.doc_id = c.doc_b""".stripMargin,
+
+    "dedup_simhash" -> s"$simhashCte SELECT doc_id, simhash FROM sh",
+
+    "dedup_simhash_pairs" ->
+      s"""$simhashCte,
+         |keyed AS (
+         |  SELECT doc_id, simhash, 0 AS half, (simhash >> 16) AS hkey FROM sh
+         |  UNION ALL
+         |  SELECT doc_id, simhash, 1 AS half, (simhash & 65535) AS hkey FROM sh
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM keyed a JOIN keyed b
+         |  ON a.half = b.half AND a.hkey = b.hkey AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""$shCte, sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM documents a JOIN documents b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |), inter AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS inter
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.doc_a
+         |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.doc_a, p.doc_b,
+         |       round(CAST(COALESCE(i.inter, 0) AS DOUBLE) /
+         |             (za.sz + zb.sz - COALESCE(i.inter, 0)), 6) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |JOIN sz za ON za.doc_id = p.doc_a
+         |JOIN sz zb ON zb.doc_id = p.doc_b""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |         round(CAST(unnest(embedding) AS DOUBLE), 3) AS x3
+        |  FROM embeddings
+        |), dots AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |         CAST(sum(CAST(a.x3 * b.x3 AS DECIMAL(18,8))) AS DOUBLE) AS dot
+        |  FROM e a JOIN e b
+        |    ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2, 3
+        |), norms AS (
+        |  SELECT vec_id, CAST(sum(CAST(x3 * x3 AS DECIMAL(18,8))) AS DOUBLE) AS norm2
+        |  FROM e GROUP BY vec_id
+        |)
+        |SELECT d.vec_a, d.vec_b, d.label,
+        |       round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) AS cos
+        |FROM dots d
+        |JOIN norms na ON na.vec_id = d.vec_a
+        |JOIN norms nb ON nb.vec_id = d.vec_b
+        |WHERE round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) >= 0.3""".stripMargin
+  )
 }

@@ -37,7 +37,9 @@ object PosTagger {
       "have", "has", "had", "do", "does", "did", "will", "would", "can",
       "could", "shall", "should", "may", "might", "must"))
 
-  /** Suffix rules, checked in order after the word lists. */
+  /** Suffix rules, checked in order after the word lists. A match requires
+    * a stem of at least 2 chars ("fly" is not an adverb).
+    */
   val SuffixClasses: Seq[(String, Seq[String])] = Seq(
     "ADV" -> Seq("ly"),
     "VERB" -> Seq("ing", "ed", "ize", "ise"),
@@ -55,7 +57,7 @@ object PosTagger {
     val lc = token.toLowerCase(java.util.Locale.ROOT)
     WordClasses.foreach { case (t, ws) => if (ws.contains(lc)) return t }
     SuffixClasses.foreach { case (t, sufs) =>
-      if (sufs.exists(sf => lc.length > sf.length && lc.endsWith(sf))) return t
+      if (sufs.exists(sf => lc.length > sf.length + 1 && lc.endsWith(sf))) return t
     }
     Default
   }
@@ -71,7 +73,7 @@ object PosTagger {
     WordClasses.foreach { case (t, ws) => c = c.when(lc.isin(ws: _*), t) }
     SuffixClasses.foreach { case (t, sufs) =>
       val cond = sufs.map(sf =>
-        lc.endsWith(sf) && length(lc) > sf.length).reduce(_ || _)
+        lc.endsWith(sf) && length(lc) > sf.length + 1).reduce(_ || _)
       c = c.when(cond, t)
     }
     c.otherwise(Default)
@@ -88,7 +90,7 @@ object PosTagger {
     }
     SuffixClasses.foreach { case (t, sufs) =>
       val cond = sufs.map(sf =>
-        s"(ends_with($lc, '$sf') AND length($lc) > ${sf.length})").mkString(" OR ")
+        s"(ends_with($lc, '$sf') AND length($lc) > ${sf.length + 1})").mkString(" OR ")
       sb.append(s"  WHEN $cond THEN '$t'\n")
     }
     sb.append(s"  ELSE '$Default' END")

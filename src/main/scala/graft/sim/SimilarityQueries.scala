@@ -1,10 +1,130 @@
 package graft.sim
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-import graft.QueryPack
+import graft.{QueryPack, Tables}
 
+/** Similarity search over `embeddings.embedding` (BASELINE.json north star):
+  *
+  *   sim_knn_bruteforce — exact cosine top-k: broadcast the (small) query
+  *       set against the full collection; the dot product is array-local
+  *       (VecMath), so the physical plan is broadcast-join -> narrow map ->
+  *       per-query top-k (window over q_id). At 100 TB this is the exact
+  *       baseline: one scan, no wide shuffle except the final tiny top-k.
+  *
+  *   sim_ann_lsh — the scale path: an 8-bit sign-pattern (hyperplane LSH)
+  *       bucket computed per vector; candidates are only same-bucket rows
+  *       (expected 1/256 of the collection per query), then exact re-rank.
+  *       On a cluster the bucket is the shuffle/bucketing key, turning ANN
+  *       into an equi-join — the same join machinery as everything else.
+  */
 object SimilarityQueries extends QueryPack {
-  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  override val oracles: Map[String, String] = Map()
+
+  import VecMath._
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm2Dec(col("embedding")).as("norm2"))
+
+  private val TopK = 5
+  private val NQueries = 10 // vec_id < 10 are the query vectors
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "sim_knn_bruteforce" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("norm2").as("q_norm2"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(cosine(dotDec(col("q_emb"), col("embedding")),
+            col("q_norm2"), col("norm2")), 4).as("cos"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+    }),
+
+    "sim_ann_lsh" -> ((s, d) => {
+      val e = emb(s, d).withColumn("bucket", signBucket(col("embedding")))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("norm2").as("q_norm2"), col("bucket").as("q_bucket"))
+      val scored = e
+        .join(broadcast(q),
+          col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(cosine(dotDec(col("q_emb"), col("embedding")),
+            col("q_norm2"), col("norm2")), 4).as("cos"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+    })
+  )
+
+  /** Shared oracle CTEs: quantized elements + norms (exact decimal sums). */
+  private val eCte: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      |         round(CAST(unnest(embedding) AS DOUBLE), 3) AS x3
+      |  FROM embeddings
+      |), norms AS (
+      |  SELECT vec_id, CAST(sum(CAST(x3 * x3 AS DECIMAL(18,8))) AS DOUBLE) AS norm2
+      |  FROM e GROUP BY vec_id
+      |)""".stripMargin
+
+  override val oracles: Map[String, String] = Map(
+    "sim_knn_bruteforce" ->
+      s"""$eCte, dots AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         CAST(sum(CAST(q.x3 * c.x3 AS DECIMAL(18,8))) AS DOUBLE) AS dot
+         |  FROM e q JOIN e c ON q.i = c.i AND q.vec_id < $NQueries
+         |                   AND c.vec_id <> q.vec_id
+         |  GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT d.q_id, d.n_id,
+         |         round(d.dot / (sqrt(nq.norm2) * sqrt(nc.norm2)), 4) AS cos
+         |  FROM dots d
+         |  JOIN norms nq ON nq.vec_id = d.q_id
+         |  JOIN norms nc ON nc.vec_id = d.n_id
+         |)
+         |SELECT q_id, n_id, cos, rnk FROM (
+         |  SELECT q_id, n_id, cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY cos DESC, n_id ASC) AS rnk
+         |  FROM scored
+         |) WHERE rnk <= $TopK""".stripMargin,
+
+    "sim_ann_lsh" ->
+      s"""$eCte, bkt AS (
+         |  SELECT vec_id, ${VecMath.signBucketSql("embedding")} AS bucket
+         |  FROM embeddings
+         |), dots AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         CAST(sum(CAST(q.x3 * c.x3 AS DECIMAL(18,8))) AS DOUBLE) AS dot
+         |  FROM e q
+         |  JOIN bkt bq ON bq.vec_id = q.vec_id
+         |  JOIN bkt bc ON bc.bucket = bq.bucket
+         |  JOIN e c ON c.vec_id = bc.vec_id AND c.i = q.i
+         |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+         |  GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT d.q_id, d.n_id,
+         |         round(d.dot / (sqrt(nq.norm2) * sqrt(nc.norm2)), 4) AS cos
+         |  FROM dots d
+         |  JOIN norms nq ON nq.vec_id = d.q_id
+         |  JOIN norms nc ON nc.vec_id = d.n_id
+         |)
+         |SELECT q_id, n_id, cos, rnk FROM (
+         |  SELECT q_id, n_id, cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY cos DESC, n_id ASC) AS rnk
+         |  FROM scored
+         |) WHERE rnk <= 3""".stripMargin
+  )
 }

@@ -1,10 +1,95 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
-import graft.QueryPack
+import graft.{QueryPack, Tables}
 
+/** Event-time windowing over `events` (SURVEY.md §2.7 — the reference is
+  * batch-only; this is the Structured-Streaming-shaped surface).
+  *
+  * The driver's correctness gate runs batch DataFrames, so these queries
+  * are the BATCH evaluation of the same event-time window operators the
+  * streaming pipelines use (`window`/`session_window` are identical
+  * expressions in both modes); StreamingSpec runs the real readStream
+  * variants (tumbling agg with watermark, availableNow trigger) and
+  * asserts they produce exactly these batch results.
+  *
+  * Scale: windowed aggs shuffle on (window, key) — at 100 TB the state
+  * store, not the shuffle, is the constraint; watermarks bound it.
+  */
 object StreamingQueries extends QueryPack {
-  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  override val oracles: Map[String, String] = Map()
+
+  private def events(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "events")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling 1-hour windows per event_type.
+    "stream_tumbling" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total"))
+        .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+          col("event_type"), col("n"), col("total"))),
+
+    // Sliding 1-hour windows every 30 minutes (each event in 2 windows).
+    "stream_sliding" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+          col("n"))),
+
+    // Session windows per user with a 5-minute inactivity gap.
+    "stream_session" -> ((s, d) =>
+      events(s, d)
+        .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events")))
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "stream_sliding" ->
+      """WITH w AS (
+        |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+        |           AS window_start
+        |  FROM events
+        |)
+        |SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+        |       count(*) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // Sessionization via gap-break cumulative sum; Spark's session end is
+    // last-event ts + gap (half-open windows), so a new session starts when
+    // the gap is >= 5 minutes.
+    "stream_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL '5 minutes' AS session_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin
+  )
 }

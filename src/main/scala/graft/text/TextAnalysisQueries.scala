@@ -1,10 +1,158 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-import graft.QueryPack
+import graft.{QueryPack, Tables}
 
+/** Text-analysis operators for the training-data pipeline north star:
+  * language ID (stopword-hit heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and document fingerprinting. All pure
+  * codegen'd column expressions — one narrow map stage over documents at
+  * any scale — and each mirrored in DuckDB SQL.
+  */
 object TextAnalysisQueries extends QueryPack {
-  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  override val oracles: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
+
+  /** BPE-ish pre-tokenizer: letter runs, single digits, punctuation runs. */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
+
+  private def wsTokens(c: Column): Column = split(c, "\\s+")
+
+  /** Lowercased letter-only tokens (the reference's cleaning pipeline). */
+  private def cleanTokens(c: Column): Column =
+    split(regexp_replace(lower(c), "[^a-z ]", ""), " +")
+
+  private def countIn(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(set)))
+
+  /** Character-class count via delete-and-diff (portable to any engine). */
+  private def charClassCount(text: Column, keepPattern: String): Column =
+    length(text) - length(regexp_replace(text, keepPattern, ""))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Language ID: fraction of tokens that are English stopwords.
+    "text_langid" -> ((s, d) => {
+      val toks = cleanTokens(col("text"))
+      val nTok = size(toks)
+      val hits = countIn(toks, Stopwords.reachable.filter(_.nonEmpty))
+      docs(s, d).select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        round(hits.cast("double") / nTok, 6).as("stop_ratio"),
+        when(hits.cast("double") / nTok >= 0.15, "en").otherwise("unknown")
+          .as("pred_lang"))
+    }),
+
+    // Quality score: length/punctuation/digit/stopword signals combined in
+    // a fixed-order double formula (identical arithmetic in both engines).
+    "text_quality" -> ((s, d) => {
+      val text = col("text")
+      val nChars = length(text).cast("double")
+      val toks = wsTokens(text)
+      val nTok = size(toks).cast("double")
+      val punct = charClassCount(text, "[^A-Za-z0-9\\s]").cast("double")
+      val digits = charClassCount(text, "[^0-9]").cast("double")
+      val stops = countIn(cleanTokens(text), Stopwords.reachable.filter(_.nonEmpty))
+        .cast("double")
+      val stopRatio = stops / size(cleanTokens(text))
+      val score =
+        least(nTok / 100.0, lit(1.0)) * 0.4 +
+          least(stopRatio * 4.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - least(punct / nChars * 10.0, lit(1.0))) * 0.2
+      docs(s, d).select(
+        col("doc_id"),
+        nChars.cast("long").as("n_chars"),
+        nTok.cast("long").as("n_tokens"),
+        round(punct / nChars, 6).as("punct_ratio"),
+        round(digits / nChars, 6).as("digit_ratio"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(score, 6).as("quality_score"))
+    }),
+
+    // Token counting: whitespace tokens vs BPE-ish subword count.
+    "text_tokencount" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        col("n_chars"),
+        size(wsTokens(col("text"))).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .as("bpe_tokens"))),
+
+    // Fingerprint: lexicographic-min md5 over word 3-gram shingles (a
+    // content-defined rolling fingerprint — stable under reordering-free
+    // edits far from the minimum).
+    "text_fingerprint" -> ((s, d) => {
+      import graft.dedup.Shingles
+      Shingles.docShingles(docs(s, d))
+        .groupBy("doc_id")
+        .agg(min(md5(col("sh"))).as("fingerprint"),
+          countDistinct(col("sh")).as("n_shingles"))
+    })
+  )
+
+  private def stopList: String =
+    Stopwords.reachable.filter(_.nonEmpty).map(w => s"'$w'").mkString("(", ", ", ")")
+
+  override val oracles: Map[String, String] = Map(
+    "text_langid" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +') AS toks
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |         len(list_filter(toks, x -> x IN $stopList)) AS hits
+         |  FROM t
+         |)
+         |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         |       round(CAST(hits AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+         |       CASE WHEN CAST(hits AS DOUBLE) / n_tokens >= 0.15
+         |            THEN 'en' ELSE 'unknown' END AS pred_lang
+         |FROM m""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |         CAST(length(text) AS DOUBLE) AS n_chars,
+         |         CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS n_tok,
+         |         CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+         |         CAST(length(text) - length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+         |         CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +'),
+         |                              x -> x IN $stopList)) AS DOUBLE) AS stops,
+         |         len(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS n_clean
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       CAST(n_chars AS BIGINT) AS n_chars,
+         |       CAST(n_tok AS BIGINT) AS n_tokens,
+         |       round(punct / n_chars, 6) AS punct_ratio,
+         |       round(digits / n_chars, 6) AS digit_ratio,
+         |       round(stops / n_clean, 6) AS stop_ratio,
+         |       round(least(n_tok / 100.0, 1.0) * 0.4 +
+         |             least(stops / n_clean * 4.0, 1.0) * 0.4 +
+         |             (1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2, 6) AS quality_score
+         |FROM m""".stripMargin,
+
+    "text_tokencount" ->
+      s"""SELECT doc_id, n_chars,
+         |       CAST(len(string_split_regex(text, '\\s+')) AS INT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(text, '$BpePattern')) AS INT) AS bpe_tokens
+         |FROM documents""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM toks WHERE len(tk) >= 3
+        |)
+        |SELECT doc_id, min(md5(sh)) AS fingerprint,
+        |       count(DISTINCT sh) AS n_shingles
+        |FROM sh GROUP BY doc_id""".stripMargin
+  )
 }

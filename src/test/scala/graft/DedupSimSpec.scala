@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{DedupQueries, Shingles, SimHash}
+import graft.sim.VecMath
+
+/** Semantics of the dedup/similarity primitives on crafted inputs. */
+class DedupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical texts share minhash signatures; disjoint texts don't") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words appear in this sentence here"))
+      .toDF("doc_id", "text")
+    val sigs = Shingles.signatures(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("shingles: <3 tokens yields no rows; 3-grams are space-joined") {
+    val docs = Seq((1L, "only two"), (2L, "one two three four")).toDF("doc_id", "text")
+    val sh = Shingles.docShingles(docs).as[(Long, String)].collect().toSet
+    assert(sh == Set((2L, "one two three"), (2L, "two three four")))
+  }
+
+  test("simhash: identical docs get hamming 0, and values are 32-bit") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "omega psi chi phi")).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), explode(Shingles.tokens(col("text"))).as("tok"))
+    val la = SimHash.laneAggs(col("tok"))
+    val sh = toks.groupBy("doc_id").agg(la.head, la.tail: _*)
+      .select(col("doc_id"), SimHash.combine.as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("cosine: self-similarity 1, orthogonal 0 (exact decimal path)") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.5f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val e = df.select(col("vec_id"), col("embedding"),
+      VecMath.norm2Dec(col("embedding")).as("n2"))
+    val cos = e.as("a").join(e.as("b"), col("a.vec_id") <= col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        VecMath.cosine(
+          VecMath.dotDec(col("a.embedding"), col("b.embedding")),
+          col("a.n2"), col("b.n2")).as("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(cos((1L, 1L)) == 1.0)
+    assert(cos((1L, 2L)) == 0.0)
+    assert(cos((1L, 3L)) == 1.0) // scale-invariant
+  }
+
+  test("exact dedup groups identical texts under min doc_id") {
+    val out = DedupQueries.queries("dedup_exact")(spark, sfDir)
+    // testdata has no exact dups: every group is a singleton
+    val bad = out.filter(col("n_copies") =!= 1).count()
+    assert(bad == 0)
+    assert(out.count() == Tables.load(spark, sfDir, "documents").count())
+  }
+}

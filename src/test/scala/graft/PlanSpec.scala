@@ -1,0 +1,55 @@
+package graft
+
+import graft.tfidf.{TfIdf, TfIdfQueries}
+
+/** Physical-plan shape assertions (SURVEY.md §4): the optimizations the
+  * reference hand-wired must appear in Catalyst's chosen plan — broadcast
+  * joins where the reference used its distributed cache, TakeOrderedAndProject
+  * where it used a single reducer, parquet filter/column pushdown where it
+  * projected manually, and whole-stage codegen over the scalar chain.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("TF-IDF joins broadcast the small side (no token-stream shuffle join)") {
+    val p = plan(TfIdf.pipeline(Tables.load(spark, sfDir, "documents")))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "token stream must not sort-merge")
+  }
+
+  test("top-100 plans as TakeOrderedAndProject, not a global sort") {
+    val df = TfIdf.topTerms(
+      TfIdf.documentFrequency(
+        TfIdf.terms(Tables.load(spark, sfDir, "documents"))), 100)
+    assert(plan(df).contains("TakeOrderedAndProject"))
+  }
+
+  test("filter/column pushdown reaches the parquet scan") {
+    val df = relational.RelationalQueries.queries("q_filter_project")(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: ["), scan.take(1500))
+    assert(scan.contains("GreaterThan(l_quantity") || scan.contains("l_quantity"),
+      "quantity filter should be pushed")
+    // only the 5 needed columns are read
+    assert(!scan.contains("l_shipdate"), "unneeded columns must be pruned")
+  }
+
+  test("scalar pipeline stays inside whole-stage codegen (stem included)") {
+    val df = TfIdf.terms(Tables.load(spark, sfDir, "documents"))
+    val p = plan(df)
+    // codegen'd spans print with the `*(n)` star prefix in executedPlan
+    assert(p.contains("*("), p.take(1500))
+    assert(p.contains("porter_stem"), "stem expression should be in the plan")
+    // the stem projection itself must be inside a codegen'd span
+    assert(p.linesIterator.exists(l => l.contains("porter_stem") && l.contains("*(")),
+      "stem must not fall out of whole-stage codegen")
+  }
+
+  test("aggregations use partial+final HashAggregate (the stripes pattern)") {
+    val df = relational.RelationalQueries.queries("q1_agg")(spark, sfDir)
+    val p = plan(df)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+}
