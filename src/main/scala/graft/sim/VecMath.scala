@@ -2,7 +2,6 @@ package graft.sim
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Array-local vector arithmetic over `embedding: array<float>` columns.
   *
@@ -10,31 +9,45 @@ import org.apache.spark.sql.types.DecimalType
   * functions) — no posexplode, no per-element shuffle — which is the scale
   * path: a brute-force scan is one narrow map stage.
   *
-  * Cross-engine determinism: elements are quantized to 3dp (exact after
-  * float->double), products are exact 6dp values, and the fold accumulates
-  * in DECIMAL — bit-identical to the oracle's SUM(CAST(.. AS DECIMAL)).
+  * Cross-engine determinism AND speed come from integer quantization:
+  * elements are scaled to round(x*1000) as int64 (exact: float->double is
+  * exact, and both engines round doubles half-away-from-zero), dot products
+  * are exact int64 sums, and only the final /1e6 + divide/sqrt run in
+  * double — bit-identical in Spark and DuckDB. Long folds are also ~10x
+  * cheaper than the DECIMAL folds they replaced.
+  *
+  * SQL twins (kept in the query oracles):
+  *   quantize:  CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)
+  *   dot:       CAST(sum(qa * qb) AS DOUBLE) / 1000000.0
   */
 object VecMath {
 
-  private val dec = DecimalType(18, 8)
-  private val acc = DecimalType(28, 8)
+  /** Quantized copy of the vector — compute ONCE per row before any join. */
+  def quantize(a: Column): Column =
+    transform(a, x => round(x.cast("double") * 1000, 0).cast("long"))
 
-  /** 3dp quantization of one element (float -> double exact, then round). */
-  def q3(x: Column): Column = round(x.cast("double"), 3)
+  /** Exact dot product of two quantized (int64) vectors, as double.
+    * Uses the codegen'd DotQ expression — a primitive loop, not an
+    * interpreted higher-order fold.
+    */
+  def dotQ(qa: Column, qb: Column): Column =
+    graft.functions.DotQ(qa, qb).cast("double") / 1e6
 
-  /** Exact decimal dot product of two quantized vectors, as double. */
-  def dotDec(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => q3(x) * q3(y)),
-      lit(0).cast(acc),
-      (s, p) => (s + p.cast(dec)).cast(acc)).cast("double")
-
-  /** Squared L2 norm of the quantized vector, as double. */
-  def norm2Dec(a: Column): Column = dotDec(a, a)
+  /** Squared L2 norm of a quantized vector, as double. */
+  def norm2Q(qa: Column): Column = dotQ(qa, qa)
 
   /** cosine(a, b) given precomputed squared norms. */
   def cosine(dot: Column, n2a: Column, n2b: Column): Column =
     dot / (sqrt(n2a) * sqrt(n2b))
+
+  /** Identity pass-through marked non-deterministic: an optimizer barrier
+    * that stops PushDownPredicates from folding an expensive derived-value
+    * filter INTO a join condition, where it would be re-evaluated for every
+    * hash-bucket probe (measured 100x slowdown on the cosine threshold
+    * query). Semantically a no-op; the value is already deterministic.
+    */
+  val barrier: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((x: Double) => x).asNondeterministic()
 
   /** 8-bit sign-pattern bucket of the first 8 dimensions — a deterministic
     * stand-in for random-hyperplane LSH (with synthetic ~isotropic data the

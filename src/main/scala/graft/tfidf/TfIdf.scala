@@ -95,17 +95,32 @@ object TfIdf {
         col("df"),
         (col("tf") * log(lit(corpusConstant) / (col("df") + lit(1)))).as("score"))
 
+  /** TF over ALL terms: one shuffle of map-side-combined (doc_id, term)
+    * pairs. DF then derives from THIS relation — df(term) = number of TF
+    * rows per term — rather than re-scanning tokens (the reference runs two
+    * jobs and tokenizes the corpus twice, DocumentFreq.java:60-73 vs
+    * IDF.java:82-106; deriving DF from TF makes the second pass read
+    * already-aggregated data, orders of magnitude smaller at 100 TB).
+    */
+  def termFrequencyAll(terms: DataFrame): DataFrame =
+    terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** DF from the TF relation: exact, equal to countDistinct(doc_id). */
+  def documentFrequencyFromTf(tfAll: DataFrame): DataFrame =
+    tfAll.groupBy("term").agg(count(lit(1)).as("df"))
+
   /** The full pipeline: docs(doc_id, text) -> (doc_id, term, tf, df, score).
-    * The tokenized relation feeds both the DF and TF branches; callers that
-    * materialize twice should persist it (see SparkEntry).
+    *
+    * Plan shape (one token scan, two cascaded shuffles, no recompute):
+    *   terms -> TF_all (shuffle on (doc_id,term), partial-agg'd)
+    *         -> DF (shuffle of the already-aggregated TF relation)
+    *         -> top-k (TakeOrderedAndProject)
+    *   score = TF_all ⋉ broadcast(top-k), reusing TF_all's exchange.
     */
   def pipeline(docs: DataFrame, cfg: Config = Default): DataFrame = {
-    val t = terms(docs, cfg)
-    val dfT = documentFrequency(t)
-    val top = topTerms(dfT, cfg.topK)
-    val tf = termFrequency(t, top)
-    // Join against the top-k's own (term, df) — k rows — rather than the full
-    // DF table: same result (TF terms ⊆ top-k), smaller broadcast.
+    val tfAll = termFrequencyAll(terms(docs, cfg))
+    val top = topTerms(documentFrequencyFromTf(tfAll), cfg.topK)
+    val tf = tfAll.join(broadcast(top.select("term")), Seq("term"), "left_semi")
     scores(tf, top, cfg.corpusConstant)
   }
 }

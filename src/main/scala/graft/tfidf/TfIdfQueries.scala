@@ -36,20 +36,21 @@ object TfIdfQueries extends QueryPack {
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("score"), 6).as("score"))
 
+  private def dfOf(s: SparkSession, d: String, cfg: TfIdf.Config): DataFrame =
+    TfIdf.documentFrequencyFromTf(
+      TfIdf.termFrequencyAll(TfIdf.terms(docs(s, d), cfg)))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "tfidf_df" -> ((s, d) =>
-      TfIdf.documentFrequency(TfIdf.terms(docs(s, d), stemmed))),
-    "tfidf_top100" -> ((s, d) =>
-      TfIdf.topTerms(TfIdf.documentFrequency(TfIdf.terms(docs(s, d), stemmed)), 100)),
+    "tfidf_df" -> ((s, d) => dfOf(s, d, stemmed)),
+    "tfidf_top100" -> ((s, d) => TfIdf.topTerms(dfOf(s, d, stemmed), 100)),
     "tfidf_score" -> ((s, d) => scoreDf(s, d, stemmed)),
-    "tfidf_df_raw" -> ((s, d) =>
-      TfIdf.documentFrequency(TfIdf.terms(docs(s, d), raw))),
-    "tfidf_top100_raw" -> ((s, d) =>
-      TfIdf.topTerms(TfIdf.documentFrequency(TfIdf.terms(docs(s, d), raw)), 100)),
+    "tfidf_df_raw" -> ((s, d) => dfOf(s, d, raw)),
+    "tfidf_top100_raw" -> ((s, d) => TfIdf.topTerms(dfOf(s, d, raw), 100)),
     "tfidf_tf_raw" -> ((s, d) => {
-      val t = TfIdf.terms(docs(s, d), raw)
-      val top = TfIdf.topTerms(TfIdf.documentFrequency(t), 100)
-      TfIdf.termFrequency(t, top)
+      val tfAll = TfIdf.termFrequencyAll(TfIdf.terms(docs(s, d), raw))
+      val top = TfIdf.topTerms(TfIdf.documentFrequencyFromTf(tfAll), 100)
+      tfAll.join(org.apache.spark.sql.functions.broadcast(top.select("term")),
+        Seq("term"), "left_semi")
     }),
     "tfidf_score_raw" -> ((s, d) => scoreDf(s, d, raw))
   )

@@ -47,12 +47,12 @@ class DedupSimSpec extends SparkSpec {
       (2L, Array(0.0f, 1.0f, 0.0f)),
       (3L, Array(0.5f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
-    val e = df.select(col("vec_id"), col("embedding"),
-      VecMath.norm2Dec(col("embedding")).as("n2"))
+    val e = df.select(col("vec_id"), VecMath.quantize(col("embedding")).as("qe"))
+      .select(col("vec_id"), col("qe"), VecMath.norm2Q(col("qe")).as("n2"))
     val cos = e.as("a").join(e.as("b"), col("a.vec_id") <= col("b.vec_id"))
       .select(col("a.vec_id"), col("b.vec_id"),
         VecMath.cosine(
-          VecMath.dotDec(col("a.embedding"), col("b.embedding")),
+          VecMath.dotQ(col("a.qe"), col("b.qe")),
           col("a.n2"), col("b.n2")).as("cos"))
       .as[(Long, Long, Double)].collect()
       .map { case (a, b, c) => (a, b) -> c }.toMap
