@@ -56,7 +56,14 @@ object PosQueries extends QueryPack {
     def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] = ExpressionEncoder()
   }
 
-  private def stripes(s: SparkSession, d: String): DataFrame = {
+  private def stripes(s: SparkSession, d: String): DataFrame =
+    stripesWith(s, d, RuleTagger)
+
+  /** Stripes pipeline with a pluggable tagger (an OpenNLP-backed Tagger
+    * would lazily load its model in the mapPartitions head below — the
+    * reference's Mapper.setup pattern, POS.java:23-25).
+    */
+  def stripesWith(s: SparkSession, d: String, tagger: Tagger): DataFrame = {
     import s.implicits._
     val stripesDs = Tables.load(s, d, "documents")
       .select(col("text"))
@@ -64,10 +71,11 @@ object PosQueries extends QueryPack {
       .mapPartitions { lines =>
         // ≙ POSstripes mapper: one associative array per partition
         // (better than per-record — the partition is the "task").
+        // Heavy taggers initialize their model HERE, once per task.
         val stripe = scala.collection.mutable.HashMap.empty[String, Long]
         lines.foreach { line =>
           PosTagger.tokenize(line).foreach { tok =>
-            val tag = PosTagger.tag(tok)
+            val tag = tagger.tag(tok)
             stripe.update(tag, stripe.getOrElse(tag, 0L) + 1L)
           }
         }

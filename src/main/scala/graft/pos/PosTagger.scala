@@ -19,6 +19,20 @@ import org.apache.spark.sql.functions._
   * a single regex so it is identical in Spark and DuckDB:
   * letters-run | digits-run | other-run.
   */
+/** Pluggable tagging surface (SURVEY.md §7's decision for the offline-
+  * unavailable OpenNLP model): implementations must be Serializable so
+  * executors can construct them; heavyweight models should be loaded
+  * lazily per partition (see PosQueries' mapPartitions head).
+  */
+trait Tagger extends Serializable {
+  def tag(token: String): String
+}
+
+/** Default deterministic rule-based tagger. */
+object RuleTagger extends Tagger {
+  override def tag(token: String): String = PosTagger.tag(token)
+}
+
 object PosTagger {
 
   /** Character-class tokenizer regex (Java + RE2 compatible). */

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's input model (SURVEY.md §2.1 S1/S2): a directory of
+  * plain-text files, one document per file, document identity = file
+  * basename, one record per line.
+  *
+  *   S1: `FileInputFormat.addInputPath` + default TextInputFormat
+  *       (DocumentFreq.java:145, POS.java:72) -> `spark.read.text(dir)`
+  *   S2: `((FileSplit) context.getInputSplit()).getPath().getName()`
+  *       (DocumentFreq.java:64, IDF.java:84) -> `input_file_name()`
+  *
+  * Scale: spark.read.text splits large files by HDFS block and keeps small
+  * files one-per-task; for many-small-file corpora at 100 TB, pair with
+  * spark.sql.files.maxPartitionBytes / openCostInBytes so Spark coalesces
+  * thousands of small articles per task instead of one task each.
+  */
+object TextCorpus {
+
+  /** (doc_id, line) — one row per line, doc_id = file basename. */
+  def lines(spark: SparkSession, dir: String): DataFrame =
+    spark.read.text(dir)
+      .select(
+        regexp_extract(input_file_name(), "[^/]+$", 0).as("doc_id"),
+        col("value").as("line"))
+
+  /** (doc_id, text) — whole documents, lines rejoined with \n. The TF-IDF
+    * pipeline is line-order-insensitive (bag of tokens), so the groupBy
+    * needs no sort.
+    */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    lines(spark, dir)
+      .groupBy("doc_id")
+      .agg(concat_ws("\n", collect_list(col("line"))).as("text"))
+}

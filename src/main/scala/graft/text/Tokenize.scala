@@ -31,7 +31,10 @@ object Tokenize {
 
   def clean(text: Column, caseSensitive: Boolean = false): Column = {
     val lowered = if (caseSensitive) text else lower(text)
-    regexp_replace(lowered, CleanPattern, "")
+    // Line terminators are RECORD boundaries in the reference (one map()
+    // call per line) — they must act as token separators, not be deleted
+    // like other non-letters ("fox\njumps" is two tokens, "abc123def" one).
+    regexp_replace(regexp_replace(lowered, "[\\n\\r]", " "), CleanPattern, "")
   }
 
   /** Cleaned text -> array of tokens (may contain empty strings — see note

@@ -65,7 +65,8 @@ object TfIdfQueries extends QueryPack {
     s"""WITH toks AS (
        |  SELECT doc_id,
        |         unnest(string_split_regex(
-       |           regexp_replace(lower(text), '[^a-zA-Z ]', '', 'g'), ' +')) AS term
+       |           regexp_replace(regexp_replace(lower(text), '[\n\r]', ' ', 'g'),
+       |                          '[^a-zA-Z ]', '', 'g'), ' +')) AS term
        |  FROM documents
        |), terms AS (
        |  SELECT doc_id, term FROM toks
