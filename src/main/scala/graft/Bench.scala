@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the JVM/codegen/parquet-footer caches so the first timed
+    // query doesn't absorb session start-up (~5s) that belongs to no query.
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      Tables.All.foreach(t => Tables.load(spark, sfDir, t).limit(1).count())
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming operator (the `flatMapGroupsWithState`
+  * extension surface): per-user session tracking with arbitrary state —
+  * what session_window can't express, e.g. emitting a running event count
+  * and a per-session distinct-event_type count as the session evolves.
+  *
+  * Scale: state lives in the state store keyed by user_id; the event-time
+  * timeout bounds it (a session with no events for > gap is finalized and
+  * evicted), which is what keeps 100 TB of history from accumulating.
+  */
+object Sessionize {
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String)
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long, types: Set[String])
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, n_event_types: Int, closed: Boolean)
+
+  val GapUs: Long = 5L * 60 * 1000 * 1000
+
+  /** Timestamp <-> microseconds — java.sql.Timestamp.getTime is only
+    * millisecond-precise; the nanos field carries the rest. Dropping micros
+    * here would shift every session boundary off the event-time values.
+    */
+  private def toUs(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000 + t.getNanos / 1000
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000 * 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    t
+  }
+
+  /** Flat-map update function: merges the batch's events into the running
+    * session; emits the closed session when the gap is exceeded or the
+    * state times out.
+    */
+  def update(userId: Long, events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val sorted = events.toSeq.sortBy(e => toUs(e.ts))
+    var out = List.empty[SessionOut]
+    var cur = state.getOption
+    sorted.foreach { e =>
+      val t = toUs(e.ts)
+      cur match {
+        case Some(s) if t - s.lastUs < GapUs =>
+          cur = Some(s.copy(lastUs = t, n = s.n + 1, types = s.types + e.event_type))
+        case Some(s) =>
+          out ::= SessionOut(userId, toTs(s.startUs),
+            toTs(s.lastUs + GapUs), s.n, s.types.size, closed = true)
+          cur = Some(SessionState(t, t, 1, Set(e.event_type)))
+        case None =>
+          cur = Some(SessionState(t, t, 1, Set(e.event_type)))
+      }
+    }
+    cur match {
+      case Some(s) =>
+        state.update(s)
+        if (state.hasTimedOut) {
+          state.remove()
+          out ::= SessionOut(userId, toTs(s.startUs),
+            toTs(s.lastUs + GapUs), s.n, s.types.size, closed = true)
+        } else {
+          state.setTimeoutTimestamp((s.lastUs + GapUs) / 1000)
+        }
+      case None =>
+    }
+    out.reverseIterator
+  }
+
+  /** Wire the operator over a streaming (or batch-test) Dataset[Event]. */
+  def sessions(events: Dataset[Event]): Dataset[SessionOut] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionOut]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}
