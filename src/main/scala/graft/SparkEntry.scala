@@ -18,6 +18,7 @@ object SparkEntry {
     relational.RelationalQueries,
     relational.WindowQueries,
     relational.ScalarFuncQueries,
+    relational.AdvancedQueries,
     dedup.DedupQueries,
     sim.SimilarityQueries,
     text.TextAnalysisQueries,

@@ -108,15 +108,21 @@ object DedupQueries extends QueryPack {
         .filter(col("hamming") <= 8)
     }),
 
-    // Word-3-gram Jaccard similarity for same-(lang, source) pairs.
+    // Word-3-gram Jaccard for blocked pairs. Blocking key = (lang, source,
+    // length bucket): near-dups almost always share a coarse length, and
+    // without the third key the pair count is quadratic per source at
+    // scale (62M pairs/bucket at sf1) — classic dedup blocking.
     "dedup_ngram_jaccard" -> ((s, d) => {
       val dd = docs(s, d)
       val sh = docShingles(dd)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val pairs = dd.select(col("doc_id"), col("lang"), col("source")).as("a")
-        .join(dd.select(col("doc_id"), col("lang"), col("source")).as("b"),
+      val keyed = dd.select(col("doc_id"), col("lang"), col("source"),
+        floor(col("n_chars") / 64).as("len_bucket"))
+      val pairs = keyed.as("a")
+        .join(keyed.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.len_bucket") === col("b.len_bucket") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       val inter = pairs
@@ -248,7 +254,9 @@ object DedupQueries extends QueryPack {
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM documents a JOIN documents b
-         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |    ON a.lang = b.lang AND a.source = b.source
+         |   AND floor(a.n_chars / 64) = floor(b.n_chars / 64)
+         |   AND a.doc_id < b.doc_id
          |), inter AS (
          |  SELECT p.doc_a, p.doc_b, count(*) AS inter
          |  FROM pairs p
