@@ -55,6 +55,34 @@ object MultimodalQueries extends QueryPack {
         .toDF()
     }),
 
+    // Resize: target 32x32x3 from the decoded dims (stub math; real path
+    // swaps decodeStub + this arithmetic for a codec call, shape unchanged).
+    "mm_resize" -> ((s, d) => {
+      import s.implicits._
+      media(s, d)
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.map { case (id, bytes) =>
+            val m = decodeStub(id, bytes)
+            (m.doc_id, m.width, m.height, 32, 32,
+              math.round(m.width.toDouble / 32 * 10000).toDouble / 10000,
+              32 * 32 * 3)
+          }
+        }
+        .toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h", "scale_x", "n_bytes_out")
+    }),
+
+    // Feature extraction: a deterministic 4-dim "embedding" from the
+    // payload digest (stands in for a vision encoder; SQL-checkable).
+    "mm_features" -> ((s, d) => {
+      val dig = md5(col("payload"))
+      val feats = (0 until 4).map { i =>
+        (conv(substring(dig, 1 + 2 * i, 2), 16, 10).cast("double") / 255.0)
+          .as(s"f$i")
+      }
+      media(s, d).select(col("doc_id") +: feats: _*)
+    }),
+
     // Frame sampling: every 10th frame index of a fake n_frames-long video.
     "mm_frame_sample" -> ((s, d) => {
       val nFrames = (length(col("payload")) % 96) + 1
@@ -75,6 +103,25 @@ object MultimodalQueries extends QueryPack {
         |       CAST(1 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height,
         |       3 AS channels
         |FROM documents""".stripMargin,
+
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(1 + octet_length(encode(text)) % 64 AS INT) AS src_w,
+        |         CAST(1 + (octet_length(encode(text)) // 64) % 64 AS INT) AS src_h
+        |  FROM documents
+        |)
+        |SELECT doc_id, src_w, src_h, 32 AS dst_w, 32 AS dst_h,
+        |       round(CAST(src_w AS DOUBLE) / 32, 4) AS scale_x,
+        |       3072 AS n_bytes_out
+        |FROM m""".stripMargin,
+
+    "mm_features" ->
+      s"""SELECT doc_id,
+         |${(0 until 4).map(i =>
+             s"       (('0x' || substring(md5(text), ${1 + 2 * i}, 2))::BIGINT / 255.0) AS f$i")
+            .mkString(",\n")}
+         |FROM documents""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH m AS (

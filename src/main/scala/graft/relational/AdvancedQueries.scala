@@ -58,6 +58,17 @@ object AdvancedQueries extends QueryPack {
        |       sqrt(greatest(0.0, $n * $syy - $sy * $sy))), 6)""".stripMargin
   }
 
+  /** Scalar subquery: orders above the global average price. The average
+    * goes through the exact-decimal formulation so both engines compute
+    * the identical threshold.
+    */
+  private val ScalarSub: String =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > 1.5 * (
+      |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      |  FROM orders)""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The SQL surface: same text as the oracle, run by Catalyst.
@@ -65,6 +76,11 @@ object AdvancedQueries extends QueryPack {
       Seq("customer", "orders", "lineitem").foreach(n =>
         t(s, d, n).createOrReplaceTempView(n))
       s.sql(Q3)
+    }),
+
+    "q_sql_scalar_subquery" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(ScalarSub)
     }),
 
     // Exact interpolated percentiles (Spark percentile == DuckDB
@@ -87,6 +103,7 @@ object AdvancedQueries extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "q_sql_tpch_q3" -> Q3,
+    "q_sql_scalar_subquery" -> ScalarSub,
 
     "q_percentile" ->
       """SELECT l_returnflag,

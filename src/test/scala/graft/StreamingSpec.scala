@@ -48,6 +48,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup: dropDuplicates within watermark == batch distinct") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream3").toString
+    // duplicate the stream on purpose: two copies of every event
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    ev.union(ev).write.mode("overwrite").parquet(tmp)
+
+    val q = spark.readStream
+      .schema(spark.read.parquet(tmp).schema)
+      .parquet(tmp)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("dedup_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, "duplicates must be dropped exactly once")
+  }
+
   test("streaming session windows == batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     Tables.load(spark, sfDir, "events").write.mode("overwrite").parquet(tmp)
