@@ -60,7 +60,9 @@ object DedupQueries extends QueryPack {
             col("a.band_key") === col("b.band_key") &&
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(countDistinct(col("a.band")).as("n_shared_bands"))
+        // (doc, band) is unique per side, so a plain count IS the distinct
+        // band count — no need for countDistinct's extra Expand+agg pass.
+        .agg(count(lit(1)).as("n_shared_bands"))
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = cand
         .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -214,7 +216,7 @@ object DedupQueries extends QueryPack {
       s"""$bandsCte,
          |cand AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         count(DISTINCT a.band) AS n_shared_bands
+         |         count(*) AS n_shared_bands
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
