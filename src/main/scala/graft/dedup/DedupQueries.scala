@@ -142,6 +142,17 @@ object DedupQueries extends QueryPack {
             .as("jaccard"))
     }),
 
+    // Canonicalization: LSH candidates (jaccard >= 0.3) -> connected
+    // components -> one cluster id per doc (min doc_id of the component).
+    // Rows-only check: the iterative fixpoint has no SQL oracle; crafted-
+    // input correctness lives in DedupSimSpec.
+    "dedup_clusters" -> ((s, d) => {
+      val lsh = queries("dedup_minhash_lsh")(s, d)
+        .filter(col("jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b"))
+      DedupClusters.clusters(lsh, docs(s, d).select(col("doc_id")))
+    }),
+
     // Embedding-cosine near-dup within label buckets (coarse-cell stand-in).
     // Vectors are integer-quantized once per row BEFORE the join; the
     // threshold filter goes through VecMath.barrier so the cosine is

@@ -66,9 +66,17 @@ object TfIdf {
     termed
   }
 
-  /** DF(term) = exact count of distinct documents containing term. */
-  def documentFrequency(terms: DataFrame): DataFrame =
-    terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+  /** DF(term) = count of distinct documents containing term. Exact by
+    * default, as the reference's HashSet dedup is (DocumentFreq.java:82-88);
+    * `approx = true` is the documented 100 TB opt-in (HLL++, one pass, no
+    * per-key distinct state) with `rsd` relative standard deviation.
+    */
+  def documentFrequency(terms: DataFrame, approx: Boolean = false,
+      rsd: Double = 0.05): DataFrame =
+    if (approx)
+      terms.groupBy("term").agg(approx_count_distinct("doc_id", rsd).as("df"))
+    else
+      terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
 
   /** Global top-k terms by DF desc, term asc (deterministic tiebreak).
     * Plans as TakeOrderedAndProject — no single-reducer bottleneck.

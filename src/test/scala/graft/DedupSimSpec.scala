@@ -61,6 +61,30 @@ class DedupSimSpec extends SparkSpec {
     assert(cos((1L, 3L)) == 1.0) // scale-invariant
   }
 
+  test("cluster canonicalization: components collapse to min doc_id") {
+    import graft.dedup.DedupClusters
+    // components: {1,2,3} (chain), {4,5}, {6} isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val universe = (1L to 6L).toDF("doc_id")
+    val got = DedupClusters.clusters(pairs, universe)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("approximate DF stays within the advertised error of exact") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val t = graft.tfidf.TfIdf.terms(docs)
+    val exact = graft.tfidf.TfIdf.documentFrequency(t)
+      .as[(String, Long)].collect().toMap
+    val approx = graft.tfidf.TfIdf.documentFrequency(t, approx = true)
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (term, d) =>
+      val a = approx(term).toDouble
+      assert(math.abs(a - d) / d < 0.2, s"df($term): exact=$d approx=$a")
+    }
+  }
+
   test("exact dedup groups identical texts under min doc_id") {
     val out = DedupQueries.queries("dedup_exact")(spark, sfDir)
     // testdata has no exact dups: every group is a singleton

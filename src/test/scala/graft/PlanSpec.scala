@@ -47,6 +47,22 @@ class PlanSpec extends SparkSpec {
       "stem must not fall out of whole-stage codegen")
   }
 
+  test("partition pruning: filter on the partition column prunes the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.load(spark, sfDir, "events")
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("event_type") === "click")
+    val p = df.queryExecution.executedPlan.toString
+    // the filter must appear as a PartitionFilter (pruned at planning, not
+    // evaluated per row); inputFiles is pre-pruning metadata so the plan
+    // string is the proof
+    assert("PartitionFilters: \\[.*event_type#\\d+ = click".r
+      .findFirstIn(p).isDefined, p.take(1200))
+    assert(df.count() ==
+      Tables.load(spark, sfDir, "events")
+        .filter(org.apache.spark.sql.functions.col("event_type") === "click").count())
+  }
+
   test("aggregations use partial+final HashAggregate (the stripes pattern)") {
     val df = relational.RelationalQueries.queries("q1_agg")(spark, sfDir)
     val p = plan(df)
