@@ -64,6 +64,25 @@ object WindowQueries extends QueryPack {
           count(lit(1)).over(w).as("running_n"))
     }),
 
+    // As-of join, composed from built-ins (SURVEY §4 preference (a)): for
+    // each purchase, the most recent PRIOR view by the same user — a
+    // last_value-ignore-nulls over an unbounded-to-(-1) frame on the
+    // unioned, time-ordered event stream. No custom operator needed, and
+    // the plan is one partitioned sort — the same cost as any window.
+    "q_asof_join" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "events")
+        .withColumn("last_view_ts",
+          last(when(col("event_type") === "view", col("ts")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_view_ts"),
+          (unix_micros(col("ts")) - unix_micros(col("last_view_ts")))
+            .as("gap_us"))
+    }),
+
     // Per-group top-k: top-3 orders by value per customer.
     "q_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -105,6 +124,17 @@ object WindowQueries extends QueryPack {
         |       count(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
         |FROM events""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT event_id, user_id, ts, last_view_ts,
+        |       epoch_us(ts) - epoch_us(last_view_ts) AS gap_us
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+        |  FROM events
+        |) WHERE event_type = 'purchase'""".stripMargin,
 
     "q_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
