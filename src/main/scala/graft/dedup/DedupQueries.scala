@@ -144,8 +144,8 @@ object DedupQueries extends QueryPack {
 
     // Canonicalization: LSH candidates (jaccard >= 0.3) -> connected
     // components -> one cluster id per doc (min doc_id of the component).
-    // Rows-only check: the iterative fixpoint has no SQL oracle; crafted-
-    // input correctness lives in DedupSimSpec.
+    // Oracle: recursive-CTE reachability in DuckDB must agree with the
+    // distributed label-propagation fixpoint.
     "dedup_clusters" -> ((s, d) => {
       val lsh = queries("dedup_minhash_lsh")(s, d)
         .filter(col("jaccard") >= 0.3)
@@ -246,6 +246,48 @@ object DedupQueries extends QueryPack {
          |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
          |JOIN sz za ON za.doc_id = c.doc_a
          |JOIN sz zb ON zb.doc_id = c.doc_b""".stripMargin,
+
+    // The clustering oracle reuses the full LSH pipeline as CTEs, then
+    // computes components via recursive reachability + min — an
+    // independent algorithm (recursion vs distributed fixpoint) that must
+    // land on identical cluster assignments.
+    "dedup_clusters" -> {
+      val lshCtes = bandsCte.replaceFirst("WITH toks", "WITH RECURSIVE toks")
+      s"""$lshCtes,
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |  GROUP BY 1, 2
+         |), cpairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN sz za ON za.doc_id = c.doc_a
+         |  JOIN sz zb ON zb.doc_id = c.doc_b
+         |  WHERE round(CAST(COALESCE(i.inter, 0) AS DOUBLE) /
+         |              (za.sz + zb.sz - COALESCE(i.inter, 0)), 6) >= 0.3
+         |), cedges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM cpairs
+         |), reach(doc_id, r) AS (
+         |  SELECT src, src FROM cedges
+         |  UNION
+         |  SELECT e.src, reach.r FROM cedges e JOIN reach ON reach.doc_id = e.dst
+         |), comp AS (
+         |  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin
+    },
 
     "dedup_simhash" -> s"$simhashCte SELECT doc_id, simhash FROM sh",
 
