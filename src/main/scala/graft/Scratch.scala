@@ -6,9 +6,11 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val t0 = System.nanoTime()
-    val n = SparkEntry.queries("dedup_clusters")(spark, "/root/testdata/sf0.1").count()
-    println(f"[scratch] dedup_clusters rows=$n ${(System.nanoTime()-t0)/1e9}%.1f s")
+    for (q <- Seq("dedup_minhash_lsh", "dedup_clusters")) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, "/root/testdata/sf0.1").count()
+      println(f"[scratch] $q rows=$n ${(System.nanoTime()-t0)/1e9}%.1f s")
+    }
     spark.stop()
   }
 }

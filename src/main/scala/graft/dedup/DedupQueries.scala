@@ -64,9 +64,16 @@ object DedupQueries extends QueryPack {
         // band count — no need for countDistinct's extra Expand+agg pass.
         .agg(count(lit(1)).as("n_shared_bands"))
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      // Verification reads only CANDIDATE docs' shingles: at scale the
+      // candidate set is a sliver of the corpus, and the expensive
+      // (doc, shingle) equi-join must not touch the rest.
+      val candDocs = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       val inter = cand
-        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sh.as("sb"),
+        .join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(shc.as("sb"),
           col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       cand
