@@ -62,6 +62,41 @@ object ScalarFuncQueries extends QueryPack {
           pmod(col("l_linenumber"), lit(3)).as("ln_mod"),
           signum(col("l_discount") - 0.05).as("disc_sign"))),
 
+    "q_string_funcs2" -> ((s, d) =>
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          levenshtein(col("p_brand"), lit("Brand#1")).as("brand_lev"),
+          element_at(split(col("p_type"), " "), 1).as("type_word1"),
+          repeat(substring(col("p_brand"), 7, 2), 2).as("brand_rep"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("name_caps_vowels"),
+          (instr(col("p_name"), " ") > 0).as("name_has_space"),
+          rpad(col("p_brand"), 10, "."). as("brand_rpad"))),
+
+    "q_date_funcs2" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+          dayofweek(col("o_orderdate")).as("dow_sun1"),
+          add_months(col("o_orderdate"), 3).cast("timestamp").as("plus3mo"),
+          weekofyear(col("o_orderdate")).as("iso_week"),
+          dayofyear(col("o_orderdate")).as("doy"))),
+
+    // scalar-valued outputs only: list-typed result columns would make the
+    // cross-engine compare depend on float FORMATTING, not float values
+    "q_array_funcs2" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(
+          col("vec_id"),
+          element_at(sort_array(slice(col("embedding"), 1, 4)), 2)
+            .as("first4_sorted_2nd"),
+          array_position(col("embedding"), array_max(col("embedding")))
+            .cast("int").as("argmax_pos"),
+          array_min(slice(col("embedding"), 1, 8)).as("min_first8"),
+          array_contains(col("embedding"), element_at(col("embedding"), 5))
+            .as("has_elem5"))),
+
     "q_array_funcs" -> ((s, d) =>
       t(s, d, "embeddings")
         .select(
@@ -115,6 +150,33 @@ object ScalarFuncQueries extends QueryPack {
         |       CASE WHEN l_discount - 0.05 > 0 THEN 1.0
         |            WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS disc_sign
         |FROM lineitem""".stripMargin,
+
+    "q_string_funcs2" ->
+      """SELECT p_partkey,
+        |       CAST(levenshtein(p_brand, 'Brand#1') AS INT) AS brand_lev,
+        |       split_part(p_type, ' ', 1) AS type_word1,
+        |       repeat(substring(p_brand, 7, 2), 2) AS brand_rep,
+        |       translate(p_name, 'aeiou', 'AEIOU') AS name_caps_vowels,
+        |       (strpos(p_name, ' ') > 0) AS name_has_space,
+        |       rpad(p_brand, 10, '.') AS brand_rpad
+        |FROM part""".stripMargin,
+
+    "q_date_funcs2" ->
+      """SELECT o_orderkey,
+        |       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+        |       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sun1,
+        |       o_orderdate + INTERVAL '3 months' AS plus3mo,
+        |       CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        |       CAST(dayofyear(o_orderdate) AS INT) AS doy
+        |FROM orders""".stripMargin,
+
+    "q_array_funcs2" ->
+      """SELECT vec_id,
+        |       list_sort(embedding[1:4])[2] AS first4_sorted_2nd,
+        |       CAST(list_position(embedding, list_max(embedding)) AS INT) AS argmax_pos,
+        |       list_min(embedding[1:8]) AS min_first8,
+        |       list_contains(embedding, embedding[5]) AS has_elem5
+        |FROM embeddings""".stripMargin,
 
     "q_array_funcs" ->
       """SELECT vec_id,

@@ -83,6 +83,19 @@ object WindowQueries extends QueryPack {
             .as("gap_us"))
     }),
 
+    // Distribution window functions: ntile / percent_rank / cume_dist.
+    // ntile depends on row order, not rank, so the ORDER BY carries the
+    // unique orderkey tiebreak to stay deterministic under ties.
+    "q_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+    }),
+
     // Per-group top-k: top-3 orders by value per customer.
     "q_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -135,6 +148,15 @@ object WindowQueries extends QueryPack {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
         |  FROM events
         |) WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |       ntile(4) OVER w AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
 
     "q_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
