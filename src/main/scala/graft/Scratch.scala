@@ -1,15 +1,35 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Dev profiling harness: time any subset of SparkEntry.queries.
+  *
+  *   sbt "runMain graft.Scratch [sfDir] [query ...]"
+  *
+  * No args runs every query at sf0.1 and prints a sorted breakdown.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.filter(_.startsWith("/"))
+      .getOrElse("/root/testdata/sf0.1")
+    val names =
+      if (args.length > 1 || (args.length == 1 && !args(0).startsWith("/")))
+        args.dropWhile(_.startsWith("/")).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (q <- Seq("dedup_minhash_lsh", "dedup_clusters")) {
+    val times = names.map { name =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, "/root/testdata/sf0.1").count()
-      println(f"[scratch] $q rows=$n ${(System.nanoTime()-t0)/1e9}%.1f s")
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scratch] $name%-28s rows=$n%-8d $dt%.2f s")
+      name -> dt
+    }
+    println(f"[scratch] TOTAL ${times.map(_._2).sum}%.1f s; slowest:")
+    times.sortBy(-_._2).take(5).foreach { case (n, t) =>
+      println(f"[scratch]   $n%-28s $t%.2f s")
     }
     spark.stop()
   }

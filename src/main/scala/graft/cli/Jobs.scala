@@ -21,10 +21,15 @@ import graft.pos.PosTagger
   *   hadoop jar IDF.jar IDF <in> <out> -skippatterns s.txt -tsv df.tsv
   *     -> runMain graft.cli.IdfJob <in> <out> -skippatterns s.txt -tsv df.tsv
   *
-  * One difference by design: the reference's two-job chain materializes the
-  * DF table and re-reads it via distributed cache; IdfJob accepts the same
-  * `-tsv` file for parity, and computes the DF in-flight when it's absent
-  * (the single-program S6 shape from SURVEY.md §2.1).
+  * Two differences by design:
+  *   - the reference's two-job chain materializes the DF table and re-reads
+  *     it via distributed cache; IdfJob accepts the same `-tsv` file for
+  *     parity, and computes the DF in-flight when it's absent (the
+  *     single-program S6 shape from SURVEY.md §2.1);
+  *   - without `-skippatterns` the reference applies NO stopword filter and
+  *     counts empty-string tokens as terms; these jobs default to the
+  *     bundled reference stopword list instead (the unfiltered behavior is
+  *     reachable through the library API, TfIdf.Config(useStopwords=false)).
   */
 object Jobs {
 
