@@ -43,6 +43,15 @@ object DedupQueries extends QueryPack {
         .groupBy(md5(col("text")).as("text_md5"))
         .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))),
 
+    // Normalized exact dedup: case-fold + whitespace-collapse before
+    // hashing — catches trivially-reformatted copies that byte-exact
+    // hashing misses, still one shuffle.
+    "dedup_normalized" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+          .as("norm_md5"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))),
+
     // MinHash signatures (k=8 permutations as lexicographic md5 minima).
     "dedup_minhash" -> ((s, d) => signatures(docs(s, d))),
 
@@ -226,6 +235,11 @@ object DedupQueries extends QueryPack {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5,
+        |       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "dedup_minhash" ->
       s"$sigCte SELECT doc_id, ${(0 until MinhashK).map(i => s"m$i").mkString(", ")} FROM sig",

@@ -69,7 +69,20 @@ object AdvancedQueries extends QueryPack {
       |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
       |  FROM orders)""".stripMargin
 
+  /** Explicit GROUPING SETS (beyond cube/rollup) — one shared SQL text. */
+  private val GSets: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_sql_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(GSets)
+    }),
 
     // The SQL surface: same text as the oracle, run by Catalyst.
     "q_sql_tpch_q3" -> ((s, d) => {
@@ -134,6 +147,7 @@ object AdvancedQueries extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_sql_grouping_sets" -> GSets,
     "q_sql_tpch_q3" -> Q3,
     "q_sql_scalar_subquery" -> ScalarSub,
 

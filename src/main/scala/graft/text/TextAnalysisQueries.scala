@@ -81,6 +81,22 @@ object TextAnalysisQueries extends QueryPack {
         size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
           .as("bpe_tokens"))),
 
+    // Corpus-level word bigram counts, top 50 (ml.feature.NGram-shaped
+    // output without the ML pipeline ceremony: explode 2-grams, count,
+    // TakeOrderedAndProject).
+    "text_ngram_counts" -> ((s, d) => {
+      val toks = split(lower(col("text")), "\\s+")
+      docs(s, d)
+        .select(toks.as("tk"))
+        .select(explode(when(size(col("tk")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("tk")) - 1),
+            i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1)))))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(50)
+    }),
+
     // Fingerprint: lexicographic-min md5 over word 3-gram shingles (a
     // content-defined rolling fingerprint — stable under reordering-free
     // edits far from the minimum).
@@ -141,6 +157,17 @@ object TextAnalysisQueries extends QueryPack {
          |       CAST(len(string_split_regex(text, '\\s+')) AS INT) AS ws_tokens,
          |       CAST(len(regexp_extract_all(text, '$BpePattern')) AS INT) AS bpe_tokens
          |FROM documents""".stripMargin,
+
+    "text_ngram_counts" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS tk FROM documents
+        |), bg AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(tk), 1)),
+        |                i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |  FROM toks WHERE len(tk) >= 2
+        |)
+        |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin,
 
     "text_fingerprint" ->
       """WITH toks AS (
