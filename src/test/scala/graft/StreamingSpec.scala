@@ -75,6 +75,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "duplicates must be dropped exactly once")
   }
 
+  test("stream-stream join (purchase ⋈ prior views within 30min) == batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ss").toString
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    ev.write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+
+    def side(tpe: String) = spark.readStream.schema(schema).parquet(tmp)
+      .filter(col("event_type") === tpe)
+      .withWatermark("ts", "1 hour")
+
+    val purchases = side("purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val views = side("view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+
+    val cond = col("p_user") === col("v_user") &&
+      col("v_ts") <= col("p_ts") &&
+      col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES")
+
+    val q = purchases.join(views, cond)
+      .select(col("p_id"), col("v_id"))
+      .writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("ss_join_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val batch = p.join(v, cond).select(col("p_id"), col("v_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "expected some view->purchase pairs")
+  }
+
   test("streaming session windows == batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     Tables.load(spark, sfDir, "events").write.mode("overwrite").parquet(tmp)
