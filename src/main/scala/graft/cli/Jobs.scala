@@ -42,11 +42,15 @@ object Jobs {
     var cs = false
     val pos = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
+    def valueOf(flag: String): String = {
+      require(i + 1 < args.length, s"$flag requires a value")
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "-skippatterns" => skip = Some(args(i + 1)); i += 2
+        case "-skippatterns" => skip = Some(valueOf("-skippatterns")); i += 2
         case "-casesensitive" => cs = true; i += 1
-        case "-tsv" => tsv = Some(args(i + 1)); i += 2
+        case "-tsv" => tsv = Some(valueOf("-tsv")); i += 2
         case a => pos += a; i += 1
       }
     }
@@ -69,13 +73,10 @@ object Jobs {
   def stopwords(flag: Option[String]): Set[String] = flag match {
     case None => Stopwords.set
     case Some(path) =>
-      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-        java.nio.charset.StandardCharsets.UTF_8)
-        .split("\r\n|\n|\r", -1).dropRight(1).toSet
+      Stopwords.loadLines(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8))
   }
-
-  def cfg(f: Flags): TfIdf.Config =
-    TfIdf.Default.copy(caseSensitive = f.caseSensitive)
 
   def corpusTerms(spark: SparkSession, f: Flags): DataFrame = {
     val docs = TextCorpus.documents(spark, f.in)

@@ -11,19 +11,30 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * equivalent `aggregate(zip_with(...))` higher-order fold, whose lambda is
   * interpreted per element. This is the hot inner op of every similarity /
   * near-dup query (VecMath quantizes vectors to int64 first).
+  *
+  * Semantics (it is a registered SQL function, so misuse must signal, not
+  * corrupt): a length mismatch or any NULL element yields NULL — silently
+  * truncating to the shorter vector or reading a null slot as garbage
+  * would produce plausible-but-wrong similarity scores.
   */
 case class DotQ(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_q"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -33,12 +44,17 @@ case class DotQ(left: Expression, right: Expression) extends BinaryExpression {
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

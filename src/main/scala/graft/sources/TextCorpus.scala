@@ -26,12 +26,20 @@ object TextCorpus {
         regexp_extract(input_file_name(), "[^/]+$", 0).as("doc_id"),
         col("value").as("line"))
 
-  /** (doc_id, text) — whole documents, lines rejoined with \n. The TF-IDF
-    * pipeline is line-order-insensitive (bag of tokens), so the groupBy
-    * needs no sort.
+  /** (doc_id, text) — whole documents, lines rejoined with \n IN FILE
+    * ORDER: collect_list alone concatenates partition outputs in arbitrary
+    * order once a file spans multiple splits, which would make any
+    * order-sensitive consumer (shingles, fingerprints, normalized hashes)
+    * nondeterministic. monotonically_increasing_id encodes
+    * (partition index, row position), and text-file splits map to
+    * partitions in file order, so sorting by it restores line order.
     */
   def documents(spark: SparkSession, dir: String): DataFrame =
     lines(spark, dir)
+      .withColumn("__ord", monotonically_increasing_id())
       .groupBy("doc_id")
-      .agg(concat_ws("\n", collect_list(col("line"))).as("text"))
+      .agg(concat_ws("\n",
+        transform(
+          array_sort(collect_list(struct(col("__ord"), col("line")))),
+          s => s.getField("line"))).as("text"))
 }

@@ -65,7 +65,12 @@ object Sessionize {
           out ::= SessionOut(userId, toTs(s.startUs),
             toTs(s.lastUs + GapUs), s.n, s.types.size, closed = true)
         } else {
-          state.setTimeoutTimestamp((s.lastUs + GapUs) / 1000)
+          // clamp to strictly-after-watermark: flatMapGroupsWithState does
+          // not drop late rows, and a timeout at or before the current
+          // watermark throws and kills the whole streaming query
+          val target = (s.lastUs + GapUs) / 1000
+          val floor = state.getCurrentWatermarkMs() + 1
+          state.setTimeoutTimestamp(math.max(target, floor))
         }
       case None =>
     }

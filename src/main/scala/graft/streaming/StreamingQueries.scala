@@ -75,7 +75,7 @@ object StreamingQueries extends QueryPack {
     // the gap is >= 5 minutes.
     "stream_session" ->
       """WITH o AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |         CASE WHEN lag(ts) OVER w IS NULL
         |                OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
         |              THEN 1 ELSE 0 END AS brk
@@ -83,7 +83,7 @@ object StreamingQueries extends QueryPack {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         |), s AS (
         |  SELECT user_id, ts,
-        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM o
         |)

@@ -13,19 +13,27 @@ package graft.text
   */
 object Stopwords {
 
-  /** Full skip set — 356 entries incl. `""` (355 non-empty + blank line). */
+  /** Full skip set — 355 entries: 354 distinct non-empty (the file repeats
+    * "would") plus `""` from the blank separator lines.
+    */
   lazy val set: Set[String] = {
     val in = getClass.getResourceAsStream("/stopwords.txt")
     require(in != null, "stopwords.txt missing from resources")
     val bytes =
       try in.readAllBytes()
       finally in.close()
-    // readLine strips \n and \r\n terminators; split accordingly. A final
-    // terminator yields no extra entry (matching readLine returning null).
-    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      .split("\r\n|\n|\r", -1)
-      .dropRight(1) // text ends with a terminator -> trailing "" is artifact
-      .toSet
+    loadLines(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** readLine-exact line split: terminators delimit entries; a FINAL
+    * terminator yields no extra entry, but a file not ending in a
+    * terminator keeps its last line (BufferedReader.readLine semantics —
+    * dropping unconditionally would eat the final stopword of files
+    * without a trailing newline).
+    */
+  def loadLines(content: String): Set[String] = {
+    val parts = content.split("\r\n|\n|\r", -1)
+    (if (parts.nonEmpty && parts.last.isEmpty) parts.dropRight(1) else parts).toSet
   }
 
   /** Entries that can actually match a cleaned token (letters only, as

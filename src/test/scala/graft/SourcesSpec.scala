@@ -68,6 +68,16 @@ class SourcesSpec extends SparkSpec {
     assert(r.getLong(1) == 32L)
   }
 
+  test("DotQ signals misuse: length mismatch and null elements -> NULL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_q(array(1L), array(1L, 2L)) AS mismatched,
+        |       dot_q(array(1L, CAST(NULL AS BIGINT)), array(2L, 3L)) AS withnull,
+        |       dot_q(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS nullarr""".stripMargin)
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("DotQ codegen ≡ interpreted eval") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
