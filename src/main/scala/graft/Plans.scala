@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps the formatted physical plans of the flagship queries to stdout
+  * (redirect to PLANS.md): the evidence that the engine produces the
+  * intended plan shapes — broadcast joins, partial aggregation,
+  * TakeOrderedAndProject, pushdown, codegen spans.
+  *
+  *   sbt "runMain graft.Plans" 2>/dev/null | sed -n '/^#/,$p' > PLANS.md
+  */
+object Plans {
+  val Flagship = Seq(
+    "tfidf_score" -> "full TF-IDF: one token scan, broadcast semi-join, partial/final agg",
+    "q_join_3way" -> "fact-dim joins: pruned scans + broadcast hash joins",
+    "q1_agg" -> "wide aggregation with exact decimal sums",
+    "sim_knn_bruteforce" -> "brute-force cosine top-k: codegen dot product + WindowGroupLimit",
+    "dedup_minhash_lsh" -> "MinHash LSH: banding self-join + candidate-restricted verify",
+    "q_range_join" -> "interval-banded range join (equi keys, no cross product)",
+    "stream_tumbling" -> "event-time tumbling window aggregation")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println("# Physical plans of flagship queries (sf0.01, local[4])")
+    println()
+    Flagship.foreach { case (name, note) =>
+      println(s"## $name -- $note\n")
+      println("```")
+      println(SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+        .queryExecution.executedPlan.treeString)
+      println("```")
+      println()
+    }
+    spark.stop()
+  }
+}

@@ -45,6 +45,23 @@ class CliJobsSpec extends SparkSpec {
     assert(math.abs(sparkA3(2).toDouble - 3 * math.log(10000.0 / 3)) < 1e-9)
   }
 
+  test("-casesensitive keeps case distinctions through the pipeline") {
+    val in = mkCorpus()
+    val out = Files.createTempDirectory("graft-cs").toString + "/df"
+    graft.cli.DocumentFreqJob.run(spark, Array(in, out, "-casesensitive"))
+    val df = readTsv(out).map(r => r(0) -> r(1).toLong).toMap
+    // a1 has capitalized "Spark" (twice); a3 is lowercase "spark": in
+    // case-sensitive mode they are DIFFERENT terms with df 1 each
+    assert(df.get("Spark") == Some(1L), df)
+    assert(df.get("spark") == Some(1L), df)
+  }
+
+  test("flag parser rejects a trailing flag without its value") {
+    intercept[IllegalArgumentException] {
+      graft.cli.Jobs.parse(Array("in", "out", "-tsv"))
+    }
+  }
+
   test("PosJob -> TAG\\tCOUNT over the corpus") {
     val in = mkCorpus()
     val out = Files.createTempDirectory("graft-pos").toString + "/tags"
