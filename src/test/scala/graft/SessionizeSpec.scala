@@ -56,6 +56,40 @@ class SessionizeSpec extends SparkSpec {
     assert(disagree.isEmpty, s"sessions disagree: ${disagree.take(3)}")
   }
 
+  test("multi-batch run survives late data (watermark-clamped timeouts)") {
+    // Split the events across many files and feed them ONE per micro-batch:
+    // files hold random time ranges, so later batches deliver events far
+    // behind the advanced watermark — the regression case where an
+    // unclamped setTimeoutTimestamp(<= watermark) kills the query.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mb").toString
+    Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(tmp)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(tmp).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp)
+      .withWatermark("ts", "10 minutes")
+      .as[Event]
+
+    val q = Sessionize.sessions(stream)
+      .writeStream.format("memory").queryName("mb_sessions_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+
+    val out = spark.table("mb_sessions_out")
+    assert(out.count() > 0, "no sessions emitted across micro-batches")
+    // conservation: closed sessions can't contain more events than exist
+    val closedEvents = out.filter(col("closed"))
+      .agg(sum(col("n_events"))).first().getLong(0)
+    assert(closedEvents <= Tables.load(spark, sfDir, "events").count())
+  }
+
   test("salted join equals plain join") {
     val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
     val ord = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
