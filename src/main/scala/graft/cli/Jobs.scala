@@ -132,9 +132,12 @@ object IdfJob {
     val terms = Jobs.corpusTerms(spark, f)
     val tfAll = TfIdf.termFrequencyAll(terms)
     val dfTable = f.tsv match {
-      case Some(path) => // reference parity: consume the DF job's file
+      case Some(path) => // reference parity: consume the DF job's file;
+        // rows that don't parse into (term, df) are skipped, like the
+        // reference's parts.length != 2 guard (IDF.java:68)
         Tsv.read(spark, path, StructType(Seq(
           StructField("term", StringType), StructField("df", LongType))))
+          .na.drop(Seq("term", "df"))
       case None => // single-program shape: derive in-flight
         TfIdf.topTerms(TfIdf.documentFrequencyFromTf(tfAll), 100)
     }
