@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
   * intended plan shapes — broadcast joins, partial aggregation,
   * TakeOrderedAndProject, pushdown, codegen spans.
   *
-  *   sbt "runMain graft.Plans" 2>/dev/null | sed -n '/^#/,$p' > PLANS.md
+  *   sbt -batch "runMain graft.Plans" 2>/dev/null \
+  *     | sed 's/^\[info\] \{0,1\}//' | sed -n '/^# Physical/,$p' \
+  *     | grep -v '^\[success\]' > PLANS.md
   */
 object Plans {
   val Flagship = Seq(
@@ -25,6 +27,12 @@ object Plans {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     println("# Physical plans of flagship queries (sf0.01, local[4])")
+    println()
+    println("Note: `treeString` re-prints a shared `InMemoryRelation`'s child plan")
+    println("under EVERY `InMemoryTableScan` that reads it, so a persisted relation's")
+    println("`FileScan` can appear several times in the dump while executing once.")
+    println("PlanSpec asserts the single-scan property programmatically (one distinct")
+    println("cached plan, one FileScan inside it) for `tfidf_score`.")
     println()
     Flagship.foreach { case (name, note) =>
       println(s"## $name -- $note\n")

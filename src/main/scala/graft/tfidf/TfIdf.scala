@@ -117,18 +117,36 @@ object TfIdf {
   def documentFrequencyFromTf(tfAll: DataFrame): DataFrame =
     tfAll.groupBy("term").agg(count(lit(1)).as("df"))
 
-  /** The full pipeline: docs(doc_id, text) -> (doc_id, term, tf, df, score).
+  /** TF_all + top-k + restricted TF as one DAG sharing a single corpus scan.
     *
-    * Plan shape (one token scan, two cascaded shuffles, no recompute):
-    *   terms -> TF_all (shuffle on (doc_id,term), partial-agg'd)
-    *         -> DF (shuffle of the already-aggregated TF relation)
-    *         -> top-k (TakeOrderedAndProject)
-    *   score = TF_all ⋉ broadcast(top-k), reusing TF_all's exchange.
+    * TF_all is `.persist()`ed (MEMORY_AND_DISK): it feeds both the top-k
+    * branch and the semi-joined TF branch, and their aggregate plans don't
+    * canonicalize to the same exchange, so without pinning Catalyst would
+    * re-derive each branch from a fresh corpus scan (measured: 3 FileScans).
+    * TF_all is the AGGREGATED (doc_id, term, tf) relation — orders of
+    * magnitude smaller than the token stream at 100 TB — and MEMORY_AND_DISK
+    * spills rather than recomputes. Spark's cache manager keys on the
+    * analyzed plan, so repeated calls in one session share one cache entry.
     */
-  def pipeline(docs: DataFrame, cfg: Config = Default): DataFrame = {
-    val tfAll = termFrequencyAll(terms(docs, cfg))
+  def pipelineRelations(docs: DataFrame, cfg: Config = Default)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val tfAll = termFrequencyAll(terms(docs, cfg)).persist()
     val top = topTerms(documentFrequencyFromTf(tfAll), cfg.topK)
     val tf = tfAll.join(broadcast(top.select("term")), Seq("term"), "left_semi")
+    (tfAll, top, tf)
+  }
+
+  /** The full pipeline: docs(doc_id, text) -> (doc_id, term, tf, df, score).
+    *
+    * Plan shape (ONE corpus scan, two cascaded shuffles, no recompute):
+    *   terms -> TF_all (shuffle on (doc_id,term), partial-agg'd, persisted)
+    *         -> DF (shuffle of the already-aggregated TF relation)
+    *         -> top-k (TakeOrderedAndProject)
+    *   score = TF_all ⋉ broadcast(top-k), reading the persisted TF_all.
+    * PlanSpec asserts the single-scan property against the executed plan.
+    */
+  def pipeline(docs: DataFrame, cfg: Config = Default): DataFrame = {
+    val (_, top, tf) = pipelineRelations(docs, cfg)
     scores(tf, top, cfg.corpusConstant)
   }
 }

@@ -19,6 +19,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "token stream must not sort-merge")
   }
 
+  test("tfidf pipeline scans the corpus exactly ONCE (persisted TF relation)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val df = TfIdf.pipeline(Tables.load(spark, sfDir, "documents"))
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val direct = nodes.collect { case f: FileSourceScanExec => f }
+    assert(direct.isEmpty,
+      s"every corpus read must go through the persisted TF_all; found ${direct.size} direct scans")
+    val caches = nodes.collect { case c: InMemoryTableScanExec => c }
+    assert(caches.size >= 2,
+      "both the top-k branch and the TF branch must read the persisted TF_all")
+    val cachedPlans = caches.map(_.relation.cacheBuilder.cachedPlan).distinct
+    assert(cachedPlans.size == 1, "all cache reads must share ONE cached relation")
+    val innerScans = flatten(cachedPlans.head).collect { case f: FileSourceScanExec => f }
+    assert(innerScans.size == 1,
+      s"the cached TF_all plan must contain exactly one documents scan, got ${innerScans.size}")
+  }
+
   test("top-100 plans as TakeOrderedAndProject, not a global sort") {
     val df = TfIdf.topTerms(
       TfIdf.documentFrequency(
