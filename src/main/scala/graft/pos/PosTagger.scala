@@ -81,8 +81,11 @@ object PosTagger {
     */
   def tagColumn(tok: Column): Column = {
     val lc = lower(tok)
-    // Build the CASE chain in rule order.
-    var c: Column = when(tok.rlike("^[0-9]+$"), "NUM")
+    // Build the CASE chain in rule order. The leading empty-token arm
+    // mirrors tag()'s guard — unreachable via TokenPattern, but all three
+    // variants are public API and must stay rule-for-rule identical.
+    var c: Column = when(tok === lit(""), Default)
+      .when(tok.rlike("^[0-9]+$"), "NUM")
       .when(!tok.rlike("[a-zA-Z]"), "PUNCT")
     WordClasses.foreach { case (t, ws) => c = c.when(lc.isin(ws: _*), t) }
     SuffixClasses.foreach { case (t, sufs) =>
@@ -96,7 +99,8 @@ object PosTagger {
   /** Same rules as DuckDB SQL over a token expression. */
   def tagSql(tok: String): String = {
     val sb = new StringBuilder
-    sb.append(s"CASE WHEN regexp_full_match($tok, '[0-9]+') THEN 'NUM'\n")
+    sb.append(s"CASE WHEN $tok = '' THEN '$Default'\n")
+    sb.append(s"  WHEN regexp_full_match($tok, '[0-9]+') THEN 'NUM'\n")
     sb.append(s"  WHEN NOT regexp_matches($tok, '[a-zA-Z]') THEN 'PUNCT'\n")
     val lc = s"lower($tok)"
     WordClasses.foreach { case (t, ws) =>
