@@ -19,8 +19,8 @@ import graft.{QueryPack, Tables}
   *     skew (a degenerate band key) is the known hazard; AQE skew-join
   *     handles it, and the band count is a dial.
   *   - SimHash is a single aggregation to a 32-bit value; its candidate
-  *     join buckets on the two 16-bit halves (Manku'07 rotation trick,
-  *     specialized to hamming<=bits/2 windows).
+  *     join is block-collision LSH (Manku'07 §3) over four 8-bit blocks,
+  *     a true recall guarantee for the advertised hamming<=3 radius.
   *   - embedding near-dup buckets by label (stand-in for an IVF/coarse
   *     quantizer cell at scale — see sim.SimilarityQueries for the ANN
   *     variants); the dot product stays array-local (zip_with + aggregate,
@@ -104,26 +104,17 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), SimHash.combine.as("simhash"))
     }),
 
-    // SimHash near-dup pairs: bucket by either 16-bit half, verify hamming.
+    // SimHash near-dup pairs: 4x8-bit block-collision LSH with a TRUE
+    // recall guarantee for the advertised hamming<=3 radius (pigeonhole —
+    // see SimHash.candidatePairs; SimHashRecallSpec plants adversarial
+    // cross-block pairs and asserts they are found).
     "dedup_simhash_pairs" -> ((s, d) => {
       val toks = docs(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       val sh = toks.groupBy("doc_id")
         .agg(SimHash.laneAggs(col("tok")).head, SimHash.laneAggs(col("tok")).tail: _*)
         .select(col("doc_id"), SimHash.combine.as("simhash"))
-      val keyed = sh.select(col("doc_id"), col("simhash"),
-        explode(array(
-          struct(lit(0).as("half"), shiftright(col("simhash"), 16).as("hkey")),
-          struct(lit(1).as("half"), col("simhash").bitwiseAND(65535L).as("hkey")))).as("hk"))
-        .select(col("doc_id"), col("simhash"), col("hk.half"), col("hk.hkey"))
-      keyed.as("a")
-        .join(keyed.as("b"),
-          col("a.half") === col("b.half") && col("a.hkey") === col("b.hkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 8)
+      SimHash.candidatePairs(sh)
     }),
 
     // Word-3-gram Jaccard for blocked pairs. Blocking key = (lang, source,
@@ -314,16 +305,7 @@ object DedupQueries extends QueryPack {
 
     "dedup_simhash_pairs" ->
       s"""$simhashCte,
-         |keyed AS (
-         |  SELECT doc_id, simhash, 0 AS half, (simhash >> 16) AS hkey FROM sh
-         |  UNION ALL
-         |  SELECT doc_id, simhash, 1 AS half, (simhash & 65535) AS hkey FROM sh
-         |)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-         |FROM keyed a JOIN keyed b
-         |  ON a.half = b.half AND a.hkey = b.hkey AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
+         |${SimHash.candidatePairsSql("sh")}""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""$shCte, sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
