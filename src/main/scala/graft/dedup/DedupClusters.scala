@@ -2,7 +2,6 @@ package graft.dedup
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Connected components over near-dup candidate pairs: the step after LSH
   * in a real dedup pipeline — candidate pairs say "these two are dups",
@@ -24,25 +23,46 @@ object DedupClusters {
     * joins back in at the end. At 100 TB the paired set is a sliver of
     * the corpus (that's what LSH is for), so the fixpoint loop runs over
     * the candidate graph, never the full table.
+    *
+    * `checkpointDir`: when set, iteration state is pinned with RELIABLE
+    * checkpoints (`df.checkpoint`) written under that path instead of
+    * executor-local blocks. `localCheckpoint` is lost with its executor —
+    * fine on local[n], unacceptable for a long fixpoint on a real cluster
+    * where one lost executor would fail the whole loop; a shared-FS
+    * checkpoint survives executor churn.
+    *
+    * Convergence is detected from a `chg` flag computed INSIDE the
+    * pointer-jump projection, so the per-iteration count is a scan of the
+    * just-materialized checkpoint blocks — no extra join job (the old
+    * labels-vs-next join burned one full job per iteration).
+    *
+    * If `maxIters` is exhausted the labels may be partially propagated
+    * (long-chain graphs); that is loudly warned, never silent — callers
+    * that need a guarantee can raise `maxIters` (pointer jumping makes
+    * convergence O(log diameter), so 15 handles diameter ~2^15).
     */
-  def clusters(pairs: DataFrame, universe: DataFrame, maxIters: Int = 15): DataFrame = {
-    // Iterative-algorithm storage discipline: localCheckpoint (eager), NOT
-    // persist/unpersist pairs. Unpersisting an upstream cache invalidates
+  def clusters(pairs: DataFrame, universe: DataFrame, maxIters: Int = 15,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // Iterative-algorithm storage discipline: eager checkpoints, NOT
+    // persist/unpersist. Unpersisting an upstream cache invalidates
     // dependent InMemoryRelations and re-registers them on the RAW plan,
     // so later iterations silently recompute the entire candidate-pair
     // lineage (measured: 30-140s per iteration instead of ~1s). Eager
-    // localCheckpoint materializes AND truncates lineage, so each
-    // iteration starts from stored blocks whatever happens upstream.
+    // checkpoints materialize AND truncate lineage, so each iteration
+    // starts from stored blocks whatever happens upstream.
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+
     // pairs is usually an expensive LSH pipeline and the symmetric union
     // below reads it twice — checkpoint it once first.
-    val p = pairs.localCheckpoint(true)
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+    val p = pin(pairs)
+    val edges = pin(p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
 
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint(true)
+    var labels = pin(edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -51,29 +71,31 @@ object DedupClusters {
         .groupBy(col("src"))
         .agg(min(col("cluster_id")).as("nbr_min"))
       // checkpointed: referenced by BOTH sides of the shortcut join.
-      val propagated = labels
+      val propagated = pin(labels
         .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-        .select(labels("doc_id"),
+        .select(labels("doc_id"), col("cluster_id").as("prev_cluster_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(true)
+            .as("cluster_id")))
       // pointer jumping: follow the label's label — turns O(diameter)
       // convergence into O(log diameter) (long chains otherwise eat the
-      // iteration budget)
-      val next = propagated.as("l")
+      // iteration budget). `chg` carries the convergence signal out of
+      // the same projection.
+      val next = pin(propagated.as("l")
         .join(propagated.select(col("doc_id").as("rid"), col("cluster_id").as("rcid")).as("r"),
           col("l.cluster_id") === col("r.rid"), "left")
         .select(col("l.doc_id").as("doc_id"),
-          coalesce(col("rcid"), col("l.cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
-      val changed = labels.as("o")
-        .join(next.as("n"), col("o.doc_id") === col("n.doc_id"))
-        .filter(col("o.cluster_id") =!= col("n.cluster_id"))
-        .count()
-      labels = next
-      converged = changed == 0
+          coalesce(col("rcid"), col("l.cluster_id")).as("cluster_id"),
+          (coalesce(col("rcid"), col("l.cluster_id")) =!= col("l.prev_cluster_id"))
+            .as("chg")))
+      // Scan of the blocks `pin` just wrote — no join, no shuffle.
+      converged = next.filter(col("chg")).limit(1).isEmpty
+      labels = next.drop("chg")
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"[graft] DedupClusters did not converge in $maxIters iterations; " +
+          "cluster ids may be partially propagated — raise maxIters")
     // singletons (never paired) keep their own id
     universe.select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "pdoc"),

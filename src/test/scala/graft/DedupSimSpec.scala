@@ -71,6 +71,26 @@ class DedupSimSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("clusters: long chain converges (pointer jumping) and reliable " +
+    "checkpoint path agrees with localCheckpoint path") {
+    import graft.dedup.DedupClusters
+    // 40-node chain: worst case for plain propagation, O(log n) with
+    // pointer jumping — must fully collapse within the default maxIters.
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val universe = (1L to 40L).toDF("doc_id")
+    val local = DedupClusters.clusters(chain, universe)
+      .as[(Long, Long)].collect().toMap
+    assert(local.values.toSet == Set(1L), s"chain not collapsed: $local")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      val reliable = DedupClusters.clusters(chain, universe,
+        checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap
+      assert(reliable == local)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("approximate DF stays within the advertised error of exact") {
     val docs = Tables.load(spark, sfDir, "documents")
     val t = graft.tfidf.TfIdf.terms(docs)
