@@ -35,6 +35,28 @@ object Sessionize {
     t
   }
 
+  /** ONE merge rule shared by the streaming update and the batch flush:
+    * fold an event into the running session, emitting the previous session
+    * iff the gap broke. Both execution modes go through this function, so
+    * they cannot diverge.
+    */
+  private def step(userId: Long, cur: Option[SessionState], e: Event)
+      : (Option[SessionOut], SessionState) = {
+    val t = toUs(e.ts)
+    cur match {
+      case Some(s) if t - s.lastUs < GapUs =>
+        (None, s.copy(lastUs = t, n = s.n + 1, types = s.types + e.event_type))
+      case Some(s) =>
+        (Some(finalize(userId, s)), SessionState(t, t, 1, Set(e.event_type)))
+      case None =>
+        (None, SessionState(t, t, 1, Set(e.event_type)))
+    }
+  }
+
+  private def finalize(userId: Long, s: SessionState): SessionOut =
+    SessionOut(userId, toTs(s.startUs), toTs(s.lastUs + GapUs), s.n,
+      s.types.size, closed = true)
+
   /** Flat-map update function: merges the batch's events into the running
     * session; emits the closed session when the gap is exceeded or the
     * state times out.
@@ -45,25 +67,16 @@ object Sessionize {
     var out = List.empty[SessionOut]
     var cur = state.getOption
     sorted.foreach { e =>
-      val t = toUs(e.ts)
-      cur match {
-        case Some(s) if t - s.lastUs < GapUs =>
-          cur = Some(s.copy(lastUs = t, n = s.n + 1, types = s.types + e.event_type))
-        case Some(s) =>
-          out ::= SessionOut(userId, toTs(s.startUs),
-            toTs(s.lastUs + GapUs), s.n, s.types.size, closed = true)
-          cur = Some(SessionState(t, t, 1, Set(e.event_type)))
-        case None =>
-          cur = Some(SessionState(t, t, 1, Set(e.event_type)))
-      }
+      val (emitted, next) = step(userId, cur, e)
+      emitted.foreach(out ::= _)
+      cur = Some(next)
     }
     cur match {
       case Some(s) =>
         state.update(s)
         if (state.hasTimedOut) {
           state.remove()
-          out ::= SessionOut(userId, toTs(s.startUs),
-            toTs(s.lastUs + GapUs), s.n, s.types.size, closed = true)
+          out ::= finalize(userId, s)
         } else {
           // clamp to strictly-after-watermark: flatMapGroupsWithState does
           // not drop late rows, and a timeout at or before the current
@@ -85,5 +98,31 @@ object Sessionize {
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Batch evaluation of the SAME operator (registered as the
+    * `stream_sessionize_custom` query). Bounded input means end-of-input
+    * is the ultimate timeout: every trailing session is finalized by the
+    * same [[finalize]] the streaming timeout path uses. Events fold
+    * through the same [[step]] — the two modes share every rule.
+    *
+    * Scale: one shuffle on user_id; per-group work is a sort of that
+    * user's events (bounded by per-user activity, not corpus size).
+    */
+  def sessionsBatch(events: Dataset[Event]): Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    events.groupByKey(_.user_id)(Encoders.scalaLong).flatMapGroups {
+      (userId: Long, it: Iterator[Event]) =>
+        val sorted = it.toSeq.sortBy(e => toUs(e.ts))
+        var out = List.empty[SessionOut]
+        var cur: Option[SessionState] = None
+        sorted.foreach { e =>
+          val (emitted, next) = step(userId, cur, e)
+          emitted.foreach(out ::= _)
+          cur = Some(next)
+        }
+        cur.foreach(s => out ::= finalize(userId, s))
+        out.reverseIterator
+    }
   }
 }

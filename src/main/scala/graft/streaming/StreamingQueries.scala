@@ -48,7 +48,20 @@ object StreamingQueries extends QueryPack {
         .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("w.start").as("session_start"),
-          col("w.end").as("session_end"), col("n_events")))
+          col("w.end").as("session_end"), col("n_events"))),
+
+    // The custom flatMapGroupsWithState sessionizer (Sessionize), batch
+    // evaluation — richer per-session state than session_window can carry
+    // (distinct event-type count).
+    "stream_sessionize_custom" -> ((s, d) => {
+      import s.implicits._
+      Sessionize.sessionsBatch(
+        events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+          .as[Sessionize.Event])
+        .toDF()
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("n_event_types"))
+    })
   )
 
   override val oracles: Map[String, String] = Map(
@@ -90,6 +103,28 @@ object StreamingQueries extends QueryPack {
         |SELECT user_id, min(ts) AS session_start,
         |       max(ts) + INTERVAL '5 minutes' AS session_end,
         |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // Same gap-break construction plus the distinct-type count the custom
+    // operator tracks in its state.
+    "stream_sessionize_custom" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), s AS (
+        |  SELECT user_id, ts, event_type,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL '5 minutes' AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(count(DISTINCT event_type) AS INT) AS n_event_types
         |FROM s GROUP BY user_id, sid""".stripMargin
   )
 }
