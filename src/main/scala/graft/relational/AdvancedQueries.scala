@@ -143,7 +143,31 @@ object AdvancedQueries extends QueryPack {
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(dcorr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
-          count(lit(1)).as("n")))
+          count(lit(1)).as("n"))),
+
+    // Skew-resistant salted join on an INDUCED hot key: 70% of events are
+    // remapped onto skew_key 0 (the testdata is too uniform to exhibit the
+    // 100 TB hazard naturally), then the skewed fact side joins a derived
+    // dim through operators.SaltedJoin — the hot key's rows spread over 16
+    // salt sub-keys instead of one straggler task. Salt comes from
+    // event_id (deterministic); the salt never changes the JOIN RESULT,
+    // only its distribution, so the oracle is the plain join. See
+    // ARCHITECTURE.md "Skew" for the measured salted-vs-plain comparison.
+    "q_join_salted_skew" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("skew_key",
+          when(pmod(col("user_id"), lit(10)) < 7, lit(0L))
+            .otherwise(col("user_id")))
+      val dim = e.select(col("skew_key")).distinct()
+        .withColumn("grp",
+          concat(lit("g"), pmod(col("skew_key"), lit(7)).cast("string")))
+      graft.operators.SaltedJoin
+        .inner(e, dim, "skew_key", saltFactor = 16,
+          saltBy = Some(col("event_id")))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("total"))
+    })
   )
 
   override val oracles: Map[String, String] = Map(
@@ -181,6 +205,21 @@ object AdvancedQueries extends QueryPack {
       s"""SELECT l_returnflag,
          |       ${dcorrSql("l_quantity", "l_extendedprice")} AS corr_qty_price,
          |       count(*) AS n
-         |FROM lineitem GROUP BY l_returnflag""".stripMargin
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // Salt is distribution-only, so the oracle is the PLAIN join.
+    "q_join_salted_skew" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, value,
+         |         CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS skew_key
+         |  FROM events
+         |), dim AS (
+         |  SELECT DISTINCT skew_key,
+         |         'g' || CAST(skew_key % 7 AS VARCHAR) AS grp
+         |  FROM e
+         |)
+         |SELECT dim.grp, count(*) AS n, ${dsumSql("e.value", 4)} AS total
+         |FROM e JOIN dim ON e.skew_key = dim.skew_key
+         |GROUP BY dim.grp""".stripMargin
   )
 }
