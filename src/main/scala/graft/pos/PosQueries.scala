@@ -74,8 +74,9 @@ object PosQueries extends QueryPack {
         // Heavy taggers initialize their model HERE, once per task.
         val stripe = scala.collection.mutable.HashMap.empty[String, Long]
         lines.foreach { line =>
-          PosTagger.tokenize(line).foreach { tok =>
-            val tag = tagger.tag(tok)
+          // Whole-line tagging (POS.java:38): context-free taggers map per
+          // token; a model-backed Tagger sees the full token sequence.
+          tagger.tagLine(PosTagger.tokenize(line).toArray).foreach { tag =>
             stripe.update(tag, stripe.getOrElse(tag, 0L) + 1L)
           }
         }

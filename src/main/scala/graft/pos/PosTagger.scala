@@ -26,11 +26,53 @@ import org.apache.spark.sql.functions._
   */
 trait Tagger extends Serializable {
   def tag(token: String): String
+
+  /** Tag a whole line's tokens. Context-free taggers map per token; a
+    * model-backed tagger overrides this to tag with sentence context
+    * (the reference's `tagger.tag(words)`, POS.java:38).
+    */
+  def tagLine(tokens: Array[String]): Array[String] = tokens.map(tag)
 }
 
 /** Default deterministic rule-based tagger. */
 object RuleTagger extends Tagger {
   override def tag(token: String): String = PosTagger.tag(token)
+}
+
+/** OpenNLP-maxent-backed tagger — POS.java:23-25 parity. The reference
+  * hardcodes a laptop path to `en-pos-maxent.bin` and loads it in
+  * `Mapper.setup`; here the model path is configurable and the load is a
+  * `@transient lazy val`, so each executor JVM initializes the model once
+  * (the mapPartitions-head discipline — the instance ships as just the
+  * path string).
+  *
+  * `opennlp-tools` is NOT a build dependency (offline environment, pinned
+  * deps): the OpenNLP classes are resolved reflectively from the runtime
+  * classpath, so this compiles and ships without the jar and works when a
+  * deployment adds `opennlp-tools` + a model file. The spec skips itself
+  * when either is absent.
+  */
+final class OpenNlpTagger(modelPath: String) extends Tagger {
+
+  @transient private lazy val tagTokens: Array[String] => Array[String] = {
+    val cl = Thread.currentThread.getContextClassLoader
+    val modelCls = cl.loadClass("opennlp.tools.postag.POSModel")
+    val taggerCls = cl.loadClass("opennlp.tools.postag.POSTaggerME")
+    val in = new java.io.BufferedInputStream(
+      new java.io.FileInputStream(modelPath))
+    val model =
+      try modelCls.getConstructor(classOf[java.io.InputStream]).newInstance(in)
+      finally in.close()
+    val tagger = taggerCls.getConstructor(modelCls).newInstance(model)
+    val tagM = taggerCls.getMethod("tag", classOf[Array[String]])
+    toks => tagM.invoke(tagger, toks).asInstanceOf[Array[String]]
+  }
+
+  override def tag(token: String): String = tagLine(Array(token)).head
+
+  /** Whole-line tagging with model context — exactly POS.java:38. */
+  override def tagLine(tokens: Array[String]): Array[String] =
+    if (tokens.isEmpty) tokens else tagTokens(tokens)
 }
 
 object PosTagger {
