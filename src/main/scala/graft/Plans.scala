@@ -19,7 +19,9 @@ object Plans {
     "sim_knn_bruteforce" -> "brute-force cosine top-k: codegen dot product + WindowGroupLimit",
     "dedup_minhash_lsh" -> "MinHash LSH: banding self-join + candidate-restricted verify",
     "q_range_join" -> "interval-banded range join (equi keys, no cross product)",
-    "stream_tumbling" -> "event-time tumbling window aggregation")
+    "stream_tumbling" -> "event-time tumbling window aggregation",
+    "dedup_simhash_pairs" -> "block-collision LSH: 4-probe explode + self-equi-join",
+    "q_join_salted_skew" -> "salted skew join: salt-spread fact + replicated dim")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -111,9 +111,14 @@ object DedupQueries extends QueryPack {
     "dedup_simhash_pairs" -> ((s, d) => {
       val toks = docs(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      // The fingerprint relation feeds BOTH sides of the candidate
+      // self-join; without pinning, each side re-runs the token explode +
+      // 32 lane aggregates from a fresh corpus scan (the most expensive
+      // stage, 2x at scale). Same discipline as tfidf's TF_all.
       val sh = toks.groupBy("doc_id")
         .agg(SimHash.laneAggs(col("tok")).head, SimHash.laneAggs(col("tok")).tail: _*)
         .select(col("doc_id"), SimHash.combine.as("simhash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       SimHash.candidatePairs(sh)
     }),
 
@@ -165,10 +170,14 @@ object DedupQueries extends QueryPack {
     // threshold filter goes through VecMath.barrier so the cosine is
     // evaluated once per candidate pair, not once per hash-bucket probe.
     "dedup_embedding_cosine" -> ((s, d) => {
+      // persist: the quantized relation feeds both sides of the self-join —
+      // this is what makes "quantize ONCE per row" true in the executed
+      // plan, not just the logical one.
       val e = Tables.load(s, d, "embeddings")
         .select(col("vec_id"), col("label"), VecMath.quantize(col("embedding")).as("qe"))
         .select(col("vec_id"), col("label"), col("qe"),
           VecMath.norm2Q(col("qe")).as("norm2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       e.as("a")
         .join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
