@@ -106,6 +106,47 @@ object TextAnalysisQueries extends QueryPack {
         .groupBy("doc_id")
         .agg(min(md5(col("sh"))).as("fingerprint"),
           countDistinct(col("sh")).as("n_shingles"))
+    }),
+
+    // The COMPOSED C4-style cleaning pipeline — what a training-data run
+    // actually executes: language gate (stopword-hit heuristic) + quality
+    // gate + exact dedup (keep min doc_id), one narrow scoring scan and
+    // one dedup shuffle. Survivor stats out.
+    "text_clean_pipeline" -> ((s, d) => {
+      val text = col("text")
+      val nChars = length(text).cast("double")
+      val toks = wsTokens(text)
+      val punct = charClassCount(text, "[^A-Za-z0-9\\s]").cast("double")
+      val stops = countIn(cleanTokens(text), Stopwords.reachable.filter(_.nonEmpty))
+        .cast("double")
+      val stopRatio = stops / size(cleanTokens(text))
+      val score =
+        least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.4 +
+          least(stopRatio * 4.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - least(punct / nChars * 10.0, lit(1.0))) * 0.2
+      val scored = docs(s, d)
+        .select(col("doc_id"), col("source"), text,
+          size(toks).cast("long").as("n_tokens"),
+          round(score, 6).as("quality_score"), stopRatio.as("sr"))
+        .filter(col("sr") >= 0.15 && col("quality_score") >= 0.5)
+      val keep = scored
+        .groupBy(md5(col("text")).as("k")).agg(min(col("doc_id")).as("doc_id"))
+      scored
+        .join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("quality_score"))
+    }),
+
+    // Deterministic hash-stratified sampling: md5-derived bucket per doc,
+    // ~10% per (lang, source) stratum — reproducible across engines and
+    // runs (never rand()), verified by per-stratum totals.
+    "text_sample_stratified" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      docs(s, d).select(col("lang"), col("source"), bucket.as("b"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("b") < 10, 1L).otherwise(0L)).as("n_sampled"))
     })
   )
 
@@ -180,6 +221,37 @@ object TextAnalysisQueries extends QueryPack {
         |)
         |SELECT doc_id, min(md5(sh)) AS fingerprint,
         |       count(DISTINCT sh) AS n_shingles
-        |FROM sh GROUP BY doc_id""".stripMargin
+        |FROM sh GROUP BY doc_id""".stripMargin,
+
+    "text_clean_pipeline" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, source, text,
+         |         CAST(length(text) AS DOUBLE) AS n_chars,
+         |         CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS n_tok,
+         |         CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+         |         CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +'),
+         |                              x -> x IN $stopList)) AS DOUBLE) AS stops,
+         |         len(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS n_clean
+         |  FROM documents
+         |), scored AS (
+         |  SELECT doc_id, source, text, CAST(n_tok AS BIGINT) AS n_tokens,
+         |         round(least(n_tok / 100.0, 1.0) * 0.4 +
+         |               least(stops / n_clean * 4.0, 1.0) * 0.4 +
+         |               (1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2, 6) AS quality_score,
+         |         stops / n_clean AS sr
+         |  FROM m
+         |), surv AS (
+         |  SELECT * FROM scored WHERE sr >= 0.15 AND quality_score >= 0.5
+         |), keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM surv GROUP BY md5(text)
+         |)
+         |SELECT s.doc_id, s.source, s.n_tokens, s.quality_score
+         |FROM surv s JOIN keep k ON s.doc_id = k.doc_id""".stripMargin,
+
+    "text_sample_stratified" ->
+      """SELECT lang, source, count(*) AS n_total,
+        |       CAST(sum(CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY lang, source""".stripMargin
   )
 }
