@@ -50,6 +50,21 @@ object StreamingQueries extends QueryPack {
         .select(col("user_id"), col("w.start").as("session_start"),
           col("w.end").as("session_end"), col("n_events"))),
 
+    // At-least-once delivery dedup: the input carries duplicate deliveries
+    // (simulated by a self-union — the testdata has no natural dups);
+    // dropDuplicates(event_id) restores exactly-once before aggregation.
+    // The rows of a duplicate pair are identical, so "keep first" is
+    // deterministic. StreamingSpec runs the real readStream
+    // dropDuplicates-within-watermark variant of this exact shape.
+    "stream_dedup" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      ev.union(ev)
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // The custom flatMapGroupsWithState sessionizer (Sessionize), batch
     // evaluation — richer per-session state than session_window can carry
     // (distinct event-type count).
@@ -104,6 +119,12 @@ object StreamingQueries extends QueryPack {
         |       max(ts) + INTERVAL '5 minutes' AS session_end,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // Exactly-once after dedup == plain counts over the un-duplicated
+    // input.
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // Same gap-break construction plus the distinct-type count the custom
     // operator tracks in its state.

@@ -78,6 +78,29 @@ class SourcesSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("JSONL corpus source: explicit schema, malformed and partial lines skipped") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    val f = tmp.resolve("part-000.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"id": "doc1", "text": "hello world", "extra": 1}
+        |{"id": "doc2", "text": "second document"}
+        |not json at all {{{
+        |{"id": "doc3"}
+        |{"text": "missing id"}
+        |{"id": "doc4", "text": "fourth"}
+        |""".stripMargin)
+    val got = graft.sources.Jsonl.documents(spark, tmp.toString)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      "doc1" -> "hello world",
+      "doc2" -> "second document",
+      "doc4" -> "fourth"))
+    // the JSONL corpus feeds the engine's document pipeline directly
+    val scored = graft.tfidf.TfIdf.terms(
+      graft.sources.Jsonl.documents(spark, tmp.toString))
+    assert(scored.columns.toSeq == Seq("doc_id", "term"))
+  }
+
   test("DotQ codegen ≡ interpreted eval") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
