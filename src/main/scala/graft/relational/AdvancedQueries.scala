@@ -58,6 +58,27 @@ object AdvancedQueries extends QueryPack {
        |       sqrt(greatest(0.0, $n * $syy - $sy * $sy))), 6)""".stripMargin
   }
 
+  /** TPC-H Q5-shaped "local supplier volume": a 6-way join (customer,
+    * orders, lineitem, supplier, nation, region) with the local-supplier
+    * residual c_nationkey = s_nationkey — the join-order planning stress
+    * test. One SQL text, two engines; exact decimal revenue.
+    */
+  private val Q5: String =
+    """SELECT n_name,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |  AND r_name = 'AFRICA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name ASC""".stripMargin
+
   /** Scalar subquery: orders above the global average price. The average
     * goes through the exact-decimal formulation so both engines compute
     * the identical threshold.
@@ -94,6 +115,12 @@ object AdvancedQueries extends QueryPack {
     "q_sql_scalar_subquery" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders")
       s.sql(ScalarSub)
+    }),
+
+    "q_sql_tpch_q5" -> ((s, d) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+      s.sql(Q5)
     }),
 
     // Range join: ordered same-user event pairs within 60 seconds. BANDED:
@@ -173,6 +200,7 @@ object AdvancedQueries extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "q_sql_grouping_sets" -> GSets,
     "q_sql_tpch_q3" -> Q3,
+    "q_sql_tpch_q5" -> Q5,
     "q_sql_scalar_subquery" -> ScalarSub,
 
     "q_range_join" ->
