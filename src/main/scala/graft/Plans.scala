@@ -21,7 +21,9 @@ object Plans {
     "q_range_join" -> "interval-banded range join (equi keys, no cross product)",
     "stream_tumbling" -> "event-time tumbling window aggregation",
     "dedup_simhash_pairs" -> "block-collision LSH: 4-probe explode + self-equi-join",
-    "q_join_salted_skew" -> "salted skew join: salt-spread fact + replicated dim")
+    "q_join_salted_skew" -> "salted skew join: salt-spread fact + replicated dim",
+    "sim_ann_ivf" -> "IVF ANN: centroid train aggs + broadcast assign + cell equi-join",
+    "q_sql_tpch_q5" -> "6-way SQL join: Catalyst join ordering, broadcast dims")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
