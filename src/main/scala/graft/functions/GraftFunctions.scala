@@ -1,20 +1,46 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SQL registration for the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT porter_stem(term) ...")` works alongside the Column
   * API (the reference's users drive everything through fixed jobs; ours
   * get both surfaces).
+  *
+  * Two integration paths:
+  *   - [[GraftFunctions.register]] — imperative per-session registration;
+  *   - [[GraftExtensions]] — the injection-point path:
+  *     `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  *     loads the functions into EVERY session of the deployment at
+  *     session-build time, the way a library ships Catalyst extensions.
   */
 object GraftFunctions {
+
+  /** The function table — single source for both integration paths. */
+  val All: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("porter_stem", exprs => StemExpr(exprs.head),
+      "porter_stem(str) - Porter-stems an English word (codegen)"),
+    ("dot_q", exprs => DotQ(exprs(0), exprs(1)),
+      "dot_q(arr1, arr2) - exact int64 dot product of quantized vectors (codegen)"))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction(
-      "porter_stem", exprs => StemExpr(exprs.head), "built-in")
-    registry.createOrReplaceTempFunction(
-      "dot_q", exprs => DotQ(exprs(0), exprs(1)), "built-in")
+    All.foreach { case (name, builder, _) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
+}
+
+/** `spark.sql.extensions` entry point (zero-arg class contract). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.All.foreach { case (name, builder, usage) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name, name, usage, ""),
+        builder))
+    }
 }

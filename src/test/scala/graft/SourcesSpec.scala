@@ -101,6 +101,31 @@ class SourcesSpec extends SparkSpec {
     assert(scored.columns.toSeq == Seq("doc_id", "term"))
   }
 
+  test("GraftExtensions injects functions via spark.sql.extensions " +
+    "(no runtime register call)") {
+    import org.apache.spark.sql.SparkSession
+    val old = spark // keep the shared session safe
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // Reuses the existing SparkContext. spark.sql.extensions is a STATIC
+      // conf applied only at SparkContext creation, so the test drives the
+      // same hook the conf path uses: reflective zero-arg instantiation
+      // (Spark's loader contract) + builder.withExtensions.
+      val ext = Class.forName("graft.functions.GraftExtensions")
+        .getDeclaredConstructor().newInstance()
+        .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+      val s2 = SparkSession.builder().withExtensions(ext).getOrCreate()
+      val r = s2.sql(
+        "SELECT porter_stem('running') AS st, dot_q(array(2L, 3L), array(4L, 5L)) AS d")
+        .collect().head
+      assert(r.getString(0) == "run" && r.getLong(1) == 23L)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("DotQ codegen ≡ interpreted eval") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
