@@ -119,6 +119,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "expected some view->purchase pairs")
   }
 
+  test("checkpoint recovery: dedup state survives a query restart (exactly-once)") {
+    import org.apache.spark.sql.SaveMode
+    val base = java.nio.file.Files.createTempDirectory("graft-ckpt-rec")
+    val src = base.resolve("src").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val all = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"))
+    val ev = all.filter(col("event_id") < 100)
+    val n1 = ev.count()
+    ev.write.mode(SaveMode.Overwrite).parquet(src)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .parquet(src)
+        .dropDuplicates("event_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == n1)
+
+    // Second delivery: part duplicates of the first batch, part new rows.
+    // A restart from the SAME checkpoint must restore the dedup state
+    // (dup event_ids dropped) and the source offsets (old files not
+    // re-read) — output grows by exactly the new ids.
+    all.filter(col("event_id") >= 50 && col("event_id") < 150)
+      .write.mode(SaveMode.Append).parquet(src)
+    runOnce()
+    val expected = all.filter(col("event_id") < 150).count()
+    val ids = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.length == expected,
+      s"expected exactly-once $expected ids, got ${ids.length}")
+    assert(ids.distinct.length == ids.length, "duplicate ids leaked through restart")
+  }
+
   test("streaming session windows == batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     Tables.load(spark, sfDir, "events").write.mode("overwrite").parquet(tmp)
