@@ -145,6 +145,36 @@ object TextAnalysisQueries extends QueryPack {
           col("quality_score"))
     }),
 
+    // Repetition metrics (the Gopher-rule quality signals): duplicate
+    // token mass, most-frequent-token share, duplicate bigram mass. Two
+    // cascaded aggregations per granularity — the second one reads
+    // already-aggregated (doc, gram) counts, tiny at any scale.
+    "text_repetition" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      val tstats = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(sum("n").as("n_tokens"),
+          count(lit(1)).as("n_distinct"), max("n").as("max_n"))
+      val bg = docs(s, d)
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tk"))
+        .select(col("doc_id"),
+          explode(when(size(col("tk")) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(col("tk")) - 1),
+              i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1)))))
+            .as("bg"))
+      val bstats = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(sum("n").as("nb"), count(lit(1)).as("ndb"))
+      tstats.join(bstats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+            .as("dup_token_ratio"),
+          round(col("max_n").cast("double") / col("n_tokens"), 6)
+            .as("top_token_ratio"),
+          when(col("nb").isNull, lit(0.0))
+            .otherwise(round(lit(1.0) - col("ndb").cast("double") / col("nb"), 6))
+            .as("dup_bigram_ratio"))
+    }),
+
     // Deterministic hash-stratified sampling: md5-derived bucket per doc,
     // ~10% per (lang, source) stratum — reproducible across engines and
     // runs (never rand()), verified by per-stratum totals.
@@ -255,6 +285,35 @@ object TextAnalysisQueries extends QueryPack {
          |)
          |SELECT s.doc_id, s.source, s.n_tokens, s.quality_score
          |FROM surv s JOIN keep k ON s.doc_id = k.doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), tc AS (
+        |  SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY 1, 2
+        |), tstats AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |         count(*) AS n_distinct, max(n) AS max_n
+        |  FROM tc GROUP BY doc_id
+        |), tk AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk), 1)),
+        |                i -> tk[i] || ' ' || tk[i+1])) AS bg
+        |  FROM tk WHERE len(tk) >= 2
+        |), bc AS (
+        |  SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2
+        |), bstats AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS nb, count(*) AS ndb
+        |  FROM bc GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, t.n_tokens,
+        |       round(1.0 - CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 6) AS dup_token_ratio,
+        |       round(CAST(t.max_n AS DOUBLE) / t.n_tokens, 6) AS top_token_ratio,
+        |       CASE WHEN b.nb IS NULL THEN 0.0
+        |            ELSE round(1.0 - CAST(b.ndb AS DOUBLE) / b.nb, 6) END AS dup_bigram_ratio
+        |FROM tstats t LEFT JOIN bstats b ON b.doc_id = t.doc_id""".stripMargin,
 
     "text_sample_stratified" ->
       """SELECT lang, source, count(*) AS n_total,
