@@ -145,35 +145,9 @@ object TextAnalysisQueries extends QueryPack {
           col("quality_score"))
     }),
 
-    // Repetition metrics (the Gopher-rule quality signals): duplicate
-    // token mass, most-frequent-token share, duplicate bigram mass. Two
-    // cascaded aggregations per granularity — the second one reads
-    // already-aggregated (doc, gram) counts, tiny at any scale.
-    "text_repetition" -> ((s, d) => {
-      val toks = docs(s, d).select(col("doc_id"),
-        explode(split(lower(col("text")), "\\s+")).as("tok"))
-      val tstats = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id").agg(sum("n").as("n_tokens"),
-          count(lit(1)).as("n_distinct"), max("n").as("max_n"))
-      val bg = docs(s, d)
-        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tk"))
-        .select(col("doc_id"),
-          explode(when(size(col("tk")) < 2, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), size(col("tk")) - 1),
-              i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1)))))
-            .as("bg"))
-      val bstats = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id").agg(sum("n").as("nb"), count(lit(1)).as("ndb"))
-      tstats.join(bstats, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
-            .as("dup_token_ratio"),
-          round(col("max_n").cast("double") / col("n_tokens"), 6)
-            .as("top_token_ratio"),
-          when(col("nb").isNull, lit(0.0))
-            .otherwise(round(lit(1.0) - col("ndb").cast("double") / col("nb"), 6))
-            .as("dup_bigram_ratio"))
-    }),
+    // Repetition metrics (the Gopher-rule quality signals) — body in
+    // [[repetitionOf]] so specs can run it over planted corpora.
+    "text_repetition" -> ((s, d) => repetitionOf(docs(s, d))),
 
     // Deterministic hash-stratified sampling: md5-derived bucket per doc,
     // ~10% per (lang, source) stratum — reproducible across engines and
@@ -187,6 +161,37 @@ object TextAnalysisQueries extends QueryPack {
           sum(when(col("b") < 10, 1L).otherwise(0L)).as("n_sampled"))
     })
   )
+
+  /** Repetition metrics over any (doc_id, text) relation: duplicate token
+    * mass, most-frequent-token share, duplicate bigram mass. Two cascaded
+    * aggregations per granularity — the second one reads
+    * already-aggregated (doc, gram) counts, tiny at any scale.
+    */
+  def repetitionOf(dd: DataFrame): DataFrame = {
+    val toks = dd.select(col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val tstats = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(sum("n").as("n_tokens"),
+        count(lit(1)).as("n_distinct"), max("n").as("max_n"))
+    val bg = dd
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tk"))
+      .select(col("doc_id"),
+        explode(when(size(col("tk")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("tk")) - 1),
+            i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1)))))
+          .as("bg"))
+    val bstats = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(sum("n").as("nb"), count(lit(1)).as("ndb"))
+    tstats.join(bstats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("dup_token_ratio"),
+        round(col("max_n").cast("double") / col("n_tokens"), 6)
+          .as("top_token_ratio"),
+        when(col("nb").isNull, lit(0.0))
+          .otherwise(round(lit(1.0) - col("ndb").cast("double") / col("nb"), 6))
+          .as("dup_bigram_ratio"))
+  }
 
   private def stopList: String =
     Stopwords.reachable.filter(_.nonEmpty).map(w => s"'$w'").mkString("(", ", ", ")")

@@ -72,4 +72,49 @@ class PropertiesSpec extends SparkSpec {
     // and the engine's stemmed term count matches (no tokens dropped)
     assert(TfIdf.terms(corpus).count() == raw.length)
   }
+
+  test("repetition ratios live in [0,1]; planted corpora hit the extremes") {
+    import graft.text.TextAnalysisQueries
+    TextAnalysisQueries.queries("text_repetition")(spark, sfDir)
+      .collect().foreach { r =>
+        Seq(2, 3, 4).foreach { i =>
+          val v = r.getDouble(i)
+          assert(v >= 0.0 && v <= 1.0, s"ratio out of range: $r")
+        }
+      }
+    val planted = Seq(
+      (1L, Seq.fill(10)("spam").mkString(" ")), // maximal repetition
+      (2L, ('a' to 'j').map(_.toString).mkString(" "))) // all distinct
+      .toDF("doc_id", "text")
+    val m = TextAnalysisQueries.repetitionOf(planted)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(m(1L) == ((0.9, 1.0, 0.888889))) // bigrams: 1 distinct of 9
+    assert(m(2L) == ((0.0, 0.1, 0.0)))
+  }
+
+  test("stratified sample is reproducible and bounded per stratum") {
+    import graft.text.TextAnalysisQueries
+    val q = TextAnalysisQueries.queries("text_sample_stratified")
+    val a = q(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(a == q(spark, sfDir).collect().map(_.toSeq).toSet,
+      "sampling must be reproducible run-over-run")
+    a.foreach { row =>
+      val (total, sampled) = (row(2).asInstanceOf[Long], row(3).asInstanceOf[Long])
+      assert(sampled >= 0 && sampled <= total)
+    }
+  }
+
+  test("clean-pipeline survivors are documents that pass the quality gate") {
+    import graft.text.TextAnalysisQueries
+    val out = TextAnalysisQueries.queries("text_clean_pipeline")(spark, sfDir).collect()
+    val docIds = Tables.load(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(docIds.contains(r.getLong(0)))
+      assert(r.getDouble(3) >= 0.5, s"survivor below quality gate: $r")
+    }
+  }
 }
