@@ -21,7 +21,11 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.queries.size == all.size)
   }
 
-  test("every oracle key has a query; no empty SQL") {
+  test("EVERY query is oracled, and every oracle has a query (no drift)") {
+    // Round 2 closed the last verification hole (the stemmed TF-IDF path,
+    // oracled via the stem-map side table): full bijection from here on.
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"queries without oracles: $unoracled")
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
     SparkEntry.oracleSql.foreach { case (k, sql) =>
@@ -30,10 +34,8 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("coverage floor: the surface doesn't silently shrink") {
-    assert(SparkEntry.queries.size >= 70,
+    assert(SparkEntry.queries.size >= 78,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 67,
-      s"only ${SparkEntry.oracleSql.size} oracles registered")
   }
 
   test("flagship entry returns rows on sf0.001") {
