@@ -23,7 +23,8 @@ object Plans {
     "dedup_simhash_pairs" -> "block-collision LSH: 4-probe explode + self-equi-join",
     "q_join_salted_skew" -> "salted skew join: salt-spread fact + replicated dim",
     "sim_ann_ivf" -> "IVF ANN: centroid train aggs + broadcast assign + cell equi-join",
-    "q_sql_tpch_q5" -> "6-way SQL join: Catalyst join ordering, broadcast dims")
+    "q_sql_tpch_q5" -> "6-way SQL join: Catalyst join ordering, broadcast dims",
+    "text_clean_pipeline" -> "C4-style clean: one barriered scoring pass + dedup semi-join")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
