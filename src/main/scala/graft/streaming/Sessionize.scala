@@ -36,18 +36,34 @@ object Sessionize {
   }
 
   /** ONE merge rule shared by the streaming update and the batch flush:
-    * fold an event into the running session, emitting the previous session
-    * iff the gap broke. Both execution modes go through this function, so
-    * they cannot diverge.
+    * fold an event into the running session, emitting a closed session
+    * when one cannot grow anymore. Both execution modes go through this
+    * function, so they cannot diverge.
+    *
+    * Events are sorted WITHIN a batch, but state carries across batches
+    * and micro-batches arrive in file order, not event-time order, so `t`
+    * may precede the running session (verified by the multi-batch specs —
+    * the naive `t - lastUs < gap` check is satisfied by ANY earlier event,
+    * its signed difference being negative, and silently drags `lastUs`
+    * backwards, emitting corrupt inverted sessions). Three cases:
+    *   - t within gap of the session interval -> merge, extending either
+    *     boundary (in-order input always lands here or later);
+    *   - t after the gap -> close the session, open a new one at t;
+    *   - t disjoint BEFORE the session -> it can never join the running
+    *     session; emit it as its own closed singleton immediately.
     */
   private def step(userId: Long, cur: Option[SessionState], e: Event)
       : (Option[SessionOut], SessionState) = {
     val t = toUs(e.ts)
     cur match {
-      case Some(s) if t - s.lastUs < GapUs =>
-        (None, s.copy(lastUs = t, n = s.n + 1, types = s.types + e.event_type))
-      case Some(s) =>
+      case Some(s) if t > s.startUs - GapUs && t < s.lastUs + GapUs =>
+        (None, s.copy(startUs = math.min(s.startUs, t),
+          lastUs = math.max(s.lastUs, t),
+          n = s.n + 1, types = s.types + e.event_type))
+      case Some(s) if t >= s.lastUs + GapUs =>
         (Some(finalize(userId, s)), SessionState(t, t, 1, Set(e.event_type)))
+      case Some(s) => // t <= startUs - GapUs: disjoint, strictly earlier
+        (Some(SessionOut(userId, toTs(t), toTs(t + GapUs), 1, 1, closed = true)), s)
       case None =>
         (None, SessionState(t, t, 1, Set(e.event_type)))
     }
