@@ -91,6 +91,34 @@ object RelationalQueries extends QueryPack {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    // Left outer: every customer with their high-value-order count; the
+    // missing side surfaces as NULL -> coalesced to 0.
+    "q_join_left_outer" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val big = t(s, d, "orders").filter(col("o_totalprice") > 200000)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("nb"), dsum(col("o_totalprice"), 4).as("tb"))
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "left_outer")
+        .select(col("c_custkey"),
+          coalesce(col("nb"), lit(0L)).as("n_big"),
+          coalesce(col("tb"), lit(0.0)).as("total_big"))
+    }),
+
+    // Full outer: per-nation counts of rich customers vs rich suppliers —
+    // the filters create nations present on only one side, so both NULL
+    // directions are exercised.
+    "q_join_full_outer" -> ((s, d) => {
+      val ch = t(s, d, "customer").filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      val sh = t(s, d, "supplier").filter(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+      ch.join(sh, ch("c_nationkey") === sh("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+
     // A3: exact count-distinct per key (the DocumentFreq pattern on TPC-H).
     "q_count_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -211,6 +239,29 @@ object RelationalQueries extends QueryPack {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+
+    "q_join_left_outer" ->
+      s"""WITH big AS (
+         |  SELECT o_custkey, count(*) AS nb, ${dsumSql("o_totalprice", 4)} AS tb
+         |  FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey
+         |)
+         |SELECT c_custkey,
+         |       COALESCE(nb, 0) AS n_big,
+         |       COALESCE(tb, 0.0) AS total_big
+         |FROM customer LEFT OUTER JOIN big ON c_custkey = o_custkey""".stripMargin,
+
+    "q_join_full_outer" ->
+      """WITH ch AS (
+        |  SELECT c_nationkey, count(*) AS n_cust FROM customer
+        |  WHERE c_acctbal > 9000 GROUP BY c_nationkey
+        |), sh AS (
+        |  SELECT s_nationkey, count(*) AS n_supp FROM supplier
+        |  WHERE s_acctbal > 9000 GROUP BY s_nationkey
+        |)
+        |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        |       COALESCE(n_cust, 0) AS n_cust,
+        |       COALESCE(n_supp, 0) AS n_supp
+        |FROM ch FULL OUTER JOIN sh ON c_nationkey = s_nationkey""".stripMargin,
 
     "q_count_distinct" ->
       """SELECT l_returnflag,
