@@ -133,12 +133,15 @@ object DedupQueries extends QueryPack {
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val keyed = dd.select(col("doc_id"), col("lang"), col("source"),
         floor(col("n_chars") / 64).as("len_bucket"))
+      // pairs feeds the intersection join AND the final select — pin it so
+      // the blocked self-join (the quadratic-per-block stage) runs once.
       val pairs = keyed.as("a")
         .join(keyed.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
             col("a.len_bucket") === col("b.len_bucket") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val inter = pairs
         .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(sh.as("sb"),
