@@ -68,45 +68,65 @@ object SimilarityQueries extends QueryPack {
         .filter(col("rnk") <= 3)
     }),
 
-    // IVF (inverted-file) ANN — the full train/assign/probe structure:
-    //   train:  K coarse centroids = per-label mean vectors, kept as EXACT
-    //           integer (sum, count) pairs in long format (label, i, s) so
-    //           both engines compute identical distances;
-    //   assign: every vector goes to its NEAREST centroid (argmin of
-    //           -2·v·s/n + ss/n², the rank-equivalent expansion of
-    //           ||v - s/n||²; ties break by label) — a real quantizer
-    //           assignment, NOT the vector's own label;
-    //   probe:  queries search their nprobe=2 nearest cells; candidates
-    //           are an equi-join on cell id; exact cosine re-rank, top-3.
-    // Scale: assignment is the textbook O(n·d·K) pass as two shuffled
+    // IVF (inverted-file) ANN — the full train/assign/probe structure,
+    // with a REAL Lloyd iteration for training:
+    //   init:    K coarse centroids = per-label mean vectors, kept as
+    //            EXACT integer (sum, count) pairs in long format
+    //            (cell, i, s) so both engines compute identical distances;
+    //   train:   assign every vector to its nearest centroid (argmin of
+    //            -2·v·s/n + ss/n², the rank-equivalent expansion of
+    //            ||v - s/n||²; ties by cell id), then RECOMPUTE centroids
+    //            as the exact means of the assigned cells — one full
+    //            k-means step, data-driven, not the vector's own label;
+    //   assign:  final argmin against the refined centroids;
+    //   probe:   queries search their nprobe=2 nearest cells; candidates
+    //            are an equi-join on cell id; exact cosine re-rank, top-3.
+    // Scale: each assignment is the textbook O(n·d·K) pass as two shuffled
     // aggregations + a broadcast of the K·d centroid table; candidates per
     // query are ~2/K of the collection. At cluster scale the cell id is
-    // the bucketing key, same as every other family here.
+    // the bucketing key, same as every other family here. Exactness bound:
+    // the double conversions stay exact while n·d·(1000·|x|max)² < 2^53.
     "sim_ann_ivf" -> ((s, d) => {
-      val e = emb(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val e = emb(s, d).persist(sl)
+      // the n×d training relation feeds every centroid/assignment pass
       val ex = e.select(col("vec_id"), col("label"),
-        posexplode(col("qe")).as(Seq("i", "qx")))
-      val cent = ex.groupBy(col("label"), col("i"))
-        .agg(sum(col("qx")).as("s"))
-      val cm = cent.groupBy("label").agg(sum(col("s") * col("s")).as("ss"))
-        .join(e.groupBy("label").agg(count(lit(1)).as("n")), Seq("label"))
-        .select(col("label").as("clabel"), col("ss"), col("n"))
-      val vs = ex.as("v")
-        .join(broadcast(cent.select(col("label").as("clabel"), col("i"), col("s"))),
-          Seq("i"))
-        .groupBy(col("vec_id").as("vid"), col("clabel"))
-        .agg(sum(col("qx") * col("s")).as("vs"))
-      val dist = vs.join(broadcast(cm), Seq("clabel"))
-        .select(col("vid"), col("clabel"),
-          ((lit(-2.0) * col("vs")) / col("n") +
-            col("ss").cast("double") / (col("n") * col("n"))).as("dd"))
-      val w0 = Window.partitionBy("vid").orderBy(col("dd").asc, col("clabel").asc)
-      val ranked = dist.withColumn("rn", row_number().over(w0))
-      val cellAll = ranked.filter(col("rn") === 1)
-        .select(col("vid"), col("clabel").as("cell"))
-      val cellQ = ranked.filter(col("rn") <= 2 && col("vid") < NQueries)
-        .select(col("vid").as("q_vid"), col("clabel").as("q_cell"))
+        posexplode(col("qe")).as(Seq("i", "qx"))).persist(sl)
+
+      /** Rank-equivalent squared distance of every vector to every
+        * centroid. cent: (cell, i, s) exact sums; cnt: (cell, n).
+        */
+      def distances(cent: DataFrame, cnt: DataFrame): DataFrame = {
+        val cm = cent.groupBy("cell").agg(sum(col("s") * col("s")).as("ss"))
+          .join(cnt, Seq("cell"))
+        val vs = ex.join(broadcast(cent), Seq("i"))
+          .groupBy(col("vec_id").as("vid"), col("cell"))
+          .agg(sum(col("qx") * col("s")).as("vs"))
+        vs.join(broadcast(cm), Seq("cell"))
+          .select(col("vid"), col("cell"),
+            ((lit(-2.0) * col("vs")) / col("n") +
+              col("ss").cast("double") / (col("n") * col("n"))).as("dd"))
+      }
+      def ranked(dist: DataFrame, k: Int): DataFrame = {
+        val w = Window.partitionBy("vid").orderBy(col("dd").asc, col("cell").asc)
+        dist.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      }
+
+      // init: label means
+      val cent0 = ex.groupBy(col("label").as("cell"), col("i")).agg(sum("qx").as("s"))
+      val cnt0 = e.groupBy(col("label").as("cell")).agg(count(lit(1)).as("n"))
+      // Lloyd step: assign, then exact means of the assigned cells
+      val assign0 = ranked(distances(cent0, cnt0), 1)
+        .select(col("vid"), col("cell")).persist(sl)
+      val cent1 = ex.join(assign0, ex("vec_id") === assign0("vid"))
+        .groupBy(col("cell"), col("i")).agg(sum("qx").as("s"))
+      val cnt1 = assign0.groupBy("cell").agg(count(lit(1)).as("n"))
+      // final assignment against refined centroids; one window serves both
+      // the collection cells (rn=1) and the query probes (rn<=2)
+      val r1 = ranked(distances(cent1, cnt1), 2).persist(sl)
+      val cellAll = r1.filter(col("rn") === 1).select(col("vid"), col("cell"))
+      val cellQ = r1.filter(col("vid") < NQueries)
+        .select(col("vid").as("q_vid"), col("cell").as("q_cell"))
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
           col("norm2").as("q_norm2"))
@@ -186,31 +206,51 @@ object SimilarityQueries extends QueryPack {
          |) WHERE rnk <= 3""".stripMargin,
 
     "sim_ann_ivf" ->
-      s"""$eCte, cent AS (
-         |  SELECT label, i, sum(qx) AS s FROM e GROUP BY label, i
-         |), cm AS (
-         |  SELECT c.label AS clabel, sum(c.s * c.s) AS ss, any_value(n.n) AS n
-         |  FROM cent c
-         |  JOIN (SELECT label, count(DISTINCT vec_id) AS n FROM e GROUP BY label) n
-         |    ON n.label = c.label
-         |  GROUP BY c.label
-         |), vs AS (
-         |  SELECT e.vec_id AS vid, c.label AS clabel, sum(e.qx * c.s) AS vs
-         |  FROM e JOIN cent c ON c.i = e.i
-         |  GROUP BY 1, 2
-         |), dist AS (
-         |  SELECT vs.vid, vs.clabel,
-         |         (-2.0 * vs.vs) / cm.n + CAST(cm.ss AS DOUBLE) / (cm.n * cm.n) AS dd
-         |  FROM vs JOIN cm ON cm.clabel = vs.clabel
-         |), ranked AS (
-         |  SELECT vid, clabel,
+      s"""$eCte, cent0 AS (
+         |  SELECT label AS cell, i, sum(qx) AS s FROM e GROUP BY 1, 2
+         |), cnt0 AS (
+         |  SELECT label AS cell, count(DISTINCT vec_id) AS n FROM e GROUP BY 1
+         |), cm0 AS (
+         |  SELECT c.cell, sum(c.s * c.s) AS ss, any_value(n.n) AS n
+         |  FROM cent0 c JOIN cnt0 n ON n.cell = c.cell GROUP BY c.cell
+         |), vs0 AS (
+         |  SELECT e.vec_id AS vid, c.cell, sum(e.qx * c.s) AS vs
+         |  FROM e JOIN cent0 c ON c.i = e.i GROUP BY 1, 2
+         |), dist0 AS (
+         |  SELECT vs0.vid, vs0.cell,
+         |         (-2.0 * vs0.vs) / cm0.n + CAST(cm0.ss AS DOUBLE) / (cm0.n * cm0.n) AS dd
+         |  FROM vs0 JOIN cm0 ON cm0.cell = vs0.cell
+         |), assign0 AS (
+         |  SELECT vid, cell FROM (
+         |    SELECT vid, cell,
+         |           row_number() OVER (PARTITION BY vid
+         |                              ORDER BY dd ASC, cell ASC) AS rn
+         |    FROM dist0
+         |  ) WHERE rn = 1
+         |), cent1 AS (
+         |  SELECT a.cell, e.i, sum(e.qx) AS s
+         |  FROM e JOIN assign0 a ON a.vid = e.vec_id GROUP BY 1, 2
+         |), cnt1 AS (
+         |  SELECT cell, count(*) AS n FROM assign0 GROUP BY cell
+         |), cm1 AS (
+         |  SELECT c.cell, sum(c.s * c.s) AS ss, any_value(n.n) AS n
+         |  FROM cent1 c JOIN cnt1 n ON n.cell = c.cell GROUP BY c.cell
+         |), vs1 AS (
+         |  SELECT e.vec_id AS vid, c.cell, sum(e.qx * c.s) AS vs
+         |  FROM e JOIN cent1 c ON c.i = e.i GROUP BY 1, 2
+         |), dist1 AS (
+         |  SELECT vs1.vid, vs1.cell,
+         |         (-2.0 * vs1.vs) / cm1.n + CAST(cm1.ss AS DOUBLE) / (cm1.n * cm1.n) AS dd
+         |  FROM vs1 JOIN cm1 ON cm1.cell = vs1.cell
+         |), ranked1 AS (
+         |  SELECT vid, cell,
          |         row_number() OVER (PARTITION BY vid
-         |                            ORDER BY dd ASC, clabel ASC) AS rn
-         |  FROM dist
+         |                            ORDER BY dd ASC, cell ASC) AS rn
+         |  FROM dist1
          |), cellall AS (
-         |  SELECT vid, clabel AS cell FROM ranked WHERE rn = 1
+         |  SELECT vid, cell FROM ranked1 WHERE rn = 1
          |), cellq AS (
-         |  SELECT vid AS q_vid, clabel AS cell FROM ranked
+         |  SELECT vid AS q_vid, cell FROM ranked1
          |  WHERE rn <= 2 AND vid < $NQueries
          |), dots AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
