@@ -55,45 +55,9 @@ object DedupQueries extends QueryPack {
     // MinHash signatures (k=8 permutations as lexicographic md5 minima).
     "dedup_minhash" -> ((s, d) => signatures(docs(s, d))),
 
-    // LSH candidate pairs (4 bands x 2 rows) + exact 3-gram Jaccard verify.
-    // The shingle relation feeds four branches (signatures + sizes + both
-    // sides of the intersection join): persist it — the cluster-scale
-    // equivalent is a checkpointed shingle table.
-    "dedup_minhash_lsh" -> ((s, d) => {
-      val sh = docShingles(docs(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bnd = bands(signaturesFrom(sh))
-      val cand = bnd.as("a")
-        .join(bnd.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        // (doc, band) is unique per side, so a plain count IS the distinct
-        // band count — no need for countDistinct's extra Expand+agg pass.
-        .agg(count(lit(1)).as("n_shared_bands"))
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      // Verification reads only CANDIDATE docs' shingles: at scale the
-      // candidate set is a sliver of the corpus, and the expensive
-      // (doc, shingle) equi-join must not touch the rest.
-      val candDocs = cand
-        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-        .distinct()
-      val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      val inter = cand
-        .join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(shc.as("sb"),
-          col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      cand
-        .join(inter, Seq("doc_a", "doc_b"), "left")
-        .join(sz.as("za"), col("doc_a") === col("za.doc_id"))
-        .join(sz.as("zb"), col("doc_b") === col("zb.doc_id"))
-        .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
-          round(coalesce(col("inter"), lit(0L)).cast("double") /
-            (col("za.sz") + col("zb.sz") - coalesce(col("inter"), lit(0L))), 6)
-            .as("jaccard"))
-    }),
+    // LSH candidate pairs (4 bands x 2 rows) + exact 3-gram Jaccard verify
+    // — body in [[lshPairs]] so specs can run it over planted corpora.
+    "dedup_minhash_lsh" -> ((s, d) => lshPairs(docs(s, d))),
 
     // SimHash values (32-bit, portable md5-nibble lanes).
     "dedup_simhash" -> ((s, d) => {
@@ -192,6 +156,47 @@ object DedupQueries extends QueryPack {
         .filter(col("cos") >= 0.3)
     })
   )
+
+  /** MinHash-LSH near-dup candidates with exact Jaccard verification, over
+    * any (doc_id, text) relation. The shingle relation feeds four branches
+    * (signatures + sizes + both sides of the intersection join): persist
+    * it — the cluster-scale equivalent is a checkpointed shingle table.
+    */
+  def lshPairs(dd: DataFrame): DataFrame = {
+    val sh = docShingles(dd)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bnd = bands(signaturesFrom(sh))
+    val cand = bnd.as("a")
+      .join(bnd.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // (doc, band) is unique per side, so a plain count IS the distinct
+      // band count — no need for countDistinct's extra Expand+agg pass.
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // Verification reads only CANDIDATE docs' shingles: at scale the
+    // candidate set is a sliver of the corpus, and the expensive
+    // (doc, shingle) equi-join must not touch the rest.
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val inter = cand
+      .join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shc.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sz.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sz.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        round(coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("za.sz") + col("zb.sz") - coalesce(col("inter"), lit(0L))), 6)
+          .as("jaccard"))
+  }
 
   // ---------------------------------------------------------------- oracles
 

@@ -61,6 +61,28 @@ class DedupSimSpec extends SparkSpec {
     assert(cos((1L, 3L)) == 1.0) // scale-invariant
   }
 
+  test("LSH recall: exact copies are ALWAYS candidates (jaccard 1), " +
+    "near-copies surface, disjoint docs never pair") {
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val near = base.replace("today", "tonight") // most 3-gram shingles shared
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // exact copy: identical signatures -> all 4 bands collide
+      (3L, near),
+      (4L, "completely different words appear here with nothing shared at all ever"))
+      .toDF("doc_id", "text")
+    val got = DedupQueries.lshPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 1.0,
+      s"exact copy missed or jaccard != 1: $got")
+    // identical docs MUST share all bands; the near pair shares some
+    assert(got.keySet.intersect(Set((1L, 3L), (2L, 3L))).nonEmpty,
+      s"near-duplicate never surfaced: $got")
+    got.keys.foreach { case (a, b) =>
+      assert(a != 4L && b != 4L, s"disjoint doc paired: $got")
+    }
+  }
+
   test("cluster canonicalization: components collapse to min doc_id") {
     import graft.dedup.DedupClusters
     // components: {1,2,3} (chain), {4,5}, {6} isolated
