@@ -1,9 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: per-query MEDIAN over n runs (default 3) so
+  * round-over-round deltas aren't n=1 JVM noise. Caches registered through
+  * CacheScope are released after every run — each timed run builds its own
+  * caches, pays their cost, and leaves a clean block manager (no
+  * cross-query cache pollution, which is what made the r2 suite run
+  * tfidf_score 2.8x slower than the same query in a clean session).
+  *
+  * Output: ONE compact JSON line (values rounded to ms so the driver's
+  * tail capture can't truncate it) + the same JSON at
+  * target/bench-medians.json for local diffing.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,15 +29,28 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       Tables.All.foreach(t => Tables.load(spark, sfDir, t).limit(1).count())
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        CacheScope.releaseAll()
+        dt
+      }
+      name -> median(times)
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$n,"stat":"median","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench-medians.json"), json)
+    catch { case _: Throwable => }
+    println(json)
     spark.stop()
   }
 }

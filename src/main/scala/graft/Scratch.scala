@@ -24,6 +24,7 @@ object Scratch {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
+      CacheScope.releaseAll()
       println(f"[scratch] $name%-28s rows=$n%-8d $dt%.2f s")
       name -> dt
     }

@@ -82,7 +82,7 @@ object DedupQueries extends QueryPack {
       val sh = toks.groupBy("doc_id")
         .agg(SimHash.laneAggs(col("tok")).head, SimHash.laneAggs(col("tok")).tail: _*)
         .select(col("doc_id"), SimHash.combine.as("simhash"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.persisted(_))
       SimHash.candidatePairs(sh)
     }),
 
@@ -93,7 +93,7 @@ object DedupQueries extends QueryPack {
     "dedup_ngram_jaccard" -> ((s, d) => {
       val dd = docs(s, d)
       val sh = docShingles(dd)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.persisted(_))
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val keyed = dd.select(col("doc_id"), col("lang"), col("source"),
         floor(col("n_chars") / 64).as("len_bucket"))
@@ -105,7 +105,7 @@ object DedupQueries extends QueryPack {
             col("a.len_bucket") === col("b.len_bucket") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.persisted(_))
       val inter = pairs
         .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(sh.as("sb"),
@@ -144,7 +144,7 @@ object DedupQueries extends QueryPack {
         .select(col("vec_id"), col("label"), VecMath.quantize(col("embedding")).as("qe"))
         .select(col("vec_id"), col("label"), col("qe"),
           VecMath.norm2Q(col("qe")).as("norm2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.persisted(_))
       e.as("a")
         .join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
@@ -164,7 +164,7 @@ object DedupQueries extends QueryPack {
     */
   def lshPairs(dd: DataFrame): DataFrame = {
     val sh = docShingles(dd)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persisted(_))
     val bnd = bands(signaturesFrom(sh))
     val cand = bnd.as("a")
       .join(bnd.as("b"),

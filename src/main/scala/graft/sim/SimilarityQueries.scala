@@ -87,11 +87,11 @@ object SimilarityQueries extends QueryPack {
     // the bucketing key, same as every other family here. Exactness bound:
     // the double conversions stay exact while n·d·(1000·|x|max)² < 2^53.
     "sim_ann_ivf" -> ((s, d) => {
-      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val e = emb(s, d).persist(sl)
+      import graft.CacheScope.persisted
+      val e = persisted(emb(s, d))
       // the n×d training relation feeds every centroid/assignment pass
-      val ex = e.select(col("vec_id"), col("label"),
-        posexplode(col("qe")).as(Seq("i", "qx"))).persist(sl)
+      val ex = persisted(e.select(col("vec_id"), col("label"),
+        posexplode(col("qe")).as(Seq("i", "qx"))))
 
       /** Rank-equivalent squared distance of every vector to every
         * centroid. cent: (cell, i, s) exact sums; cnt: (cell, n).
@@ -116,14 +116,14 @@ object SimilarityQueries extends QueryPack {
       val cent0 = ex.groupBy(col("label").as("cell"), col("i")).agg(sum("qx").as("s"))
       val cnt0 = e.groupBy(col("label").as("cell")).agg(count(lit(1)).as("n"))
       // Lloyd step: assign, then exact means of the assigned cells
-      val assign0 = ranked(distances(cent0, cnt0), 1)
-        .select(col("vid"), col("cell")).persist(sl)
+      val assign0 = persisted(ranked(distances(cent0, cnt0), 1)
+        .select(col("vid"), col("cell")))
       val cent1 = ex.join(assign0, ex("vec_id") === assign0("vid"))
         .groupBy(col("cell"), col("i")).agg(sum("qx").as("s"))
       val cnt1 = assign0.groupBy("cell").agg(count(lit(1)).as("n"))
       // final assignment against refined centroids; one window serves both
       // the collection cells (rn=1) and the query probes (rn<=2)
-      val r1 = ranked(distances(cent1, cnt1), 2).persist(sl)
+      val r1 = persisted(ranked(distances(cent1, cnt1), 2))
       val cellAll = r1.filter(col("rn") === 1).select(col("vid"), col("cell"))
       val cellQ = r1.filter(col("vid") < NQueries)
         .select(col("vid").as("q_vid"), col("cell").as("q_cell"))

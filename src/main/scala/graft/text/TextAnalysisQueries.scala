@@ -139,7 +139,7 @@ object TextAnalysisQueries extends QueryPack {
           size(toks).cast("long").as("n_tokens"),
           barrier(round(score, 6)).as("quality_score"), barrier(stopRatio).as("sr"))
         .filter(col("sr") >= 0.15 && col("quality_score") >= 0.5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.persisted(_))
       val keep = scored
         .groupBy(col("k")).agg(min(col("doc_id")).as("doc_id"))
       scored

@@ -119,18 +119,23 @@ object TfIdf {
 
   /** TF_all + top-k + restricted TF as one DAG sharing a single corpus scan.
     *
-    * TF_all is `.persist()`ed (MEMORY_AND_DISK): it feeds both the top-k
-    * branch and the semi-joined TF branch, and their aggregate plans don't
-    * canonicalize to the same exchange, so without pinning Catalyst would
-    * re-derive each branch from a fresh corpus scan (measured: 3 FileScans).
-    * TF_all is the AGGREGATED (doc_id, term, tf) relation — orders of
-    * magnitude smaller than the token stream at 100 TB — and MEMORY_AND_DISK
-    * spills rather than recomputes. Spark's cache manager keys on the
+    * TF_all is persisted (MEMORY_AND_DISK_SER via [[graft.CacheScope]]): it
+    * feeds both the top-k branch and the semi-joined TF branch, and their
+    * aggregate plans don't canonicalize to the same exchange, so without
+    * pinning Catalyst would re-derive each branch from a fresh corpus scan
+    * (measured: 3 FileScans). TF_all is the AGGREGATED (doc_id, term, tf)
+    * relation — orders of magnitude smaller than the token stream at
+    * 100 TB — and the serialized columnar level builds ~2x faster than the
+    * deserialized default (1.08s vs 2.39s full-pipeline at sf0.1) while
+    * spilling rather than recomputing. Spark's cache manager keys on the
     * analyzed plan, so repeated calls in one session share one cache entry.
+    * LIFECYCLE: the persist is registered with CacheScope; the harness
+    * (Verify/Bench/specs) releases it after consuming the query — callers
+    * embedding the pipeline in a longer-lived session own that release.
     */
   def pipelineRelations(docs: DataFrame, cfg: Config = Default)
       : (DataFrame, DataFrame, DataFrame) = {
-    val tfAll = termFrequencyAll(terms(docs, cfg)).persist()
+    val tfAll = graft.CacheScope.persisted(termFrequencyAll(terms(docs, cfg)))
     val top = topTerms(documentFrequencyFromTf(tfAll), cfg.topK)
     val tf = tfAll.join(broadcast(top.select("term")), Seq("term"), "left_semi")
     (tfAll, top, tf)

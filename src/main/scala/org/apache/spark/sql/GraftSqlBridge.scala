@@ -14,4 +14,10 @@ object GraftSqlBridge {
 
   /** User-facing Column -> Catalyst expression. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** True when the session holds NO cached relations — the cache-lifecycle
+    * invariant (graft.CacheScope) asserted by specs after each query.
+    */
+  def cacheManagerIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }
