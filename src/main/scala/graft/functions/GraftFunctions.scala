@@ -18,17 +18,21 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
-  /** The function table — single source for both integration paths. */
-  val All: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+  /** The function table — single source for both integration paths:
+    * (name, builder, usage, implementing class for DESCRIBE FUNCTION).
+    */
+  val All: Seq[(String, Seq[Expression] => Expression, String, String)] = Seq(
     ("porter_stem", exprs => StemExpr(exprs.head),
-      "porter_stem(str) - Porter-stems an English word (codegen)"),
+      "porter_stem(str) - Porter-stems an English word (codegen)",
+      classOf[StemExpr].getCanonicalName),
     ("dot_q", exprs => DotQ(exprs(0), exprs(1)),
-      "dot_q(arr1, arr2) - exact int64 dot product of quantized vectors (codegen)"))
+      "dot_q(arr1, arr2) - exact int64 dot product of quantized vectors (codegen)",
+      classOf[DotQ].getCanonicalName))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    All.foreach { case (name, builder, _) =>
+    All.foreach { case (name, builder, _, _) =>
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
@@ -37,10 +41,13 @@ object GraftFunctions {
 /** `spark.sql.extensions` entry point (zero-arg class contract). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    GraftFunctions.All.foreach { case (name, builder, usage) =>
+    // ExpressionInfo's 5-arg ctor is (className, db, name, usage, extended):
+    // the implementing class and a null db, so DESCRIBE FUNCTION reports
+    // the real class instead of a bogus database.
+    GraftFunctions.All.foreach { case (name, builder, usage, clazz) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo("graft", name, name, usage, ""),
+        new ExpressionInfo(clazz, null, name, usage, ""),
         builder))
     }
 }

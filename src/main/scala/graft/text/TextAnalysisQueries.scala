@@ -8,8 +8,10 @@ import graft.{QueryPack, Tables}
 /** Text-analysis operators for the training-data pipeline north star:
   * language ID (stopword-hit heuristic), quality scoring, token counting
   * (whitespace + BPE-ish regex), and document fingerprinting. All pure
-  * codegen'd column expressions — one narrow map stage over documents at
-  * any scale — and each mirrored in DuckDB SQL.
+  * codegen'd column expressions — the stopword-hit count is a custom
+  * codegen expression ([[graft.functions.CountInSet]], one hash probe per
+  * token), so the whole scoring projection is one fused narrow map stage
+  * over documents at any scale — and each mirrored in DuckDB SQL.
   */
 object TextAnalysisQueries extends QueryPack {
 
@@ -25,7 +27,7 @@ object TextAnalysisQueries extends QueryPack {
     split(regexp_replace(lower(c), "[^a-z ]", ""), " +")
 
   private def countIn(toks: Column, set: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(set)))
+    graft.functions.CountInSet.countIn(toks, set)
 
   /** Character-class count via delete-and-diff (portable to any engine). */
   private def charClassCount(text: Column, keepPattern: String): Column =
