@@ -41,10 +41,14 @@ object RuleTagger extends Tagger {
 
 /** OpenNLP-maxent-backed tagger — POS.java:23-25 parity. The reference
   * hardcodes a laptop path to `en-pos-maxent.bin` and loads it in
-  * `Mapper.setup`; here the model path is configurable and the load is a
-  * `@transient lazy val`, so each executor JVM initializes the model once
-  * (the mapPartitions-head discipline — the instance ships as just the
-  * path string).
+  * `Mapper.setup`; here the model path is configurable and loaded models
+  * are cached JVM-WIDE keyed by path ([[OpenNlpTagger.loaded]]), so each
+  * executor JVM initializes a model once no matter how many task closures
+  * deserialize their own `OpenNlpTagger` instance (a plain
+  * `@transient lazy val` is per-instance, i.e. once per task — the r2
+  * ADVICE finding; the reference's per-Mapper setup has the same cost,
+  * but there's no reason to keep it). The instance ships as just the
+  * path string.
   *
   * `opennlp-tools` is NOT a build dependency (offline environment, pinned
   * deps): the OpenNLP classes are resolved reflectively from the runtime
@@ -54,25 +58,42 @@ object RuleTagger extends Tagger {
   */
 final class OpenNlpTagger(modelPath: String) extends Tagger {
 
-  @transient private lazy val tagTokens: Array[String] => Array[String] = {
-    val cl = Thread.currentThread.getContextClassLoader
-    val modelCls = cl.loadClass("opennlp.tools.postag.POSModel")
-    val taggerCls = cl.loadClass("opennlp.tools.postag.POSTaggerME")
-    val in = new java.io.BufferedInputStream(
-      new java.io.FileInputStream(modelPath))
-    val model =
-      try modelCls.getConstructor(classOf[java.io.InputStream]).newInstance(in)
-      finally in.close()
-    val tagger = taggerCls.getConstructor(modelCls).newInstance(model)
-    val tagM = taggerCls.getMethod("tag", classOf[Array[String]])
-    toks => tagM.invoke(tagger, toks).asInstanceOf[Array[String]]
-  }
+  @transient private lazy val tagTokens: Array[String] => Array[String] =
+    OpenNlpTagger.forPath(modelPath)
 
   override def tag(token: String): String = tagLine(Array(token)).head
 
   /** Whole-line tagging with model context — exactly POS.java:38. */
   override def tagLine(tokens: Array[String]): Array[String] =
     if (tokens.isEmpty) tokens else tagTokens(tokens)
+}
+
+object OpenNlpTagger {
+
+  /** JVM-wide model cache: one loaded POSTaggerME per model path per
+    * executor, shared by every task closure.
+    */
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String] => Array[String]]()
+
+  private def forPath(modelPath: String): Array[String] => Array[String] =
+    loaded.computeIfAbsent(modelPath, path => {
+      val cl = Thread.currentThread.getContextClassLoader
+      val modelCls = cl.loadClass("opennlp.tools.postag.POSModel")
+      val taggerCls = cl.loadClass("opennlp.tools.postag.POSTaggerME")
+      val in = new java.io.BufferedInputStream(
+        new java.io.FileInputStream(path))
+      val model =
+        try modelCls.getConstructor(classOf[java.io.InputStream]).newInstance(in)
+        finally in.close()
+      val tagger = taggerCls.getConstructor(modelCls).newInstance(model)
+      val tagM = taggerCls.getMethod("tag", classOf[Array[String]])
+      // POSTaggerME.tag is NOT thread-safe; synchronize on the shared
+      // instance (tasks in one executor JVM share it now)
+      toks => tagger.synchronized {
+        tagM.invoke(tagger, toks).asInstanceOf[Array[String]]
+      }
+    })
 }
 
 object PosTagger {

@@ -36,37 +36,45 @@ object Sessionize {
   }
 
   /** ONE merge rule shared by the streaming update and the batch flush:
-    * fold an event into the running session, emitting a closed session
-    * when one cannot grow anymore. Both execution modes go through this
-    * function, so they cannot diverge.
+    * the running state and every batch event become session INTERVALS
+    * ([t, t] singletons for events), sorted by start, and any two
+    * intervals within the gap merge (sum counts, union types). Both
+    * execution modes go through this function, so they cannot diverge.
     *
-    * Events are sorted WITHIN a batch, but state carries across batches
-    * and micro-batches arrive in file order, not event-time order, so `t`
-    * may precede the running session (verified by the multi-batch specs —
-    * the naive `t - lastUs < gap` check is satisfied by ANY earlier event,
-    * its signed difference being negative, and silently drags `lastUs`
-    * backwards, emitting corrupt inverted sessions). Three cases:
-    *   - t within gap of the session interval -> merge, extending either
-    *     boundary (in-order input always lands here or later);
-    *   - t after the gap -> close the session, open a new one at t;
-    *   - t disjoint BEFORE the session -> it can never join the running
-    *     session; emit it as its own closed singleton immediately.
+    * Why intervals rather than a per-event fold: state carries across
+    * batches and micro-batches arrive in file order, not event-time
+    * order, so events may precede the running session. A per-event fold
+    * either drags the session backwards (the naive `t - lastUs < gap`
+    * check) or — the r2 ADVICE finding — emits two late events that are
+    * within the gap OF EACH OTHER as two overlapping singleton sessions.
+    * Interval merge handles every arrangement: late events within the
+    * gap of each other coalesce into ONE closed session, late events
+    * within the gap of the running session extend it backwards, and
+    * anything still disjoint closes as its own session.
+    *
+    * The LATEST interval stays open (future batches may extend it);
+    * everything earlier is closed. A closed late session's [start,
+    * last+gap) interval can still overlap the open session's when the two
+    * sit between gap and 2·gap apart — inherent to closing early, and the
+    * same shape session_window emits for late data past the watermark.
+    *
+    * @return (closed sessions in ascending start order, open last session)
     */
-  private def step(userId: Long, cur: Option[SessionState], e: Event)
-      : (Option[SessionOut], SessionState) = {
-    val t = toUs(e.ts)
-    cur match {
-      case Some(s) if t > s.startUs - GapUs && t < s.lastUs + GapUs =>
-        (None, s.copy(startUs = math.min(s.startUs, t),
-          lastUs = math.max(s.lastUs, t),
-          n = s.n + 1, types = s.types + e.event_type))
-      case Some(s) if t >= s.lastUs + GapUs =>
-        (Some(finalize(userId, s)), SessionState(t, t, 1, Set(e.event_type)))
-      case Some(s) => // t <= startUs - GapUs: disjoint, strictly earlier
-        (Some(SessionOut(userId, toTs(t), toTs(t + GapUs), 1, 1, closed = true)), s)
-      case None =>
-        (None, SessionState(t, t, 1, Set(e.event_type)))
+  private[graft] def mergeBatch(userId: Long, prev: Option[SessionState],
+      events: Seq[Event]): (List[SessionOut], Option[SessionState]) = {
+    val ivs = prev.toList ++ events.map(e =>
+      SessionState(toUs(e.ts), toUs(e.ts), 1, Set(e.event_type)))
+    if (ivs.isEmpty) return (Nil, None)
+    val sorted = ivs.sortBy(s => (s.startUs, s.lastUs))
+    var merged = List(sorted.head) // descending by start; head = newest
+    sorted.tail.foreach { iv =>
+      val h = merged.head
+      if (iv.startUs < h.lastUs + GapUs)
+        merged = h.copy(lastUs = math.max(h.lastUs, iv.lastUs),
+          n = h.n + iv.n, types = h.types ++ iv.types) :: merged.tail
+      else merged = iv :: merged
     }
+    (merged.tail.reverse.map(finalize(userId, _)), Some(merged.head))
   }
 
   private def finalize(userId: Long, s: SessionState): SessionOut =
@@ -74,36 +82,28 @@ object Sessionize {
       s.types.size, closed = true)
 
   /** Flat-map update function: merges the batch's events into the running
-    * session; emits the closed session when the gap is exceeded or the
+    * session; emits the closed sessions when the gap is exceeded or the
     * state times out.
     */
   def update(userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
-    val sorted = events.toSeq.sortBy(e => toUs(e.ts))
-    var out = List.empty[SessionOut]
-    var cur = state.getOption
-    sorted.foreach { e =>
-      val (emitted, next) = step(userId, cur, e)
-      emitted.foreach(out ::= _)
-      cur = Some(next)
+    val (closed, open) = mergeBatch(userId, state.getOption, events.toSeq)
+    var out = closed
+    open.foreach { s =>
+      state.update(s)
+      if (state.hasTimedOut) {
+        state.remove()
+        out = out :+ finalize(userId, s)
+      } else {
+        // clamp to strictly-after-watermark: flatMapGroupsWithState does
+        // not drop late rows, and a timeout at or before the current
+        // watermark throws and kills the whole streaming query
+        val target = (s.lastUs + GapUs) / 1000
+        val floor = state.getCurrentWatermarkMs() + 1
+        state.setTimeoutTimestamp(math.max(target, floor))
+      }
     }
-    cur match {
-      case Some(s) =>
-        state.update(s)
-        if (state.hasTimedOut) {
-          state.remove()
-          out ::= finalize(userId, s)
-        } else {
-          // clamp to strictly-after-watermark: flatMapGroupsWithState does
-          // not drop late rows, and a timeout at or before the current
-          // watermark throws and kills the whole streaming query
-          val target = (s.lastUs + GapUs) / 1000
-          val floor = state.getCurrentWatermarkMs() + 1
-          state.setTimeoutTimestamp(math.max(target, floor))
-        }
-      case None =>
-    }
-    out.reverseIterator
+    out.iterator
   }
 
   /** Wire the operator over a streaming (or batch-test) Dataset[Event]. */
@@ -118,9 +118,9 @@ object Sessionize {
 
   /** Batch evaluation of the SAME operator (registered as the
     * `stream_sessionize_custom` query). Bounded input means end-of-input
-    * is the ultimate timeout: every trailing session is finalized by the
-    * same [[finalize]] the streaming timeout path uses. Events fold
-    * through the same [[step]] — the two modes share every rule.
+    * is the ultimate timeout: the trailing open session is finalized by
+    * the same [[finalize]] the streaming timeout path uses. Events merge
+    * through the same [[mergeBatch]] — the two modes share every rule.
     *
     * Scale: one shuffle on user_id; per-group work is a sort of that
     * user's events (bounded by per-user activity, not corpus size).
@@ -129,16 +129,8 @@ object Sessionize {
     implicit val outEnc = Encoders.product[SessionOut]
     events.groupByKey(_.user_id)(Encoders.scalaLong).flatMapGroups {
       (userId: Long, it: Iterator[Event]) =>
-        val sorted = it.toSeq.sortBy(e => toUs(e.ts))
-        var out = List.empty[SessionOut]
-        var cur: Option[SessionState] = None
-        sorted.foreach { e =>
-          val (emitted, next) = step(userId, cur, e)
-          emitted.foreach(out ::= _)
-          cur = Some(next)
-        }
-        cur.foreach(s => out ::= finalize(userId, s))
-        out.reverseIterator
+        val (closed, open) = mergeBatch(userId, None, it.toSeq)
+        (closed ++ open.map(finalize(userId, _))).iterator
     }
   }
 }

@@ -65,7 +65,18 @@ object TfIdfQueries extends QueryPack {
     * passing). Mirrors the reference order: stopword filter BEFORE stemming
     * (DocumentFreq.java:66-69).
     */
-  private val StemMapPath = "/root/repo/src/test/resources/stemmap.tsv"
+  /** Stem-map side table for the stemmed oracles. Resolution order:
+    * `-Dgraft.stemmap.path=...`, `$GRAFT_STEMMAP_PATH`, then a
+    * working-directory-relative default — no machine-specific absolute
+    * path baked into main code (r2 ADVICE). The oracle SQL needs a real
+    * filesystem path (DuckDB read_csv), so a classpath resource can't
+    * serve here.
+    */
+  private val StemMapPath: String =
+    sys.props.get("graft.stemmap.path")
+      .orElse(sys.env.get("GRAFT_STEMMAP_PATH"))
+      .getOrElse(new java.io.File("src/test/resources/stemmap.tsv")
+        .getAbsolutePath)
 
   private def termsCte(stem: Boolean): String = {
     val rawCtes =

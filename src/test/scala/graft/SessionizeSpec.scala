@@ -56,6 +56,33 @@ class SessionizeSpec extends SparkSpec {
     assert(disagree.isEmpty, s"sessions disagree: ${disagree.take(3)}")
   }
 
+  test("late events within the gap of EACH OTHER merge into one closed session") {
+    // r2 ADVICE: the per-event fold emitted two overlapping singleton
+    // sessions here; interval merge must coalesce them.
+    import Sessionize.{Event, SessionState}
+    def ts(min: Long) = new java.sql.Timestamp(min * 60 * 1000)
+    val running = SessionState(
+      startUs = 100L * 60 * 1000000, lastUs = 101L * 60 * 1000000,
+      n = 3, types = Set("view"))
+    val lateA = Event(7L, ts(10), "click") // 2 min apart — within the
+    val lateB = Event(7L, ts(12), "buy")   // 5 min gap of each other
+    val (closed, open) = Sessionize.mergeBatch(7L, Some(running), Seq(lateB, lateA))
+    assert(closed.length === 1, s"expected ONE merged late session, got $closed")
+    assert(closed.head.n_events === 2)
+    assert(closed.head.n_event_types === 2)
+    assert(closed.head.session_start === ts(10))
+    assert(closed.head.session_end === ts(17)) // last(12) + gap(5)
+    // the running session is untouched and stays open
+    assert(open === Some(running))
+    // and a late event within the gap of the RUNNING session extends it
+    // backwards instead of closing
+    val nearMiss = Event(7L, ts(97), "click")
+    val (closed2, open2) = Sessionize.mergeBatch(7L, Some(running), Seq(nearMiss))
+    assert(closed2.isEmpty)
+    assert(open2.get.startUs === 97L * 60 * 1000000)
+    assert(open2.get.n === 4)
+  }
+
   test("multi-batch run survives late data (watermark-clamped timeouts)") {
     // Split the events across many files and feed them ONE per micro-batch:
     // files hold random time ranges, so later batches deliver events far
