@@ -18,9 +18,9 @@ import graft.{QueryPack, Tables}
   *     the only pairs ever materialized are same-bucket candidates. Bucket
   *     skew (a degenerate band key) is the known hazard; AQE skew-join
   *     handles it, and the band count is a dial.
-  *   - SimHash is a single aggregation to a 32-bit value; its candidate
-  *     join is block-collision LSH (Manku'07 §3) over four 8-bit blocks,
-  *     a true recall guarantee for the advertised hamming<=3 radius.
+  *   - SimHash is a single aggregation to a 64-bit value; its candidate
+  *     join is block-collision LSH (Manku'07 §3) over eight 8-bit blocks,
+  *     a true recall guarantee for the advertised hamming<=7 radius.
   *   - embedding near-dup buckets by label (stand-in for an IVF/coarse
   *     quantizer cell at scale — see sim.SimilarityQueries for the ANN
   *     variants); the dot product stays array-local (zip_with + aggregate,
@@ -59,29 +59,21 @@ object DedupQueries extends QueryPack {
     // — body in [[lshPairs]] so specs can run it over planted corpora.
     "dedup_minhash_lsh" -> ((s, d) => lshPairs(docs(s, d))),
 
-    // SimHash values (32-bit, portable md5-nibble lanes).
-    "dedup_simhash" -> ((s, d) => {
-      val toks = docs(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      toks.groupBy("doc_id")
-        .agg(SimHash.laneAggs(col("tok")).head, SimHash.laneAggs(col("tok")).tail: _*)
-        .select(col("doc_id"), SimHash.combine.as("simhash"))
-    }),
+    // SimHash values (64-bit, portable md5-nibble lanes). The md5 hex is
+    // projected ONCE per token before the aggregate — one hash per token,
+    // not one per lane.
+    "dedup_simhash" -> ((s, d) => simhashOf(docs(s, d))),
 
-    // SimHash near-dup pairs: 4x8-bit block-collision LSH with a TRUE
-    // recall guarantee for the advertised hamming<=3 radius (pigeonhole —
+    // SimHash near-dup pairs: 8x8-bit block-collision LSH with a TRUE
+    // recall guarantee for the advertised hamming<=7 radius (pigeonhole —
     // see SimHash.candidatePairs; SimHashRecallSpec plants adversarial
     // cross-block pairs and asserts they are found).
     "dedup_simhash_pairs" -> ((s, d) => {
-      val toks = docs(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       // The fingerprint relation feeds BOTH sides of the candidate
       // self-join; without pinning, each side re-runs the token explode +
-      // 32 lane aggregates from a fresh corpus scan (the most expensive
+      // 64 lane aggregates from a fresh corpus scan (the most expensive
       // stage, 2x at scale). Same discipline as tfidf's TF_all.
-      val sh = toks.groupBy("doc_id")
-        .agg(SimHash.laneAggs(col("tok")).head, SimHash.laneAggs(col("tok")).tail: _*)
-        .select(col("doc_id"), SimHash.combine.as("simhash"))
+      val sh = simhashOf(docs(s, d))
         .transform(graft.CacheScope.persisted(_))
       SimHash.candidatePairs(sh)
     }),
@@ -157,6 +149,16 @@ object DedupQueries extends QueryPack {
     })
   )
 
+  /** (doc_id, simhash) over any (doc_id, text) relation: explode whitespace
+    * tokens, hash each ONCE, then the 64 lane sums and the bit combine.
+    */
+  def simhashOf(dd: DataFrame): DataFrame =
+    dd.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(SimHash.laneAggs(col("h")).head, SimHash.laneAggs(col("h")).tail: _*)
+      .select(col("doc_id"), SimHash.combine.as("simhash"))
+
   /** MinHash-LSH near-dup candidates with exact Jaccard verification, over
     * any (doc_id, text) relation. The shingle relation feeds four branches
     * (signatures + sizes + both sides of the intersection join): persist
@@ -231,9 +233,11 @@ object DedupQueries extends QueryPack {
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
        |  FROM documents
+       |), hx AS (
+       |  SELECT doc_id, md5(tok) AS h FROM toks
        |), lanes AS (
-       |  SELECT doc_id, ${SimHash.laneAggsSql("tok")}
-       |  FROM toks GROUP BY doc_id
+       |  SELECT doc_id, ${SimHash.laneAggsSql("h")}
+       |  FROM hx GROUP BY doc_id
        |), sh AS (
        |  SELECT doc_id, ${SimHash.combineSql} AS simhash FROM lanes
        |)""".stripMargin

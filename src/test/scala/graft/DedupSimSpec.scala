@@ -27,18 +27,44 @@ class DedupSimSpec extends SparkSpec {
     assert(sh == Set((2L, "one two three"), (2L, "two three four")))
   }
 
-  test("simhash: identical docs get hamming 0, and values are 32-bit") {
+  test("simhash: identical docs get hamming 0, distinct docs differ") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
       (2L, "alpha beta gamma delta"),
       (3L, "omega psi chi phi")).toDF("doc_id", "text")
-    val toks = docs.select(col("doc_id"), explode(Shingles.tokens(col("text"))).as("tok"))
-    val la = SimHash.laneAggs(col("tok"))
-    val sh = toks.groupBy("doc_id").agg(la.head, la.tail: _*)
-      .select(col("doc_id"), SimHash.combine.as("simhash"))
-      .as[(Long, Long)].collect().toMap
+    val sh = DedupQueries.simhashOf(docs).as[(Long, Long)].collect().toMap
     assert(sh(1L) == sh(2L))
-    assert(sh.values.forall(v => v >= 0 && v < (1L << 32)))
+    assert(sh(1L) != sh(3L))
+  }
+
+  test("simhash matches a scalar reimplementation (64-bit, bit 63 included)") {
+    // Independent per-doc computation from MessageDigest md5 bytes — pins
+    // the nibble/bit layout and the sign-bit (lane 63) arithmetic.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def scalarSimhash(text: String): Long = {
+      val lanes = new Array[Long](64)
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+        val h = md5hex(tok)
+        for (b <- 0 until 64) {
+          val nib = Character.digit(h.charAt(b / 4), 16)
+          val bit = (nib >> (3 - b % 4)) & 1
+          lanes(b) += (if (bit == 1) 1 else -1)
+        }
+      }
+      (0 until 64).map(b => if (lanes(b) >= 0) 1L << b else 0L).sum
+    }
+    val texts = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "omega psi chi phi omega"),
+      (3L, "zz zzz zzzz zzzzz zzzzzz zzzzzzz"))
+    val sh = DedupQueries.simhashOf(texts.toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().toMap
+    texts.foreach { case (id, t) => assert(sh(id) == scalarSimhash(t), s"doc $id") }
+    // At least one of these fingerprints should exercise the sign bit.
+    assert(texts.exists { case (id, _) => sh(id) < 0 },
+      s"no fingerprint with bit 63 set in $sh — weak test vectors")
   }
 
   test("cosine: self-similarity 1, orthogonal 0 (exact decimal path)") {
