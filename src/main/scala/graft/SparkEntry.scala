@@ -22,6 +22,7 @@ object SparkEntry {
     dedup.DedupQueries,
     sim.SimilarityQueries,
     text.TextAnalysisQueries,
+    text.CorpusOpsQueries,
     mm.MultimodalQueries,
     streaming.StreamingQueries)
 

@@ -1,0 +1,209 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+import graft.dedup.Shingles
+
+/** Corpus-hygiene operators a training-data pipeline runs before tokenizing:
+  * span-level exact dedup (the scalable approximation of suffix-array
+  * substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+  * Language Models Better"), benchmark-contamination detection (n-gram
+  * containment of held-out eval docs inside training docs), and PII
+  * scrubbing (regex redaction of emails / URLs / long digit runs).
+  *
+  * Scale design (100 TB):
+  *   - span dedup follows the TF/DF discipline: ONE explode pass aggregated
+  *     to per-(doc, span-hash) counts, global counts derived from that
+  *     already-aggregated relation, and the join back is agg-to-agg on the
+  *     hash key — the raw span stream is never joined or shuffled twice.
+  *   - contamination joins the (small) benchmark shingle set against the
+  *     corpus inverted-index style on the shingle key — an equi-join whose
+  *     left side is the benchmark sliver, never all-pairs.
+  *   - PII scrub is a pure narrow map (regexp_extract_all / regexp_replace
+  *     are codegen'd); counts and the scrubbed-text digest in one pass.
+  */
+object CorpusOpsQueries extends QueryPack {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
+
+  /** Span length for exact-substring dedup: long enough that natural text
+    * rarely collides (Lee et al. use 50 BPE tokens; 10 words is the same
+    * order), short enough to catch boilerplate repeats.
+    */
+  val SpanTokens = 10
+
+  /** Rolling word 10-gram spans from a tokens array; empty when too short.
+    * SQL twin: list_transform(range(1, greatest(len(tk)-8, 1)),
+    *            i -> array_to_string(tk[i:i+9], ' '))
+    */
+  def spans(tk: Column): Column =
+    when(size(tk) < SpanTokens, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(tk) - (SpanTokens - 1)),
+        i => array_join(slice(tk, i, lit(SpanTokens)), " ")))
+
+  // PII patterns — the RE2-safe subset (no backreferences, no lookaround)
+  // so Java regex and DuckDB RE2 agree byte-for-byte.
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPat = "https?://[^\\s]+"
+  val LongNumPat = "[0-9]{9,}"
+
+  /** Redaction order is part of the contract (an email inside a URL is
+    * redacted as part of the URL): URL, then email, then digit runs.
+    */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPat, "<URL>"),
+        EmailPat, "<EMAIL>"),
+      LongNumPat, "<NUM>")
+
+  /** Deterministic md5 bucket in [0,100) — same construction as
+    * text_sample_stratified, so "the benchmark set" is a stable 5% slice.
+    */
+  private def bucket(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Span-level exact dedup: per doc, how much of it is 10-token spans
+    // that occur elsewhere in the corpus (or again in the same doc).
+    "text_span_dedup" -> ((s, d) => spanDedupOf(docs(s, d))),
+
+    // Benchmark contamination: for each held-out doc (deterministic 5%
+    // md5 slice), every corpus doc containing >= 50% of its 3-gram
+    // shingles. The canonical train/test-overlap decontamination check.
+    "text_contamination" -> ((s, d) => {
+      val benchIds = docs(s, d).select(col("doc_id"))
+        .filter(bucket(col("doc_id")) < 5)
+      containmentOf(docs(s, d), benchIds, 0.5)
+    }),
+
+    // PII scrub: redaction counts + digest of the scrubbed text, one
+    // narrow map pass. The synthetic corpus contains no PII (counts are
+    // zero and the digest equals md5(text)) — PiiScrubSpec plants emails /
+    // URLs / card-length numbers and pins the redaction behavior.
+    "text_pii_scrub" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(UrlPat), lit(0))).as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(LongNumPat), lit(0))).as("n_longnums"),
+        md5(scrub(col("text"))).as("scrubbed_md5")))
+  )
+
+  /** Benchmark-containment over any (doc_id, text) relation: for each doc
+    * in `benchIds`, every other doc holding >= `threshold` of its distinct
+    * 3-gram shingles. The shingle relation feeds both sides (benchmark
+    * sliver + corpus), so it's persisted; the benchmark id set and the
+    * per-benchmark sizes broadcast (both are eval-set-sized, never
+    * corpus-sized).
+    */
+  def containmentOf(dd: DataFrame, benchIds: DataFrame, threshold: Double): DataFrame = {
+    val sh = Shingles.docShingles(dd)
+      .transform(graft.CacheScope.persisted(_))
+    val bsh = sh.join(broadcast(benchIds), Seq("doc_id"), "left_semi")
+    val bsz = bsh.groupBy("doc_id").agg(count(lit(1)).as("bsz"))
+    val inter = bsh.as("b")
+      .join(sh.as("c"),
+        col("b.sh") === col("c.sh") && col("b.doc_id") =!= col("c.doc_id"))
+      .groupBy(col("b.doc_id").as("bench_doc"), col("c.doc_id").as("corpus_doc"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(bsz.withColumnRenamed("doc_id", "bench_doc")), Seq("bench_doc"))
+      .select(col("bench_doc"), col("corpus_doc"), col("n_common"),
+        round(col("n_common").cast("double") / col("bsz"), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Span-dedup stats over any (doc_id, text) relation: per doc, total
+    * 10-token span occurrences, occurrences whose span text appears more
+    * than once corpus-wide, and the duplicated-mass ratio. Docs with
+    * fewer than [[SpanTokens]] tokens yield no row (no spans to judge).
+    *
+    * The per-(doc, hash) count relation feeds both the global count and
+    * the final join — persisted so the explode pass runs once.
+    */
+  def spanDedupOf(dd: DataFrame): DataFrame = {
+    val local = dd
+      .select(col("doc_id"), Shingles.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(spans(col("tk"))).as("sp"))
+      .select(col("doc_id"), md5(col("sp")).as("k"))
+      .groupBy("doc_id", "k").agg(count(lit(1)).as("cnt"))
+      .transform(graft.CacheScope.persisted(_))
+    val global = local.groupBy("k").agg(sum("cnt").as("g"))
+    local.join(global, Seq("k"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_spans"),
+        sum(when(col("g") > 1, col("cnt")).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
+          .as("dup_span_ratio"))
+  }
+
+  private val spanCte: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents
+       |), spans AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - ${SpanTokens - 2}, 1)),
+       |                 i -> array_to_string(tk[i:i+${SpanTokens - 1}], ' '))) AS sp
+       |  FROM toks WHERE len(tk) >= $SpanTokens
+       |), local AS (
+       |  SELECT doc_id, md5(sp) AS k, count(*) AS cnt FROM spans GROUP BY 1, 2
+       |), gc AS (
+       |  SELECT k, sum(cnt) AS g FROM local GROUP BY k
+       |)""".stripMargin
+
+  private val shCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+      |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      |  FROM toks WHERE len(tk) >= 3
+      |)""".stripMargin
+
+  override val oracles: Map[String, String] = Map(
+    "text_span_dedup" ->
+      s"""$spanCte
+         |SELECT l.doc_id,
+         |       CAST(sum(l.cnt) AS BIGINT) AS n_spans,
+         |       CAST(sum(CASE WHEN g.g > 1 THEN l.cnt ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |       round(CAST(sum(CASE WHEN g.g > 1 THEN l.cnt ELSE 0 END) AS DOUBLE) /
+         |             sum(l.cnt), 6) AS dup_span_ratio
+         |FROM local l JOIN gc g ON g.k = l.k
+         |GROUP BY l.doc_id""".stripMargin,
+
+    "text_contamination" ->
+      s"""$shCte, bench AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 5
+         |), bsh AS (
+         |  SELECT s.doc_id, s.sh FROM sh s JOIN bench b ON b.doc_id = s.doc_id
+         |), bsz AS (
+         |  SELECT doc_id, count(*) AS bsz FROM bsh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT b.doc_id AS bench_doc, c.doc_id AS corpus_doc, count(*) AS n_common
+         |  FROM bsh b JOIN sh c ON c.sh = b.sh AND c.doc_id <> b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.bench_doc, i.corpus_doc, i.n_common,
+         |       round(CAST(i.n_common AS DOUBLE) / z.bsz, 6) AS containment
+         |FROM inter i JOIN bsz z ON z.doc_id = i.bench_doc
+         |WHERE round(CAST(i.n_common AS DOUBLE) / z.bsz, 6) >= 0.5""".stripMargin,
+
+    "text_pii_scrub" ->
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '$EmailPat')) AS INT) AS n_emails,
+         |       CAST(len(regexp_extract_all(text, '$UrlPat')) AS INT) AS n_urls,
+         |       CAST(len(regexp_extract_all(text, '$LongNumPat')) AS INT) AS n_longnums,
+         |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |             '$UrlPat', '<URL>', 'g'),
+         |             '$EmailPat', '<EMAIL>', 'g'),
+         |             '$LongNumPat', '<NUM>', 'g')) AS scrubbed_md5
+         |FROM documents""".stripMargin
+  )
+}
