@@ -16,10 +16,15 @@ object Scratch {
       if (args.length > 1 || (args.length == 1 && !args(0).startsWith("/")))
         args.dropWhile(_.startsWith("/")).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Spark's WARN default swallows graft's own INFO diagnostics (e.g.
+    // DedupClusters per-phase timings) — surface them in this dev harness.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "graft", org.apache.logging.log4j.Level.INFO)
     val times = names.map { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()

@@ -43,6 +43,12 @@ object DedupClusters {
     */
   def clusters(pairs: DataFrame, universe: DataFrame, maxIters: Int = 15,
       checkpointDir: Option[String] = None): DataFrame = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    def timed[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      log.info(f"[graft] clusters $what%-18s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
     // Iterative-algorithm storage discipline: eager checkpoints, NOT
     // persist/unpersist. Unpersisting an upstream cache invalidates
     // dependent InMemoryRelations and re-registers them on the RAW plan,
@@ -55,14 +61,46 @@ object DedupClusters {
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
 
-    // pairs is usually an expensive LSH pipeline and the symmetric union
-    // below reads it twice — checkpoint it once first.
-    val p = pin(pairs)
-    val edges = pin(p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // pairs is usually an expensive LSH pipeline; it must be materialized
+    // exactly once. Two subtleties, both measured at sf0.1:
+    //   - both edge directions are derived in ONE pass (explode of the
+    //     forward+reverse structs) — a union of two selects reads the
+    //     lineage twice;
+    //   - the materialization is a parquet WRITE, not an RDD checkpoint:
+    //     a write is an *action*, so the full AQE plan (runtime broadcast
+    //     conversions, partition coalescing) executes the LSH lineage,
+    //     whereas the checkpoint path compiles via `.rdd` and forfeits
+    //     those (7.5s vs ~4.6s for the same lineage). Reading the files
+    //     back also hands the planner real size stats, so the tiny edge
+    //     relation is broadcast in the iteration joins without hints. On a
+    //     cluster this is a reliable checkpoint to the shared FS
+    //     (`checkpointDir`); locally it spills to a temp dir.
+    val ss = pairs.sparkSession
+    val base = checkpointDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-clusters-").toString)
+    val edgesPath = s"$base/edges.parquet"
+    timed("write(edges)")(pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .write.mode("overwrite").parquet(edgesPath))
+    val edges = ss.read.parquet(edgesPath)
+    // Cheap: a column-less aggregate over the just-written files.
+    val nEdges = edges.count()
 
-    var labels = pin(edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id")))
+    // Iteration state is candidate-graph-sized — a sliver of the corpus
+    // (that's what LSH is for). Pinning ~10^2..10^5 rows across the full
+    // spark.sql.shuffle.partitions is pure scheduler overhead, multiplied
+    // by 2 pins x iterations x bench runs; coalesce every state relation
+    // to a count-derived handful of partitions (~500k edges each, so a
+    // 100 TB candidate graph still fans out wide) before materializing.
+    val nState = math.max(1L, math.min(
+      ss.sparkContext.defaultParallelism.toLong, nEdges / 500000L)).toInt
+    def pinState(df: DataFrame): DataFrame = pin(df.coalesce(nState))
+
+    var labels = timed("pin(labels0)")(
+      pinState(edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -71,24 +109,24 @@ object DedupClusters {
         .groupBy(col("src"))
         .agg(min(col("cluster_id")).as("nbr_min"))
       // checkpointed: referenced by BOTH sides of the shortcut join.
-      val propagated = pin(labels
+      val propagated = timed(s"pin(prop$iter)")(pinState(labels
         .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"), col("cluster_id").as("prev_cluster_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id")))
+            .as("cluster_id"))))
       // pointer jumping: follow the label's label — turns O(diameter)
       // convergence into O(log diameter) (long chains otherwise eat the
       // iteration budget). `chg` carries the convergence signal out of
       // the same projection.
-      val next = pin(propagated.as("l")
+      val next = timed(s"pin(next$iter)")(pinState(propagated.as("l")
         .join(propagated.select(col("doc_id").as("rid"), col("cluster_id").as("rcid")).as("r"),
           col("l.cluster_id") === col("r.rid"), "left")
         .select(col("l.doc_id").as("doc_id"),
           coalesce(col("rcid"), col("l.cluster_id")).as("cluster_id"),
           (coalesce(col("rcid"), col("l.cluster_id")) =!= col("l.prev_cluster_id"))
-            .as("chg")))
+            .as("chg"))))
       // Scan of the blocks `pin` just wrote — no join, no shuffle.
-      converged = next.filter(col("chg")).limit(1).isEmpty
+      converged = timed(s"isEmpty$iter")(next.filter(col("chg")).limit(1).isEmpty)
       labels = next.drop("chg")
       iter += 1
     }
@@ -96,10 +134,16 @@ object DedupClusters {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"[graft] DedupClusters did not converge in $maxIters iterations; " +
           "cluster ids may be partially propagated — raise maxIters")
-    // singletons (never paired) keep their own id
+    // singletons (never paired) keep their own id. The checkpointed label
+    // relation has no stats for the planner, so hint the broadcast
+    // ourselves when the measured candidate graph is small — and keep the
+    // shuffle join when it isn't (a 100 TB corpus can have a huge paired
+    // sliver; an unconditional hint would OOM the driver, not the data).
+    val labelSide = labels.withColumnRenamed("doc_id", "pdoc")
+    val maybeBroadcast =
+      if (nEdges <= 10000000L) broadcast(labelSide) else labelSide
     universe.select(col("doc_id"))
-      .join(labels.withColumnRenamed("doc_id", "pdoc"),
-        col("doc_id") === col("pdoc"), "left")
+      .join(maybeBroadcast, col("doc_id") === col("pdoc"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
