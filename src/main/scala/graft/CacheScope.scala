@@ -19,6 +19,14 @@ import org.apache.spark.storage.StorageLevel
   * in reverse, and release is idempotent. This is the Spark-session
   * equivalent of the reference's per-job teardown (a Hadoop job's
   * distributed-cache files die with the job, Job.java lifecycle).
+  *
+  * The registry is THREAD-LOCAL: two queries built concurrently on
+  * different threads register into independent scopes, so one caller's
+  * [[releaseAll]] can never drop another's pinned relations mid-query
+  * (silent recompute of an expensive lineage — exactly the failure this
+  * class exists to prevent). Corollary: build and release on the SAME
+  * thread, which is what every harness does; pins registered on a thread
+  * that never calls releaseAll stay cached until the session dies.
   */
 object CacheScope {
 
@@ -29,23 +37,27 @@ object CacheScope {
     */
   val DefaultLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK_SER
 
-  private val active = new java.util.ArrayDeque[DataFrame]()
+  private val active =
+    ThreadLocal.withInitial[java.util.ArrayDeque[DataFrame]](
+      () => new java.util.ArrayDeque[DataFrame]())
 
-  /** Persist `df` at `level` and register it for the next [[releaseAll]]. */
-  def persisted(df: DataFrame, level: StorageLevel = DefaultLevel): DataFrame =
-    active.synchronized {
-      val p = df.persist(level)
-      active.push(p)
-      p
-    }
-
-  /** Unpersist every registered relation (reverse creation order,
-    * non-blocking — executors drop blocks asynchronously).
+  /** Persist `df` at `level` and register it with THIS thread's scope for
+    * its next [[releaseAll]].
     */
-  def releaseAll(): Unit = active.synchronized {
-    while (!active.isEmpty) active.pop().unpersist(blocking = false)
+  def persisted(df: DataFrame, level: StorageLevel = DefaultLevel): DataFrame = {
+    val p = df.persist(level)
+    active.get.push(p)
+    p
   }
 
-  /** Number of currently registered (un-released) relations — for specs. */
-  def activeCount: Int = active.synchronized(active.size)
+  /** Unpersist every relation registered on THIS thread (reverse creation
+    * order, non-blocking — executors drop blocks asynchronously).
+    */
+  def releaseAll(): Unit = {
+    val a = active.get
+    while (!a.isEmpty) a.pop().unpersist(blocking = false)
+  }
+
+  /** Registered (un-released) relations on this thread — for specs. */
+  def activeCount: Int = active.get.size
 }

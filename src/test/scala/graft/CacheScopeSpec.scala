@@ -34,4 +34,39 @@ class CacheScopeSpec extends SparkSpec {
     CacheScope.releaseAll()
     assert(CacheScope.activeCount == 0)
   }
+
+  test("scopes are per-thread: one caller's release cannot drop another's pins") {
+    import java.util.concurrent.CountDownLatch
+    import org.apache.spark.storage.StorageLevel
+    val dfA = spark.range(10).toDF("va")
+    val dfB = spark.range(20).toDF("vb")
+    val aRegistered = new CountDownLatch(1)
+    val bRegistered = new CountDownLatch(1)
+    val aReleased = new CountDownLatch(1)
+    @volatile var bScopeSizeAfterARelease = -1
+    @volatile var bStillCachedAfterARelease = false
+    val ta = new Thread(() => {
+      CacheScope.persisted(dfA); aRegistered.countDown()
+      bRegistered.await()
+      CacheScope.releaseAll() // must drop ONLY dfA
+      aReleased.countDown()
+    })
+    val tb = new Thread(() => {
+      aRegistered.await()
+      CacheScope.persisted(dfB); bRegistered.countDown()
+      aReleased.await()
+      bScopeSizeAfterARelease = CacheScope.activeCount
+      bStillCachedAfterARelease = dfB.storageLevel != StorageLevel.NONE
+      CacheScope.releaseAll()
+    })
+    ta.start(); tb.start()
+    ta.join(30000); tb.join(30000)
+    assert(bScopeSizeAfterARelease == 1,
+      "thread A's releaseAll emptied thread B's scope")
+    assert(bStillCachedAfterARelease,
+      "thread A's releaseAll unpersisted thread B's pinned relation")
+    assert(dfA.storageLevel == StorageLevel.NONE)
+    assert(dfB.storageLevel == StorageLevel.NONE)
+    assert(GraftSqlBridge.cacheManagerIsEmpty(spark))
+  }
 }
