@@ -35,8 +35,9 @@ import graft.CacheScope.persisted
   * from the SAME Params by [[oracleCtes]], unrolling the Lloyd loop into
   * CTEs.
   *
-  * Scale: each Lloyd step is two shuffled aggregations over the
-  * posexploded n×d relation plus a broadcast of the K·d centroid table;
+  * Scale: each Lloyd step is one shuffled scoring aggregation over the
+  * posexploded n×d relation and one fused (sum, count) centroid
+  * aggregation plus a broadcast of the K·d centroid table;
   * candidates per query are ~nprobe/k of the collection; the cell id is
   * the bucketing key at cluster scale. No collect, no global window.
   */
@@ -69,12 +70,15 @@ object Ivf {
       posexplode(col("qe")).as(Seq("i", "qx"))))
 
     /** Rank-equivalent squared distance of every vector to every centroid.
-      * cent: (cell, i, s) exact component sums; cnt: (cell, n) sizes.
+      * cent: (cell, i, s, n) — exact component sums with the cell size
+      * carried on every row, so ONE fused aggregation produced both and no
+      * separate count shuffle or size join is needed (`n` is constant
+      * within a cell; max() just picks it back out).
       */
-    def distances(cent: DataFrame, cnt: DataFrame): DataFrame = {
-      val cm = cent.groupBy("cell").agg(sum(col("s") * col("s")).as("ss"))
-        .join(cnt, Seq("cell"))
-      val vs = ex.join(broadcast(cent), Seq("i"))
+    def distances(cent: DataFrame): DataFrame = {
+      val cm = cent.groupBy("cell")
+        .agg(sum(col("s") * col("s")).as("ss"), max(col("n")).as("n"))
+      val vs = ex.join(broadcast(cent.select("cell", "i", "s")), Seq("i"))
         .groupBy(col("vec_id").as("vid"), col("cell"))
         .agg(sum(col("qx") * col("s")).as("vs"))
       vs.join(broadcast(cm), Seq("cell"))
@@ -92,19 +96,25 @@ object Ivf {
       .orderBy(col("h"), col("vec_id")).limit(p.k)
       .select(col("vec_id"), col("vec_id").as("cell"))
     var cent = ex.join(broadcast(seeds), Seq("vec_id"))
-      .select(col("cell"), col("i"), col("qx").as("s"))
-    var cnt = seeds.select(col("cell"), lit(1L).as("n"))
-    // Lloyd: assign, then exact integer means of the assigned cells
+      .select(col("cell"), col("i"), col("qx").as("s"), lit(1L).as("n"))
+    // Lloyd: assign, then exact integer means of the assigned cells —
+    // component sums AND cell sizes in the same shuffled aggregation
+    // (count(1) per (cell, i) IS the cell size: every assigned vector
+    // contributes exactly one row per component). `assign` stays
+    // persisted: distances() references its centroid input twice (the
+    // ss-aggregate and the vs-broadcast), so an unpersisted assignment
+    // would recompute the previous iteration's whole pipeline twice —
+    // 2^iters lineage blowup; the persist truncates it per iteration.
     for (_ <- 1 to p.iters) {
-      val assign = persisted(ranked(distances(cent, cnt), 1)
+      val assign = persisted(ranked(distances(cent), 1)
         .select(col("vid"), col("cell")))
       cent = ex.join(assign, ex("vec_id") === assign("vid"))
-        .groupBy(col("cell"), col("i")).agg(sum("qx").as("s"))
-      cnt = assign.groupBy("cell").agg(count(lit(1)).as("n"))
+        .groupBy(col("cell"), col("i"))
+        .agg(sum("qx").as("s"), count(lit(1)).as("n"))
     }
     // final assignment; one window serves both the collection cells
     // (rn=1) and the query probes (rn<=nprobe)
-    val r1 = persisted(ranked(distances(cent, cnt), p.nprobe))
+    val r1 = persisted(ranked(distances(cent), p.nprobe))
     val cellAll = r1.filter(col("rn") === 1).select(col("vid"), col("cell"))
     val cellQ = r1.filter(col("vid") < p.nQueries)
       .select(col("vid").as("q_vid"), col("cell").as("q_cell"))
@@ -136,14 +146,13 @@ object Ivf {
               |  SELECT vec_id, vec_id AS cell FROM embeddings
               |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${p.k}
               |), cent0 AS (
-              |  SELECT s.cell, e.i, e.qx AS s FROM e JOIN seeds s ON s.vec_id = e.vec_id
-              |), cnt0 AS (
-              |  SELECT cell, CAST(1 AS BIGINT) AS n FROM seeds
+              |  SELECT s.cell, e.i, e.qx AS s, CAST(1 AS BIGINT) AS n
+              |  FROM e JOIN seeds s ON s.vec_id = e.vec_id
               |)""".stripMargin
     def distBlock(t: Int): String =
       s""", cm$t AS (
-         |  SELECT c.cell, sum(c.s * c.s) AS ss, any_value(n.n) AS n
-         |  FROM cent$t c JOIN cnt$t n ON n.cell = c.cell GROUP BY c.cell
+         |  SELECT cell, sum(s * s) AS ss, max(n) AS n
+         |  FROM cent$t GROUP BY cell
          |), vs$t AS (
          |  SELECT e.vec_id AS vid, c.cell, sum(e.qx * c.s) AS vs
          |  FROM e JOIN cent$t c ON c.i = e.i GROUP BY 1, 2
@@ -162,10 +171,8 @@ object Ivf {
                 |    FROM dist$t
                 |  ) WHERE rn = 1
                 |), cent${t + 1} AS (
-                |  SELECT a.cell, e.i, sum(e.qx) AS s
+                |  SELECT a.cell, e.i, sum(e.qx) AS s, count(*) AS n
                 |  FROM e JOIN assign$t a ON a.vid = e.vec_id GROUP BY 1, 2
-                |), cnt${t + 1} AS (
-                |  SELECT cell, count(*) AS n FROM assign$t GROUP BY cell
                 |)""".stripMargin
     }
     val T = p.iters
