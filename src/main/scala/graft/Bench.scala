@@ -8,9 +8,21 @@ import org.apache.spark.sql.SparkSession
   * cross-query cache pollution, which is what made the r2 suite run
   * tfidf_score 2.8x slower than the same query in a clean session).
   *
+  * One UNTIMED pass of the whole surface runs first (JMH-style warm-up):
+  * timed runs then measure steady-state execution, not first-run
+  * JIT/codegen compilation. Measured at sf0.1: the same clusters DAG
+  * executes 13.7s on its first run and 4.6s on its fourth with identical
+  * plans — alphabetically-early queries were absorbing the whole JVM's
+  * compilation bill into their medians (the r3 drift on the mm and
+  * tfidf_tf_raw keys was exactly this, in reverse). Steady state is also
+  * the honest proxy
+  * for the 100 TB target, where per-query JIT amortizes to zero.
+  *
   * Output: ONE compact JSON line (values rounded to ms so the driver's
   * tail capture can't truncate it) + the same JSON at
-  * target/bench-medians.json for local diffing.
+  * target/bench-medians.json for local diffing. `queries` = medians,
+  * `queries_min` = per-query min (post-warm-up, the min≈median gap is
+  * run-to-run variance).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,6 +45,12 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Untimed warm-up pass (see scaladoc). Same cache discipline as the
+    // timed runs: build, count, release.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => }
+      CacheScope.releaseAll()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to n).map { _ =>
         val t0 = System.nanoTime()
@@ -41,12 +59,16 @@ object Bench {
         CacheScope.releaseAll()
         dt
       }
-      name -> median(times)
+      (name, median(times), times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + f"$med%.3f" }
+      .mkString("{", ",", "}")
+    // Per-query MIN alongside the median (VERDICT r3 #4): post-warm-up,
+    // a big median-vs-min gap flags run-to-run variance, not a plan issue.
+    val qmins = results.map { case (k, _, mn) => "\"" + k + "\":" + f"$mn%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$n,"stat":"median","queries":$qs,"sf":"$sfDir"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$n,"stat":"median","queries":$qs,"queries_min":$qmins,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench-medians.json"), json)
     catch { case _: Throwable => }
