@@ -17,7 +17,8 @@ import graft.dedup.Shingles
   *   - span dedup follows the TF/DF discipline: ONE explode pass aggregated
   *     to per-(doc, span-hash) counts, global counts derived from that
   *     already-aggregated relation, and the join back is agg-to-agg on the
-  *     hash key — the raw span stream is never joined or shuffled twice.
+  *     hash key — the raw span stream is never joined or shuffled twice,
+  *     and it carries 32-char hashes, never the span strings themselves.
   *   - contamination joins the (small) benchmark shingle set against the
   *     corpus inverted-index style on the shingle key — an equi-join whose
   *     left side is the benchmark sliver, never all-pairs.
@@ -34,15 +35,20 @@ object CorpusOpsQueries extends QueryPack {
     */
   val SpanTokens = 10
 
-  /** Rolling word 10-gram spans from a tokens array; empty when too short.
+  /** Rolling word 10-gram span HASHES from a tokens array; empty when too
+    * short. The md5 runs INSIDE the lambda, so the materialized array —
+    * and everything downstream of the explode — carries 32-char hashes,
+    * never the span strings themselves (a ~10x copy of the document text;
+    * at corpus scale that blowup is pure memory/shuffle waste, since only
+    * the hash is ever compared).
     * SQL twin: list_transform(range(1, greatest(len(tk)-8, 1)),
-    *            i -> array_to_string(tk[i:i+9], ' '))
+    *            i -> md5(array_to_string(tk[i:i+9], ' ')))
     */
-  def spans(tk: Column): Column =
+  def spanHashes(tk: Column): Column =
     when(size(tk) < SpanTokens, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(tk) - (SpanTokens - 1)),
-        i => array_join(slice(tk, i, lit(SpanTokens)), " ")))
+        i => md5(array_join(slice(tk, i, lit(SpanTokens)), " "))))
 
   // PII patterns — the RE2-safe subset (no backreferences, no lookaround)
   // so Java regex and DuckDB RE2 agree byte-for-byte.
@@ -129,8 +135,7 @@ object CorpusOpsQueries extends QueryPack {
   def spanDedupOf(dd: DataFrame): DataFrame = {
     val local = dd
       .select(col("doc_id"), Shingles.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), explode(spans(col("tk"))).as("sp"))
-      .select(col("doc_id"), md5(col("sp")).as("k"))
+      .select(col("doc_id"), explode(spanHashes(col("tk"))).as("k"))
       .groupBy("doc_id", "k").agg(count(lit(1)).as("cnt"))
       .transform(graft.CacheScope.persisted(_))
     val global = local.groupBy("k").agg(sum("cnt").as("g"))
@@ -148,10 +153,10 @@ object CorpusOpsQueries extends QueryPack {
        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents
        |), spans AS (
        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - ${SpanTokens - 2}, 1)),
-       |                 i -> array_to_string(tk[i:i+${SpanTokens - 1}], ' '))) AS sp
+       |                 i -> md5(array_to_string(tk[i:i+${SpanTokens - 1}], ' ')))) AS k
        |  FROM toks WHERE len(tk) >= $SpanTokens
        |), local AS (
-       |  SELECT doc_id, md5(sp) AS k, count(*) AS cnt FROM spans GROUP BY 1, 2
+       |  SELECT doc_id, k, count(*) AS cnt FROM spans GROUP BY 1, 2
        |), gc AS (
        |  SELECT k, sum(cnt) AS g FROM local GROUP BY k
        |)""".stripMargin
