@@ -121,6 +121,62 @@ class SessionizeSpec extends SparkSpec {
     assert(closedEvents <= Tables.load(spark, sfDir, "events").count())
   }
 
+  test("time-ordered file replay: advancing watermark fires event-time timeouts") {
+    // Range-partition the events by ts so the lexicographic file order the
+    // source consumes IS event-time order — each micro-batch advances the
+    // watermark like a production replay, and sessions idle past the gap
+    // are closed by state timeout, not by a newer event arriving.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .repartitionByRange(8, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(tmp)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(tmp).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp)
+      .withWatermark("ts", "10 minutes")
+      .as[Event]
+
+    val q = Sessionize.sessions(stream)
+      .writeStream.format("memory").queryName("replay_sessions_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+
+    val streamedClosed = spark.table("replay_sessions_out")
+      .filter(col("closed"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(streamedClosed.nonEmpty)
+
+    // mergeBatch always keeps a user's NEWEST interval open, so the final
+    // session of a user can only ever be emitted through the event-time
+    // timeout path (no later event exists to close it). A closed stream
+    // session that equals a user's final batch session is therefore a
+    // timeout-driven emission — require at least one.
+    val batch = graft.streaming.StreamingQueries.queries("stream_session")(spark, sfDir)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("session_start").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val timeoutEmitted = streamedClosed.intersect(batch)
+    assert(timeoutEmitted.nonEmpty,
+      "no final session was closed by an event-time timeout")
+  }
+
   test("sessionizer runs on the RocksDB state store (the 100 TB backend)") {
     // The default HDFS-backed store keeps all state on the JVM heap — fine
     // for tests, wrong for 100 TB streaming state. RocksDB spills to local
