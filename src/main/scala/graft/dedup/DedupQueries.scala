@@ -55,8 +55,9 @@ object DedupQueries extends QueryPack {
     // MinHash signatures (k=8 permutations as lexicographic md5 minima).
     "dedup_minhash" -> ((s, d) => signatures(docs(s, d))),
 
-    // LSH candidate pairs (4 bands x 2 rows) + exact 3-gram Jaccard verify
-    // — body in [[lshPairs]] so specs can run it over planted corpora.
+    // LSH candidate pairs (4 bands x 2 rows) + 3-gram Jaccard verify over
+    // the 60-bit shingle hashes — body in [[lshPairs]] so specs can run
+    // it over planted corpora.
     "dedup_minhash_lsh" -> ((s, d) => lshPairs(docs(s, d))),
 
     // SimHash values (64-bit, portable md5-nibble lanes). The md5 hex is
@@ -101,7 +102,7 @@ object DedupQueries extends QueryPack {
       val inter = pairs
         .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(sh.as("sb"),
-          col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+          col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       pairs
         .join(inter, Seq("doc_a", "doc_b"), "left")
@@ -159,7 +160,8 @@ object DedupQueries extends QueryPack {
       .agg(SimHash.laneAggs(col("h")).head, SimHash.laneAggs(col("h")).tail: _*)
       .select(col("doc_id"), SimHash.combine.as("simhash"))
 
-  /** MinHash-LSH near-dup candidates with exact Jaccard verification, over
+  /** MinHash-LSH near-dup candidates with hashed-shingle Jaccard
+    * verification (60-bit space — see [[Shingles.shingleHashes3]]), over
     * any (doc_id, text) relation. The shingle relation feeds four branches
     * (signatures + sizes + both sides of the intersection join): persist
     * it — the cluster-scale equivalent is a checkpointed shingle table.
@@ -188,7 +190,7 @@ object DedupQueries extends QueryPack {
     val inter = cand
       .join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shc.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+        col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     cand
       .join(inter, Seq("doc_a", "doc_b"), "left")
@@ -202,24 +204,24 @@ object DedupQueries extends QueryPack {
 
   // ---------------------------------------------------------------- oracles
 
-  /** Shared CTEs: tokens / distinct 3-gram shingles / sizes. */
+  /** Shared CTEs: tokens / distinct 60-bit 3-gram shingle hashes / sizes —
+    * the hash inside the lambda, mirroring Shingles.shingleHashes3.
+    */
   private val shCte: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents
-      |), sh AS (
-      |  SELECT DISTINCT doc_id,
-      |         unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
-      |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-      |  FROM toks WHERE len(tk) >= 3
-      |)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+       |                i -> ${Shingles.hash60Sql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")})) AS h
+       |  FROM toks WHERE len(tk) >= 3
+       |)""".stripMargin
 
   private val sigSelect: String =
     (0 until MinhashK).map(i => s"${Shingles.minhashAggSql("h", i)} AS m$i").mkString(", ")
 
   private val sigCte: String =
-    s"""$shCte, hsh AS (
-       |  SELECT doc_id, ${Shingles.hash60Sql("sh")} AS h FROM sh
-       |), sig AS (SELECT doc_id, $sigSelect FROM hsh GROUP BY doc_id)""".stripMargin
+    s"$shCte, sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id)"
 
   private val bandsCte: String = {
     val rows = (0 until Bands).map { b =>
@@ -269,7 +271,7 @@ object DedupQueries extends QueryPack {
          |  SELECT c.doc_a, c.doc_b, count(*) AS inter
          |  FROM cand c
          |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
          |  GROUP BY 1, 2
          |)
          |SELECT c.doc_a, c.doc_b, c.n_shared_bands,
@@ -297,7 +299,7 @@ object DedupQueries extends QueryPack {
          |  SELECT c.doc_a, c.doc_b, count(*) AS inter
          |  FROM cand c
          |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
          |  GROUP BY 1, 2
          |), cpairs AS (
          |  SELECT c.doc_a, c.doc_b
@@ -340,7 +342,7 @@ object DedupQueries extends QueryPack {
          |  SELECT p.doc_a, p.doc_b, count(*) AS inter
          |  FROM pairs p
          |  JOIN sh sa ON sa.doc_id = p.doc_a
-         |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+         |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.h = sa.h
          |  GROUP BY 1, 2
          |)
          |SELECT p.doc_a, p.doc_b,

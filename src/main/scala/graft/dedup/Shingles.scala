@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * SQL twin; the twins live in DedupQueries' oracle strings).
   *
   * Portability rules that make the hash-compare possible:
-  *   - All hashing is md5 hex (identical strings in any engine); minhash
-  *     signatures are lexicographic MIN over md5 strings, never numeric
-  *     murmur (Spark's hash() seed differs from every other engine).
+  *   - All hashing derives from md5 hex (identical strings in any engine),
+  *     reduced to a 60-bit int64 and mixed with exact universal-hash
+  *     arithmetic — never Spark's murmur hash() (its seed differs from
+  *     every other engine).
   *   - Whitespace tokenization + word 3-gram shingles, guarded so docs with
   *     <3 tokens yield no shingles in both engines.
+  *   - Shingle relations carry the 60-bit hash, not the shingle string —
+  *     see [[shingleHashes3]].
   */
 object Shingles {
 
@@ -35,6 +38,24 @@ object Shingles {
         sequence(lit(1), size(toks) - 2),
         i => concat_ws(" ",
           element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+
+  /** Word 3-gram shingle HASHES (60-bit int64) from a tokens array. The
+    * hash runs INSIDE the lambda, so the materialized array — and the
+    * exploded relation, its distinct shuffle, and every downstream
+    * join/aggregate — carries 8-byte keys, never the ~40-char shingle
+    * strings (~5x fewer shuffle bytes for the biggest relation the dedup
+    * family builds; at 100 TB the shingle stream is a multiple of the
+    * corpus itself). Collisions (P = 1e9+7 space) can merge two distinct
+    * shingles, which is inherent to every hashed-shingle dedup at scale —
+    * and the DuckDB twin hashes identically, so verification stays
+    * exact-match.
+    */
+  def shingleHashes3(toks: Column): Column =
+    when(size(toks) < 3, array().cast("array<long>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => hash60(concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
 
   /** Minhash hashing: ONE md5 per shingle reduced to a 60-bit integer, then
     * k cheap universal-hash mixes h_i = (a_i*h + b_i) mod P — 8x fewer
@@ -64,7 +85,8 @@ object Shingles {
   def minhashAggSql(h: String, seed: Int): String =
     s"min((${MixA(seed)} * $h + ${MixB(seed)}) % $P)"
 
-  /** docs(doc_id, text) -> (doc_id, sh) exploded distinct shingles.
+  /** docs(doc_id, text) -> (doc_id, h) exploded distinct 60-bit shingle
+    * hashes (see [[shingleHashes3]] for why hashes, not strings).
     *
     * The tokens array is materialized as its own projection BEFORE the
     * shingle lambda: inlining `split(...)` into the transform() lambda would
@@ -75,22 +97,21 @@ object Shingles {
     */
   def docShingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"), explode(shingles3(col("tk"))).as("sh"))
+      .select(col("doc_id"), explode(shingleHashes3(col("tk"))).as("h"))
       .distinct()
 
   /** (doc_id, m0..m{k-1}) minhash signature relation. */
   def signatures(docs: DataFrame): DataFrame =
     signaturesFrom(docShingles(docs))
 
-  /** Signatures from an (optionally persisted) shingle relation — use this
-    * when the shingles feed several branches, so they're computed once.
-    * The 60-bit hash is materialized as its own projection so the md5 runs
-    * once, not once per mix.
+  /** Signatures from an (optionally persisted) (doc_id, h) shingle-hash
+    * relation — use this when the shingles feed several branches, so
+    * they're computed once. The relation already carries the 60-bit hash,
+    * so the k mixes are pure int64 arithmetic over it.
     */
   def signaturesFrom(sh: DataFrame): DataFrame = {
     val aggs = (0 until MinhashK).map(i => minhashAgg(col("h"), i).as(s"m$i"))
-    sh.select(col("doc_id"), hash60(col("sh")).as("h"))
-      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Signature -> (doc_id, band, band_key): band_key = md5 of the band's

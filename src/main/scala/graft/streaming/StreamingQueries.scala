@@ -65,6 +65,25 @@ object StreamingQueries extends QueryPack {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Stream-static enrichment join: the event stream against the (slowly
+    // changing) customer dimension, then a windowed rollup per market
+    // segment. The dim side is broadcast — in streaming mode Spark re-reads
+    // the static side per micro-batch and never keeps join state for it,
+    // which is what makes dimension joins viable at 100 TB of stream; the
+    // readStream variant of this exact shape is asserted ≡ batch in
+    // StreamingSpec.
+    "stream_join_static" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      events(s, d)
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total"))
+        .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+          col("c_mktsegment"), col("n"), col("total"))
+    }),
+
     // The custom flatMapGroupsWithState sessionizer (Sessionize), batch
     // evaluation — richer per-session state than session_window can carry
     // (distinct event-type count).
@@ -125,6 +144,14 @@ object StreamingQueries extends QueryPack {
     "stream_dedup" ->
       """SELECT event_type, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "stream_join_static" ->
+      """SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+        |       time_bucket(INTERVAL '1 hour', e.ts) + INTERVAL '1 hour' AS window_end,
+        |       c.c_mktsegment, count(*) AS n,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // Same gap-break construction plus the distinct-type count the custom
     // operator tracks in its state.

@@ -10,8 +10,10 @@ import graft.dedup.Shingles
   * span-level exact dedup (the scalable approximation of suffix-array
   * substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
   * Language Models Better"), benchmark-contamination detection (n-gram
-  * containment of held-out eval docs inside training docs), and PII
-  * scrubbing (regex redaction of emails / URLs / long digit runs).
+  * containment of held-out eval docs inside training docs), PII
+  * scrubbing (regex redaction of emails / URLs / long digit runs), and
+  * deterministic shuffle/sharding (reproducible training order without a
+  * global sort).
   *
   * Scale design (100 TB):
   *   - span dedup follows the TF/DF discipline: ONE explode pass aggregated
@@ -72,6 +74,9 @@ object CorpusOpsQueries extends QueryPack {
   private def bucket(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 100
 
+  /** Training shards for text_shard_assign — a dial, not a truth. */
+  val NShards = 16
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Span-level exact dedup: per doc, how much of it is 10-token spans
@@ -85,6 +90,25 @@ object CorpusOpsQueries extends QueryPack {
       val benchIds = docs(s, d).select(col("doc_id"))
         .filter(bucket(col("doc_id")) < 5)
       containmentOf(docs(s, d), benchIds, 0.5)
+    }),
+
+    // Deterministic training shuffle + sharding: every doc gets a stable
+    // pseudo-random 60-bit key from md5(doc_id); shard = key mod NShards,
+    // in-shard position = rank of the key. Reproducible global shuffle
+    // without a global sort — ONE narrow map plus ONE shard-partitioned
+    // window (each shard ranks independently; at 100 TB that is 1/NShards
+    // of the corpus per partition, and NShards is the dial). This is the
+    // op that turns a curated corpus into training shard files with a
+    // seedable order.
+    "text_shard_assign" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val key = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      docs(s, d).select(col("doc_id"), key.as("ord"))
+        .select(col("doc_id"), (col("ord") % NShards).as("shard"), col("ord"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))))
+        .select(col("doc_id"), col("shard"), col("pos"))
     }),
 
     // PII scrub: redaction counts + digest of the scrubbed text, one
@@ -114,7 +138,7 @@ object CorpusOpsQueries extends QueryPack {
     val bsz = bsh.groupBy("doc_id").agg(count(lit(1)).as("bsz"))
     val inter = bsh.as("b")
       .join(sh.as("c"),
-        col("b.sh") === col("c.sh") && col("b.doc_id") =!= col("c.doc_id"))
+        col("b.h") === col("c.h") && col("b.doc_id") =!= col("c.doc_id"))
       .groupBy(col("b.doc_id").as("bench_doc"), col("c.doc_id").as("corpus_doc"))
       .agg(count(lit(1)).as("n_common"))
     inter
@@ -162,14 +186,14 @@ object CorpusOpsQueries extends QueryPack {
        |)""".stripMargin
 
   private val shCte: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents
-      |), sh AS (
-      |  SELECT DISTINCT doc_id,
-      |         unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
-      |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-      |  FROM toks WHERE len(tk) >= 3
-      |)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+       |                i -> ${Shingles.hash60Sql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")})) AS h
+       |  FROM toks WHERE len(tk) >= 3
+       |)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
     "text_span_dedup" ->
@@ -187,18 +211,29 @@ object CorpusOpsQueries extends QueryPack {
          |  SELECT doc_id FROM documents
          |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 5
          |), bsh AS (
-         |  SELECT s.doc_id, s.sh FROM sh s JOIN bench b ON b.doc_id = s.doc_id
+         |  SELECT s.doc_id, s.h FROM sh s JOIN bench b ON b.doc_id = s.doc_id
          |), bsz AS (
          |  SELECT doc_id, count(*) AS bsz FROM bsh GROUP BY doc_id
          |), inter AS (
          |  SELECT b.doc_id AS bench_doc, c.doc_id AS corpus_doc, count(*) AS n_common
-         |  FROM bsh b JOIN sh c ON c.sh = b.sh AND c.doc_id <> b.doc_id
+         |  FROM bsh b JOIN sh c ON c.h = b.h AND c.doc_id <> b.doc_id
          |  GROUP BY 1, 2
          |)
          |SELECT i.bench_doc, i.corpus_doc, i.n_common,
          |       round(CAST(i.n_common AS DOUBLE) / z.bsz, 6) AS containment
          |FROM inter i JOIN bsz z ON z.doc_id = i.bench_doc
          |WHERE round(CAST(i.n_common AS DOUBLE) / z.bsz, 6) >= 0.5""".stripMargin,
+
+    "text_shard_assign" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ord
+         |  FROM documents
+         |)
+         |SELECT doc_id, ord % $NShards AS shard,
+         |       row_number() OVER (PARTITION BY ord % $NShards
+         |                          ORDER BY ord, doc_id) AS pos
+         |FROM k""".stripMargin,
 
     "text_pii_scrub" ->
       s"""SELECT doc_id,

@@ -99,15 +99,16 @@ object TextAnalysisQueries extends QueryPack {
         .limit(50)
     }),
 
-    // Fingerprint: lexicographic-min md5 over word 3-gram shingles (a
-    // content-defined rolling fingerprint — stable under reordering-free
-    // edits far from the minimum).
+    // Fingerprint: MIN over the 60-bit word-3-gram shingle hashes — a
+    // MinHash-1 content fingerprint, stable under reordering-free edits
+    // far from the minimum. Rides the shared int64 shingle relation (the
+    // relation is already distinct, so a plain count sizes it).
     "text_fingerprint" -> ((s, d) => {
       import graft.dedup.Shingles
       Shingles.docShingles(docs(s, d))
         .groupBy("doc_id")
-        .agg(min(md5(col("sh"))).as("fingerprint"),
-          countDistinct(col("sh")).as("n_shingles"))
+        .agg(min(col("h")).as("fingerprint"),
+          count(lit(1)).as("n_shingles"))
     }),
 
     // The COMPOSED C4-style cleaning pipeline — what a training-data run
@@ -259,17 +260,17 @@ object TextAnalysisQueries extends QueryPack {
         |ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin,
 
     "text_fingerprint" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |         unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
-        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-        |  FROM toks WHERE len(tk) >= 3
-        |)
-        |SELECT doc_id, min(md5(sh)) AS fingerprint,
-        |       count(DISTINCT sh) AS n_shingles
-        |FROM sh GROUP BY doc_id""".stripMargin,
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+         |                i -> ${graft.dedup.Shingles.hash60Sql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")})) AS h
+         |  FROM toks WHERE len(tk) >= 3
+         |)
+         |SELECT doc_id, min(h) AS fingerprint,
+         |       count(*) AS n_shingles
+         |FROM sh GROUP BY doc_id""".stripMargin,
 
     "text_clean_pipeline" ->
       s"""WITH m AS (

@@ -21,10 +21,18 @@ class DedupSimSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
   }
 
-  test("shingles: <3 tokens yields no rows; 3-grams are space-joined") {
+  test("shingles: <3 tokens yields no rows; 3-gram hashes pin the layout") {
+    // Independent scalar reimplementation of hash60 (first 15 md5 hex
+    // chars mod P) over the expected space-joined 3-grams — pins both the
+    // shingle construction and the 60-bit reduction.
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % Shingles.P
+    }
     val docs = Seq((1L, "only two"), (2L, "one two three four")).toDF("doc_id", "text")
-    val sh = Shingles.docShingles(docs).as[(Long, String)].collect().toSet
-    assert(sh == Set((2L, "one two three"), (2L, "two three four")))
+    val sh = Shingles.docShingles(docs).as[(Long, Long)].collect().toSet
+    assert(sh == Set((2L, h60("one two three")), (2L, h60("two three four"))))
   }
 
   test("simhash: identical docs get hamming 0, distinct docs differ") {

@@ -48,6 +48,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static join (events ⋈ customer dim) == batch result") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sjs").toString
+    Tables.load(spark, sfDir, "events").write.mode("overwrite").parquet(tmp)
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(tmp).schema)
+      .parquet(tmp)
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("c_mktsegment"), col("n"), col("total"))
+
+    val q = stream.writeStream
+      .format("memory").queryName("sjs_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sjs_out").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val batch = StreamingQueries.queries("stream_join_static")(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup: dropDuplicates within watermark == batch distinct") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream3").toString
     // duplicate the stream on purpose: two copies of every event
