@@ -32,7 +32,7 @@ class SessionizeSpec extends SparkSpec {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(300000), "stream did not finish in time")
 
     val streamed = spark.table("sessions_out")
       .filter(col("closed"))
@@ -106,7 +106,7 @@ class SessionizeSpec extends SparkSpec {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(300000), "stream did not finish in time")
     assert(q.exception.isEmpty, s"query failed: ${q.exception}")
 
     val out = spark.table("mb_sessions_out")
@@ -145,7 +145,7 @@ class SessionizeSpec extends SparkSpec {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(300000), "stream did not finish in time")
     assert(q.exception.isEmpty, s"query failed: ${q.exception}")
 
     val streamedClosed = spark.table("replay_sessions_out")
@@ -204,7 +204,7 @@ class SessionizeSpec extends SparkSpec {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000)
+      assert(q.awaitTermination(300000), "stream did not finish in time")
       assert(q.exception.isEmpty, s"query failed on RocksDB: ${q.exception}")
       // Out-of-order micro-batches make exact batch-equality impossible
       // (late events close as singletons); assert the structural

@@ -36,7 +36,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(300000), "stream did not finish in time")
 
     val streamed = spark.table("tumbling_out").collect()
       .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2),
@@ -70,7 +70,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(300000), "stream did not finish in time")
 
     val streamed = spark.table("sjs_out").collect()
       .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2),
@@ -100,7 +100,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(300000), "stream did not finish in time")
 
     val streamed = spark.table("dedup_out").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -137,7 +137,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(300000), "stream did not finish in time")
 
     val streamed = spark.table("ss_join_out").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -175,7 +175,7 @@ class StreamingSpec extends SparkSpec {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(300000), "stream did not finish in time")
     }
     runOnce()
     assert(spark.read.parquet(out).count() == n1)
@@ -214,7 +214,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(300000), "stream did not finish in time")
 
     val streamed = spark.table("session_out").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
