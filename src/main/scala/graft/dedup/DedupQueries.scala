@@ -147,6 +147,18 @@ object DedupQueries extends QueryPack {
             VecMath.dotQ(col("a.qe"), col("b.qe")),
             col("a.norm2"), col("b.norm2")), 4)).as("cos"))
         .filter(col("cos") >= 0.3)
+    }),
+
+    // SEMANTIC dedup clusters: the same generic connected-components
+    // operator, fed by the embedding-cosine candidate graph instead of the
+    // lexical LSH one — near-dup canonicalization in embedding space
+    // (paraphrase/translation duplicates that no shingle overlap catches).
+    "dedup_semantic_clusters" -> ((s, d) => {
+      val pairs = queries("dedup_embedding_cosine")(s, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      DedupClusters.clusters(pairs,
+        Tables.load(s, d, "embeddings").select(col("vec_id").as("doc_id")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
     })
   )
 
@@ -354,25 +366,55 @@ object DedupQueries extends QueryPack {
          |JOIN sz zb ON zb.doc_id = p.doc_b""".stripMargin,
 
     "dedup_embedding_cosine" ->
-      """WITH e AS (
-        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
-        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS qx
-        |  FROM embeddings
-        |), dots AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-        |         CAST(sum(a.qx * b.qx) AS DOUBLE) / 1000000.0 AS dot
-        |  FROM e a JOIN e b
-        |    ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
-        |  GROUP BY 1, 2, 3
-        |), norms AS (
-        |  SELECT vec_id, CAST(sum(qx * qx) AS DOUBLE) / 1000000.0 AS norm2
-        |  FROM e GROUP BY vec_id
-        |)
-        |SELECT d.vec_a, d.vec_b, d.label,
-        |       round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) AS cos
-        |FROM dots d
-        |JOIN norms na ON na.vec_id = d.vec_a
-        |JOIN norms nb ON nb.vec_id = d.vec_b
-        |WHERE round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) >= 0.3""".stripMargin
+      s"""WITH $embCosCtes
+         |SELECT d.vec_a, d.vec_b, d.label,
+         |       round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) AS cos
+         |FROM dots d
+         |JOIN norms na ON na.vec_id = d.vec_a
+         |JOIN norms nb ON nb.vec_id = d.vec_b
+         |WHERE round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) >= 0.3""".stripMargin,
+
+    // Same two-algorithm agreement as dedup_clusters, over the SEMANTIC
+    // candidate graph: recursive reachability vs distributed fixpoint.
+    "dedup_semantic_clusters" ->
+      s"""WITH RECURSIVE $embCosCtes,
+         |cpairs AS (
+         |  SELECT d.vec_a, d.vec_b
+         |  FROM dots d
+         |  JOIN norms na ON na.vec_id = d.vec_a
+         |  JOIN norms nb ON nb.vec_id = d.vec_b
+         |  WHERE round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) >= 0.3
+         |), cedges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM cpairs
+         |  UNION ALL
+         |  SELECT vec_b AS src, vec_a AS dst FROM cpairs
+         |), reach(vec_id, r) AS (
+         |  SELECT src, src FROM cedges
+         |  UNION
+         |  SELECT e.src, reach.r FROM cedges e JOIN reach ON reach.vec_id = e.dst
+         |), comp AS (
+         |  SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id
+         |)
+         |SELECT v.vec_id, COALESCE(c.cluster_id, v.vec_id) AS cluster_id
+         |FROM embeddings v LEFT JOIN comp c ON c.vec_id = v.vec_id""".stripMargin
   )
+
+  /** Shared CTEs for the embedding-cosine pair pipeline (quantized int64
+    * components, exact integer dots, label-bucketed self-join).
+    */
+  private lazy val embCosCtes: String =
+    """e AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS qx
+      |  FROM embeddings
+      |), dots AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+      |         CAST(sum(a.qx * b.qx) AS DOUBLE) / 1000000.0 AS dot
+      |  FROM e a JOIN e b
+      |    ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2, 3
+      |), norms AS (
+      |  SELECT vec_id, CAST(sum(qx * qx) AS DOUBLE) / 1000000.0 AS norm2
+      |  FROM e GROUP BY vec_id
+      |)""".stripMargin
 }
