@@ -105,7 +105,25 @@ object ScalarFuncQueries extends QueryPack {
           element_at(col("embedding"), 1).as("first_elem"),
           element_at(col("embedding"), -1).as("last_elem"),
           array_max(col("embedding")).as("max_elem"),
-          array_min(col("embedding")).as("min_elem")))
+          array_min(col("embedding")).as("min_elem"))),
+
+    // Map-typed columns: construct, probe, enumerate — projected back to
+    // scalars so the cross-engine compare stays on flat columns (map
+    // column equality is representation-sensitive in parquet/pandas).
+    "q_map_funcs" -> ((s, d) => {
+      val m = map(
+        lit("brand"), col("p_brand"),
+        lit("type"), col("p_type"),
+        lit("name"), col("p_name"))
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          element_at(m, "brand").as("brand_v"),
+          element_at(m, "missing").as("missing_v"),
+          size(map_keys(m)).as("n_keys"),
+          array_join(map_keys(m), ",").as("keys_csv"),
+          array_join(map_values(m), "|").as("vals_csv"))
+    })
   )
 
   override val oracles: Map[String, String] = Map(
@@ -185,6 +203,20 @@ object ScalarFuncQueries extends QueryPack {
         |       embedding[-1] AS last_elem,
         |       list_max(embedding) AS max_elem,
         |       list_min(embedding) AS min_elem
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+
+    "q_map_funcs" ->
+      """WITH mm AS (
+        |  SELECT p_partkey,
+        |         MAP(['brand','type','name'], [p_brand, p_type, p_name]) AS m
+        |  FROM part
+        |)
+        |SELECT p_partkey,
+        |       map_extract(m, 'brand')[1] AS brand_v,
+        |       map_extract(m, 'missing')[1] AS missing_v,
+        |       CAST(len(map_keys(m)) AS INT) AS n_keys,
+        |       array_to_string(map_keys(m), ',') AS keys_csv,
+        |       array_to_string(map_values(m), '|') AS vals_csv
+        |FROM mm""".stripMargin
   )
 }
