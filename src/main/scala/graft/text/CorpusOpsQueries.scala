@@ -136,8 +136,15 @@ object CorpusOpsQueries extends QueryPack {
       .transform(graft.CacheScope.persisted(_))
     val bsh = sh.join(broadcast(benchIds), Seq("doc_id"), "left_semi")
     val bsz = bsh.groupBy("doc_id").agg(count(lit(1)).as("bsz"))
+    // Inverted-index probe: the corpus side is semi-joined by the
+    // BROADCAST benchmark hash set BEFORE any shuffle, so only corpus
+    // shingles that can possibly intersect move — at 100 TB the
+    // benchmark vocabulary is the sliver, and shuffling the whole corpus
+    // shingle stream into the join would dwarf everything else.
+    val cSide = sh.join(broadcast(bsh.select(col("h")).distinct()),
+      Seq("h"), "left_semi")
     val inter = bsh.as("b")
-      .join(sh.as("c"),
+      .join(cSide.as("c"),
         col("b.h") === col("c.h") && col("b.doc_id") =!= col("c.doc_id"))
       .groupBy(col("b.doc_id").as("bench_doc"), col("c.doc_id").as("corpus_doc"))
       .agg(count(lit(1)).as("n_common"))
