@@ -191,17 +191,21 @@ object DedupQueries extends QueryPack {
       // (doc, band) is unique per side, so a plain count IS the distinct
       // band count — no need for countDistinct's extra Expand+agg pass.
       .agg(count(lit(1)).as("n_shared_bands"))
+    // Sizes stay CORPUS-WIDE on purpose: partial aggregation over the
+    // cached shingle relation means the shuffle carries one (doc, count)
+    // row per document — doc-count-sized at any scale — and the branch
+    // runs in parallel with the banding join. (Restricting it to
+    // candidate docs was tried and measured SLOWER at sf0.1: it
+    // serializes the size branch behind the candidate aggregation for a
+    // shuffle that was never the cost.)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // Verification reads only CANDIDATE docs' shingles: at scale the
     // candidate set is a sliver of the corpus, and the expensive
-    // (doc, shingle) equi-join must not touch the rest. The sizes come
-    // from the same restricted relation — identical values for candidate
-    // docs, and the full-corpus shingle stream is never shuffled for a
-    // count nobody reads.
+    // (doc, shingle) equi-join must not touch the rest.
     val candDocs = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    val sz = shc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shc.as("sb"),
