@@ -5,7 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** TEMPORARY dev profiler for the LSH pipeline stages. */
+/** Dev profiler for the LSH pipeline stages (like Scratch, but one timing
+  * per pipeline stage — counts each sub-relation, then writes the clusters
+  * edge relation the way DedupClusters does). Used to attribute the r3
+  * dedup_clusters regression; keep for future perf rounds.
+  */
 object ProfileLsh {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
