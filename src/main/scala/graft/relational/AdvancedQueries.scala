@@ -90,6 +90,21 @@ object AdvancedQueries extends QueryPack {
       |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
       |  FROM orders)""".stripMargin
 
+  /** Correlated EXISTS + NOT EXISTS — one shared SQL text. Catalyst
+    * rewrites both to a left-semi + left-anti join on o_custkey
+    * (RewritePredicateSubquery), so at scale this is two shuffled hash
+    * joins, not a per-row probe.
+    */
+  private val ExistsSub: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin
+
   /** Explicit GROUPING SETS (beyond cube/rollup) — one shared SQL text. */
   private val GSets: String =
     """SELECT l_returnflag, l_linestatus,
@@ -115,6 +130,12 @@ object AdvancedQueries extends QueryPack {
     "q_sql_scalar_subquery" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders")
       s.sql(ScalarSub)
+    }),
+
+    "q_sql_exists" -> ((s, d) => {
+      Seq("customer", "orders").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(ExistsSub)
     }),
 
     "q_sql_tpch_q5" -> ((s, d) => {
@@ -202,6 +223,7 @@ object AdvancedQueries extends QueryPack {
     "q_sql_tpch_q3" -> Q3,
     "q_sql_tpch_q5" -> Q5,
     "q_sql_scalar_subquery" -> ScalarSub,
+    "q_sql_exists" -> ExistsSub,
 
     "q_range_join" ->
       """SELECT a.event_id AS event_a, b.event_id AS event_b,

@@ -96,6 +96,24 @@ object WindowQueries extends QueryPack {
           round(cume_dist().over(w), 6).as("cdist"))
     }),
 
+    // Value-based RANGE frame (vs q_window_running's ROWS frame): per
+    // user, events and exact-decimal value in the trailing 24 h. The ORDER
+    // BY column is epoch micros because a numeric range bound is what both
+    // engines (and a 1000-executor sort) key on; peers (equal us) share a
+    // frame by RANGE semantics, so no tiebreak column is needed for
+    // determinism.
+    "q_window_range_frame" -> ((s, d) => {
+      val DayUs = 86400000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-DayUs, 0)
+      t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_24h"),
+          sum(col("value").cast(DecimalType(18, 4))).over(w)
+            .cast("double").as("val_24h"))
+    }),
+
     // Per-group top-k: top-3 orders by value per customer.
     "q_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -157,6 +175,15 @@ object WindowQueries extends QueryPack {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+
+    "q_window_range_frame" ->
+      """WITH e AS (SELECT *, epoch_us(ts) AS us FROM events)
+        |SELECT user_id, event_id,
+        |       count(*) OVER w AS n_24h,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS val_24h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -74,6 +74,25 @@ object TextAnalysisQueries extends QueryPack {
         round(score, 6).as("quality_score"))
     }),
 
+    // Quantile-threshold corpus filter: keep documents whose token count
+    // sits between the corpus P10 and P90 — the standard "trim the tails"
+    // hygiene pass before training. The thresholds are ONE row (exact
+    // interpolated percentile, proven bit-identical to DuckDB's
+    // quantile_cont by q_percentile), broadcast into the filter — at
+    // 100 TB this is an agg to a scalar plus one narrow filter pass, never
+    // a sort of the corpus.
+    "text_quality_filter" -> ((s, d) => {
+      val m = docs(s, d).select(col("doc_id"), col("lang"), col("source"),
+        size(wsTokens(col("text"))).cast("double").as("n_tok"))
+      val th = m.agg(
+        expr("percentile(n_tok, 0.10)").as("lo"),
+        expr("percentile(n_tok, 0.90)").as("hi"))
+      m.join(broadcast(th),
+          col("n_tok") >= col("lo") && col("n_tok") <= col("hi"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_tok").cast("long").as("n_tokens"))
+    }),
+
     // Token counting: whitespace tokens vs BPE-ish subword count.
     "text_tokencount" -> ((s, d) =>
       docs(s, d).select(
@@ -241,6 +260,19 @@ object TextAnalysisQueries extends QueryPack {
          |             least(stops / n_clean * 4.0, 1.0) * 0.4 +
          |             (1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2, 6) AS quality_score
          |FROM m""".stripMargin,
+
+    "text_quality_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang, source,
+        |         CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS n_tok
+        |  FROM documents
+        |), th AS (
+        |  SELECT quantile_cont(n_tok, 0.10) AS lo,
+        |         quantile_cont(n_tok, 0.90) AS hi
+        |  FROM m
+        |)
+        |SELECT doc_id, lang, source, CAST(n_tok AS BIGINT) AS n_tokens
+        |FROM m, th WHERE n_tok >= lo AND n_tok <= hi""".stripMargin,
 
     "text_tokencount" ->
       s"""SELECT doc_id, n_chars,
