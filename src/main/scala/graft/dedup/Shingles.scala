@@ -45,10 +45,15 @@ object Shingles {
     * join/aggregate — carries 8-byte keys, never the ~40-char shingle
     * strings (~5x fewer shuffle bytes for the biggest relation the dedup
     * family builds; at 100 TB the shingle stream is a multiple of the
-    * corpus itself). Collisions (P = 1e9+7 space) can merge two distinct
-    * shingles, which is inherent to every hashed-shingle dedup at scale —
-    * and the DuckDB twin hashes identically, so verification stays
-    * exact-match.
+    * corpus itself). Identity is the FULL 60-bit md5 prefix — at 100 TB
+    * the distinct-shingle count is ~10^11-10^12, where a 2^60 space keeps
+    * the expected collision count ~ n^2/2^61 harmlessly small (birthday
+    * bound: ~10^24/10^18 ≈ 10^6 colliding pairs out of 10^12 shingles —
+    * one in a million — versus CERTAIN saturation in a 10^9 space).
+    * Jaccard/containment/fingerprint all key on this full-width value; the
+    * mod-P reduction happens only inside the minhash mix ([[minhashAgg]]),
+    * where the permutation space is what P bounds, not shingle identity.
+    * The DuckDB twin hashes identically, so verification stays exact-match.
     */
   def shingleHashes3(toks: Column): Column =
     when(size(toks) < 3, array().cast("array<long>"))
@@ -58,7 +63,7 @@ object Shingles {
           element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
 
   /** Minhash hashing: ONE md5 per shingle reduced to a 60-bit integer, then
-    * k cheap universal-hash mixes h_i = (a_i*h + b_i) mod P — 8x fewer
+    * k cheap universal-hash mixes h_i = (a_i*(h mod P) + b_i) mod P — 8x fewer
     * digest computations than hashing per seed, identical collision
     * behavior, and every op is exact int64 in both engines.
     * SQL twins are built in DedupQueries.
@@ -69,21 +74,30 @@ object Shingles {
   val MixB: Seq[Long] = Seq(15485863L, 32452843L, 49979687L, 67867967L,
     86028121L, 104395301L, 122949823L, 141650939L)
 
-  /** 60-bit integer hash of a shingle: first 15 hex chars of md5, mod P.
-    * SQL: (('0x' || substring(md5(sh), 1, 15))::BIGINT % P)
+  /** 60-bit integer hash of a shingle: first 15 hex chars of md5, un-modded
+    * — this is the IDENTITY key for every distinct/intersection/containment
+    * computation, so it keeps the full 60-bit width (see
+    * [[shingleHashes3]] for the collision math).
+    * SQL: ('0x' || substring(md5(sh), 1, 15))::BIGINT
     */
   def hash60(sh: Column): Column =
-    conv(substring(md5(sh), 1, 15), 16, 10).cast("long") % P
+    conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
 
   def hash60Sql(sh: String): String =
-    s"(('0x' || substring(md5($sh), 1, 15))::BIGINT % $P)"
+    s"(('0x' || substring(md5($sh), 1, 15))::BIGINT)"
 
-  /** One minhash aggregate over the materialized integer hash column. */
+  /** One minhash aggregate over the materialized integer hash column. The
+    * 60-bit identity hash is reduced mod P only HERE, inside the mix —
+    * `a*(h%P)+b` stays under 2^61 (a < 2^30, h%P < 2^30), so the int64
+    * arithmetic is exact in both engines, and a permutation space of P
+    * (~2^30) is ample for an 8-way minhash (what matters for the minimum's
+    * distribution is P >> distinct shingles PER DOCUMENT, not corpus-wide).
+    */
   def minhashAgg(h: Column, seed: Int): Column =
-    min((lit(MixA(seed)) * h + lit(MixB(seed))) % P)
+    min((lit(MixA(seed)) * (h % P) + lit(MixB(seed))) % P)
 
   def minhashAggSql(h: String, seed: Int): String =
-    s"min((${MixA(seed)} * $h + ${MixB(seed)}) % $P)"
+    s"min((${MixA(seed)} * ($h % $P) + ${MixB(seed)}) % $P)"
 
   /** docs(doc_id, text) -> (doc_id, h) exploded distinct 60-bit shingle
     * hashes (see [[shingleHashes3]] for why hashes, not strings).

@@ -23,12 +23,13 @@ class DedupSimSpec extends SparkSpec {
 
   test("shingles: <3 tokens yields no rows; 3-gram hashes pin the layout") {
     // Independent scalar reimplementation of hash60 (first 15 md5 hex
-    // chars mod P) over the expected space-joined 3-grams — pins both the
-    // shingle construction and the 60-bit reduction.
+    // chars, full 60-bit width — identity must NOT be reduced mod P) over
+    // the expected space-joined 3-grams — pins both the shingle
+    // construction and the 60-bit reduction.
     def h60(s: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(15), 16) % Shingles.P
+      java.lang.Long.parseLong(hex.take(15), 16)
     }
     val docs = Seq((1L, "only two"), (2L, "one two three four")).toDF("doc_id", "text")
     val sh = Shingles.docShingles(docs).as[(Long, Long)].collect().toSet
