@@ -16,6 +16,29 @@ import org.apache.spark.sql.functions._
   */
 object DedupClusters {
 
+  /** Broadcast the final label relation only below this row count. What is
+    * broadcast is the labels, so the gate is on labels — the old edge-count
+    * gate (<=10M edges) could admit ~2x10^7 labels. Byte bound: a
+    * LongHashedRelation costs ~64 B/entry (two longs + open-addressing
+    * slack + object headers), so 1M labels ≈ 64 MB — inside every default
+    * driver/executor memory budget, where 2x10^7 would be >1.2 GB.
+    */
+  val MaxBroadcastLabels = 1000000L
+
+  /** The default (no `checkpointDir`) storage paths are node-local: the
+    * edge relation goes to a driver-created temp dir and iteration state to
+    * `localCheckpoint` blocks. On local[n] driver==executor and both work;
+    * on a real cluster executors would write `file:` paths the readers
+    * can't see, and localCheckpoint blocks die with their executor. Fail
+    * fast with the fix in the message rather than corrupt silently.
+    */
+  private[graft] def requireClusterSafe(master: String,
+      checkpointDir: Option[String]): Unit =
+    require(checkpointDir.isDefined || master.startsWith("local"),
+      s"DedupClusters: master '$master' is not local — pass checkpointDir= " +
+        "a shared-filesystem path (edge materialization and localCheckpoint " +
+        "are node-local and do not survive on a cluster)")
+
   /** pairs(doc_a, doc_b) + universe(doc_id) -> (doc_id, cluster_id).
     *
     * Only documents that appear in some candidate pair enter the
@@ -74,8 +97,12 @@ object DedupClusters {
     //     back also hands the planner real size stats, so the tiny edge
     //     relation is broadcast in the iteration joins without hints. On a
     //     cluster this is a reliable checkpoint to the shared FS
-    //     (`checkpointDir`); locally it spills to a temp dir.
+    //     (`checkpointDir`); locally it spills to a temp dir — node-local
+    //     either way, hence the cluster-safety guard, and deleted after the
+    //     fixpoint (every downstream reference is materialized in pinned
+    //     state by then).
     val ss = pairs.sparkSession
+    requireClusterSafe(ss.sparkContext.master, checkpointDir)
     val base = checkpointDir.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-clusters-").toString)
     val edgesPath = s"$base/edges.parquet"
@@ -134,14 +161,27 @@ object DedupClusters {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"[graft] DedupClusters did not converge in $maxIters iterations; " +
           "cluster ids may be partially propagated — raise maxIters")
+    // The labels count drives the broadcast gate below AND confirms the
+    // pinned state is fully materialized; it is a scan of the checkpoint
+    // blocks `pin` just wrote — no shuffle.
+    val nLabels = timed("count(labels)")(labels.count())
+    // The edge materialization is fully consumed: every downstream
+    // reference lives in pinned (checkpointed) state, so drop the files
+    // now — leaving them would leak a full edge-relation copy per
+    // invocation (x2 cluster queries x warm-up + n bench runs).
+    timed("delete(edges)") {
+      val root = new org.apache.hadoop.fs.Path(
+        if (checkpointDir.isDefined) edgesPath else base)
+      root.getFileSystem(ss.sparkContext.hadoopConfiguration).delete(root, true)
+    }
     // singletons (never paired) keep their own id. The checkpointed label
     // relation has no stats for the planner, so hint the broadcast
-    // ourselves when the measured candidate graph is small — and keep the
+    // ourselves when the measured label relation is small — and keep the
     // shuffle join when it isn't (a 100 TB corpus can have a huge paired
     // sliver; an unconditional hint would OOM the driver, not the data).
     val labelSide = labels.withColumnRenamed("doc_id", "pdoc")
     val maybeBroadcast =
-      if (nEdges <= 10000000L) broadcast(labelSide) else labelSide
+      if (nLabels <= MaxBroadcastLabels) broadcast(labelSide) else labelSide
     universe.select(col("doc_id"))
       .join(maybeBroadcast, col("doc_id") === col("pdoc"), "left")
       .select(col("doc_id"),

@@ -148,6 +148,32 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("clusters: temp edge dirs are deleted after the fixpoint, and " +
+    "non-local masters without a checkpointDir are rejected") {
+    import graft.dedup.DedupClusters
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def clusterDirs: Set[String] = {
+      val s = java.nio.file.Files.list(tmp)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("graft-clusters-")).toSet
+      } finally s.close()
+    }
+    val before = clusterDirs
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    DedupClusters.clusters(pairs, (1L to 4L).toDF("doc_id")).collect()
+    assert(clusterDirs == before,
+      s"leaked temp edge dirs: ${clusterDirs -- before}")
+    // The guard is a pure function of (master, checkpointDir) — testable
+    // without standing up a cluster.
+    intercept[IllegalArgumentException] {
+      DedupClusters.requireClusterSafe("spark://host:7077", None)
+    }
+    DedupClusters.requireClusterSafe("spark://host:7077", Some("/shared/ck"))
+    DedupClusters.requireClusterSafe("local[32]", None)
+  }
+
   test("approximate DF stays within the advertised error of exact") {
     val docs = Tables.load(spark, sfDir, "documents")
     val t = graft.tfidf.TfIdf.terms(docs)
