@@ -25,8 +25,9 @@ import org.apache.spark.storage.StorageLevel
   * [[releaseAll]] can never drop another's pinned relations mid-query
   * (silent recompute of an expensive lineage — exactly the failure this
   * class exists to prevent). Corollary: build and release on the SAME
-  * thread, which is what every harness does; pins registered on a thread
-  * that never calls releaseAll stay cached until the session dies.
+  * thread, which is what every harness does; scopes orphaned by a thread
+  * that never calls releaseAll (timeout-interrupted workers) are
+  * reclaimable via the [[releaseAllScopes]] teardown hatch.
   */
 object CacheScope {
 
@@ -37,25 +38,55 @@ object CacheScope {
     */
   val DefaultLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK_SER
 
+  /** Weak global registry of every thread's scope, for [[releaseAllScopes]]:
+    * weak keys let dead threads' entries vanish with the thread, while live
+    * scopes stay reachable for a cross-thread teardown. Deque access is
+    * synchronized on the deque — contention is nil (one owner thread plus
+    * the rare teardown sweep), and it is what makes the cross-thread sweep
+    * safe against a concurrent owner-side push.
+    */
+  private val allScopes =
+    new java.util.WeakHashMap[Thread, java.util.ArrayDeque[DataFrame]]()
+
   private val active =
-    ThreadLocal.withInitial[java.util.ArrayDeque[DataFrame]](
-      () => new java.util.ArrayDeque[DataFrame]())
+    ThreadLocal.withInitial[java.util.ArrayDeque[DataFrame]] { () =>
+      val d = new java.util.ArrayDeque[DataFrame]()
+      allScopes.synchronized(allScopes.put(Thread.currentThread(), d))
+      d
+    }
 
   /** Persist `df` at `level` and register it with THIS thread's scope for
     * its next [[releaseAll]].
     */
   def persisted(df: DataFrame, level: StorageLevel = DefaultLevel): DataFrame = {
     val p = df.persist(level)
-    active.get.push(p)
+    val a = active.get
+    a.synchronized(a.push(p))
     p
   }
+
+  private def drain(a: java.util.ArrayDeque[DataFrame]): Unit =
+    a.synchronized {
+      while (!a.isEmpty) a.pop().unpersist(blocking = false)
+    }
 
   /** Unpersist every relation registered on THIS thread (reverse creation
     * order, non-blocking — executors drop blocks asynchronously).
     */
-  def releaseAll(): Unit = {
-    val a = active.get
-    while (!a.isEmpty) a.pop().unpersist(blocking = false)
+  def releaseAll(): Unit = drain(active.get)
+
+  /** Teardown escape hatch: unpersist EVERY thread's registered relations,
+    * including scopes whose owner never called [[releaseAll]] (a
+    * timeout-interrupted worker, a test runner releasing from a different
+    * thread). For harness/suite teardown only — mid-query it would drop
+    * another thread's pins, the exact failure thread-local scopes prevent.
+    */
+  def releaseAllScopes(): Unit = {
+    val scopes = allScopes.synchronized {
+      import scala.jdk.CollectionConverters._
+      allScopes.values.asScala.toVector
+    }
+    scopes.foreach(drain)
   }
 
   /** Registered (un-released) relations on this thread — for specs. */

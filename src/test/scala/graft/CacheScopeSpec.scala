@@ -35,6 +35,24 @@ class CacheScopeSpec extends SparkSpec {
     assert(CacheScope.activeCount == 0)
   }
 
+  test("releaseAllScopes reclaims a scope orphaned by a dead thread") {
+    import org.apache.spark.storage.StorageLevel
+    val df = spark.range(30).toDF("vc")
+    // Simulate a timeout-interrupted worker: pin on a thread that exits
+    // without ever calling releaseAll.
+    val t = new Thread(() => { CacheScope.persisted(df); () })
+    t.start(); t.join(30000)
+    assert(df.storageLevel != StorageLevel.NONE, "pin did not stick")
+    // The owner is gone; this thread's releaseAll must NOT touch it...
+    CacheScope.releaseAll()
+    assert(df.storageLevel != StorageLevel.NONE)
+    // ...but the teardown hatch must.
+    CacheScope.releaseAllScopes()
+    assert(df.storageLevel == StorageLevel.NONE,
+      "releaseAllScopes left the orphaned pin cached")
+    assert(GraftSqlBridge.cacheManagerIsEmpty(spark))
+  }
+
   test("scopes are per-thread: one caller's release cannot drop another's pins") {
     import java.util.concurrent.CountDownLatch
     import org.apache.spark.storage.StorageLevel

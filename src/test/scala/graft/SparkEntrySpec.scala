@@ -33,12 +33,28 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("coverage floor: the surface doesn't silently shrink") {
-    // No hand-bumped literal: every registered pack must contribute at
-    // least one query, and the merged surface must be exactly the sum of
-    // the packs (nothing dropped in the merge).
+    // Every registered pack must contribute at least one query, and the
+    // merged surface must be exactly the sum of the packs (nothing dropped
+    // in the merge).
     val empty = packs.filter(_.queries.isEmpty)
     assert(empty.isEmpty, s"packs with zero queries: $empty")
     assert(SparkEntry.queries.size == packs.map(_.queries.size).sum)
+    // ABSOLUTE floor, deliberately not derived from the registry: the
+    // derived checks above are self-referential (delete a pack from
+    // SparkEntry.packs and they still pass). This pins the pack-name set
+    // and the shipped query count; shrinking either is a conscious edit
+    // HERE, never a silent registry change. (Growing is free — only
+    // removal trips it.)
+    val expectedPacks = Set(
+      "TfIdfQueries", "PosQueries", "RelationalQueries", "WindowQueries",
+      "ScalarFuncQueries", "AdvancedQueries", "DedupQueries",
+      "SimilarityQueries", "TextAnalysisQueries", "CorpusOpsQueries",
+      "MultimodalQueries", "StreamingQueries")
+    val actualPacks = packs.map(_.getClass.getSimpleName.stripSuffix("$")).toSet
+    assert(expectedPacks.subsetOf(actualPacks),
+      s"packs removed from the registry: ${expectedPacks -- actualPacks}")
+    assert(SparkEntry.queries.size >= 90,
+      s"query surface shrank below the round-5 floor: ${SparkEntry.queries.size}")
   }
 
   test("flagship entry returns rows on sf0.001") {
