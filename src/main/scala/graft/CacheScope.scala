@@ -46,11 +46,11 @@ object CacheScope {
     * safe against a concurrent owner-side push.
     */
   private val allScopes =
-    new java.util.WeakHashMap[Thread, java.util.ArrayDeque[DataFrame]]()
+    new java.util.WeakHashMap[Thread, java.util.ArrayDeque[() => Unit]]()
 
   private val active =
-    ThreadLocal.withInitial[java.util.ArrayDeque[DataFrame]] { () =>
-      val d = new java.util.ArrayDeque[DataFrame]()
+    ThreadLocal.withInitial[java.util.ArrayDeque[() => Unit]] { () =>
+      val d = new java.util.ArrayDeque[() => Unit]()
       allScopes.synchronized(allScopes.put(Thread.currentThread(), d))
       d
     }
@@ -60,14 +60,24 @@ object CacheScope {
     */
   def persisted(df: DataFrame, level: StorageLevel = DefaultLevel): DataFrame = {
     val p = df.persist(level)
-    val a = active.get
-    a.synchronized(a.push(p))
+    deferred(() => p.unpersist(blocking = false))
     p
   }
 
-  private def drain(a: java.util.ArrayDeque[DataFrame]): Unit =
+  /** Register an arbitrary teardown action with THIS thread's scope — e.g.
+    * deleting a scratch checkpoint dir whose files back the query's result
+    * until the consumer drains it. Runs at the scope's next [[releaseAll]],
+    * in reverse registration order like every other entry; must be
+    * idempotent (releaseAllScopes may race a concurrent owner release).
+    */
+  def deferred(cleanup: () => Unit): Unit = {
+    val a = active.get
+    a.synchronized(a.push(cleanup))
+  }
+
+  private def drain(a: java.util.ArrayDeque[() => Unit]): Unit =
     a.synchronized {
-      while (!a.isEmpty) a.pop().unpersist(blocking = false)
+      while (!a.isEmpty) a.pop().apply()
     }
 
   /** Unpersist every relation registered on THIS thread (reverse creation
@@ -89,6 +99,8 @@ object CacheScope {
     scopes.foreach(drain)
   }
 
-  /** Registered (un-released) relations on this thread — for specs. */
+  /** Registered (un-released) scope entries on this thread (pins plus
+    * deferred cleanups) — for specs.
+    */
   def activeCount: Int = active.get.size
 }

@@ -125,6 +125,26 @@ object DedupQueries extends QueryPack {
       DedupClusters.clusters(lsh, docs(s, d).select(col("doc_id")))
     }),
 
+    // The same clustering with RELIABLE checkpoints — the configuration a
+    // real cluster runs (shared-FS checkpointDir instead of executor-local
+    // state), kept bench-visible so the cluster-realistic path is the
+    // measured one, not a spec-only branch. The scratch dir's checkpoint
+    // files back the returned labels until the consumer drains the result,
+    // so deletion is deferred to the harness's CacheScope.releaseAll.
+    "dedup_clusters_ckpt" -> ((s, d) => {
+      val lsh = queries("dedup_minhash_lsh")(s, d)
+        .filter(col("jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-run-")
+      graft.CacheScope.deferred { () =>
+        val p = new org.apache.hadoop.fs.Path(dir.toString)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      }
+      DedupClusters.clusters(lsh, docs(s, d).select(col("doc_id")),
+        checkpointDir = Some(dir.toString))
+    }),
+
     // Embedding-cosine near-dup within label buckets (coarse-cell stand-in).
     // Vectors are integer-quantized once per row BEFORE the join; the
     // threshold filter goes through VecMath.barrier so the cosine is
@@ -301,47 +321,11 @@ object DedupQueries extends QueryPack {
          |JOIN sz za ON za.doc_id = c.doc_a
          |JOIN sz zb ON zb.doc_id = c.doc_b""".stripMargin,
 
-    // The clustering oracle reuses the full LSH pipeline as CTEs, then
-    // computes components via recursive reachability + min — an
-    // independent algorithm (recursion vs distributed fixpoint) that must
-    // land on identical cluster assignments.
-    "dedup_clusters" -> {
-      val lshCtes = bandsCte.replaceFirst("WITH toks", "WITH RECURSIVE toks")
-      s"""$lshCtes,
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
-         |  GROUP BY 1, 2
-         |), cpairs AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM cand c
-         |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |  JOIN sz za ON za.doc_id = c.doc_a
-         |  JOIN sz zb ON zb.doc_id = c.doc_b
-         |  WHERE round(CAST(COALESCE(i.inter, 0) AS DOUBLE) /
-         |              (za.sz + zb.sz - COALESCE(i.inter, 0)), 6) >= 0.3
-         |), cedges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
-         |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst FROM cpairs
-         |), reach(doc_id, r) AS (
-         |  SELECT src, src FROM cedges
-         |  UNION
-         |  SELECT e.src, reach.r FROM cedges e JOIN reach ON reach.doc_id = e.dst
-         |), comp AS (
-         |  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
-         |)
-         |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin
-    },
+    // Recursive-reachability clustering oracle (see [[clustersOracle]]);
+    // the _ckpt variant is the same computation through reliable
+    // checkpoints, so it shares the oracle verbatim.
+    "dedup_clusters" -> clustersOracle,
+    "dedup_clusters_ckpt" -> clustersOracle,
 
     "dedup_simhash" -> s"$simhashCte SELECT doc_id, simhash FROM sh",
 
@@ -405,6 +389,50 @@ object DedupQueries extends QueryPack {
          |SELECT v.vec_id, COALESCE(c.cluster_id, v.vec_id) AS cluster_id
          |FROM embeddings v LEFT JOIN comp c ON c.vec_id = v.vec_id""".stripMargin
   )
+
+  /** The clustering oracle, shared verbatim by dedup_clusters and its
+    * reliable-checkpoint twin: the full LSH pipeline as CTEs, then
+    * components via recursive reachability + min — an independent
+    * algorithm (recursion vs distributed fixpoint) that must land on
+    * identical cluster assignments.
+    */
+  private lazy val clustersOracle: String = {
+    val lshCtes = bandsCte.replaceFirst("WITH toks", "WITH RECURSIVE toks")
+    s"""$lshCtes,
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+       |  GROUP BY 1, 2
+       |), cpairs AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN sz za ON za.doc_id = c.doc_a
+       |  JOIN sz zb ON zb.doc_id = c.doc_b
+       |  WHERE round(CAST(COALESCE(i.inter, 0) AS DOUBLE) /
+       |              (za.sz + zb.sz - COALESCE(i.inter, 0)), 6) >= 0.3
+       |), cedges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM cpairs
+       |), reach(doc_id, r) AS (
+       |  SELECT src, src FROM cedges
+       |  UNION
+       |  SELECT e.src, reach.r FROM cedges e JOIN reach ON reach.doc_id = e.dst
+       |), comp AS (
+       |  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin
+  }
 
   /** Shared CTEs for the embedding-cosine pair pipeline (quantized int64
     * components, exact integer dots, label-bucketed self-join).

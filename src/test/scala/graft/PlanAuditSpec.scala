@@ -27,7 +27,9 @@ class PlanAuditSpec extends SparkSpec {
   test("no query plans a Cartesian product or an unpartitioned window") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val nodes = flatten(fn(spark, sfDir).queryExecution.executedPlan)
+        val nodes =
+          try flatten(fn(spark, sfDir).queryExecution.executedPlan)
+          finally CacheScope.releaseAll() // same discipline as Verify/Bench
         val cartesian = nodes.collect { case c: CartesianProductExec => c }
         val globalWindow = nodes.collect {
           case w: WindowExec if w.partitionSpec.isEmpty => w

@@ -18,7 +18,16 @@ object SparkSpec {
   }
 }
 
-abstract class SparkSpec extends AnyFunSuite {
+abstract class SparkSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.spark
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Harness-teardown integration of the CacheScope escape hatch: a suite
+    * that pinned on worker threads (or forgot a releaseAll) must not bleed
+    * caches or deferred cleanups into the suites that share this session.
+    */
+  override protected def afterAll(): Unit = {
+    CacheScope.releaseAllScopes()
+    super.afterAll()
+  }
 }
