@@ -73,6 +73,9 @@ object Bench {
       java.nio.file.Paths.get("target/bench-medians.json"), json)
     catch { case _: Throwable => }
     println(json)
+    // Teardown hatch: reclaim scopes orphaned by any worker thread (safe
+    // here — the harness is single-threaded and done with all queries).
+    CacheScope.releaseAllScopes()
     spark.stop()
   }
 }

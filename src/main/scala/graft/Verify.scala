@@ -43,6 +43,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Teardown hatch: reclaim scopes orphaned by any worker thread (safe
+    // here — the harness is single-threaded and done with all queries).
+    CacheScope.releaseAllScopes()
     spark.stop()
   }
 }

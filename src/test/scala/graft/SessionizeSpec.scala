@@ -122,16 +122,37 @@ class SessionizeSpec extends SparkSpec {
   }
 
   test("time-ordered file replay: advancing watermark fires event-time timeouts") {
-    // Range-partition the events by ts so the lexicographic file order the
-    // source consumes IS event-time order — each micro-batch advances the
-    // watermark like a production replay, and sessions idle past the gap
+    // Range-slice the events by ts and write the slices SEQUENTIALLY with
+    // strictly increasing mtimes, so each micro-batch advances the
+    // watermark like a production replay and sessions idle past the gap
     // are closed by state timeout, not by a newer event arriving.
-    val tmp = java.nio.file.Files.createTempDirectory("graft-replay").toString
-    Tables.load(spark, sfDir, "events")
+    // Sequential-with-forced-mtimes matters: FileStreamSource replays
+    // files in MODIFICATION-TIME order, and a parallel repartitionByRange
+    // write commits its part files in task-completion order — under
+    // concurrent suite load (PlanAuditSpec on the shared session) the
+    // completion order scrambles, the replay leaves event-time order, the
+    // watermark jumps ahead and drops earlier slices as late, and no
+    // final session closes through the timeout path (the flake this block
+    // fixes, reproduced against unmodified round-5 code).
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-replay")
+    val tmp = tmpDir.toString
+    val evBase = Tables.load(spark, sfDir, "events")
       .select(col("user_id"), col("ts"), col("event_type"))
-      .repartitionByRange(8, col("ts"))
-      .sortWithinPartitions("ts")
-      .write.mode("overwrite").parquet(tmp)
+    val evRows = evBase.orderBy("ts").collect() // sf0.001: a few thousand rows
+    val sliceLen = math.max(1, math.ceil(evRows.length / 8.0).toInt)
+    val now = System.currentTimeMillis()
+    evRows.grouped(sliceLen).zipWithIndex.foreach { case (slice, i) =>
+      import scala.jdk.CollectionConverters._
+      val stage = java.nio.file.Files.createTempDirectory("graft-replay-stage")
+      spark.createDataFrame(slice.toSeq.asJava, evBase.schema)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = tmpDir.resolve(f"b$i%05d.parquet")
+      java.nio.file.Files.move(part, dst)
+      assert(dst.toFile.setLastModified(now - (16 - i) * 60000L))
+      org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    }
 
     val stream = spark.readStream
       .schema(spark.read.parquet(tmp).schema)

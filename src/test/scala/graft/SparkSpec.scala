@@ -18,16 +18,11 @@ object SparkSpec {
   }
 }
 
-abstract class SparkSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.spark
   val sfDir = "/root/testdata/sf0.001"
-
-  /** Harness-teardown integration of the CacheScope escape hatch: a suite
-    * that pinned on worker threads (or forgot a releaseAll) must not bleed
-    * caches or deferred cleanups into the suites that share this session.
-    */
-  override protected def afterAll(): Unit = {
-    CacheScope.releaseAllScopes()
-    super.afterAll()
-  }
+  // NOTE: no releaseAllScopes in afterAll — suites run in PARALLEL on a
+  // shared session, so a finishing suite would drop a running suite's
+  // pins mid-query (measured: flaked the sessionizer file-replay test).
+  // The hatch belongs to single-threaded harness teardown (Verify/Bench).
 }
