@@ -145,6 +145,31 @@ object DedupQueries extends QueryPack {
         checkpointDir = Some(dir.toString))
     }),
 
+    // Edit-distance near-dup over SHORT documents (titles/URLs/snippets in
+    // practice): Levenshtein is O(len_a*len_b) PER PAIR — the verification
+    // of last resort — so the corpus is gated to short docs (n_chars<=256,
+    // bounding per-pair cost by a constant) and blocked on (lang, source,
+    // len-bucket) exactly like ngram Jaccard. The tight 32-char bucket is
+    // principled, not just blocking: at sim>=0.3 a pair's lengths can
+    // differ by at most 0.7*max_len, and near-dups in the edit-distance
+    // sense are length-close by definition. sim = 1 - lev/max(len).
+    "dedup_edit_distance" -> ((s, d) => {
+      val dd = docs(s, d).filter(col("n_chars") <= 256)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          floor(col("n_chars") / 32).as("len_bucket"), col("n_chars"))
+      dd.as("a").join(dd.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.len_bucket") === col("b.len_bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.text"), col("b.text")).as("lev"),
+          greatest(col("a.n_chars"), col("b.n_chars")).as("max_len"))
+        .select(col("doc_a"), col("doc_b"), col("lev"),
+          round(lit(1.0) - col("lev").cast("double") / col("max_len"), 6)
+            .as("sim"))
+        .filter(col("sim") >= 0.3)
+    }),
+
     // Embedding-cosine near-dup within label buckets (coarse-cell stand-in).
     // Vectors are integer-quantized once per row BEFORE the join; the
     // threshold filter goes through VecMath.barrier so the cosine is
@@ -326,6 +351,22 @@ object DedupQueries extends QueryPack {
     // checkpoints, so it shares the oracle verbatim.
     "dedup_clusters" -> clustersOracle,
     "dedup_clusters_ckpt" -> clustersOracle,
+
+    "dedup_edit_distance" ->
+      """WITH dd AS (
+        |  SELECT doc_id, text, lang, source,
+        |         floor(n_chars / 32) AS len_bucket, n_chars
+        |  FROM documents WHERE n_chars <= 256
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.text, b.text) AS INT) AS lev,
+        |       round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+        |             greatest(a.n_chars, b.n_chars), 6) AS sim
+        |FROM dd a JOIN dd b
+        |  ON a.lang = b.lang AND a.source = b.source
+        | AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |WHERE round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+        |            greatest(a.n_chars, b.n_chars), 6) >= 0.3""".stripMargin,
 
     "dedup_simhash" -> s"$simhashCte SELECT doc_id, simhash FROM sh",
 
