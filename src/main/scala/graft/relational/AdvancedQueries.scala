@@ -176,6 +176,18 @@ object AdvancedQueries extends QueryPack {
         .agg(count(lit(1)))
         .na.fill(0L)),
 
+    // Unpivot (wide->long), the inverse of q_pivot: Spark's
+    // Dataset.unpivot compiles to a single Expand over the aggregated
+    // relation — one narrow pass, no extra shuffle beyond the agg's.
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_quantity"), 2).as("qty"),
+          dsum(col("l_discount"), 2).as("disc"),
+          dsum(col("l_tax"), 2).as("tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("disc"), col("tax")), "measure", "amount")),
+
     // Exact interpolated percentiles (Spark percentile == DuckDB
     // quantile_cont, verified bit-identical on this data).
     "q_percentile" -> ((s, d) =>
@@ -243,6 +255,17 @@ object AdvancedQueries extends QueryPack {
         |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      s"""WITH a AS (
+         |  SELECT l_returnflag,
+         |         ${dsumSql("l_quantity", 2)} AS qty,
+         |         ${dsumSql("l_discount", 2)} AS disc,
+         |         ${dsumSql("l_tax", 2)} AS tax
+         |  FROM lineitem GROUP BY 1
+         |)
+         |SELECT l_returnflag, measure, amount
+         |FROM a UNPIVOT (amount FOR measure IN (qty, disc, tax))""".stripMargin,
 
     "q_percentile" ->
       """SELECT l_returnflag,

@@ -84,6 +84,30 @@ object StreamingQueries extends QueryPack {
           col("c_mktsegment"), col("n"), col("total"))
     }),
 
+    // STREAM-STREAM interval join, batch evaluation: view->purchase
+    // conversion attribution within 30 minutes per user. The join is an
+    // equi-join on user_id with an event-time interval predicate — exactly
+    // the shape Spark's stream-stream join requires (watermarks on both
+    // sides + a time-range condition bound the buffered state to the
+    // interval, which is what makes it viable at 100 TB of stream);
+    // StreamingSpec runs the real two-readStream variant and asserts it
+    // produces exactly these rows.
+    "stream_stream_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+          col("ts").as("buy_ts"), col("value"))
+      views.join(buys,
+          col("user_id") === col("b_user") &&
+            col("buy_ts") >= col("view_ts") &&
+            col("buy_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("view_id"), col("buy_id"),
+          col("view_ts"), col("buy_ts"), col("value"))
+    }),
+
     // The custom flatMapGroupsWithState sessionizer (Sessionize), batch
     // evaluation — richer per-session state than session_window can carry
     // (distinct event-type count).
@@ -152,6 +176,14 @@ object StreamingQueries extends QueryPack {
         |       CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "stream_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id,
+        |       v.ts AS view_ts, b.ts AS buy_ts, b.value
+        |FROM events v JOIN events b
+        |  ON v.user_id = b.user_id
+        | AND v.event_type = 'view' AND b.event_type = 'purchase'
+        | AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 30 MINUTES""".stripMargin,
 
     // Same gap-break construction plus the distinct-type count the custom
     // operator tracks in its state.
