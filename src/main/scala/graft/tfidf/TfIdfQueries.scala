@@ -43,14 +43,46 @@ object TfIdfQueries extends QueryPack {
     TfIdf.documentFrequencyFromTf(
       TfIdf.termFrequencyAll(TfIdf.terms(docs(s, d), cfg)))
 
+  /** BM25 (k1=1.2, b=0.75) for the top-100-DF terms — the standard
+    * retrieval upgrade of the reference's tf*ln(10000/(df+1)) score.
+    * Document length and avgdl are computed over ALL terms (true BM25
+    * normalization), then the scored join is restricted to the top terms
+    * like the reference pipeline. One corpus scan: the TF relation is
+    * pinned and feeds dl, df, and the scored join; the three scalar stats
+    * (n_docs, sum_dl) ride a broadcast single-row relation, never a
+    * collect. The arithmetic expression tree is written IDENTICALLY in
+    * the DuckDB twin, so IEEE doubles agree bit-for-bit pre-round.
+    */
+  private def bm25Df(s: SparkSession, d: String, cfg: TfIdf.Config): DataFrame = {
+    val tfAll = graft.CacheScope.persisted(
+      TfIdf.termFrequencyAll(TfIdf.terms(docs(s, d), cfg)))
+    val top = TfIdf.topTerms(TfIdf.documentFrequencyFromTf(tfAll), 100)
+    val dl = tfAll.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val nD = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    val tfD = col("tf").cast("double")
+    val idf = log((nD - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5) + 1.0)
+    val norm = tfD * 2.2 /
+      (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+    tfAll.join(broadcast(top), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(idf * norm, 6).as("bm25"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_df" -> ((s, d) => dfOf(s, d, stemmed)),
     "tfidf_top100" -> ((s, d) => TfIdf.topTerms(dfOf(s, d, stemmed), 100)),
     "tfidf_score" -> ((s, d) => scoreDf(s, d, stemmed)),
+    "tfidf_bm25" -> ((s, d) => bm25Df(s, d, stemmed)),
     "tfidf_df_raw" -> ((s, d) => dfOf(s, d, raw)),
     "tfidf_top100_raw" -> ((s, d) => TfIdf.topTerms(dfOf(s, d, raw), 100)),
     "tfidf_tf_raw" -> ((s, d) => TfIdf.pipelineRelations(docs(s, d), raw)._3),
-    "tfidf_score_raw" -> ((s, d) => scoreDf(s, d, raw))
+    "tfidf_score_raw" -> ((s, d) => scoreDf(s, d, raw)),
+    "tfidf_bm25_raw" -> ((s, d) => bm25Df(s, d, raw))
   )
 
   /** Shared oracle CTEs, parameterized over stemming. The cleaning deletes
@@ -125,13 +157,40 @@ object TfIdfQueries extends QueryPack {
        |       round(tf.tf * ln(10000.0 / (top.df + 1)), 6) AS score
        |FROM tf JOIN top ON tf.term = top.term""".stripMargin
 
+  /** BM25 twin: the SAME expression tree as [[bm25Df]] (constant folding
+    * pre-applied — 2.2 = k1+1, 0.25 = 1-b — so both engines evaluate the
+    * identical double operations).
+    */
+  private def bm25Sql(stem: Boolean): String =
+    s"""${topCte(stem)}, tfa AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT doc_id, sum(tf) AS dl FROM tfa GROUP BY doc_id
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+       |)
+       |SELECT t.doc_id, t.term, t.tf, top.df,
+       |       round(ln((CAST(s.n_docs AS DOUBLE) - CAST(top.df AS DOUBLE) + 0.5) /
+       |                (CAST(top.df AS DOUBLE) + 0.5) + 1.0) *
+       |             (CAST(t.tf AS DOUBLE) * 2.2 /
+       |              (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |               CAST(d.dl AS DOUBLE) /
+       |               (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))),
+       |             6) AS bm25
+       |FROM tfa t
+       |JOIN top ON t.term = top.term
+       |JOIN dl d ON d.doc_id = t.doc_id
+       |CROSS JOIN stats s""".stripMargin
+
   override val oracles: Map[String, String] = Map(
     "tfidf_df" -> s"${dfCte(true)} SELECT term, df FROM dfr",
     "tfidf_top100" -> s"${topCte(true)} SELECT term, df FROM top",
     "tfidf_score" -> scoreSql(true),
+    "tfidf_bm25" -> bm25Sql(true),
     "tfidf_df_raw" -> s"${dfCte(false)} SELECT term, df FROM dfr",
     "tfidf_top100_raw" -> s"${topCte(false)} SELECT term, df FROM top",
     "tfidf_tf_raw" -> s"${tfCte(false)} SELECT doc_id, term, tf FROM tf",
-    "tfidf_score_raw" -> scoreSql(false)
+    "tfidf_score_raw" -> scoreSql(false),
+    "tfidf_bm25_raw" -> bm25Sql(false)
   )
 }
