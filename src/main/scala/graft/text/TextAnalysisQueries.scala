@@ -118,6 +118,58 @@ object TextAnalysisQueries extends QueryPack {
         .limit(50)
     }),
 
+    // Sliding-window token chunking (training-data prep): 32-token
+    // chunks, stride 16 (50% overlap — sized to the testdata's ~100-token
+    // docs so the multi-chunk path is actually exercised; a production
+    // 512/256 config is the same expression with two constants changed),
+    // so no context is lost at chunk
+    // boundaries and every token lands in <= 2 chunks. One narrow
+    // map + explode — no shuffle at any scale; chunk text is re-joined
+    // with single spaces (the whitespace tokenizer's inverse, canonical
+    // for tokenizer-ready shards).
+    "text_chunk" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), wsTokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("tk"),
+          when(size(col("tk")) <= 32, lit(1))
+            .otherwise(ceil((size(col("tk")) - 32).cast("double") / 16.0)
+              .cast("int") + 1).as("n_chunks"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"),
+          col("tk"))
+        .select(col("doc_id"), col("chunk_id"),
+          slice(col("tk"), col("chunk_id") * 16 + 1, lit(32)).as("ck"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("ck")).as("n_tokens"),
+          concat_ws(" ", col("ck")).as("chunk_text"))),
+
+    // Unigram-LM fluency scoring (KenLM stand-in): each token's
+    // corpus-level log-probability, averaged per document — low scores
+    // flag gibberish/OOV-heavy docs. The per-doc sum goes through a
+    // 9-decimal DECIMAL so the order-dependent double sum cannot flake
+    // the cross-engine compare (Det's discipline, applied to computed
+    // logs). Two shuffles at any scale (vocab agg + per-doc agg); the
+    // vocab side of the token join carries plan stats, so AQE broadcasts
+    // it while it fits and falls back to a shuffle join for the 1e8-term
+    // vocab a 100 TB corpus would have — no hardcoded hint.
+    "text_unigram_logprob" -> ((s, d) => {
+      val tok = docs(s, d)
+        .select(col("doc_id"), explode(cleanTokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .transform(graft.CacheScope.persisted(_))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("n"))
+      val total = vocab.agg(sum(col("n")).as("total"))
+      val lp = round(log(col("n").cast("double") / col("total").cast("double")), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9))
+      tok.join(vocab, Seq("tok"))
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(lp).as("sum_lp"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("sum_lp").cast("double") / col("n_tokens"), 6)
+            .as("avg_logprob"))
+    }),
+
     // Fingerprint: MIN over the 60-bit word-3-gram shingle hashes — a
     // MinHash-1 content fingerprint, stable under reordering-free edits
     // far from the minimum. Rides the shared int64 shingle relation (the
@@ -290,6 +342,42 @@ object TextAnalysisQueries extends QueryPack {
         |)
         |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin,
+
+    "text_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+        |), nc AS (
+        |  SELECT doc_id, tk,
+        |         CASE WHEN len(tk) <= 32 THEN 1
+        |              ELSE CAST(ceil((len(tk) - 32) / 16.0) AS INT) + 1 END
+        |           AS n_chunks
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, tk, unnest(range(0, n_chunks)) AS chunk_id FROM nc
+        |)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |       CAST(len(tk[chunk_id*16+1 : chunk_id*16+32]) AS INT) AS n_tokens,
+        |       array_to_string(tk[chunk_id*16+1 : chunk_id*16+32], ' ') AS chunk_text
+        |FROM ex""".stripMargin,
+
+    "text_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS tok
+        |  FROM documents
+        |), tok2 AS (
+        |  SELECT doc_id, tok FROM tok WHERE tok <> ''
+        |), vocab AS (
+        |  SELECT tok, count(*) AS n FROM tok2 GROUP BY tok
+        |), total AS (
+        |  SELECT sum(n) AS total FROM vocab
+        |)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |       round(CAST(sum(CAST(round(ln(CAST(v.n AS DOUBLE) / CAST(s.total AS DOUBLE)), 9)
+        |                          AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+        |         AS avg_logprob
+        |FROM tok2 t JOIN vocab v ON v.tok = t.tok CROSS JOIN total s
+        |GROUP BY t.doc_id""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH toks AS (
