@@ -24,7 +24,10 @@ object Plans {
     "q_join_salted_skew" -> "salted skew join: salt-spread fact + replicated dim",
     "sim_ann_ivf" -> "IVF ANN: centroid train aggs + broadcast assign + cell equi-join",
     "q_sql_tpch_q5" -> "6-way SQL join: Catalyst join ordering, broadcast dims",
-    "text_clean_pipeline" -> "C4-style clean: one barriered scoring pass + dedup semi-join")
+    "text_clean_pipeline" -> "C4-style clean: one barriered scoring pass + dedup semi-join",
+    "dedup_edit_distance" -> "blocked short-doc Levenshtein: pushed n_chars gate + blocking-key equi-join",
+    "tfidf_bm25_raw" -> "BM25: pinned TF relation feeds df/dl/score; corpus stats broadcast, no collect",
+    "text_unigram_logprob" -> "unigram LM: vocab agg + stats broadcast + map-side partial DECIMAL sum")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
