@@ -35,4 +35,18 @@ object Jsonl {
       .json(path)
       .filter(col(idField).isNotNull && col(textField).isNotNull)
       .select(col(idField).as("doc_id"), col(textField).as("text"))
+
+  /** Sharded JSONL sink — the artifact a training run consumes:
+    * `dir/<shardCol>=<k>/part-*.txt`, one JSON object per line. The shard
+    * layout comes from `partitionBy` (hash-free directory split, no
+    * global sort) and `to_json` is a narrow codegen map, so the write
+    * adds NO shuffle beyond what produced the shard column; pair with
+    * `text_shard_assign`'s deterministic md5 sharding for reproducible
+    * shards at any scale.
+    */
+  def writeSharded(df: DataFrame, dir: String, shardCol: String = "shard"): Unit =
+    df.select(col(shardCol),
+        to_json(struct(df.columns.filterNot(_ == shardCol).map(col): _*))
+          .as("value"))
+      .write.partitionBy(shardCol).mode("overwrite").text(dir)
 }

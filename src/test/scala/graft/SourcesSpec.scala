@@ -101,6 +101,29 @@ class SourcesSpec extends SparkSpec {
     assert(scored.columns.toSeq == Seq("doc_id", "term"))
   }
 
+  test("JSONL sharded sink: shard-partitioned layout, lossless roundtrip") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl-out").toString
+    // deterministic shards over real docs — the text_shard_assign shape
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"),
+        pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"), lit(4))
+          .as("shard"))
+    graft.sources.Jsonl.writeSharded(docs, tmp)
+    // partitionBy layout: one dir per shard value
+    val dirs = new java.io.File(tmp).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.length == 4, s"expected 4 shard dirs, got ${dirs.toSeq}")
+    // each shard dir is a valid JSONL corpus readable by the source
+    val back = dirs.map(d =>
+        graft.sources.Jsonl.documents(spark, s"$tmp/$d", idField = "doc_id"))
+      .reduce(_ union _)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = docs.select("doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == expected, "sharded JSONL roundtrip lost or mangled rows")
+  }
+
   test("GraftExtensions injects functions via spark.sql.extensions " +
     "(no runtime register call)") {
     import org.apache.spark.sql.SparkSession
