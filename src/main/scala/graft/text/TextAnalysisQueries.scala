@@ -236,8 +236,33 @@ object TextAnalysisQueries extends QueryPack {
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("b") < 10, 1L).otherwise(0L)).as("n_sampled"))
+    }),
+
+    // Deterministic MIXTURE sampling (corpus assembly): each language
+    // keeps an md5-keyed fraction of its documents per [[MixRates]] — the
+    // data-mixing step that weights sources into a training corpus,
+    // reproducible run-over-run (never rand()). One narrow filter pass
+    // (NarrowOpsSpec), no shuffle at any scale; both engines evaluate the
+    // same CASE generated from the one rate table.
+    "text_sample_mix" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      val rate = MixRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+        when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          bucket.as("b"), rate.as("r"))
+        .filter(col("b") < col("r"))
+        .select(col("doc_id"), col("lang"), col("source"))
     })
   )
+
+  /** Language mixture weights (percent kept), the single source of truth
+    * for text_sample_mix's Spark CASE and its SQL twin.
+    */
+  val MixRates: Seq[(String, Int)] =
+    Seq("en" -> 80, "de" -> 60, "fr" -> 60, "es" -> 40, "zh" -> 20)
 
   /** Repetition metrics over any (doc_id, text) relation: duplicate token
     * mass, most-frequent-token share, duplicate bigram mass. Two cascaded
@@ -450,6 +475,12 @@ object TextAnalysisQueries extends QueryPack {
       """SELECT lang, source, count(*) AS n_total,
         |       CAST(sum(CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
-        |FROM documents GROUP BY lang, source""".stripMargin
+        |FROM documents GROUP BY lang, source""".stripMargin,
+
+    "text_sample_mix" ->
+      s"""SELECT doc_id, lang, source
+         |FROM documents
+         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+         |      CASE lang ${MixRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")} ELSE 0 END""".stripMargin
   )
 }

@@ -25,8 +25,8 @@ class NarrowOpsSpec extends SparkSpec {
   /** Every operator documented as "one narrow map (+ explode) pass". */
   private val narrow = Seq(
     "text_langid", "text_quality", "text_tokencount", "text_chunk",
-    "text_pii_scrub", "mm_decode", "mm_resize", "mm_features",
-    "mm_frame_sample")
+    "text_pii_scrub", "text_sample_mix", "mm_decode", "mm_resize",
+    "mm_features", "mm_frame_sample")
 
   test("map-only operators plan zero shuffle exchanges") {
     narrow.foreach { name =>
