@@ -48,6 +48,21 @@ object TextAnalysisQueries extends QueryPack {
           .as("pred_lang"))
     }),
 
+    // Classifier evaluation: confusion matrix of the langid heuristic
+    // against the gold lang labels — the QA step after any classifier
+    // pass over a corpus. Narrow scoring scan + one tiny aggregation
+    // (|langs| x |preds| cells at any corpus size).
+    "text_langid_eval" -> ((s, d) => {
+      val toks = cleanTokens(col("text"))
+      val hits = countIn(toks, Stopwords.reachable.filter(_.nonEmpty))
+      docs(s, d)
+        .select(col("lang"),
+          when(hits.cast("double") / size(toks) >= 0.15, "en")
+            .otherwise("unknown").as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Quality score: length/punctuation/digit/stopword signals combined in
     // a fixed-order double formula (identical arithmetic in both engines).
     "text_quality" -> ((s, d) => {
@@ -299,6 +314,19 @@ object TextAnalysisQueries extends QueryPack {
     Stopwords.reachable.filter(_.nonEmpty).map(w => s"'$w'").mkString("(", ", ", ")")
 
   override val oracles: Map[String, String] = Map(
+    "text_langid_eval" ->
+      s"""WITH t AS (
+         |  SELECT lang,
+         |         string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +') AS toks
+         |  FROM documents
+         |), m AS (
+         |  SELECT lang,
+         |         CASE WHEN CAST(len(list_filter(toks, x -> x IN $stopList)) AS DOUBLE) / len(toks) >= 0.15
+         |              THEN 'en' ELSE 'unknown' END AS pred_lang
+         |  FROM t
+         |)
+         |SELECT lang, pred_lang, count(*) AS n FROM m GROUP BY 1, 2""".stripMargin,
+
     "text_langid" ->
       s"""WITH t AS (
          |  SELECT doc_id,
