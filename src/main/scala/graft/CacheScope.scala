@@ -38,21 +38,22 @@ object CacheScope {
     */
   val DefaultLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK_SER
 
-  /** Weak global registry of every thread's scope, for [[releaseAllScopes]]:
-    * weak keys let dead threads' entries vanish with the thread, while live
-    * scopes stay reachable for a cross-thread teardown. Deque access is
-    * synchronized on the deque — contention is nil (one owner thread plus
-    * the rare teardown sweep), and it is what makes the cross-thread sweep
-    * safe against a concurrent owner-side push.
+  /** Global registry of every NON-EMPTY scope, for [[releaseAllScopes]].
+    * Strongly referenced and keyed by thread id — a scope orphaned by a
+    * dead thread (the exact case the teardown hatch exists for) must stay
+    * reachable until drained, which weak Thread keys could not guarantee
+    * (GC could expunge the entry before teardown ran). Entries are added
+    * on push and removed when a drain empties the deque, so the registry
+    * never accumulates dead threads' empty scopes. Both transitions happen
+    * under the deque's own monitor, which is what makes the cross-thread
+    * sweep safe against a concurrent owner-side push.
     */
-  private val allScopes =
-    new java.util.WeakHashMap[Thread, java.util.ArrayDeque[() => Unit]]()
+  private val allScopes = new java.util.concurrent.ConcurrentHashMap[
+    Long, java.util.ArrayDeque[() => Unit]]()
 
   private val active =
     ThreadLocal.withInitial[java.util.ArrayDeque[() => Unit]] { () =>
-      val d = new java.util.ArrayDeque[() => Unit]()
-      allScopes.synchronized(allScopes.put(Thread.currentThread(), d))
-      d
+      new java.util.ArrayDeque[() => Unit]()
     }
 
   /** Persist `df` at `level` and register it with THIS thread's scope for
@@ -72,18 +73,35 @@ object CacheScope {
     */
   def deferred(cleanup: () => Unit): Unit = {
     val a = active.get
-    a.synchronized(a.push(cleanup))
+    a.synchronized {
+      a.push(cleanup)
+      allScopes.put(Thread.currentThread().getId, a)
+    }
   }
 
-  private def drain(a: java.util.ArrayDeque[() => Unit]): Unit =
+  /** Runs and removes every entry. Each cleanup runs under its own
+    * try/catch: one throwing cleanup (e.g. a filesystem delete racing a
+    * concurrent drop) must not strand the remaining pins or propagate into
+    * harness teardown. Once empty the scope is deregistered; the owner's
+    * next push re-registers it.
+    */
+  private def drain(id: Long, a: java.util.ArrayDeque[() => Unit]): Unit =
     a.synchronized {
-      while (!a.isEmpty) a.pop().apply()
+      while (!a.isEmpty) {
+        val cleanup = a.pop()
+        try cleanup()
+        catch {
+          case e: Throwable =>
+            System.err.println(s"CacheScope: cleanup failed (continuing): $e")
+        }
+      }
+      allScopes.remove(id, a)
     }
 
   /** Unpersist every relation registered on THIS thread (reverse creation
     * order, non-blocking — executors drop blocks asynchronously).
     */
-  def releaseAll(): Unit = drain(active.get)
+  def releaseAll(): Unit = drain(Thread.currentThread().getId, active.get)
 
   /** Teardown escape hatch: unpersist EVERY thread's registered relations,
     * including scopes whose owner never called [[releaseAll]] (a
@@ -92,11 +110,9 @@ object CacheScope {
     * another thread's pins, the exact failure thread-local scopes prevent.
     */
   def releaseAllScopes(): Unit = {
-    val scopes = allScopes.synchronized {
-      import scala.jdk.CollectionConverters._
-      allScopes.values.asScala.toVector
-    }
-    scopes.foreach(drain)
+    import scala.jdk.CollectionConverters._
+    allScopes.entrySet().asScala.toVector
+      .foreach(e => drain(e.getKey, e.getValue))
   }
 
   /** Registered (un-released) scope entries on this thread (pins plus

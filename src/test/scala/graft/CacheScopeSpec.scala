@@ -46,11 +46,13 @@ class CacheScopeSpec extends SparkSpec {
     // The owner is gone; this thread's releaseAll must NOT touch it...
     CacheScope.releaseAll()
     assert(df.storageLevel != StorageLevel.NONE)
-    // ...but the teardown hatch must.
+    // ...but the teardown hatch must. Assert only on the orphaned df —
+    // suites share the session and run in parallel, so a global
+    // cache-manager-empty assert here could see (or drop) a sibling
+    // suite's concurrent pin.
     CacheScope.releaseAllScopes()
     assert(df.storageLevel == StorageLevel.NONE,
       "releaseAllScopes left the orphaned pin cached")
-    assert(GraftSqlBridge.cacheManagerIsEmpty(spark))
   }
 
   test("scopes are per-thread: one caller's release cannot drop another's pins") {
@@ -85,6 +87,5 @@ class CacheScopeSpec extends SparkSpec {
       "thread A's releaseAll unpersisted thread B's pinned relation")
     assert(dfA.storageLevel == StorageLevel.NONE)
     assert(dfB.storageLevel == StorageLevel.NONE)
-    assert(GraftSqlBridge.cacheManagerIsEmpty(spark))
   }
 }

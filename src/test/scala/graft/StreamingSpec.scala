@@ -142,11 +142,11 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("ss_join_out").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    val p = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
-    val v = ev.filter(col("event_type") === "view")
-      .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
-    val batch = p.join(v, cond).select(col("p_id"), col("v_id")).collect()
+    // The batch side IS the registered query (not an inlined re-statement
+    // of the same condition), so a drift between the registered builder
+    // and this spec's streaming shape cannot go unnoticed here.
+    val batch = SparkEntry.queries("stream_stream_join")(spark, sfDir)
+      .select(col("buy_id"), col("view_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
     assert(streamed == batch)
