@@ -25,6 +25,8 @@ object SparkEntry {
     relational.AdvancedQueries,
     dedup.DedupQueries,
     sim.SimilarityQueries,
+    sketch.SketchQueries,
+    layout.LayoutQueries,
     text.TextAnalysisQueries,
     text.CorpusOpsQueries,
     mm.MultimodalQueries,

@@ -1,0 +1,132 @@
+package graft.layout
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{CacheScope, QueryPack, Tables}
+import graft.relational.Det.{dsum, dsumSql}
+
+/** Data-layout operators: the two storage-side levers that decide whether
+  * a 100 TB job shuffles the corpus or reads exactly what it needs.
+  *
+  * - BUCKETING: writing both join sides bucketed on the join key makes the
+  *   join exchange-free — each scan reports the bucket hash-partitioning,
+  *   so EnsureRequirements inserts NO shuffle before the sort-merge join.
+  *   At 100 TB this converts the single biggest network cost of a repeated
+  *   fact-fact join into a co-located file read (pay the shuffle once at
+  *   write time, amortize over every subsequent join). LayoutSpec
+  *   machine-asserts the executed plan has no exchange under the join.
+  * - PARTITIONED LAYOUT: writing partitioned by a predicate column turns a
+  *   full-corpus scan into a directory prune — the date filter never reads
+  *   29/30ths of the files. LayoutSpec asserts the scan's partition count.
+  *
+  * The reference has no storage layout at all (its only layout choice is
+  * one reducer = one output file, DocumentFreq.java:134-135); these are
+  * the Spark-native replacements for that gap at scale.
+  *
+  * Scratch storage: like [[graft.dedup.DedupClusters]], the demo tables
+  * are written to a driver-local temp dir, which is only correct with a
+  * local master — guarded here; a cluster deployment passes a shared-FS
+  * `base`. Cleanup (drop table + delete files) is registered with
+  * [[CacheScope]] so the harness's releaseAll tears the layout down after
+  * the result is consumed.
+  */
+object LayoutQueries extends QueryPack {
+
+  private val seq = new AtomicLong()
+
+  private def requireLocalOrBase(s: SparkSession, base: Option[String]): Unit =
+    require(base.isDefined || s.sparkContext.master.startsWith("local"),
+      s"LayoutQueries: master '${s.sparkContext.master}' is not local — " +
+        "pass base= a shared-filesystem path (driver-local scratch dirs " +
+        "are not visible to cluster executors)")
+
+  private def scratch(s: SparkSession, base: Option[String]): String = {
+    requireLocalOrBase(s, base)
+    base.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-layout-").toString)
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  /** Exchange-free fact-fact join via bucketed tables: write orders and
+    * lineitem bucketed 8 ways on the join key, then join and aggregate.
+    * The revenue-by-priority result is what the oracle checks; the absence
+    * of a join-side shuffle is what LayoutSpec checks.
+    */
+  def bucketedJoin(s: SparkSession, d: String,
+      base: Option[String] = None): DataFrame = {
+    val dir = scratch(s, base)
+    val tag = seq.incrementAndGet()
+    val ordTbl = s"graft_orders_b$tag"
+    val liTbl = s"graft_lineitem_b$tag"
+    Tables.load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$dir/orders_b").mode("overwrite").saveAsTable(ordTbl)
+    Tables.load(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$dir/lineitem_b").mode("overwrite").saveAsTable(liTbl)
+    CacheScope.deferred { () =>
+      s.sql(s"DROP TABLE IF EXISTS $ordTbl")
+      s.sql(s"DROP TABLE IF EXISTS $liTbl")
+      deleteRec(java.nio.file.Paths.get(dir))
+    }
+    // hint("merge") pins the sort-merge join: without it the tiny test-SF
+    // orders side would be broadcast and the plan would prove nothing
+    // about bucketing (at 100 TB neither fact side broadcasts).
+    s.table(liTbl).hint("merge")
+      .join(s.table(ordTbl), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+  }
+
+  /** Partition-pruned scan: write events partitioned by event date, read
+    * back with a one-day filter. The aggregate is oracle-checked; the
+    * pruning (1 of ~30 partitions read) is plan-asserted in LayoutSpec.
+    */
+  def prunedScan(s: SparkSession, d: String,
+      base: Option[String] = None): DataFrame = {
+    val dir = scratch(s, base)
+    val path = s"$dir/events_by_date"
+    Tables.load(s, d, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .write.partitionBy("event_date").mode("overwrite").parquet(path)
+    CacheScope.deferred(() => deleteRec(java.nio.file.Paths.get(dir)))
+    s.read.parquet(path)
+      .filter(col("event_date") === lit("2024-01-15").cast("date"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("total"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_bucketed" -> ((s, d) => bucketedJoin(s, d)),
+    "q_scan_pruned" -> ((s, d) => prunedScan(s, d))
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_join_bucketed" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |       ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_scan_pruned" ->
+      s"""SELECT event_type, count(*) AS n,
+         |       ${dsumSql("value", 4)} AS total
+         |FROM events
+         |WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+         |GROUP BY event_type""".stripMargin
+  )
+}

@@ -185,6 +185,41 @@ object TextAnalysisQueries extends QueryPack {
             .as("avg_logprob"))
     }),
 
+    // Zipf-law fit over the corpus vocabulary: OLS slope of ln(freq) vs
+    // ln(rank) for the top-200 terms. A healthy natural-language corpus
+    // sits near slope -1; a scrape full of boilerplate or spam drifts off
+    // it, so this is a one-row corpus-health gauge. Scale shape: the freq
+    // relation is one shuffled agg, top-200 is TakeOrderedAndProject (no
+    // global window — PlanAuditSpec bans those), and the rank is computed
+    // by a broadcast self-join on the CONSTANT-size top-k relation.
+    // Determinism: per-element round(ln, 9) into exact decimals before any
+    // sum, the same discipline as text_unigram_logprob.
+    "text_zipf" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+      val top = docs(s, d)
+        .select(explode(cleanTokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc).limit(200)
+      val other = top.select(col("tok").as("tok2"), col("n").as("n2"))
+      val ranked = top.join(broadcast(other),
+          (col("n2") > col("n")) ||
+            (col("n2") === col("n") && col("tok2") < col("tok")), "left")
+        .groupBy(col("tok"), col("n"))
+        .agg((count(col("tok2")) + 1).as("rank"))
+      val x = round(log(col("rank").cast("double")), 9).cast(dec)
+      val y = round(log(col("n").cast("double")), 9).cast(dec)
+      val sums = ranked.agg(
+        count(lit(1)).cast("double").as("m"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"), sum(x * x).cast("double").as("sxx"))
+      val slope = (col("m") * col("sxy") - col("sx") * col("sy")) /
+        (col("m") * col("sxx") - col("sx") * col("sx"))
+      sums.select(col("m").cast("long").as("n_terms"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("m"), 6).as("intercept"))
+    }),
+
     // Fingerprint: MIN over the 60-bit word-3-gram shingle hashes — a
     // MinHash-1 content fingerprint, stable under reordering-free edits
     // far from the minimum. Rides the shared int64 shingle relation (the
@@ -431,6 +466,31 @@ object TextAnalysisQueries extends QueryPack {
         |         AS avg_logprob
         |FROM tok2 t JOIN vocab v ON v.tok = t.tok CROSS JOIN total s
         |GROUP BY t.doc_id""".stripMargin,
+
+    "text_zipf" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS tok
+        |  FROM documents
+        |), freq AS (
+        |  SELECT tok, count(*) AS n FROM tok WHERE tok <> '' GROUP BY tok
+        |), top AS (
+        |  SELECT tok, n FROM freq ORDER BY n DESC, tok LIMIT 200
+        |), ranked AS (
+        |  SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM top
+        |), t AS (
+        |  SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+        |         CAST(round(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+        |  FROM ranked
+        |), s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS m,
+        |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(x*y) AS DOUBLE) AS sxy, CAST(sum(x*x) AS DOUBLE) AS sxx
+        |  FROM t
+        |)
+        |SELECT CAST(m AS BIGINT) AS n_terms,
+        |       round((m*sxy - sx*sy) / (m*sxx - sx*sx), 6) AS slope,
+        |       round((sy - ((m*sxy - sx*sy)/(m*sxx - sx*sx))*sx) / m, 6) AS intercept
+        |FROM s""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH toks AS (

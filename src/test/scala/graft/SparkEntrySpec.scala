@@ -49,12 +49,13 @@ class SparkEntrySpec extends SparkSpec {
       "TfIdfQueries", "PosQueries", "RelationalQueries", "WindowQueries",
       "ScalarFuncQueries", "AdvancedQueries", "DedupQueries",
       "SimilarityQueries", "TextAnalysisQueries", "CorpusOpsQueries",
-      "MultimodalQueries", "StreamingQueries")
+      "MultimodalQueries", "StreamingQueries", "SketchQueries",
+      "LayoutQueries")
     val actualPacks = packs.map(_.getClass.getSimpleName.stripSuffix("$")).toSet
     assert(expectedPacks.subsetOf(actualPacks),
       s"packs removed from the registry: ${expectedPacks -- actualPacks}")
-    assert(SparkEntry.queries.size >= 90,
-      s"query surface shrank below the round-5 floor: ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size >= 105,
+      s"query surface shrank below the round-7 floor: ${SparkEntry.queries.size}")
   }
 
   test("flagship entry returns rows on sf0.001") {
