@@ -55,6 +55,12 @@ object DedupQueries extends QueryPack {
     // MinHash signatures (k=8 permutations as lexicographic md5 minima).
     "dedup_minhash" -> ((s, d) => signatures(docs(s, d))),
 
+    // EXACT threshold-Jaccard self-join via prefix filtering — the
+    // no-false-negative alternative to both the probabilistic LSH pairs
+    // and the blocked ngram variant. Body in [[prefixJaccardPairs]].
+    "dedup_prefix_jaccard" -> ((s, d) =>
+      prefixJaccardPairs(docs(s, d), PrefixJaccardT)),
+
     // LSH candidate pairs (4 bands x 2 rows) + 3-gram Jaccard verify over
     // the 60-bit shingle hashes — body in [[lshPairs]] so specs can run
     // it over planted corpora.
@@ -217,6 +223,94 @@ object DedupQueries extends QueryPack {
       .agg(SimHash.laneAggs(col("h")).head, SimHash.laneAggs(col("h")).tail: _*)
       .select(col("doc_id"), SimHash.combine.as("simhash"))
 
+  /** Jaccard threshold for [[prefixJaccardPairs]] — an exact binary
+    * fraction, so `ceil(t*|d|)` and the `>= t` filter are bit-identical
+    * across engines.
+    */
+  val PrefixJaccardT = 0.5
+
+  /** EXACT threshold-Jaccard self-join via PREFIX FILTERING (the SSJoin /
+    * PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08; see
+    * PAPERS.md): returns EVERY pair with J(A,B) >= t, with no blocking
+    * false negatives — unlike dedup_ngram_jaccard, whose (lang, source,
+    * len-bucket) blocking silently misses cross-bucket near-dups, and
+    * unlike dedup_minhash_lsh, whose banding is probabilistic.
+    *
+    * The filter: order all shingles by GLOBAL rarity (df asc, h asc as the
+    * total order) and keep, per doc, only the first |d| - ceil(t*|d|) + 1
+    * as its prefix. If J(A,B) >= t then |A∩B| >= ceil(t*|A|) (and
+    * >= ceil(t*|B|)), and the globally-smallest common shingle x1 has at
+    * least |A∩B| elements of A at-or-after its position — so x1 sits
+    * inside BOTH prefixes, and the equi-join on prefix tokens finds the
+    * pair. PrefixJaccardRecallSpec plants a cross-length-bucket near-dup
+    * pair (invisible to the blocked variant's buckets) and asserts this
+    * operator returns exactly the brute-force answer.
+    *
+    * Scale design: candidate generation joins only the prefix sliver
+    * (~(1-t) of the shingle relation), and rarest-first ordering makes the
+    * hottest join keys precisely the rarest shingles — the frequent-
+    * shingle skew that would melt a naive token self-join lands in the
+    * suffixes, which never join. The t*|A| <= |B| <= |A|/t length filter
+    * prunes inside the join condition, before a pair ever materializes.
+    * Per-doc state is one doc_id-keyed aggregation (arrays of int64
+    * hashes, ~8 bytes/shingle) — never a global window — and verification
+    * intersects the two arrays pair-locally instead of re-joining the
+    * exploded shingle relation.
+    */
+  def prefixJaccardPairs(dd: DataFrame, t: Double): DataFrame = {
+    // Shingles feed the df count and the per-doc array build — one scan.
+    val sh = docShingles(dd)
+      .transform(graft.CacheScope.persisted(_))
+    // sh is distinct per (doc_id, h): a plain count IS document frequency.
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    // Per-doc state, built in ONE doc_id aggregation: the full shingle-hash
+    // array (for verification) and the rarity-ordered prefix slice
+    // (positions 1..|d|-ceil(t|d|)+1 under the (df, h) total order). An
+    // earlier exploded-relation formulation (row_number window + shingle
+    // equi-join verification) was 2.5x slower at sf0.1: verification there
+    // materialized |cand| x avg-shingles intermediate rows (~16M) across
+    // two shuffles, where the array form ships each doc's hashes once and
+    // intersects pair-locally.
+    val docarr = sh.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("by_rarity"),
+        array_sort(collect_list(col("h"))).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"),
+        transform(
+          slice(col("by_rarity"), lit(1),
+            (size(col("hs")) - ceil(lit(t) * size(col("hs"))) + lit(1)).cast("int")),
+          x => x.getField("h")).as("prefix"))
+      .transform(graft.CacheScope.persisted(_))
+    // Candidates: prefix-token equi-join + in-condition length filter
+    // (J >= t forces t*|A| <= |B| <= |A|/t) — pairs are pruned inside the
+    // join, before they ever materialize.
+    val pref = docarr.select(col("doc_id"), col("sz"), explode(col("prefix")).as("h"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * lit(t) <= col("b.sz") &&
+          col("b.sz") * lit(t) <= col("a.sz"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // Exact verification: attach both docs' hash arrays (doc-count-sized
+    // relation — AQE broadcasts it at small SF; at 100 TB it's a shuffle
+    // join keyed by doc_id over candidate docs only) and intersect
+    // pair-locally. Arrays are distinct per doc, so the intersect size IS
+    // the overlap.
+    cand
+      .join(docarr.select(col("doc_id").as("doc_a"),
+        col("hs").as("hs_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(docarr.select(col("doc_id").as("doc_b"),
+        col("hs").as("hs_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("inter"),
+        col("sz_a"), col("sz_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= t)
+  }
+
   /** MinHash-LSH near-dup candidates with hashed-shingle Jaccard
     * verification (60-bit space — see [[Shingles.shingleHashes3]]), over
     * any (doc_id, text) relation. The shingle relation feeds four branches
@@ -367,6 +461,26 @@ object DedupQueries extends QueryPack {
         | AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
         |WHERE round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
         |            greatest(a.n_chars, b.n_chars), 6) >= 0.3""".stripMargin,
+
+    // Ground truth for the prefix-filter join is implementation-free: ALL
+    // pairs sharing >= 1 shingle, exact jaccard, threshold filter. Any
+    // false negative in the prefix/length pruning shows up as a missing
+    // row here; any false positive as an extra one.
+    "dedup_prefix_jaccard" ->
+      s"""$shCte, sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh sa JOIN sh sb ON sa.h = sb.h AND sa.doc_id < sb.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.doc_a, i.doc_b,
+         |       round(CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter), 6)
+         |         AS jaccard
+         |FROM inter i
+         |JOIN sz za ON za.doc_id = i.doc_a
+         |JOIN sz zb ON zb.doc_id = i.doc_b
+         |WHERE round(CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter), 6)
+         |      >= $PrefixJaccardT""".stripMargin,
 
     "dedup_simhash" -> s"$simhashCte SELECT doc_id, simhash FROM sh",
 
