@@ -27,6 +27,7 @@ object SparkEntry {
     sim.SimilarityQueries,
     sketch.SketchQueries,
     layout.LayoutQueries,
+    graph.GraphQueries,
     text.TextAnalysisQueries,
     text.CorpusOpsQueries,
     mm.MultimodalQueries,

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.graph.GraphQueries
+
+/** Structural invariants of the fixed-point PageRank that the DuckDB hash
+  * compare can't see: mass conservation up to integer-truncation loss,
+  * symmetry (structurally equivalent nodes get the SAME fixed-point rank —
+  * a float formulation could only say "approximately"), hub dominance,
+  * and bit-identical results under different partitionings.
+  */
+class GraphSpec extends SparkSpec {
+
+  private def edgesDf(pairs: Seq[(Long, Long)], parts: Int): DataFrame = {
+    val rows = pairs.map { case (a, b) => Row(a, b) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, parts),
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
+  }
+
+  private def sym(pairs: (Long, Long)*): Seq[(Long, Long)] =
+    pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+
+  private def ranks(e: DataFrame): Map[Long, Long] =
+    GraphQueries.pagerankOf(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // Star: hub 0 <-> leaves 1..6.
+  private val star = sym((1L to 6L).map(l => (0L, l)): _*)
+
+  test("mass is conserved up to truncation loss; hub dominates") {
+    val r = ranks(edgesDf(star, 3))
+    val n = 7L
+    val total = r.values.sum
+    // Each iteration loses < 1 fixed-point unit per (edge div + damp div):
+    // bound = iters * (edges + nodes) units out of n * 10^12.
+    val lossBound = GraphQueries.Iters.toLong * (star.size + n)
+    assert(total <= n * GraphQueries.Scale)
+    assert(total >= n * GraphQueries.Scale - lossBound,
+      s"lost ${n * GraphQueries.Scale - total} > $lossBound units")
+    assert((1L to 6L).forall(l => r(0L) > r(l)), s"hub must dominate: $r")
+  }
+
+  test("structurally equivalent nodes get bit-identical ranks") {
+    val r = ranks(edgesDf(star, 3))
+    assert((2L to 6L).forall(l => r(l) == r(1L)),
+      s"leaves are exchangeable, ranks must match exactly: $r")
+    // Path a-b-c: the two endpoints are mirror images.
+    val path = ranks(edgesDf(sym((10L, 11L), (11L, 12L)), 2))
+    assert(path(10L) == path(12L), s"path endpoints must tie: $path")
+    assert(path(11L) > path(10L), s"center of a path outranks ends: $path")
+  }
+
+  test("result is bit-identical under repartitioning") {
+    val graph = sym((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 0L), (3L, 6L))
+    val a = ranks(edgesDf(graph, 1))
+    val b = ranks(edgesDf(graph.reverse, 7))
+    assert(a == b, "fixed-point ranks must not depend on partitioning/order")
+  }
+}
