@@ -82,3 +82,24 @@ class KmvAgg(k: Int) extends Aggregator[Long, KmvBuf, KmvResult] {
   override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
   override def outputEncoder: Encoder[KmvResult] = Encoders.product[KmvResult]
 }
+
+/** The retained bottom-k hashes themselves, ascending. */
+case class KmvKept(hs: Seq[Long])
+
+/** Same bottom-k state machine as [[KmvAgg]], finishing to the retained
+  * hash set instead of the cardinality estimate — the mergeable form that
+  * cross-sketch set algebra consumes (q_sketch_overlap): the bottom-k of a
+  * UNION is exactly computable from the two bottom-k's alone, and
+  * membership of a union-bottom-k element in either input set is decidable
+  * against that input's sketch (if h is among the k smallest of A∪B and
+  * h ∈ A, it is among the k smallest of A).
+  */
+class KmvKeepAgg(k: Int) extends Aggregator[Long, KmvBuf, KmvKept] {
+  private val inner = new KmvAgg(k)
+  override def zero: KmvBuf = inner.zero
+  override def reduce(b: KmvBuf, h: Long): KmvBuf = inner.reduce(b, h)
+  override def merge(a: KmvBuf, c: KmvBuf): KmvBuf = inner.merge(a, c)
+  override def finish(b: KmvBuf): KmvKept = KmvKept(b.arr.take(b.n).toSeq)
+  override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+  override def outputEncoder: Encoder[KmvKept] = Encoders.product[KmvKept]
+}

@@ -71,6 +71,41 @@ object SketchQueries extends QueryPack {
           round(col("s.est_distinct"), 4).as("est_distinct"))
     }),
 
+    // Cross-source corpus-overlap matrix from per-source KMV sketches:
+    // estimated shingle-set Jaccard for every source pair, from k longs of
+    // state per source. The 100 TB story is the point — the corpus is
+    // touched ONCE (one narrow shingle pass + one groupBy(source) whose
+    // partial aggregation collapses each map task to k longs), and the
+    // pair matrix is pure array algebra over a #sources-row relation; the
+    // exact equivalent (dedup_prefix_jaccard generalized to sources) would
+    // shuffle every distinct shingle per source pair. The estimator is
+    // set-algebraic (bottom-k of A∪B from the two bottom-k's; membership
+    // via the input sketches), so DuckDB reproduces it bit-for-bit, and
+    // when |A∪B| <= k it degenerates to the EXACT Jaccard (SketchSpec).
+    "q_sketch_overlap" -> ((s, d) => {
+      val kmvKeep = udaf(new KmvKeepAgg(K), Encoders.scalaLong)
+      val sk = Tables.load(s, d, "documents")
+        .select(col("source"), graft.dedup.Shingles.tokens(col("text")).as("tk"))
+        .select(col("source"),
+          explode(graft.dedup.Shingles.shingleHashes3(col("tk"))).as("h"))
+        .groupBy("source").agg(kmvKeep(col("h")).as("s"))
+        .select(col("source"), col("s.hs").as("hs"))
+      // #sources is small and scale-independent; the inequality self-join
+      // is a broadcast nested loop over that tiny relation, never corpus
+      // data.
+      sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          slice(array_sort(array_union(col("a.hs"), col("b.hs"))),
+            lit(1), lit(K)).as("mk"),
+          col("a.hs").as("ha"), col("b.hs").as("hb"))
+        .select(col("source_a"), col("source_b"),
+          size(col("mk")).cast("long").as("k_union"),
+          size(array_intersect(array_intersect(col("mk"), col("ha")),
+            col("hb"))).cast("long").as("n_both"))
+        .withColumn("jaccard_est",
+          round(col("n_both").cast("double") / col("k_union"), 6))
+    }),
+
     // Count-min-sketch heavy-hitter estimates for a fixed probe set of
     // event users. The sketch is D*W counters built in one narrow pass +
     // a tiny aggregation (partial agg collapses each partition to at most
@@ -107,6 +142,44 @@ object SketchQueries extends QueryPack {
          |            ELSE round(${K - 1}.0 * ${1L << 60}.0 / max(hv), 4)
          |       END AS est_distinct
          |FROM b""".stripMargin,
+
+    // Oracle recomputes the sketches from scratch (bottom-k = ORDER BY h
+    // LIMIT k per source) and the union-bottom-k pair algebra in SQL; the
+    // set-algebraic construction makes the two runs value-identical.
+    "q_sketch_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT source, string_split_regex(lower(text), '\\s+') AS tk
+         |  FROM documents
+         |), ssh AS (
+         |  SELECT DISTINCT source,
+         |         unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+         |                i -> ${hash60Sql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")})) AS h
+         |  FROM toks WHERE len(tk) >= 3
+         |), rk AS (
+         |  SELECT source, h,
+         |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM ssh
+         |), sk AS (SELECT source, h FROM rk WHERE rn <= $K),
+         |srcs AS (SELECT DISTINCT source FROM sk),
+         |pr AS (
+         |  SELECT a.source AS sa, b.source AS sb
+         |  FROM srcs a JOIN srcs b ON a.source < b.source
+         |), u AS (
+         |  SELECT p.sa, p.sb, s.h,
+         |         max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+         |         max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+         |  FROM pr p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+         |  GROUP BY p.sa, p.sb, s.h
+         |), ur AS (
+         |  SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+         |  FROM u
+         |)
+         |SELECT sa AS source_a, sb AS source_b,
+         |       count(*) AS k_union,
+         |       CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+         |       round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6)
+         |         AS jaccard_est
+         |FROM ur WHERE rn <= $K GROUP BY sa, sb""".stripMargin,
 
     "q_sketch_cms_topk" ->
       s"""WITH h AS (

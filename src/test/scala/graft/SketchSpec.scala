@@ -40,6 +40,42 @@ class SketchSpec extends SparkSpec {
       s"KMV est $e1 vs exact $exact outside 3*RSE")
   }
 
+  test("KMV overlap estimate degenerates to EXACT jaccard when union <= k") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // Three-word docs carry exactly one 3-gram each: srcA's shingle set is
+    // {g1..g40}, srcB's {g21..g60} — exact jaccard 20/60. The union (60)
+    // is below k=256, so the sketch IS the set and the "estimate" must be
+    // exact.
+    def doc(i: Int) = s"w${i}a w${i}b w${i}c"
+    val rows =
+      (1 to 40).map(i => Row(i.toLong, doc(i), "srcA")) ++
+        (21 to 60).map(i => Row(100L + i, doc(i), "srcB"))
+    val dd = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("source", StringType))))
+    // Same builder as the registered query, just over the planted docs.
+    val kmvKeep = udaf(new graft.sketch.KmvKeepAgg(SketchQueries.K), Encoders.scalaLong)
+    val sk = dd
+      .select(col("source"), graft.dedup.Shingles.tokens(col("text")).as("tk"))
+      .select(col("source"),
+        explode(graft.dedup.Shingles.shingleHashes3(col("tk"))).as("h"))
+      .groupBy("source").agg(kmvKeep(col("h")).as("s"))
+      .select(col("source"), col("s.hs").as("hs"))
+    val got = sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(
+        slice(array_sort(array_union(col("a.hs"), col("b.hs"))),
+          lit(1), lit(SketchQueries.K)).as("mk"),
+        col("a.hs").as("ha"), col("b.hs").as("hb"))
+      .select(size(col("mk")).as("k_union"),
+        size(array_intersect(array_intersect(col("mk"), col("ha")),
+          col("hb"))).as("n_both"))
+      .collect().head
+    assert(got.getInt(0) == 60, s"union must be exact below k: $got")
+    assert(got.getInt(1) == 20, s"intersection must be exact below k: $got")
+  }
+
   test("CMS estimates are one-sided and within the epsilon-N bound") {
     val rows = SparkEntry.queries("q_sketch_cms_topk")(spark, sfDir).collect()
     // One output row per probed user PRESENT in the data (inner join with
