@@ -111,6 +111,12 @@ object CorpusOpsQueries extends QueryPack {
         .select(col("doc_id"), col("shard"), col("pos"))
     }),
 
+    // Sequence packing (training-batch assembly): concat docs in corpus
+    // order and split at PackLen-token boundaries. Body in
+    // [[packSequences]] — a DISTRIBUTED PREFIX SUM, the scalable form of
+    // "cumulative sum over everything".
+    "text_pack_sequences" -> ((s, d) => packSequences(docs(s, d))),
+
     // PII scrub: redaction counts + digest of the scrubbed text, one
     // narrow map pass. The synthetic corpus contains no PII (counts are
     // zero and the digest equals md5(text)) — PiiScrubSpec plants emails /
@@ -123,6 +129,64 @@ object CorpusOpsQueries extends QueryPack {
         size(regexp_extract_all(col("text"), lit(LongNumPat), lit(0))).as("n_longnums"),
         md5(scrub(col("text"))).as("scrubbed_md5")))
   )
+
+  /** Tokens per packed training sequence — the context length dial. */
+  val PackLen = 2048L
+
+  /** Shard count for the packing prefix sum — constant, so the offset
+    * relation is constant-size at any corpus scale.
+    */
+  val PackShards = 32
+
+  /** Sequence packing: concatenate documents in deterministic corpus order
+    * (doc_id) and cut every [[PackLen]] tokens — each doc gets its global
+    * token offset, its pack (training sequence) id, and its position
+    * inside the pack. Docs may straddle a boundary, as in standard packed
+    * pretraining batches (the attention mask, not the packer, separates
+    * documents).
+    *
+    * The interesting part is HOW the global offset is computed: a naive
+    * `sum() over (order by doc_id)` is an unpartitioned window — a
+    * single-task global scan, banned by PlanAuditSpec. Instead, a
+    * DISTRIBUTED PREFIX SUM: shard by CONTIGUOUS doc_id range (shard =
+    * doc_id div blockSize — order-preserving, unlike text_shard_assign's
+    * md5 shuffle-sharding, which is the other side of the same coin),
+    * aggregate per-shard token totals (a PackShards-row relation), turn
+    * those into per-shard base offsets with a triangular self-join over
+    * that constant-size relation (same no-global-window discipline as
+    * text_zipf), and add a shard-PARTITIONED running sum. Every stage is
+    * either narrow, a constant-size relation, or a partitioned window —
+    * nothing global, at any corpus size.
+    *
+    * The blockSize derives from max(doc_id) via a broadcast one-row
+    * cross-join — no driver collect. Exactness: integer token counts and
+    * integer offsets, so the DuckDB oracle's straightforward global-window
+    * cumsum must agree bit-for-bit.
+    */
+  def packSequences(dd: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = dd.select(col("doc_id"),
+      size(Shingles.tokens(col("text"))).cast("long").as("n_tokens"))
+    val mx = toks.agg(max(col("doc_id")).as("mx"))
+    val sharded = toks.crossJoin(broadcast(mx))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"doc_id div ((mx div $PackShards) + 1)").as("shard"))
+      .transform(graft.CacheScope.persisted(_))
+    val totals = sharded.groupBy("shard").agg(sum(col("n_tokens")).as("t"))
+    val bases = totals.as("a")
+      .join(totals.as("b"), col("b.shard") < col("a.shard"), "left")
+      .groupBy(col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("b.t")), lit(0L)).as("base"))
+    val cumBefore = sum(col("n_tokens")).over(
+      Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1))
+    sharded.join(broadcast(bases), "shard")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("base") + coalesce(cumBefore, lit(0L))).as("global_offset"))
+      .select(col("doc_id"), col("n_tokens"), col("global_offset"),
+        expr(s"global_offset div $PackLen").as("pack_id"),
+        (col("global_offset") % PackLen).as("pack_off"))
+  }
 
   /** Benchmark-containment over any (doc_id, text) relation: for each doc
     * in `benchIds`, every other doc holding >= `threshold` of its distinct
@@ -241,6 +305,28 @@ object CorpusOpsQueries extends QueryPack {
          |       row_number() OVER (PARTITION BY ord % $NShards
          |                          ORDER BY ord, doc_id) AS pos
          |FROM k""".stripMargin,
+
+    // The oracle uses the global-window cumsum the Spark side deliberately
+    // avoids — DuckDB is single-node, so a global ordered scan is exactly
+    // right THERE; equality proves the distributed prefix sum computes the
+    // same function.
+    "text_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, n_tokens,
+         |         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS global_offset
+         |  FROM t
+         |)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(global_offset AS BIGINT) AS global_offset,
+         |       CAST(global_offset // $PackLen AS BIGINT) AS pack_id,
+         |       CAST(global_offset % $PackLen AS BIGINT) AS pack_off
+         |FROM c""".stripMargin,
 
     "text_pii_scrub" ->
       s"""SELECT doc_id,
