@@ -33,6 +33,30 @@ object TextAnalysisQueries extends QueryPack {
   private def charClassCount(text: Column, keepPattern: String): Column =
     length(text) - length(regexp_replace(text, keepPattern, ""))
 
+  /** The composite quality score in [0, 1], rounded to 6 — shared by
+    * text_quality (per-doc profile) and text_quality_deciles (global
+    * rank). Weights: length 0.4, stopword density 0.4, punctuation 0.2.
+    */
+  private def qualityScore: Column = {
+    val text = col("text")
+    val nChars = length(text).cast("double")
+    val nTok = size(wsTokens(text)).cast("double")
+    val punct = charClassCount(text, "[^A-Za-z0-9\\s]").cast("double")
+    val stops = countIn(cleanTokens(text), Stopwords.reachable.filter(_.nonEmpty))
+      .cast("double")
+    val stopRatio = stops / size(cleanTokens(text))
+    round(
+      least(nTok / 100.0, lit(1.0)) * 0.4 +
+        least(stopRatio * 4.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - least(punct / nChars * 10.0, lit(1.0))) * 0.2, 6)
+  }
+
+  /** Micro-score bucket width for text_quality_deciles: the micro-score is
+    * bounded in [0, 10^6], so ceil(10^6 / 64) fixed-width ranges yield at
+    * most 64 buckets — a constant-size offsets relation at any scale.
+    */
+  val MuBlock = 15626
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Language ID: fraction of tokens that are English stopwords.
@@ -75,10 +99,6 @@ object TextAnalysisQueries extends QueryPack {
       val stops = countIn(cleanTokens(text), Stopwords.reachable.filter(_.nonEmpty))
         .cast("double")
       val stopRatio = stops / size(cleanTokens(text))
-      val score =
-        least(nTok / 100.0, lit(1.0)) * 0.4 +
-          least(stopRatio * 4.0, lit(1.0)) * 0.4 +
-          (lit(1.0) - least(punct / nChars * 10.0, lit(1.0))) * 0.2
       docs(s, d).select(
         col("doc_id"),
         nChars.cast("long").as("n_chars"),
@@ -86,7 +106,42 @@ object TextAnalysisQueries extends QueryPack {
         round(punct / nChars, 6).as("punct_ratio"),
         round(digits / nChars, 6).as("digit_ratio"),
         round(stopRatio, 6).as("stop_ratio"),
-        round(score, 6).as("quality_score"))
+        qualityScore.as("quality_score"))
+    }),
+
+    // Global quality DECILES — exact corpus-wide rank by score, computed
+    // with the same distributed machinery as text_pack_sequences' prefix
+    // sum, generalized from "order by doc_id" to "order by a computed
+    // key": the sort key is the integer micro-score, buckets are fixed
+    // ranges of it (the score is bounded, so the bucket relation is
+    // constant-size by construction — no max() pre-pass needed), bucket
+    // counts give base offsets via the constant-size triangular join, and
+    // ranking is a bucket-PARTITIONED row_number. This is exact global
+    // ntile at any corpus scale with no global sort — the "drop the
+    // bottom decile" curation op, where text_quality_filter's
+    // percentile-threshold variant trims by a precomputed scalar instead.
+    "text_quality_deciles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = docs(s, d)
+        .select(col("doc_id"), qualityScore.as("quality_score"))
+        .select(col("doc_id"), col("quality_score"),
+          expr("CAST(round(quality_score * 1000000.0) AS BIGINT)").as("mu"))
+        .withColumn("bkt", expr(s"mu div $MuBlock"))
+        .transform(graft.CacheScope.persisted(_))
+      val totals = m.groupBy("bkt").agg(count(lit(1)).as("t"))
+      val bases = totals.as("hi")
+        .join(totals.as("lo"), col("lo.bkt") < col("hi.bkt"), "left")
+        .groupBy(col("hi.bkt").as("bkt"))
+        .agg(coalesce(sum(col("lo.t")), lit(0L)).as("base"))
+      val nTotal = totals.agg(sum(col("t")).as("n"))
+      m.join(broadcast(bases), "bkt")
+        .crossJoin(broadcast(nTotal))
+        .withColumn("global_rank",
+          col("base") + row_number().over(
+            Window.partitionBy("bkt").orderBy(col("mu"), col("doc_id"))))
+        .select(col("doc_id"), col("quality_score"),
+          col("global_rank").cast("long").as("global_rank"),
+          expr("((global_rank - 1) * 10) div n").as("decile"))
     }),
 
     // Quantile-threshold corpus filter: keep documents whose token count
@@ -400,6 +455,40 @@ object TextAnalysisQueries extends QueryPack {
          |             least(stops / n_clean * 4.0, 1.0) * 0.4 +
          |             (1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2, 6) AS quality_score
          |FROM m""".stripMargin,
+
+    // Oracle ranks with the global window the Spark side deliberately
+    // avoids (single-node DuckDB: exactly right there); equality proves
+    // the bucketed distributed rank computes the same function.
+    "text_quality_deciles" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |         CAST(length(text) AS DOUBLE) AS n_chars,
+         |         CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS n_tok,
+         |         CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+         |         CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +'),
+         |                              x -> x IN $stopList)) AS DOUBLE) AS stops,
+         |         len(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS n_clean
+         |  FROM documents
+         |), q AS (
+         |  SELECT doc_id,
+         |         round(least(n_tok / 100.0, 1.0) * 0.4 +
+         |               least(stops / n_clean * 4.0, 1.0) * 0.4 +
+         |               (1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2, 6) AS quality_score
+         |  FROM m
+         |), r AS (
+         |  SELECT doc_id, quality_score,
+         |         CAST(round(quality_score * 1000000.0) AS BIGINT) AS mu
+         |  FROM q
+         |), rk AS (
+         |  SELECT doc_id, quality_score,
+         |         row_number() OVER (ORDER BY mu, doc_id) AS global_rank,
+         |         count(*) OVER () AS n
+         |  FROM r
+         |)
+         |SELECT doc_id, quality_score,
+         |       CAST(global_rank AS BIGINT) AS global_rank,
+         |       CAST(((global_rank - 1) * 10) // n AS BIGINT) AS decile
+         |FROM rk""".stripMargin,
 
     "text_quality_filter" ->
       """WITH m AS (
