@@ -48,16 +48,20 @@ object GraphQueries extends QueryPack {
     */
   val Iters = 5
 
-  /** Distinct directed co-purchase edges (src, dst), symmetric. */
-  private def edges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.load(s, d, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+  /** Distinct directed co-purchase edges (src, dst), symmetric. One
+    * groupBy(order) + bounded array pair-expansion + one distinct — two
+    * exchanges total. (A distinct-then-self-join formulation needs two
+    * more: the (ok, pk) distinct partitions by the pair, which doesn't
+    * satisfy the ok-keyed join — measured 5.1 -> 3.2s cold at sf0.1.)
+    * collect_set bounds state at <= 7 part keys per order, and the
+    * per-row explode fan-out at k(k-1) <= 42.
+    */
+  private def edges(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "lineitem")
+      .groupBy(col("l_orderkey")).agg(collect_set(col("l_partkey")).as("pks"))
+      .select(explode(col("pks")).as("src"), col("pks"))
+      .select(col("src"), explode(array_remove(col("pks"), col("src"))).as("dst"))
       .distinct()
-    li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .distinct()
-  }
 
   /** 5-iteration fixed-point PageRank over the co-purchase graph. */
   def pagerank(s: SparkSession, d: String): DataFrame =
