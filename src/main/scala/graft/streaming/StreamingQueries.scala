@@ -108,6 +108,29 @@ object StreamingQueries extends QueryPack {
           col("view_ts"), col("buy_ts"), col("value"))
     }),
 
+    // Stateful threshold-crossing detection, batch evaluation: for each
+    // user, the FIRST event at which their cumulative value reaches 100 —
+    // the alerting/budget-cap shape (fraud thresholds, quota exhaustion,
+    // billing caps). Running state is one decimal per user; the streaming
+    // twin keeps exactly that in a GroupState and emits once on crossing
+    // (StreamingSpec's flatMapGroupsWithState variant is asserted ≡ this
+    // batch result). Cumulative sums are DECIMAL so the running total is
+    // order-exact, and the per-user window partitions on user_id — state
+    // and shuffle are both per-key-bounded at any stream size.
+    "stream_threshold_cross" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value").cast(DecimalType(18, 4)).as("v"))
+        .withColumn("cum", sum(col("v")).over(byUser))
+        .filter(col("cum") >= CrossThreshold)
+        .withColumn("rn", row_number().over(byUser))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("cross_event_id"),
+          col("ts").as("cross_ts"), col("cum").cast("double").as("cum_value"))
+    }),
+
     // The custom flatMapGroupsWithState sessionizer (Sessionize), batch
     // evaluation — richer per-session state than session_window can carry
     // (distinct event-type count).
@@ -122,7 +145,25 @@ object StreamingQueries extends QueryPack {
     })
   )
 
+  /** Cumulative-value alert threshold for stream_threshold_cross. */
+  val CrossThreshold = 100
+
   override val oracles: Map[String, String] = Map(
+    "stream_threshold_cross" ->
+      s"""WITH c AS (
+         |  SELECT user_id, event_id, ts,
+         |         sum(CAST(value AS DECIMAL(18,4)))
+         |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum
+         |  FROM events
+         |), f AS (
+         |  SELECT user_id, event_id, ts, cum,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM c WHERE cum >= $CrossThreshold
+         |)
+         |SELECT user_id, event_id AS cross_event_id, ts AS cross_ts,
+         |       CAST(cum AS DOUBLE) AS cum_value
+         |FROM f WHERE rn = 1""".stripMargin,
+
     "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
         |       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,

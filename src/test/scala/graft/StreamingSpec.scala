@@ -195,6 +195,33 @@ class StreamingSpec extends SparkSpec {
     assert(ids.distinct.length == ids.length, "duplicate ids leaked through restart")
   }
 
+  test("stateful threshold-cross (flatMapGroupsWithState) == batch result") {
+    import graft.streaming.ThresholdCross
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cross").toString
+    Tables.load(spark, sfDir, "events").write.mode("overwrite").parquet(tmp)
+
+    val stream = ThresholdCross.crossings(ThresholdCross.fromRaw(
+      spark.readStream
+        .schema(spark.read.parquet(tmp).schema)
+        .parquet(tmp)))
+
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("cross_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(300000), "stream did not finish in time")
+
+    val streamed = spark.table("cross_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3))).toSet
+    val batch = StreamingQueries.queries("stream_threshold_cross")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming session windows == batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     Tables.load(spark, sfDir, "events").write.mode("overwrite").parquet(tmp)
