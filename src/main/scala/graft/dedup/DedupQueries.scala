@@ -131,6 +131,25 @@ object DedupQueries extends QueryPack {
       DedupClusters.clusters(lsh, docs(s, d).select(col("doc_id")))
     }),
 
+    // Cluster canonicalization by QUALITY, not min-id: for each near-dup
+    // cluster, keep the highest-quality member (ties to the smaller
+    // doc_id) — the pipeline's terminal "which copy survives" decision,
+    // where dedup_exact/clusters pick min doc_id for determinism alone.
+    // The argmax is one max(struct(score, -doc_id)) aggregation per
+    // cluster — no per-cluster sort, no window over the corpus.
+    "dedup_keep_best" -> ((s, d) => {
+      val sc = docs(s, d).select(col("doc_id"),
+        graft.text.TextAnalysisQueries.qualityScore.as("quality_score"))
+      queries("dedup_clusters")(s, d)
+        .join(sc, "doc_id")
+        .groupBy("cluster_id")
+        .agg(max(struct(col("quality_score"), (-col("doc_id")).as("neg_id")))
+            .as("m"),
+          count(lit(1)).as("n_docs"))
+        .select(col("cluster_id"), (-col("m.neg_id")).as("keep_doc_id"),
+          col("m.quality_score").as("keep_score"), col("n_docs"))
+    }),
+
     // The same clustering with RELIABLE checkpoints — the configuration a
     // real cluster runs (shared-FS checkpointDir instead of executor-local
     // state), kept bench-visible so the cluster-realistic path is the
@@ -230,8 +249,8 @@ object DedupQueries extends QueryPack {
   val PrefixJaccardT = 0.5
 
   /** EXACT threshold-Jaccard self-join via PREFIX FILTERING (the SSJoin /
-    * PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08; see
-    * PAPERS.md): returns EVERY pair with J(A,B) >= t, with no blocking
+    * PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08):
+    * returns EVERY pair with J(A,B) >= t, with no blocking
     * false negatives — unlike dedup_ngram_jaccard, whose (lang, source,
     * len-bucket) blocking silently misses cross-bucket near-dups, and
     * unlike dedup_minhash_lsh, whose banding is probabilistic.
@@ -446,6 +465,23 @@ object DedupQueries extends QueryPack {
     "dedup_clusters" -> clustersOracle,
     "dedup_clusters_ckpt" -> clustersOracle,
 
+    // Same cluster labels, canonicalized by the shared quality score; the
+    // argmax is checked as ORDER BY (score DESC, doc_id) rn=1 — the
+    // window form of Spark's max(struct(score, -doc_id)).
+    "dedup_keep_best" ->
+      s"""$clustersCtes,
+         |${graft.text.TextAnalysisQueries.qualityScoreCte},
+         |ranked AS (
+         |  SELECT l.cluster_id, l.doc_id, q.quality_score,
+         |         row_number() OVER (PARTITION BY l.cluster_id
+         |                            ORDER BY q.quality_score DESC, l.doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY l.cluster_id) AS n_docs
+         |  FROM lbl l JOIN qscore q USING (doc_id)
+         |)
+         |SELECT cluster_id, doc_id AS keep_doc_id, quality_score AS keep_score,
+         |       CAST(n_docs AS BIGINT) AS n_docs
+         |FROM ranked WHERE rn = 1""".stripMargin,
+
     "dedup_edit_distance" ->
       """WITH dd AS (
         |  SELECT doc_id, text, lang, source,
@@ -551,7 +587,7 @@ object DedupQueries extends QueryPack {
     * algorithm (recursion vs distributed fixpoint) that must land on
     * identical cluster assignments.
     */
-  private lazy val clustersOracle: String = {
+  private lazy val clustersCtes: String = {
     val lshCtes = bandsCte.replaceFirst("WITH toks", "WITH RECURSIVE toks")
     s"""$lshCtes,
        |cand AS (
@@ -584,10 +620,14 @@ object DedupQueries extends QueryPack {
        |  SELECT e.src, reach.r FROM cedges e JOIN reach ON reach.doc_id = e.dst
        |), comp AS (
        |  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
-       |)
-       |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-       |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin
+       |), lbl AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+       |)""".stripMargin
   }
+
+  private lazy val clustersOracle: String =
+    s"$clustersCtes\nSELECT doc_id, cluster_id FROM lbl"
 
   /** Shared CTEs for the embedding-cosine pair pipeline (quantized int64
     * components, exact integer dots, label-bucketed self-join).

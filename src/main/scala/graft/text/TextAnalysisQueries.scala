@@ -34,10 +34,11 @@ object TextAnalysisQueries extends QueryPack {
     length(text) - length(regexp_replace(text, keepPattern, ""))
 
   /** The composite quality score in [0, 1], rounded to 6 — shared by
-    * text_quality (per-doc profile) and text_quality_deciles (global
-    * rank). Weights: length 0.4, stopword density 0.4, punctuation 0.2.
+    * text_quality (per-doc profile), text_quality_deciles (global rank),
+    * and dedup.DedupQueries' dedup_keep_best (cluster canonicalization).
+    * Weights: length 0.4, stopword density 0.4, punctuation 0.2.
     */
-  private def qualityScore: Column = {
+  def qualityScore: Column = {
     val text = col("text")
     val nChars = length(text).cast("double")
     val nTok = size(wsTokens(text)).cast("double")
@@ -50,6 +51,28 @@ object TextAnalysisQueries extends QueryPack {
         least(stopRatio * 4.0, lit(1.0)) * 0.4 +
         (lit(1.0) - least(punct / nChars * 10.0, lit(1.0))) * 0.2, 6)
   }
+
+  /** SQL twin of [[qualityScore]] as a CTE body named `qscore`:
+    * (doc_id, quality_score) over `documents`. Mirrors the text_quality
+    * oracle's arithmetic exactly; consumed by dedup_keep_best's oracle.
+    */
+  lazy val qualityScoreCte: String =
+    s"""qscore AS (
+       |  SELECT doc_id,
+       |         round(least(n_tok / 100.0, 1.0) * 0.4 +
+       |               least(stops / n_clean * 4.0, 1.0) * 0.4 +
+       |               (1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2, 6) AS quality_score
+       |  FROM (
+       |    SELECT doc_id,
+       |           CAST(length(text) AS DOUBLE) AS n_chars,
+       |           CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS n_tok,
+       |           CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+       |           CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +'),
+       |                                x -> x IN $stopList)) AS DOUBLE) AS stops,
+       |           len(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS n_clean
+       |    FROM documents
+       |  )
+       |)""".stripMargin
 
   /** Micro-score bucket width for text_quality_deciles: the micro-score is
     * bounded in [0, 10^6], so ceil(10^6 / 64) fixed-width ranges yield at
