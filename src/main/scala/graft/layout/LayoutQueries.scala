@@ -112,10 +112,109 @@ object LayoutQueries extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_bucketed" -> ((s, d) => bucketedJoin(s, d)),
-    "q_scan_pruned" -> ((s, d) => prunedScan(s, d))
+    "q_scan_pruned" -> ((s, d) => prunedScan(s, d)),
+
+    // Z-ORDER vs LINEAR clustering gauge: interleave the bits of
+    // (partkey, suppkey) into a Morton key, cut BOTH key spaces into
+    // equal-width "file" buckets, and report each layout's average
+    // per-bucket min/max span on each dimension. This is the decision
+    // metric behind multi-dimensional data skipping: a linear
+    // (partkey-major) sort gives perfect partkey spans but every file
+    // covers the FULL suppkey range (zone maps prune nothing for suppkey
+    // predicates); z-order trades a little partkey span for bounded spans
+    // on BOTH dimensions — two-column pruning from one layout. All
+    // arithmetic is integer bit manipulation + one exact-int division at
+    // the end, so the oracle reproduces it bit-for-bit; LayoutSpec
+    // asserts the trade itself (zorder's suppkey span is a fraction of
+    // linear's full-range span).
+    "q_layout_zorder" -> ((s, d) => {
+      // Scale both dimensions to the full 16-bit space from their actual
+      // min/max (what a real z-order writer does) — order-preserving, so
+      // zone maps stay meaningful, and scale-independent, so the key
+      // space is spread identically at any SF. The min/max pre-pass is a
+      // one-row broadcast, no collect.
+      val raw = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+      val mm = raw.agg(min(col("p")).as("pmn"), max(col("p")).as("pmx"),
+        min(col("sk")).as("smn"), max(col("sk")).as("smx"))
+      val keyed = raw.crossJoin(broadcast(mm))
+        .select(
+          expr("CAST(((p - pmn) * 65535) div greatest(pmx - pmn, 1) AS INT)")
+            .as("p16"),
+          expr("CAST(((sk - smn) * 65535) div greatest(smx - smn, 1) AS INT)")
+            .as("s16"))
+        .select(col("p16"), col("s16"),
+          expr(zTermsSpark).cast("long").as("zval"),
+          (col("p16").cast("long") * 65536 + col("s16")).as("lval"))
+        .transform(CacheScope.persisted(_))
+      def spans(keyCol: String, name: String): DataFrame =
+        keyed
+          .groupBy(expr(s"$keyCol div $ZBucketW").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("p16")).as("pmin"), max(col("p16")).as("pmax"),
+            min(col("s16")).as("smin"), max(col("s16")).as("smax"))
+          .agg(count(lit(1)).as("n_buckets"),
+            round(avg(col("pmax") - col("pmin")), 4).as("avg_p_span"),
+            round(avg(col("smax") - col("smin")), 4).as("avg_s_span"))
+          .select(lit(name).as("layout"), col("n_buckets"),
+            col("avg_p_span"), col("avg_s_span"))
+      spans("zval", "zorder").unionAll(spans("lval", "linear"))
+    })
   )
 
+  /** Morton interleave of two 16-bit keys, as engine-specific integer
+    * expressions (Spark's shiftleft/shiftright vs DuckDB's operators) —
+    * 32 codegen-friendly terms, no UDF.
+    */
+  private val zTermsSpark: String = (0 until 16).flatMap(i => Seq(
+    s"shiftleft(CAST(shiftright(p16, $i) & 1 AS BIGINT), ${2 * i})",
+    s"shiftleft(CAST(shiftright(s16, $i) & 1 AS BIGINT), ${2 * i + 1})")).mkString(" + ")
+
+  private val zTermsSql: String = (0 until 16).flatMap(i => Seq(
+    s"(CAST((p16 >> $i) & 1 AS BIGINT) << ${2 * i})",
+    s"(CAST((s16 >> $i) & 1 AS BIGINT) << ${2 * i + 1})")).mkString(" + ")
+
+  /** Bucket ("file") width in the 32-bit interleaved key space: 2^22 keys
+    * per bucket — both layouts cut the SAME key space into the same
+    * equal-width buckets, so the span comparison is apples-to-apples.
+    */
+  val ZBucketW: Long = 1L << 22
+
   override val oracles: Map[String, String] = Map(
+    "q_layout_zorder" ->
+      s"""WITH mm AS (
+         |  SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+         |         min(l_suppkey) AS smn, max(l_suppkey) AS smx
+         |  FROM lineitem
+         |), keyed AS (
+         |  SELECT p16, s16,
+         |         $zTermsSql AS zval,
+         |         CAST(p16 AS BIGINT) * 65536 + s16 AS lval
+         |  FROM (SELECT
+         |          CAST(((l_partkey - pmn) * 65535) // greatest(pmx - pmn, 1) AS INT) AS p16,
+         |          CAST(((l_suppkey - smn) * 65535) // greatest(smx - smn, 1) AS INT) AS s16
+         |        FROM lineitem CROSS JOIN mm)
+         |), z AS (
+         |  SELECT zval // $ZBucketW AS bucket,
+         |         min(p16) AS pmin, max(p16) AS pmax,
+         |         min(s16) AS smin, max(s16) AS smax
+         |  FROM keyed GROUP BY 1
+         |), l AS (
+         |  SELECT lval // $ZBucketW AS bucket,
+         |         min(p16) AS pmin, max(p16) AS pmax,
+         |         min(s16) AS smin, max(s16) AS smax
+         |  FROM keyed GROUP BY 1
+         |)
+         |SELECT 'zorder' AS layout, count(*) AS n_buckets,
+         |       round(avg(pmax - pmin), 4) AS avg_p_span,
+         |       round(avg(smax - smin), 4) AS avg_s_span
+         |FROM z
+         |UNION ALL
+         |SELECT 'linear' AS layout, count(*) AS n_buckets,
+         |       round(avg(pmax - pmin), 4) AS avg_p_span,
+         |       round(avg(smax - smin), 4) AS avg_s_span
+         |FROM l""".stripMargin,
+
     "q_join_bucketed" ->
       s"""SELECT o_orderpriority, count(*) AS n,
          |       ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue

@@ -40,6 +40,29 @@ class LayoutSpec extends SparkSpec {
     } finally CacheScope.releaseAll()
   }
 
+  test("z-order bounds BOTH dimensions' spans; linear leaves one unpruned") {
+    try {
+      val rows = SparkEntry.queries("q_layout_zorder")(spark, sfDir)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      val (zn, zp, zs) = rows("zorder")
+      val (ln, lp, ls) = rows("linear")
+      // Same key space, same bucket width: the comparison is fair only if
+      // both layouts produce comparable bucket counts.
+      assert(zn > 1 && ln > 1, s"degenerate bucketing: zorder=$zn linear=$ln")
+      // Linear (partkey-major) sort: near-perfect partkey spans, but each
+      // bucket covers (almost) the FULL suppkey range — zone maps prune
+      // nothing for suppkey predicates. Z-order must cut that span by an
+      // order of magnitude, paying only a bounded partkey-span price.
+      assert(zs < ls / 10.0,
+        s"zorder suppkey span $zs not << linear's $ls")
+      assert(lp < zp, s"linear must win the partkey dimension: $lp vs $zp")
+      assert(zp < 65535.0 / 4,
+        s"zorder partkey span $zp should stay a fraction of the full range")
+    } finally CacheScope.releaseAll()
+  }
+
   test("date-partitioned layout prunes the scan to the filtered partition") {
     try {
       val df = SparkEntry.queries("q_scan_pruned")(spark, sfDir)
