@@ -53,6 +53,25 @@ class GraphSpec extends SparkSpec {
     assert(path(11L) > path(10L), s"center of a path outranks ends: $path")
   }
 
+  test("triangle counts on planted graphs") {
+    // Two triangles sharing edge (1,2), plus a triangle-free square.
+    val g = sym((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val counts = triangles(edgesDf(g, 3))
+    assert(counts == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L),
+      s"got $counts")
+    // A 5-clique: every node sits in C(4,2) = 6 triangles.
+    val k5 = sym((for {
+      a <- 1L to 5L; b <- (a + 1) to 5L
+    } yield (a, b)): _*)
+    val ck5 = triangles(edgesDf(k5, 2))
+    assert(ck5 == (1L to 5L).map(_ -> 6L).toMap, s"got $ck5")
+  }
+
+  private def triangles(e: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    GraphQueries.trianglesOf(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   test("result is bit-identical under repartitioning") {
     val graph = sym((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L),
       (4L, 5L), (5L, 0L), (3L, 6L))
