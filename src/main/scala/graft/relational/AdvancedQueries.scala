@@ -227,10 +227,46 @@ object AdvancedQueries extends QueryPack {
           saltBy = Some(col("event_id")))
         .groupBy(col("grp"))
         .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("total"))
+    }),
+
+    // Incremental aggregation (materialized-view maintenance): daily
+    // partial states (sum as DECIMAL, count) merge into the monthly
+    // rollup. This is the structure an incremental ETL keeps on disk —
+    // when a day of data lands, only that day's partial is recomputed and
+    // the merge re-run; the corpus is never rescanned. The merge is exact
+    // because the partial stays DECIMAL until after the final sum (a
+    // double-typed partial would make the merge order-dependent), and avg
+    // is carried as the MERGEABLE (sum, count) pair, never as an average
+    // of averages. Oracle computes the DIRECT single-level monthly
+    // aggregate — equality IS the mergeability proof.
+    "q_incremental_agg" -> ((s, d) => {
+      val daily = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+          col("o_orderdate").cast("date").as("day"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("rev"))
+        .groupBy("month", "day")
+        .agg(sum(col("rev")).as("s"), count(lit(1)).as("n"))
+      daily.groupBy("month")
+        .agg(sum(col("s")).as("sd"), sum(col("n")).as("n_items"))
+        .select(col("month"), col("sd").cast("double").as("revenue"),
+          col("n_items"),
+          round(col("sd").cast("double") / col("n_items"), 4).as("avg_rev"))
     })
   )
 
   override val oracles: Map[String, String] = Map(
+    // Direct single-level monthly aggregate — the Spark side merges daily
+    // partials; equality proves the partial states merge exactly.
+    "q_incremental_agg" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
     "q_sql_grouping_sets" -> GSets,
     "q_sql_tpch_q3" -> Q3,
     "q_sql_tpch_q5" -> Q5,
