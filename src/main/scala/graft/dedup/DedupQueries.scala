@@ -311,11 +311,17 @@ object DedupQueries extends QueryPack {
           col("b.sz") * lit(t) <= col("a.sz"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Exact verification: attach both docs' hash arrays (doc-count-sized
-    // relation — AQE broadcasts it at small SF; at 100 TB it's a shuffle
-    // join keyed by doc_id over candidate docs only) and intersect
-    // pair-locally. Arrays are distinct per doc, so the intersect size IS
-    // the overlap.
+    // Exact verification: attach both docs' hash arrays and intersect
+    // pair-locally. The joined relation is the ALREADY-PERSISTED docarr —
+    // doc-count-sized rows of int64 hashes, a sliver of the corpus by
+    // construction. Restricting it further to candidate docs first
+    // (lshPairs' semi-join discipline) was tried and measured 2x SLOWER
+    // at sf0.1: it needs either a persist of the candidate pairs or a
+    // second run of the prefix join to derive the doc sliver, and at
+    // tested SFs nearly every doc is a candidate anyway. At 100 TB with a
+    // selective threshold, add that semi-join back — the trade flips when
+    // candidates ARE a sliver. Arrays are distinct per doc, so the
+    // intersect size IS the overlap.
     cand
       .join(docarr.select(col("doc_id").as("doc_a"),
         col("hs").as("hs_a"), col("sz").as("sz_a")), Seq("doc_a"))

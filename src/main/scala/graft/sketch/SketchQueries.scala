@@ -90,6 +90,9 @@ object SketchQueries extends QueryPack {
           explode(graft.dedup.Shingles.shingleHashes3(col("tk"))).as("h"))
         .groupBy("source").agg(kmvKeep(col("h")).as("s"))
         .select(col("source"), col("s.hs").as("hs"))
+        // feeds BOTH sides of the pair self-join: without the pin, the
+        // corpus shingle pass (the only expensive stage) runs twice
+        .transform(graft.CacheScope.persisted(_))
       // #sources is small and scale-independent; the inequality self-join
       // is a broadcast nested loop over that tiny relation, never corpus
       // data.

@@ -167,6 +167,10 @@ object CorpusOpsQueries extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     val toks = dd.select(col("doc_id"),
       size(Shingles.tokens(col("text"))).cast("long").as("n_tokens"))
+      // feeds the max(doc_id) pre-pass AND the sharded prefix sum: the
+      // pin makes "touch the corpus text once" true in the executed plan
+      // (the persisted relation is doc-count-sized, not corpus-sized)
+      .transform(graft.CacheScope.persisted(_))
     val mx = toks.agg(max(col("doc_id")).as("mx"))
     val sharded = toks.crossJoin(broadcast(mx))
       .select(col("doc_id"), col("n_tokens"),
