@@ -32,15 +32,21 @@ object SketchQueries extends QueryPack {
   val D = 4
   val W = 1024L
 
-  /** Row-r universal hash of a 60-bit hash into [0, W) — the same
+  /** Bloom-filter width (bits) for q_sketch_bloom: with D=4 rows and the
+    * urgent-orders build side (~n = W/2 keys at sf0.1) the expected FP
+    * rate is (1 - e^(-n/W))^4 ≈ 2%.
+    */
+  val BloomW = 65536L
+
+  /** Row-r universal hash of a 60-bit hash into [0, w) — the same
     * (a*h + b) mod P family the minhash mix uses (exact int64 both
     * engines: a < 2^30, h mod P < 2^30).
     */
-  private def cellCol(r: Int, h: Column): Column =
-    (lit(MixA(r)) * (h % lit(P)) + lit(MixB(r))) % lit(P) % lit(W)
+  private def cellCol(r: Int, h: Column, w: Long = W): Column =
+    (lit(MixA(r)) * (h % lit(P)) + lit(MixB(r))) % lit(P) % lit(w)
 
-  private def cellSql(r: Int, h: String): String =
-    s"(((${MixA(r)} * (($h) % $P) + ${MixB(r)}) % $P) % $W)"
+  private def cellSql(r: Int, h: String, w: Long = W): String =
+    s"(((${MixA(r)} * (($h) % $P) + ${MixB(r)}) % $P) % $w)"
 
   /** (value-hash column) -> one (r, cell) row per CMS row, hashed once. */
   private def withCells(hashed: DataFrame): DataFrame =
@@ -69,6 +75,57 @@ object SketchQueries extends QueryPack {
         .select(col("s.k").as("k"), col("s.n_kept").as("n_kept"),
           col("s.kth_hash").as("kth_hash"),
           round(col("s.est_distinct"), 4).as("est_distinct"))
+    }),
+
+    // Bloom-filter semi-join pruning — the runtime-filter pattern: build a
+    // D x W bit set over the (selective) build side's keys, probe the fact
+    // side's DISTINCT keys through it, and semi-join the fact table
+    // against the survivors. At 100 TB the bloom relation is a few KB
+    // broadcast to every probe task, and the fact rows that can't match
+    // never enter the real join's shuffle — Spark's own runtime row-group
+    // filters do this implicitly; this is the explicit, engine-portable
+    // form. One output row quantifies the filter: keys/rows passing bloom
+    // vs truly matching (bloom is one-sided — pass ⊇ match — and
+    // SketchSpec asserts both the containment and the FP bound).
+    "q_sketch_bloom" -> ((s, d) => {
+      val build = Tables.load(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(hash60(col("o_orderkey").cast("string")).as("h"),
+          col("o_orderkey"))
+      val cells = build
+        .select(explode(array((0 until D).map(r =>
+          struct(lit(r).as("r"), cellCol(r, col("h"), BloomW).as("cell"))): _*))
+          .as("rc"))
+        .select(col("rc.r").as("r"), col("rc.cell").as("cell"))
+        .distinct()
+      val li = Tables.load(s, d, "lineitem").select(col("l_orderkey"))
+        .transform(graft.CacheScope.persisted(_))
+      val probeKeys = li.distinct()
+        .select(col("l_orderkey"), hash60(col("l_orderkey").cast("string")).as("h"))
+      val probeCells = probeKeys
+        .select(col("l_orderkey"),
+          explode(array((0 until D).map(r =>
+            struct(lit(r).as("r"), cellCol(r, col("h"), BloomW).as("cell"))): _*))
+            .as("rc"))
+        .select(col("l_orderkey"), col("rc.r").as("r"), col("rc.cell").as("cell"))
+      // a key passes iff ALL D of its cells are set: cells is distinct per
+      // (r, cell), so the join matches each (key, r) at most once
+      val bloomPass = probeCells
+        .join(broadcast(cells), Seq("r", "cell"))
+        .groupBy("l_orderkey").agg(count(lit(1)).as("nc"))
+        .filter(col("nc") === D)
+        .select(col("l_orderkey"))
+        .transform(graft.CacheScope.persisted(_))
+      val truly = probeKeys.select(col("l_orderkey"))
+        .join(broadcast(build.select(col("o_orderkey"))),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val m = bloomPass.agg(count(lit(1)).as("n_keys_bloom")).crossJoin(
+        truly.agg(count(lit(1)).as("n_keys_true"))).crossJoin(
+        li.join(broadcast(bloomPass), Seq("l_orderkey"), "left_semi")
+          .agg(count(lit(1)).as("n_rows_bloom")))
+      m.select(col("n_keys_bloom"), col("n_keys_true"),
+        (col("n_keys_bloom") - col("n_keys_true")).as("n_false_pos"),
+        col("n_rows_bloom"))
     }),
 
     // Cross-source corpus-overlap matrix from per-source KMV sketches:
@@ -145,6 +202,40 @@ object SketchQueries extends QueryPack {
          |            ELSE round(${K - 1}.0 * ${1L << 60}.0 / max(hv), 4)
          |       END AS est_distinct
          |FROM b""".stripMargin,
+
+    "q_sketch_bloom" ->
+      s"""WITH build AS (
+         |  SELECT ${hash60Sql("CAST(o_orderkey AS VARCHAR)")} AS h, o_orderkey
+         |  FROM orders WHERE o_orderpriority = '1-URGENT'
+         |), cells AS (
+         |  SELECT DISTINCT r, cell FROM (
+         |    ${(0 until D).map(r =>
+             s"SELECT $r AS r, ${cellSql(r, "h", BloomW)} AS cell FROM build")
+             .mkString(" UNION ALL ")}
+         |  )
+         |), pk AS (
+         |  SELECT DISTINCT l_orderkey FROM lineitem
+         |), ph AS (
+         |  SELECT l_orderkey, ${hash60Sql("CAST(l_orderkey AS VARCHAR)")} AS h
+         |  FROM pk
+         |), pc AS (
+         |  ${(0 until D).map(r =>
+             s"SELECT l_orderkey, $r AS r, ${cellSql(r, "h", BloomW)} AS cell FROM ph")
+             .mkString(" UNION ALL ")}
+         |), pass AS (
+         |  SELECT l_orderkey FROM pc JOIN cells USING (r, cell)
+         |  GROUP BY l_orderkey HAVING count(*) = $D
+         |), truly AS (
+         |  SELECT l_orderkey FROM pk
+         |  WHERE l_orderkey IN (SELECT o_orderkey FROM build)
+         |)
+         |SELECT (SELECT count(*) FROM pass) AS n_keys_bloom,
+         |       (SELECT count(*) FROM truly) AS n_keys_true,
+         |       (SELECT count(*) FROM pass) - (SELECT count(*) FROM truly)
+         |         AS n_false_pos,
+         |       (SELECT count(*) FROM lineitem
+         |        WHERE l_orderkey IN (SELECT l_orderkey FROM pass))
+         |         AS n_rows_bloom""".stripMargin,
 
     // Oracle recomputes the sketches from scratch (bottom-k = ORDER BY h
     // LIMIT k per source) and the union-bottom-k pair algebra in SQL; the

@@ -76,6 +76,27 @@ class SketchSpec extends SparkSpec {
     assert(got.getInt(1) == 20, s"intersection must be exact below k: $got")
   }
 
+  test("bloom pruning is one-sided and within the FP-rate bound") {
+    val row = SparkEntry.queries("q_sketch_bloom")(spark, sfDir).collect().head
+    val (nb, nt, fp) = (row.getAs[Long]("n_keys_bloom"),
+      row.getAs[Long]("n_keys_true"), row.getAs[Long]("n_false_pos"))
+    assert(nt > 0)
+    // One-sided: a bloom filter can never drop a true match.
+    assert(fp >= 0 && nb == nt + fp, s"bloom lost true matches: $row")
+    // FP magnitude: p = (1 - e^(-D*n/W))^D per non-matching probe key,
+    // slack 3x + 5 for the small-count regime.
+    val nBuild = Tables.load(spark, sfDir, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      .count().toDouble
+    val nProbe = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey").distinct().count().toDouble
+    val p = math.pow(1 - math.exp(-SketchQueries.D * nBuild / SketchQueries.BloomW),
+      SketchQueries.D)
+    assert(fp <= 3 * p * (nProbe - nt) + 5,
+      s"false positives $fp above bound ${3 * p * (nProbe - nt) + 5}")
+    CacheScope.releaseAll()
+  }
+
   test("CMS estimates are one-sided and within the epsilon-N bound") {
     val rows = SparkEntry.queries("q_sketch_cms_topk")(spark, sfDir).collect()
     // One output row per probed user PRESENT in the data (inner join with
