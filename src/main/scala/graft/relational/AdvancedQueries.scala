@@ -79,6 +79,24 @@ object AdvancedQueries extends QueryPack {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name ASC""".stripMargin
 
+  /** TPC-H Q18-shaped "large-volume customers": HAVING-gated IN-subquery
+    * over an aggregate + deterministic top-100 (ties broken by orderkey).
+    * Quantities are integer-valued doubles, so their sums are exact and
+    * the hash compare needs no decimal detour. Catalyst rewrites the IN
+    * as a left-semi join and the LIMIT as TakeOrderedAndProject.
+    */
+  private val Q18: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |       CAST(o_orderdate AS DATE) AS order_date,
+      |       o_totalprice, sum(l_quantity) AS total_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   /** Scalar subquery: orders above the global average price. The average
     * goes through the exact-decimal formulation so both engines compute
     * the identical threshold.
@@ -125,6 +143,12 @@ object AdvancedQueries extends QueryPack {
       Seq("customer", "orders", "lineitem").foreach(n =>
         t(s, d, n).createOrReplaceTempView(n))
       s.sql(Q3)
+    }),
+
+    "q_sql_tpch_q18" -> ((s, d) => {
+      Seq("customer", "orders", "lineitem").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(Q18)
     }),
 
     "q_sql_scalar_subquery" -> ((s, d) => {
@@ -270,6 +294,7 @@ object AdvancedQueries extends QueryPack {
     "q_sql_grouping_sets" -> GSets,
     "q_sql_tpch_q3" -> Q3,
     "q_sql_tpch_q5" -> Q5,
+    "q_sql_tpch_q18" -> Q18,
     "q_sql_scalar_subquery" -> ScalarSub,
     "q_sql_exists" -> ExistsSub,
 

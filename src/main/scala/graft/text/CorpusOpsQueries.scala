@@ -111,6 +111,18 @@ object CorpusOpsQueries extends QueryPack {
         .select(col("doc_id"), col("shard"), col("pos"))
     }),
 
+    // Content-defined chunking (CDC): cut each document where the token
+    // hash hits a boundary pattern (hash60(tok) % 64 == 0 — expected
+    // chunk length 64 tokens), instead of at fixed offsets. The property
+    // that matters for storage/span dedup: an insertion shifts every
+    // FIXED chunk after it (all hashes change), but only the CDC chunk
+    // containing the edit (boundaries are content-anchored) —
+    // CdcChunkSpec plants exactly that edit and counts surviving chunk
+    // hashes. One posexplode pass + a doc-partitioned window + one
+    // ordered aggregation; chunk content is md5'd per chunk, and the
+    // window partitions by doc_id — never global.
+    "text_cdc_chunk" -> ((s, d) => cdcChunks(docs(s, d))),
+
     // Sequence packing (training-batch assembly): concat docs in corpus
     // order and split at PackLen-token boundaries. Body in
     // [[packSequences]] — a DISTRIBUTED PREFIX SUM, the scalable form of
@@ -129,6 +141,33 @@ object CorpusOpsQueries extends QueryPack {
         size(regexp_extract_all(col("text"), lit(LongNumPat), lit(0))).as("n_longnums"),
         md5(scrub(col("text"))).as("scrubbed_md5")))
   )
+
+  /** CDC boundary modulus: expected chunk length in tokens. */
+  val CdcMod = 64L
+
+  /** Content-defined chunks over any (doc_id, text) relation: a token is a
+    * BOUNDARY when its 60-bit hash ≡ 0 mod [[CdcMod]]; a boundary ENDS its
+    * chunk, so chunk_id = count of boundaries strictly before the token.
+    * Chunk text order is pinned by sorting (pos, tok) structs inside the
+    * aggregation — collect_list alone is partition-order-dependent.
+    */
+  def cdcChunks(dd: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = dd
+      .select(col("doc_id"), posexplode(Shingles.tokens(col("text")))
+        .as(Seq("pos", "tok")))
+      .withColumn("b", (Shingles.hash60(col("tok")) % CdcMod === 0).cast("int"))
+    val chunkId = coalesce(
+      sum(col("b")).over(Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    toks
+      .withColumn("chunk_id", chunkId)
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")))).as("chunk_md5"))
+  }
 
   /** Tokens per packed training sequence — the context length dial. */
   val PackLen = 2048L
@@ -309,6 +348,29 @@ object CorpusOpsQueries extends QueryPack {
          |       row_number() OVER (PARTITION BY ord % $NShards
          |                          ORDER BY ord, doc_id) AS pos
          |FROM k""".stripMargin,
+
+    "text_cdc_chunk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok
+         |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+         |        FROM documents)
+         |), flagged AS (
+         |  SELECT doc_id, pos, tok,
+         |         CASE WHEN ${Shingles.hash60Sql("tok")} % $CdcMod = 0
+         |              THEN 1 ELSE 0 END AS b
+         |  FROM toks
+         |), cids AS (
+         |  SELECT doc_id, pos, tok,
+         |         COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS chunk_id
+         |  FROM flagged
+         |)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |       count(*) AS n_tokens,
+         |       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+         |FROM cids GROUP BY doc_id, chunk_id""".stripMargin,
 
     // The oracle uses the global-window cumsum the Spark side deliberately
     // avoids — DuckDB is single-node, so a global ordered scan is exactly
