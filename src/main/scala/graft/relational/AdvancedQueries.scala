@@ -253,6 +253,47 @@ object AdvancedQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("total"))
     }),
 
+    // Multi-step funnel with LAST-TOUCH attribution: for each purchase,
+    // the latest prior click within 24 hours; for that click, the
+    // latest prior view within 24 hours (the synthetic events are sparse
+    // per user - ~2 per type per day - so a 30-minute funnel is empty) — the 3-step conversion chain.
+    // Each step is a user-keyed equi-join with a time-interval residual
+    // (the stream-stream-join shape; per-user event counts bound the
+    // pair fan-out) followed by ONE max(struct(ts, id, ...)) aggregation
+    // per attributed event — argmax without a window, deterministic ties
+    // by id. The oracle takes the same argmax as row_number() DESC = 1.
+    "q_events_funnel" -> ((s, d) => {
+      // one events scan feeds all three type slices
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .transform(graft.CacheScope.persisted(_))
+      def slice(tpe: String, id: String, ts: String, u: String) =
+        ev.filter(col("event_type") === tpe)
+          .select(col("user_id").as(u), col("event_id").as(id), col("ts").as(ts))
+      val v = slice("view", "view_id", "view_ts", "vu")
+      val c = slice("click", "click_id", "click_ts", "cu")
+      val p = slice("purchase", "buy_id", "buy_ts", "pu")
+      val vc = c
+        .join(v, col("cu") === col("vu") &&
+          col("view_ts") <= col("click_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("cu"), col("click_id"), col("click_ts"))
+        .agg(max(struct(col("view_ts"), col("view_id"))).as("mv"))
+        .select(col("cu"), col("click_id"), col("click_ts"),
+          col("mv.view_id").as("view_id"), col("mv.view_ts").as("view_ts"))
+      p
+        .join(vc, col("pu") === col("cu") &&
+          col("click_ts") <= col("buy_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("pu").as("user_id"), col("buy_id"), col("buy_ts"))
+        .agg(max(struct(col("click_ts"), col("click_id"),
+          col("view_ts"), col("view_id"))).as("mc"))
+        .select(col("user_id"), col("mc.view_id").as("view_id"),
+          col("mc.click_id").as("click_id"), col("buy_id"),
+          col("mc.view_ts").as("view_ts"), col("mc.click_ts").as("click_ts"),
+          col("buy_ts"))
+    }),
+
     // Incremental aggregation (materialized-view maintenance): daily
     // partial states (sum as DECIMAL, count) merge into the monthly
     // rollup. This is the structure an incremental ETL keeps on disk —
@@ -281,6 +322,37 @@ object AdvancedQueries extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_events_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id AS view_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'
+        |), c AS (
+        |  SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, event_id AS buy_id, ts AS buy_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |), vc AS (
+        |  SELECT user_id, click_id, click_ts, view_id, view_ts FROM (
+        |    SELECT c.user_id, c.click_id, c.click_ts, v.view_id, v.view_ts,
+        |           row_number() OVER (PARTITION BY c.click_id
+        |             ORDER BY v.view_ts DESC, v.view_id DESC) AS rn
+        |    FROM c JOIN v ON v.user_id = c.user_id
+        |      AND v.view_ts <= c.click_ts
+        |      AND c.click_ts <= v.view_ts + INTERVAL 24 HOUR
+        |  ) WHERE rn = 1
+        |)
+        |SELECT user_id, view_id, click_id, buy_id, view_ts, click_ts, buy_ts
+        |FROM (
+        |  SELECT p.user_id, vc.view_id, vc.click_id, p.buy_id,
+        |         vc.view_ts, vc.click_ts, p.buy_ts,
+        |         row_number() OVER (PARTITION BY p.buy_id
+        |           ORDER BY vc.click_ts DESC, vc.click_id DESC) AS rn
+        |  FROM p JOIN vc ON vc.user_id = p.user_id
+        |    AND vc.click_ts <= p.buy_ts
+        |    AND p.buy_ts <= vc.click_ts + INTERVAL 24 HOUR
+        |) WHERE rn = 1""".stripMargin,
+
     // Direct single-level monthly aggregate — the Spark side merges daily
     // partials; equality proves the partial states merge exactly.
     "q_incremental_agg" ->
