@@ -24,8 +24,9 @@ class GraphSpec extends SparkSpec {
     pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
 
   private def ranks(e: DataFrame): Map[Long, Long] =
-    GraphQueries.pagerankOf(e)
+    try GraphQueries.pagerankOf(e)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally CacheScope.releaseAll() // drop this thread's builder pins
 
   // Star: hub 0 <-> leaves 1..6.
   private val star = sym((1L to 6L).map(l => (0L, l)): _*)
@@ -69,8 +70,9 @@ class GraphSpec extends SparkSpec {
   }
 
   private def triangles(e: org.apache.spark.sql.DataFrame): Map[Long, Long] =
-    GraphQueries.trianglesOf(e)
+    try GraphQueries.trianglesOf(e)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally CacheScope.releaseAll() // drop this thread's builder pins
 
   test("result is bit-identical under repartitioning") {
     val graph = sym((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L),

@@ -19,10 +19,11 @@ class PackSequencesSpec extends SparkSpec {
         StructField("text", StringType))))
 
   private def run(df: DataFrame): Seq[(Long, Long, Long, Long, Long)] =
-    CorpusOpsQueries.packSequences(df)
+    try CorpusOpsQueries.packSequences(df)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .sortBy(_._1).toSeq
+    finally CacheScope.releaseAll() // drop this thread's builder pins
 
   test("offsets equal a sequential scan; straddling docs are split") {
     // Token counts 1000, 1500, 900, 2048, 1 -> offsets 0, 1000, 2500,

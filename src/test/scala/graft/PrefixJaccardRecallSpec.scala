@@ -48,8 +48,9 @@ class PrefixJaccardRecallSpec extends SparkSpec {
   }
 
   private def prefixJoin(dd: DataFrame): Set[(Long, Long, Double)] =
-    DedupQueries.prefixJaccardPairs(dd, T)
+    try DedupQueries.prefixJaccardPairs(dd, T)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    finally CacheScope.releaseAll() // drop this thread's builder pins
 
   test("prefix join equals brute force on a mixed corpus") {
     val base = "the quick brown fox jumps over the lazy dog while rain " +
