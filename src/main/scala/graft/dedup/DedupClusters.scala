@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * in a real dedup pipeline — candidate pairs say "these two are dups",
   * clustering picks ONE canonical doc per group (min doc_id here).
   *
-  * Algorithm: distributed min-label propagation to fixpoint. Each step is
-  * a join+aggregate over the edge list (fully distributed); the driver
-  * only checks the converged flag — no data ever reaches the driver. The
-  * iteration count is bounded by the cluster diameter, which for dedup
-  * graphs is tiny (near-dup clusters are near-cliques); the `maxIters`
-  * bound guards pathological chains.
+  * Algorithm: partition-local union-find seeding, then distributed
+  * min-label propagation to a CONFIRMED fixpoint (an iteration that
+  * changes zero labels). Each step is a join+aggregate over the edge list
+  * (fully distributed); the driver only checks the converged flag — no
+  * data ever reaches the driver. `maxIters` is a hard-fail guard: if the
+  * fixpoint is not confirmed within the budget the call THROWS rather
+  * than ship partially propagated labels (strict=false downgrades to a
+  * WARN for exploratory use).
   */
 object DedupClusters {
 
@@ -57,15 +59,38 @@ object DedupClusters {
     * Convergence is detected from a `chg` flag computed INSIDE the
     * pointer-jump projection, so the per-iteration count is a scan of the
     * just-materialized checkpoint blocks — no extra join job (the old
-    * labels-vs-next join burned one full job per iteration).
+    * labels-vs-next join burned one full job per iteration). The loop
+    * only stops on a CONFIRMED fixpoint: an iteration whose propagate +
+    * pointer-jump pass changed zero labels. Landing "exactly at the cap"
+    * therefore still exits through the converged branch — the cap is hit
+    * only when labels are genuinely still moving.
     *
-    * If `maxIters` is exhausted the labels may be partially propagated
-    * (long-chain graphs); that is loudly warned, never silent — callers
-    * that need a guarantee can raise `maxIters` (pointer jumping makes
-    * convergence O(log diameter), so 15 handles diameter ~2^15).
+    * `maxIters` is a hard-fail guard, not a knob the result quietly
+    * degrades around: exhausting it THROWS by default, because partially
+    * propagated cluster ids are data corruption downstream (keep-best
+    * would canonicalize against the wrong clusters). `strict = false` is
+    * the documented opt-out for exploratory runs that prefer the partial
+    * labels + WARN. Pointer jumping makes convergence O(log diameter)
+    * and [[seedLocal]] collapses everything co-partitioned before the
+    * first global iteration, so the default budget of 30 covers any
+    * diameter a physical graph can reach (2^30 ≈ 10^9).
+    *
+    * `seedLocal`: seed the fixpoint with partition-local connected
+    * components (one union-find pass over each edge partition, then a
+    * min-member relabel) instead of identity labels. Fragments that LSH
+    * co-locates — at tested SFs the whole candidate graph, since state is
+    * coalesced to ~500k-edge partitions — are collapsed before the first
+    * join, so the global loop typically confirms in one iteration instead
+    * of walking the graph diameter. Correctness does not depend on the
+    * partitioning: every seed label is the min of a LOCAL subcomponent
+    * (so the component's global-min node always keeps itself as seed),
+    * and min-label propagation from any such seeding converges to the
+    * same per-component minimum. `false` exercises the bare fixpoint
+    * (spec use).
     */
-  def clusters(pairs: DataFrame, universe: DataFrame, maxIters: Int = 15,
-      checkpointDir: Option[String] = None): DataFrame = {
+  def clusters(pairs: DataFrame, universe: DataFrame, maxIters: Int = 30,
+      checkpointDir: Option[String] = None, strict: Boolean = true,
+      seedLocal: Boolean = true): DataFrame = {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     def timed[T](what: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
@@ -125,10 +150,57 @@ object DedupClusters {
       ss.sparkContext.defaultParallelism.toLong, nEdges / 500000L)).toInt
     def pinState(df: DataFrame): DataFrame = pin(df.coalesce(nState))
 
-    var labels = timed("pin(labels0)")(
-      pinState(edges.select(col("src").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("cluster_id"))))
-    var converged = false
+    // Seed labels: partition-local union-find (see scaladoc). The RDD hop
+    // is the one place imperative per-partition state genuinely beats any
+    // relational formulation — a union-find map over one partition's edges
+    // (bounded at ~2x500k entries by the nState sizing above). The relabel
+    // to min member runs in SQL so the engine's own type ordering decides
+    // ties, exactly as the fixpoint's `least` does.
+    val labels0 =
+      if (!seedLocal)
+        edges.select(col("src").as("doc_id")).distinct()
+          .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      else {
+        val idType = edges.schema("src").dataType
+        val localRdd = edges.coalesce(nState).rdd.mapPartitions { it =>
+          val parent = new java.util.HashMap[AnyRef, AnyRef]()
+          def find(x0: AnyRef): AnyRef = {
+            var x = x0
+            var r = x
+            while ({ val p = parent.get(r); p != null && !p.equals(r) }) r = parent.get(r)
+            if (parent.get(r) == null) parent.put(r, r)
+            while (!x.equals(r)) { val p = parent.get(x); parent.put(x, r); x = p }
+            r
+          }
+          it.foreach { row =>
+            val ra = find(row.get(0).asInstanceOf[AnyRef])
+            val rb = find(row.get(1).asInstanceOf[AnyRef])
+            if (!ra.equals(rb)) parent.put(ra, rb)
+          }
+          import scala.jdk.CollectionConverters._
+          // Snapshot keys first: find() path-compresses into the same map.
+          parent.keySet().asScala.toVector.iterator
+            .map(k => org.apache.spark.sql.Row(k, find(k)))
+        }
+        val localDf = ss.createDataFrame(localRdd,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id", idType),
+            org.apache.spark.sql.types.StructField("root", idType))))
+        // A doc split across partitions has one row per partition; the
+        // min-over-roots collapse below is itself one propagation step on
+        // the condensed graph, so cross-partition fragments often merge
+        // here before the loop even starts.
+        localDf.join(
+            localDf.groupBy(col("root")).agg(min(col("doc_id")).as("lbl")), "root")
+          .groupBy(col("doc_id")).agg(min(col("lbl")).as("cluster_id"))
+      }
+    var labels = timed("pin(labels0)")(pinState(labels0))
+    // Structural fast path: when the seed union-find ran over a SINGLE
+    // partition it saw the entire edge relation, so its components are
+    // the exact global components and labels0 IS a confirmed fixpoint —
+    // iterating would only re-prove it. (nState > 1 — a genuinely large
+    // candidate graph — always takes the loop.)
+    var converged = seedLocal && nState == 1
     var iter = 0
     while (!converged && iter < maxIters) {
       val nbrMin = edges
@@ -157,23 +229,31 @@ object DedupClusters {
       labels = next.drop("chg")
       iter += 1
     }
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"[graft] DedupClusters did not converge in $maxIters iterations; " +
-          "cluster ids may be partially propagated — raise maxIters")
-    // The labels count drives the broadcast gate below AND confirms the
-    // pinned state is fully materialized; it is a scan of the checkpoint
-    // blocks `pin` just wrote — no shuffle.
-    val nLabels = timed("count(labels)")(labels.count())
     // The edge materialization is fully consumed: every downstream
     // reference lives in pinned (checkpointed) state, so drop the files
     // now — leaving them would leak a full edge-relation copy per
-    // invocation (x2 cluster queries x warm-up + n bench runs).
+    // invocation (x2 cluster queries x warm-up + n bench runs). Runs
+    // before the strictness check so the failure path cleans up too.
     timed("delete(edges)") {
       val root = new org.apache.hadoop.fs.Path(
         if (checkpointDir.isDefined) edgesPath else base)
       root.getFileSystem(ss.sparkContext.hadoopConfiguration).delete(root, true)
     }
+    if (!converged) {
+      // Partially propagated labels are silent data corruption for every
+      // consumer (keep-best canonicalizes against the wrong clusters), so
+      // cap exhaustion is an ERROR unless the caller explicitly opted out.
+      val msg = s"DedupClusters did not reach a confirmed fixpoint in " +
+        s"$maxIters iterations; cluster ids would be partially propagated " +
+        "— raise maxIters (convergence is O(log diameter)) or pass " +
+        "strict=false to accept partial labels"
+      if (strict) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(s"[graft] $msg")
+    }
+    // The labels count drives the broadcast gate below AND confirms the
+    // pinned state is fully materialized; it is a scan of the checkpoint
+    // blocks `pin` just wrote — no shuffle.
+    val nLabels = timed("count(labels)")(labels.count())
     // singletons (never paired) keep their own id. The checkpointed label
     // relation has no stats for the planner, so hint the broadcast
     // ourselves when the measured label relation is small — and keep the

@@ -338,9 +338,9 @@ object DedupQueries extends QueryPack {
 
   /** MinHash-LSH near-dup candidates with hashed-shingle Jaccard
     * verification (60-bit space — see [[Shingles.shingleHashes3]]), over
-    * any (doc_id, text) relation. The shingle relation feeds four branches
-    * (signatures + sizes + both sides of the intersection join): persist
-    * it — the cluster-scale equivalent is a checkpointed shingle table.
+    * any (doc_id, text) relation. The shingle relation feeds two branches
+    * (signatures + the candidate-doc array build): persist it — the
+    * cluster-scale equivalent is a checkpointed shingle table.
     */
   def lshPairs(dd: DataFrame): DataFrame = {
     val sh = docShingles(dd)
@@ -355,33 +355,38 @@ object DedupQueries extends QueryPack {
       // (doc, band) is unique per side, so a plain count IS the distinct
       // band count — no need for countDistinct's extra Expand+agg pass.
       .agg(count(lit(1)).as("n_shared_bands"))
-    // Sizes stay CORPUS-WIDE on purpose: partial aggregation over the
-    // cached shingle relation means the shuffle carries one (doc, count)
-    // row per document — doc-count-sized at any scale — and the branch
-    // runs in parallel with the banding join. (Restricting it to
-    // candidate docs was tried and measured SLOWER at sf0.1: it
-    // serializes the size branch behind the candidate aggregation for a
-    // shuffle that was never the cost.)
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // Verification reads only CANDIDATE docs' shingles: at scale the
-    // candidate set is a sliver of the corpus, and the expensive
-    // (doc, shingle) equi-join must not touch the rest.
+    // candidate set is a sliver of the corpus, and the per-doc array
+    // build must not touch the rest. The verify itself is PAIR-LOCAL:
+    // ship each candidate doc's (distinct) hash array once and
+    // array_intersect inside the pair row — the exploded (doc, shingle)
+    // equi-join + re-aggregation it replaces materialized
+    // |cand| x avg-shingles intermediate rows across two shuffles
+    // (measured ~1.5s of the old 4.5s edge materialization at sf0.1;
+    // the same trade prefixJaccardPairs measured at 2.5x). Sizes come
+    // free as size(hs) — the old corpus-wide sz branch is gone entirely.
     val candDocs = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    val inter = cand
-      .join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(shc.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val docarr = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("h"))).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
+    // LEFT joins on a unique right key: bands can only pair docs that
+    // HAVE shingles, so the joins never miss — but left-outer lets
+    // Catalyst eliminate the whole verification branch for consumers
+    // that read neither jaccard nor sz (count()-style probes).
     cand
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .join(sz.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sz.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .join(docarr.select(col("doc_id").as("doc_a"),
+        col("hs").as("hs_a"), col("sz").as("sz_a")), Seq("doc_a"), "left")
+      .join(docarr.select(col("doc_id").as("doc_b"),
+        col("hs").as("hs_b"), col("sz").as("sz_b")), Seq("doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
-        round(coalesce(col("inter"), lit(0L)).cast("double") /
-          (col("za.sz") + col("zb.sz") - coalesce(col("inter"), lit(0L))), 6)
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("inter"),
+        col("sz_a"), col("sz_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6)
           .as("jaccard"))
   }
 

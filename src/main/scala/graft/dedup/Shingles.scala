@@ -41,7 +41,7 @@ object Shingles {
 
   /** Word 3-gram shingle HASHES (60-bit int64) from a tokens array. The
     * hash runs INSIDE the lambda, so the materialized array — and the
-    * exploded relation, its distinct shuffle, and every downstream
+    * exploded relation and every downstream
     * join/aggregate — carries 8-byte keys, never the ~40-char shingle
     * strings (~5x fewer shuffle bytes for the biggest relation the dedup
     * family builds; at 100 TB the shingle stream is a multiple of the
@@ -102,6 +102,15 @@ object Shingles {
   /** docs(doc_id, text) -> (doc_id, h) exploded distinct 60-bit shingle
     * hashes (see [[shingleHashes3]] for why hashes, not strings).
     *
+    * Distinctness is per-document by construction, so it is enforced
+    * ROW-LOCALLY (array_distinct before the explode) rather than with a
+    * global `.distinct()` — the old formulation shuffled the full shingle
+    * relation (2M rows at sf0.1, a corpus-multiple at 100 TB) just to
+    * dedup within doc_id groups that each start out on one row. Every
+    * consumer then reaches the relation shuffle-free: the minhash and
+    * df aggregations reduce map-side, and the candidate array build
+    * only ever shuffles the candidate sliver.
+    *
     * The tokens array is materialized as its own projection BEFORE the
     * shingle lambda: inlining `split(...)` into the transform() lambda would
     * re-run the regex split for every element_at reference (3x per shingle,
@@ -111,8 +120,7 @@ object Shingles {
     */
   def docShingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"), explode(shingleHashes3(col("tk"))).as("h"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(shingleHashes3(col("tk")))).as("h"))
 
   /** (doc_id, m0..m{k-1}) minhash signature relation. */
   def signatures(docs: DataFrame): DataFrame =

@@ -183,6 +183,29 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("clusters: maxIters is a hard-fail guard, and the default budget " +
+    "confirms a planted 200k-node chain exactly") {
+    import graft.dedup.DedupClusters
+    val n = 200000L
+    val chain = spark.range(1L, n)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val universe = spark.range(1L, n + 1).select(col("id").as("doc_id"))
+    // Bare fixpoint (seeding off): a 200k-diameter chain cannot reach a
+    // confirmed fixpoint in 15 pointer-jumped iterations (reach ~2^15).
+    // The old warn-only policy would have shipped partially propagated
+    // labels as data here; the guard must throw instead.
+    val ex = intercept[IllegalStateException] {
+      DedupClusters.clusters(chain, universe, maxIters = 15, seedLocal = false)
+    }
+    assert(ex.getMessage.contains("confirmed fixpoint"))
+    // Default budget + union-find seeding: the same chain collapses to
+    // the exact single component, confirmed, no warning path taken.
+    val got = DedupClusters.clusters(chain, universe)
+    assert(got.count() == n)
+    assert(got.filter(col("cluster_id") =!= 1L).count() == 0,
+      "chain must collapse to min doc_id = 1")
+  }
+
   test("clusters: temp edge dirs are deleted after the fixpoint, and " +
     "non-local masters without a checkpointDir are rejected") {
     import graft.dedup.DedupClusters
