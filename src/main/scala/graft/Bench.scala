@@ -77,9 +77,18 @@ object Bench {
     // a big median-vs-min gap flags run-to-run variance, not a plan issue.
     val fullJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$n,"stat":"median","queries":${jmap(results.map(r => r._1 -> r._2))},"queries_min":${jmap(results.map(r => r._1 -> r._3))},"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench-medians.json"), fullJson)
-    catch { case _: Throwable => }
+    // Written to BOTH the scratch target/ and the git-tracked bench/ dir:
+    // BENCH_r06's stdout-tail truncation destroyed the r6 per-query
+    // record, so the full maps must live somewhere the round commit
+    // preserves — bench/medians.json is overwritten per run and its
+    // history IS the round-over-round record.
+    for (p <- Seq("target/bench-medians.json", "bench/medians.json")) {
+      try {
+        val path = java.nio.file.Paths.get(p)
+        Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(path, fullJson)
+      } catch { case _: Throwable => }
+    }
     // Stdout line: family subtotals + headline anchors + slowest queries,
     // bounded so the whole line always lands inside the tail capture.
     val families = results

@@ -24,9 +24,14 @@ import graft.{QueryPack, Tables}
   * result is bit-identical in any engine, any partitioning, any merge
   * order. A float formulation could NEVER hash-match across engines
   * (summation order changes the last bits). Overflow headroom: total mass
-  * is N*Scale and contributions sum below it, so 85 * contrib needs
-  * N*Scale*85 < 2^63 — N up to ~10^8 at this Scale; at larger N, Scale is
-  * the dial (the precision/width trade is explicit, not silent).
+  * is N*Scale and a single node's contribution sum is bounded by it, so
+  * `85 * contrib` needs N*Scale*85 < 2^63 — N up to ~1.1e5 at this Scale
+  * (2^63 / (85*10^12)); at larger N, Scale is the dial (the
+  * precision/width trade is explicit, not silent). The worst case needs a
+  * near-total-mass hub, so typical graphs go far beyond N=1.1e5, and the
+  * failure mode is loud either way: Spark 4 runs ANSI mode by default, so
+  * int64 overflow THROWS instead of wrapping — the engines cannot
+  * silently diverge, the job fails asking for a smaller Scale.
   *
   * Scale design: each iteration is one join edges->ranks (equi on src,
   * both sides partitioned by the join key) + one dst aggregation — the

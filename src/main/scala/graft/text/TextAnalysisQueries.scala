@@ -75,8 +75,10 @@ object TextAnalysisQueries extends QueryPack {
        |)""".stripMargin
 
   /** Micro-score bucket width for text_quality_deciles: the micro-score is
-    * bounded in [0, 10^6], so ceil(10^6 / 64) fixed-width ranges yield at
-    * most 64 buckets — a constant-size offsets relation at any scale.
+    * bounded in [0, 10^6], and a width of floor(10^6 / 64) + 1 = 15626
+    * maps it onto buckets 0..63 — a constant-size offsets relation at any
+    * scale. (15625 would also be correct but puts the single value 10^6
+    * into its own 65th bucket.)
     */
   val MuBlock = 15626
 

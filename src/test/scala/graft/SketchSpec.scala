@@ -83,14 +83,17 @@ class SketchSpec extends SparkSpec {
     assert(nt > 0)
     // One-sided: a bloom filter can never drop a true match.
     assert(fp >= 0 && nb == nt + fp, s"bloom lost true matches: $row")
-    // FP magnitude: p = (1 - e^(-D*n/W))^D per non-matching probe key,
-    // slack 3x + 5 for the small-count regime.
+    // FP magnitude: q_sketch_bloom builds a PARTITIONED filter — D
+    // independent hash rows, each its own W-bit array — so a
+    // non-matching probe passes with p = (1 - e^(-n/W))^D, NOT the
+    // single-shared-array formula (1 - e^(-D*n/W))^D (which would be ~25x
+    // looser here at sf0.1). Slack 3x + 5 for the small-count regime.
     val nBuild = Tables.load(spark, sfDir, "orders")
       .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
       .count().toDouble
     val nProbe = Tables.load(spark, sfDir, "lineitem")
       .select("l_orderkey").distinct().count().toDouble
-    val p = math.pow(1 - math.exp(-SketchQueries.D * nBuild / SketchQueries.BloomW),
+    val p = math.pow(1 - math.exp(-nBuild / SketchQueries.BloomW),
       SketchQueries.D)
     assert(fp <= 3 * p * (nProbe - nt) + 5,
       s"false positives $fp above bound ${3 * p * (nProbe - nt) + 5}")

@@ -86,7 +86,7 @@ class StreamingSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream3").toString
     // duplicate the stream on purpose: two copies of every event
     val ev = Tables.load(spark, sfDir, "events")
-      .select(col("event_id"), col("ts"), col("user_id"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     ev.union(ev).write.mode("overwrite").parquet(tmp)
 
     val q = spark.readStream
@@ -94,7 +94,7 @@ class StreamingSpec extends SparkSpec {
       .parquet(tmp)
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
-      .groupBy(col("user_id"))
+      .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
       .writeStream.format("memory").queryName("dedup_out")
       .outputMode("complete")
@@ -103,10 +103,39 @@ class StreamingSpec extends SparkSpec {
     assert(q.awaitTermination(300000), "stream did not finish in time")
 
     val streamed = spark.table("dedup_out").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val batch = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // The batch side IS the registered query (its self-union plants the
+    // same duplicates this replay carries), so builder/spec drift cannot
+    // go unnoticed.
+    val batch = StreamingQueries.queries("stream_dedup")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed == batch, "duplicates must be dropped exactly once")
+  }
+
+  test("streaming sliding-window agg == batch result (availableNow)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-slide").toString
+    Tables.load(spark, sfDir, "events").write.mode("overwrite").parquet(tmp)
+
+    val q = spark.readStream
+      .schema(spark.read.parquet(tmp).schema)
+      .parquet(tmp)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("n"))
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(300000), "stream did not finish in time")
+
+    val streamed = spark.table("sliding_out").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = StreamingQueries.queries("stream_sliding")(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
   }
 
   test("stream-stream join (purchase ⋈ prior views within 30min) == batch") {
@@ -198,7 +227,15 @@ class StreamingSpec extends SparkSpec {
   test("stateful threshold-cross (flatMapGroupsWithState) == batch result") {
     import graft.streaming.ThresholdCross
     val tmp = java.nio.file.Files.createTempDirectory("graft-cross").toString
-    Tables.load(spark, sfDir, "events").write.mode("overwrite").parquet(tmp)
+    // The detector's exactness assumes per-key event-time-ordered arrival
+    // ACROSS micro-batches (ThresholdCross scaladoc): AvailableNow may
+    // split a multi-file directory into several batches in file order, so
+    // replay from ONE file sorted by (user_id, ts, event_id) — the
+    // log-shipped-stream shape the operator documents — rather than
+    // whatever layout the parquet writer happens to produce.
+    Tables.load(spark, sfDir, "events")
+      .repartition(1).sortWithinPartitions("user_id", "ts", "event_id")
+      .write.mode("overwrite").parquet(tmp)
 
     val stream = ThresholdCross.crossings(ThresholdCross.fromRaw(
       spark.readStream
