@@ -66,6 +66,11 @@ object DedupQueries extends QueryPack {
     // it over planted corpora.
     "dedup_minhash_lsh" -> ((s, d) => lshPairs(docs(s, d))),
 
+    // Asymmetric containment over the LSH candidates — catches a doc
+    // quoted/embedded inside a larger one (low Jaccard, high one-sided
+    // overlap). Body in [[containmentPairs]].
+    "dedup_containment" -> ((s, d) => containmentPairs(docs(s, d))),
+
     // SimHash values (64-bit, portable md5-nibble lanes). The md5 hex is
     // projected ONCE per token before the aggregate — one hash per token,
     // not one per lane.
@@ -345,33 +350,8 @@ object DedupQueries extends QueryPack {
   def lshPairs(dd: DataFrame): DataFrame = {
     val sh = docShingles(dd)
       .transform(graft.CacheScope.persisted(_))
-    val bnd = bands(signaturesFrom(sh))
-    val cand = bnd.as("a")
-      .join(bnd.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      // (doc, band) is unique per side, so a plain count IS the distinct
-      // band count — no need for countDistinct's extra Expand+agg pass.
-      .agg(count(lit(1)).as("n_shared_bands"))
-    // Verification reads only CANDIDATE docs' shingles: at scale the
-    // candidate set is a sliver of the corpus, and the per-doc array
-    // build must not touch the rest. The verify itself is PAIR-LOCAL:
-    // ship each candidate doc's (distinct) hash array once and
-    // array_intersect inside the pair row — the exploded (doc, shingle)
-    // equi-join + re-aggregation it replaces materialized
-    // |cand| x avg-shingles intermediate rows across two shuffles
-    // (measured ~1.5s of the old 4.5s edge materialization at sf0.1;
-    // the same trade prefixJaccardPairs measured at 2.5x). Sizes come
-    // free as size(hs) — the old corpus-wide sz branch is gone entirely.
-    val candDocs = cand
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    val docarr = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(col("h"))).as("hs"))
-      .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
+    val cand = lshCandidates(sh)
+    val docarr = candArrays(sh, cand)
     // LEFT joins on a unique right key: bands can only pair docs that
     // HAVE shingles, so the joins never miss — but left-outer lets
     // Catalyst eliminate the whole verification branch for consumers
@@ -388,6 +368,66 @@ object DedupQueries extends QueryPack {
         round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")), 6)
           .as("jaccard"))
+  }
+
+  /** LSH band-collision candidate pairs over a (persisted) shingle
+    * relation. (doc, band) is unique per side, so a plain count IS the
+    * distinct shared-band count — no countDistinct Expand+agg pass.
+    */
+  private def lshCandidates(sh: DataFrame): DataFrame = {
+    val bnd = bands(signaturesFrom(sh))
+    bnd.as("a")
+      .join(bnd.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** (doc_id, hs, sz) sorted shingle-hash arrays for CANDIDATE docs only:
+    * at scale the candidate set is a sliver of the corpus, and the
+    * per-doc array build must not touch the rest. Verification is then
+    * PAIR-LOCAL — ship each candidate doc's (distinct) hash array once
+    * and array_intersect inside the pair row; the exploded (doc, shingle)
+    * equi-join + re-aggregation this replaces materialized
+    * |cand| x avg-shingles intermediate rows across two shuffles
+    * (measured ~1.5s of the old 4.5s clusters edge materialization at
+    * sf0.1; the same trade prefixJaccardPairs measured at 2.5x). Sizes
+    * come free as size(hs) — no corpus-wide sz branch.
+    */
+  private def candArrays(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("h"))).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
+  }
+
+  /** Asymmetric CONTAINMENT over the LSH candidate pairs:
+    * c(A in B) = |A∩B| / |A| — near 1 when A is quoted/embedded inside a
+    * larger B even though their Jaccard is low, the quote-inclusion /
+    * boilerplate-wrapper shape symmetric similarity misses. Same
+    * candidate generation and pair-local array verify as [[lshPairs]].
+    */
+  def containmentPairs(dd: DataFrame): DataFrame = {
+    val sh = docShingles(dd)
+      .transform(graft.CacheScope.persisted(_))
+    val cand = lshCandidates(sh)
+    val docarr = candArrays(sh, cand)
+    cand
+      .join(docarr.select(col("doc_id").as("doc_a"),
+        col("hs").as("hs_a"), col("sz").as("sz_a")), Seq("doc_a"), "left")
+      .join(docarr.select(col("doc_id").as("doc_b"),
+        col("hs").as("hs_b"), col("sz").as("sz_b")), Seq("doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("inter"),
+        col("sz_a"), col("sz_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("sz_a"), 6).as("cont_a_in_b"),
+        round(col("inter").cast("double") / col("sz_b"), 6).as("cont_b_in_a"))
   }
 
   // ---------------------------------------------------------------- oracles
@@ -528,6 +568,31 @@ object DedupQueries extends QueryPack {
          |JOIN sz zb ON zb.doc_id = i.doc_b
          |WHERE round(CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter), 6)
          |      >= $PrefixJaccardT""".stripMargin,
+
+    // Same candidate CTEs as the LSH oracle; the checked values are the
+    // two one-sided overlap fractions instead of their symmetric ratio.
+    "dedup_containment" ->
+      s"""$bandsCte,
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.doc_a, c.doc_b,
+         |       round(CAST(COALESCE(i.inter, 0) AS DOUBLE) / za.sz, 6) AS cont_a_in_b,
+         |       round(CAST(COALESCE(i.inter, 0) AS DOUBLE) / zb.sz, 6) AS cont_b_in_a
+         |FROM cand c
+         |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |JOIN sz za ON za.doc_id = c.doc_a
+         |JOIN sz zb ON zb.doc_id = c.doc_b""".stripMargin,
 
     "dedup_simhash" -> s"$simhashCte SELECT doc_id, simhash FROM sh",
 

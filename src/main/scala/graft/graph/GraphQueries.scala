@@ -126,7 +126,13 @@ object GraphQueries extends QueryPack {
     // pair-local-intersect discipline as dedup_prefix_jaccard's verify.
     // The oracle counts through the INDEPENDENT wedge-join formulation,
     // so a bug in either shape breaks the match.
-    "q_graph_triangles" -> ((s, d) => trianglesOf(edges(s, d)))
+    "q_graph_triangles" -> ((s, d) => trianglesOf(edges(s, d))),
+
+    // Per-edge link strength (edge embeddedness): common-neighbor count
+    // and neighbor-set Jaccard for every undirected edge — the
+    // link-prediction / community-strength primitive. See
+    // [[embeddednessOf]] for the degree-ordered formulation.
+    "q_graph_embeddedness" -> ((s, d) => embeddednessOf(edges(s, d)))
   )
 
   /** Per-node triangle counts over any symmetric (src, dst) edge relation
@@ -157,6 +163,61 @@ object GraphQueries extends QueryPack {
         explode(array_intersect(col("nu"), col("nv"))).as("w"))
     tri.select(explode(array(col("src"), col("dst"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Per-edge common neighbors + neighbor-set Jaccard over any symmetric
+    * (src, dst) edge relation. Triangles ARE the common neighbors: the
+    * degree-ordered oriented triangle relation (same construction as
+    * [[trianglesOf]], so the hub wedge blow-up cannot happen) is exploded
+    * into its three canonical (min,max) edges and counted per edge — the
+    * wedge relation is never materialized. Jaccard denominator from the
+    * two endpoint degrees: |N(u) ∪ N(v)| = d(u) + d(v) - common (u, v
+    * are in each other's neighbor sets but never in the intersection —
+    * no self-loops). The oracle deliberately counts through the
+    * independent all-pairs wedge join.
+    */
+  def embeddednessOf(edgesDf: DataFrame): DataFrame = {
+    val e = edgesDf.transform(graft.CacheScope.persisted(_))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+      .transform(graft.CacheScope.persisted(_))
+    val o = e
+      .join(deg.select(col("src").as("s1"), col("dg").as("da")),
+        col("src") === col("s1"))
+      .join(deg.select(col("src").as("s2"), col("dg").as("db")),
+        col("dst") === col("s2"))
+      .filter(col("da") < col("db") ||
+        (col("da") === col("db") && col("src") < col("dst")))
+      .select(col("src"), col("dst"))
+      .transform(graft.CacheScope.persisted(_))
+    val adj = o.groupBy("src").agg(array_sort(collect_list(col("dst"))).as("nbr"))
+      .transform(graft.CacheScope.persisted(_))
+    val tri = o
+      .join(adj.select(col("src").as("u"), col("nbr").as("nu")),
+        col("src") === col("u"))
+      .join(adj.select(col("src").as("v"), col("nbr").as("nv")),
+        col("dst") === col("v"))
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    val common = tri.select(explode(array(
+        struct(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")),
+        struct(least(col("src"), col("w")).as("a"),
+          greatest(col("src"), col("w")).as("b")),
+        struct(least(col("dst"), col("w")).as("a"),
+          greatest(col("dst"), col("w")).as("b")))).as("t"))
+      .groupBy(col("t.a").as("a"), col("t.b").as("b"))
+      .agg(count(lit(1)).as("common"))
+    e.filter(col("src") < col("dst"))
+      .join(common, col("src") === col("a") && col("dst") === col("b"), "left")
+      .join(deg.select(col("src").as("d1"), col("dg").as("deg_a")),
+        col("src") === col("d1"))
+      .join(deg.select(col("src").as("d2"), col("dg").as("deg_b")),
+        col("dst") === col("d2"))
+      .select(col("src"), col("dst"),
+        coalesce(col("common"), lit(0L)).as("common_neighbors"),
+        round(coalesce(col("common"), lit(0L)).cast("double") /
+          (col("deg_a") + col("deg_b") - coalesce(col("common"), lit(0L))), 6)
+          .as("jaccard"))
   }
 
   private val edgesCte: String =
@@ -221,6 +282,28 @@ object GraphQueries extends QueryPack {
          |), n AS (
          |  SELECT unnest([u, v1, v2]) AS node FROM t
          |)
-         |SELECT node, count(*) AS n_tri FROM n GROUP BY node""".stripMargin
+         |SELECT node, count(*) AS n_tri FROM n GROUP BY node""".stripMargin,
+
+    // All-pairs wedge join per edge — deliberately different from the
+    // Spark side's oriented-triangle explode (see embeddednessOf).
+    "q_graph_embeddedness" ->
+      s"""$edgesCte,
+         |cn AS (
+         |  SELECT e.src, e.dst, count(*) AS common
+         |  FROM edges e
+         |  JOIN edges x ON x.src = e.src
+         |  JOIN edges y ON y.src = e.dst AND y.dst = x.dst
+         |  WHERE e.src < e.dst
+         |  GROUP BY e.src, e.dst
+         |)
+         |SELECT e.src, e.dst,
+         |       COALESCE(c.common, 0) AS common_neighbors,
+         |       round(CAST(COALESCE(c.common, 0) AS DOUBLE) /
+         |             (da.outdeg + db.outdeg - COALESCE(c.common, 0)), 6) AS jaccard
+         |FROM edges e
+         |LEFT JOIN cn c ON c.src = e.src AND c.dst = e.dst
+         |JOIN deg da ON da.src = e.src
+         |JOIN deg db ON db.src = e.dst
+         |WHERE e.src < e.dst""".stripMargin
   )
 }

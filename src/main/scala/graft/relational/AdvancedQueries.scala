@@ -318,6 +318,29 @@ object AdvancedQueries extends QueryPack {
         .select(col("month"), col("sd").cast("double").as("revenue"),
           col("n_items"),
           round(col("sd").cast("double") / col("n_items"), 4).as("avg_rev"))
+    }),
+
+    // Weekly cohort retention: users grouped by their FIRST active week;
+    // each (cohort_week, week_offset) cell counts how many of that
+    // cohort were active that many weeks later — the standard
+    // growth-analytics retention triangle. One (user, week) distinct
+    // relation feeds both the cohort assignment and the activity matrix;
+    // the join and both aggregations key on user_id (co-partitioned),
+    // and the output is a constant |weeks|^2/2 cells at any corpus size.
+    // date_trunc('week') is Monday-aligned in both engines, so the
+    // day-difference divides by 7 exactly.
+    "q_events_retention" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .distinct()
+        .transform(graft.CacheScope.persisted(_))
+      val cohort = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .select(col("cohort_week"),
+          expr("datediff(week, cohort_week) div 7").cast("long").as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
     })
   )
 
@@ -362,6 +385,19 @@ object AdvancedQueries extends QueryPack {
         |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_rev
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    "q_events_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+        |)
+        |SELECT c.cohort_week,
+        |       CAST((ev.week - c.cohort_week) // 7 AS BIGINT) AS week_offset,
+        |       count(*) AS n_users
+        |FROM ev JOIN c ON c.user_id = ev.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_sql_grouping_sets" -> GSets,
     "q_sql_tpch_q3" -> Q3,

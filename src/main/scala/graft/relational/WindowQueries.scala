@@ -114,6 +114,18 @@ object WindowQueries extends QueryPack {
             .cast("double").as("val_24h"))
     }),
 
+    // Quartile bucketing within each user's event history (spend-tier
+    // labeling): ntile(4) with the unique (value, event_id) tiebreak, so
+    // bucket boundaries are deterministic. Partitioned by user_id like
+    // every window in this surface — high-cardinality at scale.
+    "q_window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
     // Per-group top-k: top-3 orders by value per customer.
     "q_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -154,6 +166,13 @@ object WindowQueries extends QueryPack {
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
         |       count(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        |FROM events""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT user_id, event_id, value,
+        |       CAST(ntile(4) OVER (PARTITION BY user_id
+        |                           ORDER BY value ASC, event_id ASC) AS INT)
+        |         AS quartile
         |FROM events""".stripMargin,
 
     "q_asof_join" ->

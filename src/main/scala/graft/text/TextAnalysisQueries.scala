@@ -265,6 +265,44 @@ object TextAnalysisQueries extends QueryPack {
             .as("avg_logprob"))
     }),
 
+    // Bigram-LM fluency scoring — the unigram model's next notch: each
+    // token's log-probability CONDITIONED on its predecessor,
+    // P(w2|w1) = n(w1,w2)/n(w1,·), averaged per document. Catches
+    // scrambled-but-common-words text that the unigram score rates
+    // fluent. Same decimal discipline as text_unigram_logprob. Scale
+    // shape: one bigram explode feeds the pair-vocab agg; the w1
+    // marginal derives from the pair vocab (vocab-sized input, not a
+    // second corpus pass), and the two scoring joins are AQE-gated
+    // broadcasts while the vocab fits. Docs with < 2 clean tokens have
+    // no bigrams and drop out in both engines.
+    "text_bigram_logprob" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+      // tokens materialized as their own projection (Shingles discipline:
+      // inlining the split into the lambda re-runs it per element_at).
+      val bg = docs(s, d)
+        .select(col("doc_id"),
+          filter(cleanTokens(col("text")), x => x =!= "").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .transform(graft.CacheScope.persisted(_))
+      val v2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+        .transform(graft.CacheScope.persisted(_))
+      val v1 = v2.groupBy("w1").agg(sum(col("n2")).as("n1"))
+      val lp = round(log(col("n2").cast("double") / col("n1").cast("double")), 9)
+        .cast(dec)
+      bg.join(v2, Seq("w1", "w2"))
+        .join(v1, Seq("w1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(lp).as("slp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("slp").cast("double") / col("n_bigrams"), 6)
+            .as("avg_logprob"))
+    }),
+
     // Zipf-law fit over the corpus vocabulary: OLS slope of ln(freq) vs
     // ln(rank) for the top-200 terms. A healthy natural-language corpus
     // sits near slope -1; a scrape full of boilerplate or spam drifts off
@@ -579,6 +617,33 @@ object TextAnalysisQueries extends QueryPack {
         |                          AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
         |         AS avg_logprob
         |FROM tok2 t JOIN vocab v ON v.tok = t.tok CROSS JOIN total s
+        |GROUP BY t.doc_id""".stripMargin,
+
+    "text_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +'),
+        |                     x -> x <> '') AS tk
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(tk)),
+        |                i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
+        |  FROM toks WHERE len(tk) >= 2
+        |), bg2 AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg
+        |), v2 AS (
+        |  SELECT w1, w2, count(*) AS n2 FROM bg2 GROUP BY 1, 2
+        |), v1 AS (
+        |  SELECT w1, sum(n2) AS n1 FROM v2 GROUP BY 1
+        |)
+        |SELECT t.doc_id, count(*) AS n_bigrams,
+        |       round(CAST(sum(CAST(round(ln(CAST(v.n2 AS DOUBLE) / CAST(o.n1 AS DOUBLE)), 9)
+        |                          AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+        |         AS avg_logprob
+        |FROM bg2 t
+        |JOIN v2 v ON v.w1 = t.w1 AND v.w2 = t.w2
+        |JOIN v1 o ON o.w1 = t.w1
         |GROUP BY t.doc_id""".stripMargin,
 
     "text_zipf" ->
