@@ -52,6 +52,18 @@ object DedupQueries extends QueryPack {
           .as("norm_md5"))
         .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))),
 
+    // Token-multiset dedup: hash the SORTED whitespace tokens, so
+    // word-order shuffles (sentence reordering, list resorting — common
+    // in scraped boilerplate) collapse to one group while any
+    // word-content change does not. Same one-shuffle shape as
+    // dedup_exact; sits between it and the similarity families on the
+    // strictness spectrum.
+    "dedup_token_sorted" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(md5(concat_ws(" ", array_sort(tokens(col("text")))))
+          .as("bag_md5"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))),
+
     // MinHash signatures (k=8 permutations as lexicographic md5 minima).
     "dedup_minhash" -> ((s, d) => signatures(docs(s, d))),
 
@@ -480,6 +492,11 @@ object DedupQueries extends QueryPack {
 
     "dedup_normalized" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5,
+        |       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_token_sorted" ->
+      """SELECT md5(array_to_string(list_sort(string_split_regex(lower(text), '\s+')), ' ')) AS bag_md5,
         |       min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
 

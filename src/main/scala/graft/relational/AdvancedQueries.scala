@@ -97,6 +97,27 @@ object AdvancedQueries extends QueryPack {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** TPC-H Q10-shaped "returned item reporting": revenue lost to returns
+    * per customer over a quarter-ish window, top-20. Exercises a 4-way
+    * join with two pushed-down filters (date range on orders, returnflag
+    * on lineitem — both must reach the scans), a decimal-exact revenue
+    * sum, and a deterministic TakeOrderedAndProject (ties by custkey).
+    */
+  private val Q10: String =
+    """SELECT c_custkey, c_name,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       c_acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |  AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   /** Scalar subquery: orders above the global average price. The average
     * goes through the exact-decimal formulation so both engines compute
     * the identical threshold.
@@ -150,6 +171,22 @@ object AdvancedQueries extends QueryPack {
         t(s, d, n).createOrReplaceTempView(n))
       s.sql(Q18)
     }),
+
+    "q_sql_tpch_q10" -> ((s, d) => {
+      Seq("customer", "orders", "lineitem", "nation").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(Q10)
+    }),
+
+    // Fixed-width histogram of order totals: the profiling primitive for
+    // choosing bucket boundaries / spotting skew before a heavy job. One
+    // partial-aggregated shuffle over a constant-size key space; floor of
+    // an IEEE division is engine-independent, and the per-bucket revenue
+    // goes through the exact decimal sum.
+    "q_histogram" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))),
 
     "q_sql_scalar_subquery" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders")
@@ -403,6 +440,12 @@ object AdvancedQueries extends QueryPack {
     "q_sql_tpch_q3" -> Q3,
     "q_sql_tpch_q5" -> Q5,
     "q_sql_tpch_q18" -> Q18,
+    "q_sql_tpch_q10" -> Q10,
+
+    "q_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+         |       count(*) AS n, ${dsumSql("o_totalprice", 2)} AS total
+         |FROM orders GROUP BY 1""".stripMargin,
     "q_sql_scalar_subquery" -> ScalarSub,
     "q_sql_exists" -> ExistsSub,
 

@@ -423,6 +423,28 @@ object TextAnalysisQueries extends QueryPack {
           bucket.as("b"), rate.as("r"))
         .filter(col("b") < col("r"))
         .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // Deterministic WEIGHTED sampling without replacement (the
+    // Efraimidis-Spirakis exponential race): each doc draws an
+    // md5-derived uniform u in (0,1) and races with key = -ln(u)/w; the
+    // 200 smallest keys are a weight-proportional sample — here weighted
+    // by document length, the "sample long docs preferentially" corpus
+    // shaping step. Scale shape: one narrow map + TakeOrderedAndProject
+    // (no global sort, never rand() — re-runs pick the SAME sample,
+    // which is the whole point vs df.sample). u = (h + 0.5) / 2^52 is
+    // exact double arithmetic on a 52-bit md5 prefix so it can never be
+    // 0 or 1; the key is round(,9)-pinned like every computed ln in this
+    // pack, with doc_id as the total-order tiebreak.
+    "text_sample_weighted" -> ((s, d) => {
+      val h = conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))),
+        1, 13), 16, 10).cast("long")
+      val u = (h.cast("double") + 0.5) / lit(4503599627370496.0)
+      val w = greatest(col("n_chars"), lit(1L)).cast("double")
+      docs(s, d)
+        .select(col("doc_id"), col("n_chars"), round(-log(u) / w, 9).as("race_key"))
+        .orderBy(col("race_key").asc, col("doc_id").asc)
+        .limit(200)
     })
   )
 
@@ -748,6 +770,15 @@ object TextAnalysisQueries extends QueryPack {
       s"""SELECT doc_id, lang, source
          |FROM documents
          |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
-         |      CASE lang ${MixRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")} ELSE 0 END""".stripMargin
+         |      CASE lang ${MixRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")} ELSE 0 END""".stripMargin,
+
+    "text_sample_weighted" ->
+      """SELECT doc_id, n_chars,
+        |       round(-ln((('0x' || substring(md5('ws:' || doc_id), 1, 13))::BIGINT + 0.5)
+        |                 / 4503599627370496.0)
+        |             / greatest(n_chars, 1), 9) AS race_key
+        |FROM documents
+        |ORDER BY race_key ASC, doc_id ASC
+        |LIMIT 200""".stripMargin
   )
 }
