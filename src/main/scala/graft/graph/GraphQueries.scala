@@ -132,7 +132,33 @@ object GraphQueries extends QueryPack {
     // and neighbor-set Jaccard for every undirected edge — the
     // link-prediction / community-strength primitive. See
     // [[embeddednessOf]] for the degree-ordered formulation.
-    "q_graph_embeddedness" -> ((s, d) => embeddednessOf(edges(s, d)))
+    "q_graph_embeddedness" -> ((s, d) => embeddednessOf(edges(s, d))),
+
+    // Connected components over ONE MONTH of the co-purchase graph — the
+    // SAME generic [[graft.dedup.DedupClusters]] fixpoint the dedup
+    // family uses, applied to a product graph (bundle discovery /
+    // catalog islands; the window is what a real catalog job would scope
+    // to, and it leaves genuine multi-component structure instead of one
+    // giant blob). Universe = ALL parts, so unpurchased parts come out
+    // as singletons. The date filter must prune at the orders scan
+    // before the lineitem join.
+    "q_graph_components" -> ((s, d) => {
+      val wnd = Tables.load(s, d, "lineitem")
+        .join(Tables.load(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-02-01").cast("timestamp"))
+            .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey")).agg(collect_set(col("l_partkey")).as("pks"))
+        .select(explode(col("pks")).as("src"), col("pks"))
+        .select(col("src"), explode(array_remove(col("pks"), col("src"))).as("dst"))
+        .distinct()
+      val und = wnd.filter(col("src") < col("dst"))
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+      graft.dedup.DedupClusters.clusters(und,
+          Tables.load(s, d, "part").select(col("p_partkey").as("doc_id")))
+        .select(col("doc_id").as("node"), col("cluster_id").as("component_id"))
+    })
   )
 
   /** Per-node triangle counts over any symmetric (src, dst) edge relation
@@ -304,6 +330,29 @@ object GraphQueries extends QueryPack {
          |LEFT JOIN cn c ON c.src = e.src AND c.dst = e.dst
          |JOIN deg da ON da.src = e.src
          |JOIN deg db ON db.src = e.dst
-         |WHERE e.src < e.dst""".stripMargin
+         |WHERE e.src < e.dst""".stripMargin,
+
+    // Recursive reachability + min — the same independent-algorithm
+    // oracle shape as dedup_clusters, over the windowed co-purchase
+    // graph.
+    "q_graph_components" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1996-02-01 00:00:00'
+        |), edges AS (
+        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+        |), reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+        |), comp AS (
+        |  SELECT node, min(r) AS component_id FROM reach GROUP BY node
+        |)
+        |SELECT p.p_partkey AS node,
+        |       COALESCE(c.component_id, p.p_partkey) AS component_id
+        |FROM part p LEFT JOIN comp c ON c.node = p.p_partkey""".stripMargin
   )
 }
