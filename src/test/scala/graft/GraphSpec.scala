@@ -74,6 +74,24 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     finally CacheScope.releaseAll() // drop this thread's builder pins
 
+  test("edge embeddedness on a planted graph: exact common neighbors and jaccard") {
+    // Triangle {1,2,3} with a pendant edge 3-4.
+    val g = sym((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val got =
+      try GraphQueries.embeddednessOf(edgesDf(g, 3))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      finally CacheScope.releaseAll()
+    // deg: 1->2, 2->2, 3->3, 4->1. Common neighbors: each triangle edge
+    // has exactly one; the pendant edge none.
+    assert(got == Map(
+      (1L, 2L) -> (1L, 0.333333), // 1/(2+2-1)
+      (1L, 3L) -> (1L, 0.25),     // 1/(2+3-1)
+      (2L, 3L) -> (1L, 0.25),
+      (3L, 4L) -> (0L, 0.0)), s"got $got")
+  }
+
   test("result is bit-identical under repartitioning") {
     val graph = sym((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L),
       (4L, 5L), (5L, 0L), (3L, 6L))
