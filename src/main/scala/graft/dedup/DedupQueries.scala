@@ -83,6 +83,44 @@ object DedupQueries extends QueryPack {
     // overlap). Body in [[containmentPairs]].
     "dedup_containment" -> ((s, d) => containmentPairs(docs(s, d))),
 
+    // INCREMENTAL dedup: which docs of a NEW batch are near-dups of the
+    // EXISTING corpus — the daily-ingest shape, where self-join dedup of
+    // the union wastes corpus x corpus work on pairs that were already
+    // adjudicated. The batch is a deterministic 20% md5 bucket of doc
+    // ids (the stand-in for "today's crawl" over synthetic data whose
+    // planted dups are uniform pairs). Candidates are the cross-slice of
+    // the LSH band collisions; at 100 TB the corpus side's band relation
+    // is a PRECOMPUTED index table the increment probes (the banding
+    // lineage here doubles as its definition), so per-day cost scales
+    // with the increment, not the corpus.
+    "dedup_incremental" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sh = docShingles(dd)
+        .transform(graft.CacheScope.persisted(_))
+      def isNew(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100 < 20
+      val cand0 = lshCandidates(sh)
+        .select(col("doc_a"), col("doc_b"),
+          isNew(col("doc_a")).as("na"), isNew(col("doc_b")).as("nb"))
+        .filter(col("na") =!= col("nb"))
+        .select(
+          when(col("na"), col("doc_a")).otherwise(col("doc_b")).as("doc_a"),
+          when(col("na"), col("doc_b")).otherwise(col("doc_a")).as("doc_b"))
+      val docarr = candArrays(sh, cand0)
+      cand0
+        .join(docarr.select(col("doc_id").as("doc_a"),
+          col("hs").as("hs_a"), col("sz").as("sz_a")), Seq("doc_a"), "left")
+        .join(docarr.select(col("doc_id").as("doc_b"),
+          col("hs").as("hs_b"), col("sz").as("sz_b")), Seq("doc_b"), "left")
+        .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_corpus"),
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("inter"),
+          col("sz_a"), col("sz_b"))
+        .select(col("doc_new"), col("doc_corpus"),
+          round(col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+    }),
+
     // SimHash values (64-bit, portable md5-nibble lanes). The md5 hex is
     // projected ONCE per token before the aggregate — one hash per token,
     // not one per lane.
@@ -610,6 +648,40 @@ object DedupQueries extends QueryPack {
          |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
          |JOIN sz za ON za.doc_id = c.doc_a
          |JOIN sz zb ON zb.doc_id = c.doc_b""".stripMargin,
+
+    // Cross-slice of the banding candidates, normalized to
+    // (new, corpus) direction, exact jaccard verify.
+    "dedup_incremental" ->
+      s"""$bandsCte,
+         |cand AS (
+         |  SELECT a.doc_id AS xa, b.doc_id AS xb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), flg AS (
+         |  SELECT xa, xb,
+         |         ('0x' || substring(md5(CAST(xa AS VARCHAR)), 1, 8))::BIGINT % 100 < 20 AS na,
+         |         ('0x' || substring(md5(CAST(xb AS VARCHAR)), 1, 8))::BIGINT % 100 < 20 AS nb
+         |  FROM cand
+         |), cs AS (
+         |  SELECT CASE WHEN na THEN xa ELSE xb END AS doc_new,
+         |         CASE WHEN na THEN xb ELSE xa END AS doc_corpus
+         |  FROM flg WHERE na <> nb
+         |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_new, c.doc_corpus, count(*) AS inter
+         |  FROM cs c
+         |  JOIN sh sa ON sa.doc_id = c.doc_new
+         |  JOIN sh sb ON sb.doc_id = c.doc_corpus AND sb.h = sa.h
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.doc_new, c.doc_corpus,
+         |       round(CAST(COALESCE(i.inter, 0) AS DOUBLE) /
+         |             (za.sz + zb.sz - COALESCE(i.inter, 0)), 6) AS jaccard
+         |FROM cs c
+         |LEFT JOIN inter i ON i.doc_new = c.doc_new AND i.doc_corpus = c.doc_corpus
+         |JOIN sz za ON za.doc_id = c.doc_new
+         |JOIN sz zb ON zb.doc_id = c.doc_corpus""".stripMargin,
 
     "dedup_simhash" -> s"$simhashCte SELECT doc_id, simhash FROM sh",
 
