@@ -131,6 +131,26 @@ object StreamingQueries extends QueryPack {
           col("ts").as("cross_ts"), col("cum").cast("double").as("cum_value"))
     }),
 
+    // Per-window top-k event types, batch evaluation of the
+    // [[WindowTopK]] operator's semantics (leaderboard/trending shape).
+    // Streaming has no rank in append mode, so the streaming twin is a
+    // flatMapGroupsWithState operator emitting each window's ranked
+    // top-3 exactly once when the watermark closes it (StreamingSpec
+    // asserts closed windows ≡ these rows). The window here partitions
+    // the rank — high-cardinality over time, never a global sort.
+    "stream_window_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("window_start"))
+        .orderBy(col("n").desc, col("event_type").asc)
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+          col("event_type"), col("n"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= WindowTopK.K)
+    }),
+
     // The custom flatMapGroupsWithState sessionizer (Sessionize), batch
     // evaluation — richer per-session state than session_window can carry
     // (distinct event-type count).
@@ -163,6 +183,21 @@ object StreamingQueries extends QueryPack {
          |SELECT user_id, event_id AS cross_event_id, ts AS cross_ts,
          |       CAST(cum AS DOUBLE) AS cum_value
          |FROM f WHERE rn = 1""".stripMargin,
+
+    "stream_window_topk" ->
+      s"""WITH c AS (
+         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         |         event_type, count(*) AS n
+         |  FROM events GROUP BY 1, 2
+         |), r AS (
+         |  SELECT window_start, event_type, n,
+         |         row_number() OVER (PARTITION BY window_start
+         |                            ORDER BY n DESC, event_type ASC) AS rnk
+         |  FROM c
+         |)
+         |SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+         |       event_type, n, CAST(rnk AS INT) AS rnk
+         |FROM r WHERE rnk <= ${WindowTopK.K}""".stripMargin,
 
     "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

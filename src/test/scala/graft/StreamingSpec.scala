@@ -259,6 +259,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stateful per-window top-k (flatMapGroupsWithState) == batch rank on closed windows") {
+    import graft.streaming.WindowTopK
+    val tmp = java.nio.file.Files.createTempDirectory("graft-topk").toString
+    // In-order single-file replay (sorted by ts, one batch) — the operator
+    // assumes watermark-consistent arrival; unordered multi-batch replay
+    // would make events late and the late-data guard would (correctly)
+    // drop them, diverging from the batch twin. Same discipline as the
+    // ThresholdCross spec. Windows close in the trailing no-data
+    // micro-batch once the watermark (max ts - 10 min) passes their end;
+    // the final ~10 minutes of windows may stay open — subset assertion.
+    Tables.load(spark, sfDir, "events")
+      .select(col("ts"), col("event_type"))
+      .orderBy(col("ts")).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+
+    val stream = WindowTopK.topk(WindowTopK.fromRaw(
+      spark.readStream
+        .schema(spark.read.parquet(tmp).schema)
+        .parquet(tmp)
+        .withWatermark("ts", "10 minutes")))
+
+    val q = stream.writeStream
+      .format("memory").queryName("topk_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(300000), "stream did not finish in time")
+    assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getTimestamp(1), r.getString(2), r.getLong(3), r.getInt(4))
+    val streamed = spark.table("topk_out").collect().map(key).toSet
+    // Batch side IS the registered query — drift-proof.
+    val batch = StreamingQueries.queries("stream_window_topk")(spark, sfDir)
+      .collect().map(key).toSet
+
+    assert(streamed.nonEmpty, "no windows closed")
+    val disagree = streamed -- batch
+    assert(disagree.isEmpty, s"closed windows disagree: ${disagree.take(3)}")
+    // Every CLOSED window must be complete: if any rank of a window
+    // streamed, all its batch ranks must have streamed.
+    val closedWindows = streamed.map(_._1)
+    val missing = batch.filter(b => closedWindows(b._1)) -- streamed
+    assert(missing.isEmpty, s"partially emitted window: ${missing.take(3)}")
+  }
+
   test("streaming session windows == batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     Tables.load(spark, sfDir, "events").write.mode("overwrite").parquet(tmp)
