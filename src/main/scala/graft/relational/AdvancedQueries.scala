@@ -118,6 +118,130 @@ object AdvancedQueries extends QueryPack {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q6-shaped "forecasting revenue change": the canonical
+    * scan-dominated query — no join, three pushed-down residuals, one
+    * global sum. At 100 TB this is the query where scan pruning and
+    * vectorized parquet decode are the whole cost; the plan must be a
+    * single WholeStageCodegen over the file scan.
+    */
+  private val Q6: String =
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q7-shaped "volume shipping": bidirectional nation-pair trade
+    * volume by ship year. The same dimension table (nation) joins TWICE
+    * under different aliases — the self-alias resolution stress — and the
+    * nation-pair disjunction can only be applied after both joins; both
+    * nation sides must still broadcast. year() is cast to BIGINT in the
+    * shared text (Spark year() is INT, DuckDB's is BIGINT).
+    */
+  private val Q7: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |WHERE s_suppkey = l_suppkey
+      |  AND o_orderkey = l_orderkey
+      |  AND c_custkey = o_custkey
+      |  AND s_nationkey = n1.n_nationkey
+      |  AND c_nationkey = n2.n_nationkey
+      |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin
+
+  /** TPC-H Q14-shaped "promotion effect": conditional-aggregate ratio over
+    * one month. The CASE keeps DECIMAL until both sums finish (a
+    * double-typed branch would make the ratio order-dependent); the testdata
+    * p_type is a single word, so the canonical LIKE 'PROMO%' degenerates to
+    * equality.
+    */
+  private val Q14: String =
+    """SELECT round(100.00 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'""".stripMargin
+
+  /** TPC-H Q19-shaped "discounted revenue": a three-branch disjunction
+    * where every branch mixes predicates from BOTH join sides (brand+size
+    * from part, quantity from lineitem). The optimizer must extract the
+    * per-table implications (p_brand IN (...), size/quantity bounds) and
+    * push them below the join while keeping the residual OR on top —
+    * the classic OR-pushdown stress. Adapted to this schema: no
+    * p_container/l_shipmode columns exist, so brand x size x quantity
+    * carry the disjunction.
+    */
+  private val Q19: String =
+    """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       count(*) AS n
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |          AND l_quantity >= 1 AND l_quantity <= 11)
+      |    OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 25
+      |          AND l_quantity >= 10 AND l_quantity <= 20)
+      |    OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35
+      |          AND l_quantity >= 20 AND l_quantity <= 30))""".stripMargin
+
+  /** TPC-H Q2-shaped "minimum cost supplier": a correlated scalar-min
+    * subquery — for each small part, every (supplier, line) achieving that
+    * part's minimum price. Catalyst rewrites the correlated min to an
+    * aggregate + join (no per-row probe); all ties are returned, so no
+    * LIMIT is needed for determinism. Adapted: this schema has no
+    * partsupp, so lineitem plays the part-supplier cost relation.
+    */
+  private val Q2Min: String =
+    """SELECT p_partkey, p_name, l_suppkey, l_orderkey, l_linenumber,
+      |       l_extendedprice AS min_price
+      |FROM part, lineitem
+      |WHERE p_partkey = l_partkey
+      |  AND p_size <= 5
+      |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+      |                         FROM lineitem l2
+      |                         WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H Q16-shaped "parts/supplier relationship": count-distinct
+    * suppliers per (brand, type, size) with a NOT IN subquery — the
+    * null-aware anti-join path (Spark plans a left-anti with the
+    * null-check; s_suppkey is non-null so it degenerates safely).
+    */
+  private val Q16: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part, lineitem
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand <> 'Brand#1'
+      |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q22-shaped "global sales opportunity": customers above the
+    * global positive-balance average with no urgent orders — a scalar
+    * subquery threshold AND a correlated NOT EXISTS anti-join feeding one
+    * grouped aggregate. Adapted: grouped by nation (this schema has no
+    * c_phone country code), and the anti-join condition is "no 1-URGENT
+    * order" because every synthetic customer has at least one order.
+    */
+  private val Q22: String =
+    s"""SELECT n_name, count(*) AS numcust,
+       |       ${dsumSql("c_acctbal", 2)} AS totacctbal
+       |FROM customer, nation
+       |WHERE c_nationkey = n_nationkey
+       |  AND c_acctbal > (SELECT ${dsumSql("c_acctbal", 2)} / count(*)
+       |                   FROM customer WHERE c_acctbal > 0.00)
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |                  AND o_orderpriority = '1-URGENT')
+       |GROUP BY n_name""".stripMargin
+
   /** Scalar subquery: orders above the global average price. The average
     * goes through the exact-decimal formulation so both engines compute
     * the identical threshold.
@@ -176,6 +300,47 @@ object AdvancedQueries extends QueryPack {
       Seq("customer", "orders", "lineitem", "nation").foreach(n =>
         t(s, d, n).createOrReplaceTempView(n))
       s.sql(Q10)
+    }),
+
+    "q_sql_tpch_q6" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(Q6)
+    }),
+
+    "q_sql_tpch_q7" -> ((s, d) => {
+      Seq("supplier", "lineitem", "orders", "customer", "nation").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(Q7)
+    }),
+
+    "q_sql_tpch_q14" -> ((s, d) => {
+      Seq("lineitem", "part").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(Q14)
+    }),
+
+    "q_sql_tpch_q19" -> ((s, d) => {
+      Seq("lineitem", "part").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(Q19)
+    }),
+
+    "q_sql_tpch_q2" -> ((s, d) => {
+      Seq("part", "lineitem").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(Q2Min)
+    }),
+
+    "q_sql_tpch_q16" -> ((s, d) => {
+      Seq("part", "lineitem", "supplier").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(Q16)
+    }),
+
+    "q_sql_tpch_q22" -> ((s, d) => {
+      Seq("customer", "nation", "orders").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(Q22)
     }),
 
     // Fixed-width histogram of order totals: the profiling primitive for
@@ -441,6 +606,13 @@ object AdvancedQueries extends QueryPack {
     "q_sql_tpch_q5" -> Q5,
     "q_sql_tpch_q18" -> Q18,
     "q_sql_tpch_q10" -> Q10,
+    "q_sql_tpch_q6" -> Q6,
+    "q_sql_tpch_q7" -> Q7,
+    "q_sql_tpch_q14" -> Q14,
+    "q_sql_tpch_q19" -> Q19,
+    "q_sql_tpch_q2" -> Q2Min,
+    "q_sql_tpch_q16" -> Q16,
+    "q_sql_tpch_q22" -> Q22,
 
     "q_histogram" ->
       s"""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
