@@ -143,23 +143,41 @@ object GraphQueries extends QueryPack {
     // as singletons. The date filter must prune at the orders scan
     // before the lineitem join.
     "q_graph_components" -> ((s, d) => {
-      val wnd = Tables.load(s, d, "lineitem")
-        .join(Tables.load(s, d, "orders")
-            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-              col("o_orderdate") < lit("1996-02-01").cast("timestamp"))
-            .select(col("o_orderkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("l_orderkey")).agg(collect_set(col("l_partkey")).as("pks"))
-        .select(explode(col("pks")).as("src"), col("pks"))
-        .select(col("src"), explode(array_remove(col("pks"), col("src"))).as("dst"))
-        .distinct()
-      val und = wnd.filter(col("src") < col("dst"))
+      val und = windowedEdges(s, d).filter(col("src") < col("dst"))
         .select(col("src").as("doc_a"), col("dst").as("doc_b"))
       graft.dedup.DedupClusters.clusters(und,
           Tables.load(s, d, "part").select(col("p_partkey").as("doc_id")))
         .select(col("doc_id").as("node"), col("cluster_id").as("component_id"))
-    })
+    }),
+
+    // 3-core of the same one-month co-purchase graph: the bundle
+    // backbone after iterative peeling (see [[KCore]] for the fixpoint
+    // policy). The oracle unrolls 8 peel rounds — double the measured
+    // depth at sf0.1 (4) — so an insufficient unroll fails loudly as a
+    // hash mismatch, never silently.
+    "q_graph_kcore" -> ((s, d) => KCore.kcore(windowedEdges(s, d), CoreK))
   )
+
+  /** k for the registered k-core query. */
+  val CoreK = 3
+
+  /** Symmetric directed co-purchase edges restricted to ONE MONTH of
+    * orders (the scoping a real catalog job would use; it also keeps the
+    * recursive/unrolled oracles small — see the verify-workflow notes).
+    * The date filter must prune at the orders scan before the lineitem
+    * join. Shared by q_graph_components and q_graph_kcore.
+    */
+  private def windowedEdges(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "lineitem")
+      .join(Tables.load(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-02-01").cast("timestamp"))
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey")).agg(collect_set(col("l_partkey")).as("pks"))
+      .select(explode(col("pks")).as("src"), col("pks"))
+      .select(col("src"), explode(array_remove(col("pks"), col("src"))).as("dst"))
+      .distinct()
 
   /** Per-node triangle counts over any symmetric (src, dst) edge relation
     * — shared by the registered query and GraphSpec's planted graphs, so
@@ -270,7 +288,39 @@ object GraphQueries extends QueryPack {
        |)""".stripMargin
   }
 
+  /** The windowed-graph CTE prefix shared by the components and k-core
+    * oracles (one month of orders).
+    */
+  private val windowedEdgesCte: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o.o_orderdate < TIMESTAMP '1996-02-01 00:00:00'
+      |), edges AS (
+      |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+      |)""".stripMargin
+
+  /** One unrolled peel round i for the k-core oracle (reads s{i-1}). */
+  private def peelCte(i: Int): String =
+    s"""s$i AS (
+       |  SELECT e.src AS node, count(*) AS core_deg
+       |  FROM edges e
+       |  JOIN s${i - 1} a ON a.node = e.src
+       |  JOIN s${i - 1} b ON b.node = e.dst
+       |  GROUP BY e.src HAVING count(*) >= $CoreK
+       |)""".stripMargin
+
   override val oracles: Map[String, String] = Map(
+    // Unrolled peeling, 8 rounds (measured depth: 3 at sf0.01, 4 at
+    // sf0.1; too few rounds = loud hash mismatch, never silent).
+    "q_graph_kcore" ->
+      s"""$windowedEdgesCte,
+         |s0 AS (SELECT DISTINCT src AS node FROM edges),
+         |${(1 to 8).map(peelCte).mkString(",\n")}
+         |SELECT node, core_deg FROM s8""".stripMargin,
+
     "q_graph_pagerank" ->
       s"""$edgesCte,
          |ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.src = e.src),

@@ -213,6 +213,29 @@ object TextAnalysisQueries extends QueryPack {
         .limit(50)
     }),
 
+    // One step of BPE tokenizer training: adjacent character-pair
+    // frequencies weighted by word frequency, top-50 merge candidates.
+    // The corpus is touched ONCE to build the word-frequency vocab; pair
+    // generation then runs over the VOCAB (distinct words), not the
+    // corpus — the classic BPE trick that keeps every merge iteration
+    // vocab-sized no matter the corpus scale. Each adjacent occurrence
+    // inside a word counts ("aaa" contributes "a a" twice), matching the
+    // Sennrich et al. training loop. Total order (n desc, pair asc).
+    "text_bpe_merge" -> ((s, d) => {
+      val vocab = docs(s, d)
+        .select(explode(cleanTokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("wn"))
+      vocab
+        .filter(length(col("word")) >= 2)
+        .select(explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => concat(col("word").substr(i, lit(1)), lit(" "),
+            col("word").substr(i + 1, lit(1))))).as("pair"), col("wn"))
+        .groupBy("pair").agg(sum(col("wn")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(50)
+    }),
+
     // Sliding-window token chunking (training-data prep): 32-token
     // chunks, stride 16 (50% overlap — sized to the testdata's ~100-token
     // docs so the multi-chunk path is actually exercised; a production
@@ -604,6 +627,22 @@ object TextAnalysisQueries extends QueryPack {
         |)
         |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin,
+
+    "text_bpe_merge" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS word
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT word, count(*) AS wn FROM tok WHERE word <> '' GROUP BY word
+        |), pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(word)),
+        |           i -> substr(word, i, 1) || ' ' || substr(word, i + 1, 1))) AS pair,
+        |         wn
+        |  FROM vocab WHERE length(word) >= 2
+        |)
+        |SELECT pair, CAST(sum(wn) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
 
     "text_chunk" ->
       """WITH toks AS (

@@ -99,4 +99,38 @@ class GraphSpec extends SparkSpec {
     val b = ranks(edgesDf(graph.reverse, 7))
     assert(a == b, "fixed-point ranks must not depend on partitioning/order")
   }
+
+  test("k-core peels a pendant path in cascading rounds; exact core") {
+    // K4 clique {0,1,2,3} with a path 3-10-11-12 hanging off it. At k=2
+    // the path peels ONE node per round from the free end (12, then 11,
+    // then 10) — the cascade that distinguishes iterative peeling from a
+    // single degree filter — and the 2-core is exactly the clique.
+    val clique = for (a <- 0L to 3L; b <- 0L to 3L if a != b) yield (a, b)
+    val graph = clique ++ sym((3L, 10L), (10L, 11L), (11L, 12L))
+    val core =
+      try graft.graph.KCore.kcore(edgesDf(graph, 4), k = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally CacheScope.releaseAll()
+    assert(core == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      s"2-core must be the K4 with in-core degree 3, got $core")
+
+    // A single degree filter would WRONGLY keep 10 and 11 (degree 2 in
+    // the full graph); peeling needs 4 rounds (3 removals + the
+    // confirming pass), so a cap of 3 must hard-fail, not return the
+    // partial set.
+    val thrown = intercept[IllegalStateException] {
+      try graft.graph.KCore.kcore(edgesDf(graph, 4), k = 2, maxRounds = 3)
+        .collect()
+      finally CacheScope.releaseAll()
+    }
+    assert(thrown.getMessage.contains("confirmed fixpoint"))
+  }
+
+  test("k-core of a graph with no k-core is empty, and converges") {
+    val path = sym((0L, 1L), (1L, 2L), (2L, 3L))
+    val core =
+      try graft.graph.KCore.kcore(edgesDf(path, 2), k = 3).collect()
+      finally CacheScope.releaseAll()
+    assert(core.isEmpty)
+  }
 }
