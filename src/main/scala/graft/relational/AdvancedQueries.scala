@@ -522,6 +522,38 @@ object AdvancedQueries extends QueryPack {
           round(col("sd").cast("double") / col("n_items"), 4).as("avg_rev"))
     }),
 
+    // CDC merge / upsert (MERGE INTO semantics without a transactional
+    // table format): apply a change batch to a standing snapshot, change
+    // rows winning on key conflict. Base = orders before 1999; delta = a
+    // derived adjustment feed for 1998+ (1998 overlaps base -> updates;
+    // 1999+ -> inserts). The merge is ONE shuffle: union the two sides
+    // with a version tag and take max(struct(ver, ...)) per key — the
+    // same argmax-without-a-window discipline as dedup_keep_best; a full
+    // outer join formulation would shuffle both sides anyway and then
+    // need COALESCE per column. The oracle is the INDEPENDENT
+    // delta-UNION-(base ANTI delta) formulation, so a precedence bug in
+    // either shape breaks the match. The delta price is base + 1000.0
+    // exactly (no rounding step — cross-engine double rounding of
+    // computed values is the known hash hazard).
+    "q_cdc_merge" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val base = orders
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+          lit(0L).as("ver"))
+      val delta = orders
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + lit(1000.0)).as("o_totalprice"),
+          lit("U").as("o_orderstatus"), lit(1L).as("ver"))
+      base.unionByName(delta)
+        .groupBy("o_orderkey")
+        .agg(max(struct(col("ver"), col("o_totalprice"),
+          col("o_orderstatus"))).as("m"))
+        .select(col("o_orderkey"), col("m.o_totalprice").as("o_totalprice"),
+          col("m.o_orderstatus").as("o_orderstatus"), col("m.ver").as("ver"))
+    }),
+
     // Weekly cohort retention: users grouped by their FIRST active week;
     // each (cohort_week, week_offset) cell counts how many of that
     // cohort were active that many weeks later — the standard
@@ -600,6 +632,22 @@ object AdvancedQueries extends QueryPack {
         |       count(*) AS n_users
         |FROM ev JOIN c ON c.user_id = ev.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // Independent formulation: delta wins by construction (anti-join).
+    "q_cdc_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(0 AS BIGINT) AS ver
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |), delta AS (
+        |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+        |         'U' AS o_orderstatus, CAST(1 AS BIGINT) AS ver
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |)
+        |SELECT * FROM delta
+        |UNION ALL
+        |SELECT b.* FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM delta d
+        |                  WHERE d.o_orderkey = b.o_orderkey)""".stripMargin,
 
     "q_sql_grouping_sets" -> GSets,
     "q_sql_tpch_q3" -> Q3,

@@ -134,10 +134,52 @@ object WindowQueries extends QueryPack {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+
+    // SCD type-2 interval assembly: collapse each user's event stream to
+    // its event_type CHANGE POINTS and attach [valid_from, valid_to)
+    // validity intervals — the slowly-changing-dimension build step of a
+    // warehouse load. Two user-partitioned windows over the SAME
+    // (partition, order): the change-point filter between them shrinks
+    // the data, and Catalyst runs both in one sort — the filter preserves
+    // the sort order, so the second Window adds NO exchange and no
+    // re-sort. valid_to is NULL on each user's current row
+    // (is_current = 1). Ties in ts break by event_id in both engines.
+    "q_scd2_intervals" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("event_id"),
+          lead(col("ts"), 1).over(w).as("valid_to"))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"),
+          when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
     })
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_scd2_intervals" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM events
+        |), ch AS (
+        |  SELECT user_id, event_type, ts AS valid_from, event_id
+        |  FROM c WHERE prev IS NULL OR prev <> event_type
+        |)
+        |SELECT user_id, event_type, valid_from,
+        |       lead(valid_from) OVER (PARTITION BY user_id
+        |                              ORDER BY valid_from ASC, event_id ASC) AS valid_to,
+        |       CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+        |                    ORDER BY valid_from ASC, event_id ASC) IS NULL
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM ch""".stripMargin,
+
     "q_window_rownum" ->
       """SELECT user_id, event_id, event_type, rn FROM (
         |  SELECT user_id, event_id, event_type,
