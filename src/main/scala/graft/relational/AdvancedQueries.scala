@@ -522,19 +522,17 @@ object AdvancedQueries extends QueryPack {
           round(col("sd").cast("double") / col("n_items"), 4).as("avg_rev"))
     }),
 
-    // CDC merge / upsert (MERGE INTO semantics without a transactional
-    // table format): apply a change batch to a standing snapshot, change
-    // rows winning on key conflict. Base = orders before 1999; delta = a
-    // derived adjustment feed for 1998+ (1998 overlaps base -> updates;
-    // 1999+ -> inserts). The merge is ONE shuffle: union the two sides
-    // with a version tag and take max(struct(ver, ...)) per key — the
-    // same argmax-without-a-window discipline as dedup_keep_best; a full
-    // outer join formulation would shuffle both sides anyway and then
-    // need COALESCE per column. The oracle is the INDEPENDENT
-    // delta-UNION-(base ANTI delta) formulation, so a precedence bug in
-    // either shape breaks the match. The delta price is base + 1000.0
-    // exactly (no rounding step — cross-engine double rounding of
-    // computed values is the known hash hazard).
+    // CDC merge / upsert through [[graft.operators.Upsert]] (MERGE INTO
+    // semantics; see that object for the one-shuffle argmax design).
+    // Base = orders before 1999; delta = a derived adjustment feed for
+    // 1998+ (1998 overlaps base -> updates; 1999+ -> inserts). The
+    // oracle is the INDEPENDENT delta-UNION-(base ANTI delta)
+    // formulation, so a precedence bug in either shape breaks the match.
+    // The delta price is base + 1000.0 exactly (no rounding step —
+    // cross-engine double rounding of computed values is the known hash
+    // hazard). StreamingSpec replays the same delta through a
+    // foreachBatch sink built on the same Upsert.upsert and asserts
+    // convergence to this result.
     "q_cdc_merge" -> ((s, d) => {
       val orders = t(s, d, "orders")
       val base = orders
@@ -546,12 +544,7 @@ object AdvancedQueries extends QueryPack {
         .select(col("o_orderkey"),
           (col("o_totalprice") + lit(1000.0)).as("o_totalprice"),
           lit("U").as("o_orderstatus"), lit(1L).as("ver"))
-      base.unionByName(delta)
-        .groupBy("o_orderkey")
-        .agg(max(struct(col("ver"), col("o_totalprice"),
-          col("o_orderstatus"))).as("m"))
-        .select(col("o_orderkey"), col("m.o_totalprice").as("o_totalprice"),
-          col("m.o_orderstatus").as("o_orderstatus"), col("m.ver").as("ver"))
+      graft.operators.Upsert.upsert(base, delta, "o_orderkey", "ver")
     }),
 
     // Weekly cohort retention: users grouped by their FIRST active week;

@@ -305,6 +305,61 @@ class StreamingSpec extends SparkSpec {
     assert(missing.isEmpty, s"partially emitted window: ${missing.take(3)}")
   }
 
+  test("foreachBatch upsert sink converges to the batch CDC merge") {
+    import graft.operators.Upsert
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val orders = Tables.load(spark, sfDir, "orders")
+
+    // Seed the standing state with the base snapshot (ver 0)...
+    orders.filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        lit(0L).as("ver"))
+      .write.parquet(s"$root/state/v0")
+    // ...and replay the change feed (ver 1) as a MULTI-batch stream: keys
+    // are unique in the delta, so the merged state is independent of how
+    // the files chunk into micro-batches.
+    orders.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + lit(1000.0)).as("o_totalprice"),
+        lit("U").as("o_orderstatus"), lit(1L).as("ver"))
+      .repartition(6).write.parquet(s"$root/delta")
+
+    // The versioned-directory swap stands in for a transactional commit:
+    // each micro-batch publishes a NEW state version (never overwrites
+    // the one it read), which is also what makes batch replay safe.
+    var cur = s"$root/state/v0"
+    val q = spark.readStream
+      .schema(spark.read.parquet(s"$root/delta").schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(s"$root/delta")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val next = s"$root/state/v${id + 1}"
+        Upsert.upsert(spark.read.parquet(cur), batch, "o_orderkey", "ver")
+          .write.parquet(next)
+        cur = next
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(300000), "stream did not finish in time")
+    assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    assert(cur != s"$root/state/v0", "no micro-batch ran")
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3))
+    val streamed = spark.read.parquet(cur)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), col("ver"))
+      .collect().map(key).toSet
+    // The batch side IS the registered query — drift-proof.
+    val batch = graft.relational.AdvancedQueries.queries("q_cdc_merge")(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), col("ver"))
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      s"incremental upserts must converge to the one-shot merge " +
+        s"(missing=${(batch -- streamed).take(3)}, extra=${(streamed -- batch).take(3)})")
+  }
+
   test("streaming session windows == batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     Tables.load(spark, sfDir, "events").write.mode("overwrite").parquet(tmp)
