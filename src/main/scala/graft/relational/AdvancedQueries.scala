@@ -547,6 +547,22 @@ object AdvancedQueries extends QueryPack {
       graft.operators.Upsert.upsert(base, delta, "o_orderkey", "ver")
     }),
 
+    // 2D skyline / Pareto frontier over a quarter of orders: the
+    // "cheapest and latest" non-dominated set — see
+    // [[graft.operators.Skyline]] for the bucketed two-phase design that
+    // replaces the quadratic all-pairs check. The oracle IS that
+    // quadratic check (NOT EXISTS a dominator), an independent
+    // formulation kept tractable by the date window.
+    "q_skyline" -> ((s, d) => {
+      val pts = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("o_totalprice").as("price"),
+          col("o_orderdate").as("odate"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Skyline.skyline2D(pts, "price", "odate", 50000.0)
+    }),
+
     // Weekly cohort retention: users grouped by their FIRST active week;
     // each (cohort_week, week_offset) cell counts how many of that
     // cohort were active that many weeks later — the standard
@@ -625,6 +641,21 @@ object AdvancedQueries extends QueryPack {
         |       count(*) AS n_users
         |FROM ev JOIN c ON c.user_id = ev.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // Independent all-pairs dominance check (see q_skyline's comment).
+    "q_skyline" ->
+      """WITH p AS (
+        |  SELECT o_totalprice AS price, o_orderdate AS odate, count(*) AS n
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT price, odate, n FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price <= a.price AND b.odate >= a.odate
+        |    AND (b.price < a.price OR b.odate > a.odate))""".stripMargin,
 
     // Independent formulation: delta wins by construction (anti-join).
     "q_cdc_merge" ->

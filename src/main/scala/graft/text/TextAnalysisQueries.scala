@@ -213,6 +213,24 @@ object TextAnalysisQueries extends QueryPack {
         .limit(50)
     }),
 
+    // Inverted-index build (the search/retrieval primitive): term ->
+    // document frequency + the posting list's first 32 doc ids. One
+    // distinct (term, doc) relation, one aggregation; the posting list is
+    // numerically sorted then joined to a string so the hash compare is
+    // order-stable. At 100 TB posting lists are sharded by doc-id range
+    // (the group key becomes (term, shard)) — the truncation here stands
+    // where a shard boundary would; df stays exact and global.
+    "text_inverted_index" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), explode(cleanTokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .distinct()
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          array_join(transform(slice(array_sort(collect_list(col("doc_id"))), 1, 32),
+            x => x.cast("string")), ",").as("postings"))
+    }),
+
     // One step of BPE tokenizer training: adjacent character-pair
     // frequencies weighted by word frequency, top-50 merge candidates.
     // The corpus is touched ONCE to build the word-frequency vocab; pair
@@ -627,6 +645,19 @@ object TextAnalysisQueries extends QueryPack {
         |)
         |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin,
+
+    "text_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS term
+        |  FROM documents
+        |), td AS (
+        |  SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''
+        |)
+        |SELECT term, count(*) AS df,
+        |       array_to_string(list_sort(list(doc_id))[1:32], ',') AS postings
+        |FROM td
+        |GROUP BY term""".stripMargin,
 
     "text_bpe_merge" ->
       """WITH tok AS (
