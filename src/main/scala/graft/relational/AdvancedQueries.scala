@@ -547,6 +547,42 @@ object AdvancedQueries extends QueryPack {
       graft.operators.Upsert.upsert(base, delta, "o_orderkey", "ver")
     }),
 
+    // Mergeable histogram quantile: approximate p50/p90/p99 from
+    // fixed-width bucket counts with linear interpolation — the
+    // constant-state quantile a 100 TB profiler keeps (bucket counts
+    // merge across shards/days by addition, unlike an exact sort-rank;
+    // q_percentile is the exact sibling). One partial-agg shuffle over a
+    // constant keyspace; the cumulative sum and the per-quantile argmin
+    // run on the constant-size bucket relation via broadcast self-join —
+    // no global window, no collect. Every interpolated value derives
+    // from integer counts and the fixed width, so the double arithmetic
+    // is bit-identical across engines.
+    "q_quantile_sketch" -> ((s, d) => {
+      val W = 50000.0
+      val b = t(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / W).cast("long").as("b"))
+        .agg(count(lit(1)).as("bn"))
+        .transform(graft.CacheScope.persisted(_))
+      val tot = b.agg(sum(col("bn")).as("total"))
+      val cum = b
+        .join(broadcast(b.select(col("b").as("b2"), col("bn").as("bn2"))),
+          col("b2") <= col("b"))
+        .groupBy(col("b"), col("bn"))
+        .agg(sum(col("bn2")).as("cum"))
+      val qs = b.sparkSession.range(1)
+        .select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+      cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qs))
+        .withColumn("k", ceil(col("q") * col("total")).cast("long"))
+        .filter(col("cum") >= col("k"))
+        .groupBy(col("q"), col("k"))
+        .agg(min(struct(col("b"), col("bn"), col("cum"))).as("m"))
+        .select(col("q"),
+          round(lit(W) * col("m.b") +
+            lit(W) * (col("k") - (col("m.cum") - col("m.bn"))).cast("double") /
+              col("m.bn"), 6).as("value"),
+          col("k").as("rank"))
+    }),
+
     // 2D skyline / Pareto frontier over a quarter of orders: the
     // "cheapest and latest" non-dominated set — see
     // [[graft.operators.Skyline]] for the bucketed two-phase design that
@@ -641,6 +677,30 @@ object AdvancedQueries extends QueryPack {
         |       count(*) AS n_users
         |FROM ev JOIN c ON c.user_id = ev.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_quantile_sketch" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS b, count(*) AS bn
+        |  FROM orders GROUP BY 1
+        |), c AS (
+        |  SELECT b, bn, CAST(sum(bn) OVER (ORDER BY b) AS BIGINT) AS cum FROM b
+        |), t AS (
+        |  SELECT CAST(sum(bn) AS BIGINT) AS total FROM b
+        |), q AS (
+        |  SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q
+        |), hit AS (
+        |  SELECT q.q, CAST(ceil(q.q * t.total) AS BIGINT) AS k,
+        |         c.b, c.bn, c.cum,
+        |         row_number() OVER (PARTITION BY q.q ORDER BY c.b) AS rn
+        |  FROM c, t, q
+        |  WHERE c.cum >= CAST(ceil(q.q * t.total) AS BIGINT)
+        |)
+        |SELECT q,
+        |       round(CAST(50000 AS DOUBLE) * b +
+        |             CAST(50000 AS DOUBLE) * CAST(k - (cum - bn) AS DOUBLE) / bn,
+        |             6) AS value,
+        |       k AS rank
+        |FROM hit WHERE rn = 1""".stripMargin,
 
     // Independent all-pairs dominance check (see q_skyline's comment).
     "q_skyline" ->
