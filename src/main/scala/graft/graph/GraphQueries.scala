@@ -167,7 +167,7 @@ object GraphQueries extends QueryPack {
     * The date filter must prune at the orders scan before the lineitem
     * join. Shared by q_graph_components and q_graph_kcore.
     */
-  private def windowedEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def windowedEdges(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "lineitem")
       .join(Tables.load(s, d, "orders")
           .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&

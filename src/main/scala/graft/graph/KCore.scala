@@ -36,32 +36,89 @@ object KCore {
     * O(n/2) — which is why exhaustion must throw rather than return the
     * half-peeled set.
     */
+  /** Target edges per state partition: iterative state wants FEW, FULL
+    * partitions (the DedupClusters sizing) — at tested SFs the windowed
+    * graph collapses to 1-2 partitions and each peel round is a handful
+    * of small tasks instead of 32 near-empty ones; at 100 TB the same
+    * rule yields thousands of right-sized tasks.
+    */
+  val EdgesPerPartition = 500000L
+
+  /** Partition-local peel over one partition's edges (src-partitioned,
+    * symmetric graph): within a partition every src node's FULL edge list
+    * is present, so its local degree only ever OVERESTIMATES its true
+    * current degree (a foreign dst's removal is unseen) — the local
+    * cascade therefore removes only nodes the global peel would also
+    * remove, from any partitioning. The [[graft.dedup.DedupClusters]]
+    * seedLocal analogue: at tested SFs the whole windowed graph sits in
+    * one state partition, so this IS the full peel and the global loop
+    * confirms in one round instead of walking the cascade depth.
+    * k-cores are unique, so the result is peel-order-independent.
+    */
+  private def localPeel(k: Int)(
+      rows: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val edges = rows.toArray
+    val deg = scala.collection.mutable.HashMap.empty[Long, Int]
+    edges.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0) + 1 }
+    val adj = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    edges.foreach { case (s, t) =>
+      adj.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += t
+    }
+    val removed = scala.collection.mutable.HashSet.empty[Long]
+    val queue = scala.collection.mutable.Queue.empty[Long]
+    deg.foreach { case (n, dg) => if (dg < k) queue += n }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      if (!removed(u)) {
+        removed += u
+        // symmetric: (u, v) local implies v lost the edge (v, u)
+        adj.getOrElse(u, Nil).foreach { v =>
+          if (deg.contains(v) && !removed(v)) {
+            deg(v) -= 1
+            if (deg(v) == k - 1) queue += v
+          }
+        }
+      }
+    }
+    edges.iterator.filter { case (s, t) => !removed(s) && !removed(t) }
+  }
+
   def kcore(edges: DataFrame, k: Int, maxRounds: Int = 30,
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true, seedLocal: Boolean = true): DataFrame = {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    var e = edges.transform(graft.CacheScope.persisted(_))
-    var prev = e.select(col("src")).distinct().count()
+    val e0 = edges.transform(graft.CacheScope.persisted(_))
+    val m = e0.count()
+    val parts = math.max(1, math.min(
+      e0.sparkSession.sparkContext.defaultParallelism,
+      (m / EdgesPerPartition).toInt + 1))
+    val ePart = e0.repartition(parts, col("src"))
+    var e = (if (seedLocal) {
+      import e0.sparkSession.implicits._
+      ePart.select(col("src"), col("dst")).as[(Long, Long)]
+        .mapPartitions(localPeel(k)).toDF("src", "dst")
+    } else ePart)
+      .transform(graft.CacheScope.persisted(_))
     var survivors: DataFrame = null
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
-      survivors = e.groupBy("src").agg(count(lit(1)).as("core_deg"))
-        .filter(col("core_deg") >= k)
+      // ONE action per round: the degree agg materializes and the count
+      // of sub-k nodes decides convergence (zero removed = a confirmed
+      // fixpoint — every degree was computed within the surviving set).
+      val deg = e.groupBy("src").agg(count(lit(1)).as("core_deg"))
         .transform(graft.CacheScope.persisted(_))
-      val n = survivors.count()
-      if (n == prev) {
-        // This round removed nothing: every surviving degree was already
-        // computed within the surviving set — a confirmed fixpoint.
+      val nRemoved = deg.filter(col("core_deg") < k).count()
+      if (nRemoved == 0) {
         converged = true
+        survivors = deg
       } else {
-        prev = n
-        val s = survivors.select(col("src").as("node"))
+        val s = deg.filter(col("core_deg") >= k).select(col("src").as("node"))
         e = e.join(s, col("src") === col("node"), "left_semi")
           .join(s, col("dst") === col("node"), "left_semi")
           .transform(graft.CacheScope.persisted(_))
       }
-      log.info(s"[graft] kcore round $round: $prev nodes alive")
+      log.info(s"[graft] kcore round $round: removed $nRemoved")
     }
     if (!converged) {
       val msg = s"KCore did not reach a confirmed fixpoint in $maxRounds " +

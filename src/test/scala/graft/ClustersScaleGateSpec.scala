@@ -95,4 +95,40 @@ class ClustersScaleGateSpec extends SparkSpec {
       SparkEntry.queries("dedup_semantic_clusters")(spark, sf01),
       universe, "vec_a", "vec_b", "vec_id")
   }
+
+  /** Reference k-core: naive sequential whole-graph peeling — recompute
+    * ALL degrees each round, drop sub-k nodes, repeat. Deliberately
+    * nothing in common with the distributed local-seed + semi-join
+    * fixpoint (or its mapPartitions cascade) under test.
+    */
+  private def expectedKCore(edges: Seq[(Long, Long)],
+      k: Int): Map[Long, Long] = {
+    var alive = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    var done = false
+    var deg = Map.empty[Long, Long]
+    while (!done) {
+      deg = edges.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+      val next = deg.collect { case (n, dg) if dg >= k => n }.toSet
+      done = next == alive
+      alive = next
+    }
+    deg.filter { case (n, _) => alive(n) }
+  }
+
+  test("sf0.1: q_graph_kcore matches a sequential whole-graph peel exactly") {
+    requireSf01()
+    val edges = graft.graph.GraphQueries.windowedEdges(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    CacheScope.releaseAll()
+    assert(edges.nonEmpty, "gate needs a non-trivial windowed graph")
+    val expected = expectedKCore(edges, graft.graph.GraphQueries.CoreK)
+    val got = SparkEntry.queries("q_graph_kcore")(spark, sf01)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheScope.releaseAll()
+    assert(got == expected,
+      s"k-core diverges from the sequential peel: " +
+        s"missing=${(expected.keySet -- got.keySet).take(5)}, " +
+        s"extra=${(got.keySet -- expected.keySet).take(5)}")
+  }
 }

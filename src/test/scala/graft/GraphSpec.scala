@@ -107,19 +107,25 @@ class GraphSpec extends SparkSpec {
     // single degree filter — and the 2-core is exactly the clique.
     val clique = for (a <- 0L to 3L; b <- 0L to 3L if a != b) yield (a, b)
     val graph = clique ++ sym((3L, 10L), (10L, 11L), (11L, 12L))
-    val core =
-      try graft.graph.KCore.kcore(edgesDf(graph, 4), k = 2)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      finally CacheScope.releaseAll()
-    assert(core == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
-      s"2-core must be the K4 with in-core degree 3, got $core")
+    // The partition-local seed must give the SAME core from any
+    // partitioning (here: many tiny partitions, so the local peel sees
+    // fragments and the global loop finishes the cascade)...
+    for (parts <- Seq(1, 4, 9)) {
+      val core =
+        try graft.graph.KCore.kcore(edgesDf(graph, parts), k = 2)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally CacheScope.releaseAll()
+      assert(core == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+        s"2-core must be the K4 with in-core degree 3 (parts=$parts), got $core")
+    }
 
-    // A single degree filter would WRONGLY keep 10 and 11 (degree 2 in
-    // the full graph); peeling needs 4 rounds (3 removals + the
-    // confirming pass), so a cap of 3 must hard-fail, not return the
-    // partial set.
+    // ...and the BARE global fixpoint (seedLocal=false) needs 4 rounds
+    // here (3 one-node removals + the confirming pass) — a single degree
+    // filter would wrongly keep 10 and 11 (degree 2 in the full graph) —
+    // so a cap of 3 must hard-fail, not return the partial set.
     val thrown = intercept[IllegalStateException] {
-      try graft.graph.KCore.kcore(edgesDf(graph, 4), k = 2, maxRounds = 3)
+      try graft.graph.KCore.kcore(edgesDf(graph, 4), k = 2, maxRounds = 3,
+          seedLocal = false)
         .collect()
       finally CacheScope.releaseAll()
     }
