@@ -547,6 +547,40 @@ object AdvancedQueries extends QueryPack {
       graft.operators.Upsert.upsert(base, delta, "o_orderkey", "ver")
     }),
 
+    // Data-quality constraint audit (the Deequ/dbt-test shape): one scan
+    // computes every column-level check as a conditional aggregate —
+    // key uniqueness, non-negativity, a freshness/date-range gate, a
+    // categorical domain gate — then ONE unpivot turns the single
+    // metrics row into (check_name, violations); the FK check is a
+    // left-anti count against the dimension. Two small jobs total, no
+    // per-check scans. The date and domain gates are deliberately
+    // tighter than the data (orders run to 2001; '5-LOW' is excluded) so
+    // the audit FINDS drift here — the shape drift detection takes in a
+    // real pipeline ("a new category appeared", "data newer than the
+    // contract").
+    "q_dq_checks" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val m = o.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("orderkey_dup"),
+        sum(when(col("o_totalprice") < 0, 1L).otherwise(0L))
+          .as("price_negative"),
+        sum(when(col("o_orderdate") < lit("1995-01-01").cast("timestamp") ||
+            col("o_orderdate") >= lit("2000-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("date_out_of_contract"),
+        sum(when(!col("o_orderpriority").isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED"), 1L)
+          .otherwise(0L)).as("priority_domain"))
+      val fk = o
+        .join(t(s, d, "customer").select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("custkey_fk").as("check_name"), col("violations"))
+      m.unpivot(Array.empty, "check_name", "violations")
+        .unionByName(fk)
+        .select(col("check_name"), col("violations"),
+          when(col("violations") === 0, 1L).otherwise(0L).as("pass"))
+    }),
+
     // Mergeable histogram quantile: approximate p50/p90/p99 from
     // fixed-width bucket counts with linear interpolation — the
     // constant-state quantile a 100 TB profiler keeps (bucket counts
@@ -677,6 +711,33 @@ object AdvancedQueries extends QueryPack {
         |       count(*) AS n_users
         |FROM ev JOIN c ON c.user_id = ev.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_dq_checks" ->
+      """WITH m AS (
+        |  SELECT count(*) - count(DISTINCT o_orderkey) AS orderkey_dup,
+        |         sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS price_negative,
+        |         sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        |                    OR o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |                  THEN 1 ELSE 0 END) AS date_out_of_contract,
+        |         sum(CASE WHEN o_orderpriority NOT IN
+        |                    ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED')
+        |                  THEN 1 ELSE 0 END) AS priority_domain
+        |  FROM orders
+        |), u AS (
+        |  SELECT check_name, violations FROM m
+        |  UNPIVOT (violations FOR check_name IN
+        |    (orderkey_dup, price_negative, date_out_of_contract, priority_domain))
+        |), fk AS (
+        |  SELECT 'custkey_fk' AS check_name, count(*) AS violations
+        |  FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                    WHERE c.c_custkey = o.o_custkey)
+        |), a AS (
+        |  SELECT * FROM u UNION ALL SELECT * FROM fk
+        |)
+        |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+        |       CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM a""".stripMargin,
 
     "q_quantile_sketch" ->
       """WITH b AS (

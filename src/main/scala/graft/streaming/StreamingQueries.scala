@@ -108,6 +108,31 @@ object StreamingQueries extends QueryPack {
           col("view_ts"), col("buy_ts"), col("value"))
     }),
 
+    // LEFT OUTER stream-stream interval join, batch evaluation: every
+    // view, with its purchase inside 30 minutes OR nulls — the
+    // "did-not-convert" shape an attribution pipeline needs (the inner
+    // join above can't see abandonment). Streaming twin in StreamingSpec:
+    // watermarks on BOTH sides bound the state, matched rows emit
+    // eagerly, and the null-padded row for an unconverted view emits
+    // exactly when the watermark evicts its state — so the outer rows
+    // are append-mode correct, just watermark-delayed.
+    "stream_join_left" -> ((s, d) => {
+      val ev = events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+          col("ts").as("buy_ts"), col("value"))
+      views.join(buys,
+          col("user_id") === col("b_user") &&
+            col("buy_ts") >= col("view_ts") &&
+            col("buy_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+        .select(col("user_id"), col("view_id"), col("buy_id"),
+          col("view_ts"), col("buy_ts"), col("value"))
+    }),
+
     // Stateful threshold-crossing detection, batch evaluation: for each
     // user, the FIRST event at which their cumulative value reaches 100 —
     // the alerting/budget-cap shape (fraud thresholds, quota exhaustion,
@@ -260,6 +285,18 @@ object StreamingQueries extends QueryPack {
         |  ON v.user_id = b.user_id
         | AND v.event_type = 'view' AND b.event_type = 'purchase'
         | AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 30 MINUTES""".stripMargin,
+
+    // The type slices are subqueries (not ON-clause predicates): a
+    // non-view row must never be null-padded into the left side.
+    "stream_join_left" ->
+      """SELECT v.user_id, v.view_id, b.buy_id, v.view_ts, b.buy_ts, b.value
+        |FROM (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |      FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT user_id, event_id AS buy_id, ts AS buy_ts, value
+        |           FROM events WHERE event_type = 'purchase') b
+        |  ON v.user_id = b.user_id
+        | AND b.buy_ts >= v.view_ts
+        | AND b.buy_ts <= v.view_ts + INTERVAL 30 MINUTES""".stripMargin,
 
     // Same gap-break construction plus the distinct-type count the custom
     // operator tracks in its state.

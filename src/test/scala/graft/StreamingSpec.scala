@@ -305,6 +305,67 @@ class StreamingSpec extends SparkSpec {
     assert(missing.isEmpty, s"partially emitted window: ${missing.take(3)}")
   }
 
+  test("stream-stream LEFT OUTER join: matched rows exact, outer rows on eviction") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssl").toString
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("ts")).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+
+    def side(tpe: String) = spark.readStream.schema(schema).parquet(tmp)
+      .filter(col("event_type") === tpe)
+
+    val views = side("view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val buys = side("purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "10 minutes")
+
+    val q = views.join(buys,
+        col("user_id") === col("b_user") &&
+          col("buy_ts") >= col("view_ts") &&
+          col("buy_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("view_id"), col("buy_id"))
+      .writeStream.format("memory").queryName("ssl_join_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(300000), "stream did not finish in time")
+    assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+
+    def pairs(rows: Array[org.apache.spark.sql.Row]) = {
+      val (m, u) = rows.partition(!_.isNullAt(1))
+      (m.map(r => (r.getLong(0), r.getLong(1))).toSet,
+        u.map(_.getLong(0)).toSet)
+    }
+    val (streamedM, streamedU) = pairs(spark.table("ssl_join_out").collect())
+    // The batch side IS the registered query — drift-proof.
+    val (batchM, batchU) = pairs(
+      StreamingQueries.queries("stream_join_left")(spark, sfDir)
+        .select(col("view_id"), col("buy_id")).collect())
+
+    // Matched rows emit eagerly: the drained stream must have them ALL.
+    assert(streamedM == batchM,
+      s"matched rows diverge: missing=${(batchM -- streamedM).take(3)}, " +
+        s"extra=${(streamedM -- batchM).take(3)}")
+    // Outer (null-padded) rows emit on state eviction: every one the
+    // stream produced must be a true non-conversion, and the final
+    // watermark must have evicted a non-trivial share of them (views in
+    // the last watermark+interval of the stream may lawfully stay open).
+    assert((streamedU -- batchU).isEmpty,
+      s"stream padded a view the batch matched: ${(streamedU -- batchU).take(3)}")
+    assert(streamedU.nonEmpty, "no outer rows were ever emitted")
+    // A matched view must never ALSO get a null row.
+    assert(streamedU.intersect(streamedM.map(_._1)).isEmpty,
+      "a view emitted both matched and null-padded rows")
+  }
+
   test("foreachBatch upsert sink converges to the batch CDC merge") {
     import graft.operators.Upsert
     val root = java.nio.file.Files.createTempDirectory("graft-upsert").toString
