@@ -90,6 +90,42 @@ class PlanSpec extends SparkSpec {
         .filter(org.apache.spark.sql.functions.col("event_type") === "click").count())
   }
 
+  test("join strategy hints are honored (merge / shuffle_hash / broadcast)") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    def planOf(hint: String) =
+      plan(li.join(o.hint(hint), col("l_orderkey") === col("o_orderkey")))
+    // The per-join escape hatches when AQE's choice isn't the right one
+    // at cluster scale (a user of the library must be able to pin these).
+    assert(planOf("merge").contains("SortMergeJoin"), "merge hint ignored")
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"),
+      "shuffle_hash hint ignored")
+    assert(planOf("broadcast").contains("BroadcastHashJoin"),
+      "broadcast hint ignored")
+  }
+
+  test("ORC roundtrip preserves data and pushes filters to the ORC scan") {
+    import org.apache.spark.sql.functions._
+    // Parquet is the testdata's format; ORC is the other columnar format
+    // a complete library must speak (warehouse interop). Same DataFrame
+    // API, same pushdown machinery — assert it actually engages.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val src = Tables.load(spark, sfDir, "orders")
+    src.write.mode("overwrite").orc(tmp)
+    val back = spark.read.orc(tmp).filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val p = plan(back)
+    assert(p.contains("OrcScan") || p.contains("Format: ORC") ||
+      p.toLowerCase.contains("orc"), p.take(800))
+    assert(p.contains("PushedFilters: [") && p.contains("o_totalprice"),
+      "price filter must reach the ORC scan: " + p.take(800))
+    val expected = src.filter(col("o_totalprice") > 300000).count()
+    assert(back.count() == expected, "ORC roundtrip changed the row count")
+  }
+
   test("aggregations use partial+final HashAggregate (the stripes pattern)") {
     val df = relational.RelationalQueries.queries("q1_agg")(spark, sfDir)
     val p = plan(df)
