@@ -547,6 +547,58 @@ object AdvancedQueries extends QueryPack {
       graft.operators.Upsert.upsert(base, delta, "o_orderkey", "ver")
     }),
 
+    // Time-series resampling to OHLC bars: per (event_type, day) —
+    // open/close via min/max(struct(ts, event_id, value)) argmin/argmax
+    // (ties broken by event_id inside the struct order, no window, ONE
+    // aggregation), high/low as plain min/max, volume as the exact
+    // decimal sum. The finance-bars shape, but it is really "first/last
+    // value per resample bucket" — the general downsampling primitive.
+    // The oracle takes open/close through row_number windows instead —
+    // an independent formulation of the same argmin/argmax.
+    "q_ohlc_bars" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          dsum(col("value"), 4).as("volume"),
+          count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("day"),
+          col("o.value").as("open"), col("high"), col("low"),
+          col("c.value").as("close"), col("volume"), col("n_events"))),
+
+    // Gap-fill + LOCF (last observation carried forward): the dense
+    // hourly series per event_type, missing hours synthesized and filled
+    // with the previous hour's total. The per-group hour range comes
+    // from ONE tiny min/max agg; sequence+explode generates exactly the
+    // missing slots (never a calendar cross join); the carry-forward is
+    // last(value, ignoreNulls) over a type-partitioned window. Dense
+    // output = |types| x |hours| rows at any scale — resampling cost is
+    // output-bounded, not input-bounded.
+    "q_gapfill_locf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hours = t(s, d, "events")
+        .filter(col("event_type").isin("purchase", "signup"))
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(dsum(col("value"), 4).as("total"))
+      val dense = hours.groupBy("event_type")
+        .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 HOUR"))).as("hour"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dense.join(hours, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour").cast("timestamp").as("hour"),
+          col("total"),
+          last(col("total"), ignoreNulls = true).over(w).as("filled"),
+          when(col("total").isNull, 1L).otherwise(0L).as("was_gap"))
+    }),
+
     // Data-quality constraint audit (the Deequ/dbt-test shape): one scan
     // computes every column-level check as a conditional aggregate —
     // key uniqueness, non-negativity, a freshness/date-range gate, a
@@ -711,6 +763,51 @@ object AdvancedQueries extends QueryPack {
         |       count(*) AS n_users
         |FROM ev JOIN c ON c.user_id = ev.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // Independent open/close: row_number windows instead of struct argmin.
+    "q_ohlc_bars" ->
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         ts, event_id, value
+         |  FROM events
+         |), r AS (
+         |  SELECT *,
+         |         row_number() OVER (PARTITION BY event_type, day
+         |                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         |         row_number() OVER (PARTITION BY event_type, day
+         |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+         |  FROM e
+         |), agg AS (
+         |  SELECT event_type, day, max(value) AS high, min(value) AS low,
+         |         ${dsumSql("value", 4)} AS volume, count(*) AS n_events
+         |  FROM e GROUP BY 1, 2
+         |)
+         |SELECT a.event_type, a.day, o.value AS open, a.high, a.low,
+         |       c.value AS close, a.volume, a.n_events
+         |FROM agg a
+         |JOIN r o ON o.event_type = a.event_type AND o.day = a.day AND o.rn_a = 1
+         |JOIN r c ON c.event_type = a.event_type AND c.day = a.day AND c.rn_d = 1""".stripMargin,
+
+    "q_gapfill_locf" ->
+      s"""WITH h AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour,
+         |         ${dsumSql("value", 4)} AS total
+         |  FROM events WHERE event_type IN ('purchase', 'signup')
+         |  GROUP BY 1, 2
+         |), rng AS (
+         |  SELECT event_type, min(hour) AS lo, max(hour) AS hi FROM h GROUP BY 1
+         |), dense AS (
+         |  SELECT event_type,
+         |         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+         |  FROM rng
+         |)
+         |SELECT d.event_type, CAST(d.hour AS TIMESTAMP) AS hour, h.total,
+         |       last_value(h.total IGNORE NULLS)
+         |         OVER (PARTITION BY d.event_type ORDER BY d.hour
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+         |       CAST(CASE WHEN h.total IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap
+         |FROM dense d
+         |LEFT JOIN h ON h.event_type = d.event_type AND h.hour = d.hour""".stripMargin,
 
     "q_dq_checks" ->
       """WITH m AS (
