@@ -547,6 +547,53 @@ object AdvancedQueries extends QueryPack {
       graft.operators.Upsert.upsert(base, delta, "o_orderkey", "ver")
     }),
 
+    // First-order Markov transition matrix over user event sequences:
+    // P(next_type | type), the sequence-mining / next-action-model
+    // primitive. One user-partitioned lead() window pairs each event
+    // with its successor, one aggregation counts transitions, and the
+    // row-normalizing denominator comes from a window over the
+    // TRANSITION MATRIX itself (|types|^2 rows — constant at any scale),
+    // not a second pass over events. Probabilities are exact
+    // integer-ratio doubles rounded to 9.
+    "q_markov_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      val rowTotal = Window.partitionBy("from_type")
+      pairs.select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / sum(col("n")).over(rowTotal), 9)
+          .as("p"))
+    }),
+
+    // Point-in-time lookup (the AS-OF warehouse join): recover each
+    // purchase's SCD2 state at event time by joining the registered
+    // q_scd2_intervals dimension on user + containment in
+    // [valid_from, valid_to). Interval containment with a NULL-open tail
+    // would be quadratic per user as a raw theta join; per-user event
+    // counts bound the pair fan-out exactly as the funnel's joins (the
+    // dimension has one CHANGE POINT per state, far fewer rows than
+    // events). Query composition is the point: the dimension side IS the
+    // registered SCD2 builder, not a re-statement.
+    "q_pit_lookup" -> ((s, d) => {
+      val dim = WindowQueries.queries("q_scd2_intervals")(s, d)
+        .select(col("user_id").as("d_user"), col("event_type").as("state"),
+          col("valid_from"), col("valid_to"))
+      t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .join(dim,
+          col("user_id") === col("d_user") &&
+            col("ts") >= col("valid_from") &&
+            (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .select(col("user_id"), col("event_id"), col("ts"), col("state"),
+          col("valid_from"))
+    }),
+
     // Time-series resampling to OHLC bars: per (event_type, day) —
     // open/close via min/max(struct(ts, event_id, value)) argmin/argmax
     // (ties broken by event_id inside the struct order, no window, ONE
@@ -763,6 +810,44 @@ object AdvancedQueries extends QueryPack {
         |       count(*) AS n_users
         |FROM ev JOIN c ON c.user_id = ev.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_markov_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts ASC, event_id ASC) AS to_type
+        |  FROM events
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |       round(CAST(n AS DOUBLE) /
+        |             sum(n) OVER (PARTITION BY from_type), 9) AS p
+        |FROM c""".stripMargin,
+
+    // The dimension CTE mirrors the q_scd2_intervals oracle exactly.
+    "q_pit_lookup" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM events
+        |), ch AS (
+        |  SELECT user_id, event_type, ts AS valid_from, event_id
+        |  FROM c WHERE prev IS NULL OR prev <> event_type
+        |), dim AS (
+        |  SELECT user_id AS d_user, event_type AS state, valid_from,
+        |         lead(valid_from) OVER (PARTITION BY user_id
+        |                                ORDER BY valid_from ASC, event_id ASC) AS valid_to
+        |  FROM ch
+        |)
+        |SELECT e.user_id, e.event_id, e.ts, d.state, d.valid_from
+        |FROM events e
+        |JOIN dim d ON e.user_id = d.d_user
+        |  AND e.ts >= d.valid_from
+        |  AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+        |WHERE e.event_type = 'purchase'""".stripMargin,
 
     // Independent open/close: row_number windows instead of struct argmin.
     "q_ohlc_bars" ->
