@@ -186,6 +186,23 @@ object DedupQueries extends QueryPack {
       DedupClusters.clusters(lsh, docs(s, d).select(col("doc_id")))
     }),
 
+    // Leakage-safe train/validation split: the deterministic 90/10 md5
+    // split keyed by CLUSTER id, not doc id — every member of a near-dup
+    // cluster lands in the SAME split, so a validation document can
+    // never have a near-duplicate in training (the eval-contamination
+    // mode a doc-keyed split cannot prevent; singletons degenerate to a
+    // doc-keyed split since their cluster id is their own id). One
+    // narrow map over the cluster labels; reproducible run-over-run,
+    // never rand().
+    "dedup_split_safe" -> ((s, d) => {
+      val b = conv(substring(md5(concat(lit("split:"),
+        col("cluster_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100
+      queries("dedup_clusters")(s, d)
+        .select(col("doc_id"), col("cluster_id"),
+          when(b < 90, "train").otherwise("val").as("split"))
+    }),
+
     // Cluster canonicalization by QUALITY, not min-id: for each near-dup
     // cluster, keep the highest-quality member (ties to the smaller
     // doc_id) — the pipeline's terminal "which copy survives" decision,
@@ -570,6 +587,14 @@ object DedupQueries extends QueryPack {
     // checkpoints, so it shares the oracle verbatim.
     "dedup_clusters" -> clustersOracle,
     "dedup_clusters_ckpt" -> clustersOracle,
+
+    // Same cluster labels; the split hash is keyed by cluster_id.
+    "dedup_split_safe" ->
+      s"""$clustersCtes
+         |SELECT doc_id, cluster_id,
+         |       CASE WHEN ('0x' || substring(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+         |            THEN 'train' ELSE 'val' END AS split
+         |FROM lbl""".stripMargin,
 
     // Same cluster labels, canonicalized by the shared quality score; the
     // argmax is checked as ORDER BY (score DESC, doc_id) rn=1 — the
