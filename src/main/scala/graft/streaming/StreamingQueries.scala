@@ -108,6 +108,24 @@ object StreamingQueries extends QueryPack {
           col("view_ts"), col("buy_ts"), col("value"))
     }),
 
+    // Hourly per-user throttle, batch evaluation of [[Throttle]] (the
+    // transformWithState operator): the first event of each (user, hour)
+    // — row_number 1 over the user+hour partition, deterministic ties by
+    // event_id. date_trunc('hour') and the operator's epoch-micros floor
+    // agree because epoch hours are hour-aligned.
+    "stream_throttle" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("hour_start"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          date_trunc("hour", col("ts")).as("hour_start"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("hour_start"), col("event_id"),
+          col("event_type"))
+    }),
+
     // LEFT OUTER stream-stream interval join, batch evaluation: every
     // view, with its purchase inside 30 minutes OR nulls — the
     // "did-not-convert" shape an attribution pipeline needs (the inner
@@ -285,6 +303,15 @@ object StreamingQueries extends QueryPack {
         |  ON v.user_id = b.user_id
         | AND v.event_type = 'view' AND b.event_type = 'purchase'
         | AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 30 MINUTES""".stripMargin,
+
+    "stream_throttle" ->
+      """SELECT user_id, hour_start, event_id, event_type FROM (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour_start, event_id,
+        |         event_type,
+        |         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                            ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
 
     // The type slices are subqueries (not ON-clause predicates): a
     // non-view row must never be null-padded into the left side.

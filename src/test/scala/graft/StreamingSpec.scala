@@ -421,6 +421,51 @@ class StreamingSpec extends SparkSpec {
         s"(missing=${(batch -- streamed).take(3)}, extra=${(streamed -- batch).take(3)})")
   }
 
+  test("transformWithState throttle (RocksDB state store) == batch exactly") {
+    import graft.streaming.Throttle
+    val tmp = java.nio.file.Files.createTempDirectory("graft-throttle").toString
+    // In-order single-file replay (the operator's documented arrival
+    // assumption); emission is immediate, so the drained stream must
+    // equal the batch twin EXACTLY — no closed-window subsetting.
+    Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .orderBy(col("ts")).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+
+    // transformWithState requires the RocksDB provider — also the right
+    // store for 100 TB state (off-heap, incremental checkpoints).
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = Throttle.throttled(Throttle.fromRaw(
+        spark.readStream.schema(spark.read.parquet(tmp).schema).parquet(tmp)))
+      val q = stream.writeStream
+        .format("memory").queryName("throttle_out")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(300000), "stream did not finish in time")
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3))
+      val streamed = spark.table("throttle_out")
+        .select(col("user_id"), col("hour_start"), col("event_id"), col("event_type"))
+        .collect().map(key).toSet
+      val batch = StreamingQueries.queries("stream_throttle")(spark, sfDir)
+        .collect().map(key).toSet
+      assert(streamed == batch,
+        s"throttle diverges: missing=${(batch -- streamed).take(3)}, " +
+          s"extra=${(streamed -- batch).take(3)}")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming session windows == batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     Tables.load(spark, sfDir, "events").write.mode("overwrite").parquet(tmp)
