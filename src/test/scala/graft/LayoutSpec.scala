@@ -83,4 +83,65 @@ class LayoutSpec extends SparkSpec {
       assert(viaLayout == direct)
     } finally CacheScope.releaseAll()
   }
+
+  test("dynamic partition overwrite replaces ONE day, leaves the rest") {
+    import org.apache.spark.sql.functions._
+    // The incremental-ETL write contract: re-landing one day of data must
+    // not clobber the other partitions (static overwrite mode would wipe
+    // the whole table root — the classic data-loss foot-gun).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpo").toString
+    val src = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .filter(col("month") >= lit("1996-01-01") && col("month") < lit("1996-04-01"))
+    src.write.partitionBy("month").mode("overwrite").parquet(tmp)
+    val before = spark.read.parquet(tmp).count()
+    val oneMonth = src.filter(col("month") === lit("1996-02-01"))
+    assert(oneMonth.count() > 0 && oneMonth.count() < before,
+      "fixture needs a proper subset month")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // Re-land February with doubled prices.
+      oneMonth.withColumn("o_totalprice", col("o_totalprice") * 2)
+        .write.partitionBy("month").mode("overwrite").parquet(tmp)
+      val after = spark.read.parquet(tmp)
+      assert(after.count() == before, "other partitions must be untouched")
+      val untouched = after.filter(col("month") === lit("1996-01-01"))
+        .agg(sum(col("o_totalprice"))).head.getDouble(0)
+      val expected = src.filter(col("month") === lit("1996-01-01"))
+        .agg(sum(col("o_totalprice"))).head.getDouble(0)
+      assert(untouched == expected, "untouched month changed")
+      val relanded = after.filter(col("month") === lit("1996-02-01"))
+        .agg(sum(col("o_totalprice"))).head.getDouble(0)
+      val doubled = oneMonth.agg(sum(col("o_totalprice") * 2)).head.getDouble(0)
+      assert(relanded == doubled, "re-landed month must hold the new data")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  test("schema evolution: mergeSchema unifies old and new batches") {
+    import org.apache.spark.sql.functions._
+    // A 100 TB table accretes columns over time; old files must stay
+    // readable (new column null) without a rewrite.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    val o = Tables.load(spark, sfDir, "orders").limit(100)
+    o.select(col("o_orderkey"), col("o_totalprice"))
+      .write.parquet(s"$tmp/batch=1")
+    o.select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.parquet(s"$tmp/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(tmp)
+    assert(merged.columns.toSet ==
+      Set("o_orderkey", "o_totalprice", "o_orderpriority", "batch"))
+    assert(merged.filter(col("batch") === 1)
+      .filter(col("o_orderpriority").isNotNull).count() == 0,
+      "old files must read the new column as null")
+    assert(merged.filter(col("batch") === 2)
+      .filter(col("o_orderpriority").isNull).count() == 0)
+  }
 }
