@@ -74,7 +74,12 @@ object SimilarityQueries extends QueryPack {
     // nprobe-cell probe + exact cosine re-rank. The oracle SQL below is
     // generated from the SAME Params by Ivf.oracleCtes, so DuckDB
     // reproduces every Lloyd assignment bit-for-bit.
-    "sim_ann_ivf" -> ((s, d) => Ivf.ann(emb(s, d), IvfParams))
+    "sim_ann_ivf" -> ((s, d) => Ivf.ann(emb(s, d), IvfParams)),
+
+    // Product-quantization ADC search (see [[Pq]]): database vectors are
+    // reduced to M=8 sub-codes; queries rank candidates from a
+    // (m, cell) lookup-table join, never touching raw database vectors.
+    "sim_pq_adc" -> ((s, d) => Pq.adcTopK(emb(s, d), PqParams))
   )
 
   /** Dials for the oracled query: k=8 cells (the label column has 3
@@ -82,6 +87,13 @@ object SimilarityQueries extends QueryPack {
     */
   private val IvfParams = Ivf.Params(
     k = 8, iters = 2, nprobe = 2, topK = 3, nQueries = NQueries)
+
+  /** PQ dials: 8 subspaces x 16 centroids over the 64-dim embeddings
+    * (8 dims per sub-quantizer, a 32-bit code), one Lloyd step per
+    * subspace.
+    */
+  private val PqParams = Pq.Params(
+    m = 8, k = 16, iters = 1, topK = 3, nQueries = NQueries)
 
   /** Shared oracle CTEs: integer-quantized elements + norms (exact sums). */
   private val eCte: String =
@@ -145,6 +157,10 @@ object SimilarityQueries extends QueryPack {
 
     "sim_ann_ivf" ->
       s"""$eCte${Ivf.oracleCtes(IvfParams)}
-         |SELECT q_id, n_id, cos, rnk FROM ivf_topk""".stripMargin
+         |SELECT q_id, n_id, cos, rnk FROM ivf_topk""".stripMargin,
+
+    "sim_pq_adc" ->
+      s"""$eCte${Pq.oracleCtes(PqParams)}
+         |SELECT q_id, n_id, adc, rnk FROM pq_topk""".stripMargin
   )
 }
