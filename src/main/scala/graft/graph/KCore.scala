@@ -126,6 +126,10 @@ object KCore {
         "maxRounds (depth is bounded by the peeling depth, not node count) " +
         "or pass strict=false to accept the partial core"
       if (strict) throw new IllegalStateException(msg) else log.warn(msg)
+      // strict=false opt-out: the partial core is the degree aggregation
+      // over the last surviving edge set (sub-k stragglers included, as
+      // documented) — `survivors` is only assigned on the converged path.
+      survivors = e.groupBy("src").agg(count(lit(1)).as("core_deg"))
     }
     survivors.select(col("src").as("node"), col("core_deg"))
   }

@@ -33,14 +33,26 @@ import org.apache.spark.sql.functions._
   */
 object Skyline {
 
-  /** Skyline of `points` under (min `x`, max `y`). Input must be the
-    * deduplicated point relation (one row per distinct (x, y), extra
-    * columns carried through untouched — e.g. a multiplicity count).
+  /** Skyline of `points` under (min `x`, max `y`). Exact (x, y)
+    * duplicates are collapsed internally to one representative row
+    * (deterministic max-struct argmax over the extra columns), so raw
+    * point relations are safe; callers that need a multiplicity count
+    * must still pre-aggregate, since extras of collapsed duplicates are
+    * represented, not summed. When the input is already one row per
+    * (x, y) — e.g. the q_skyline groupBy — the internal groupBy reuses
+    * that shuffle's hash partitioning, so it adds no exchange.
     */
   def skyline2D(points: DataFrame, x: String, y: String,
       bucketWidth: Double): DataFrame = {
+    val extras = points.columns.filterNot(c => c == x || c == y).toSeq
+    val dedup =
+      if (extras.isEmpty) points.distinct()
+      else points.groupBy(col(x), col(y))
+        .agg(max(struct(extras.map(col): _*)).as("_rep"))
+        .select(col(x) +: col(y) +:
+          extras.map(c => col(s"_rep.`$c`").as(c)): _*)
     val bkt: Column = floor(col(x) / bucketWidth).cast("long")
-    val p = points.withColumn("_bkt", bkt)
+    val p = dedup.withColumn("_bkt", bkt)
     val w = Window.partitionBy(col("_bkt"))
       .orderBy(col(x).asc, col(y).desc)
       .rowsBetween(Window.unboundedPreceding, -1)

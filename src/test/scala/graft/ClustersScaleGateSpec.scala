@@ -34,22 +34,26 @@ class ClustersScaleGateSpec extends SparkSpec {
   private def expectedClusters(pairs: Seq[(Long, Long)],
       universe: Seq[Long]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
+    // Iterative find (stack-safe for long planted chains), with full path
+    // compression applied on the way back.
     def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x
-      else { val r = find(p); parent(x) = r; r }
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
     pairs.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(ra) = rb
     }
     val minOfRoot = scala.collection.mutable.Map[Long, Long]()
-    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).toSet
     members.foreach { m =>
       val r = find(m)
       minOfRoot(r) = math.min(minOfRoot.getOrElse(r, m), m)
     }
-    universe.map(d => d -> (if (parent.contains(d) || members.contains(d))
+    universe.map(d => d -> (if (members.contains(d))
       minOfRoot(find(d)) else d)).toMap
   }
 
