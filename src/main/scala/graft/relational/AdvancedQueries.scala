@@ -242,6 +242,216 @@ object AdvancedQueries extends QueryPack {
        |                  AND o_orderpriority = '1-URGENT')
        |GROUP BY n_name""".stripMargin
 
+  /** TPC-H Q4-shaped "order priority checking": count orders per priority
+    * that had at least one late line. Adapted: this schema has no
+    * l_commitdate/l_receiptdate, so "late" is shipped > 60 days after the
+    * order date — which makes the EXISTS correlate on BOTH the order key
+    * (equi) and the order date (non-equi), a stricter decorrelation test
+    * than the canonical form. Catalyst must rewrite it to a left-semi join
+    * with a mixed equi/range condition; the date window prunes the orders
+    * scan first.
+    */
+  private val Q4: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q8-shaped "national market share": the widest join in the suite
+    * (8 relations, nation twice) feeding a conditional-aggregate ratio per
+    * order year. The volume stays DECIMAL until both sums finish (same
+    * discipline as Q14); at scale every dimension here broadcasts and the
+    * single shuffle is the year-grouped aggregate over the fact join.
+    */
+  private val Q8: String =
+    """SELECT o_year,
+      |       round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN dvol ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+      |             CAST(sum(dvol) AS DOUBLE), 6) AS mkt_share
+      |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS dvol,
+      |             n2.n_name AS nation
+      |      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |        AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+      |        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |        AND p_type = 'PROMO') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q9-shaped "product type profit": profit per (supplier nation,
+    * order year) over substring-matched parts. Adapted: no partsupp here,
+    * so supply cost is proxied as 10% of p_retailprice per unit. The
+    * profit expression mixes 2dp, 1dp and integer-valued factors — exact
+    * at DECIMAL scale 4 (see [[Det]]); p_name LIKE '%red%' cannot push
+    * into parquet stats, so the scan prunes on columns only.
+    */
+  private val Q9: String =
+    """SELECT nation, o_year,
+      |       CAST(sum(amount) AS DOUBLE) AS sum_profit
+      |FROM (SELECT n_name AS nation,
+      |             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |             CAST(l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+      |      FROM part, supplier, lineitem, orders, nation
+      |      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |        AND p_name LIKE '%red%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q11-shaped "important stock identification": per-part value
+    * within one nation, kept only when above a fraction of that nation's
+    * total — the HAVING-over-scalar-subquery shape where the same
+    * three-way join is evaluated once per side. Adapted: no partsupp, so
+    * lineitem value (price x quantity) is the stock proxy and the
+    * fraction is 0.1% (this corpus has ~2000 parts). Catalyst computes
+    * the threshold as a one-row broadcast into the HAVING filter.
+    */
+  private val Q11: String =
+    """SELECT l_partkey,
+      |       CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+      |FROM lineitem, supplier, nation
+      |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |  AND n_name = 'NATION_3'
+      |GROUP BY l_partkey
+      |HAVING CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE) >
+      |       (SELECT CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.001
+      |        FROM lineitem, supplier, nation
+      |        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |          AND n_name = 'NATION_3')
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q12-shaped "shipping mode / priority": late lines bucketed into
+    * high/low priority CASE-counts. Adapted: no l_shipmode or
+    * l_commitdate/l_receiptdate — l_linestatus carries the grouping and
+    * "late" is shipped > 60 days after order date. count(CASE ...) (not
+    * sum of 0/1) keeps the result BIGINT in both engines — DuckDB's
+    * sum(INTEGER) widens to HUGEINT and would flake the schema compare.
+    */
+  private val Q12: String =
+    """SELECT l_linestatus,
+      |       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+      |       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** TPC-H Q13-shaped "customer order distribution": the
+    * distribution-of-a-distribution double aggregate, with the filter in
+    * the LEFT JOIN's ON clause (moving it to WHERE would silently drop the
+    * zero-order customers — the classic outer-join-filter trap this query
+    * exists to catch). Adapted: no o_comment, so non-urgent orders play
+    * the "not special" role.
+    */
+  private val Q13: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15-shaped "top supplier": a named revenue view consumed twice
+    * — once as the join input, once under max() — the classic
+    * CTE-reuse-vs-reinline planning case. Revenue is the exact decimal
+    * sum cast to double, so the equality against max() compares
+    * bit-identical doubles in both engines; all ties are returned (no
+    * LIMIT needed for determinism).
+    */
+  private val Q15: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17-shaped "small-quantity-order revenue": a correlated scalar
+    * AVG subquery per part — Catalyst must rewrite the per-row probe into
+    * one aggregate over lineitem plus an equi-join (a per-row probe at
+    * 100 TB would be quadratic). Quantities are integer-valued doubles, so
+    * the inner avg is exact in any summation order; the 0.2 factor and the
+    * comparison are identical IEEE arithmetic in both engines. Adapted:
+    * no p_container, so the brand filter alone selects the part family.
+    */
+  private val Q17: String =
+    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+      |       count(*) AS n
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand = 'Brand#3'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H Q20-shaped "potential part promotion": a two-level nest — an IN
+    * over a grouped HAVING subquery (suppliers who moved real volume of
+    * the promoted part family), then a nation filter. Adapted: no
+    * partsupp, so shipped quantity per (supplier, part) replaces
+    * availability; sum(l_quantity) is exact (integer-valued doubles).
+    * Catalyst turns the IN into a left-semi join against the aggregate.
+    */
+  private val Q20: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier, nation
+      |WHERE s_suppkey IN (
+      |        SELECT l_suppkey
+      |        FROM lineitem, part
+      |        WHERE l_partkey = p_partkey
+      |          AND p_name LIKE 'red %'
+      |          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |        GROUP BY l_suppkey, l_partkey
+      |        HAVING sum(l_quantity) > 40)
+      |  AND s_nationkey = n_nationkey
+      |  AND n_name = 'NATION_3'
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q21-shaped "suppliers who kept orders waiting": the hardest
+    * subquery shape in the suite — an EXISTS (another supplier
+    * contributed to the order) AND a NOT EXISTS (no OTHER supplier was
+    * late) both correlated to the same outer lineitem, the NOT EXISTS
+    * additionally referencing a THIRD table's column (o_orderdate) in a
+    * non-equi predicate. Both decorrelate to one left-semi and one
+    * left-anti hash join on l_orderkey with range residuals — no per-row
+    * probes. Adapted: "late" is shipped > 60 days after order date.
+    */
+  private val Q21: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |  AND s_nationkey = n_nationkey
+      |  AND n_name = 'NATION_3'
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
   /** Scalar subquery: orders above the global average price. The average
     * goes through the exact-decimal formulation so both engines compute
     * the identical threshold.
@@ -341,6 +551,66 @@ object AdvancedQueries extends QueryPack {
       Seq("customer", "nation", "orders").foreach(n =>
         t(s, d, n).createOrReplaceTempView(n))
       s.sql(Q22)
+    }),
+
+    "q_sql_tpch_q4" -> ((s, d) => {
+      Seq("orders", "lineitem").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(Q4)
+    }),
+
+    "q_sql_tpch_q8" -> ((s, d) => {
+      Seq("part", "supplier", "lineitem", "orders", "customer", "nation",
+        "region").foreach(n => t(s, d, n).createOrReplaceTempView(n))
+      s.sql(Q8)
+    }),
+
+    "q_sql_tpch_q9" -> ((s, d) => {
+      Seq("part", "supplier", "lineitem", "orders", "nation").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(Q9)
+    }),
+
+    "q_sql_tpch_q11" -> ((s, d) => {
+      Seq("lineitem", "supplier", "nation").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(Q11)
+    }),
+
+    "q_sql_tpch_q12" -> ((s, d) => {
+      Seq("orders", "lineitem").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(Q12)
+    }),
+
+    "q_sql_tpch_q13" -> ((s, d) => {
+      Seq("customer", "orders").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(Q13)
+    }),
+
+    "q_sql_tpch_q15" -> ((s, d) => {
+      Seq("supplier", "lineitem").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(Q15)
+    }),
+
+    "q_sql_tpch_q17" -> ((s, d) => {
+      Seq("lineitem", "part").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(Q17)
+    }),
+
+    "q_sql_tpch_q20" -> ((s, d) => {
+      Seq("supplier", "nation", "lineitem", "part").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(Q20)
+    }),
+
+    "q_sql_tpch_q21" -> ((s, d) => {
+      Seq("supplier", "lineitem", "orders", "nation").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(Q21)
     }),
 
     // Fixed-width histogram of order totals: the profiling primitive for
@@ -988,6 +1258,16 @@ object AdvancedQueries extends QueryPack {
     "q_sql_tpch_q2" -> Q2Min,
     "q_sql_tpch_q16" -> Q16,
     "q_sql_tpch_q22" -> Q22,
+    "q_sql_tpch_q4" -> Q4,
+    "q_sql_tpch_q8" -> Q8,
+    "q_sql_tpch_q9" -> Q9,
+    "q_sql_tpch_q11" -> Q11,
+    "q_sql_tpch_q12" -> Q12,
+    "q_sql_tpch_q13" -> Q13,
+    "q_sql_tpch_q15" -> Q15,
+    "q_sql_tpch_q17" -> Q17,
+    "q_sql_tpch_q20" -> Q20,
+    "q_sql_tpch_q21" -> Q21,
 
     "q_histogram" ->
       s"""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
