@@ -22,9 +22,97 @@ object TextAnalysisQueries extends QueryPack {
 
   private def wsTokens(c: Column): Column = split(c, "\\s+")
 
+  /** BPE training config: vocab cap (total-ordered top-K words) and merge
+    * rounds. Small enough that the unrolled oracle CTE chain stays
+    * readable; the Spark loop takes the same constants.
+    */
+  val BpeTrainVocab = 2000
+  val BpeTrainMerges = 10
+
+  /** DuckDB replay of the BPE training loop: the same greedy rounds,
+    * unrolled — stage i computes pair counts over vocab state s_i, picks
+    * the argmax under (n desc, pair asc) as b_i, and rewrites the state
+    * with the delimiter-safe replace into s_{i+1}.
+    */
+  private def bpeTrainOracle: String = {
+    val stages = (1 to BpeTrainMerges).map { i =>
+      val next =
+        if (i == BpeTrainMerges) ""
+        else s""", s${i + 1} AS MATERIALIZED (
+           |  SELECT replace(state,
+           |           '|' || replace((SELECT pair FROM b$i), ' ', '||') || '|',
+           |           '|' || replace((SELECT pair FROM b$i), ' ', '') || '|') AS state,
+           |         wn
+           |  FROM s$i)""".stripMargin
+      s""", p$i AS MATERIALIZED (
+         |  SELECT t[j] || ' ' || t[j+1] AS pair, CAST(sum(wn) AS BIGINT) AS n
+         |  FROM (SELECT t, wn, unnest(generate_series(1, len(t) - 1)) AS j
+         |        FROM (SELECT string_split(substr(state, 2, length(state) - 2), '||') AS t, wn
+         |              FROM s$i)) x
+         |  GROUP BY 1
+         |), b$i AS MATERIALIZED (SELECT pair, n FROM p$i ORDER BY n DESC, pair LIMIT 1)""".stripMargin + next
+    }.mkString
+    val union = (1 to BpeTrainMerges).map { i =>
+      s"SELECT $i AS merge_rank, pair, replace(pair, ' ', '') AS merged, n FROM b$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS word
+       |  FROM documents
+       |), vocab AS MATERIALIZED (
+       |  SELECT word, count(*) AS wn FROM tok WHERE word <> ''
+       |  GROUP BY word ORDER BY wn DESC, word LIMIT $BpeTrainVocab
+       |), s1 AS MATERIALIZED (
+       |  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS state, wn FROM vocab
+       |)$stages
+       |$union
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** Lowercased letter-only tokens (the reference's cleaning pipeline). */
   private def cleanTokens(c: Column): Column =
     split(regexp_replace(lower(c), "[^a-z ]", ""), " +")
+
+  /** The BPE training loop body (see the text_bpe_train registration for
+    * the full design notes). Takes the documents relation directly so
+    * specs can feed planted corpora.
+    */
+  def bpeTrainOf(documents: DataFrame, vocabCap: Int = BpeTrainVocab,
+      merges: Int = BpeTrainMerges): DataFrame = {
+    val s = documents.sparkSession
+    var state = documents
+      .select(explode(cleanTokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("wn"))
+      .orderBy(col("wn").desc, col("word").asc).limit(vocabCap)
+      .select(regexp_replace(col("word"), "(.)", "|$1|").as("state"),
+        col("wn"))
+      .transform(graft.CacheScope.persisted(_))
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to merges if !exhausted) {
+      val toks = split(col("state").substr(lit(2),
+        length(col("state")) - 2), "\\|\\|")
+      val best = state
+        .select(col("wn"), toks.as("t")).filter(size(col("t")) >= 2)
+        .select(col("wn"), explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          j => concat_ws(" ", element_at(col("t"), j),
+            element_at(col("t"), j + 1)))).as("pair"))
+        .groupBy("pair").agg(sum(col("wn")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val merged = pair.replace(" ", "")
+        learned += ((r, pair, merged, best(0).getLong(1)))
+        state = state.select(
+          replace(col("state"), lit("|" + pair.replace(" ", "||") + "|"),
+            lit("|" + merged + "|")).as("state"), col("wn"))
+      }
+    }
+    import s.implicits._
+    learned.result().toDF("merge_rank", "pair", "merged", "n")
+  }
 
   private def countIn(toks: Column, set: Seq[String]): Column =
     graft.functions.CountInSet.countIn(toks, set)
@@ -253,6 +341,22 @@ object TextAnalysisQueries extends QueryPack {
         .orderBy(col("n").desc, col("pair").asc)
         .limit(50)
     }),
+
+    // Full BPE tokenizer TRAINING loop (Sennrich et al.): BpeTrainMerges
+    // greedy merge rounds, returning the learned merge table
+    // (merge_rank, pair, merged, n). Scale shape: the corpus is touched
+    // ONCE (word-frequency aggregation, the only corpus-sized shuffle),
+    // capped to the top-BpeTrainVocab words under a total order; every
+    // merge round then runs over that bounded vocab — one tiny shuffle +
+    // a single-row argmax action per round (the k-means-centroid
+    // discipline: only scalars cross to the driver). Merge application
+    // is a string replace over the `|tok|` wrapped form: each token
+    // carries its OWN delimiters, so adjacent matches share no
+    // characters and non-overlapping left-to-right replace() — identical
+    // semantics in Spark and DuckDB — IS the greedy left-to-right BPE
+    // merge ("a a a" -> ["aa", "a"], "a b a b a b" -> 3 merges). The
+    // oracle replays the identical rounds as an unrolled CTE chain.
+    "text_bpe_train" -> ((s, d) => bpeTrainOf(docs(s, d))),
 
     // Sliding-window token chunking (training-data prep): 32-token
     // chunks, stride 16 (50% overlap — sized to the testdata's ~100-token
@@ -674,6 +778,8 @@ object TextAnalysisQueries extends QueryPack {
         |SELECT pair, CAST(sum(wn) AS BIGINT) AS n
         |FROM pairs GROUP BY pair
         |ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+
+    "text_bpe_train" -> bpeTrainOracle,
 
     "text_chunk" ->
       """WITH toks AS (
