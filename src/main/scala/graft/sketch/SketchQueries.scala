@@ -38,6 +38,51 @@ object SketchQueries extends QueryPack {
     */
   val BloomW = 65536L
 
+  /** HyperLogLog parameters: m = 64 registers (6 index bits off the
+    * 60-bit hash, 54 bits of rank material), alpha_64 = 0.709 (Flajolet
+    * et al. 2007). Std error 1.04/sqrt(64) ≈ 13% with 64 bytes of state.
+    */
+  val HllM = 64
+
+  /** HyperLogLog distinct-count per group — unlike
+    * `approx_count_distinct`, built to be BIT-REPRODUCIBLE in a second
+    * engine: registers are max-of-rank over md5-derived hashes (a set
+    * property, independent of row/partition/merge order), and the
+    * harmonic mean runs on INTEGERS — each register contributes
+    * 2^(55 - M_j), exact in int64 (64 terms <= 2^55 sum < 2^61), so the
+    * only floating-point steps are one division and the rounded-ln
+    * linear-counting branch, identical IEEE ops in both engines.
+    * State per group is m registers — at 100 TB the partial aggregate
+    * collapses each map task to |groups| x 64 rows before the shuffle.
+    */
+  def hllOf(rows: DataFrame, group: Column, value: Column): DataFrame = {
+    val h = hash60(value.cast("string"))
+    val regs = rows
+      .select(group.as("g"), h.as("h"))
+      .select(col("g"), (col("h") % HllM).as("bucket"),
+        shiftright(col("h"), 6).as("w"))
+      .select(col("g"), col("bucket"),
+        when(col("w") > 0, lit(55) - length(bin(col("w"))))
+          .otherwise(lit(55)).as("r"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(max(col("r")).as("m_j"))
+    val sumInt = col("sum_present") +
+      (lit(HllM.toLong) - col("present")) * lit(1L << 55)
+    val vZero = lit(HllM.toLong) - col("present")
+    val raw = lit(0.709) * lit(4096.0) * lit((1L << 55).toDouble) /
+      sumInt.cast("double")
+    val est = when(raw <= lit(2.5 * HllM) && vZero > 0,
+      lit(HllM.toDouble) *
+        round(log(lit(HllM.toDouble) / vZero.cast("double")), 9))
+      .otherwise(raw)
+    regs.groupBy(col("g"))
+      .agg(count(lit(1)).as("present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m_j AS INT))"))
+          .as("sum_present"))
+      .select(col("g"), vZero.as("v_zero"), sumInt.as("reg_sum"),
+        round(est, 4).as("est_distinct"))
+  }
+
   /** Row-r universal hash of a 60-bit hash into [0, w) — the same
     * (a*h + b) mod P family the minhash mix uses (exact int64 both
     * engines: a < 2^30, h mod P < 2^30).
@@ -76,6 +121,17 @@ object SketchQueries extends QueryPack {
           col("s.kth_hash").as("kth_hash"),
           round(col("s.est_distinct"), 4).as("est_distinct"))
     }),
+
+    // HyperLogLog distinct part keys per return flag — see [[hllOf]] for
+    // why this one, unlike approx_count_distinct, hash-verifies against a
+    // second engine. Emits the register summary (zero-register count,
+    // exact integer harmonic sum) alongside the estimate so the oracle
+    // checks the STATE, not just the headline number.
+    "q_sketch_hll" -> ((s, d) =>
+      hllOf(Tables.load(s, d, "lineitem"), col("l_returnflag"),
+        col("l_partkey"))
+        .withColumnRenamed("g", "l_returnflag")
+        .orderBy("l_returnflag")),
 
     // Bloom-filter semi-join pruning — the runtime-filter pattern: build a
     // D x W bit set over the (selective) build side's keys, probe the fact
@@ -202,6 +258,33 @@ object SketchQueries extends QueryPack {
          |            ELSE round(${K - 1}.0 * ${1L << 60}.0 / max(hv), 4)
          |       END AS est_distinct
          |FROM b""".stripMargin,
+
+    "q_sketch_hll" ->
+      s"""WITH h AS (
+         |  SELECT l_returnflag, ${hash60Sql("CAST(l_partkey AS VARCHAR)")} AS h
+         |  FROM lineitem
+         |), rho AS (
+         |  SELECT l_returnflag, h % $HllM AS bucket,
+         |         CASE WHEN h // $HllM > 0 THEN 55 - length(bin(h // $HllM))
+         |              ELSE 55 END AS r
+         |  FROM h
+         |), regs AS (
+         |  SELECT l_returnflag, bucket, max(r) AS m_j FROM rho GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT l_returnflag, count(*) AS present,
+         |         sum(1::BIGINT << (55 - m_j)) AS sum_present
+         |  FROM regs GROUP BY 1
+         |)
+         |SELECT l_returnflag,
+         |       CAST($HllM - present AS BIGINT) AS v_zero,
+         |       CAST(sum_present + ($HllM - present) * (1::BIGINT << 55) AS BIGINT) AS reg_sum,
+         |       round(CASE WHEN 0.709 * 4096.0 * ${(1L << 55).toDouble} / CAST(sum_present + ($HllM - present) * (1::BIGINT << 55) AS DOUBLE) <= ${2.5 * HllM}
+         |                   AND present < $HllM
+         |              THEN $HllM.0 * round(ln($HllM.0 / CAST($HllM - present AS DOUBLE)), 9)
+         |              ELSE 0.709 * 4096.0 * ${(1L << 55).toDouble} / CAST(sum_present + ($HllM - present) * (1::BIGINT << 55) AS DOUBLE)
+         |         END, 4) AS est_distinct
+         |FROM agg
+         |ORDER BY l_returnflag""".stripMargin,
 
     "q_sketch_bloom" ->
       s"""WITH build AS (

@@ -32,9 +32,12 @@ object TextAnalysisQueries extends QueryPack {
   /** DuckDB replay of the BPE training loop: the same greedy rounds,
     * unrolled — stage i computes pair counts over vocab state s_i, picks
     * the argmax under (n desc, pair asc) as b_i, and rewrites the state
-    * with the delimiter-safe replace into s_{i+1}.
+    * with the delimiter-safe replace into s_{i+1}. Shared WITH prefix for
+    * the train and apply oracles; every CTE is MATERIALIZED because s_i
+    * is consumed twice per stage (p_i and s_{i+1}) and inlining would
+    * duplicate the base scan 2^rounds times.
     */
-  private def bpeTrainOracle: String = {
+  private def bpeTrainCtes: String = {
     val stages = (1 to BpeTrainMerges).map { i =>
       val next =
         if (i == BpeTrainMerges) ""
@@ -52,9 +55,6 @@ object TextAnalysisQueries extends QueryPack {
          |  GROUP BY 1
          |), b$i AS MATERIALIZED (SELECT pair, n FROM p$i ORDER BY n DESC, pair LIMIT 1)""".stripMargin + next
     }.mkString
-    val union = (1 to BpeTrainMerges).map { i =>
-      s"SELECT $i AS merge_rank, pair, replace(pair, ' ', '') AS merged, n FROM b$i"
-    }.mkString("\nUNION ALL ")
     s"""WITH tok AS MATERIALIZED (
        |  SELECT unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS word
        |  FROM documents
@@ -63,9 +63,41 @@ object TextAnalysisQueries extends QueryPack {
        |  GROUP BY word ORDER BY wn DESC, word LIMIT $BpeTrainVocab
        |), s1 AS MATERIALIZED (
        |  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS state, wn FROM vocab
-       |)$stages
+       |)$stages""".stripMargin
+  }
+
+  private def bpeTrainOracle: String = {
+    val union = (1 to BpeTrainMerges).map { i =>
+      s"SELECT $i AS merge_rank, pair, replace(pair, ' ', '') AS merged, n FROM b$i"
+    }.mkString("\nUNION ALL ")
+    s"""$bpeTrainCtes
        |$union
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** DuckDB replay of BPE ENCODING: re-derives the merge table (the same
+    * CTE chain as the train oracle), then applies the ten merges in rank
+    * order to every corpus word as a chained delimiter-safe replace, and
+    * aggregates token counts per document.
+    */
+  private def bpeApplyOracle: String = {
+    val chain = (1 to BpeTrainMerges).foldLeft(
+      "regexp_replace(word, '(.)', '|\\1|', 'g')") { (acc, i) =>
+      s"""replace($acc,
+         |  (SELECT '|' || replace(pair, ' ', '||') || '|' FROM b$i),
+         |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b$i))""".stripMargin
+    }
+    s"""$bpeTrainCtes, tok2 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS word
+       |  FROM documents
+       |), enc AS (
+       |  SELECT doc_id,
+       |         len(string_split(substr(st, 2, length(st) - 2), '||')) AS nt
+       |  FROM (SELECT doc_id, $chain AS st FROM tok2 WHERE word <> '')
+       |)
+       |SELECT doc_id, count(*) AS n_words, CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
+       |FROM enc GROUP BY doc_id""".stripMargin
   }
 
   /** Lowercased letter-only tokens (the reference's cleaning pipeline). */
@@ -112,6 +144,36 @@ object TextAnalysisQueries extends QueryPack {
     }
     import s.implicits._
     learned.result().toDF("merge_rank", "pair", "merged", "n")
+  }
+
+  /** BPE ENCODING: apply a learned merge table to every document. The
+    * merge list is driver-side scalars (it came out of [[bpeTrainOf]]'s
+    * argmax rounds), so the encoder compiles to a literal chain of
+    * `merges` replace() calls inside one `transform` lambda — a pure
+    * codegen narrow map over documents, no joins, no shuffle except the
+    * final per-doc count aggregation's none (groupBy is per-row here).
+    * At 100 TB this is the ideal shape: tokenization cost scales with
+    * bytes scanned and nothing else.
+    */
+  def bpeApplyOf(documents: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    def encode(w: Column): Column = merges.foldLeft(
+      regexp_replace(w, "(.)", "|$1|")) { case (acc, (pair, merged)) =>
+      replace(acc, lit("|" + pair.replace(" ", "||") + "|"),
+        lit("|" + merged + "|"))
+    }
+    val words = filter(cleanTokens(col("text")), w => w =!= "")
+    documents
+      .select(col("doc_id"), words.as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        // "|a||b|" split on '||' -> ["|a", "b|"]: the outer pipes ride
+        // along with the first/last element, so size() IS the token count
+        // and encode() is evaluated once per word.
+        aggregate(
+          transform(col("ws"),
+            w => size(split(encode(w), "\\|\\|")).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"))
   }
 
   private def countIn(toks: Column, set: Seq[String]): Column =
@@ -357,6 +419,17 @@ object TextAnalysisQueries extends QueryPack {
     // merge ("a a a" -> ["aa", "a"], "a b a b a b" -> 3 merges). The
     // oracle replays the identical rounds as an unrolled CTE chain.
     "text_bpe_train" -> ((s, d) => bpeTrainOf(docs(s, d))),
+
+    // BPE ENCODING with the just-learned merge table: train (one corpus
+    // pass + vocab-sized rounds), then tokenize every document with the
+    // merge list compiled into a literal replace chain — see
+    // [[bpeApplyOf]]. Output is integer token accounting per doc.
+    "text_bpe_apply" -> ((s, d) => {
+      val merges = bpeTrainOf(docs(s, d)).collect()
+        .sortBy(_.getInt(0)).toSeq
+        .map(r => (r.getString(1), r.getString(2)))
+      bpeApplyOf(docs(s, d), merges)
+    }),
 
     // Sliding-window token chunking (training-data prep): 32-token
     // chunks, stride 16 (50% overlap — sized to the testdata's ~100-token
@@ -780,6 +853,7 @@ object TextAnalysisQueries extends QueryPack {
         |ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
 
     "text_bpe_train" -> bpeTrainOracle,
+    "text_bpe_apply" -> bpeApplyOracle,
 
     "text_chunk" ->
       """WITH toks AS (

@@ -51,6 +51,21 @@ class BpeTrainSpec extends SparkSpec {
     assert(tie == Seq((1, "c d", "cd", 2L)), tie.toString)
   }
 
+  test("apply encodes with merges in rank order") {
+    val docs = Seq((7L, "the then xyz"), (8L, ""), (9L, "thethe"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysisQueries
+      .bpeApplyOf(docs, Seq(("t h", "th"), ("th e", "the")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // "the" -> [the] (1), "then" -> [the, n] (2), "xyz" -> 3 chars (3).
+    assert(out(7L) == ((3L, 6L)), out.toString)
+    // empty doc: no clean words -> no row (matches the oracle's GROUP BY).
+    assert(!out.contains(8L), out.toString)
+    // "thethe": both merges apply twice -> [the, the] (2).
+    assert(out(9L) == ((1L, 2L)), out.toString)
+  }
+
   test("exhausts cleanly when no pairs remain") {
     // single-char vocab: no adjacent pairs at all -> empty merge table.
     val out = train(Seq("a b c a b"), merges = 3)

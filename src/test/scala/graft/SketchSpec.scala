@@ -40,6 +40,39 @@ class SketchSpec extends SparkSpec {
       s"KMV est $e1 vs exact $exact outside 3*RSE")
   }
 
+  test("HLL estimate is within 3 sigma of truth and partitioning-invariant") {
+    import spark.implicits._
+    // 5000 planted distinct values (each duplicated 3x in shuffled
+    // interleave) — well past linear-counting, the raw-estimator path.
+    val vals = (1L to 5000L).flatMap(v => Seq(v, v, v))
+    def hll(parts: Int) = SketchQueries
+      .hllOf(vals.toDF("v").repartition(parts), lit("all"), col("v"))
+      .collect().head
+    val r1 = hll(1); val r32 = hll(32)
+    // Registers are max-of-rank over the input SET: any partitioning,
+    // same sketch.
+    assert(r1 == r32, s"HLL not merge-invariant: $r1 vs $r32")
+    val est = r1.getAs[Double]("est_distinct")
+    val sigma = 1.04 / math.sqrt(SketchQueries.HllM)
+    assert(math.abs(est - 5000.0) / 5000.0 <= 3 * sigma,
+      s"HLL est $est vs exact 5000 outside 3 sigma")
+    CacheScope.releaseAll()
+  }
+
+  test("HLL small cardinalities take the linear-counting branch") {
+    import spark.implicits._
+    // 20 distinct values in m=64 registers: raw HLL underestimates badly
+    // here; the V>0 linear-counting branch must engage and land close.
+    val r = SketchQueries
+      .hllOf((1L to 20L).toDF("v"), lit("all"), col("v"))
+      .collect().head
+    assert(r.getAs[Long]("v_zero") > 0)
+    val est = r.getAs[Double]("est_distinct")
+    assert(math.abs(est - 20.0) <= 6.0,
+      s"linear-counting est $est too far from 20")
+    CacheScope.releaseAll()
+  }
+
   test("KMV overlap estimate degenerates to EXACT jaccard when union <= k") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
