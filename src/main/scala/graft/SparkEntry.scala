@@ -30,6 +30,7 @@ object SparkEntry {
     graph.GraphQueries,
     text.TextAnalysisQueries,
     text.CorpusOpsQueries,
+    text.EvalQueries,
     mm.MultimodalQueries,
     streaming.StreamingQueries)
 

@@ -1,0 +1,170 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+import graft.text.TextAnalysisQueries.{cleanTokens, countIn, qualityScore, qualityScoreCte, stopList}
+
+/** Classifier-evaluation metrics for the training-data pipeline: once a
+  * corpus is scored (quality, language), the pipeline needs to know how
+  * good the scorer IS before gating data on it — ROC-AUC, a calibration
+  * (reliability) table, and inter-rater agreement (Cohen's kappa).
+  *
+  * Scale discipline shared by all three: the corpus is touched once by a
+  * pure narrow scoring scan; everything downstream operates on a BOUNDED
+  * relation (distinct 6-dp scores <= 1e6+1, calibration bins <= 11, a 2x2
+  * confusion table), so the exact pairwise AUC join and all divisions are
+  * constant-cost at any corpus size. All counts are exact integers; the
+  * only float steps are final divisions on identical IEEE operand orders,
+  * rounded to 6 — the same cross-engine determinism contract as the rest
+  * of the surface.
+  */
+object EvalQueries extends QueryPack {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** The langid heuristic's english-vote (text_langid's 0.15 threshold). */
+  private def predEn: Column = {
+    val toks = cleanTokens(col("text"))
+    countIn(toks, Stopwords.reachable.filter(_.nonEmpty)).cast("double") /
+      size(toks) >= 0.15
+  }
+
+  /** (gold binary label, quality score) — the scoring scan all three
+    * metrics start from: is quality_score a good English detector?
+    */
+  private def labeled(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select((col("lang") === "en").as("y"),
+      qualityScore.as("sc"), predEn.as("pred_en"))
+
+  /** Exact Mann-Whitney ROC-AUC over a (y: boolean, sc) relation — public
+    * so specs can feed planted score distributions.
+    */
+  def aucOf(lab: DataFrame): DataFrame = {
+    val g = lab
+      .groupBy(col("sc"))
+      .agg(count(when(col("y"), 1)).as("p"),
+        count(when(!col("y"), 1)).as("n"))
+      .transform(graft.CacheScope.persisted(_))
+    val conc = g.select(col("sc").as("sa"), col("p").as("pa"))
+      .join(broadcast(g.select(col("sc").as("sb"), col("n").as("nb"))),
+        col("sa") > col("sb"))
+      .agg(coalesce(sum(col("pa") * col("nb")), lit(0L)).as("c"))
+    val ties = g.agg(coalesce(sum(col("p") * col("n")), lit(0L)).as("t"))
+    val tot = g.agg(sum(col("p")).as("np"), sum(col("n")).as("nn"),
+      count(lit(1)).as("n_scores"))
+    tot.crossJoin(broadcast(conc)).crossJoin(broadcast(ties))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        col("n_scores"),
+        round((col("c").cast("double") +
+          lit(0.5) * col("t").cast("double")) /
+          (col("np").cast("double") * col("nn").cast("double")), 6)
+          .as("auc"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact ROC-AUC of quality_score against the gold language label,
+    // by the Mann-Whitney pair count: AUC = (#(pos > neg) + 0.5 * ties)
+    // / (P * N). No global rank window (banned at scale): per-score
+    // (p, n) counts are one bounded-output shuffle, and the pairwise
+    // count is an inequality join over that bounded relation with the
+    // smaller side broadcast — the Skyline prefix-max pattern.
+    "text_eval_auc" -> ((s, d) => aucOf(labeled(s, d))),
+
+    // Calibration / reliability table: decile bins of the score vs the
+    // observed positive rate — the "is 0.8 really 80%?" check before a
+    // threshold gate. Constant output (<= 11 bins); the mean score goes
+    // through an exact decimal sum (6-dp inputs).
+    "text_eval_calibration" -> ((s, d) =>
+      labeled(s, d)
+        .groupBy(floor(col("sc") * 10).cast("int").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(graft.relational.Det.dsum(col("sc"), 6) /
+            count(lit(1)), 6).as("mean_score"),
+          round(count(when(col("y"), 1)).cast("double") / count(lit(1)), 6)
+            .as("frac_pos"))),
+
+    // Cohen's kappa between the langid heuristic's english vote and the
+    // gold label — chance-corrected agreement from one 2x2 confusion
+    // aggregation (a single row of exact counts; po/pe arithmetic is
+    // identical IEEE ops in both engines).
+    "text_eval_kappa" -> ((s, d) => {
+      val nn = col("n11") + col("n10") + col("n01") + col("n00")
+      val po = (col("n11") + col("n00")).cast("double") / nn.cast("double")
+      val pe = ((col("n11") + col("n10")).cast("double") *
+        (col("n11") + col("n01")).cast("double") +
+        (col("n01") + col("n00")).cast("double") *
+          (col("n10") + col("n00")).cast("double")) /
+        (nn.cast("double") * nn.cast("double"))
+      labeled(s, d)
+        .agg(count(when(col("pred_en") && col("y"), 1)).as("n11"),
+          count(when(col("pred_en") && !col("y"), 1)).as("n10"),
+          count(when(!col("pred_en") && col("y"), 1)).as("n01"),
+          count(when(!col("pred_en") && !col("y"), 1)).as("n00"))
+        .select(col("n11"), col("n10"), col("n01"), col("n00"),
+          round(po, 6).as("po"),
+          round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    }))
+
+  /** Shared oracle scan: (y, sc, pred_en) per doc — quality score via the
+    * shared CTE, langid vote inline.
+    */
+  private def labeledSql: String =
+    s"""$qualityScoreCte, pred AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +'),
+       |                              x -> x IN $stopList)) AS DOUBLE) /
+       |           len(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) >= 0.15 AS pred_en,
+       |         lang = 'en' AS y
+       |  FROM documents
+       |), lab AS (
+       |  SELECT p.y AS y, q.quality_score AS sc, p.pred_en AS pred_en
+       |  FROM pred p JOIN qscore q USING (doc_id)
+       |)""".stripMargin
+
+  override val oracles: Map[String, String] = Map(
+
+    "text_eval_auc" ->
+      s"""WITH $labeledSql, g AS (
+         |  SELECT sc, count(CASE WHEN y THEN 1 END) AS p,
+         |         count(CASE WHEN NOT y THEN 1 END) AS n
+         |  FROM lab GROUP BY sc
+         |), conc AS (
+         |  SELECT COALESCE(sum(a.p * b.n), 0) AS c FROM g a, g b WHERE a.sc > b.sc
+         |), ties AS (SELECT COALESCE(sum(p * n), 0) AS t FROM g),
+         |tot AS (SELECT CAST(sum(p) AS BIGINT) AS np, CAST(sum(n) AS BIGINT) AS nn,
+         |               count(*) AS n_scores FROM g)
+         |SELECT np AS n_pos, nn AS n_neg, n_scores,
+         |       round((CAST(c AS DOUBLE) + 0.5 * CAST(t AS DOUBLE)) /
+         |             (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS auc
+         |FROM tot, conc, ties""".stripMargin,
+
+    "text_eval_calibration" ->
+      s"""WITH $labeledSql
+         |SELECT CAST(floor(sc * 10) AS INT) AS bin, count(*) AS n,
+         |       round(CAST(sum(CAST(sc AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_score,
+         |       round(CAST(count(CASE WHEN y THEN 1 END) AS DOUBLE) / count(*), 6) AS frac_pos
+         |FROM lab GROUP BY 1""".stripMargin,
+
+    "text_eval_kappa" ->
+      s"""WITH $labeledSql, cm AS (
+         |  SELECT count(CASE WHEN pred_en AND y THEN 1 END) AS n11,
+         |         count(CASE WHEN pred_en AND NOT y THEN 1 END) AS n10,
+         |         count(CASE WHEN NOT pred_en AND y THEN 1 END) AS n01,
+         |         count(CASE WHEN NOT pred_en AND NOT y THEN 1 END) AS n00
+         |  FROM lab
+         |)
+         |SELECT n11, n10, n01, n00,
+         |       round(CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE), 6) AS po,
+         |       round((CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE) -
+         |              (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE) +
+         |               CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)) /
+         |              (CAST(n11 + n10 + n01 + n00 AS DOUBLE) * CAST(n11 + n10 + n01 + n00 AS DOUBLE))) /
+         |             (1.0 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE) +
+         |                     CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)) /
+         |                    (CAST(n11 + n10 + n01 + n00 AS DOUBLE) * CAST(n11 + n10 + n01 + n00 AS DOUBLE))), 6) AS kappa
+         |FROM cm""".stripMargin)
+}

@@ -101,7 +101,7 @@ object TextAnalysisQueries extends QueryPack {
   }
 
   /** Lowercased letter-only tokens (the reference's cleaning pipeline). */
-  private def cleanTokens(c: Column): Column =
+  private[text] def cleanTokens(c: Column): Column =
     split(regexp_replace(lower(c), "[^a-z ]", ""), " +")
 
   /** The BPE training loop body (see the text_bpe_train registration for
@@ -176,7 +176,7 @@ object TextAnalysisQueries extends QueryPack {
           lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"))
   }
 
-  private def countIn(toks: Column, set: Seq[String]): Column =
+  private[text] def countIn(toks: Column, set: Seq[String]): Column =
     graft.functions.CountInSet.countIn(toks, set)
 
   /** Character-class count via delete-and-diff (portable to any engine). */
@@ -703,7 +703,7 @@ object TextAnalysisQueries extends QueryPack {
           .as("dup_bigram_ratio"))
   }
 
-  private def stopList: String =
+  private[text] def stopList: String =
     Stopwords.reachable.filter(_.nonEmpty).map(w => s"'$w'").mkString("(", ", ", ")")
 
   override val oracles: Map[String, String] = Map(
