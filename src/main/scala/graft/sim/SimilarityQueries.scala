@@ -36,6 +36,41 @@ object SimilarityQueries extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Embedding covariance matrix (upper triangle) — the whitening / PCA
+    // precursor every embedding-hygiene pass needs (anisotropy detection,
+    // decorrelated cosine). Scale shape: ONE narrow map emits each row's
+    // d(d+1)/2 quantized products (nested transform + flatten, no
+    // posexplode self-join), and partial aggregation collapses every map
+    // task to <= 2080 (i, j) groups before the only shuffle; the per-dim
+    // first moments are a 64-row broadcast. Determinism is the VecMath
+    // contract: int64 quantized products sum exactly (|q| <= 578 here,
+    // so ~1e9 vectors stay under 2^63), and the only float math is the
+    // final identical-operand-order covariance division, rounded to 9.
+    "sim_embed_covariance" -> ((s, d) => {
+      val q = Tables.load(s, d, "embeddings")
+        .select(quantize(col("embedding")).as("q"))
+      val pairs = q
+        .select(explode(flatten(transform(col("q"), (xi, i) =>
+          transform(slice(col("q"), i + 1, size(col("q")) - i), (xj, jj) =>
+            struct(i.as("i"), (i + jj).as("j"), (xi * xj).as("p"))))))
+          .as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      val s2 = pairs.groupBy(col("i"), col("j"))
+        .agg(sum(col("p")).as("sp"), count(lit(1)).as("n"))
+      val m1 = q.select(posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy(col("i")).agg(sum(col("x")).as("s1"))
+        .transform(graft.CacheScope.persisted(_))
+      val cov = round((col("sp").cast("double") / lit(1000000.0) -
+        (col("s1a").cast("double") / lit(1000.0)) *
+          (col("s1b").cast("double") / lit(1000.0)) /
+          col("n").cast("double")) / col("n").cast("double"), 9)
+      s2.join(broadcast(m1.select(col("i").as("ia"), col("s1").as("s1a"))),
+          col("i") === col("ia"))
+        .join(broadcast(m1.select(col("i").as("ib"), col("s1").as("s1b"))),
+          col("j") === col("ib"))
+        .select(col("i"), col("j"), col("n"), cov.as("cov"))
+    }),
+
     "sim_knn_bruteforce" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < NQueries)
@@ -107,6 +142,30 @@ object SimilarityQueries extends QueryPack {
       |)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "sim_embed_covariance" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        |  FROM embeddings
+        |), withI AS (
+        |  SELECT q, unnest(generate_series(1, len(q))) AS i FROM q
+        |), withIJ AS (
+        |  SELECT q, i, unnest(generate_series(i, len(q))) AS j FROM withI
+        |), s2 AS (
+        |  SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+        |         sum(q[i] * q[j]) AS sp, count(*) AS n
+        |  FROM withIJ GROUP BY 1, 2
+        |), m1 AS (
+        |  SELECT CAST(i - 1 AS INT) AS i, sum(q[i]) AS s1
+        |  FROM withI GROUP BY 1
+        |)
+        |SELECT s2.i, s2.j, s2.n,
+        |       round((CAST(sp AS DOUBLE) / 1000000.0 -
+        |              (CAST(a.s1 AS DOUBLE) / 1000.0) * (CAST(b.s1 AS DOUBLE) / 1000.0) / CAST(s2.n AS DOUBLE)) /
+        |             CAST(s2.n AS DOUBLE), 9) AS cov
+        |FROM s2
+        |JOIN m1 a ON a.i = s2.i
+        |JOIN m1 b ON b.i = s2.j""".stripMargin,
+
     "sim_knn_bruteforce" ->
       s"""$eCte, dots AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,

@@ -521,6 +521,47 @@ object TextAnalysisQueries extends QueryPack {
             .as("avg_logprob"))
     }),
 
+    // Pointwise-mutual-information collocation ranking: the bigrams most
+    // over-represented vs their unigrams' independence baseline — the
+    // classic multi-word-expression detector ("new york" scores, "of the"
+    // doesn't). pmi = ln(p(w1 w2) / (p(w1) p(w2))) over exact integer
+    // counts; a min-count gate of 5 kills the hapax noise PMI is famous
+    // for. Scale shape: two corpus-sized count shuffles (bigram + unigram
+    // vocab), equi-joins on the word keys, corpus totals as a broadcast
+    // 1-row aggregate, top-50 via TakeOrderedAndProject under a total
+    // order (rounded pmi, then the pair).
+    "text_pmi_collocations" -> ((s, d) => {
+      val tk = docs(s, d)
+        .select(col("doc_id"),
+          filter(cleanTokens(col("text")), x => x =!= "").as("tk"))
+        .transform(graft.CacheScope.persisted(_))
+      val bg = tk.filter(size(col("tk")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .transform(graft.CacheScope.persisted(_))
+      val v2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+      val uni = tk.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("nu"))
+        .transform(graft.CacheScope.persisted(_))
+      val totals = bg.agg(count(lit(1)).as("nb"))
+        .crossJoin(broadcast(uni.agg(sum(col("nu")).as("ntok"))))
+      val pmi = round(log(
+        (col("n2").cast("double") * col("ntok").cast("double") *
+          col("ntok").cast("double")) /
+          (col("nb").cast("double") * col("nu1").cast("double") *
+            col("nu2").cast("double"))), 9)
+      v2.filter(col("n2") >= 5)
+        .join(uni.select(col("w").as("w1"), col("nu").as("nu1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("nu").as("nu2")), "w2")
+        .crossJoin(broadcast(totals))
+        .select(col("w1"), col("w2"), col("n2"), pmi.as("pmi"))
+        .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+        .limit(50)
+    }),
+
     // Zipf-law fit over the corpus vocabulary: OLS slope of ln(freq) vs
     // ln(rank) for the top-200 terms. A healthy natural-language corpus
     // sits near slope -1; a scrape full of boilerplate or spam drifts off
@@ -917,6 +958,38 @@ object TextAnalysisQueries extends QueryPack {
         |JOIN v2 v ON v.w1 = t.w1 AND v.w2 = t.w2
         |JOIN v1 o ON o.w1 = t.w1
         |GROUP BY t.doc_id""".stripMargin,
+
+    "text_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +'),
+        |                     x -> x <> '') AS tk
+        |  FROM documents
+        |), bg AS (
+        |  SELECT unnest(list_transform(range(1, len(tk)),
+        |                i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
+        |  FROM toks WHERE len(tk) >= 2
+        |), bg2 AS (
+        |  SELECT b.w1 AS w1, b.w2 AS w2 FROM bg
+        |), v2 AS (
+        |  SELECT w1, w2, count(*) AS n2 FROM bg2 GROUP BY 1, 2
+        |), uni AS (
+        |  SELECT unnest(tk) AS w FROM toks
+        |), v1 AS (
+        |  SELECT w, count(*) AS nu FROM uni GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT count(*) FROM bg2) AS nb,
+        |         (SELECT count(*) FROM uni) AS ntok
+        |)
+        |SELECT v2.w1, v2.w2, v2.n2,
+        |       round(ln((CAST(v2.n2 AS DOUBLE) * CAST(ntok AS DOUBLE) * CAST(ntok AS DOUBLE)) /
+        |                (CAST(nb AS DOUBLE) * CAST(a.nu AS DOUBLE) * CAST(b.nu AS DOUBLE))), 9) AS pmi
+        |FROM v2
+        |JOIN v1 a ON a.w = v2.w1
+        |JOIN v1 b ON b.w = v2.w2, tot
+        |WHERE v2.n2 >= 5
+        |ORDER BY pmi DESC, v2.w1 ASC, v2.w2 ASC
+        |LIMIT 50""".stripMargin,
 
     "text_zipf" ->
       """WITH tok AS (
