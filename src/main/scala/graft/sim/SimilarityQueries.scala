@@ -114,7 +114,35 @@ object SimilarityQueries extends QueryPack {
     // Product-quantization ADC search (see [[Pq]]): database vectors are
     // reduced to M=8 sub-codes; queries rank candidates from a
     // (m, cell) lookup-table join, never touching raw database vectors.
-    "sim_pq_adc" -> ((s, d) => Pq.adcTopK(emb(s, d), PqParams))
+    "sim_pq_adc" -> ((s, d) => Pq.adcTopK(emb(s, d), PqParams)),
+
+    // Recall@3 of every ANN method against the exact top-3 — the eval
+    // loop an ANN rollout needs before trusting approximate retrieval.
+    // Reuses the registered builders verbatim (per-query-isolation
+    // policy, like dedup_split_safe): exact truth is 30 (q, n) pairs,
+    // each method intersects via a left-semi join on (q_id, n_id), and
+    // the scalar counts cross-join as broadcast 1-row aggregates. Both
+    // sides of the comparison are deterministic, so even this recall
+    // TABLE hash-matches DuckDB's replay of all four pipelines.
+    "sim_ann_recall" -> ((s, d) => {
+      val exact = queries("sim_knn_bruteforce")(s, d)
+        .filter(col("rnk") <= 3).select(col("q_id"), col("n_id"))
+        .transform(graft.CacheScope.persisted(_))
+      def recallOf(name: String, res: DataFrame): DataFrame = {
+        val hits = exact.join(res.select(col("q_id"), col("n_id")),
+          Seq("q_id", "n_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(broadcast(hits))
+          .select(lit(name).as("method"), col("n_exact"), col("n_hits"),
+            round(col("n_hits").cast("double") /
+              col("n_exact").cast("double"), 6).as("recall"))
+      }
+      recallOf("ann_lsh", queries("sim_ann_lsh")(s, d))
+        .unionByName(recallOf("ann_ivf", queries("sim_ann_ivf")(s, d)))
+        .unionByName(recallOf("pq_adc", queries("sim_pq_adc")(s, d)))
+        .orderBy("method")
+    })
   )
 
   /** Dials for the oracled query: k=8 cells (the label column has 3
@@ -141,7 +169,94 @@ object SimilarityQueries extends QueryPack {
       |  FROM e GROUP BY vec_id
       |)""".stripMargin
 
+  private lazy val knnOracle: String =
+    s"""$eCte, dots AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         CAST(sum(q.qx * c.qx) AS DOUBLE) / 1000000.0 AS dot
+       |  FROM e q JOIN e c ON q.i = c.i AND q.vec_id < $NQueries
+       |                   AND c.vec_id <> q.vec_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT d.q_id, d.n_id,
+       |         round(d.dot / (sqrt(nq.norm2) * sqrt(nc.norm2)), 4) AS cos
+       |  FROM dots d
+       |  JOIN norms nq ON nq.vec_id = d.q_id
+       |  JOIN norms nc ON nc.vec_id = d.n_id
+       |)
+       |SELECT q_id, n_id, cos, rnk FROM (
+       |  SELECT q_id, n_id, cos,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos DESC, n_id ASC) AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $TopK""".stripMargin
+
+  private lazy val lshOracle: String =
+    s"""$eCte, bkt AS (
+       |  SELECT vec_id, ${VecMath.signBucketSql("embedding")} AS bucket
+       |  FROM embeddings
+       |), dots AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         CAST(sum(q.qx * c.qx) AS DOUBLE) / 1000000.0 AS dot
+       |  FROM e q
+       |  JOIN bkt bq ON bq.vec_id = q.vec_id
+       |  JOIN bkt bc ON bc.bucket = bq.bucket
+       |  JOIN e c ON c.vec_id = bc.vec_id AND c.i = q.i
+       |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT d.q_id, d.n_id,
+       |         round(d.dot / (sqrt(nq.norm2) * sqrt(nc.norm2)), 4) AS cos
+       |  FROM dots d
+       |  JOIN norms nq ON nq.vec_id = d.q_id
+       |  JOIN norms nc ON nc.vec_id = d.n_id
+       |)
+       |SELECT q_id, n_id, cos, rnk FROM (
+       |  SELECT q_id, n_id, cos,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos DESC, n_id ASC) AS rnk
+       |  FROM scored
+       |) WHERE rnk <= 3""".stripMargin
+
+  private lazy val ivfOracle: String =
+    s"""$eCte${Ivf.oracleCtes(IvfParams)}
+       |SELECT q_id, n_id, cos, rnk FROM ivf_topk""".stripMargin
+
+  private lazy val pqOracle: String =
+    s"""$eCte${Pq.oracleCtes(PqParams)}
+       |SELECT q_id, n_id, adc, rnk FROM pq_topk""".stripMargin
+
+  /** Recall oracle: the exact and approximate top-k oracles composed as
+    * derived tables (DuckDB allows a WITH inside a parenthesized
+    * subquery), intersected per method.
+    */
+  private lazy val recallOracle: String = {
+    def hit(m: String) =
+      s"""SELECT '$m' AS method, (SELECT count(*) FROM ex) AS n_exact,
+         |  (SELECT count(*) FROM ex e WHERE EXISTS
+         |     (SELECT 1 FROM c_$m c WHERE c.q_id = e.q_id AND c.n_id = e.n_id)) AS n_hits""".stripMargin
+    s"""WITH ex AS (SELECT q_id, n_id FROM ($knnOracle) t WHERE rnk <= 3),
+       |c_ann_lsh AS (SELECT q_id, n_id FROM ($lshOracle) t),
+       |c_ann_ivf AS (SELECT q_id, n_id FROM ($ivfOracle) t),
+       |c_pq_adc AS (SELECT q_id, n_id FROM ($pqOracle) t)
+       |SELECT method, n_exact, n_hits,
+       |       round(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall
+       |FROM (${hit("ann_lsh")}
+       |UNION ALL ${hit("ann_ivf")}
+       |UNION ALL ${hit("pq_adc")})
+       |ORDER BY method""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
+    "sim_ann_recall" -> recallOracle,
+
+    "sim_knn_bruteforce" -> knnOracle,
+
+    "sim_ann_lsh" -> lshOracle,
+
+    "sim_ann_ivf" -> ivfOracle,
+
+    "sim_pq_adc" -> pqOracle,
+
     "sim_embed_covariance" ->
       """WITH q AS (
         |  SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
@@ -164,62 +279,6 @@ object SimilarityQueries extends QueryPack {
         |             CAST(s2.n AS DOUBLE), 9) AS cov
         |FROM s2
         |JOIN m1 a ON a.i = s2.i
-        |JOIN m1 b ON b.i = s2.j""".stripMargin,
-
-    "sim_knn_bruteforce" ->
-      s"""$eCte, dots AS (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-         |         CAST(sum(q.qx * c.qx) AS DOUBLE) / 1000000.0 AS dot
-         |  FROM e q JOIN e c ON q.i = c.i AND q.vec_id < $NQueries
-         |                   AND c.vec_id <> q.vec_id
-         |  GROUP BY 1, 2
-         |), scored AS (
-         |  SELECT d.q_id, d.n_id,
-         |         round(d.dot / (sqrt(nq.norm2) * sqrt(nc.norm2)), 4) AS cos
-         |  FROM dots d
-         |  JOIN norms nq ON nq.vec_id = d.q_id
-         |  JOIN norms nc ON nc.vec_id = d.n_id
-         |)
-         |SELECT q_id, n_id, cos, rnk FROM (
-         |  SELECT q_id, n_id, cos,
-         |         row_number() OVER (PARTITION BY q_id
-         |                            ORDER BY cos DESC, n_id ASC) AS rnk
-         |  FROM scored
-         |) WHERE rnk <= $TopK""".stripMargin,
-
-    "sim_ann_lsh" ->
-      s"""$eCte, bkt AS (
-         |  SELECT vec_id, ${VecMath.signBucketSql("embedding")} AS bucket
-         |  FROM embeddings
-         |), dots AS (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-         |         CAST(sum(q.qx * c.qx) AS DOUBLE) / 1000000.0 AS dot
-         |  FROM e q
-         |  JOIN bkt bq ON bq.vec_id = q.vec_id
-         |  JOIN bkt bc ON bc.bucket = bq.bucket
-         |  JOIN e c ON c.vec_id = bc.vec_id AND c.i = q.i
-         |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id
-         |  GROUP BY 1, 2
-         |), scored AS (
-         |  SELECT d.q_id, d.n_id,
-         |         round(d.dot / (sqrt(nq.norm2) * sqrt(nc.norm2)), 4) AS cos
-         |  FROM dots d
-         |  JOIN norms nq ON nq.vec_id = d.q_id
-         |  JOIN norms nc ON nc.vec_id = d.n_id
-         |)
-         |SELECT q_id, n_id, cos, rnk FROM (
-         |  SELECT q_id, n_id, cos,
-         |         row_number() OVER (PARTITION BY q_id
-         |                            ORDER BY cos DESC, n_id ASC) AS rnk
-         |  FROM scored
-         |) WHERE rnk <= 3""".stripMargin,
-
-    "sim_ann_ivf" ->
-      s"""$eCte${Ivf.oracleCtes(IvfParams)}
-         |SELECT q_id, n_id, cos, rnk FROM ivf_topk""".stripMargin,
-
-    "sim_pq_adc" ->
-      s"""$eCte${Pq.oracleCtes(PqParams)}
-         |SELECT q_id, n_id, adc, rnk FROM pq_topk""".stripMargin
+        |JOIN m1 b ON b.i = s2.j""".stripMargin
   )
 }
