@@ -170,6 +170,18 @@ object RelationalQueries extends QueryPack {
       bal.intersect(sup)
     }),
 
+    // EXCEPT (distinct set difference) over the same projections: nations
+    // with high-balance customers but no high-balance supplier. Spark
+    // plans both set ops as aggregate + left-anti/semi join — the
+    // scale-correct shape (no sort-based set op).
+    "q_except" -> ((s, d) => {
+      val bal = t(s, d, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, d, "supplier").filter(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").as("nationkey"))
+      bal.except(sup)
+    }),
+
     // UNION ALL + aggregation over the union.
     "q_union_all" -> ((s, d) => {
       val c = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
@@ -294,6 +306,11 @@ object RelationalQueries extends QueryPack {
     "q_set_ops" ->
       """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
         |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
+        |EXCEPT
         |SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000""".stripMargin,
 
     "q_union_all" ->
