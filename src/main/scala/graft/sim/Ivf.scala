@@ -68,6 +68,38 @@ object Ivf {
     // the n×d relation feeding every centroid/assignment pass
     val ex = persisted(e.select(col("vec_id"),
       posexplode(col("qe")).as(Seq("i", "qx"))))
+    // final assignment; one window serves both the collection cells
+    // (rn=1) and the query probes (rn<=nprobe)
+    val r1 = probeRanked(e, ex, p)
+    val cellAll = r1.filter(col("rn") === 1).select(col("vid"), col("cell"))
+    val cellQ = r1.filter(col("vid") < p.nQueries)
+      .select(col("vid").as("q_vid"), col("cell").as("q_cell"))
+    val q = e.filter(col("vec_id") < p.nQueries)
+      .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
+        col("norm2").as("q_norm2"))
+      .join(cellQ, col("q_id") === col("q_vid"))
+      .select(col("q_id"), col("q_qe"), col("q_norm2"), col("q_cell"))
+    val scored = e.join(cellAll, e("vec_id") === cellAll("vid"))
+      .join(broadcast(q),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosine(dotQ(col("q_qe"), col("qe")),
+          col("q_norm2"), col("norm2")), 4).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= p.topK)
+  }
+
+  /** Train the coarse quantizer and rank every vector's cells: returns the
+    * PERSISTED (vid, cell, rn) relation where rn orders cells by distance
+    * per vector — rn = 1 is the cell assignment, rn <= nprobe the query
+    * probes. Shared by [[ann]] and the composed [[IvfPq]] index, which
+    * needs the routing WITHOUT the exact re-rank. `e` = (vec_id, ...) and
+    * `ex` = its posexploded (vec_id, i, qx) components, both persisted by
+    * the caller.
+    */
+  def probeRanked(e: DataFrame, ex: DataFrame, p: Params): DataFrame = {
 
     /** Rank-equivalent squared distance of every vector to every centroid.
       * cent: (cell, i, s, n) — exact component sums with the cell size
@@ -112,27 +144,8 @@ object Ivf {
         .groupBy(col("cell"), col("i"))
         .agg(sum("qx").as("s"), count(lit(1)).as("n"))
     }
-    // final assignment; one window serves both the collection cells
-    // (rn=1) and the query probes (rn<=nprobe)
-    val r1 = persisted(ranked(distances(cent), p.nprobe))
-    val cellAll = r1.filter(col("rn") === 1).select(col("vid"), col("cell"))
-    val cellQ = r1.filter(col("vid") < p.nQueries)
-      .select(col("vid").as("q_vid"), col("cell").as("q_cell"))
-    val q = e.filter(col("vec_id") < p.nQueries)
-      .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
-        col("norm2").as("q_norm2"))
-      .join(cellQ, col("q_id") === col("q_vid"))
-      .select(col("q_id"), col("q_qe"), col("q_norm2"), col("q_cell"))
-    val scored = e.join(cellAll, e("vec_id") === cellAll("vid"))
-      .join(broadcast(q),
-        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        round(cosine(dotQ(col("q_qe"), col("qe")),
-          col("q_norm2"), col("norm2")), 4).as("cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= p.topK)
+    persisted(ranked(distances(cent), p.nprobe)
+      .select(col("vid"), col("cell"), col("rn")))
   }
 
   /** DuckDB oracle CTEs for the same Params, appended after an `e` CTE

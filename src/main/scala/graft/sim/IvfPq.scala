@@ -1,0 +1,172 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.CacheScope.persisted
+
+/** The composed production ANN index [[Ivf]] and [[Pq]] each promise half
+  * of: IVF routing picks the candidate cells, PQ codes rank within them,
+  * and only a short exact re-rank ever touches raw vectors. This is the
+  * IVFADC structure of Jégou/Douze/Schmid, "Product Quantization for
+  * Nearest Neighbor Search" (TPAMI 2011) §IV, re-expressed as three
+  * equi-joins:
+  *
+  *   route:     the coarse quantizer's (vid, cell, rn) ranking ([[Ivf
+  *              .probeRanked]]) — rn = 1 assigns the collection, rn <=
+  *              nprobe picks each query's probe cells; candidates are the
+  *              cell equi-join of the two, ~nprobe/k of the collection.
+  *   rank:      each candidate's ADC distance — the query's (m, cell)
+  *              lookup table ([[Pq.codesAndQtab]]) joined to candidate
+  *              CODES and collapsed in partial aggregation. The join is
+  *              restricted to routed candidates BEFORE aggregation, so
+  *              ADC work scales with the probed fraction, not the
+  *              collection.
+  *   re-rank:   only the `shortlist` best ADC candidates per query are
+  *              scored exactly (quantized int64 cosine) — the single
+  *              stage that reads full vectors, and it reads
+  *              shortlist × nQueries of them.
+  *
+  * Training stays what the parts already are: one Lloyd DAG for the
+  * coarse cells, one (m, cell)-keyed Lloyd DAG for the M sub-quantizers,
+  * both over the SAME persisted posexploded relation — composing the
+  * index adds no new training pass.
+  *
+  * Determinism is inherited: both trainers are hash-seeded exact-integer
+  * Lloyd, ADC sums DECIMAL-rounded terms, the re-rank is the exact
+  * quantized cosine, and every window carries a unique tiebreak — so
+  * DuckDB replays the whole composition bit-for-bit from the same Params
+  * ([[oracleCtes]] just concatenates the two trainers' CTEs, whose names
+  * are disjoint by construction, and adds the three joins).
+  *
+  * Scale: the collection-sized relations are the code table (M ints per
+  * vector) and the cell assignment (1 int per vector), both co-partitioned
+  * on cell id at cluster scale; the query side (probes + lookup tables)
+  * broadcasts. Raw vectors are touched by exactly one stage, gated to
+  * shortlist × nQueries rows — the property that makes IVFADC the
+  * standard 100 TB ANN layout.
+  */
+object IvfPq {
+
+  /** @param ivf       coarse-quantizer dials (k cells, nprobe probes)
+    * @param pq        sub-quantizer dials (m subspaces, k centroids each)
+    * @param shortlist ADC candidates per query that reach the exact re-rank
+    * @param topK      neighbors returned per query
+    *
+    * The two nQueries must agree — one query set routes and ranks.
+    */
+  final case class Params(
+      ivf: Ivf.Params,
+      pq: Pq.Params,
+      shortlist: Int = 10,
+      topK: Int = 3) {
+    require(ivf.nQueries == pq.nQueries, "one query set routes and ranks")
+    require(shortlist >= topK, "re-rank cannot return more than it scores")
+  }
+
+  /** ANN over `emb0` = (vec_id, qe: array<bigint>, norm2: double).
+    * Returns (q_id, n_id, cos, rnk) — exact cosine of the re-ranked
+    * shortlist, so the schema matches [[Ivf.ann]] / brute force and the
+    * recall harness consumes it unchanged.
+    */
+  def ann(emb0: DataFrame, p: Params): DataFrame = {
+    import VecMath._
+    val e = persisted(emb0.select(col("vec_id"), col("qe"), col("norm2")))
+    val ex = persisted(e.select(col("vec_id"),
+      posexplode(col("qe")).as(Seq("i", "qx"))))
+
+    // route: cell equi-join of collection assignments and query probes
+    val r1 = Ivf.probeRanked(e, ex, p.ivf)
+    val cellAll = r1.filter(col("rn") === 1).select(col("vid"), col("cell"))
+    val cellQ = r1.filter(col("vid") < p.ivf.nQueries)
+      .select(col("vid").as("q_id"), col("cell").as("q_cell"))
+    val cand = cellAll
+      .join(broadcast(cellQ),
+        col("cell") === col("q_cell") && col("vid") =!= col("q_id"))
+      .select(col("q_id"), col("vid").as("n_id"))
+
+    // rank: ADC over routed candidates only — fan candidates out M ways
+    // via their codes, look each (m, cell) up in the query's table, and
+    // collapse in partial aggregation
+    val (codes, qtab) = Pq.codesAndQtab(e, ex, p.pq)
+    val adc = cand
+      .join(codes, col("n_id") === codes("vid"))
+      .join(broadcast(qtab),
+        cand("q_id") === qtab("q_id") && col("m") === col("qm") &&
+          col("cell") === col("qcell"))
+      .groupBy(cand("q_id"), col("n_id"))
+      .agg(sum(round(col("dd"), 6).cast(DecimalType(28, 6))).as("s"))
+      .select(cand("q_id"), col("n_id"),
+        round(col("s").cast("double"), 6).as("adc"))
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("n_id").asc)
+    val short = adc.withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= p.shortlist)
+      .select(col("q_id"), col("n_id"))
+
+    // re-rank: exact quantized cosine, shortlist pairs only
+    val qv = e.filter(col("vec_id") < p.ivf.nQueries)
+      .select(col("vec_id").as("qv_id"), col("qe").as("q_qe"),
+        col("norm2").as("q_norm2"))
+    val scored = short
+      .join(broadcast(qv), col("q_id") === col("qv_id"))
+      .join(e, col("n_id") === e("vec_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(dotQ(col("q_qe"), col("qe")),
+          col("q_norm2"), col("norm2")), 4).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= p.topK)
+  }
+
+  /** DuckDB oracle CTEs for the same Params, appended after the shared
+    * `e` + `norms` CTEs: both trainers' CTE chains verbatim (coarse
+    * quantizer unprefixed, sub-quantizers p-prefixed — disjoint names, and
+    * the unreferenced tails `dots`.. / `padc`.. are never evaluated), then
+    * the route/rank/re-rank joins. The final SELECT must read
+    * `SELECT q_id, n_id, cos, rnk FROM ivfpq_topk`.
+    */
+  def oracleCtes(p: Params): String =
+    s"""${Ivf.oracleCtes(p.ivf)}${Pq.oracleCtes(p.pq)}, ivfpq_cand AS (
+       |  SELECT cellq.q_vid AS q_id, cellall.vid AS n_id
+       |  FROM cellall JOIN cellq ON cellall.cell = cellq.cell
+       |  WHERE cellall.vid <> cellq.q_vid
+       |), ivfpq_adc AS (
+       |  SELECT cd.q_id, cd.n_id,
+       |         round(CAST(sum(CAST(round(t.dd, 6) AS DECIMAL(28,6))) AS DOUBLE), 6) AS adc
+       |  FROM ivfpq_cand cd
+       |  JOIN pcodes c ON c.vid = cd.n_id
+       |  JOIN pqtab t ON t.q_id = cd.q_id AND t.m = c.m AND t.cell = c.cell
+       |  GROUP BY 1, 2
+       |), ivfpq_short AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY adc ASC, n_id ASC) AS srn
+       |    FROM ivfpq_adc
+       |  ) WHERE srn <= ${p.shortlist}
+       |), ivfpq_dots AS (
+       |  SELECT s.q_id, s.n_id,
+       |         CAST(sum(q.qx * c.qx) AS DOUBLE) / 1000000.0 AS dot
+       |  FROM ivfpq_short s
+       |  JOIN e q ON q.vec_id = s.q_id
+       |  JOIN e c ON c.vec_id = s.n_id AND c.i = q.i
+       |  GROUP BY 1, 2
+       |), ivfpq_scored AS (
+       |  SELECT d.q_id, d.n_id,
+       |         round(d.dot / (sqrt(nq.norm2) * sqrt(nc.norm2)), 4) AS cos
+       |  FROM ivfpq_dots d
+       |  JOIN norms nq ON nq.vec_id = d.q_id
+       |  JOIN norms nc ON nc.vec_id = d.n_id
+       |), ivfpq_topk AS (
+       |  SELECT q_id, n_id, cos, rnk FROM (
+       |    SELECT q_id, n_id, cos,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY cos DESC, n_id ASC) AS rnk
+       |    FROM ivfpq_scored
+       |  ) WHERE rnk <= ${p.topK}
+       |)""".stripMargin
+}

@@ -61,9 +61,35 @@ object Pq {
     */
   def adcTopK(emb0: DataFrame, p: Params): DataFrame = {
     val e = persisted(emb0.select(col("vec_id"), col("qe")))
-    val ex = persisted(e
-      .select(col("vec_id"), posexplode(col("qe")).as(Seq("i", "qx")))
-      .withColumn("m", pmod(col("i"), lit(p.m))))
+    val ex0 = persisted(e
+      .select(col("vec_id"), posexplode(col("qe")).as(Seq("i", "qx"))))
+    val (codes, qtab) = codesAndQtab(e, ex0, p)
+    val adc = codes
+      .join(broadcast(qtab),
+        col("m") === col("qm") && col("cell") === col("qcell") &&
+          col("vid") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vid").as("n_id"))
+      .agg(sum(round(col("dd"), 6).cast(DecimalType(28, 6))).as("s"))
+      .select(col("q_id"), col("n_id"),
+        round(col("s").cast("double"), 6).as("adc"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("n_id").asc)
+    adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= p.topK)
+  }
+
+  /** Train the M sub-quantizers and return the two relations every ADC
+    * consumer needs: `codes` = (vid, m, cell) — each vector's per-subspace
+    * nearest centroid (the PQ code) — and `qtab` = (q_id, qm, qcell, dd) —
+    * each query's distance to EVERY (m, cell), i.e. its ADC lookup table.
+    * Shared by [[adcTopK]] (full-collection ADC) and the composed
+    * [[IvfPq]] index (ADC restricted to IVF-routed candidates). `e` =
+    * (vec_id, ...), `ex0` = its posexploded (vec_id, i, qx) components,
+    * both persisted by the caller; the m-keyed projection derives
+    * narrowly from `ex0`, so it is not pinned again.
+    */
+  def codesAndQtab(
+      e: DataFrame, ex0: DataFrame, p: Params): (DataFrame, DataFrame) = {
+    val ex = ex0.withColumn("m", pmod(col("i"), lit(p.m)))
 
     /** Per-subspace rank-equivalent squared distance of every vector to
       * every (m, cell) centroid — [[Ivf]]'s expansion with the subspace
@@ -110,17 +136,7 @@ object Pq {
     val qtab = distF.filter(col("vid") < p.nQueries)
       .select(col("vid").as("q_id"), col("m").as("qm"),
         col("cell").as("qcell"), col("dd"))
-    val adc = codes
-      .join(broadcast(qtab),
-        col("m") === col("qm") && col("cell") === col("qcell") &&
-          col("vid") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vid").as("n_id"))
-      .agg(sum(round(col("dd"), 6).cast(DecimalType(28, 6))).as("s"))
-      .select(col("q_id"), col("n_id"),
-        round(col("s").cast("double"), 6).as("adc"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adc").asc, col("n_id").asc)
-    adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= p.topK)
+    (codes, qtab)
   }
 
   /** DuckDB oracle CTEs for the same Params, appended after the shared

@@ -116,6 +116,13 @@ object SimilarityQueries extends QueryPack {
     // (m, cell) lookup-table join, never touching raw database vectors.
     "sim_pq_adc" -> ((s, d) => Pq.adcTopK(emb(s, d), PqParams)),
 
+    // The composed IVFADC index ([[IvfPq]]): IVF routes each query to
+    // nprobe cells, PQ codes ADC-rank the routed candidates, and only the
+    // shortlist reaches the exact re-rank — the production 100 TB layout
+    // both halves document. Same output schema as the other ANN methods,
+    // so the recall harness folds it in unchanged.
+    "sim_ivfpq" -> ((s, d) => IvfPq.ann(emb(s, d), IvfPqParams)),
+
     // Recall@3 of every ANN method against the exact top-3 — the eval
     // loop an ANN rollout needs before trusting approximate retrieval.
     // Reuses the registered builders verbatim (per-query-isolation
@@ -141,9 +148,21 @@ object SimilarityQueries extends QueryPack {
       recallOf("ann_lsh", queries("sim_ann_lsh")(s, d))
         .unionByName(recallOf("ann_ivf", queries("sim_ann_ivf")(s, d)))
         .unionByName(recallOf("pq_adc", queries("sim_pq_adc")(s, d)))
+        .unionByName(recallOf("ivfpq", queries("sim_ivfpq")(s, d)))
         .orderBy("method")
     })
   )
+
+  /** Composed-index dials: the IVF and PQ dials above with a probe wide
+    * enough to matter (nprobe=3 of k=8 cells) and a 10-candidate exact
+    * re-rank shortlist.
+    */
+  private val IvfPqParams = IvfPq.Params(
+    ivf = Ivf.Params(k = 8, iters = 2, nprobe = 3, topK = 3,
+      nQueries = NQueries),
+    pq = Pq.Params(m = 8, k = 16, iters = 1, topK = 3, nQueries = NQueries),
+    shortlist = 10,
+    topK = 3)
 
   /** Dials for the oracled query: k=8 cells (the label column has 3
     * values — k is independent of it), two full Lloyd steps, 2-cell probe.
@@ -225,6 +244,10 @@ object SimilarityQueries extends QueryPack {
     s"""$eCte${Pq.oracleCtes(PqParams)}
        |SELECT q_id, n_id, adc, rnk FROM pq_topk""".stripMargin
 
+  private lazy val ivfpqOracle: String =
+    s"""$eCte${IvfPq.oracleCtes(IvfPqParams)}
+       |SELECT q_id, n_id, cos, rnk FROM ivfpq_topk""".stripMargin
+
   /** Recall oracle: the exact and approximate top-k oracles composed as
     * derived tables (DuckDB allows a WITH inside a parenthesized
     * subquery), intersected per method.
@@ -237,12 +260,14 @@ object SimilarityQueries extends QueryPack {
     s"""WITH ex AS (SELECT q_id, n_id FROM ($knnOracle) t WHERE rnk <= 3),
        |c_ann_lsh AS (SELECT q_id, n_id FROM ($lshOracle) t),
        |c_ann_ivf AS (SELECT q_id, n_id FROM ($ivfOracle) t),
-       |c_pq_adc AS (SELECT q_id, n_id FROM ($pqOracle) t)
+       |c_pq_adc AS (SELECT q_id, n_id FROM ($pqOracle) t),
+       |c_ivfpq AS (SELECT q_id, n_id FROM ($ivfpqOracle) t)
        |SELECT method, n_exact, n_hits,
        |       round(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall
        |FROM (${hit("ann_lsh")}
        |UNION ALL ${hit("ann_ivf")}
-       |UNION ALL ${hit("pq_adc")})
+       |UNION ALL ${hit("pq_adc")}
+       |UNION ALL ${hit("ivfpq")})
        |ORDER BY method""".stripMargin
   }
 
@@ -256,6 +281,8 @@ object SimilarityQueries extends QueryPack {
     "sim_ann_ivf" -> ivfOracle,
 
     "sim_pq_adc" -> pqOracle,
+
+    "sim_ivfpq" -> ivfpqOracle,
 
     "sim_embed_covariance" ->
       """WITH q AS (
