@@ -139,4 +139,35 @@ class GraphSpec extends SparkSpec {
       finally CacheScope.releaseAll()
     assert(core.isEmpty)
   }
+
+  test("k-core plan depth is constant in the peel round count (pin-and-truncate)") {
+    // K4 with pendant paths of different lengths: at k=2, seedLocal=false
+    // peels one path node per round, so the two graphs converge after
+    // DIFFERENT round counts (4 vs 7). The eager-checkpoint discipline
+    // must make the returned plan start from the LAST round's stored
+    // blocks regardless — same optimized plan shape and size for both,
+    // not a plan that grows with rounds.
+    val clique = for (a <- 0L to 3L; b <- 0L to 3L if a != b) yield (a, b)
+    def pendant(len: Int): Seq[(Long, Long)] =
+      clique ++ sym((10L to (9L + len)).foldLeft((3L, Seq.empty[(Long, Long)])) {
+        case ((prev, acc), n) => (n, acc :+ (prev, n))
+      }._2: _*)
+    def planSize(len: Int): (Int, Map[Long, Long]) = {
+      val df = graft.graph.KCore.kcore(edgesDf(pendant(len), 4), k = 2,
+        seedLocal = false)
+      val size = df.queryExecution.optimizedPlan.collect { case p => p }.size
+      (size, df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    }
+    try {
+      val (sizeShort, coreShort) = planSize(3)
+      CacheScope.releaseAll()
+      val (sizeLong, coreLong) = planSize(6)
+      val expected = Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L)
+      assert(coreShort == expected && coreLong == expected)
+      assert(sizeShort == sizeLong,
+        s"plan must not grow with peel rounds: $sizeShort vs $sizeLong")
+      assert(sizeLong <= 6,
+        s"plan should be a short projection over checkpointed blocks, got $sizeLong nodes")
+    } finally CacheScope.releaseAll()
+  }
 }
