@@ -105,6 +105,7 @@ object Bench {
     // Teardown hatch: reclaim scopes orphaned by any worker thread (safe
     // here — the harness is single-threaded and done with all queries).
     CacheScope.releaseAllScopes()
+    LabelsMemo.clear()
     spark.stop()
   }
 }

@@ -46,6 +46,7 @@ object Verify {
     // Teardown hatch: reclaim scopes orphaned by any worker thread (safe
     // here — the harness is single-threaded and done with all queries).
     CacheScope.releaseAllScopes()
+    LabelsMemo.clear()
     spark.stop()
   }
 }

@@ -267,4 +267,62 @@ object DedupClusters {
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
+
+  /** Fold a NEW batch into STANDING cluster labels without re-clustering
+    * the standing corpus — the incremental-ingest completion (VERDICT r8
+    * "Next #7"): `dedup_incremental` finds the new↔corpus probe pairs;
+    * this reconciles them (plus new↔new pairs) into final labels for
+    * corpus ∪ batch, including the hard case where one new document
+    * BRIDGES two standing clusters and they must merge.
+    *
+    * Construction: quotient-graph components. Each probe edge's corpus
+    * endpoint is replaced by its standing CLUSTER id (its quotient node);
+    * new documents are their own nodes. Running the [[clusters]] fixpoint
+    * on this reduced graph — whose size is O(probe pairs + standing
+    * cluster count), never O(corpus) — yields per-quotient-node labels;
+    * corpus documents inherit their standing cluster's new label through
+    * one equi-join. Correctness: a standing cluster id is the MIN doc id
+    * of its component and every standing component is wholly inside one
+    * union component, so min-label propagation over the quotient graph
+    * lands on exactly the min doc id of the union component — i.e. the
+    * SAME labels from-scratch clustering of corpus ∪ batch produces
+    * (ReconcileSpec asserts equality, bridge case included; the
+    * registered query's oracle IS the from-scratch clustering oracle).
+    *
+    * Scale: the corpus-sized work is one equi-join of standing labels
+    * against the reduced labels on cluster id; the fixpoint itself runs
+    * on the probe-sized quotient graph. That is the whole point — daily
+    * ingest cost scales with the increment.
+    */
+  def reconcile(standing0: DataFrame, probeEdges: DataFrame,
+      newUniverse: DataFrame, maxIters: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val standing = graft.CacheScope.persisted(
+      standing0.select(col("doc_id"), col("cluster_id")))
+    val sa = standing.select(col("doc_id").as("qa"), col("cluster_id").as("ca"))
+    val sb = standing.select(col("doc_id").as("qb"), col("cluster_id").as("cb"))
+    // probe endpoints -> quotient nodes (corpus doc -> its standing
+    // cluster id; new doc passes through — it has no standing label)
+    val reduced = probeEdges
+      .join(sa, col("doc_a") === col("qa"), "left")
+      .join(sb, col("doc_b") === col("qb"), "left")
+      .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
+        coalesce(col("cb"), col("doc_b")).as("doc_b"))
+    // quotient universe: every standing cluster id + every new doc (so an
+    // unpaired new doc still gets its singleton label). The two sets are
+    // disjoint by construction (standing ids are corpus doc ids).
+    val qUniverse = standing.select(col("cluster_id").as("doc_id")).distinct()
+      .unionByName(newUniverse.select(col("doc_id")))
+    val q = clusters(reduced, qUniverse, maxIters, checkpointDir)
+      .select(col("doc_id").as("qnode"), col("cluster_id").as("final_cid"))
+      .transform(graft.CacheScope.persisted(_))
+    val corpusOut = standing
+      .join(q, col("cluster_id") === col("qnode"))
+      .select(col("doc_id"), col("final_cid").as("cluster_id"))
+    val newOut = q
+      .join(newUniverse.select(col("doc_id").as("nid")),
+        col("qnode") === col("nid"), "left_semi")
+      .select(col("qnode").as("doc_id"), col("final_cid").as("cluster_id"))
+    corpusOut.unionByName(newOut)
+  }
 }
