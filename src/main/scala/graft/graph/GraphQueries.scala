@@ -155,11 +155,27 @@ object GraphQueries extends QueryPack {
     // policy). The oracle unrolls 8 peel rounds — double the measured
     // depth at sf0.1 (4) — so an insufficient unroll fails loudly as a
     // hash mismatch, never silently.
-    "q_graph_kcore" -> ((s, d) => KCore.kcore(windowedEdges(s, d), CoreK))
+    "q_graph_kcore" -> ((s, d) => KCore.kcore(windowedEdges(s, d), CoreK)),
+
+    // Adamic-Adar link prediction over the one-month co-purchase graph:
+    // score every NON-adjacent pair by sum(1/ln(deg(z))) over common
+    // neighbors z, top-50 — "which parts will be co-purchased next"
+    // (embeddedness scores the edges that exist; this ranks the ones
+    // that don't yet). See [[linkpredOf]] for the hub-cap wedge shape.
+    "q_graph_linkpred" -> ((s, d) => linkpredOf(windowedEdges(s, d)))
   )
 
   /** k for the registered k-core query. */
   val CoreK = 3
+
+  /** Common-neighbor degree cap for [[linkpredOf]]: a node with more
+    * neighbors than this contributes no wedges. The quadratic per-z
+    * wedge fan-out is bounded by HubCap^2 instead of the hub degree
+    * squared — the standard production cut, and semantically almost
+    * free: Adamic-Adar already discounts a hub's vote by 1/ln(deg), so
+    * the dropped evidence is the weakest there is.
+    */
+  val LinkPredHubCap = 128L
 
   /** Symmetric directed co-purchase edges restricted to ONE MONTH of
     * orders (the scoping a real catalog job would use; it also keeps the
@@ -264,6 +280,55 @@ object GraphQueries extends QueryPack {
           .as("jaccard"))
   }
 
+  /** Adamic-Adar link prediction: for every pair (u, v) with u < v that
+    * shares at least one common neighbor but has NO edge, score
+    * aa = sum over common z of 1/ln(deg(z)), and keep the top 50.
+    *
+    * Scale shape: one wedge self-join of the edge relation on the shared
+    * neighbor z — an equi-join, never all-pairs — with z's degree capped
+    * at [[LinkPredHubCap]] BEFORE the join, so per-z fan-out is bounded
+    * at any graph size (the degree-ordered-orientation cousin used by
+    * trianglesOf; here the cap is the dial because non-edges have no
+    * orientation to exploit). Existing edges drop via one left-anti on
+    * the same relation. Determinism: each z's weight is round(1/ln(deg),
+    * 9) as DECIMAL(18,9), so the per-pair sum is exact and
+    * order-independent, and (aa DESC, u, v) is a total order — the
+    * top-50 boundary cannot flake on float summation order. Public so
+    * LinkPredSpec can drive planted graphs.
+    */
+  def linkpredOf(edgesDf: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val e = edgesDf.transform(graft.CacheScope.persisted(_))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+    // (z, u, weight-of-z) for capped z only; the weight rides the edge
+    // row so the wedge join needs no second degree lookup.
+    val en = e.select(col("src").as("z"), col("dst").as("u"))
+      // dg >= 2: a degree-1 node can never be a COMMON neighbor (its one
+      // neighbor pairs with nothing), and ln(1) = 0 would divide-by-zero
+      // in ANSI mode while computing its (never-consumed) weight.
+      .join(deg.filter(col("dg") >= 2L && col("dg") <= LinkPredHubCap)
+          .select(col("src").as("z"),
+            round(lit(1.0) / log(col("dg").cast("double")), 9).cast(dec)
+              .as("w")),
+        Seq("z"))
+      .transform(graft.CacheScope.persisted(_))
+    val scored = en.select(col("z"), col("u"), col("w"))
+      .join(en.select(col("z"), col("u").as("v")),
+        Seq("z"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common_neighbors"), sum(col("w")).as("aa"))
+    scored
+      .join(e.filter(col("src") < col("dst"))
+          .select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+      .orderBy(col("aa").desc, col("u").asc, col("v").asc)
+      .limit(50)
+      .select(col("u").as("src"), col("v").as("dst"),
+        col("common_neighbors"),
+        round(col("aa").cast("double"), 6).as("aa_score"))
+  }
+
   private val edgesCte: String =
     """WITH li AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
@@ -320,6 +385,27 @@ object GraphQueries extends QueryPack {
          |s0 AS (SELECT DISTINCT src AS node FROM edges),
          |${(1 to 8).map(peelCte).mkString(",\n")}
          |SELECT node, core_deg FROM s8""".stripMargin,
+
+    "q_graph_linkpred" ->
+      s"""$windowedEdgesCte,
+         |deg AS (SELECT src, count(*) AS dg FROM edges GROUP BY src),
+         |en AS (
+         |  SELECT e.src AS z, e.dst AS u,
+         |         CAST(round(1.0 / ln(CAST(d.dg AS DOUBLE)), 9) AS DECIMAL(18,9)) AS w
+         |  FROM edges e JOIN deg d ON d.src = e.src
+         |  WHERE d.dg BETWEEN 2 AND $LinkPredHubCap
+         |), sc AS (
+         |  SELECT a.u AS u, b.u AS v, count(*) AS common_neighbors,
+         |         sum(a.w) AS aa
+         |  FROM en a JOIN en b ON a.z = b.z AND a.u < b.u
+         |  GROUP BY 1, 2
+         |)
+         |SELECT u AS src, v AS dst, common_neighbors,
+         |       round(CAST(aa AS DOUBLE), 6) AS aa_score
+         |FROM sc
+         |WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = sc.u AND e.dst = sc.v)
+         |ORDER BY aa DESC, u, v
+         |LIMIT 50""".stripMargin,
 
     "q_graph_pagerank" ->
       s"""$edgesCte,

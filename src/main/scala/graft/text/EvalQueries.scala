@@ -87,6 +87,24 @@ object EvalQueries extends QueryPack {
           round(count(when(col("y"), 1)).cast("double") / count(lit(1)), 6)
             .as("frac_pos"))),
 
+    // CCNet-style held-out perplexity: train a Laplace-smoothed unigram
+    // LM on a deterministic 90% md5 split of the corpus, score the 10%
+    // holdout per document — ppl = exp(mean token NLL), with
+    // P(w) = (n_train(w)+1) / (N_train + V + 1) so OOV tokens get the
+    // +1 UNK mass instead of -inf. High-ppl docs are the gibberish the
+    // perplexity gate drops; n_oov is reported because OOV density is
+    // WHY a doc scored high. Scale shape: one corpus token scan feeds
+    // both sides; the vocab agg is the only corpus-sized shuffle; the
+    // holdout-vs-vocab left join is AQE-broadcast while the vocab fits
+    // and degrades to a shuffle join at web-corpus vocab sizes; corpus
+    // totals cross as a broadcast 1-row aggregate. Determinism: per-token
+    // NLL is round(-ln(p), 9) as DECIMAL(18,9) (exact order-independent
+    // sum — text_unigram_logprob's discipline), and the final exp runs on
+    // one identical IEEE quotient in both engines, rounded to 4.
+    "text_perplexity" -> ((s, d) => perplexityOf(docs(s, d),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long") % 100) >= 90)),
+
     // Cohen's kappa between the langid heuristic's english vote and the
     // gold label — chance-corrected agreement from one 2x2 confusion
     // aggregation (a single row of exact counts; po/pe arithmetic is
@@ -108,6 +126,37 @@ object EvalQueries extends QueryPack {
           round(po, 6).as("po"),
           round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
     }))
+
+  /** The perplexity eval body (see the text_perplexity registration for
+    * the full design notes): train on documents where `held` is false,
+    * score the held split per doc. Public so PerplexitySpec can plant an
+    * explicit train/holdout partition with a hand-computable LM.
+    */
+  def perplexityOf(documents: DataFrame, held: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val tok = documents
+      .select(col("doc_id"), held.as("held"),
+        explode(cleanTokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .transform(graft.CacheScope.persisted(_))
+    val vocab = tok.filter(!col("held"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .transform(graft.CacheScope.persisted(_))
+    val tot = vocab.agg(sum(col("n")).as("nn"), count(lit(1)).as("v"))
+    val nll = round(-log(
+      (coalesce(col("n"), lit(0L)) + lit(1L)).cast("double") /
+        (col("nn") + col("v") + lit(1L)).cast("double")), 9).cast(dec)
+    tok.filter(col("held"))
+      .join(vocab, Seq("tok"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("n").isNull, 1)).as("n_oov"),
+        sum(nll).as("snll"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(exp(col("snll").cast("double") / col("n_tokens")), 4)
+          .as("ppl"))
+  }
 
   /** Shared oracle scan: (y, sc, pred_en) per doc — quality score via the
     * shared CTE, langid vote inline.
@@ -148,6 +197,28 @@ object EvalQueries extends QueryPack {
          |       round(CAST(sum(CAST(sc AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_score,
          |       round(CAST(count(CASE WHEN y THEN 1 END) AS DOUBLE) / count(*), 6) AS frac_pos
          |FROM lab GROUP BY 1""".stripMargin,
+
+    "text_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 >= 90 AS held,
+        |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS tok
+        |  FROM documents
+        |), tok2 AS (
+        |  SELECT doc_id, held, tok FROM tok WHERE tok <> ''
+        |), vocab AS (
+        |  SELECT tok, count(*) AS n FROM tok2 WHERE NOT held GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS v FROM vocab
+        |)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |       count(CASE WHEN v.n IS NULL THEN 1 END) AS n_oov,
+        |       round(exp(CAST(sum(CAST(round(-ln(CAST(COALESCE(v.n, 0) + 1 AS DOUBLE) /
+        |                                         CAST(s.nn + s.v + 1 AS DOUBLE)), 9)
+        |                               AS DECIMAL(18,9))) AS DOUBLE) / count(*)), 4) AS ppl
+        |FROM tok2 t LEFT JOIN vocab v ON v.tok = t.tok CROSS JOIN tot s
+        |WHERE t.held
+        |GROUP BY t.doc_id""".stripMargin,
 
     "text_eval_kappa" ->
       s"""WITH $labeledSql, cm AS (

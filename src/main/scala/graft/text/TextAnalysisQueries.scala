@@ -80,13 +80,18 @@ object TextAnalysisQueries extends QueryPack {
     * order to every corpus word as a chained delimiter-safe replace, and
     * aggregates token counts per document.
     */
+  /** The learned-merge replace chain over one `word` column — shared by
+    * the apply and eval oracles.
+    */
+  private def bpeChainSql: String = (1 to BpeTrainMerges).foldLeft(
+    "regexp_replace(word, '(.)', '|\\1|', 'g')") { (acc, i) =>
+    s"""replace($acc,
+       |  (SELECT '|' || replace(pair, ' ', '||') || '|' FROM b$i),
+       |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b$i))""".stripMargin
+  }
+
   private def bpeApplyOracle: String = {
-    val chain = (1 to BpeTrainMerges).foldLeft(
-      "regexp_replace(word, '(.)', '|\\1|', 'g')") { (acc, i) =>
-      s"""replace($acc,
-         |  (SELECT '|' || replace(pair, ' ', '||') || '|' FROM b$i),
-         |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b$i))""".stripMargin
-    }
+    val chain = bpeChainSql
     s"""$bpeTrainCtes, tok2 AS MATERIALIZED (
        |  SELECT doc_id,
        |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS word
@@ -98,6 +103,31 @@ object TextAnalysisQueries extends QueryPack {
        |)
        |SELECT doc_id, count(*) AS n_words, CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
        |FROM enc GROUP BY doc_id""".stripMargin
+  }
+
+  /** DuckDB replay of the tokenizer-evaluation aggregate: the same
+    * train + encode chain as [[bpeApplyOracle]], collapsed to the
+    * corpus-level compression scorecard.
+    */
+  private def bpeEvalOracle: String = {
+    val chain = bpeChainSql
+    s"""$bpeTrainCtes, tok2 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS word
+       |  FROM documents
+       |), enc AS (
+       |  SELECT doc_id, length(word) AS nl,
+       |         len(string_split(substr(st, 2, length(st) - 2), '||')) AS nt
+       |  FROM (SELECT doc_id, word, $chain AS st FROM tok2 WHERE word <> '')
+       |)
+       |SELECT count(DISTINCT doc_id) AS n_docs,
+       |       count(*) AS n_words,
+       |       CAST(sum(nl) AS BIGINT) AS n_letters,
+       |       CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
+       |       round(CAST(sum(nt) AS DOUBLE) / count(*), 6) AS fertility,
+       |       round(CAST(sum(nl) AS DOUBLE) / CAST(sum(nt) AS DOUBLE), 6) AS chars_per_token,
+       |       round(1.0 - CAST(sum(nt) AS DOUBLE) / CAST(sum(nl) AS DOUBLE), 6) AS merge_savings
+       |FROM enc""".stripMargin
   }
 
   /** Lowercased letter-only tokens (the reference's cleaning pipeline). */
@@ -155,13 +185,20 @@ object TextAnalysisQueries extends QueryPack {
     * At 100 TB this is the ideal shape: tokenization cost scales with
     * bytes scanned and nothing else.
     */
-  def bpeApplyOf(documents: DataFrame,
-      merges: Seq[(String, String)]): DataFrame = {
-    def encode(w: Column): Column = merges.foldLeft(
+  /** One word through the learned merge table: the `|`-delimited state
+    * after every replace round. size(split(·, "\\|\\|")) is the token
+    * count (see the comment in [[bpeApplyOf]]). Shared by apply + eval.
+    */
+  def bpeEncode(w: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(
       regexp_replace(w, "(.)", "|$1|")) { case (acc, (pair, merged)) =>
       replace(acc, lit("|" + pair.replace(" ", "||") + "|"),
         lit("|" + merged + "|"))
     }
+
+  def bpeApplyOf(documents: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    def encode(w: Column): Column = bpeEncode(w, merges)
     val words = filter(cleanTokens(col("text")), w => w =!= "")
     documents
       .select(col("doc_id"), words.as("ws"))
@@ -429,6 +466,43 @@ object TextAnalysisQueries extends QueryPack {
         .sortBy(_.getInt(0)).toSeq
         .map(r => (r.getString(1), r.getString(2)))
       bpeApplyOf(docs(s, d), merges)
+    }),
+
+    // Tokenizer-evaluation scorecard: what did the learned merges BUY?
+    // One corpus-level row — fertility (BPE tokens per word; 1.0 would
+    // be a whole-word vocab), chars-per-token (the compression dial
+    // pretraining cost scales with), and merge_savings (fraction of the
+    // character-tokenization baseline eliminated) — the numbers a
+    // tokenizer rollout is judged on before any model sees the data.
+    // Scale shape: train as in text_bpe_train (one corpus pass +
+    // vocab-sized rounds), then ONE narrow codegen scan encodes every
+    // word and partial-aggs collapse each task to a single row; integer
+    // totals, three identical-IEEE final divisions.
+    "text_bpe_eval" -> ((s, d) => {
+      val merges = bpeTrainOf(docs(s, d)).collect()
+        .sortBy(_.getInt(0)).toSeq
+        .map(r => (r.getString(1), r.getString(2)))
+      val sumOf = (f: Column => Column) => (ws: Column) =>
+        aggregate(transform(ws, f), lit(0L), (a, x) => a + x)
+      docs(s, d)
+        .select(filter(cleanTokens(col("text")), w => w =!= "").as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(size(col("ws")).cast("long").as("nw"),
+          sumOf(w => length(w).cast("long"))(col("ws")).as("nl"),
+          sumOf(w => size(split(bpeEncode(w, merges), "\\|\\|"))
+            .cast("long"))(col("ws")).as("nt"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_words"),
+          sum(col("nl")).as("n_letters"),
+          sum(col("nt")).as("n_bpe_tokens"))
+        .select(col("n_docs"), col("n_words"), col("n_letters"),
+          col("n_bpe_tokens"),
+          round(col("n_bpe_tokens").cast("double") /
+            col("n_words").cast("double"), 6).as("fertility"),
+          round(col("n_letters").cast("double") /
+            col("n_bpe_tokens").cast("double"), 6).as("chars_per_token"),
+          round(lit(1.0) - col("n_bpe_tokens").cast("double") /
+            col("n_letters").cast("double"), 6).as("merge_savings"))
     }),
 
     // Sliding-window token chunking (training-data prep): 32-token
@@ -895,6 +969,7 @@ object TextAnalysisQueries extends QueryPack {
 
     "text_bpe_train" -> bpeTrainOracle,
     "text_bpe_apply" -> bpeApplyOracle,
+    "text_bpe_eval" -> bpeEvalOracle,
 
     "text_chunk" ->
       """WITH toks AS (

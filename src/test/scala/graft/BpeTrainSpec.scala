@@ -82,4 +82,22 @@ class BpeTrainSpec extends SparkSpec {
     assert(out(1) == ((2, "t he", "the", 8L)), out.toString)
     assert(out(2) == ((3, "the m", "them", 2L)), out.toString)
   }
+
+  test("eval scorecard is internally consistent on the corpus") {
+    val r = try SparkEntry.queries("text_bpe_eval")(spark, sfDir)
+      .collect().head
+    finally CacheScope.releaseAll()
+    val (docs, words, letters, bpe) = (r.getAs[Long]("n_docs"),
+      r.getAs[Long]("n_words"), r.getAs[Long]("n_letters"),
+      r.getAs[Long]("n_bpe_tokens"))
+    // the merges must have bought SOMETHING (bpe < chars) but each word
+    // still needs >= 1 token (bpe >= words).
+    assert(docs > 0 && words >= docs && bpe >= words && letters > bpe,
+      r.toString)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("fertility") == r6(bpe.toDouble / words))
+    assert(r.getAs[Double]("chars_per_token") == r6(letters.toDouble / bpe))
+    assert(r.getAs[Double]("merge_savings") == r6(1.0 - bpe.toDouble / letters))
+  }
 }

@@ -68,4 +68,30 @@ class EvalMetricsSpec extends SparkSpec {
         s"mean_score $m outside bin $bin")
     }
   }
+
+  test("perplexity matches the hand-built Laplace LM and counts OOV") {
+    // Train split: one doc "a a a b" → vocab a:3, b:1; N=4, V=2, so
+    // P(w) = (n+1)/7 — every holdout probability is hand-computable.
+    val docsDf = Seq(
+      ("t1", "a a a b"),
+      ("h1", "a b c"),
+      ("h2", "c d e")).toDF("doc_id", "text")
+    val out =
+      try EvalQueries.perplexityOf(docsDf, col("doc_id").startsWith("h"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      finally CacheScope.releaseAll()
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def ppl(ps: Double*) =
+      BigDecimal(math.exp(ps.map(p => r9(-math.log(p))).sum.toDouble / ps.size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Map(
+      "h1" -> ((3L, 1L, ppl(4.0 / 7, 2.0 / 7, 1.0 / 7))),
+      // all-OOV doc: every token gets the UNK mass 1/7 → ppl = 7 exactly
+      // (up to the 9-dp nll rounding), the loud gibberish ceiling.
+      "h2" -> ((3L, 3L, ppl(1.0 / 7, 1.0 / 7, 1.0 / 7)))))
+    assert(out("h2")._3 > out("h1")._3)
+  }
 }

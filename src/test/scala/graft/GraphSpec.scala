@@ -170,4 +170,47 @@ class GraphSpec extends SparkSpec {
         s"plan should be a short projection over checkpointed blocks, got $sizeLong nodes")
     } finally CacheScope.releaseAll()
   }
+
+  private def linkpred(e: DataFrame): Seq[(Long, Long, Long, Double)] =
+    try GraphQueries.linkpredOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    finally CacheScope.releaseAll()
+
+  test("linkpred scores exactly the non-edges, with hand-computed Adamic-Adar") {
+    // r9(1/ln 2): the per-common-neighbor weight of a degree-2 node;
+    // the query reports the exact decimal sum rounded to 6.
+    val w2 = BigDecimal(1.0 / math.log(2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val w6 = w2.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Path 1-2-3: the only scored pair is (1,3) through z=2 (deg 2).
+    val path = linkpred(edgesDf(sym((1L, 2L), (2L, 3L)), 3))
+    assert(path == Seq((1L, 3L, 1L, w6)))
+    // Square 1-2-3-4-1: the two diagonals, each via two degree-2 nodes;
+    // existing edges must NOT appear even though each has common
+    // neighbors on the square.
+    val sq = linkpred(edgesDf(
+      sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)), 4))
+    val aa2 = (w2 * 2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(sq.toSet == Set((1L, 3L, 2L, aa2), (2L, 4L, 2L, aa2)))
+  }
+
+  test("linkpred hub cap drops super-hub evidence entirely") {
+    // Star with LinkPredHubCap + 2 leaves: the hub exceeds the cap, the
+    // leaves have degree 1 — nothing may score (the capped formulation
+    // refuses the hub's quadratic wedge fan-out by design).
+    val n = GraphQueries.LinkPredHubCap + 2
+    val star = sym((1L to n).map(l => (0L, l)): _*)
+    assert(linkpred(edgesDf(star, 4)).isEmpty)
+    // Bridge leaves 1 and 2 through node 900 (deg 2, in cap): now (1,2)
+    // scores through 900 alone (the hub stays excluded), and (0,900)
+    // scores through BOTH bridged leaves (each deg 2) — the top row.
+    val bridged = star ++ sym((900L, 1L), (900L, 2L))
+    val w2 = BigDecimal(1.0 / math.log(2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(linkpred(edgesDf(bridged, 4)) ==
+      Seq((0L, 900L, 2L, r6(w2 * 2)), (1L, 2L, 1L, r6(w2))))
+  }
 }
