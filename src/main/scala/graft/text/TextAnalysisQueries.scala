@@ -778,8 +778,46 @@ object TextAnalysisQueries extends QueryPack {
         .select(col("doc_id"), col("n_chars"), round(-log(u) / w, 9).as("race_key"))
         .orderBy(col("race_key").asc, col("doc_id").asc)
         .limit(200)
-    })
+    }),
+
+    // TEMPERATURE (alpha) sampling — the mT5/XLM-R multilingual mixing
+    // rule: where text_sample_mix's rates are hand-set, these are DERIVED
+    // from the corpus itself. Language shares p_l are flattened to
+    // q_l ∝ p_l^alpha, realized without upsampling as per-language keep
+    // rates r_l = (n_l/n_min)^(alpha-1): the rarest language keeps
+    // everything, every other language is downsampled toward the
+    // flattened mix. See [[temperatureSampleOf]].
+    "text_sample_temperature" -> ((s, d) =>
+      temperatureSampleOf(docs(s, d), TempAlpha))
   )
+
+  /** The standard "flatten the language distribution" temperature. */
+  val TempAlpha = 0.3
+
+  /** Alpha-sampling body (see the text_sample_temperature registration):
+    * one bounded language-count aggregation, rates as a broadcast
+    * #langs-row table, one narrow filter pass — no corpus-sized shuffle
+    * at any scale. Determinism: the keep decision compares an exact
+    * md5-derived u (text_sample_weighted's 52-bit construction) against
+    * a round(,9)-pinned rate, so both engines make the SAME per-doc
+    * decision. Public so TrainingPrepSpec can replay the decisions
+    * doc-by-doc on a planted two-language corpus.
+    */
+  def temperatureSampleOf(dd0: DataFrame, alpha: Double): DataFrame = {
+    val dd = dd0.transform(graft.CacheScope.persisted(_))
+    val counts = dd.groupBy("lang").agg(count(lit(1)).as("nl"))
+    val nmin = counts.agg(min(col("nl")).as("nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col("lang"),
+        round(pow(col("nl").cast("double") / col("nmin").cast("double"),
+          lit(alpha - 1.0)), 9).as("r"))
+    val h = conv(substring(md5(concat(lit("temp:"), col("doc_id").cast("string"))),
+      1, 13), 16, 10).cast("long")
+    val u = (h.cast("double") + 0.5) / lit(4503599627370496.0)
+    dd.join(broadcast(rates), "lang")
+      .filter(u < col("r"))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
 
   /** Language mixture weights (percent kept), the single source of truth
     * for text_sample_mix's Spark CASE and its SQL twin.
@@ -1177,6 +1215,21 @@ object TextAnalysisQueries extends QueryPack {
         |             / greatest(n_chars, 1), 9) AS race_key
         |FROM documents
         |ORDER BY race_key ASC, doc_id ASC
-        |LIMIT 200""".stripMargin
+        |LIMIT 200""".stripMargin,
+
+    "text_sample_temperature" ->
+      s"""WITH c AS (
+         |  SELECT lang, count(*) AS nl FROM documents GROUP BY lang
+         |), r AS (
+         |  SELECT lang,
+         |         round(pow(CAST(nl AS DOUBLE) /
+         |                   (SELECT CAST(min(nl) AS DOUBLE) FROM c),
+         |                   ${TempAlpha - 1.0}), 9) AS r
+         |  FROM c
+         |)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN r ON r.lang = d.lang
+         |WHERE (('0x' || substring(md5('temp:' || doc_id), 1, 13))::BIGINT + 0.5)
+         |      / 4503599627370496.0 < r.r""".stripMargin
   )
 }

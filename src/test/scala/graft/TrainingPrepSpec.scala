@@ -93,4 +93,36 @@ class TrainingPrepSpec extends SparkSpec {
         s"doc $doc avg_logprob: got $avg exp $expRounded")
     }
   }
+
+  test("temperature sampling keeps the rarest language whole and makes " +
+    "the exact md5-replayable decision per majority doc") {
+    import graft.text.TextAnalysisQueries
+    // 90 "big" docs vs 10 "small": n_min = 10, r_small = 1 (all kept),
+    // r_big = round(9^(alpha-1), 9) — replay each keep decision in
+    // scalar Scala and demand the identical set.
+    val alpha = 0.3
+    val docsDf = ((1L to 90L).map(i => (i, "big", "s")) ++
+      (91L to 100L).map(i => (i, "small", "s")))
+      .toDF("doc_id", "lang", "source")
+    val kept =
+      try TextAnalysisQueries.temperatureSampleOf(docsDf, alpha)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      finally CacheScope.releaseAll()
+    assert((91L to 100L).forall(i => kept.contains((i, "small"))),
+      "the rarest language must be kept in full")
+    val rBig = BigDecimal(math.pow(9.0, alpha - 1.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Double = {
+      val hex = md.digest(s"temp:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4503599627370496.0
+    }
+    val expBig = (1L to 90L).filter(i => u(i) < rBig).toSet
+    assert(kept.collect { case (i, "big") => i } == expBig,
+      s"big-language decisions diverge: got ${kept.count(_._2 == "big")}, " +
+        s"expected ${expBig.size}")
+    assert(expBig.nonEmpty && expBig.size < 90,
+      "planted corpus must exercise both keep and drop paths")
+  }
 }
