@@ -338,8 +338,44 @@ object DedupQueries extends QueryPack {
       DedupClusters.clusters(pairs,
         Tables.load(s, d, "embeddings").select(col("vec_id").as("doc_id")))
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
-    })
+    }),
+
+    // LSH candidate-generator EVAL: recall + precision of the band
+    // collisions against EXACT threshold-Jaccard ground truth — the
+    // dial-tuning readout for [[Bands]] x [[RowsPerBand]] (recall says
+    // what the bands miss, precision says what the verify stage wastes).
+    // Ground truth is [[prefixJaccardPairs]], the engine's own
+    // no-false-negative exact operator, so the eval stays scale-safe
+    // corpus-wide: both pair generators are bucketed equi-joins, and the
+    // comparison joins two pair relations on their keys. At 100 TB you
+    // would run it on a fixed eval slice as a tuning probe; nothing in
+    // the shape requires it.
+    "dedup_lsh_eval" -> ((s, d) => lshEvalOf(docs(s, d)))
   )
+
+  /** The eval body over any (doc_id, text) relation — public so
+    * DedupSimSpec can feed planted corpora with known truth/candidate
+    * sets. Truth = prefixJaccardPairs at [[PrefixJaccardT]].
+    */
+  def lshEvalOf(dd: DataFrame): DataFrame = {
+    val truth = prefixJaccardPairs(dd, PrefixJaccardT)
+      .select(col("doc_a"), col("doc_b"))
+      .transform(graft.CacheScope.persisted(_))
+    val sh = docShingles(dd).transform(graft.CacheScope.persisted(_))
+    val cand = lshCandidates(sh).select(col("doc_a"), col("doc_b"))
+      .transform(graft.CacheScope.persisted(_))
+    val hit = truth.join(cand, Seq("doc_a", "doc_b"))
+    val safeRatio = (num: Column, den: Column) =>
+      when(den === 0, lit(1.0))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+    sh.agg(countDistinct(col("doc_id")).as("n_docs"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_docs"), col("n_truth"), col("n_cand"), col("n_hit"),
+        safeRatio(col("n_hit"), col("n_truth")).as("recall"),
+        safeRatio(col("n_hit"), col("n_cand")).as("precision"))
+  }
 
   /** (doc_id, simhash) over any (doc_id, text) relation: explode whitespace
     * tokens, hash each ONCE, then the 64 lane sums and the bit combine.
@@ -808,7 +844,43 @@ object DedupQueries extends QueryPack {
          |  SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id
          |)
          |SELECT v.vec_id, COALESCE(c.cluster_id, v.vec_id) AS cluster_id
-         |FROM embeddings v LEFT JOIN comp c ON c.vec_id = v.vec_id""".stripMargin
+         |FROM embeddings v LEFT JOIN comp c ON c.vec_id = v.vec_id""".stripMargin,
+
+    // Truth = the prefix-jaccard oracle's relation; candidates = the LSH
+    // oracle's band-collision relation. Shares bandsCte (which carries
+    // sh + sig) verbatim with dedup_minhash_lsh.
+    "dedup_lsh_eval" ->
+      s"""$bandsCte,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh sa JOIN sh sb ON sa.h = sb.h AND sa.doc_id < sb.doc_id
+         |  GROUP BY 1, 2
+         |), truth AS (
+         |  SELECT i.doc_a, i.doc_b FROM inter i
+         |  JOIN sz za ON za.doc_id = i.doc_a
+         |  JOIN sz zb ON zb.doc_id = i.doc_b
+         |  WHERE round(CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter), 6)
+         |        >= $PrefixJaccardT
+         |), cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), hit AS (
+         |  SELECT t.doc_a FROM truth t
+         |  JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+         |), m AS (
+         |  SELECT (SELECT count(DISTINCT doc_id) FROM sh) AS n_docs,
+         |         (SELECT count(*) FROM truth) AS n_truth,
+         |         (SELECT count(*) FROM cand) AS n_cand,
+         |         (SELECT count(*) FROM hit) AS n_hit
+         |)
+         |SELECT n_docs, n_truth, n_cand, n_hit,
+         |       CASE WHEN n_truth = 0 THEN CAST(1.0 AS DOUBLE)
+         |            ELSE round(CAST(n_hit AS DOUBLE) / n_truth, 6) END AS recall,
+         |       CASE WHEN n_cand = 0 THEN CAST(1.0 AS DOUBLE)
+         |            ELSE round(CAST(n_hit AS DOUBLE) / n_cand, 6) END AS precision
+         |FROM m""".stripMargin
   )
 
   /** The clustering oracle, shared verbatim by dedup_clusters and its

@@ -253,4 +253,31 @@ class DedupSimSpec extends SparkSpec {
     assert(bad == 0)
     assert(out.count() == Tables.load(spark, sfDir, "documents").count())
   }
+
+  test("lsh eval: planted duplicate pair is truth AND candidate; " +
+    "dup-free corpus takes the 0/0 -> 1.0 path") {
+    def eval(docs: Seq[(Long, String)]) =
+      try DedupQueries.lshEvalOf(docs.toDF("doc_id", "text")).collect().head
+      finally CacheScope.releaseAll()
+    // identical docs: J = 1 >= T, and identical signatures collide in
+    // every band -> truth = cand = hit = that one pair.
+    val r = eval(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words appear in this sentence here")))
+    assert(r.getAs[Long]("n_docs") == 3)
+    assert(r.getAs[Long]("n_truth") == 1 && r.getAs[Long]("n_hit") == 1)
+    assert(r.getAs[Double]("recall") == 1.0)
+    assert(r.getAs[Long]("n_cand") >= 1 &&
+      r.getAs[Double]("precision") == BigDecimal(1.0 / r.getAs[Long]("n_cand"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // disjoint docs: no truth, no candidates -> both ratios report 1.0
+    // (nothing to find, nothing wasted), not a 0/0 NaN.
+    val r0 = eval(Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "omega psi chi phi upsilon")))
+    assert(r0.getAs[Long]("n_truth") == 0 && r0.getAs[Long]("n_cand") == 0)
+    assert(r0.getAs[Double]("recall") == 1.0 &&
+      r0.getAs[Double]("precision") == 1.0)
+  }
 }
