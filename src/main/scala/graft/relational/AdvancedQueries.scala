@@ -1023,8 +1023,101 @@ object AdvancedQueries extends QueryPack {
           expr("datediff(week, cohort_week) div 7").cast("long").as("week_offset"))
         .groupBy("cohort_week", "week_offset")
         .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Bounded-lag EWMA smoothing of the per-type daily value series —
+    // the monitoring/trend primitive OHLC bars feed. The classic
+    // recursive EWMA is inherently sequential (and its closed form
+    // (1-a)^(-i) prefix trick overflows doubles past ~150 steps), so
+    // this is the standard K-tap FIR approximation: 8 lags with weights
+    // (1-a)^j, re-normalized over the lags that exist at the series
+    // head. Weight j decays to (0.8)^7 ~ 0.21 of the current sample;
+    // the dropped tail is < 17% of total mass — a dial, not a truth.
+    // Determinism: daily totals are exact decimal sums, the weights are
+    // round(,9)-pinned decimals, so numerator and denominator are exact
+    // decimal dot products and the single final division is identical
+    // IEEE. Scale shape: one events-sized aggregation, then a WINDOW
+    // over the BOUNDED daily relation (|types| x |days|), partitioned by
+    // type — never an unpartitioned window, never a self-join.
+    "q_ts_ewma" -> ((s, d) => {
+      // weights pinned at scale 6, NOT 9: (18,4)-totals x (18,6)-weights
+      // gives num scale 10, whose scaled integer (~3e13) stays under
+      // 2^53 — the decimal->double cast is exact in both engines. At
+      // scale 9 the num integer (~3e16) is past 2^53 and the lossy casts
+      // diverge per engine; downscaling first doesn't help either,
+      // because Spark rounds HALF_UP on decimal downscale while DuckDB
+      // TRUNCATES (both measured as 1-digit ewma drift).
+      val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      // the widened sum type (38,4) must come back down to (18,4) before
+      // the weight products: (38,4) x (18,9) exceeds decimal-128 and
+      // forces engine-SPECIFIC precision loss (measured: 1-ulp ewma
+      // drift); (18,4) x (18,9) = (37,13) stays exact in both engines.
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(col("value").cast(
+          org.apache.spark.sql.types.DecimalType(18, 4))).as("total0"))
+        .select(col("event_type"), col("day"),
+          col("total0").cast(
+            org.apache.spark.sql.types.DecimalType(18, 4)).as("total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+      val weights = (0 until EwmaTaps).map(j =>
+        BigDecimal(math.pow(1.0 - EwmaAlpha, j))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      // each product comes down from its inferred (37,10) to an exact
+      // (28,10) BEFORE the 8-term addition chain: Spark grows addition
+      // precision by 1 per step and, past 38, allowPrecisionLoss shaves
+      // the SCALE (measured: num silently rounded to 6 decimals, a
+      // 1e-10-relative quotient drift vs the oracle's exact scale-10
+      // sum). At (28,10) the chain peaks at (35,10) — exact end-to-end.
+      val dec2810 = org.apache.spark.sql.types.DecimalType(28, 10)
+      val num = weights.zipWithIndex.map { case (wj, j) =>
+        (coalesce(lag(col("total"), j).over(w),
+          lit(BigDecimal(0)).cast(org.apache.spark.sql.types.DecimalType(18, 4))) *
+          lit(wj).cast(dec6)).cast(dec2810)
+      }.reduce(_ + _)
+      val den = weights.zipWithIndex.map { case (wj, j) =>
+        when(lag(col("total"), j).over(w).isNotNull, lit(wj).cast(dec6))
+          .otherwise(lit(BigDecimal(0)).cast(dec6))
+      }.reduce(_ + _)
+      daily.select(col("event_type"), col("day"),
+        col("total").cast("double").as("total"),
+        round(num.cast("double") / den.cast("double"), 6).as("ewma"))
+    }),
+
+    // Per-type 3-sigma anomaly flagging from exact integer-like moments:
+    // population mean/variance via decimal sums kept EXACT through
+    // var_num = n*ssq - sx^2, so the only float steps are two divisions
+    // and one sqrt on identical operands in both engines — z-scores are
+    // bit-identical, and the |z| >= 3 gate cannot flip on summation
+    // order. Scale shape: one events aggregation to |types| rows of
+    // moments, broadcast back into a narrow filter scan — the same
+    // two-pass profile a streaming detector would maintain as running
+    // state. (n^2 as int64 caps n at ~3e9 per type; past that, lift the
+    // moments to DECIMAL(38) — the dial is explicit, and ANSI mode
+    // makes the overflow loud, never silent.)
+    "q_ts_zscore" -> ((s, d) => {
+      val x = col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), x.as("x"))
+      val st = ev.groupBy("event_type")
+        .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+          count(lit(1)).as("n"))
+      val dev = (col("x") * col("n") - col("sx")).cast("double")
+      val varD = (col("sxx") * col("n") - col("sx") * col("sx")).cast("double") /
+        (col("n") * col("n")).cast("double")
+      val z = round(dev / (col("n").cast("double") * sqrt(varD)), 6)
+      ev.join(broadcast(st), "event_type")
+        .select(col("event_id"), col("event_type"),
+          col("x").cast("double").as("value"), z.as("z"))
+        .filter(abs(col("z")) >= 3.0)
     })
   )
+
+  /** EWMA smoothing factor and FIR tap count (see q_ts_ewma). */
+  val EwmaAlpha = 0.2
+  val EwmaTaps = 8
 
   override val oracles: Map[String, String] = Map(
     "q_events_funnel" ->
@@ -1080,6 +1173,45 @@ object AdvancedQueries extends QueryPack {
         |       count(*) AS n_users
         |FROM ev JOIN c ON c.user_id = ev.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_ts_ewma" -> {
+      val weights = (0 until EwmaTaps).map(j =>
+        BigDecimal(math.pow(1.0 - EwmaAlpha, j))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      val num = weights.zipWithIndex.map { case (wj, j) =>
+        s"COALESCE(lag(total, $j) OVER w, CAST(0 AS DECIMAL(18,4))) * CAST('$wj' AS DECIMAL(18,6))"
+      }.mkString(" +\n         ")
+      val den = weights.zipWithIndex.map { case (wj, j) =>
+        s"CASE WHEN lag(total, $j) OVER w IS NOT NULL THEN CAST('$wj' AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END"
+      }.mkString(" +\n         ")
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+         |  FROM events GROUP BY 1, 2
+         |)
+         |SELECT event_type, day, CAST(total AS DOUBLE) AS total,
+         |       round(CAST($num AS DOUBLE) /
+         |             CAST($den AS DOUBLE), 6) AS ewma
+         |FROM daily
+         |WINDOW w AS (PARTITION BY event_type ORDER BY day)""".stripMargin
+    },
+
+    "q_ts_zscore" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS x
+        |  FROM events
+        |), st AS (
+        |  SELECT event_type, sum(x) AS sx, sum(x * x) AS sxx, count(*) AS n
+        |  FROM ev GROUP BY 1
+        |)
+        |SELECT * FROM (
+        |  SELECT e.event_id, e.event_type, CAST(e.x AS DOUBLE) AS value,
+        |         round(CAST(e.x * s.n - s.sx AS DOUBLE) /
+        |               (CAST(s.n AS DOUBLE) *
+        |                sqrt(CAST(s.sxx * s.n - s.sx * s.sx AS DOUBLE) /
+        |                     CAST(s.n * s.n AS DOUBLE))), 6) AS z
+        |  FROM ev e JOIN st s USING (event_type)
+        |) WHERE abs(z) >= 3""".stripMargin,
 
     "q_markov_transitions" ->
       """WITH p AS (
