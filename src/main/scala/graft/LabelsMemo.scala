@@ -25,7 +25,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Lifecycle: keyed by (logical name, data dir); files die with the JVM
   * (shutdown hook) and harnesses call [[clear]] at teardown alongside
   * `CacheScope.releaseAllScopes()`. Concurrent first-callers on one key
-  * serialize on the map entry — one computes, the rest wait and read.
+  * serialize on that key's holder — one computes, the rest wait and read;
+  * callers on different keys never block each other.
   *
   * At 100 TB this is the "materialize shared intermediates" discipline:
   * the labels relation would be a managed table the downstream jobs
@@ -33,7 +34,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LabelsMemo {
 
-  private val memo = new ConcurrentHashMap[String, String]()
+  /** One holder per key. `computeIfAbsent` only ever inserts the cheap
+    * holder object, so the map's bin lock is held for nanoseconds; the
+    * expensive Spark job runs when the holder's `lazy val` is forced
+    * OUTSIDE the map — concurrent first-callers of one key serialize on
+    * the holder's own monitor (JVM lazy-val init lock), not on a hash
+    * bin shared with unrelated keys, and a compute that re-enters
+    * `getOrCompute` for a different key cannot deadlock the map.
+    */
+  private final class Holder(compute: () => String) {
+    @volatile private var done = false
+    lazy val path: String = { val p = compute(); done = true; p }
+    /** Set only once the compute finished — lets teardown skip (not force)
+      * holders whose compute never ran or threw.
+      */
+    def pathIfComputed: Option[String] = if (done) Some(path) else None
+  }
+
+  private val memo = new ConcurrentHashMap[String, Holder]()
 
   @volatile private var hooked = false
   private def ensureShutdownHook(): Unit =
@@ -56,7 +74,7 @@ object LabelsMemo {
 
   private def deleteAll(): Unit = {
     import scala.jdk.CollectionConverters._
-    memo.values().asScala.toVector.foreach(p =>
+    memo.values().asScala.toVector.flatMap(_.pathIfComputed).foreach(p =>
       deleteRecursively(java.nio.file.Paths.get(p).getParent))
     memo.clear()
   }
@@ -67,13 +85,15 @@ object LabelsMemo {
   def getOrCompute(key: String, spark: SparkSession)(
       compute: => DataFrame): DataFrame = {
     ensureShutdownHook()
-    val path = memo.computeIfAbsent(key, _ => {
+    // computeIfAbsent inserts only the holder (cheap, non-reentrant); the
+    // Spark job runs when `.path` is forced, outside the map's bin lock.
+    val holder = memo.computeIfAbsent(key, _ => new Holder(() => {
       val dir = java.nio.file.Files.createTempDirectory("graft-memo-")
       val p = s"$dir/rel.parquet"
       compute.write.mode("overwrite").parquet(p)
       p
-    })
-    spark.read.parquet(path)
+    }))
+    spark.read.parquet(holder.path)
   }
 
   /** Harness teardown: drop every memoized file and forget the keys. */

@@ -76,7 +76,19 @@ object ThrottleWm {
 
     /** Fold ripe events (watermark-ordered guarantee) with the base
       * operator's exact rule, rewrite the buffer to the unripe rest, and
-      * keep exactly one timer alive at the rest's next fire instant.
+      * keep exactly one timer alive: the rest's next fire instant while
+      * events are buffered, else the key's RETIREMENT tick.
+      *
+      * State retirement: once the buffer is drained AND the watermark has
+      * passed the END of the last-emitted hour, the fold state can never
+      * change future output — any non-late future event has
+      * `us >= wmUs >= (last+1)*WindowUs`, so its hour strictly exceeds
+      * `last` and is emitted whether the state is present or freshly
+      * re-initialized. Clearing it there makes the per-key footprint
+      * watermark-bounded instead of growing with all-time distinct-key
+      * cardinality. A beyond-the-delay straggler arriving after
+      * retirement may re-emit inside an already-emitted hour — the same
+      * documented beyond-delay degradation the buffer itself has.
       */
     private def drain(watermarkMs: Long): Iterator[TOut] = {
       val all = buffer.get().toArray
@@ -102,9 +114,20 @@ object ThrottleWm {
         buffer.clear()
         if (rest.nonEmpty) buffer.put(rest)
       }
+      def hourEndUs: Long =
+        Math.multiplyExact(lastHour.get() + 1, WindowUs)
+      val retired =
+        rest.isEmpty && lastHour.exists() && wmUs >= hourEndUs
+      if (retired) {
+        lastHour.clear()
+        buffer.clear()
+      }
       val desired =
-        if (rest.isEmpty) None
-        else Some(WatermarkEvicted.nextFireMs(rest.iterator.map(_.us).min))
+        if (rest.nonEmpty)
+          Some(WatermarkEvicted.nextFireMs(rest.iterator.map(_.us).min))
+        else if (!retired && lastHour.exists())
+          Some(hourEndUs / 1000) // WindowUs is ms-aligned; fires at hour end
+        else None
       val existing = getHandle.listTimers().toSet
       existing.iterator.filterNot(desired.contains)
         .foreach(getHandle.deleteTimer)
@@ -135,6 +158,21 @@ object ThrottleWm {
   * semantics under arbitrary (watermark-bounded) arrival order. The
   * buffer rides in the [[GroupState]] value; EventTimeTimeout drains
   * keys the current batch brings no input for.
+  *
+  * State retention (deliberate, documented): the BUFFER component is
+  * watermark-bounded — it drains to empty once the watermark passes its
+  * events — but the FOLD state (cumulative total + crossed flag, two
+  * fixed-width fields) lives for the lifetime of the key and is never
+  * removed. That is the operator's semantics, not an oversight: the
+  * cumulative total accrues over the key's whole history, and the
+  * `crossed` flag is what suppresses duplicate alerts — removing the
+  * state after an idle horizon would let a returning key re-accumulate
+  * from zero and fire a second "first crossing". Unlike [[ThrottleWm]],
+  * no watermark ever makes this state dead, so there is no provably-safe
+  * retirement point; at 100 TB the footprint is ~20 bytes × all-time
+  * distinct keys, which a deployment that cannot afford it should bound
+  * by ETLing retired keys out via the state-store reader rather than by
+  * silently re-arming alerts.
   */
 object ThresholdCrossWm {
   import ThresholdCross.{CrossOut, CrossState, VEvent, scan, toUs}

@@ -38,13 +38,21 @@ object TextAnalysisQueries extends QueryPack {
     * duplicate the base scan 2^rounds times.
     */
   private def bpeTrainCtes: String = {
+    // If a round's pair table is empty (corpus exhausted merges early —
+    // bpeTrainOf breaks out of its loop), the scalar subquery
+    // `(SELECT pair FROM b_i)` yields NULL and a bare replace() would
+    // poison every later state with NULL. COALESCE to a sentinel pair
+    // that can never occur: cleaned text is [a-z] only, so '~ ~' builds
+    // the search string '|~||~|' which matches nothing and the replace
+    // is an identity — the oracle then agrees with the early-exit loop.
+    def pairOf(i: Int) = s"COALESCE((SELECT pair FROM b$i), '~ ~')"
     val stages = (1 to BpeTrainMerges).map { i =>
       val next =
         if (i == BpeTrainMerges) ""
         else s""", s${i + 1} AS MATERIALIZED (
            |  SELECT replace(state,
-           |           '|' || replace((SELECT pair FROM b$i), ' ', '||') || '|',
-           |           '|' || replace((SELECT pair FROM b$i), ' ', '') || '|') AS state,
+           |           '|' || replace(${pairOf(i)}, ' ', '||') || '|',
+           |           '|' || replace(${pairOf(i)}, ' ', '') || '|') AS state,
            |         wn
            |  FROM s$i)""".stripMargin
       s""", p$i AS MATERIALIZED (
@@ -85,9 +93,11 @@ object TextAnalysisQueries extends QueryPack {
     */
   private def bpeChainSql: String = (1 to BpeTrainMerges).foldLeft(
     "regexp_replace(word, '(.)', '|\\1|', 'g')") { (acc, i) =>
+    // Same NULL-safety as bpeTrainCtes: an exhausted round's empty b_i
+    // must degrade to an identity replace, not a NULL chain.
     s"""replace($acc,
-       |  (SELECT '|' || replace(pair, ' ', '||') || '|' FROM b$i),
-       |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b$i))""".stripMargin
+       |  COALESCE((SELECT '|' || replace(pair, ' ', '||') || '|' FROM b$i), '|~||~|'),
+       |  COALESCE((SELECT '|' || replace(pair, ' ', '') || '|' FROM b$i), '|~~|'))""".stripMargin
   }
 
   private def bpeApplyOracle: String = {
