@@ -340,6 +340,19 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     }),
 
+    // SemDeDup (cluster-then-prune semantic dedup): train an UNSUPERVISED
+    // coarse quantizer over the embeddings (the hash-seeded integer Lloyd
+    // of [[graft.sim.Ivf]] — no label column involved, unlike
+    // dedup_embedding_cosine's label blocking), then compare vectors only
+    // WITHIN their k-means cell and drop every vector that has a
+    // lower-vec_id cell-mate above the cosine threshold. This is the
+    // published recipe for semantic dedup at corpus scale: the cell
+    // assignment is the bucketing key, so candidate generation is an
+    // equi-join touching ~n²/k pairs instead of all pairs, and k is the
+    // dial that holds per-cell pair counts constant as the corpus grows.
+    "dedup_semdedup" -> ((s, d) =>
+      semdedupOf(Tables.load(s, d, "embeddings"))),
+
     // LSH candidate-generator EVAL: recall + precision of the band
     // collisions against EXACT threshold-Jaccard ground truth — the
     // dial-tuning readout for [[Bands]] x [[RowsPerBand]] (recall says
@@ -352,6 +365,50 @@ object DedupQueries extends QueryPack {
     // the shape requires it.
     "dedup_lsh_eval" -> ((s, d) => lshEvalOf(docs(s, d)))
   )
+
+  /** SemDeDup dials: cell count / Lloyd depth for the unsupervised coarse
+    * quantizer, and the within-cell cosine drop threshold.
+    */
+  val SemK = 8
+  val SemIters = 2
+  val SemTau = 0.3
+
+  /** The SemDeDup body over any (vec_id, embedding) relation — public so
+    * specs can feed planted vector sets. Returns every vector exactly once
+    * as (vec_id, cell, kept): kept=false iff a lower-vec_id vector in the
+    * SAME trained cell has cosine >= [[SemTau]] (keep-lowest-id is the
+    * deterministic stand-in for SemDeDup's keep-farthest-from-centroid).
+    */
+  def semdedupOf(emb0: DataFrame): DataFrame = {
+    import graft.sim.Ivf
+    import graft.CacheScope.persisted
+    val p = Ivf.Params(k = SemK, iters = SemIters, nprobe = 1, topK = 1,
+      nQueries = 1)
+    val e = persisted(emb0
+      .select(col("vec_id"), VecMath.quantize(col("embedding")).as("qe"))
+      .select(col("vec_id"), col("qe"), VecMath.norm2Q(col("qe")).as("norm2")))
+    val ex = persisted(e.select(col("vec_id"),
+      posexplode(col("qe")).as(Seq("i", "qx"))))
+    val cells = Ivf.probeRanked(e, ex, p).filter(col("rn") === 1)
+      .select(col("vid"), col("cell"))
+    // (vector, cell) with the quantized payload — feeds both sides of the
+    // within-cell pair join, so quantize-once stays true in the plan.
+    val ec = persisted(e.join(cells, e("vec_id") === cells("vid"))
+      .select(col("vec_id"), col("cell"), col("qe"), col("norm2")))
+    val drops = ec.as("a")
+      .join(ec.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
+        VecMath.barrier(round(VecMath.cosine(
+          VecMath.dotQ(col("a.qe"), col("b.qe")),
+          col("a.norm2"), col("b.norm2")), 4)).as("cos"))
+      .filter(col("cos") >= SemTau)
+      .select("vec_id").distinct()
+    ec.join(drops.select(col("vec_id"), lit(false).as("keep_flag")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("keep_flag"), lit(true)).as("kept"))
+  }
 
   /** The eval body over any (doc_id, text) relation — public so
     * DedupSimSpec can feed planted corpora with known truth/candidate
@@ -612,7 +669,36 @@ object DedupQueries extends QueryPack {
        |  SELECT doc_id, ${SimHash.combineSql} AS simhash FROM lanes
        |)""".stripMargin
 
+  /** dedup_semdedup oracle: the shared quantized-element CTE + the SAME
+    * Ivf Params unrolled by Ivf.oracleCtes (cellall = the trained cell
+    * assignment), then the within-cell pair scan and keep rule in SQL.
+    */
+  private lazy val semdedupOracle: String = {
+    import graft.sim.{Ivf, SimilarityQueries}
+    val p = Ivf.Params(k = SemK, iters = SemIters, nprobe = 1, topK = 1,
+      nQueries = 1)
+    s"""${SimilarityQueries.eCte}${Ivf.oracleCtes(p)}, sdots AS (
+       |  SELECT a.vid AS va, b.vid AS vb,
+       |         CAST(sum(ea.qx * eb.qx) AS DOUBLE) / 1000000.0 AS dot
+       |  FROM cellall a
+       |  JOIN cellall b ON a.cell = b.cell AND a.vid < b.vid
+       |  JOIN e ea ON ea.vec_id = a.vid
+       |  JOIN e eb ON eb.vec_id = b.vid AND eb.i = ea.i
+       |  GROUP BY 1, 2
+       |), sdrop AS (
+       |  SELECT DISTINCT d.vb AS vec_id
+       |  FROM sdots d
+       |  JOIN norms na ON na.vec_id = d.va
+       |  JOIN norms nb ON nb.vec_id = d.vb
+       |  WHERE round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) >= $SemTau
+       |)
+       |SELECT c.vid AS vec_id, c.cell, (s.vec_id IS NULL) AS kept
+       |FROM cellall c LEFT JOIN sdrop s ON s.vec_id = c.vid""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
+    "dedup_semdedup" -> semdedupOracle,
+
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
         |       count(*) AS n_copies

@@ -123,6 +123,13 @@ object SimilarityQueries extends QueryPack {
     // so the recall harness folds it in unchanged.
     "sim_ivfpq" -> ((s, d) => IvfPq.ann(emb(s, d), IvfPqParams)),
 
+    // Top-principal-component projection by exact-integer power iteration
+    // over the scatter matrix ([[Pca]]) — the step AFTER the covariance
+    // query: an actual eigenvector estimate and every vector's coordinate
+    // along it, for whitening / anisotropy correction / curriculum
+    // ordering by the dominant semantic axis.
+    "sim_pca_power" -> ((s, d) => Pca.project(Tables.load(s, d, "embeddings"))),
+
     // Recall@3 of every ANN method against the exact top-3 — the eval
     // loop an ANN rollout needs before trusting approximate retrieval.
     // Reuses the registered builders verbatim (per-query-isolation
@@ -177,8 +184,11 @@ object SimilarityQueries extends QueryPack {
   private val PqParams = Pq.Params(
     m = 8, k = 16, iters = 1, topK = 3, nQueries = NQueries)
 
-  /** Shared oracle CTEs: integer-quantized elements + norms (exact sums). */
-  private val eCte: String =
+  /** Shared oracle CTEs: integer-quantized elements + norms (exact sums).
+    * `private[graft]`: dedup.DedupQueries' semdedup oracle composes the
+    * same quantized-element relation with Ivf.oracleCtes.
+    */
+  private[graft] val eCte: String =
     """WITH e AS (
       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS qx
@@ -272,6 +282,8 @@ object SimilarityQueries extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
+    "sim_pca_power" -> Pca.oracleSql,
+
     "sim_ann_recall" -> recallOracle,
 
     "sim_knn_bruteforce" -> knnOracle,

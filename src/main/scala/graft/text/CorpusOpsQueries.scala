@@ -129,6 +129,13 @@ object CorpusOpsQueries extends QueryPack {
     // "cumulative sum over everything".
     "text_pack_sequences" -> ((s, d) => packSequences(docs(s, d))),
 
+    // Token-budget selection: greedily keep the highest-quality documents
+    // until the corpus token budget is spent ([[budgetSelect]]) — the
+    // "train on the best B tokens" curation op, computed with the same
+    // distributed prefix-sum machinery as packing/deciles (no global
+    // window at any corpus size).
+    "text_budget_select" -> ((s, d) => budgetSelect(docs(s, d), BudgetTokens)),
+
     // PII scrub: redaction counts + digest of the scrubbed text, one
     // narrow map pass. The synthetic corpus contains no PII (counts are
     // zero and the digest equals md5(text)) — PiiScrubSpec plants emails /
@@ -167,6 +174,54 @@ object CorpusOpsQueries extends QueryPack {
         md5(concat_ws(" ", transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           x => x.getField("tok")))).as("chunk_md5"))
+  }
+
+  /** Token budget for text_budget_select — interior at every testdata sf
+    * (total whitespace tokens are ~27k at sf0.01, ~271k at sf0.1), so the
+    * selection boundary is always exercised.
+    */
+  val BudgetTokens = 15000L
+
+  /** Token-budget greedy selection over any (doc_id, text) relation:
+    * documents ordered by (quality desc, doc_id asc) are selected while
+    * the running token total BEFORE each document is still under
+    * `budget` — i.e. the standard "spend the token budget on the best
+    * documents first" curation rule, with the boundary document included
+    * (first overshoot, never silent undershoot).
+    *
+    * Shape: the global running sum is the SAME distributed prefix sum as
+    * [[packSequences]], generalized to a computed order key exactly like
+    * text_quality_deciles — buckets are fixed ranges of the bounded
+    * integer micro-score (constant-size bucket relation by construction),
+    * per-bucket TOKEN totals give base offsets via the triangular join,
+    * and the within-bucket cumulative sum is a bucket-partitioned window.
+    * Ordering ties are broken by doc_id, and the order key is the exact
+    * integer micro-score (never the raw double), so Spark and DuckDB
+    * cannot disagree on the selection boundary.
+    */
+  def budgetSelect(dd: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = dd.select(col("doc_id"),
+        TextAnalysisQueries.qualityScore.as("quality_score"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("mu",
+        expr("CAST(round(quality_score * 1000000.0) AS BIGINT)"))
+      .withColumn("bkt", expr(s"mu div ${TextAnalysisQueries.MuBlock}"))
+      .transform(graft.CacheScope.persisted(_))
+    val totals = m.groupBy("bkt").agg(sum(col("n_tokens")).as("t"))
+    // Selection order is quality DESC: a bucket's base offset sums the
+    // token totals of HIGHER buckets (the better documents spent first).
+    val bases = totals.as("lo")
+      .join(totals.as("hi"), col("hi.bkt") > col("lo.bkt"), "left")
+      .groupBy(col("lo.bkt").as("bkt"))
+      .agg(coalesce(sum(col("hi.t")), lit(0L)).as("base"))
+    val cumBefore = sum(col("n_tokens")).over(
+      Window.partitionBy("bkt").orderBy(col("mu").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1))
+    m.join(broadcast(bases), "bkt")
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"),
+        (col("base") + coalesce(cumBefore, lit(0L))).as("cum_before"))
+      .withColumn("selected", col("cum_before") < budget)
   }
 
   /** Tokens per packed training sequence — the context length dial. */
@@ -310,6 +365,23 @@ object CorpusOpsQueries extends QueryPack {
        |)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "text_budget_select" ->
+      s"""WITH ${TextAnalysisQueries.qualityScoreCte}, toks AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), ordered AS (
+         |  SELECT q.doc_id, q.quality_score, t.n_tokens,
+         |         CAST(coalesce(sum(t.n_tokens) OVER (
+         |           ORDER BY CAST(round(q.quality_score * 1000000.0) AS BIGINT) DESC,
+         |                    q.doc_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM qscore q JOIN toks t USING (doc_id)
+         |)
+         |SELECT doc_id, quality_score, n_tokens, cum_before,
+         |       cum_before < $BudgetTokens AS selected
+         |FROM ordered""".stripMargin,
+
     "text_span_dedup" ->
       s"""$spanCte
          |SELECT l.doc_id,
