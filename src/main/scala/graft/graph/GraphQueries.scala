@@ -162,7 +162,15 @@ object GraphQueries extends QueryPack {
     // neighbors z, top-50 — "which parts will be co-purchased next"
     // (embeddedness scores the edges that exist; this ranks the ones
     // that don't yet). See [[linkpredOf]] for the hub-cap wedge shape.
-    "q_graph_linkpred" -> ((s, d) => linkpredOf(windowedEdges(s, d)))
+    "q_graph_linkpred" -> ((s, d) => linkpredOf(windowedEdges(s, d))),
+
+    // Synchronous label-propagation communities ([[lpaOf]]) — the
+    // modularity-style community detector next to the pure-connectivity
+    // components query: a node adopts the most frequent label among its
+    // neighbors each round, so dense regions converge to one label while
+    // bridges don't glue weakly-connected regions together the way
+    // connected components does.
+    "q_graph_lpa" -> ((s, d) => lpaOf(windowedEdges(s, d)))
   )
 
   /** k for the registered k-core query. */
@@ -329,6 +337,41 @@ object GraphQueries extends QueryPack {
         round(col("aa").cast("double"), 6).as("aa_score"))
   }
 
+  /** Synchronous LPA rounds — a dial like [[Iters]], so the oracle can
+    * unroll it. Three rounds settle the small windowed graph; depth, not
+    * convergence detection, keeps the operator deterministic (asynchronous
+    * or until-stable LPA is famously order-dependent — the fixed-round
+    * synchronous form with a (count desc, label asc) argmax is the only
+    * variant two engines can agree on bit-for-bit).
+    */
+  val LpaRounds = 3
+
+  /** Fixed-round synchronous label propagation over any symmetric
+    * (src, dst) edge relation: labels start as the node id; each round
+    * every node adopts the argmax neighbor label by (count desc, label
+    * asc). The argmax is max(struct(n, -lbl)) — one aggregation, no
+    * window — and each round is the same equi-join + aggregate shuffle
+    * shape as a PageRank iteration, so the 100 TB notes there carry over
+    * verbatim (pinned edge relation, linear lineage, checkpoint every few
+    * rounds at cluster scale).
+    */
+  def lpaOf(edgesDf: DataFrame, rounds: Int = LpaRounds): DataFrame = {
+    val e = edgesDf.transform(graft.CacheScope.persisted(_))
+    val nodes = e.select(col("src").as("node")).distinct()
+      .transform(graft.CacheScope.persisted(_))
+    var lab = nodes.select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val cnt = e.join(lab, col("dst") === col("node"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("n"))
+      val best = cnt.groupBy(col("src"))
+        .agg(max(struct(col("n"), (-col("lbl")).as("nl"))).as("b"))
+        .select(col("src").as("bn"), (-col("b.nl")).as("bl"))
+      lab = nodes.join(best, col("node") === col("bn"), "left")
+        .select(col("node"), coalesce(col("bl"), col("node")).as("lbl"))
+    }
+    lab.select(col("node"), col("lbl").as("community"))
+  }
+
   private val edgesCte: String =
     """WITH li AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
@@ -377,7 +420,32 @@ object GraphQueries extends QueryPack {
        |  GROUP BY e.src HAVING count(*) >= $CoreK
        |)""".stripMargin
 
+  /** One unrolled synchronous LPA round i (reads l{i-1}, defines l{i}). */
+  private def lpaCte(i: Int): String =
+    s"""c$i AS (
+       |  SELECT e.src, l.lbl, count(*) AS n
+       |  FROM edges e JOIN l${i - 1} l ON l.node = e.dst
+       |  GROUP BY 1, 2
+       |), b$i AS (
+       |  SELECT src, lbl FROM (
+       |    SELECT src, lbl,
+       |           row_number() OVER (PARTITION BY src
+       |                              ORDER BY n DESC, lbl ASC) AS rn
+       |    FROM c$i
+       |  ) WHERE rn = 1
+       |), l$i AS (
+       |  SELECT n.node, coalesce(b.lbl, n.node) AS lbl
+       |  FROM nodes n LEFT JOIN b$i b ON b.src = n.node
+       |)""".stripMargin
+
   override val oracles: Map[String, String] = Map(
+    "q_graph_lpa" ->
+      s"""$windowedEdgesCte,
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |l0 AS (SELECT node, node AS lbl FROM nodes),
+         |${(1 to LpaRounds).map(lpaCte).mkString(",\n")}
+         |SELECT node, lbl AS community FROM l$LpaRounds""".stripMargin,
+
     // Unrolled peeling, 8 rounds (measured depth: 3 at sf0.01, 4 at
     // sf0.1; too few rounds = loud hash mismatch, never silent).
     "q_graph_kcore" ->

@@ -123,6 +123,16 @@ object SimilarityQueries extends QueryPack {
     // so the recall harness folds it in unchanged.
     "sim_ivfpq" -> ((s, d) => IvfPq.ann(emb(s, d), IvfPqParams)),
 
+    // Johnson-Lindenstrauss random projection to RpDims sign-hash
+    // dimensions ([[rpProject]]) — the data-independent counterpart of
+    // sim_pca_power for cheap distance-preserving dimensionality
+    // reduction (sketching before clustering, bandwidth reduction before
+    // a cross-cluster shuffle). The +/-1 matrix entries derive from
+    // md5(i_k) parity, so both engines build the identical matrix and
+    // the int64 projection sums are exact.
+    "sim_rp_project" -> ((s, d) =>
+      rpProject(s, Tables.load(s, d, "embeddings"))),
+
     // Top-principal-component projection by exact-integer power iteration
     // over the scatter matrix ([[Pca]]) — the step AFTER the covariance
     // query: an actual eigenvector estimate and every vector's coordinate
@@ -159,6 +169,50 @@ object SimilarityQueries extends QueryPack {
         .orderBy("method")
     })
   )
+
+  /** Output dimensionality of the JL random projection. */
+  val RpDims = 16
+
+  /** Sign-matrix random projection of the quantized embeddings: y[k] =
+    * Σ_j sgn(j,k)·q[j] with sgn = ±1 from the parity of md5's first hex
+    * digit over "j_k" — a deterministic, engine-agnostic stand-in for a
+    * seeded Rademacher matrix. The projection relation is d×RpDims rows
+    * (broadcast), the pass over vectors is one narrow join + partial-agg
+    * shuffle on (vec_id, k), and every sum is exact int64 — hashable
+    * output with no float anywhere. Public so specs can feed planted
+    * vectors.
+    */
+  def rpProject(s: SparkSession, emb0: DataFrame): DataFrame = {
+    val q = emb0.select(col("vec_id"), VecMath.quantize(col("embedding")).as("qe"))
+    val ex = q.select(col("vec_id"), posexplode(col("qe")).as(Seq("i", "qx")))
+    val dims = ex.select(col("i")).distinct()
+    val ks = s.range(RpDims).select(col("id").as("k"))
+    val sgn = when(
+      expr("substr(md5(concat(cast(i as string), '_', cast(k as string))), 1, 1)")
+        .isin("1", "3", "5", "7", "9", "b", "d", "f"), lit(1L))
+      .otherwise(lit(-1L))
+    // broadcast keeps the tiny dims×RpDims build out of CartesianProduct
+    val r = dims.crossJoin(broadcast(ks)).select(col("i"), col("k"), sgn.as("sgn"))
+    ex.join(broadcast(r), Seq("i"))
+      .groupBy("vec_id", "k")
+      .agg(sum(col("qx") * col("sgn")).as("y"))
+  }
+
+  private val rpOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS qx
+       |  FROM embeddings
+       |), r AS (
+       |  SELECT d.i, kk.k,
+       |         CASE WHEN substr(md5(CAST(d.i - 1 AS VARCHAR) || '_' || CAST(kk.k AS VARCHAR)), 1, 1)
+       |              IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END AS sgn
+       |  FROM (SELECT DISTINCT i FROM e) d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${RpDims - 1})) AS k) kk
+       |)
+       |SELECT e.vec_id, r.k, CAST(sum(e.qx * r.sgn) AS BIGINT) AS y
+       |FROM e JOIN r ON r.i = e.i
+       |GROUP BY 1, 2""".stripMargin
 
   /** Composed-index dials: the IVF and PQ dials above with a probe wide
     * enough to matter (nprobe=3 of k=8 cells) and a 10-candidate exact
@@ -283,6 +337,8 @@ object SimilarityQueries extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "sim_pca_power" -> Pca.oracleSql,
+
+    "sim_rp_project" -> rpOracle,
 
     "sim_ann_recall" -> recallOracle,
 
