@@ -89,11 +89,19 @@ class StreamingSpec extends SparkSpec {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     ev.union(ev).write.mode("overwrite").parquet(tmp)
 
+    // dropDuplicatesWithinWatermark, not dropDuplicates: keyed on
+    // event_id alone, plain streaming dropDuplicates would keep one state
+    // entry per event_id FOREVER (the watermark only evicts dedup state
+    // when the event-time column is part of the key). The WithinWatermark
+    // variant is the bounded-state form — a duplicate is guaranteed
+    // dropped if it arrives within the watermark delay of the first
+    // sighting (here: same-timestamp copies, trivially within 1 hour),
+    // and state is evicted once the watermark passes.
     val q = spark.readStream
       .schema(spark.read.parquet(tmp).schema)
       .parquet(tmp)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
       .writeStream.format("memory").queryName("dedup_out")
