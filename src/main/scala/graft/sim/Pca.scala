@@ -53,7 +53,10 @@ object Pca {
       posexplode(col("qe")).as(Seq("i", "qx"))))
     val m1 = ex.groupBy("i").agg(sum(col("qx")).as("s1"))
       .transform(persisted(_))
-    val stats = ex.agg((count(lit(1)) / max(col("i") + 1)).cast("long").as("n"))
+    // countDistinct, matching the oracle's COUNT(DISTINCT vec_id): a
+    // row-count-derived n would diverge on duplicated vec_ids or ragged
+    // vector lengths.
+    val stats = ex.agg(countDistinct(col("vec_id")).as("n"))
     // Upper-triangle exact products, mirrored to the full symmetric matrix
     // (the matvec needs both triangles; the d²-row relation is tiny).
     val pairs = q.select(explode(flatten(transform(col("qe"), (xi, i) =>
@@ -64,9 +67,12 @@ object Pca {
     val s2u = pairs.groupBy("i", "j").agg(sum(col("p")).as("sp"))
     val s2f = s2u.unionByName(s2u.filter(col("i") =!= col("j"))
       .select(col("j").as("i"), col("i").as("j"), col("sp")))
-    // A = n·sp − s1_i·s1_j: every product fits int64 at any n where the
-    // VecMath 2^53 contract already holds; carried as DECIMAL(38,0) so the
-    // two matvec folds below stay exact.
+    // A = n·sp − s1_i·s1_j, with every operand cast to DECIMAL(38,0)
+    // BEFORE the multiplies (the oracle casts to HUGEINT the same way):
+    // at n ~ 1e7 all-positive vectors, s1_i·s1_j passes 2^63 while the
+    // VecMath 2^53 contract still holds, so an int64 product would wrap
+    // silently where the decimal stays exact.
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
     val aMat = persisted(s2f
       .join(broadcast(m1.select(col("i").as("ia"), col("s1").as("s1a"))),
         col("i") === col("ia"))
@@ -74,18 +80,20 @@ object Pca {
         col("j") === col("ib"))
       .crossJoin(broadcast(stats))
       .select(col("i"), col("j"),
-        (col("n") * col("sp") - col("s1a") * col("s1b"))
-          .cast(DecimalType(38, 0)).as("a")))
+        (dec(col("n")) * dec(col("sp")) - dec(col("s1a")) * dec(col("s1b")))
+          .as("a")))
     val b1 = aMat.groupBy(col("i")).agg(sum(col("a")).as("b1"))
     val b2 = aMat
       .join(broadcast(b1.select(col("i").as("j2"), col("b1"))),
         col("j") === col("j2"))
       .groupBy(col("i")).agg(sum(col("a") * col("b1")).as("b2"))
-    val proj = ex
+    // persisted: proj feeds BOTH the max aggregate and the final select —
+    // without the pin the n×d projection pass would execute twice.
+    val proj = persisted(ex
       .join(broadcast(b2.select(col("i").as("ip"), col("b2"))),
         col("i") === col("ip"))
       .groupBy("vec_id")
-      .agg(sum(col("qx").cast(DecimalType(38, 0)) * col("b2")).as("proj"))
+      .agg(sum(col("qx").cast(DecimalType(38, 0)) * col("b2")).as("proj")))
     val mx = proj.agg(max(abs(col("proj"))).as("mx"))
     proj.crossJoin(broadcast(mx))
       .select(col("vec_id"),

@@ -184,7 +184,11 @@ object SimilarityQueries extends QueryPack {
     */
   def rpProject(s: SparkSession, emb0: DataFrame): DataFrame = {
     val q = emb0.select(col("vec_id"), VecMath.quantize(col("embedding")).as("qe"))
-    val ex = q.select(col("vec_id"), posexplode(col("qe")).as(Seq("i", "qx")))
+    // persisted: ex feeds the dimension enumeration AND the projection
+    // join — without the pin the quantize+posexplode corpus scan runs
+    // twice.
+    val ex = graft.CacheScope.persisted(
+      q.select(col("vec_id"), posexplode(col("qe")).as(Seq("i", "qx"))))
     val dims = ex.select(col("i")).distinct()
     val ks = s.range(RpDims).select(col("id").as("k"))
     val sgn = when(

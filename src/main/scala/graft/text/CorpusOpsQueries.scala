@@ -211,10 +211,7 @@ object CorpusOpsQueries extends QueryPack {
     val totals = m.groupBy("bkt").agg(sum(col("n_tokens")).as("t"))
     // Selection order is quality DESC: a bucket's base offset sums the
     // token totals of HIGHER buckets (the better documents spent first).
-    val bases = totals.as("lo")
-      .join(totals.as("hi"), col("hi.bkt") > col("lo.bkt"), "left")
-      .groupBy(col("lo.bkt").as("bkt"))
-      .agg(coalesce(sum(col("hi.t")), lit(0L)).as("base"))
+    val bases = TextAnalysisQueries.prefixBases(totals, "bkt", desc = true)
     val cumBefore = sum(col("n_tokens")).over(
       Window.partitionBy("bkt").orderBy(col("mu").desc, col("doc_id").asc)
         .rowsBetween(Window.unboundedPreceding, -1))
@@ -271,10 +268,7 @@ object CorpusOpsQueries extends QueryPack {
         expr(s"doc_id div ((mx div $PackShards) + 1)").as("shard"))
       .transform(graft.CacheScope.persisted(_))
     val totals = sharded.groupBy("shard").agg(sum(col("n_tokens")).as("t"))
-    val bases = totals.as("a")
-      .join(totals.as("b"), col("b.shard") < col("a.shard"), "left")
-      .groupBy(col("a.shard").as("shard"))
-      .agg(coalesce(sum(col("b.t")), lit(0L)).as("base"))
+    val bases = TextAnalysisQueries.prefixBases(totals, "shard", desc = false)
     val cumBefore = sum(col("n_tokens")).over(
       Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1))

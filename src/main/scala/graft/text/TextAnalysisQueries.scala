@@ -234,6 +234,13 @@ object TextAnalysisQueries extends QueryPack {
     * text_quality (per-doc profile), text_quality_deciles (global rank),
     * and dedup.DedupQueries' dedup_keep_best (cluster canonicalization).
     * Weights: length 0.4, stopword density 0.4, punctuation 0.2.
+    *
+    * The punctuation denominator is greatest(n_chars, 1) — an EMPTY
+    * document would otherwise score 0/0 = NaN, which Spark's non-ANSI
+    * BIGINT cast folds to 0 while DuckDB's cast ERRORS, crashing any
+    * verify run on a corpus containing one blank doc (and NaN ordering
+    * is engine-ambiguous besides). The guard changes no value for any
+    * non-empty document; every SQL twin carries the same greatest().
     */
   def qualityScore: Column = {
     val text = col("text")
@@ -246,7 +253,7 @@ object TextAnalysisQueries extends QueryPack {
     round(
       least(nTok / 100.0, lit(1.0)) * 0.4 +
         least(stopRatio * 4.0, lit(1.0)) * 0.4 +
-        (lit(1.0) - least(punct / nChars * 10.0, lit(1.0))) * 0.2, 6)
+        (lit(1.0) - least(punct / greatest(nChars, lit(1.0)) * 10.0, lit(1.0))) * 0.2, 6)
   }
 
   /** SQL twin of [[qualityScore]] as a CTE body named `qscore`:
@@ -258,7 +265,7 @@ object TextAnalysisQueries extends QueryPack {
        |  SELECT doc_id,
        |         round(least(n_tok / 100.0, 1.0) * 0.4 +
        |               least(stops / n_clean * 4.0, 1.0) * 0.4 +
-       |               (1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2, 6) AS quality_score
+       |               (1.0 - least(punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2, 6) AS quality_score
        |  FROM (
        |    SELECT doc_id,
        |           CAST(length(text) AS DOUBLE) AS n_chars,
@@ -270,6 +277,24 @@ object TextAnalysisQueries extends QueryPack {
        |    FROM documents
        |  )
        |)""".stripMargin
+
+  /** Base offsets for the distributed bucketed prefix sum (shared by
+    * text_quality_deciles, text_budget_select, and text_pack_sequences'
+    * shard offsets — one implementation so the three cannot drift):
+    * for each bucket of `totals` (`key`, t), the sum of `t` over buckets
+    * strictly EARLIER in the traversal direction. `totals` is
+    * constant-size by construction (fixed micro-score ranges or a fixed
+    * shard count), so the triangular self-join never scales with data.
+    */
+  private[graft] def prefixBases(totals: DataFrame, key: String,
+      desc: Boolean): DataFrame = {
+    val earlier =
+      if (desc) col(s"o.$key") > col(s"b.$key")
+      else col(s"o.$key") < col(s"b.$key")
+    totals.as("b").join(totals.as("o"), earlier, "left")
+      .groupBy(col(s"b.$key").as(key))
+      .agg(coalesce(sum(col("o.t")), lit(0L)).as("base"))
+  }
 
   /** Micro-score bucket width for text_quality_deciles: the micro-score is
     * bounded in [0, 10^6], and a width of floor(10^6 / 64) + 1 = 15626
@@ -325,8 +350,8 @@ object TextAnalysisQueries extends QueryPack {
         col("doc_id"),
         nChars.cast("long").as("n_chars"),
         nTok.cast("long").as("n_tokens"),
-        round(punct / nChars, 6).as("punct_ratio"),
-        round(digits / nChars, 6).as("digit_ratio"),
+        round(punct / greatest(nChars, lit(1.0)), 6).as("punct_ratio"),
+        round(digits / greatest(nChars, lit(1.0)), 6).as("digit_ratio"),
         round(stopRatio, 6).as("stop_ratio"),
         qualityScore.as("quality_score"))
     }),
@@ -351,10 +376,7 @@ object TextAnalysisQueries extends QueryPack {
         .withColumn("bkt", expr(s"mu div $MuBlock"))
         .transform(graft.CacheScope.persisted(_))
       val totals = m.groupBy("bkt").agg(count(lit(1)).as("t"))
-      val bases = totals.as("hi")
-        .join(totals.as("lo"), col("lo.bkt") < col("hi.bkt"), "left")
-        .groupBy(col("hi.bkt").as("bkt"))
-        .agg(coalesce(sum(col("lo.t")), lit(0L)).as("base"))
+      val bases = prefixBases(totals, "bkt", desc = false)
       val nTotal = totals.agg(sum(col("t")).as("n"))
       m.join(broadcast(bases), "bkt")
         .crossJoin(broadcast(nTotal))
@@ -708,7 +730,7 @@ object TextAnalysisQueries extends QueryPack {
       val score =
         least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.4 +
           least(stopRatio * 4.0, lit(1.0)) * 0.4 +
-          (lit(1.0) - least(punct / nChars * 10.0, lit(1.0))) * 0.2
+          (lit(1.0) - least(punct / greatest(nChars, lit(1.0)) * 10.0, lit(1.0))) * 0.2
       // barrier: without it PushPredicateThroughProject inlines the full
       // scoring expressions into the Filter and the projection re-evaluates
       // them — the heavy stopword stage runs twice per row. persist: scored
@@ -914,12 +936,12 @@ object TextAnalysisQueries extends QueryPack {
          |SELECT doc_id,
          |       CAST(n_chars AS BIGINT) AS n_chars,
          |       CAST(n_tok AS BIGINT) AS n_tokens,
-         |       round(punct / n_chars, 6) AS punct_ratio,
-         |       round(digits / n_chars, 6) AS digit_ratio,
+         |       round(punct / greatest(n_chars, 1.0), 6) AS punct_ratio,
+         |       round(digits / greatest(n_chars, 1.0), 6) AS digit_ratio,
          |       round(stops / n_clean, 6) AS stop_ratio,
          |       round(least(n_tok / 100.0, 1.0) * 0.4 +
          |             least(stops / n_clean * 4.0, 1.0) * 0.4 +
-         |             (1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2, 6) AS quality_score
+         |             (1.0 - least(punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2, 6) AS quality_score
          |FROM m""".stripMargin,
 
     // Oracle ranks with the global window the Spark side deliberately
@@ -939,7 +961,7 @@ object TextAnalysisQueries extends QueryPack {
          |  SELECT doc_id,
          |         round(least(n_tok / 100.0, 1.0) * 0.4 +
          |               least(stops / n_clean * 4.0, 1.0) * 0.4 +
-         |               (1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2, 6) AS quality_score
+         |               (1.0 - least(punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2, 6) AS quality_score
          |  FROM m
          |), r AS (
          |  SELECT doc_id, quality_score,
@@ -1166,7 +1188,7 @@ object TextAnalysisQueries extends QueryPack {
          |  SELECT doc_id, source, text, CAST(n_tok AS BIGINT) AS n_tokens,
          |         round(least(n_tok / 100.0, 1.0) * 0.4 +
          |               least(stops / n_clean * 4.0, 1.0) * 0.4 +
-         |               (1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2, 6) AS quality_score,
+         |               (1.0 - least(punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2, 6) AS quality_score,
          |         stops / n_clean AS sr
          |  FROM m
          |), surv AS (

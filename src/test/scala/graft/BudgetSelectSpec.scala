@@ -43,4 +43,23 @@ class BudgetSelectSpec extends SparkSpec {
     assert(!flags.zip(flags.tail).exists { case (a, b) => !a && b },
       "selection is not a prefix of the quality-desc order")
   }
+
+  test("an empty document scores a finite quality, never NaN") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dd = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "a real document with some text in it"),
+        Row(2L, ""))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    val out =
+      try CorpusOpsQueries.budgetSelect(dd, 10L).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      finally CacheScope.releaseAll()
+    assert(out.size == 2)
+    out.foreach { case (id, q) =>
+      assert(!q.isNaN && q >= 0.0 && q <= 1.0, s"doc $id quality=$q")
+    }
+  }
 }
