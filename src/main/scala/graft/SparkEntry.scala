@@ -27,6 +27,7 @@ object SparkEntry {
     sim.SimilarityQueries,
     sketch.SketchQueries,
     layout.LayoutQueries,
+    sources.FormatQueries,
     graph.GraphQueries,
     text.TextAnalysisQueries,
     text.CorpusOpsQueries,
