@@ -206,10 +206,82 @@ object RelationalQueries extends QueryPack {
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"),
           davg(col("l_extendedprice"), 4).as("avg_price"),
-          dstddev(col("l_extendedprice")).as("sd_price")))
+          dstddev(col("l_extendedprice")).as("sd_price"))),
+
+    // Approximate query processing: a DETERMINISTIC 1/64 uniform sample
+    // (md5-bucket of the row key — reproducible, never rand(), the same
+    // discipline as every sampler here) scaled up against the exact
+    // answer, with the achieved relative error in the output. This is
+    // the accuracy-for-cost dial of interactive OLAP made auditable: at
+    // 100 TB the estimate path scans the same data but aggregates 1/64
+    // of it after a narrow codegen'd filter (with a materialized sample
+    // table, 1/64 of the scan too); the hash gate pins both the sampling
+    // function and the scale-up arithmetic cross-engine. Per-group
+    // variant below shows the error profile across group sizes.
+    "q_aqp_sum" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val inSample = aqpBucket(col("l_orderkey"), col("l_linenumber"))
+      val agg = li.agg(
+        dsum(col("l_extendedprice"), 4).as("exact_sum"),
+        count(lit(1)).as("exact_n"),
+        (sum(when(inSample, col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))) * AqpScale)
+          .cast("double").as("est_sum"),
+        (sum(when(inSample, 1L).otherwise(0L)) * AqpScale).as("est_n"))
+      agg.select(col("exact_sum"), col("exact_n"), col("est_sum"), col("est_n"),
+        round(abs(col("est_sum") - col("exact_sum")) / col("exact_sum"), 6)
+          .as("rel_err"))
+    }),
+
+    "q_aqp_groupby" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val inSample = aqpBucket(col("l_orderkey"), col("l_linenumber"))
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("exact_n"),
+          (sum(when(inSample, 1L).otherwise(0L)) * AqpScale).as("est_n"))
+        .select(col("l_returnflag"), col("exact_n"), col("est_n"),
+          round(abs(col("est_n") - col("exact_n")).cast("double") /
+            col("exact_n"), 6).as("rel_err"))
+    })
   )
 
+  /** AQP sample: 4 of 256 first-md5-byte values = a 1/64 deterministic
+    * uniform bucket over the (orderkey, linenumber) row identity.
+    */
+  private val AqpScale = 64L
+  private def aqpBucket(ok: org.apache.spark.sql.Column,
+      ln: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // lexicographic compare of the first hex byte — '00'..'03' are
+    // exactly bytes 0-3, and string ordering is engine-identical (the
+    // SQL twin uses the same substr < '04')
+    substring(md5(concat(ok.cast("string"), lit("_"), ln.cast("string"))),
+      1, 2) < "04"
+
+  /** SQL twin of [[aqpBucket]]. */
+  private val aqpBucketSql: String =
+    "substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '04'"
+
   override val oracles: Map[String, String] = Map(
+    "q_aqp_sum" ->
+      s"""SELECT ${dsumSql("l_extendedprice", 4)} AS exact_sum,
+         |       count(*) AS exact_n,
+         |       CAST(sum(CASE WHEN $aqpBucketSql
+         |                     THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) * $AqpScale
+         |            AS DOUBLE) AS est_sum,
+         |       CAST(sum(CASE WHEN $aqpBucketSql THEN 1 ELSE 0 END) * $AqpScale
+         |            AS BIGINT) AS est_n,
+         |       round(abs(est_sum - exact_sum) / exact_sum, 6) AS rel_err
+         |FROM lineitem""".stripMargin,
+
+    "q_aqp_groupby" ->
+      s"""SELECT l_returnflag,
+         |       count(*) AS exact_n,
+         |       CAST(sum(CASE WHEN $aqpBucketSql THEN 1 ELSE 0 END) * $AqpScale
+         |            AS BIGINT) AS est_n,
+         |       round(CAST(abs(est_n - exact_n) AS DOUBLE) / exact_n, 6) AS rel_err
+         |FROM lineitem
+         |GROUP BY l_returnflag""".stripMargin,
+
     "q_filter_project" ->
       """SELECT l_orderkey, l_partkey, l_quantity,
         |       round(l_extendedprice * (1 - l_discount), 4) AS net_price
