@@ -340,6 +340,17 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     }),
 
+    // SemDeDup candidate-generator EVAL — the lsh_eval discipline applied
+    // to the cell bucketing: recall/precision of same-cell pairs against
+    // EXACT all-pairs cosine>=tau truth. Recall quantifies exactly what
+    // cluster-scoped pruning misses (cross-cell near-dups); precision
+    // says how much of the within-cell pair work is wasted — the k dial's
+    // two-sided readout. The truth side is a deliberate all-pairs scan:
+    // an eval-slice tuning probe (run on a fixed sample at 100 TB), like
+    // dedup_lsh_eval's exact ground truth.
+    "dedup_semdedup_eval" -> ((s, d) =>
+      semdedupEvalOf(Tables.load(s, d, "embeddings"))),
+
     // SemDeDup (cluster-then-prune semantic dedup): train an UNSUPERVISED
     // coarse quantizer over the embeddings (the hash-seeded integer Lloyd
     // of [[graft.sim.Ivf]] — no label column involved, unlike
@@ -408,6 +419,47 @@ object DedupQueries extends QueryPack {
         Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("keep_flag"), lit(true)).as("kept"))
+  }
+
+  /** The semdedup eval body over any (vec_id, embedding) relation —
+    * public for planted-geometry specs. Truth = exact all-pairs
+    * cosine >= [[SemTau]]; candidates = same-trained-cell pairs.
+    */
+  def semdedupEvalOf(emb0: DataFrame): DataFrame = {
+    import graft.sim.Ivf
+    import graft.CacheScope.persisted
+    val p = Ivf.Params(k = SemK, iters = SemIters, nprobe = 1, topK = 1,
+      nQueries = 1)
+    val e = persisted(emb0
+      .select(col("vec_id"), VecMath.quantize(col("embedding")).as("qe"))
+      .select(col("vec_id"), col("qe"), VecMath.norm2Q(col("qe")).as("norm2")))
+    val ex = persisted(e.select(col("vec_id"),
+      posexplode(col("qe")).as(Seq("i", "qx"))))
+    val cells = Ivf.probeRanked(e, ex, p).filter(col("rn") === 1)
+      .select(col("vid"), col("cell"))
+    val truth = persisted(e.as("a")
+      .join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        VecMath.barrier(round(VecMath.cosine(
+          VecMath.dotQ(col("a.qe"), col("b.qe")),
+          col("a.norm2"), col("b.norm2")), 4)).as("cos"))
+      .filter(col("cos") >= SemTau)
+      .select(col("va"), col("vb")))
+    val cand = persisted(cells.as("ca")
+      .join(cells.as("cb"),
+        col("ca.cell") === col("cb.cell") && col("ca.vid") < col("cb.vid"))
+      .select(col("ca.vid").as("va"), col("cb.vid").as("vb")))
+    val hit = truth.join(cand, Seq("va", "vb"))
+    val safeRatio = (num: Column, den: Column) =>
+      when(den === 0, lit(1.0))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+    e.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_vecs"), col("n_truth"), col("n_cand"), col("n_hit"),
+        safeRatio(col("n_hit"), col("n_truth")).as("recall"),
+        safeRatio(col("n_hit"), col("n_cand")).as("precision"))
   }
 
   /** The eval body over any (doc_id, text) relation — public so
@@ -696,8 +748,47 @@ object DedupQueries extends QueryPack {
        |FROM cellall c LEFT JOIN sdrop s ON s.vec_id = c.vid""".stripMargin
   }
 
+  /** dedup_semdedup_eval oracle: exact all-pairs truth + same-cell
+    * candidates (cellall from the shared Ivf CTEs), intersected.
+    */
+  private lazy val semdedupEvalOracle: String = {
+    import graft.sim.{Ivf, SimilarityQueries}
+    val p = Ivf.Params(k = SemK, iters = SemIters, nprobe = 1, topK = 1,
+      nQueries = 1)
+    s"""${SimilarityQueries.eCte}${Ivf.oracleCtes(p)}, tdots AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |         CAST(sum(a.qx * b.qx) AS DOUBLE) / 1000000.0 AS dot
+       |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2
+       |), truth AS (
+       |  SELECT d.va, d.vb
+       |  FROM tdots d
+       |  JOIN norms na ON na.vec_id = d.va
+       |  JOIN norms nb ON nb.vec_id = d.vb
+       |  WHERE round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) >= $SemTau
+       |), cand AS (
+       |  SELECT a.vid AS va, b.vid AS vb
+       |  FROM cellall a JOIN cellall b ON a.cell = b.cell AND a.vid < b.vid
+       |), hit AS (
+       |  SELECT t.va, t.vb FROM truth t JOIN cand c ON c.va = t.va AND c.vb = t.vb
+       |), agg AS (
+       |  SELECT (SELECT count(DISTINCT vec_id) FROM e) AS n_vecs,
+       |         (SELECT count(*) FROM truth) AS n_truth,
+       |         (SELECT count(*) FROM cand) AS n_cand,
+       |         (SELECT count(*) FROM hit) AS n_hit
+       |)
+       |SELECT n_vecs, n_truth, n_cand, n_hit,
+       |       CASE WHEN n_truth = 0 THEN 1.0
+       |            ELSE round(CAST(n_hit AS DOUBLE) / n_truth, 6) END AS recall,
+       |       CASE WHEN n_cand = 0 THEN 1.0
+       |            ELSE round(CAST(n_hit AS DOUBLE) / n_cand, 6) END AS precision
+       |FROM agg""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
     "dedup_semdedup" -> semdedupOracle,
+
+    "dedup_semdedup_eval" -> semdedupEvalOracle,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,

@@ -53,6 +53,29 @@ class SemdedupSpec extends SparkSpec {
       assert(kept(id), s"dissimilar filler $id dropped: $kept"))
   }
 
+  test("eval: planted exact-duplicate truth is fully recalled (duplicates always co-locate)") {
+    // Truth pairs are exact duplicates only — guaranteed same-cell — so
+    // recall must be exactly 1.0; fillers (orthogonal) contribute no
+    // truth pairs but do contribute within-cell candidates, so precision
+    // is <= 1 and the counts must be internally consistent.
+    val rows =
+      Seq(0L -> axis(0, 1.0f), 2L -> axis(0, 1.0f), 4L -> axis(0, 1.0f),
+        1L -> axis(1, 1.0f), 3L -> axis(1, 1.0f)) ++
+        (0 until 12).map { k =>
+          (6L + k) -> axis(2 + k % 6, if (k < 6) 1.0f else -1.0f)
+        }
+    val r =
+      try DedupQueries.semdedupEvalOf(embDf(rows)).collect()(0)
+      finally CacheScope.releaseAll()
+    val (nVecs, nTruth, nCand, nHit) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (recall, precision) = (r.getDouble(4), r.getDouble(5))
+    assert(nVecs == rows.size)
+    assert(nTruth == 4, s"expected the 3+1 duplicate pairs, got $nTruth")
+    assert(recall == 1.0, s"exact duplicates must always share a cell: $r")
+    assert(nHit <= nCand && precision <= 1.0)
+  }
+
   test("n <= k degenerate regime: duplicates still co-locate and dedup") {
     // Fewer vectors than SemK seeds — cells collapse toward singletons,
     // but an exact duplicate pair still shares its cell and dedups, and
