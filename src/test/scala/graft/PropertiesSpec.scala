@@ -117,4 +117,33 @@ class PropertiesSpec extends SparkSpec {
       assert(r.getDouble(3) >= 0.5, s"survivor below quality gate: $r")
     }
   }
+
+  test("budget selection over random corpora is always the exact greedy prefix") {
+    // The distributed prefix sum behind text_budget_select must equal a
+    // sequential replay on ANY corpus — random doc lengths (including
+    // repeated quality scores across bucket boundaries) and several
+    // budgets, not just the registered dial.
+    import graft.text.CorpusOpsQueries
+    val docs = (1L to 60L).map { i =>
+      val words = 1 + rnd.nextInt(120)
+      (i, Seq.fill(words)(alphabet(rnd.nextInt(alphabet.length - 2)).toString)
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    for (budget <- Seq(1L, 500L, 2500L, 1000000L)) {
+      val out =
+        try CorpusOpsQueries.budgetSelect(docs, budget).collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+            r.getLong(3), r.getBoolean(4)))
+        finally CacheScope.releaseAll()
+      val ordered = out.sortBy { case (id, q, _, _, _) =>
+        (-math.round(q * 1e6), id)
+      }
+      var cum = 0L
+      ordered.foreach { case (id, _, n, cumBefore, selected) =>
+        assert(cumBefore == cum, s"budget=$budget doc=$id cum mismatch")
+        assert(selected == (cum < budget), s"budget=$budget doc=$id flag")
+        cum += n
+      }
+    }
+  }
 }
