@@ -170,8 +170,76 @@ object GraphQueries extends QueryPack {
     // neighbors each round, so dense regions converge to one label while
     // bridges don't glue weakly-connected regions together the way
     // connected components does.
-    "q_graph_lpa" -> ((s, d) => lpaOf(windowedEdges(s, d)))
+    "q_graph_lpa" -> ((s, d) => lpaOf(windowedEdges(s, d))),
+
+    // HITS hubs & authorities over the bipartite customer->part purchase
+    // graph (one month): hubs = customers whose baskets concentrate on
+    // authoritative parts, authorities = parts bought by strong hubs —
+    // the classic bipartite use, and deliberately DIRECTED where
+    // PageRank's co-purchase graph is symmetric. See [[hitsOf]] for the
+    // exact-integer normalized power iteration.
+    "q_graph_hits" -> ((s, d) => hitsOf(bipartiteEdges(s, d)))
   )
+
+  /** HITS power-iteration rounds — a dial, so the oracle can unroll it. */
+  val HitsRounds = 3
+  /** Per-side total mass the raw integer scores are renormalized to at
+    * the end (10^15 units — 15 significant digits of fixed-point score).
+    */
+  val HitsTot = 1000000000000000L
+
+  /** Distinct (c customer, p part) purchase edges over one month of
+    * orders — the bipartite graph for [[hitsOf]]; the date filter prunes
+    * at the orders scan.
+    */
+  private[graft] def bipartiteEdges(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.load(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-02-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+
+  /** HITS over any bipartite (c, p) edge relation, bit-reproducible across
+    * engines: each half-step is one equi-join + aggregation (the PageRank
+    * shuffle shape) over EXACT integers — hub mass starts at 1 per node
+    * and the iteration runs RAW (no mid-round normalization), so every
+    * score is an exact DECIMAL(38,0) integer (order-independent sums,
+    * overflow-loud under ANSI) and the whole 2*rounds-step chain is ONE
+    * linear lazy DAG with a single action. Textbook HITS' float
+    * normalization happens ONCE at the end per side: scores scale to a
+    * total side mass of [[HitsTot]] by integral division with the side
+    * total (a broadcast 1-row aggregate against the PINNED final
+    * relation — mid-iteration the same crossJoin would embed each
+    * half-step's lineage twice, a 2^(2*rounds) plan blowup; at the end it
+    * doubles a linear plan once, measured 4.6s -> 1.9s at sf0.1).
+    * Overflow headroom: raw scores are bounded by edges^(rounds) *
+    * maxdeg^(rounds-1); DECIMAL(38,0) minus the 10^15 renormalization
+    * factor leaves ~10^23 — beyond that ANSI throws loudly and the dial
+    * is fewer raw rounds (or per-round renormalization). Returns
+    * (side 'hub'|'auth', node, score). Public for planted-graph specs.
+    */
+  def hitsOf(edgesDf: DataFrame): DataFrame = {
+    val dec = "DECIMAL(38,0)"
+    val e = edgesDf.transform(graft.CacheScope.persisted(_))
+    var h = e.select(col("c")).distinct()
+      .select(col("c"), expr(s"CAST(1 AS $dec)").as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to HitsRounds) {
+      a = e.join(h, Seq("c")).groupBy("p").agg(sum(col("h")).as("a"))
+      h = e.join(a, Seq("p")).groupBy("c").agg(sum(col("a")).as("h"))
+    }
+    val af = graft.CacheScope.persisted(a)
+    val hf = graft.CacheScope.persisted(h)
+    def norm(df: DataFrame, side: String, node: String, v: String) =
+      df.crossJoin(broadcast(df.agg(sum(col(v)).as("tot"))))
+        .select(lit(side).as("side"), col(node).as("node"),
+          expr(s"CAST(($v * $HitsTot) div tot AS BIGINT)").as("score"))
+    norm(hf, "hub", "c", "h").unionByName(norm(af, "auth", "p", "a"))
+  }
 
   /** k for the registered k-core query. */
   val CoreK = 3
@@ -438,7 +506,41 @@ object GraphQueries extends QueryPack {
        |  FROM nodes n LEFT JOIN b$i b ON b.src = n.node
        |)""".stripMargin
 
+  /** One unrolled raw HITS round i (reads h{i-1}, defines a{i} and h{i}).
+    * HUGEINT sums mirror Spark's DECIMAL(38,0) sums exactly.
+    */
+  private def hitsCte(i: Int): String =
+    s"""a$i AS (
+       |  SELECT be.p, sum(h.h) AS a
+       |  FROM be JOIN h${i - 1} h ON h.c = be.c GROUP BY be.p
+       |), h$i AS (
+       |  SELECT be.c, sum(a.a) AS h
+       |  FROM be JOIN a$i a ON a.p = be.p GROUP BY be.c
+       |)""".stripMargin
+
   override val oracles: Map[String, String] = Map(
+    // End normalization: HUGEINT `//` mirrors Spark's decimal `div`
+    // (all values positive, so floor == truncate).
+    "q_graph_hits" ->
+      s"""WITH be AS (
+         |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND o.o_orderdate < TIMESTAMP '1996-02-01 00:00:00'
+         |), h0 AS (
+         |  SELECT DISTINCT c, CAST(1 AS HUGEINT) AS h FROM be
+         |),
+         |${(1 to HitsRounds).map(hitsCte).mkString(",\n")}
+         |SELECT 'hub' AS side, c AS node,
+         |       CAST((h * $HitsTot) // (SELECT sum(h) FROM h$HitsRounds)
+         |            AS BIGINT) AS score
+         |FROM h$HitsRounds
+         |UNION ALL
+         |SELECT 'auth' AS side, p AS node,
+         |       CAST((a * $HitsTot) // (SELECT sum(a) FROM a$HitsRounds)
+         |            AS BIGINT) AS score
+         |FROM a$HitsRounds""".stripMargin,
+
     "q_graph_lpa" ->
       s"""$windowedEdgesCte,
          |nodes AS (SELECT DISTINCT src AS node FROM edges),

@@ -1112,8 +1112,117 @@ object AdvancedQueries extends QueryPack {
         .select(col("event_id"), col("event_type"),
           col("x").cast("double").as("value"), z.as("z"))
         .filter(abs(col("z")) >= 3.0)
+    }),
+
+    // U-shaped multi-touch attribution ([[attributionOf]]): every click in
+    // the 72h lookback of a purchase gets fractional credit — 40/40 to the
+    // first and last touch, the middle 20% split evenly (1.0 and 0.5/0.5
+    // for 1- and 2-touch paths). The funnel query answers "which single
+    // click converted"; this one distributes the conversion over the whole
+    // path — the marketing-credit primitive.
+    "q_events_attribution" -> ((s, d) => attributionOf(t(s, d, "events"))),
+
+    // Two-sample (Welch) z-test on mean purchase value with a
+    // deterministic 50/50 user split (user_id parity — the hash-keyed
+    // assignment a real experiment framework uses, never rand()): exact
+    // DECIMAL moment sums per variant in ONE aggregation (the q_ts_zscore
+    // discipline — a float mean/variance could never hash-match), pivoted
+    // to one row, then the z statistic as the same IEEE double tree in
+    // both engines. (A conversion-RATE test is degenerate on this corpus —
+    // every synthetic user purchases — so the value metric is also the
+    // statistically interesting one.)
+    "q_events_abtest" -> ((s, d) => {
+      val x = col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+      val st = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(pmod(col("user_id"), lit(2)).as("variant"), x.as("x"))
+        .groupBy("variant")
+        .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+          count(lit(1)).as("n"))
+      def side(v: Int, c: String) = max(when(col("variant") === v, col(c)))
+      val w = st.agg(
+        side(0, "n").as("n0"), side(0, "sx").as("sx0"), side(0, "sxx").as("sxx0"),
+        side(1, "n").as("n1"), side(1, "sx").as("sx1"), side(1, "sxx").as("sxx1"))
+      def mean(i: Int) =
+        col(s"sx$i").cast("double") / col(s"n$i").cast("double")
+      def variance(i: Int) =
+        (col(s"sxx$i") * col(s"n$i") - col(s"sx$i") * col(s"sx$i")).cast("double") /
+          (col(s"n$i") * col(s"n$i")).cast("double")
+      w.select(col("n0"), col("n1"),
+        round(mean(0), 6).as("mean0"), round(mean(1), 6).as("mean1"),
+        round((mean(0) - mean(1)) /
+          sqrt(variance(0) / col("n0").cast("double") +
+            variance(1) / col("n1").cast("double")), 6).as("z"))
+    }),
+
+    // Column-profiling pass over orders — the data-quality summary a
+    // pipeline runs BEFORE trusting a new drop: per column, row/non-null/
+    // distinct counts and min/max rendered to strings. One aggregate PER
+    // COLUMN, unioned — deliberately not the single-pass multi-distinct
+    // formulation, whose Expand operator multiplies every row by the
+    // column count through one wide shuffle (measured 3.1s vs 0.2s at
+    // sf0.1); with a columnar source, six pruned single-column scans
+    // each feeding a two-phase distinct aggregate is the plan that
+    // survives a 100x scale-up, and the six jobs share nothing.
+    "q_profile" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val o = t(s, d, "orders")
+      cols.map(c => o.agg(
+          lit(c).as("column_name"), count(lit(1)).as("n_rows"),
+          count(col(c)).as("n_nonnull"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_str"),
+          max(col(c)).cast("string").as("max_str")))
+        .reduce(_ unionByName _)
     })
   )
+
+  /** Attribution lookback window (hours before the purchase). */
+  val AttrWindowHours = 72
+
+  /** U-shaped attribution over any events relation — public so specs can
+    * plant paths with known credits. Scale shape: the touch relation is a
+    * user-keyed equi-join with a time residual (the stream-stream-join
+    * shape, fan-out bounded by per-user click density x the window), the
+    * per-purchase stats are ONE count/min/max aggregation (no window
+    * function), and first/last flags come from struct equality against
+    * the argmin/argmax — deterministic ties by event id.
+    */
+  def attributionOf(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .transform(graft.CacheScope.persisted(_))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val touches = p.join(c, col("pu") === col("cu") &&
+        col("click_ts") <= col("buy_ts") &&
+        col("buy_ts") <= col("click_ts") +
+          expr(s"INTERVAL $AttrWindowHours HOURS"))
+      .select(col("pu").as("user_id"), col("buy_id"), col("click_id"),
+        col("click_ts"))
+      .transform(graft.CacheScope.persisted(_))
+    val st = touches.groupBy("buy_id")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("click_ts"), col("click_id"))).as("f"),
+        max(struct(col("click_ts"), col("click_id"))).as("l"))
+    val cur = struct(col("click_ts"), col("click_id"))
+    touches.join(st, Seq("buy_id"))
+      .select(col("user_id"), col("buy_id"), col("click_id"),
+        when(col("n") === 1, "only")
+          .when(cur === col("f"), "first")
+          .when(cur === col("l"), "last")
+          .otherwise("mid").as("pos"),
+        when(col("n") === 1, lit(1.0))
+          .when(col("n") === 2, lit(0.5))
+          .when(cur === col("f") || cur === col("l"), lit(0.4))
+          .otherwise(round(lit(0.2) / (col("n") - 2).cast("double"), 6))
+          .as("credit"))
+  }
 
   /** EWMA smoothing factor and FIR tap count (see q_ts_ewma). */
   val EwmaAlpha = 0.2
@@ -1212,6 +1321,71 @@ object AdvancedQueries extends QueryPack {
         |                     CAST(s.n * s.n AS DOUBLE))), 6) AS z
         |  FROM ev e JOIN st s USING (event_type)
         |) WHERE abs(z) >= 3""".stripMargin,
+
+    // Window-function formulation — deliberately different from the Spark
+    // side's single count/min/max aggregation (ra=1 <=> argmin struct).
+    "q_events_attribution" ->
+      s"""WITH t AS (
+         |  SELECT p.user_id, p.event_id AS buy_id, p.ts AS buy_ts,
+         |         c.event_id AS click_id, c.ts AS click_ts
+         |  FROM events p
+         |  JOIN events c ON c.user_id = p.user_id
+         |   AND p.event_type = 'purchase' AND c.event_type = 'click'
+         |   AND c.ts <= p.ts
+         |   AND p.ts <= c.ts + INTERVAL $AttrWindowHours HOURS
+         |), r AS (
+         |  SELECT user_id, buy_id, click_id,
+         |         row_number() OVER (PARTITION BY buy_id
+         |                            ORDER BY click_ts ASC, click_id ASC) AS ra,
+         |         row_number() OVER (PARTITION BY buy_id
+         |                            ORDER BY click_ts DESC, click_id DESC) AS rd,
+         |         count(*) OVER (PARTITION BY buy_id) AS n
+         |  FROM t
+         |)
+         |SELECT user_id, buy_id, click_id,
+         |       CASE WHEN n = 1 THEN 'only' WHEN ra = 1 THEN 'first'
+         |            WHEN rd = 1 THEN 'last' ELSE 'mid' END AS pos,
+         |       CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+         |            WHEN ra = 1 OR rd = 1 THEN 0.4
+         |            ELSE round(0.2 / CAST(n - 2 AS DOUBLE), 6) END AS credit
+         |FROM r""".stripMargin,
+
+    "q_events_abtest" ->
+      """WITH s AS (
+        |  SELECT user_id % 2 AS variant,
+        |         sum(CAST(value AS DECIMAL(12,2))) AS sx,
+        |         sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS sxx,
+        |         count(*) AS n
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), w AS (
+        |  SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+        |         max(CASE WHEN variant = 0 THEN sx END) AS sx0,
+        |         max(CASE WHEN variant = 0 THEN sxx END) AS sxx0,
+        |         max(CASE WHEN variant = 1 THEN n END) AS n1,
+        |         max(CASE WHEN variant = 1 THEN sx END) AS sx1,
+        |         max(CASE WHEN variant = 1 THEN sxx END) AS sxx1
+        |  FROM s
+        |)
+        |SELECT n0, n1,
+        |       round(CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS mean0,
+        |       round(CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS mean1,
+        |       round((CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) -
+        |              CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+        |             sqrt(CAST(sxx0 * n0 - sx0 * sx0 AS DOUBLE) /
+        |                  CAST(n0 * n0 AS DOUBLE) / CAST(n0 AS DOUBLE) +
+        |                  CAST(sxx1 * n1 - sx1 * sx1 AS DOUBLE) /
+        |                  CAST(n1 * n1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6) AS z
+        |FROM w""".stripMargin,
+
+    "q_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |       count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS min_str,
+           |       CAST(max($c) AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin)
+      .mkString("\nUNION ALL\n"),
 
     "q_markov_transitions" ->
       """WITH p AS (

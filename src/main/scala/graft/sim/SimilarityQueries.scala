@@ -177,8 +177,84 @@ object SimilarityQueries extends QueryPack {
         .unionByName(recallOf("pq_adc", memoized("sim_pq_adc")))
         .unionByName(recallOf("ivfpq", memoized("sim_ivfpq")))
         .orderBy("method")
-    })
+    }),
+
+    // Nearest-centroid classification + confusion matrix ([[centroidConfusionOf]])
+    // — the embedding-hygiene audit that tells you whether the label
+    // column and the embedding space agree (mislabeled shards, drifted
+    // encoders). One exploded-aggregate pass trains the per-label exact
+    // integer centroids; assignment is the Ivf distance formulation with
+    // cells = labels, so the broadcast/partial-agg scale shape and the
+    // bit-for-bit double determinism are inherited verbatim.
+    "sim_nearest_centroid" -> ((s, d) =>
+      centroidConfusionOf(Tables.load(s, d, "embeddings"))),
+
+    // Approximate k-NN GRAPH ([[knnGraphOf]]): every vector's top-k
+    // same-LSH-bucket neighbors — the all-vectors generalization of
+    // sim_ann_lsh (there, 10 query vectors broadcast; here the bucket is
+    // the self-join key). The knn graph is the backbone relation for
+    // graph-based curation (SemDeDup variants, hub detection, diversity
+    // sampling); at 100 TB the bucket is the shuffle/bucketing key and
+    // per-bucket fan-out is the dial (8 hyperplanes -> 1/256 of the
+    // collection per bucket in expectation).
+    "sim_knn_graph" -> ((s, d) => knnGraphOf(emb(s, d)))
   )
+
+  /** Neighbors kept per vector in the knn graph. */
+  val KnnGraphK = 3
+
+  /** Top-[[KnnGraphK]] same-bucket neighbors for EVERY vector: one
+    * bucket-keyed self-join + per-vector top-k window (partitioned by
+    * vec_id — never a global sort). Public so specs can plant bucket
+    * collisions.
+    */
+  def knnGraphOf(e0: DataFrame): DataFrame = {
+    val e = e0.withColumn("bucket", signBucket(col("embedding")))
+      .select(col("vec_id"), col("qe"), col("norm2"), col("bucket"))
+      .transform(graft.CacheScope.persisted(_))
+    val scored = e.as("a")
+      .join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("n_id"),
+        round(cosine(dotQ(col("a.qe"), col("b.qe")),
+          col("a.norm2"), col("b.norm2")), 4).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KnnGraphK)
+  }
+
+  /** Nearest-centroid confusion matrix over any (vec_id, label, embedding)
+    * relation: exact integer per-label centroid sums (s, n), assignment by
+    * the rank-equivalent distance dd = (-2.0 * <q, s>) / n + ss/(n*n)
+    * (the [[Ivf]] formulation — component sums stay integers, so dd is
+    * the same IEEE expression in both engines), argmin by (dd, label)
+    * via one min(struct) aggregation, then (label, pred_label) counts.
+    * Public for planted-separability specs.
+    */
+  def centroidConfusionOf(emb0: DataFrame): DataFrame = {
+    val ex = emb0
+      .select(col("vec_id"), col("label"),
+        posexplode(quantize(col("embedding"))).as(Seq("i", "qx")))
+      .transform(graft.CacheScope.persisted(_))
+    val cent = ex.groupBy(col("label").as("cell"), col("i"))
+      .agg(sum(col("qx")).as("s"), count(lit(1)).as("n"))
+      .transform(graft.CacheScope.persisted(_))
+    val cm = cent.groupBy("cell")
+      .agg(sum(col("s") * col("s")).as("ss"), max(col("n")).as("n"))
+    val vs = ex.join(broadcast(cent.select(col("cell"), col("i"), col("s"))),
+        Seq("i"))
+      .groupBy(col("vec_id"), col("label"), col("cell"))
+      .agg(sum(col("qx") * col("s")).as("vs"))
+    val dist = vs.join(broadcast(cm), Seq("cell"))
+      .select(col("vec_id"), col("label"), col("cell"),
+        ((lit(-2.0) * col("vs")) / col("n") +
+          col("ss").cast("double") / (col("n") * col("n"))).as("dd"))
+    dist.groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("dd"), col("cell"))).as("m"))
+      .groupBy(col("label"), col("m.cell").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
 
   /** Output dimensionality of the JL random projection. */
   val RpDims = 16
@@ -349,7 +425,65 @@ object SimilarityQueries extends QueryPack {
        |ORDER BY method""".stripMargin
   }
 
+  /** knn-graph oracle: the lshOracle shape with every vector as a query. */
+  private lazy val knnGraphOracle: String =
+    s"""$eCte, bkt AS (
+       |  SELECT vec_id, ${VecMath.signBucketSql("embedding")} AS bucket
+       |  FROM embeddings
+       |), dots AS (
+       |  SELECT q.vec_id AS vec_id, c.vec_id AS n_id,
+       |         CAST(sum(q.qx * c.qx) AS DOUBLE) / 1000000.0 AS dot
+       |  FROM e q
+       |  JOIN bkt bq ON bq.vec_id = q.vec_id
+       |  JOIN bkt bc ON bc.bucket = bq.bucket
+       |  JOIN e c ON c.vec_id = bc.vec_id AND c.i = q.i
+       |  WHERE c.vec_id <> q.vec_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT d.vec_id, d.n_id,
+       |         round(d.dot / (sqrt(nq.norm2) * sqrt(nc.norm2)), 4) AS cos
+       |  FROM dots d
+       |  JOIN norms nq ON nq.vec_id = d.vec_id
+       |  JOIN norms nc ON nc.vec_id = d.n_id
+       |)
+       |SELECT vec_id, n_id, cos, rnk FROM (
+       |  SELECT vec_id, n_id, cos,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY cos DESC, n_id ASC) AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $KnnGraphK""".stripMargin
+
+  /** Nearest-centroid oracle — the Ivf distance block with cells = labels. */
+  private lazy val centroidOracle: String =
+    s"""$eCte, cent AS (
+       |  SELECT label AS cell, i, sum(qx) AS s, count(*) AS n
+       |  FROM e GROUP BY 1, 2
+       |), cm AS (
+       |  SELECT cell, sum(s * s) AS ss, max(n) AS n FROM cent GROUP BY cell
+       |), vs AS (
+       |  SELECT e.vec_id, e.label, c.cell, sum(e.qx * c.s) AS vs
+       |  FROM e JOIN cent c ON c.i = e.i
+       |  GROUP BY 1, 2, 3
+       |), dist AS (
+       |  SELECT vs.vec_id, vs.label, vs.cell,
+       |         (-2.0 * vs.vs) / cm.n + CAST(cm.ss AS DOUBLE) / (cm.n * cm.n) AS dd
+       |  FROM vs JOIN cm ON cm.cell = vs.cell
+       |), pred AS (
+       |  SELECT vec_id, label, cell FROM (
+       |    SELECT vec_id, label, cell,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY dd ASC, cell ASC) AS rn
+       |    FROM dist
+       |  ) WHERE rn = 1
+       |)
+       |SELECT label, cell AS pred_label, count(*) AS n
+       |FROM pred GROUP BY 1, 2""".stripMargin
+
   override val oracles: Map[String, String] = Map(
+    "sim_nearest_centroid" -> centroidOracle,
+
+    "sim_knn_graph" -> knnGraphOracle,
+
     "sim_pca_power" -> Pca.oracleSql,
 
     "sim_rp_project" -> rpOracle,
