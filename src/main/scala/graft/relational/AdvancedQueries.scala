@@ -1114,6 +1114,14 @@ object AdvancedQueries extends QueryPack {
         .filter(abs(col("z")) >= 3.0)
     }),
 
+    // BATCH sessionization ([[sessionizeBatchOf]]) — the offline twin of
+    // stream_session/stream_sessionize_custom: gap-based session ids via
+    // the classic lag-flag + running-sum window pair (both user-keyed,
+    // never a global sort), then per-session stats in one aggregation.
+    // Micro-second integer arithmetic end to end, so the gap predicate
+    // and durations are exact in both engines.
+    "q_events_sessionize" -> ((s, d) => sessionizeBatchOf(t(s, d, "events"))),
+
     // U-shaped multi-touch attribution ([[attributionOf]]): every click in
     // the 72h lookback of a purchase gets fractional credit — 40/40 to the
     // first and last touch, the middle 20% split evenly (1.0 and 0.5/0.5
@@ -1180,6 +1188,37 @@ object AdvancedQueries extends QueryPack {
 
   /** Attribution lookback window (hours before the purchase). */
   val AttrWindowHours = 72
+
+  /** Session gap: a pause longer than this starts a new session. */
+  val SessionGapMinutes = 30
+
+  /** Gap-based batch sessionization over any events relation — public so
+    * specs can plant gap patterns. Both windows are user-partitioned with
+    * the same (ts, event_id) total order; the running sum of new-session
+    * flags IS the per-user session index (no distinct/join), and the
+    * session roll-up is one aggregation on (user, session_idx).
+    */
+  def sessionizeBatchOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = SessionGapMinutes.toLong * 60L * 1000000L
+    val flagged = events
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("new_sess",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >
+            gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("session_start"), col("session_end"),
+        (unix_micros(col("session_end")) - unix_micros(col("session_start")))
+          .as("duration_us"))
+  }
 
   /** U-shaped attribution over any events relation — public so specs can
     * plant paths with known credits. Scale shape: the touch relation is a
@@ -1321,6 +1360,30 @@ object AdvancedQueries extends QueryPack {
         |                     CAST(s.n * s.n AS DOUBLE))), 6) AS z
         |  FROM ev e JOIN st s USING (event_type)
         |) WHERE abs(z) >= 3""".stripMargin,
+
+    "q_events_sessionize" -> {
+      val gapUs = SessionGapMinutes.toLong * 60L * 1000000L
+      s"""WITH f AS (
+         |  SELECT user_id, event_id, ts,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $gapUs
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+         |), g AS (
+         |  SELECT user_id, ts,
+         |         sum(new_sess) OVER (PARTITION BY user_id
+         |                             ORDER BY ts ASC, event_id ASC
+         |                             ROWS BETWEEN UNBOUNDED PRECEDING
+         |                             AND CURRENT ROW) AS session_idx
+         |  FROM f
+         |)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |       count(*) AS n_events,
+         |       min(ts) AS session_start, max(ts) AS session_end,
+         |       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+         |FROM g GROUP BY 1, 2""".stripMargin
+    },
 
     // Window-function formulation — deliberately different from the Spark
     // side's single count/min/max aggregation (ra=1 <=> argmin struct).

@@ -197,7 +197,28 @@ object SimilarityQueries extends QueryPack {
     // sampling); at 100 TB the bucket is the shuffle/bucketing key and
     // per-bucket fan-out is the dial (8 hyperplanes -> 1/256 of the
     // collection per bucket in expectation).
-    "sim_knn_graph" -> ((s, d) => knnGraphOf(emb(s, d)))
+    "sim_knn_graph" -> ((s, d) => knnGraphOf(emb(s, d))),
+
+    // kNN-distance outlier scoring over the same bucketed knn graph —
+    // the embedding-space noise detector (mislabeled shards, encoder
+    // garbage, adversarial junk) a curation pass runs before training:
+    // a vector whose k-th same-bucket neighbor is far (or that has fewer
+    // than k bucket-mates at all) is isolated in embedding space.
+    // score = 1 - cos(k-th neighbor); vectors with under-filled buckets
+    // score 1.0 by definition. One left join from the id relation, so
+    // zero-neighbor vectors (the strongest outliers) are not dropped.
+    "sim_knn_outlier" -> ((s, d) => {
+      val g = knnGraphOf(emb(s, d))
+      val st = g.groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("nn"),
+          max(when(col("rnk") === KnnGraphK, col("cos"))).as("kth_cos"))
+      Tables.load(s, d, "embeddings").select(col("vec_id"))
+        .join(st, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("nn"), lit(0L)).as("n_neighbors"),
+          round(when(coalesce(col("nn"), lit(0L)) < KnnGraphK, lit(1.0))
+            .otherwise(lit(1.0) - col("kth_cos")), 6).as("outlier_score"))
+    })
   )
 
   /** Neighbors kept per vector in the knn graph. */
@@ -479,10 +500,26 @@ object SimilarityQueries extends QueryPack {
        |SELECT label, cell AS pred_label, count(*) AS n
        |FROM pred GROUP BY 1, 2""".stripMargin
 
+  /** Outlier oracle: the knn-graph oracle as a derived table, aggregated
+    * to the k-th-neighbor cosine, left-joined from all vectors.
+    */
+  private lazy val knnOutlierOracle: String =
+    s"""SELECT v.vec_id, COALESCE(s.nn, 0) AS n_neighbors,
+       |       round(CASE WHEN COALESCE(s.nn, 0) < $KnnGraphK THEN 1.0
+       |                  ELSE 1.0 - s.kth_cos END, 6) AS outlier_score
+       |FROM embeddings v
+       |LEFT JOIN (
+       |  SELECT vec_id, count(*) AS nn,
+       |         max(CASE WHEN rnk = $KnnGraphK THEN cos END) AS kth_cos
+       |  FROM ($knnGraphOracle) t GROUP BY vec_id
+       |) s ON s.vec_id = v.vec_id""".stripMargin
+
   override val oracles: Map[String, String] = Map(
     "sim_nearest_centroid" -> centroidOracle,
 
     "sim_knn_graph" -> knnGraphOracle,
+
+    "sim_knn_outlier" -> knnOutlierOracle,
 
     "sim_pca_power" -> Pca.oracleSql,
 
