@@ -53,8 +53,13 @@ object RelationalQueries extends QueryPack {
       val ord = t(s, d, "orders")
       val li = t(s, d, "lineitem")
       val nat = t(s, d, "nation")
+      // nation (25 rows, constant at any SF) carries an explicit broadcast
+      // hint; customer does NOT — it scales with the corpus, so the
+      // replicated join must stay the planner's size-based choice (it
+      // broadcasts at bench SF, degrades to shuffle at 100 TB; an explicit
+      // hint would force the OOM — BroadcastAuditSpec pins this).
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
         .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
@@ -62,11 +67,15 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("n_items"))
     }),
 
-    // Broadcast equi-join + agg by dimension attribute.
+    // Broadcast equi-join + agg by dimension attribute. The build side is
+    // the planner's size-based pick (BroadcastHashJoin at bench SF —
+    // PlanSpec-visible — falling back to shuffle when customer outgrows
+    // the threshold); an explicit hint here would force a 100 TB OOM,
+    // which BroadcastAuditSpec bans.
     "q_join_broadcast" -> ((s, d) => {
       val ord = t(s, d, "orders")
       val cust = t(s, d, "customer")
-      ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      ord.join(cust, ord("o_custkey") === cust("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
           count(lit(1)).as("n_orders"),

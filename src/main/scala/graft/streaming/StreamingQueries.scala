@@ -67,16 +67,19 @@ object StreamingQueries extends QueryPack {
 
     // Stream-static enrichment join: the event stream against the (slowly
     // changing) customer dimension, then a windowed rollup per market
-    // segment. The dim side is broadcast — in streaming mode Spark re-reads
-    // the static side per micro-batch and never keeps join state for it,
-    // which is what makes dimension joins viable at 100 TB of stream; the
+    // segment. In streaming mode Spark re-reads the static side per
+    // micro-batch and never keeps join state for it, which is what makes
+    // dimension joins viable at 100 TB of stream; whether the per-batch
+    // join replicates the dim is the planner's size-based call (an
+    // explicit broadcast hint on the SF-scaled customer table would force
+    // a replication OOM at scale — BroadcastAuditSpec bans it). The
     // readStream variant of this exact shape is asserted ≡ batch in
     // StreamingSpec.
     "stream_join_static" -> ((s, d) => {
       val cust = Tables.load(s, d, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
       events(s, d)
-        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .join(cust, col("user_id") === col("c_custkey"))
         .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total"))
