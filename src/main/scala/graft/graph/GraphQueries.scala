@@ -178,8 +178,49 @@ object GraphQueries extends QueryPack {
     // the classic bipartite use, and deliberately DIRECTED where
     // PageRank's co-purchase graph is symmetric. See [[hitsOf]] for the
     // exact-integer normalized power iteration.
-    "q_graph_hits" -> ((s, d) => hitsOf(bipartiteEdges(s, d)))
+    "q_graph_hits" -> ((s, d) => hitsOf(bipartiteEdges(s, d))),
+
+    // Bounded-hop BFS ([[bfsOf]]) from the minimum-id node of the
+    // windowed co-purchase graph: exact hop distances for every node
+    // within [[BfsRounds]] hops — the reachability/radius primitive next
+    // to components (which says WHETHER nodes connect, not how close).
+    "q_graph_bfs" -> ((s, d) => bfsOf(windowedEdges(s, d)))
   )
+
+  /** BFS relaxation rounds — nodes beyond this hop count are (honestly)
+    * absent from the output; a dial, so the oracle can unroll it.
+    */
+  val BfsRounds = 6
+
+  /** Bounded-hop BFS over any symmetric (src, dst) edge relation, from
+    * the minimum node id. Each round is ONE equi-join + min-aggregation
+    * — the PageRank shuffle shape — because the edge relation carries
+    * ZERO-WEIGHT SELF-LOOPS: d'(v) = min over (u,v,w) of d(u) + w folds
+    * "keep my own distance" (self-loop, w=0) and "relax via a neighbor"
+    * (real edge, w=1) into a single consumption of the previous round's
+    * relation. The naive min(d(v), relax) form reads d TWICE per round —
+    * the 2^rounds analysis blowup the HITS rewrite measured (PLANS.md);
+    * the self-loop fold keeps the plan linear with no mid-query action.
+    * The frontier relation starts at 1 row and only ever holds REACHED
+    * nodes, so early rounds shuffle next to nothing. Public for
+    * planted-graph specs.
+    */
+  def bfsOf(edgesDf: DataFrame): DataFrame = {
+    val e = edgesDf.transform(graft.CacheScope.persisted(_))
+    val ew = e.select(col("src"), col("dst"), lit(1L).as("w"))
+      .unionByName(e.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst"), lit(0L).as("w")))
+      .transform(graft.CacheScope.persisted(_))
+    var d = e.select(col("src").as("node")).orderBy(col("node").asc).limit(1)
+      .select(col("node"), lit(0L).as("hops"))
+    for (_ <- 1 to BfsRounds) {
+      d = ew.join(d, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(min(col("hops") + col("w")).as("hops"))
+        .select(col("dst").as("node"), col("hops"))
+    }
+    d
+  }
 
   /** HITS power-iteration rounds — a dial, so the oracle can unroll it. */
   val HitsRounds = 3
@@ -518,7 +559,27 @@ object GraphQueries extends QueryPack {
        |  FROM be JOIN a$i a ON a.p = be.p GROUP BY be.c
        |)""".stripMargin
 
+  /** One unrolled BFS relaxation round (reads d{i-1}, defines d{i}). */
+  private def bfsCte(i: Int): String =
+    s"""d$i AS (
+       |  SELECT ew.dst AS node, min(d.hops + ew.w) AS hops
+       |  FROM ew JOIN d${i - 1} d ON d.node = ew.src
+       |  GROUP BY ew.dst
+       |)""".stripMargin
+
   override val oracles: Map[String, String] = Map(
+    "q_graph_bfs" ->
+      s"""$windowedEdgesCte, ew AS (
+         |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges
+         |  UNION ALL
+         |  SELECT src, src AS dst, CAST(0 AS BIGINT) AS w
+         |  FROM (SELECT DISTINCT src FROM edges)
+         |), d0 AS (
+         |  SELECT min(src) AS node, CAST(0 AS BIGINT) AS hops FROM edges
+         |),
+         |${(1 to BfsRounds).map(bfsCte).mkString(",\n")}
+         |SELECT node, hops FROM d$BfsRounds""".stripMargin,
+
     // End normalization: HUGEINT `//` mirrors Spark's decimal `div`
     // (all values positive, so floor == truncate).
     "q_graph_hits" ->

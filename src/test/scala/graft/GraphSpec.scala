@@ -92,6 +92,19 @@ class GraphSpec extends SparkSpec {
       (3L, 4L) -> (0L, 0.0)), s"got $got")
   }
 
+  test("bounded BFS: exact hop distances on a planted path + branch") {
+    // Path 1-2-3-4-5-6-7-8 with a branch 3-10: source is min id = 1.
+    val g = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L), (3L, 10L))
+    val got =
+      try GraphQueries.bfsOf(edgesDf(g, 3))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally CacheScope.releaseAll()
+    // Node 8 sits at hop 7 > BfsRounds=6 — honestly absent.
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L,
+      6L -> 5L, 7L -> 6L, 10L -> 3L), s"got $got")
+  }
+
   test("result is bit-identical under repartitioning") {
     val graph = sym((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L),
       (4L, 5L), (5L, 0L), (3L, 6L))
