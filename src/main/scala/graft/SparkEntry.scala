@@ -23,6 +23,8 @@ object SparkEntry {
     relational.WindowQueries,
     relational.ScalarFuncQueries,
     relational.AdvancedQueries,
+    relational.TimeSeriesQueries,
+    relational.StatsQueries,
     dedup.DedupQueries,
     sim.SimilarityQueries,
     sketch.SketchQueries,
@@ -32,6 +34,7 @@ object SparkEntry {
     text.TextAnalysisQueries,
     text.CorpusOpsQueries,
     text.EvalQueries,
+    text.TextModelQueries,
     mm.MultimodalQueries,
     streaming.StreamingQueries)
 

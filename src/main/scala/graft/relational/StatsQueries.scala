@@ -1,0 +1,319 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryPack, Tables}
+
+/** Statistical-inference operators over `events`: chi-squared independence,
+  * least-squares trend from exact moments, population-stability-index
+  * distribution drift, and RFM customer segmentation. These are the
+  * "is this shift real?" primitives a training-data pipeline runs before
+  * acting on a monitoring signal ([[TimeSeriesQueries]] produces the
+  * signals; this pack tests them).
+  *
+  * Same determinism discipline as [[TimeSeriesQueries]]: integer cents /
+  * integer counts through exact DECIMAL combination; doubles only in final
+  * divisions, logs, and sqrt on identical operands; totals of per-row
+  * float contributions go through round-then-DECIMAL-sum so summation
+  * order can never flip a hash.
+  */
+object StatsQueries extends QueryPack {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  private def cents(c: Column): Column =
+    (c.cast(DecimalType(12, 2)) * 100).cast("long")
+
+  private val CentsSql = "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+  /** PSI value-histogram bin count. */
+  val PsiBins = 10
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Pearson chi-squared test of independence between event_type and
+    // 6-hour time-of-day bucket: are event types distributed uniformly
+    // over the day, cell by cell? Expected counts e = rt*ct/n come from
+    // exact integer margins (rt*ct stays under 2^53 at bench SF — the
+    // documented dial: past ~3e7 events/cell-margin, route the product
+    // through DECIMAL and accept round()'s 1-ulp absorption); per-cell
+    // contribution (o-e)^2/e is identical double arithmetic. The grand
+    // chi2 total is the DECIMAL sum of the round(,6)-pinned cell
+    // contributions — order-independent by construction. Scale shape:
+    // one events-sized agg to a 4x|types| cell relation; margins and the
+    // total ride broadcast 1-row/short aggregates.
+    "q_stats_chisq" -> ((s, d) => {
+      val cells = t(s, d, "events")
+        .groupBy(col("event_type"), (hour(col("ts")) / lit(6)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("o"))
+        .transform(graft.CacheScope.persisted(_))
+      val rt = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
+      val ct = cells.groupBy("bucket").agg(sum(col("o")).as("ct"))
+      val n = cells.agg(sum(col("o")).as("n"),
+        ((countDistinct(col("event_type")) - 1) *
+          (countDistinct(col("bucket")) - 1)).as("dof"))
+      val e = (col("rt") * col("ct")).cast("double") / col("n").cast("double")
+      val contrib = round((col("o").cast("double") - e) *
+        (col("o").cast("double") - e) / e, 6)
+      val per = cells.join(rt, "event_type").join(ct, "bucket")
+        .crossJoin(broadcast(n))
+        .select(col("event_type"), col("bucket"), col("o").as("observed"),
+          round(e, 6).as("expected"), contrib.as("contrib"), col("dof"))
+        .transform(graft.CacheScope.persisted(_))
+      val tot = per.agg(sum(col("contrib").cast(DecimalType(18, 6)))
+        .cast("double").as("chi2"))
+      per.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("bucket"), col("observed"),
+          col("expected"), col("contrib"), col("chi2"), col("dof"))
+    }),
+
+    // Per-type OLS trend of the daily value series: slope/intercept/R^2
+    // from exact integer-cents moment sums (the least-squares twin of
+    // q_ts_theilsen's robust slope — divergence between the two flags
+    // outlier-driven trends). Decimal downcasts bound every product at
+    // DECIMAL(38); numerators cross 2^53 so the final casts carry the
+    // same documented 1-ulp/round() absorption as q_ts_acf.
+    "q_stats_linreg" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(cents(col("value"))).as("c"))
+        .select(col("event_type"),
+          datediff(col("day"), to_date(lit("1970-01-01")))
+            .cast(DecimalType(10, 0)).as("ti"),
+          col("c").cast(DecimalType(14, 0)).as("y"))
+      val m = daily.groupBy("event_type")
+        .agg(count(lit(1)).cast(DecimalType(6, 0)).as("n"),
+          sum(col("ti")).cast(DecimalType(16, 0)).as("st"),
+          sum(col("y")).cast(DecimalType(16, 0)).as("sy"),
+          sum(col("ti") * col("y")).cast(DecimalType(30, 0)).as("sty"),
+          sum(col("ti") * col("ti")).cast(DecimalType(30, 0)).as("stt"),
+          sum(col("y") * col("y")).cast(DecimalType(30, 0)).as("syy"))
+      val sxx = (col("n") * col("stt") - col("st") * col("st")).cast("double")
+      val sxy = (col("n") * col("sty") - col("st") * col("sy")).cast("double")
+      val syyD = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      val slopeC = sxy / sxx // cents per day
+      // Degeneracy gates run on the EXACT decimals (n>=2, nonzero x/y
+      // variance) so neither engine ever divides by zero — a NaN/Inf in
+      // the output would compare engine-specifically.
+      m.filter(col("n") >= 2 &&
+          col("n") * col("stt") - col("st") * col("st") > 0 &&
+          col("n") * col("syy") - col("sy") * col("sy") > 0)
+        .select(col("event_type"), col("n").cast("long").as("n_days"),
+          round(slopeC / 100.0, 9).as("slope"),
+          round((col("sy").cast("double") - slopeC * col("st").cast("double")) /
+            (col("n").cast("double") * 100.0), 4).as("intercept"),
+          round(sxy * sxy / (sxx * syyD), 6).as("r2"))
+    }),
+
+    // Population-stability-index drift: does the value distribution of
+    // the SECOND half of the time range differ from the first? The
+    // monitoring gate run before retraining on fresh data. Everything
+    // that shapes the comparison is exact integer arithmetic: the time
+    // midpoint in epoch microseconds, the 10 equal-width value bins over
+    // the global cents range, add-one-smoothed bin counts. Per-bin
+    // psi = (p-q)*ln(p/q) on identical doubles; the per-type total sums
+    // round(,9)-pinned DECIMALs. Scale shape: one 1-row range aggregate
+    // broadcast into one events-sized binning agg; everything after runs
+    // on the |types|x10 bin relation.
+    "q_dq_drift_psi" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          cents(col("value")).as("c"))
+      val rng = ev.agg(min(col("us")).as("us0"), max(col("us")).as("us1"),
+        min(col("c")).as("c0"), max(col("c")).as("c1"))
+      // `div` (integer division) everywhere: epoch micros sit far above
+      // 2^53, where Spark's `/` (double division) would silently round.
+      val binned = ev.crossJoin(broadcast(rng))
+        .select(col("event_type"),
+          expr(s"CAST(least($PsiBins - 1, " +
+            s"(c - c0) * $PsiBins div (c1 - c0 + 1)) AS INT)").as("bin"),
+          expr("us < us0 + (us1 - us0) div 2").as("first_half"))
+        .groupBy("event_type", "bin")
+        .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("ca"),
+          sum(when(col("first_half"), 0L).otherwise(1L)).as("cb"))
+        .transform(graft.CacheScope.persisted(_))
+      val tots = binned.groupBy("event_type")
+        .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+      val p = (col("ca") + 1).cast("double") / (col("ta") + PsiBins).cast("double")
+      val q = (col("cb") + 1).cast("double") / (col("tb") + PsiBins).cast("double")
+      val per = binned.join(tots, "event_type")
+        .select(col("event_type"), col("bin"),
+          col("ca").as("n_first"), col("cb").as("n_second"),
+          round((p - q) * log(p / q), 9).as("psi_bin"))
+        .transform(graft.CacheScope.persisted(_))
+      val tot = per.groupBy("event_type")
+        .agg(sum(col("psi_bin").cast(DecimalType(18, 9)))
+          .cast("double").as("psi_total"))
+      per.join(tot, "event_type")
+        .select(col("event_type"), col("bin"), col("n_first"),
+          col("n_second"), col("psi_bin"), round(col("psi_total"), 9).as("psi_total"))
+    }),
+
+    // RFM segmentation: per-user Recency/Frequency/Monetary quintile
+    // scores — the classic CRM cut, and the grouping key LTV/churn
+    // models stratify on. Quintile boundaries come from ONE exact
+    // percentile aggregate over the user relation (its state is bounded
+    // by the DISTINCT metric values: recency days are calendar-bounded,
+    // frequencies are small ints, monetary is bucketed to whole units —
+    // at a cardinality where exactness ever hurt, the documented swap is
+    // approx_percentile); scores then broadcast-join back as six scalar
+    // comparisons. Exact ints everywhere; the only doubles are the
+    // interpolated boundaries, identical in both engines.
+    "q_events_rfm" -> ((s, d) => {
+      val maxd = t(s, d, "events")
+        .agg(max(date_trunc("day", col("ts")).cast("date")).as("dmax"))
+      val u = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max(date_trunc("day", col("ts")).cast("date")).as("last_day"),
+          count(lit(1)).as("frequency"),
+          sum(cents(col("value"))).as("mc"))
+        .crossJoin(broadcast(maxd))
+        .select(col("user_id"),
+          datediff(col("dmax"), col("last_day")).as("recency_days"),
+          col("frequency"), expr("mc div 100").as("monetary_units"))
+        .transform(graft.CacheScope.persisted(_))
+      val b = u.agg(
+        expr("percentile(recency_days, 0.2)").as("r20"),
+        expr("percentile(recency_days, 0.4)").as("r40"),
+        expr("percentile(recency_days, 0.6)").as("r60"),
+        expr("percentile(recency_days, 0.8)").as("r80"),
+        expr("percentile(frequency, 0.2)").as("f20"),
+        expr("percentile(frequency, 0.4)").as("f40"),
+        expr("percentile(frequency, 0.6)").as("f60"),
+        expr("percentile(frequency, 0.8)").as("f80"),
+        expr("percentile(monetary_units, 0.2)").as("m20"),
+        expr("percentile(monetary_units, 0.4)").as("m40"),
+        expr("percentile(monetary_units, 0.6)").as("m60"),
+        expr("percentile(monetary_units, 0.8)").as("m80"))
+      def up(c: Column, pre: String) =
+        lit(1) + (c > col(pre + "20")).cast("int") + (c > col(pre + "40")).cast("int") +
+          (c > col(pre + "60")).cast("int") + (c > col(pre + "80")).cast("int")
+      u.crossJoin(broadcast(b))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary_units"),
+          // recency: LOWER is better — invert the quintile walk.
+          (lit(6) - up(col("recency_days"), "r")).as("r_score"),
+          up(col("frequency"), "f").as("f_score"),
+          up(col("monetary_units"), "m").as("m_score"))
+    }))
+
+  override val oracles: Map[String, String] = Map(
+
+    "q_stats_chisq" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(hour(ts) // 6 AS INTEGER) AS bucket,
+        |         count(*) AS o
+        |  FROM events GROUP BY 1, 2
+        |), rt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT bucket, sum(o) AS ct FROM cells GROUP BY 1),
+        |g AS (
+        |  SELECT sum(o) AS n,
+        |         (count(DISTINCT event_type) - 1) *
+        |         (count(DISTINCT bucket) - 1) AS dof
+        |  FROM cells
+        |), per AS (
+        |  SELECT c.event_type, c.bucket, c.o AS observed,
+        |         round(CAST(r.rt * t.ct AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS expected,
+        |         round((CAST(c.o AS DOUBLE) - CAST(r.rt * t.ct AS DOUBLE) / CAST(g.n AS DOUBLE)) *
+        |               (CAST(c.o AS DOUBLE) - CAST(r.rt * t.ct AS DOUBLE) / CAST(g.n AS DOUBLE)) /
+        |               (CAST(r.rt * t.ct AS DOUBLE) / CAST(g.n AS DOUBLE)), 6) AS contrib,
+        |         g.dof AS dof
+        |  FROM cells c
+        |  JOIN rt r ON r.event_type = c.event_type
+        |  JOIN ct t ON t.bucket = c.bucket
+        |  CROSS JOIN g
+        |)
+        |SELECT event_type, bucket, observed, expected, contrib,
+        |       (SELECT CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) FROM per) AS chi2,
+        |       dof
+        |FROM per""".stripMargin,
+
+    "q_stats_linreg" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |         CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS DECIMAL(10,0)) AS ti,
+         |         CAST(sum($CentsSql) AS DECIMAL(14,0)) AS y
+         |  FROM events GROUP BY event_type, date_trunc('day', ts)
+         |), m AS (
+         |  SELECT event_type,
+         |         CAST(count(*) AS DECIMAL(6,0)) AS n,
+         |         CAST(sum(ti) AS DECIMAL(16,0)) AS st,
+         |         CAST(sum(y) AS DECIMAL(16,0)) AS sy,
+         |         CAST(sum(ti * y) AS DECIMAL(30,0)) AS sty,
+         |         CAST(sum(ti * ti) AS DECIMAL(30,0)) AS stt,
+         |         CAST(sum(y * y) AS DECIMAL(30,0)) AS syy
+         |  FROM daily GROUP BY 1
+         |)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         |       round(CAST(n * sty - st * sy AS DOUBLE) /
+         |             CAST(n * stt - st * st AS DOUBLE) / 100.0, 9) AS slope,
+         |       round((CAST(sy AS DOUBLE) -
+         |              CAST(n * sty - st * sy AS DOUBLE) /
+         |              CAST(n * stt - st * st AS DOUBLE) * CAST(st AS DOUBLE)) /
+         |             (CAST(n AS DOUBLE) * 100.0), 4) AS intercept,
+         |       round(CAST(n * sty - st * sy AS DOUBLE) * CAST(n * sty - st * sy AS DOUBLE) /
+         |             (CAST(n * stt - st * st AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)),
+         |             6) AS r2
+         |FROM m
+         |WHERE n >= 2 AND n * stt - st * st > 0 AND n * syy - sy * sy > 0""".stripMargin,
+
+    "q_dq_drift_psi" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, epoch_us(ts) AS us, $CentsSql AS c FROM events
+         |), rng AS (
+         |  SELECT min(us) AS us0, max(us) AS us1, min(c) AS c0, max(c) AS c1 FROM ev
+         |), binned AS (
+         |  SELECT event_type,
+         |         CAST(least($PsiBins - 1, (c - c0) * $PsiBins // (c1 - c0 + 1)) AS INTEGER) AS bin,
+         |         CAST(sum(CASE WHEN us < us0 + (us1 - us0) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |         CAST(sum(CASE WHEN us < us0 + (us1 - us0) // 2 THEN 0 ELSE 1 END) AS BIGINT) AS cb
+         |  FROM ev CROSS JOIN rng
+         |  GROUP BY 1, 2
+         |), tots AS (
+         |  SELECT event_type, sum(ca) AS ta, sum(cb) AS tb FROM binned GROUP BY 1
+         |), per AS (
+         |  SELECT b.event_type, b.bin, b.ca AS n_first, b.cb AS n_second,
+         |         round((CAST(b.ca + 1 AS DOUBLE) / CAST(t.ta + $PsiBins AS DOUBLE) -
+         |                CAST(b.cb + 1 AS DOUBLE) / CAST(t.tb + $PsiBins AS DOUBLE)) *
+         |               ln((CAST(b.ca + 1 AS DOUBLE) / CAST(t.ta + $PsiBins AS DOUBLE)) /
+         |                  (CAST(b.cb + 1 AS DOUBLE) / CAST(t.tb + $PsiBins AS DOUBLE))),
+         |               9) AS psi_bin
+         |  FROM binned b JOIN tots t ON t.event_type = b.event_type
+         |)
+         |SELECT p.event_type, p.bin, p.n_first, p.n_second, p.psi_bin,
+         |       round(s.psi_total, 9) AS psi_total
+         |FROM per p JOIN (
+         |  SELECT event_type,
+         |         CAST(sum(CAST(psi_bin AS DECIMAL(18,9))) AS DOUBLE) AS psi_total
+         |  FROM per GROUP BY 1
+         |) s ON s.event_type = p.event_type""".stripMargin,
+
+    "q_events_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST((SELECT max(CAST(date_trunc('day', ts) AS DATE)) FROM events) -
+        |              max(CAST(date_trunc('day', ts) AS DATE)) AS INTEGER) AS recency_days,
+        |         count(*) AS frequency,
+        |         CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) // 100 AS BIGINT) AS monetary_units
+        |  FROM events GROUP BY user_id
+        |), b AS (
+        |  SELECT quantile_cont(recency_days, 0.2) AS r20, quantile_cont(recency_days, 0.4) AS r40,
+        |         quantile_cont(recency_days, 0.6) AS r60, quantile_cont(recency_days, 0.8) AS r80,
+        |         quantile_cont(frequency, 0.2) AS f20, quantile_cont(frequency, 0.4) AS f40,
+        |         quantile_cont(frequency, 0.6) AS f60, quantile_cont(frequency, 0.8) AS f80,
+        |         quantile_cont(monetary_units, 0.2) AS m20, quantile_cont(monetary_units, 0.4) AS m40,
+        |         quantile_cont(monetary_units, 0.6) AS m60, quantile_cont(monetary_units, 0.8) AS m80
+        |  FROM u
+        |)
+        |SELECT user_id, recency_days, frequency, monetary_units,
+        |       6 - (1 + CAST(recency_days > r20 AS INTEGER) + CAST(recency_days > r40 AS INTEGER)
+        |              + CAST(recency_days > r60 AS INTEGER) + CAST(recency_days > r80 AS INTEGER)) AS r_score,
+        |       1 + CAST(frequency > f20 AS INTEGER) + CAST(frequency > f40 AS INTEGER)
+        |         + CAST(frequency > f60 AS INTEGER) + CAST(frequency > f80 AS INTEGER) AS f_score,
+        |       1 + CAST(monetary_units > m20 AS INTEGER) + CAST(monetary_units > m40 AS INTEGER)
+        |         + CAST(monetary_units > m60 AS INTEGER) + CAST(monetary_units > m80 AS INTEGER) AS m_score
+        |FROM u CROSS JOIN b""".stripMargin)
+}

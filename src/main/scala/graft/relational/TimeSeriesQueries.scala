@@ -1,0 +1,284 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{CacheScope, QueryPack, Tables}
+
+/** Time-series depth over the `events` table: autocorrelation, robust
+  * (Theil–Sen) trend, CUSUM changepoint, and a seasonal (hour-of-day)
+  * profile. Complements the q_ts_ewma / q_ts_zscore / q_ohlc_bars /
+  * q_gapfill_locf family in [[AdvancedQueries]].
+  *
+  * Determinism discipline (Det.scala's, taken one step further): every
+  * series value is lifted to INTEGER CENTS (`value` is exact 2dp — see
+  * Det's verification note), so all moment sums, running sums, and
+  * cross-products are exact integer (DECIMAL) arithmetic, order-independent
+  * and engine-identical; doubles appear only in final divisions/sqrt on
+  * identical operands, rounded on output.
+  *
+  * Scale shape shared by all four: ONE events-sized aggregation collapses
+  * the corpus to the bounded (|event_type| × |days|) daily relation (or
+  * × 24 hourly); everything after — lag joins, all-pairs slopes, running
+  * sums — runs on that bounded relation with event_type-partitioned
+  * windows or equi-joins. At 100 TB the daily relation is still tiny
+  * (types × calendar days), so none of the post-aggregation work grows
+  * with the corpus.
+  */
+object TimeSeriesQueries extends QueryPack {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** Exact integer cents of the 2dp `value` column. */
+  private def cents(c: Column): Column =
+    (c.cast(DecimalType(12, 2)) * 100).cast("long")
+
+  private val CentsSql = "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+  /** ACF lag range (days). */
+  val AcfMaxLag = 7
+
+  /** The shared per-(type, day) exact-cents daily series. */
+  private def dailyOf(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(sum(cents(col("value"))).as("c"))
+
+  private val DailySql =
+    """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS c
+      |  FROM events GROUP BY 1, 2""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Autocorrelation of the daily value series at calendar lags 1..7 —
+    // the weekly-pattern detector a forecasting pipeline runs before
+    // choosing a seasonal model. Pairs (x_t, x_{t-L}) come from an
+    // EQUI-join of the daily relation with itself on (type, day - L):
+    // calendar lags, so gap days simply contribute no pair (identically
+    // in both engines). Pearson r per (type, lag) from exact integer
+    // moments; numerators reach ~1e18 (past 2^53), so the final
+    // decimal->double casts can differ by 1 ulp between engines —
+    // round(,6) absorbs it (same accepted risk as Det.dstddev).
+    "q_ts_acf" -> ((s, d) => {
+      val daily = dailyOf(t(s, d, "events"))
+        .transform(CacheScope.persisted(_))
+      val lagged = daily.select(col("event_type"), col("day"), col("c"),
+        explode(sequence(lit(1), lit(AcfMaxLag))).as("lag"))
+      val prev = daily.select(col("event_type").as("pet"),
+        col("day").as("pday"), col("c").as("pc"))
+      // (14,0)/(28,0) downcasts keep every product within DECIMAL(38).
+      val x = col("c").cast(DecimalType(14, 0))
+      val y = col("pc").cast(DecimalType(14, 0))
+      val m = lagged.join(prev,
+          col("event_type") === col("pet") &&
+            col("pday") === date_sub(col("day"), col("lag")))
+        .select(col("event_type"), col("lag"), x.as("x"), y.as("y"))
+        .groupBy("event_type", "lag")
+        .agg(count(lit(1)).cast(DecimalType(6, 0)).as("n"),
+          sum(col("x")).cast(DecimalType(14, 0)).as("sx"),
+          sum(col("y")).cast(DecimalType(14, 0)).as("sy"),
+          sum(col("x") * col("y")).cast(DecimalType(28, 0)).as("sxy"),
+          sum(col("x") * col("x")).cast(DecimalType(28, 0)).as("sxx"),
+          sum(col("y") * col("y")).cast(DecimalType(28, 0)).as("syy"))
+      m.select(col("event_type"), col("lag"),
+          col("n").cast("long").as("n_pairs"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(greatest(lit(0.0),
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))) *
+             sqrt(greatest(lit(0.0),
+               (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))),
+            6).as("acf"))
+        .filter(col("acf").isNotNull)
+    }),
+
+    // Theil–Sen robust trend per event_type: the median of all pairwise
+    // slopes of the daily series — the outlier-resistant alternative to
+    // least squares (one corrupted day moves OLS, not the median slope).
+    // The all-pairs join runs over the BOUNDED daily relation (~types ×
+    // days² pairs, calendar-bounded at any corpus size), keyed on
+    // event_type — an equi-join, never a Cartesian. Slopes are exact-int
+    // differences divided once (identical IEEE); the median interpolation
+    // runs on round(,9)-pinned doubles in both engines.
+    "q_ts_theilsen" -> ((s, d) => {
+      val daily = dailyOf(t(s, d, "events"))
+        .select(col("event_type"),
+          datediff(col("day"), to_date(lit("1970-01-01"))).as("ti"),
+          col("c"))
+        .transform(CacheScope.persisted(_))
+      val b = daily.select(col("event_type").as("et2"),
+        col("ti").as("tj"), col("c").as("cj"))
+      val slopes = daily.join(b,
+          col("event_type") === col("et2") && col("tj") > col("ti"))
+        .select(col("event_type"), col("ti"), col("c"),
+          round((col("cj") - col("c")).cast("double") /
+            ((col("tj") - col("ti")) * 100).cast("double"), 9).as("slope"))
+      val sl = slopes.groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope, 0.5)"), 9).as("slope"))
+      // Classic TS intercept: median over days of (y_i - slope * t_i),
+      // one more pass over the bounded daily relation with the per-type
+      // slope broadcast back in.
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"))
+        .join(sl, "event_type")
+        .join(daily.join(broadcast(sl.select(col("event_type"), col("slope"))),
+            "event_type")
+          .groupBy(col("event_type"))
+          .agg(round(expr(
+            "percentile(round(c / 100.0e0 - slope * ti, 6), 0.5)"), 6)
+            .as("intercept")), "event_type")
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          col("slope"), col("intercept"))
+    }),
+
+    // Offline CUSUM changepoint (binary segmentation's first split): the
+    // day k* maximizing |C_k - (k/n)·S| per type — where the series'
+    // cumulative mass departs furthest from a constant rate. Kept exact:
+    // D_k = n·C_k - k·S is integer DECIMAL, the argmax runs on (|D_k|,
+    // earliest-day) via the max(struct) pattern (no second window), and
+    // the single division to value units happens after extraction.
+    // Running sum + row_number are event_type-partitioned windows over
+    // the bounded daily relation.
+    "q_ts_cusum" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+      val wr = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val daily = dailyOf(t(s, d, "events"))
+      val cum = daily.select(col("event_type"), col("day"),
+        sum(col("c")).over(wr).as("ck"),
+        row_number().over(w).as("k"))
+      val tot = daily.groupBy("event_type")
+        .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+      val dk = (col("n").cast(DecimalType(10, 0)) * col("ck").cast(DecimalType(20, 0)) -
+        col("k").cast(DecimalType(10, 0)) * col("s").cast(DecimalType(20, 0)))
+      cum.join(tot, "event_type")
+        .select(col("event_type"), col("day"), col("n"),
+          abs(dk).cast(DecimalType(31, 0)).as("absd"),
+          datediff(col("day"), to_date(lit("1970-01-01"))).as("ti"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(max(struct(col("absd"), (-col("ti")).as("negti"))).as("m"))
+        .select(col("event_type"),
+          date_add(to_date(lit("1970-01-01")), -col("m.negti")).as("change_day"),
+          col("n").as("n_days"),
+          round(col("m.absd").cast("double") /
+            (col("n") * 100).cast("double"), 4).as("cusum_stat"))
+    }),
+
+    // Hour-of-day seasonal profile: mean value per (type, hour) and its
+    // index vs the type's overall mean — the shape a scheduler or
+    // anomaly detector conditions on. Two exact-cents aggregations (the
+    // hourly one events-sized, the per-type one 24-row), one equi-join.
+    "q_ts_seasonality" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"), hour(col("ts")).as("hh"))
+        .agg(sum(cents(col("value"))).as("hc"), count(lit(1)).as("hn"))
+      val typ = hourly.groupBy("event_type")
+        .agg(sum(col("hc")).as("tc"), sum(col("hn")).as("tn"))
+      hourly.join(typ, "event_type")
+        .select(col("event_type"), col("hh").as("hour"), col("hn").as("n"),
+          round(col("hc").cast("double") / (col("hn") * 100).cast("double"), 4)
+            .as("hourly_mean"),
+          round((col("hc").cast("double") / (col("hn") * 100).cast("double")) /
+            (col("tc").cast("double") / (col("tn") * 100).cast("double")), 6)
+            .as("seasonal_index"))
+    }))
+
+  override val oracles: Map[String, String] = Map(
+
+    "q_ts_acf" ->
+      s"""WITH daily AS ($DailySql),
+         |lagged AS (
+         |  SELECT event_type, day, c,
+         |         CAST(unnest(generate_series(1, $AcfMaxLag)) AS INTEGER) AS lag
+         |  FROM daily
+         |), m AS (
+         |  SELECT a.event_type, a.lag,
+         |         CAST(count(*) AS DECIMAL(6,0)) AS n,
+         |         CAST(sum(CAST(a.c AS DECIMAL(14,0))) AS DECIMAL(14,0)) AS sx,
+         |         CAST(sum(CAST(b.c AS DECIMAL(14,0))) AS DECIMAL(14,0)) AS sy,
+         |         CAST(sum(CAST(a.c AS DECIMAL(14,0)) * CAST(b.c AS DECIMAL(14,0))) AS DECIMAL(28,0)) AS sxy,
+         |         CAST(sum(CAST(a.c AS DECIMAL(14,0)) * CAST(a.c AS DECIMAL(14,0))) AS DECIMAL(28,0)) AS sxx,
+         |         CAST(sum(CAST(b.c AS DECIMAL(14,0)) * CAST(b.c AS DECIMAL(14,0))) AS DECIMAL(28,0)) AS syy
+         |  FROM lagged a JOIN daily b
+         |    ON b.event_type = a.event_type AND b.day = a.day - a.lag
+         |  GROUP BY 1, 2
+         |)
+         |SELECT * FROM (
+         |  SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+         |         round(CAST(n * sxy - sx * sy AS DOUBLE) /
+         |               (sqrt(greatest(0.0, CAST(n * sxx - sx * sx AS DOUBLE))) *
+         |                sqrt(greatest(0.0, CAST(n * syy - sy * sy AS DOUBLE)))),
+         |               6) AS acf
+         |  FROM m
+         |) WHERE acf IS NOT NULL""".stripMargin,
+
+    "q_ts_theilsen" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(day - DATE '1970-01-01' AS INTEGER) AS ti, c
+         |  FROM ($DailySql)
+         |), slopes AS (
+         |  SELECT a.event_type,
+         |         round(CAST(b.c - a.c AS DOUBLE) /
+         |               CAST((b.ti - a.ti) * 100 AS DOUBLE), 9) AS slope
+         |  FROM daily a JOIN daily b
+         |    ON b.event_type = a.event_type AND b.ti > a.ti
+         |), sl AS (
+         |  SELECT event_type, count(*) AS n_pairs,
+         |         round(quantile_cont(slope, 0.5), 9) AS slope
+         |  FROM slopes GROUP BY 1
+         |), ic AS (
+         |  SELECT d.event_type,
+         |         round(quantile_cont(
+         |           round(d.c / 100.0 - sl.slope * d.ti, 6), 0.5), 6) AS intercept
+         |  FROM daily d JOIN sl ON sl.event_type = d.event_type
+         |  GROUP BY 1
+         |)
+         |SELECT d.event_type, count(*) AS n_days,
+         |       any_value(sl.n_pairs) AS n_pairs,
+         |       any_value(sl.slope) AS slope,
+         |       any_value(ic.intercept) AS intercept
+         |FROM daily d
+         |JOIN sl ON sl.event_type = d.event_type
+         |JOIN ic ON ic.event_type = d.event_type
+         |GROUP BY 1""".stripMargin,
+
+    "q_ts_cusum" ->
+      s"""WITH daily AS ($DailySql),
+         |cum AS (
+         |  SELECT event_type, day,
+         |         sum(c) OVER (PARTITION BY event_type ORDER BY day
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k
+         |  FROM daily
+         |), tot AS (
+         |  SELECT event_type, sum(c) AS s, count(*) AS n FROM daily GROUP BY 1
+         |)
+         |SELECT event_type, day AS change_day, n AS n_days,
+         |       round(CAST(absd AS DOUBLE) / CAST(n * 100 AS DOUBLE), 4) AS cusum_stat
+         |FROM (
+         |  SELECT c.event_type, c.day, t.n,
+         |         abs(CAST(t.n AS DECIMAL(10,0)) * CAST(c.ck AS DECIMAL(20,0)) -
+         |             CAST(c.k AS DECIMAL(10,0)) * CAST(t.s AS DECIMAL(20,0))) AS absd,
+         |         row_number() OVER (PARTITION BY c.event_type
+         |                            ORDER BY abs(CAST(t.n AS DECIMAL(10,0)) * CAST(c.ck AS DECIMAL(20,0)) -
+         |                                         CAST(c.k AS DECIMAL(10,0)) * CAST(t.s AS DECIMAL(20,0))) DESC,
+         |                                     c.day ASC) AS rn
+         |  FROM cum c JOIN tot t ON t.event_type = c.event_type
+         |) WHERE rn = 1""".stripMargin,
+
+    "q_ts_seasonality" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, hour(ts) AS hour,
+         |         sum($CentsSql) AS hc, count(*) AS hn
+         |  FROM events GROUP BY 1, 2
+         |), typ AS (
+         |  SELECT event_type, sum(hc) AS tc, sum(hn) AS tn FROM hourly GROUP BY 1
+         |)
+         |SELECT h.event_type, h.hour, h.hn AS n,
+         |       round(CAST(h.hc AS DOUBLE) / CAST(h.hn * 100 AS DOUBLE), 4) AS hourly_mean,
+         |       round((CAST(h.hc AS DOUBLE) / CAST(h.hn * 100 AS DOUBLE)) /
+         |             (CAST(t.tc AS DOUBLE) / CAST(t.tn * 100 AS DOUBLE)), 6) AS seasonal_index
+         |FROM hourly h JOIN typ t ON t.event_type = h.event_type""".stripMargin)
+}

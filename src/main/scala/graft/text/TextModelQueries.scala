@@ -1,0 +1,169 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{CacheScope, QueryPack, Tables}
+import graft.dedup.Shingles
+
+/** Model-shaped text operators: a trained multinomial naive-Bayes language
+  * classifier (the learned upgrade of text_langid's stopword heuristic)
+  * and winnowing fingerprint selection (Schleimer et al., SIGMOD 2003 —
+  * the position-aware local fingerprinting MOSS uses, complementing
+  * text_fingerprint's single MinHash-1 digest).
+  *
+  * Determinism: every per-token log-likelihood is round(,9)-pinned and
+  * summed through DECIMAL(18,9) (the text_unigram_logprob discipline), so
+  * per-doc scores are order-independent and engine-identical; the argmax
+  * tie-breaks on the language string via the max(struct) pattern.
+  */
+object TextModelQueries extends QueryPack {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
+
+  private def cleanTokens(c: Column): Column =
+    split(regexp_replace(lower(c), "[^a-z ]", ""), " +")
+
+  /** Winnowing window size (in 3-gram positions). */
+  val WinnowW = 4
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Multinomial naive Bayes over tokens, trained on the gold `lang`
+    // labels and evaluated in-corpus: P(lang|doc) ∝ P(lang) · Π
+    // P(tok|lang) with add-one smoothing over the corpus vocabulary;
+    // output is the confusion matrix (gold × predicted, doc counts) —
+    // the honest readout of what a learned classifier adds over the
+    // stopword heuristic (text_langid_eval is the baseline's matrix).
+    // Scale shape: one token explode feeds the (lang, tok) count and
+    // vocab aggregates; scoring re-joins tokens to the count relation
+    // per CANDIDATE language — a |langs|-bounded multiplier on the token
+    // stream, all equi-joins (AQE broadcasts the count relation while it
+    // fits). The per-(doc, lang) sum collapses in partial aggregation,
+    // unseen tokens take the smoothing floor via coalesce — no UDF, no
+    // collect, no window.
+    "text_naive_bayes" -> ((s, d) => {
+      val tok = docs(s, d)
+        .select(col("doc_id"), col("lang"), explode(cleanTokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .transform(CacheScope.persisted(_))
+      val counts = tok.groupBy(col("lang").as("clang"), col("tok"))
+        .agg(count(lit(1)).as("nlt"))
+      val pri = docs(s, d).groupBy("lang").agg(count(lit(1)).as("nd"))
+      val meta = counts.groupBy("clang").agg(sum(col("nlt")).as("nl"))
+        .join(pri.select(col("lang").as("clang"), col("nd")), "clang")
+        .crossJoin(broadcast(tok.agg(countDistinct(col("tok")).as("v"))))
+        .crossJoin(broadcast(docs(s, d).agg(count(lit(1)).as("ndtot"))))
+      val dec = DecimalType(18, 9)
+      val lp = round(log((coalesce(col("nlt"), lit(0L)) + 1).cast("double") /
+        (col("nl") + col("v")).cast("double")), 9).cast(dec)
+      val prior = round(log(col("nd").cast("double") / col("ndtot").cast("double")), 9)
+        .cast(dec)
+      val scores = tok
+        .join(broadcast(meta), expr("true"))
+        .join(counts, Seq("clang", "tok"), "left")
+        .groupBy(col("doc_id"), col("lang"), col("clang"), prior.as("prior"))
+        .agg(sum(lp).as("sll"))
+        .select(col("doc_id"), col("lang"), col("clang"),
+          (col("prior") + col("sll")).as("score"))
+      scores.groupBy(col("doc_id"), col("lang"))
+        .agg(max(struct(col("score"), col("clang"))).as("m"))
+        .groupBy(col("lang"), col("m.clang").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Winnowing fingerprints: 60-bit word-3-gram hashes in document
+    // order; every W-gram window contributes its minimum hash (rightmost
+    // position on ties — the canonical robust-winnowing rule), and the
+    // per-document fingerprint SET is the distinct selected (hash, pos)
+    // pairs. Guarantees any match of >= W+2 consecutive words between
+    // two documents shares a fingerprint — the local-similarity
+    // detection contract MinHash can't give. Scale shape: one narrow
+    // gram explode, ONE doc-partitioned bounded-frame window, one
+    // row-local distinct — no self-join, no global sort; docs with fewer
+    // than W grams yield no complete window and drop out (both engines).
+    "text_winnowing" -> ((s, d) => {
+      val toks = Shingles.tokens(col("text"))
+      val grams = docs(s, d)
+        .select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("tk")) - 2),
+          i => struct(i.as("pos"), Shingles.hash60(concat_ws(" ",
+            element_at(col("tk"), i), element_at(col("tk"), i + 1),
+            element_at(col("tk"), i + 2))).as("h")))).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos").rowsBetween(-(WinnowW - 1), 0)
+      grams
+        .select(col("doc_id"), col("pos"),
+          min(struct(col("h"), (-col("pos")).as("negp"))).over(w).as("m"))
+        .filter(col("pos") >= WinnowW)
+        .select(col("doc_id"), col("m.h").as("fingerprint"),
+          (-col("m.negp")).as("fp_pos"))
+        .distinct()
+    }))
+
+  override val oracles: Map[String, String] = Map(
+
+    "text_naive_bayes" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS tok
+        |  FROM documents
+        |), tok2 AS (
+        |  SELECT doc_id, lang, tok FROM tok WHERE tok <> ''
+        |), counts AS (
+        |  SELECT lang AS clang, tok, count(*) AS nlt FROM tok2 GROUP BY 1, 2
+        |), pri AS (
+        |  SELECT lang, count(*) AS nd FROM documents GROUP BY 1
+        |), meta AS (
+        |  SELECT c.clang, c.nl, p.nd,
+        |         (SELECT count(DISTINCT tok) FROM tok2) AS v,
+        |         (SELECT count(*) FROM documents) AS ndtot
+        |  FROM (SELECT clang, sum(nlt) AS nl FROM counts GROUP BY 1) c
+        |  JOIN pri p ON p.lang = c.clang
+        |), scores AS (
+        |  SELECT t.doc_id, t.lang, m.clang,
+        |         CAST(round(ln(CAST(m.nd AS DOUBLE) / CAST(m.ndtot AS DOUBLE)), 9) AS DECIMAL(18,9)) +
+        |         CAST(sum(CAST(round(ln(CAST(coalesce(c.nlt, 0) + 1 AS DOUBLE) /
+        |                                 CAST(m.nl + m.v AS DOUBLE)), 9)
+        |                       AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS score
+        |  FROM tok2 t
+        |  CROSS JOIN meta m
+        |  LEFT JOIN counts c ON c.clang = m.clang AND c.tok = t.tok
+        |  GROUP BY 1, 2, 3, m.nd, m.ndtot
+        |), pred AS (
+        |  SELECT doc_id, lang, clang AS pred_lang,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, clang DESC) AS rn
+        |  FROM scores
+        |)
+        |SELECT lang, pred_lang, count(*) AS n
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+
+    // Window-end self-join formulation (deliberately different from the
+    // Spark side's bounded-frame window): candidates j in (e-W, e],
+    // argmin by (h ASC, pos DESC), distinct selections.
+    "text_winnowing" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |         ('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+         |        FROM tk WHERE len(t) >= 3)
+         |), sel AS (
+         |  SELECT e.doc_id, c.h, c.pos,
+         |         row_number() OVER (PARTITION BY e.doc_id, e.pos
+         |                            ORDER BY c.h ASC, c.pos DESC) AS rn
+         |  FROM g e JOIN g c
+         |    ON c.doc_id = e.doc_id
+         |   AND c.pos > e.pos - $WinnowW AND c.pos <= e.pos
+         |  WHERE e.pos >= $WinnowW
+         |)
+         |SELECT DISTINCT doc_id, h AS fingerprint, CAST(pos AS INTEGER) AS fp_pos
+         |FROM sel WHERE rn = 1""".stripMargin)
+}
