@@ -184,7 +184,18 @@ object GraphQueries extends QueryPack {
     // windowed co-purchase graph: exact hop distances for every node
     // within [[BfsRounds]] hops — the reachability/radius primitive next
     // to components (which says WHETHER nodes connect, not how close).
-    "q_graph_bfs" -> ((s, d) => bfsOf(windowedEdges(s, d)))
+    "q_graph_bfs" -> ((s, d) => bfsOf(windowedEdges(s, d))),
+
+    // Bounded-round Bellman–Ford SSSP ([[ssspOf]]): BFS's weighted
+    // sibling. Edge weights are exact-integer price DISSIMILARITY
+    // (1 + |retail-price gap in whole units| between the two parts), so
+    // the minimum-cost path prefers chains of similarly-priced
+    // co-purchased parts — hop count and path cost now disagree, which
+    // is the point of SSSP over BFS. Same linear-plan relaxation
+    // machinery; distances beyond [[SsspRounds]] edges are (honestly)
+    // absent, the documented bounded-iteration contract every fixpoint
+    // operator here ships with.
+    "q_graph_sssp" -> ((s, d) => ssspOf(weightedEdges(s, d)))
   )
 
   /** BFS relaxation rounds — nodes beyond this hop count are (honestly)
@@ -220,6 +231,52 @@ object GraphQueries extends QueryPack {
         .select(col("dst").as("node"), col("hops"))
     }
     d
+  }
+
+  /** Bellman–Ford relaxation rounds for [[ssspOf]] — same dial contract
+    * as [[BfsRounds]].
+    */
+  val SsspRounds = 6
+
+  /** Windowed co-purchase edges with exact-integer weights: w = 1 +
+    * |price(src) - price(dst)| in whole units, prices lifted to cents
+    * through DECIMAL (the testdata's doubles are exact 2dp). The part
+    * relation joins in twice on the part key — dimension-sized lookups
+    * AQE broadcasts while they fit.
+    */
+  private[graft] def weightedEdges(s: SparkSession, d: String): DataFrame = {
+    val price = Tables.load(s, d, "part")
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast("long").as("pc"))
+    windowedEdges(s, d)
+      .join(price.select(col("p_partkey").as("src"), col("pc").as("pcs")), "src")
+      .join(price.select(col("p_partkey").as("dst"), col("pc").as("pcd")), "dst")
+      .select(col("src"), col("dst"), expr("1 + abs(pcs - pcd) div 100").as("w"))
+  }
+
+  /** Bounded-round Bellman–Ford over a weighted (src, dst, w) edge
+    * relation, from the minimum node id — [[bfsOf]] generalized to real
+    * weights. The zero-weight self-loop fold keeps each round ONE
+    * equi-join + min-aggregation consuming the previous distance relation
+    * exactly once (linear plan; see bfsOf's design note). Distances are
+    * exact int64 sums — bounded by rounds × max weight, overflow-loud
+    * under ANSI. Public for planted-graph specs.
+    */
+  def ssspOf(edgesW: DataFrame): DataFrame = {
+    val ew = edgesW
+      .unionByName(edgesW.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst"), lit(0L).as("w")))
+      .transform(graft.CacheScope.persisted(_))
+    var dist = ew.select(col("src").as("node")).orderBy(col("node").asc).limit(1)
+      .select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to SsspRounds) {
+      dist = ew.join(dist, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(min(col("dist") + col("w")).as("dist"))
+        .select(col("dst").as("node"), col("dist"))
+    }
+    dist
   }
 
   /** HITS power-iteration rounds — a dial, so the oracle can unroll it. */
@@ -567,7 +624,32 @@ object GraphQueries extends QueryPack {
        |  GROUP BY ew.dst
        |)""".stripMargin
 
+  private def ssspCte(i: Int): String =
+    s"""d$i AS (
+       |  SELECT ew.dst AS node, min(d.dist + ew.w) AS dist
+       |  FROM ew JOIN d${i - 1} d ON d.node = ew.src
+       |  GROUP BY ew.dst
+       |)""".stripMargin
+
   override val oracles: Map[String, String] = Map(
+    "q_graph_sssp" ->
+      s"""$windowedEdgesCte, price AS (
+         |  SELECT p_partkey, CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
+         |  FROM part
+         |), ew AS (
+         |  SELECT e.src, e.dst, 1 + abs(ps.pc - pd.pc) // 100 AS w
+         |  FROM edges e
+         |  JOIN price ps ON ps.p_partkey = e.src
+         |  JOIN price pd ON pd.p_partkey = e.dst
+         |  UNION ALL
+         |  SELECT src, src AS dst, CAST(0 AS BIGINT) AS w
+         |  FROM (SELECT DISTINCT src FROM edges)
+         |), d0 AS (
+         |  SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM edges
+         |),
+         |${(1 to SsspRounds).map(ssspCte).mkString(",\n")}
+         |SELECT node, dist FROM d$SsspRounds""".stripMargin,
+
     "q_graph_bfs" ->
       s"""$windowedEdgesCte, ew AS (
          |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges

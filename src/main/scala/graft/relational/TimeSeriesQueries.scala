@@ -166,6 +166,68 @@ object TimeSeriesQueries extends QueryPack {
             (col("n") * 100).cast("double"), 4).as("cusum_stat"))
     }),
 
+    // Seasonal-naive forecast BACKTEST: on every day where both a
+    // 1-day-back and a 7-day-back observation exist, score the two
+    // classic zero-parameter forecasters (persistence "yesterday" vs
+    // seasonal-naive "same weekday last week") by MAE and signed bias —
+    // the honest baseline every real forecasting model must beat, and
+    // the eval harness that proves it. Calendar equi-joins (gap days
+    // drop out identically in both engines); error sums are exact cents;
+    // the common eval set makes the two MAEs directly comparable.
+    "q_ts_forecast_eval" -> ((s, d) => {
+      val daily = dailyOf(t(s, d, "events"))
+        .transform(CacheScope.persisted(_))
+      def back(n: Int, as: String) = daily.select(
+        col("event_type").as(s"et_$as"), col("day").as(s"day_$as"),
+        col("c").as(as))
+      daily
+        .join(back(1, "c1"), col("event_type") === col("et_c1") &&
+          col("day_c1") === date_sub(col("day"), 1))
+        .join(back(7, "c7"), col("event_type") === col("et_c7") &&
+          col("day_c7") === date_sub(col("day"), 7))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("c") - col("c1"))).as("ae1"),
+          sum(abs(col("c") - col("c7"))).as("ae7"),
+          sum(col("c") - col("c7")).as("be7"))
+        .select(col("event_type"), col("n_eval"),
+          round(col("ae1").cast("double") / (col("n_eval") * 100).cast("double"), 4)
+            .as("mae_naive1"),
+          round(col("ae7").cast("double") / (col("n_eval") * 100).cast("double"), 4)
+            .as("mae_seasonal7"),
+          round(col("be7").cast("double") / (col("n_eval") * 100).cast("double"), 4)
+            .as("bias_seasonal7"))
+    }),
+
+    // Robust (MAD) anomaly scoring of the daily series: modified z-score
+    // z = 0.6745·(x - median)/MAD (Iglewicz–Hoaglin) — the outlier score
+    // q_ts_zscore's mean/sigma version CANNOT be, because one giant
+    // spike inflates sigma and masks itself; the median/MAD pair is
+    // immune. Every day ships with its score plus an is_anomaly flag at
+    // |z| >= 2.5 (the textbook 3.5 never fires on CLT-smoothed daily
+    // AGGREGATES — the gate is a sensitivity dial, and 2.5 is the one
+    // that flags this data's real boundary-day artifacts). Two
+    // exact-percentile aggregates over the bounded daily relation (state
+    // bounded by distinct daily totals), broadcast back as scalars; the
+    // only floats are the two interpolated medians and the final ratio,
+    // identical in both engines, round(,6)-pinned.
+    "q_ts_anomaly_mad" -> ((s, d) => {
+      val daily = dailyOf(t(s, d, "events"))
+        .transform(CacheScope.persisted(_))
+      val med = daily.groupBy(col("event_type").as("et_m"))
+        .agg(expr("percentile(c, 0.5)").as("med"))
+      val mad = daily.join(med, col("event_type") === col("et_m"))
+        .groupBy(col("event_type").as("et_d"))
+        .agg(expr("percentile(abs(c - med), 0.5)").as("mad"))
+      val z = round(lit(0.6745) * (col("c") - col("med")) / col("mad"), 6)
+      daily.join(med, col("event_type") === col("et_m"))
+        .join(mad, col("event_type") === col("et_d"))
+        .filter(col("mad") > 0)
+        .select(col("event_type"), col("day"),
+          round(col("c").cast("double") / 100.0, 2).as("value"), z.as("z"),
+          (abs(z) >= 2.5).as("is_anomaly"))
+    }),
+
     // Hour-of-day seasonal profile: mean value per (type, hour) and its
     // index vs the type's overall mean — the shape a scheduler or
     // anomaly detector conditions on. Two exact-cents aggregations (the
@@ -267,6 +329,40 @@ object TimeSeriesQueries extends QueryPack {
          |                                     c.day ASC) AS rn
          |  FROM cum c JOIN tot t ON t.event_type = c.event_type
          |) WHERE rn = 1""".stripMargin,
+
+    "q_ts_forecast_eval" ->
+      s"""WITH daily AS ($DailySql)
+         |SELECT a.event_type, count(*) AS n_eval,
+         |       round(CAST(sum(abs(a.c - b1.c)) AS DOUBLE) /
+         |             CAST(count(*) * 100 AS DOUBLE), 4) AS mae_naive1,
+         |       round(CAST(sum(abs(a.c - b7.c)) AS DOUBLE) /
+         |             CAST(count(*) * 100 AS DOUBLE), 4) AS mae_seasonal7,
+         |       round(CAST(sum(a.c - b7.c) AS DOUBLE) /
+         |             CAST(count(*) * 100 AS DOUBLE), 4) AS bias_seasonal7
+         |FROM daily a
+         |JOIN daily b1 ON b1.event_type = a.event_type AND b1.day = a.day - 1
+         |JOIN daily b7 ON b7.event_type = a.event_type AND b7.day = a.day - 7
+         |GROUP BY 1""".stripMargin,
+
+    "q_ts_anomaly_mad" ->
+      s"""WITH daily AS ($DailySql),
+         |med AS (
+         |  SELECT event_type, quantile_cont(c, 0.5) AS med FROM daily GROUP BY 1
+         |), mad AS (
+         |  SELECT d.event_type, quantile_cont(abs(d.c - m.med), 0.5) AS mad
+         |  FROM daily d JOIN med m ON m.event_type = d.event_type
+         |  GROUP BY 1
+         |)
+         |SELECT event_type, day, value, z, abs(z) >= 2.5 AS is_anomaly
+         |FROM (
+         |  SELECT d.event_type, d.day,
+         |         round(CAST(d.c AS DOUBLE) / 100.0, 2) AS value,
+         |         round(0.6745 * (d.c - m.med) / a.mad, 6) AS z
+         |  FROM daily d
+         |  JOIN med m ON m.event_type = d.event_type
+         |  JOIN mad a ON a.event_type = d.event_type
+         |  WHERE a.mad > 0
+         |)""".stripMargin,
 
     "q_ts_seasonality" ->
       s"""WITH hourly AS (

@@ -105,6 +105,24 @@ class GraphSpec extends SparkSpec {
       6L -> 5L, 7L -> 6L, 10L -> 3L), s"got $got")
   }
 
+  test("bounded SSSP: min-COST path beats min-hop path on a planted graph") {
+    // 1-2 (w=1), 2-3 (w=1), 1-3 direct shortcut (w=10), 3-4 (w=2):
+    // BFS would reach 3 in one hop; SSSP must take the cheap two-edge
+    // route (cost 2) and carry it on to 4 (cost 4).
+    val weighted = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 10L), (3L, 4L, 2L))
+      .flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val rows = weighted.map { case (a, b, w) => Row(a, b, w) }
+    val ew = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3),
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType),
+        StructField("w", LongType))))
+    val got =
+      try GraphQueries.ssspOf(ew)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally CacheScope.releaseAll()
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 4L), s"got $got")
+  }
+
   test("result is bit-identical under repartitioning") {
     val graph = sym((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L),
       (4L, 5L), (5L, 0L), (3L, 6L))
