@@ -43,35 +43,7 @@ object TextModelQueries extends QueryPack {
     // fits). The per-(doc, lang) sum collapses in partial aggregation,
     // unseen tokens take the smoothing floor via coalesce — no UDF, no
     // collect, no window.
-    "text_naive_bayes" -> ((s, d) => {
-      val tok = docs(s, d)
-        .select(col("doc_id"), col("lang"), explode(cleanTokens(col("text"))).as("tok"))
-        .filter(col("tok") =!= "")
-        .transform(CacheScope.persisted(_))
-      val counts = tok.groupBy(col("lang").as("clang"), col("tok"))
-        .agg(count(lit(1)).as("nlt"))
-      val pri = docs(s, d).groupBy("lang").agg(count(lit(1)).as("nd"))
-      val meta = counts.groupBy("clang").agg(sum(col("nlt")).as("nl"))
-        .join(pri.select(col("lang").as("clang"), col("nd")), "clang")
-        .crossJoin(broadcast(tok.agg(countDistinct(col("tok")).as("v"))))
-        .crossJoin(broadcast(docs(s, d).agg(count(lit(1)).as("ndtot"))))
-      val dec = DecimalType(18, 9)
-      val lp = round(log((coalesce(col("nlt"), lit(0L)) + 1).cast("double") /
-        (col("nl") + col("v")).cast("double")), 9).cast(dec)
-      val prior = round(log(col("nd").cast("double") / col("ndtot").cast("double")), 9)
-        .cast(dec)
-      val scores = tok
-        .join(broadcast(meta), expr("true"))
-        .join(counts, Seq("clang", "tok"), "left")
-        .groupBy(col("doc_id"), col("lang"), col("clang"), prior.as("prior"))
-        .agg(sum(lp).as("sll"))
-        .select(col("doc_id"), col("lang"), col("clang"),
-          (col("prior") + col("sll")).as("score"))
-      scores.groupBy(col("doc_id"), col("lang"))
-        .agg(max(struct(col("score"), col("clang"))).as("m"))
-        .groupBy(col("lang"), col("m.clang").as("pred_lang"))
-        .agg(count(lit(1)).as("n"))
-    }),
+    "text_naive_bayes" -> ((s, d) => naiveBayesOf(docs(s, d))),
 
     // Winnowing fingerprints: 60-bit word-3-gram hashes in document
     // order; every W-gram window contributes its minimum hash (rightmost
@@ -83,27 +55,67 @@ object TextModelQueries extends QueryPack {
     // gram explode, ONE doc-partitioned bounded-frame window, one
     // row-local distinct — no self-join, no global sort; docs with fewer
     // than W grams yield no complete window and drop out (both engines).
-    "text_winnowing" -> ((s, d) => {
-      val toks = Shingles.tokens(col("text"))
-      val grams = docs(s, d)
-        .select(col("doc_id"), toks.as("tk"))
-        .filter(size(col("tk")) >= 3)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("tk")) - 2),
-          i => struct(i.as("pos"), Shingles.hash60(concat_ws(" ",
-            element_at(col("tk"), i), element_at(col("tk"), i + 1),
-            element_at(col("tk"), i + 2))).as("h")))).as("g"))
-        .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos").rowsBetween(-(WinnowW - 1), 0)
-      grams
-        .select(col("doc_id"), col("pos"),
-          min(struct(col("h"), (-col("pos")).as("negp"))).over(w).as("m"))
-        .filter(col("pos") >= WinnowW)
-        .select(col("doc_id"), col("m.h").as("fingerprint"),
-          (-col("m.negp")).as("fp_pos"))
-        .distinct()
-    }))
+    "text_winnowing" -> ((s, d) => winnowingOf(docs(s, d))))
+
+  /** Naive-Bayes train + in-corpus confusion matrix over any
+    * (doc_id, lang, text) relation — public for planted-corpus specs
+    * (see the registration above for the full design notes).
+    */
+  def naiveBayesOf(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), col("lang"), explode(cleanTokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .transform(CacheScope.persisted(_))
+    val counts = tok.groupBy(col("lang").as("clang"), col("tok"))
+      .agg(count(lit(1)).as("nlt"))
+    val pri = documents.groupBy("lang").agg(count(lit(1)).as("nd"))
+    val meta = counts.groupBy("clang").agg(sum(col("nlt")).as("nl"))
+      .join(pri.select(col("lang").as("clang"), col("nd")), "clang")
+      .crossJoin(broadcast(tok.agg(countDistinct(col("tok")).as("v"))))
+      .crossJoin(broadcast(documents.agg(count(lit(1)).as("ndtot"))))
+    val dec = DecimalType(18, 9)
+    val lp = round(log((coalesce(col("nlt"), lit(0L)) + 1).cast("double") /
+      (col("nl") + col("v")).cast("double")), 9).cast(dec)
+    val prior = round(log(col("nd").cast("double") / col("ndtot").cast("double")), 9)
+      .cast(dec)
+    val scores = tok
+      .join(broadcast(meta), expr("true"))
+      .join(counts, Seq("clang", "tok"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("clang"), prior.as("prior"))
+      .agg(sum(lp).as("sll"))
+      .select(col("doc_id"), col("lang"), col("clang"),
+        (col("prior") + col("sll")).as("score"))
+    scores.groupBy(col("doc_id"), col("lang"))
+      .agg(max(struct(col("score"), col("clang"))).as("m"))
+      .groupBy(col("lang"), col("m.clang").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Winnowing fingerprint selection over any (doc_id, text) relation —
+    * public for the shared-run guarantee spec (design notes at the
+    * registration above).
+    */
+  def winnowingOf(documents: DataFrame): DataFrame = {
+    val toks = Shingles.tokens(col("text"))
+    val grams = documents
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tk")) - 2),
+        i => struct(i.as("pos"), Shingles.hash60(concat_ws(" ",
+          element_at(col("tk"), i), element_at(col("tk"), i + 1),
+          element_at(col("tk"), i + 2))).as("h")))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(-(WinnowW - 1), 0)
+    grams
+      .select(col("doc_id"), col("pos"),
+        min(struct(col("h"), (-col("pos")).as("negp"))).over(w).as("m"))
+      .filter(col("pos") >= WinnowW)
+      .select(col("doc_id"), col("m.h").as("fingerprint"),
+        (-col("m.negp")).as("fp_pos"))
+      .distinct()
+  }
 
   override val oracles: Map[String, String] = Map(
 
