@@ -152,6 +152,102 @@ object StatsQueries extends QueryPack {
           col("n_second"), col("psi_bin"), round(col("psi_total"), 9).as("psi_total"))
     }),
 
+    // Kaplan–Meier survival curve over user lifetimes: S(t) = Π (1 -
+    // d_u/n_u) across lifetime days, with users active in the final week
+    // right-CENSORED (they leave the risk set without counting as
+    // churn) — the estimator a retention model is benchmarked against,
+    // and the reason naive "fraction still active after t days" curves
+    // are biased. Scale shape: one events-sized aggregation collapses to
+    // per-user lifetimes, then to the bounded per-day (d, c) relation;
+    // the risk-set and product accumulations are the constant-size
+    // triangular broadcast joins (the q_quantile_sketch discipline — no
+    // unpartitioned window, no collect). The product goes through
+    // round(,9)-pinned ln terms summed as DECIMAL, so it is
+    // order-independent; an all-deaths day (factor 0) short-circuits via
+    // an exact flag rather than ln(0).
+    "q_events_survival" -> ((s, d) => {
+      val u = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("day", col("ts")).cast("date")).as("fd"),
+          max(date_trunc("day", col("ts")).cast("date")).as("ld"))
+        .crossJoin(broadcast(t(s, d, "events")
+          .agg(max(date_trunc("day", col("ts")).cast("date")).as("dmax"))))
+        .select(datediff(col("ld"), col("fd")).as("lt"),
+          (col("ld") <= date_sub(col("dmax"), 7)).as("churned"))
+      val lt = u.groupBy(col("lt"))
+        .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("dd"),
+          sum(when(col("churned"), 0L).otherwise(1L)).as("cc"))
+        .transform(graft.CacheScope.persisted(_))
+      val nrel = lt
+        .join(broadcast(lt.select(col("lt").as("t2"), (col("dd") + col("cc")).as("a2"))),
+          col("t2") >= col("lt"))
+        .groupBy(col("lt"), col("dd"))
+        .agg(sum(col("a2")).as("n"))
+        .transform(graft.CacheScope.persisted(_))
+      val lf = when(col("d2") > 0 && col("n2") > col("d2"),
+        round(log((col("n2") - col("d2")).cast("double") / col("n2").cast("double")), 9)
+          .cast(DecimalType(18, 9)))
+        .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 9)))
+      nrel
+        .join(broadcast(nrel.select(col("lt").as("t2"), col("dd").as("d2"),
+          col("n").as("n2"))), col("t2") <= col("lt"))
+        .groupBy(col("lt"), col("dd"), col("n"))
+        .agg(sum(lf).as("slf"),
+          max(when(col("d2") >= col("n2"), 1).otherwise(0)).as("hz"))
+        .select(col("lt").as("lifetime_days"), col("n").as("n_risk"),
+          col("dd").as("n_churned"),
+          when(col("hz") === 1, lit(0.0))
+            .otherwise(round(exp(col("slf").cast("double")), 6)).as("survival"))
+    }),
+
+    // Spend-inequality audit: exact Gini coefficient and top-10% share
+    // of per-user spend — the "is this corpus/revenue dominated by a few
+    // heavy hitters" readout that decides sampling and capping policy.
+    // The exact global spend rank comes WITHOUT a global sort: 64 value
+    // buckets over the broadcast max, constant-size triangular join for
+    // bucket base offsets, bucket-partitioned row_number (the
+    // text_quality_deciles machinery, generalized to an unbounded metric
+    // via the max-scaled bucket key). Gini then reduces to exact integer
+    // sums: G = (2·Σ rank·m − (n+1)·Σm) / (n·Σm).
+    "q_events_gini" -> ((s, d) => {
+      val u = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(cents(col("value"))).as("m"))
+        .transform(graft.CacheScope.persisted(_))
+      val mx = u.agg(max(col("m")).as("mx"))
+      val b = u.crossJoin(broadcast(mx))
+        .select(col("user_id"), col("m"),
+          expr("m * 64 div (mx + 1)").as("bk"))
+        .transform(graft.CacheScope.persisted(_))
+      val sizes = b.groupBy(col("bk")).agg(count(lit(1)).as("bn"))
+      val base = sizes
+        .join(broadcast(sizes.select(col("bk").as("b2"), col("bn").as("n2"))),
+          col("b2") < col("bk"), "left")
+        .groupBy(col("bk"))
+        .agg(coalesce(sum(col("n2")), lit(0L)).as("base"))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("bk").orderBy(col("m").asc, col("user_id").asc)
+      val ranked = b.join(broadcast(base), "bk")
+        .select(col("m"), (col("base") + row_number().over(wb)).as("rk"))
+      val dec = DecimalType(38, 0)
+      ranked.crossJoin(broadcast(u.agg(count(lit(1)).as("n"))))
+        .groupBy(col("n"))
+        .agg(
+          sum(col("m").cast(DecimalType(18, 0))).cast(DecimalType(24, 0)).as("sm"),
+          sum(col("rk").cast(DecimalType(12, 0)) * col("m").cast(DecimalType(18, 0)))
+            .cast(DecimalType(34, 0)).as("srm"),
+          sum(when(col("rk") * 10 > col("n") * lit(9),
+            col("m")).otherwise(lit(0L)).cast(DecimalType(18, 0)))
+            .cast(DecimalType(24, 0)).as("stop"))
+        .select(col("n").as("n_users"),
+          round(col("sm").cast("double") / 100.0, 2).as("total_spend"),
+          round((lit(2).cast(dec) * col("srm") -
+            (col("n") + 1).cast(dec) * col("sm")).cast("double") /
+            (col("n").cast(dec) * col("sm")).cast("double"), 6).as("gini"),
+          round(col("stop").cast("double") / col("sm").cast("double"), 6)
+            .as("top10_share"))
+    }),
+
     // RFM segmentation: per-user Recency/Frequency/Monetary quintile
     // scores — the classic CRM cut, and the grouping key LTV/churn
     // models stratify on. Quintile boundaries come from ONE exact
@@ -290,6 +386,65 @@ object StatsQueries extends QueryPack {
          |         CAST(sum(CAST(psi_bin AS DECIMAL(18,9))) AS DOUBLE) AS psi_total
          |  FROM per GROUP BY 1
          |) s ON s.event_type = p.event_type""".stripMargin,
+
+    // Window-cumulative formulation (deliberately different from the
+    // Spark side's triangular broadcast joins — the oracle runs on one
+    // box and may sort globally).
+    "q_events_survival" ->
+      """WITH dm AS (
+        |  SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS dmax FROM events
+        |), u AS (
+        |  SELECT user_id,
+        |         CAST(max(CAST(date_trunc('day', ts) AS DATE)) -
+        |              min(CAST(date_trunc('day', ts) AS DATE)) AS INTEGER) AS lt,
+        |         max(CAST(date_trunc('day', ts) AS DATE)) <= (SELECT dmax FROM dm) - 7 AS churned
+        |  FROM events GROUP BY user_id
+        |), l AS (
+        |  SELECT lt,
+        |         CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+        |         CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) AS cc
+        |  FROM u GROUP BY 1
+        |), nr AS (
+        |  SELECT lt, dd,
+        |         CAST(sum(dd + cc) OVER (ORDER BY lt DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+        |  FROM l
+        |), s AS (
+        |  SELECT lt, dd, n,
+        |         sum(CASE WHEN dd > 0 AND n > dd
+        |               THEN CAST(round(ln(CAST(n - dd AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+        |                         AS DECIMAL(18,9))
+        |               ELSE CAST(0 AS DECIMAL(18,9)) END)
+        |           OVER (ORDER BY lt ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS slf,
+        |         max(CASE WHEN dd >= n THEN 1 ELSE 0 END)
+        |           OVER (ORDER BY lt ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hz
+        |  FROM nr
+        |)
+        |SELECT lt AS lifetime_days, n AS n_risk, dd AS n_churned,
+        |       CASE WHEN hz = 1 THEN 0.0
+        |            ELSE round(exp(CAST(slf AS DOUBLE)), 6) END AS survival
+        |FROM s""".stripMargin,
+
+    // Global row_number formulation; the exact-integer Gini reduction is
+    // computed through HUGEINT (Spark's exact DECIMAL twin).
+    "q_events_gini" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS m
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT m, row_number() OVER (ORDER BY m ASC, user_id ASC) AS rk,
+        |         count(*) OVER () AS n
+        |  FROM u
+        |)
+        |SELECT any_value(n) AS n_users,
+        |       round(CAST(sum(CAST(m AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total_spend,
+        |       round(CAST(2 * sum(CAST(rk AS HUGEINT) * CAST(m AS HUGEINT)) -
+        |                  (any_value(n) + 1) * sum(CAST(m AS HUGEINT)) AS DOUBLE) /
+        |             CAST(any_value(n) * sum(CAST(m AS HUGEINT)) AS DOUBLE), 6) AS gini,
+        |       round(CAST(sum(CASE WHEN rk * 10 > n * 9 THEN m ELSE 0 END) AS DOUBLE) /
+        |             CAST(sum(CAST(m AS HUGEINT)) AS DOUBLE), 6) AS top10_share
+        |FROM r""".stripMargin,
 
     "q_events_rfm" ->
       """WITH u AS (
