@@ -35,15 +35,18 @@ object CollapseIdempotentStem extends Rule[LogicalPlan] {
   *
   *   spark.sql.extensions=graft.plans.GraftExtensions
   *
-  * Injects [[CollapseIdempotentStem]] into the optimizer. (The SQL
-  * function surface — porter_stem, dot_q — stays in
-  * `GraftFunctions.register`, which works on any session; sessions built
-  * with this extension class get the optimizer rewrite on top.)
+  * Injects [[CollapseIdempotentStem]] into the optimizer and
+  * [[AsOfJoinStrategy]] into the planner. (The SQL function surface —
+  * porter_stem, dot_q — stays in `GraftFunctions.register`, which works
+  * on any session; sessions built with this extension class get the
+  * optimizer rewrite and the native as-of operator on top.)
   * ExtensionsSpec drives both wiring paths: a fresh session built
-  * through this class, and `experimental.extraOptimizations` on an
-  * existing one.
+  * through this class, and `experimental.extraOptimizations` /
+  * `experimental.extraStrategies` on an existing one.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CollapseIdempotentStem)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }

@@ -83,6 +83,26 @@ object WindowQueries extends QueryPack {
             .as("gap_us"))
     }),
 
+    // The NATIVE as-of join (graft.plans.AsOfJoin — custom LogicalPlan +
+    // SparkStrategy + streaming-merge SparkPlan, SURVEY §4 preference
+    // (c)): the genuine two-table merge_asof, where q_asof_join above is
+    // the single-stream window composition. Purchases asof-join the view
+    // stream per user; semantics differ deliberately at the tie (a view
+    // AT the purchase timestamp matches here; the window form's -1 frame
+    // excludes it) — each variant carries its own oracle.
+    "q_asof_join_native" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      graft.plans.AsOfJoin.asof(purchases, views,
+          "user_id", "ts", "v_user", "view_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("view_ts").as("last_view_ts"),
+          (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+    }),
+
     // Distribution window functions: ntile / percent_rank / cume_dist.
     // ntile depends on row order, not rank, so the ORDER BY carries the
     // unique orderkey tiebreak to stay deterministic under ties.
@@ -227,6 +247,19 @@ object WindowQueries extends QueryPack {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
         |  FROM events
         |) WHERE event_type = 'purchase'""".stripMargin,
+
+    // Correlated scalar-max formulation — independent of both the window
+    // trick and the merge algorithm.
+    "q_asof_join_native" ->
+      """SELECT event_id, user_id, ts, last_view_ts,
+        |       epoch_us(ts) - epoch_us(last_view_ts) AS gap_us
+        |FROM (
+        |  SELECT p.event_id, p.user_id, p.ts,
+        |         (SELECT max(v.ts) FROM events v
+        |          WHERE v.event_type = 'view' AND v.user_id = p.user_id
+        |            AND v.ts <= p.ts) AS last_view_ts
+        |  FROM events p WHERE p.event_type = 'purchase'
+        |)""".stripMargin,
 
     "q_window_dist" ->
       """SELECT o_orderpriority, o_orderkey,

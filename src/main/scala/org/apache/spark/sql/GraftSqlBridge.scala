@@ -20,4 +20,26 @@ object GraftSqlBridge {
     */
   def cacheManagerIsEmpty(spark: SparkSession): Boolean =
     spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
+  /** The analyzed logical plan of a DataFrame — input side of custom
+    * logical-plan construction (graft.plans.AsOfJoin).
+    */
+  def analyzed(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Wrap a (possibly custom) logical plan back into a DataFrame. */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently append an extra planner strategy to the session (the
+    * code-path twin of wiring it through SparkSessionExtensions).
+    */
+  def addStrategyOnce(spark: SparkSession,
+      s: execution.SparkStrategy): Unit = {
+    val em = spark.asInstanceOf[classic.SparkSession].experimental
+    em.synchronized {
+      if (!em.extraStrategies.contains(s)) em.extraStrategies = em.extraStrategies :+ s
+    }
+  }
 }
