@@ -35,10 +35,16 @@ object AsOfJoin {
     * (compared on their int64 encoding — micros for timestamps).
     * Right column names must not collide with left's (alias before the
     * call); ties on right (key, time) resolve to the row latest in the
-    * child's (key, time)-sorted order.
+    * child's (key, time)-sorted order. `toleranceUs` bounds the lookback
+    * (merge_asof's tolerance): a held right row older than
+    * left.time - tolerance no longer matches — the variant the window
+    * composition cannot express without dragging every right column
+    * through an unbounded frame.
     */
   def asof(left: DataFrame, right: DataFrame, leftKey: String, leftTime: String,
-      rightKey: String, rightTime: String): DataFrame = {
+      rightKey: String, rightTime: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(toleranceUs.forall(_ >= 0), "tolerance must be >= 0")
     val spark = left.sparkSession
     GraftSqlBridge.addStrategyOnce(spark, AsOfJoinStrategy)
     val lp = GraftSqlBridge.analyzed(left)
@@ -57,7 +63,8 @@ object AsOfJoin {
       checkLong(attr(lp, leftKey, "left key"), "left key"),
       checkLong(attr(lp, leftTime, "left time"), "left time"),
       checkLong(attr(rp, rightKey, "right key"), "right key"),
-      checkLong(attr(rp, rightTime, "right time"), "right time")))
+      checkLong(attr(rp, rightTime, "right time"), "right time"),
+      toleranceUs))
   }
 }
 
@@ -67,7 +74,8 @@ object AsOfJoin {
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTime: Attribute,
-    rightKey: Attribute, rightTime: Attribute) extends BinaryNode {
+    rightKey: Attribute, rightTime: Attribute,
+    toleranceUs: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -83,8 +91,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt) =>
-      AsOfJoinExec(lk, lt, rk, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, tol) =>
+      AsOfJoinExec(lk, lt, rk, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -97,6 +105,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   */
 case class AsOfJoinExec(leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
+    toleranceUs: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -131,9 +140,11 @@ case class AsOfJoinExec(leftKey: Attribute, leftTime: Attribute,
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rWidth)
       val rBuf = ri.buffered
+      val tol = toleranceUs.getOrElse(Long.MaxValue)
       // One row of merge state: the latest right row seen for heldKey.
       var held: InternalRow = null
       var heldKey: Long = 0L
+      var heldTime: Long = 0L
       li.map { l =>
         if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) {
           project(joined(l, nullRight))
@@ -148,11 +159,17 @@ case class AsOfJoinExec(leftKey: Attribute, leftTime: Attribute,
               val rk = h.getLong(rkOrd)
               if (rk < lk || (rk == lk && h.getLong(rtOrd) <= lt)) {
                 val r = rBuf.next()
-                if (rk == lk) { held = r.copy(); heldKey = rk }
+                if (rk == lk) {
+                  held = r.copy(); heldKey = rk; heldTime = r.getLong(rtOrd)
+                }
               } else advance = false
             }
           }
-          val m = if (held != null && heldKey == lk) held else nullRight
+          // Tolerance gate: lt - tol may underflow for huge tolerances,
+          // so compare as lt - heldTime <= tol (both sides non-negative
+          // by the merge invariant heldTime <= lt).
+          val m = if (held != null && heldKey == lk && lt - heldTime <= tol) held
+            else nullRight
           project(joined(l, m))
         }
       }

@@ -103,6 +103,25 @@ object WindowQueries extends QueryPack {
           (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
     }),
 
+    // The tolerance-bounded variant (merge_asof(tolerance=1h)): a view
+    // older than an hour no longer explains the purchase. This is the
+    // shape the window composition genuinely cannot express without
+    // dragging the right payload through an unbounded frame — in the
+    // native exec it is one comparison against the buffered row.
+    "q_asof_join_tolerance" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      graft.plans.AsOfJoin.asof(purchases, views,
+          "user_id", "ts", "v_user", "view_ts",
+          toleranceUs = Some(3600L * 1000000L))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("view_ts").as("last_view_ts"),
+          (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+    }),
+
     // Distribution window functions: ntile / percent_rank / cume_dist.
     // ntile depends on row order, not rank, so the ORDER BY carries the
     // unique orderkey tiebreak to stay deterministic under ties.
@@ -258,6 +277,17 @@ object WindowQueries extends QueryPack {
         |         (SELECT max(v.ts) FROM events v
         |          WHERE v.event_type = 'view' AND v.user_id = p.user_id
         |            AND v.ts <= p.ts) AS last_view_ts
+        |  FROM events p WHERE p.event_type = 'purchase'
+        |)""".stripMargin,
+
+    "q_asof_join_tolerance" ->
+      """SELECT event_id, user_id, ts, last_view_ts,
+        |       epoch_us(ts) - epoch_us(last_view_ts) AS gap_us
+        |FROM (
+        |  SELECT p.event_id, p.user_id, p.ts,
+        |         (SELECT max(v.ts) FROM events v
+        |          WHERE v.event_type = 'view' AND v.user_id = p.user_id
+        |            AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR) AS last_view_ts
         |  FROM events p WHERE p.event_type = 'purchase'
         |)""".stripMargin,
 

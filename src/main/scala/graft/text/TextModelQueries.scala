@@ -28,6 +28,16 @@ object TextModelQueries extends QueryPack {
   /** Winnowing window size (in 3-gram positions). */
   val WinnowW = 4
 
+  /** Stop-fingerprint cap for pair generation: a fingerprint present in
+    * more than this many documents (a boilerplate phrase) is excluded
+    * from candidate pairs — the hub-suppression that keeps the
+    * fingerprint self-join's fan-out bounded per bucket.
+    */
+  val MaxFpDocs = 20
+
+  /** Minimum shared fingerprints for a candidate pair. */
+  val MinSharedFps = 2
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Multinomial naive Bayes over tokens, trained on the gold `lang`
@@ -55,7 +65,31 @@ object TextModelQueries extends QueryPack {
     // gram explode, ONE doc-partitioned bounded-frame window, one
     // row-local distinct — no self-join, no global sort; docs with fewer
     // than W grams yield no complete window and drop out (both engines).
-    "text_winnowing" -> ((s, d) => winnowingOf(docs(s, d))))
+    "text_winnowing" -> ((s, d) => winnowingOf(docs(s, d))),
+
+    // Winnowing-based near-dup CANDIDATE PAIRS: documents sharing >= 2
+    // selected fingerprints — the LOCAL-similarity dedup generator
+    // MinHash can't be (a long quoted span between otherwise-different
+    // documents shares fingerprints but barely moves whole-doc Jaccard).
+    // Scale shape: the pair generator is an equi-join on the fingerprint
+    // value; hub fingerprints (boilerplate phrases in > MaxFpDocs docs)
+    // are excluded first, so per-fingerprint fan-out is capped at
+    // MaxFpDocs² — the same stop-key discipline as the LSH band and
+    // simhash block joins.
+    "text_winnowing_pairs" -> ((s, d) => {
+      val fp = winnowingOf(docs(s, d))
+        .select(col("doc_id"), col("fingerprint")).distinct()
+        .transform(CacheScope.persisted(_))
+      val rare = fp.groupBy("fingerprint").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") <= MaxFpDocs)
+        .select("fingerprint")
+      val f = fp.join(rare, "fingerprint")
+      f.join(f.select(col("fingerprint"), col("doc_id").as("doc_b")), "fingerprint")
+        .filter(col("doc_id") < col("doc_b"))
+        .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= MinSharedFps)
+    }))
 
   /** Naive-Bayes train + in-corpus confusion matrix over any
     * (doc_id, lang, text) relation — public for planted-corpus specs
@@ -159,23 +193,43 @@ object TextModelQueries extends QueryPack {
     // Spark side's bounded-frame window): candidates j in (e-W, e],
     // argmin by (h ASC, pos DESC), distinct selections.
     "text_winnowing" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
-         |  FROM documents
-         |), g AS (
-         |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
-         |         ('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))::BIGINT AS h
-         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
-         |        FROM tk WHERE len(t) >= 3)
-         |), sel AS (
-         |  SELECT e.doc_id, c.h, c.pos,
-         |         row_number() OVER (PARTITION BY e.doc_id, e.pos
-         |                            ORDER BY c.h ASC, c.pos DESC) AS rn
-         |  FROM g e JOIN g c
-         |    ON c.doc_id = e.doc_id
-         |   AND c.pos > e.pos - $WinnowW AND c.pos <= e.pos
-         |  WHERE e.pos >= $WinnowW
-         |)
+      s"""$winnowSelCte
          |SELECT DISTINCT doc_id, h AS fingerprint, CAST(pos AS INTEGER) AS fp_pos
-         |FROM sel WHERE rn = 1""".stripMargin)
+         |FROM sel WHERE rn = 1""".stripMargin,
+
+    "text_winnowing_pairs" ->
+      s"""$winnowSelCte, fps AS (
+         |  SELECT DISTINCT doc_id, h FROM sel WHERE rn = 1
+         |), rare AS (
+         |  SELECT h FROM (SELECT h, count(*) AS nd FROM fps GROUP BY 1)
+         |  WHERE nd <= $MaxFpDocs
+         |), f AS (
+         |  SELECT fp.doc_id, fp.h FROM fps fp JOIN rare r ON r.h = fp.h
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |FROM f a JOIN f b ON b.h = a.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= $MinSharedFps""".stripMargin)
+
+  /** Shared winnowing-selection CTE chain (tokens → positioned gram
+    * hashes → per-window argmin) for the two oracles above.
+    */
+  private def winnowSelCte: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       |         ('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+       |        FROM tk WHERE len(t) >= 3)
+       |), sel AS (
+       |  SELECT e.doc_id, c.h, c.pos,
+       |         row_number() OVER (PARTITION BY e.doc_id, e.pos
+       |                            ORDER BY c.h ASC, c.pos DESC) AS rn
+       |  FROM g e JOIN g c
+       |    ON c.doc_id = e.doc_id
+       |   AND c.pos > e.pos - $WinnowW AND c.pos <= e.pos
+       |  WHERE e.pos >= $WinnowW
+       |)""".stripMargin
 }

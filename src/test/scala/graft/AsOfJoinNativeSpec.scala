@@ -83,6 +83,24 @@ class AsOfJoinNativeSpec extends SparkSpec {
       Seq("rk", "rt"))
   }
 
+  test("tolerance bounds the lookback: stale rights null out, fresh ones match") {
+    val left = Seq((1L, 10L, 10), (2L, 10L, 4), (3L, 20L, 9))
+      .toDF("id", "k", "m")
+      .select(col("id"), col("k"), expr("timestamp_millis(m * 60000)").as("t"))
+    val right = Seq((10L, 3, "a"), (20L, 8, "b"))
+      .toDF("rk", "rm", "tag")
+      .select(col("rk"), expr("timestamp_millis(rm * 60000)").as("rt"), col("tag"))
+    val out = AsOfJoin.asof(left, right, "k", "t", "rk", "rt",
+      toleranceUs = Some(2L * 60L * 1000000L)) // 2 minutes
+      .select(col("id"), col("tag"))
+    val got =
+      try out.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      finally CacheScope.releaseAll()
+    // id=1 (t=10): right at 3 is 7 min stale — null. id=2 (t=4): 1 min — match.
+    // id=3 (t=9): right at 8 is 1 min — match.
+    assert(got == Map(1L -> None, 2L -> Some("a"), 3L -> Some("b")), s"got $got")
+  }
+
   test("colliding column names and non-long keys are rejected") {
     val l = Seq((1L, ts(1))).toDF("k", "t")
     val r = Seq((1L, ts(1))).toDF("k", "rt")
