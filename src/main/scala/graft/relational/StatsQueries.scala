@@ -31,6 +31,12 @@ object StatsQueries extends QueryPack {
   /** PSI value-histogram bin count. */
   val PsiBins = 10
 
+  /** Gradient-descent passes for q_stats_logreg — a dial like the
+    * PageRank/Lloyd iteration counts; the oracle unrolls the same number
+    * of CTE rounds.
+    */
+  val LogRegIters = 5
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Pearson chi-squared test of independence between event_type and
@@ -294,6 +300,136 @@ object StatsQueries extends QueryPack {
           (lit(6) - up(col("recency_days"), "r")).as("r_score"),
           up(col("frequency"), "f").as("f_score"),
           up(col("monetary_units"), "m").as("m_score"))
+    }),
+
+    // Distributed logistic regression (batch gradient descent, LogRegIters
+    // full passes, lr=1.0): P(purchase | hour-of-day, spend). The iterative
+    // template every gradient-based fit on this engine follows: the
+    // feature relation is pinned once; each iteration is ONE events-sized
+    // aggregate producing a 1-row gradient that broadcast-joins into the
+    // next weight row — weights NEVER visit the driver (no collect; the
+    // update is a Catalyst projection on the 1-row relation, exactly the
+    // PageRank discipline applied to a dense parameter vector). Per-row
+    // gradient contributions are round(,9)-pinned and summed as
+    // DECIMAL(28,9), so partition visit order cannot move a weight by a
+    // ulp — which would otherwise compound across iterations. Features
+    // ride fixed dials (hour/24, cents/50000), not data-dependent scans.
+    "q_stats_logreg" -> ((s, d) => {
+      val dec = DecimalType(28, 9)
+      val ev = t(s, d, "events").select(
+          (hour(col("ts")).cast("double") / lit(24.0)).as("x1"),
+          (cents(col("value")).cast("double") / lit(50000.0)).as("x2"),
+          when(col("event_type") === "purchase", lit(1.0)).otherwise(lit(0.0))
+            .as("y"))
+        .transform(graft.CacheScope.persisted(_))
+      // sigmoid of the CURRENT weight row (w0,w1,w2 ride the join).
+      val p = lit(1.0) / (lit(1.0) +
+        exp(-(col("w0") + col("w1") * col("x1") + col("w2") * col("x2"))))
+      var w: DataFrame = s.range(1).select(
+        lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"))
+      for (_ <- 1 to LogRegIters) {
+        val g = ev.crossJoin(broadcast(w))
+          .groupBy("w0", "w1", "w2")
+          .agg(sum(round(p - col("y"), 9).cast(dec)).as("g0"),
+            sum(round((p - col("y")) * col("x1"), 9).cast(dec)).as("g1"),
+            sum(round((p - col("y")) * col("x2"), 9).cast(dec)).as("g2"),
+            count(lit(1)).as("n"))
+        w = g.select(
+          (col("w0") - col("g0").cast("double") / col("n").cast("double")).as("w0"),
+          (col("w1") - col("g1").cast("double") / col("n").cast("double")).as("w1"),
+          (col("w2") - col("g2").cast("double") / col("n").cast("double")).as("w2"))
+      }
+      ev.crossJoin(broadcast(w))
+        .groupBy("w0", "w1", "w2")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(-(col("y") * log(p) +
+            (lit(1.0) - col("y")) * log(lit(1.0) - p)), 9).cast(dec)).as("ls"))
+        .select(col("n_rows"),
+          round(col("w0"), 6).as("w_bias"),
+          round(col("w1"), 6).as("w_hour"),
+          round(col("w2"), 6).as("w_value"),
+          round(col("ls").cast("double") / col("n_rows").cast("double"), 6)
+            .as("log_loss"))
+    }),
+
+    // Exact two-sample Kolmogorov–Smirnov distance between the spend
+    // distributions of every event-type pair — the distribution-shift
+    // test PSI approximates with bins, computed here EXACTLY and without
+    // a global sort: the jump grid is the distinct-cents relation
+    // (bounded by the value domain, not the row count), per-type CDFs
+    // come from the two-level prefix sum (constant-size dollar-bucket
+    // triangular join for base offsets + a (type, bucket)-partitioned
+    // within-bucket window), and sup|F_a - F_b| is taken over the exact
+    // integer cross-products cum_a*n_b - cum_b*n_a as DECIMAL(38,0) —
+    // doubles appear only in the final division. The KS sup is attained
+    // at a sample jump point, so evaluating on the union grid is the
+    // exact statistic, not an approximation.
+    "q_stats_ks" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type").as("et"), cents(col("value")).as("c"))
+      val cnt = ev.groupBy(col("et"), col("c")).agg(count(lit(1)).as("k"))
+        .transform(graft.CacheScope.persisted(_))
+      val grid = cnt.select(col("c")).distinct()
+      val ty = cnt.groupBy(col("et")).agg(sum(col("k")).as("n"))
+      val full = grid.crossJoin(broadcast(ty))
+        .join(cnt, Seq("et", "c"), "left")
+        .select(col("et"), col("c"), col("n"),
+          coalesce(col("k"), lit(0L)).as("k"),
+          expr("c div 100").as("bk"))
+      val btot = full.groupBy(col("et"), col("bk")).agg(sum(col("k")).as("t"))
+      val base = btot
+        .join(broadcast(btot.select(col("et").as("e2"), col("bk").as("b2"),
+          col("t").as("t2"))),
+          col("e2") === col("et") && col("b2") < col("bk"), "left")
+        .groupBy(col("et"), col("bk"))
+        .agg(coalesce(sum(col("t2")), lit(0L)).as("base"))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("et", "bk").orderBy(col("c").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cdf = full.join(broadcast(base), Seq("et", "bk"))
+        .select(col("et"), col("c"), col("n"),
+          (col("base") + sum(col("k")).over(wb)).as("cum"))
+      val a = cdf.select(col("et").as("type_a"), col("c"),
+        col("n").as("n_a"), col("cum").as("cum_a"))
+      val b = cdf.select(col("et").as("type_b"), col("c").as("c2"),
+        col("n").as("n_b"), col("cum").as("cum_b"))
+      a.join(b, col("c") === col("c2") && col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"), col("n_a"), col("n_b"))
+        .agg(max(abs(col("cum_a").cast(DecimalType(20, 0)) *
+          col("n_b").cast(DecimalType(18, 0)) -
+          col("cum_b").cast(DecimalType(20, 0)) *
+          col("n_a").cast(DecimalType(18, 0)))).as("md"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          round(col("md").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 9).as("ks"))
+    }),
+
+    // Benford leading-digit audit of the spend column, per event type —
+    // the forensic data-quality screen for fabricated or clipped value
+    // distributions. The leading digit comes from the exact integer
+    // cents via string head (locale-free in both engines; no log10
+    // whose floor could flip at a power-of-ten boundary); shares and the
+    // Benford expectation ln(1+1/d)/ln(10) are the only doubles, rounded
+    // on both sides. Scale shape: one events-sized agg to a |types|x9
+    // cell relation; everything after is constant-size.
+    "q_dq_benford" -> ((s, d) => {
+      val cells = t(s, d, "events")
+        .select(col("event_type"), cents(col("value")).as("c"))
+        .filter(col("c") > 0)
+        .select(col("event_type"),
+          substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("event_type"), col("digit"))
+        .agg(count(lit(1)).as("n"))
+        .transform(graft.CacheScope.persisted(_))
+      val tot = cells.groupBy("event_type").agg(sum(col("n")).as("tn"))
+      val share = col("n").cast("double") / col("tn").cast("double")
+      val benford = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+        log(lit(10.0))
+      cells.join(tot, "event_type")
+        .select(col("event_type"), col("digit"), col("n"),
+          round(share, 6).as("share"),
+          round(benford, 6).as("benford"),
+          round(share - benford, 6).as("dev"))
     }))
 
   override val oracles: Map[String, String] = Map(
@@ -470,5 +606,95 @@ object StatsQueries extends QueryPack {
         |         + CAST(frequency > f60 AS INTEGER) + CAST(frequency > f80 AS INTEGER) AS f_score,
         |       1 + CAST(monetary_units > m20 AS INTEGER) + CAST(monetary_units > m40 AS INTEGER)
         |         + CAST(monetary_units > m60 AS INTEGER) + CAST(monetary_units > m80 AS INTEGER) AS m_score
-        |FROM u CROSS JOIN b""".stripMargin)
+        |FROM u CROSS JOIN b""".stripMargin,
+
+    // Unrolled gradient-descent CTEs (one w_i per pass), the identical
+    // sigmoid expression tree and round-then-DECIMAL gradient sums.
+    "q_stats_logreg" -> logregSql,
+
+    // Plain window-cumsum CDF formulation — deliberately different from
+    // the Spark side's two-level prefix sum, same exact integers.
+    "q_stats_ks" ->
+      s"""WITH ev AS (
+         |  SELECT event_type AS et, $CentsSql AS c FROM events
+         |), cnt AS (
+         |  SELECT et, c, count(*) AS k FROM ev GROUP BY et, c
+         |), grid AS (
+         |  SELECT DISTINCT c FROM cnt
+         |), ty AS (
+         |  SELECT et, CAST(sum(k) AS BIGINT) AS n FROM cnt GROUP BY et
+         |), f AS (
+         |  SELECT t.et, g.c, t.n, COALESCE(k.k, 0) AS k
+         |  FROM grid g CROSS JOIN ty t
+         |  LEFT JOIN cnt k ON k.et = t.et AND k.c = g.c
+         |), cdf AS (
+         |  SELECT et, c, n,
+         |         sum(k) OVER (PARTITION BY et ORDER BY c ASC
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM f
+         |)
+         |SELECT a.et AS type_a, b.et AS type_b, a.n AS n_a, b.n AS n_b,
+         |       round(CAST(max(abs(CAST(a.cum AS DECIMAL(20,0)) * CAST(b.n AS DECIMAL(18,0)) -
+         |                          CAST(b.cum AS DECIMAL(20,0)) * CAST(a.n AS DECIMAL(18,0)))) AS DOUBLE) /
+         |             (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)), 9) AS ks
+         |FROM cdf a JOIN cdf b ON a.c = b.c AND a.et < b.et
+         |GROUP BY a.et, b.et, a.n, b.n""".stripMargin,
+
+    "q_dq_benford" ->
+      s"""WITH cells AS (
+         |  SELECT event_type,
+         |         CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         |         count(*) AS n
+         |  FROM (SELECT event_type, $CentsSql AS c FROM events) WHERE c > 0
+         |  GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT event_type, sum(n) AS tn FROM cells GROUP BY 1
+         |)
+         |SELECT c.event_type, c.digit, c.n,
+         |       round(CAST(c.n AS DOUBLE) / CAST(t.tn AS DOUBLE), 6) AS share,
+         |       round(ln(1.0 + 1.0 / CAST(c.digit AS DOUBLE)) / ln(10.0), 6) AS benford,
+         |       round(CAST(c.n AS DOUBLE) / CAST(t.tn AS DOUBLE) -
+         |             ln(1.0 + 1.0 / CAST(c.digit AS DOUBLE)) / ln(10.0), 6) AS dev
+         |FROM cells c JOIN tot t ON t.event_type = c.event_type""".stripMargin)
+
+  /** The logreg oracle: w0 holds the zero init; each g_i/w_i CTE pair is
+    * one gradient pass. SIG is the same double expression tree as the
+    * Spark side's `p`.
+    */
+  private def logregSql: String = {
+    def sig(w: String) =
+      s"1.0 / (1.0 + exp(-($w.w0 + $w.w1 * e.x1 + $w.w2 * e.x2)))"
+    val iters = (1 to LogRegIters).map { i =>
+      val s0 = sig("w")
+      s"""g$i AS (
+         |  SELECT sum(CAST(round(($s0 - e.y), 9) AS DECIMAL(28,9))) AS g0,
+         |         sum(CAST(round(($s0 - e.y) * e.x1, 9) AS DECIMAL(28,9))) AS g1,
+         |         sum(CAST(round(($s0 - e.y) * e.x2, 9) AS DECIMAL(28,9))) AS g2,
+         |         count(*) AS n
+         |  FROM ev e CROSS JOIN w${i - 1} w
+         |), w$i AS (
+         |  SELECT w.w0 - CAST(g.g0 AS DOUBLE) / CAST(g.n AS DOUBLE) AS w0,
+         |         w.w1 - CAST(g.g1 AS DOUBLE) / CAST(g.n AS DOUBLE) AS w1,
+         |         w.w2 - CAST(g.g2 AS DOUBLE) / CAST(g.n AS DOUBLE) AS w2
+         |  FROM w${i - 1} w CROSS JOIN g$i g
+         |)""".stripMargin
+    }.mkString(",\n")
+    val sf = sig("w")
+    s"""WITH ev AS (
+       |  SELECT CAST(hour(ts) AS DOUBLE) / 24.0 AS x1,
+       |         CAST($CentsSql AS DOUBLE) / 50000.0 AS x2,
+       |         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM events
+       |), w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+       |$iters
+       |SELECT count(*) AS n_rows,
+       |       round(w.w0, 6) AS w_bias,
+       |       round(w.w1, 6) AS w_hour,
+       |       round(w.w2, 6) AS w_value,
+       |       round(CAST(sum(CAST(round(-(e.y * ln($sf) + (1.0 - e.y) * ln(1.0 - $sf)), 9)
+       |                          AS DECIMAL(28,9))) AS DOUBLE) /
+       |             CAST(count(*) AS DOUBLE), 6) AS log_loss
+       |FROM ev e CROSS JOIN w$LogRegIters w
+       |GROUP BY w.w0, w.w1, w.w2""".stripMargin
+  }
 }
