@@ -53,6 +53,9 @@ object GraphQueries extends QueryPack {
     */
   val Iters = 5
 
+  /** Seed-set modulus for personalized PageRank (pk % mod == 0). */
+  val PprSeedMod = 50L
+
   /** Distinct directed co-purchase edges (src, dst), symmetric. One
     * groupBy(order) + bounded array pair-expansion + one distinct — two
     * exchanges total. (A distinct-then-self-join formulation needs two
@@ -104,8 +107,45 @@ object GraphQueries extends QueryPack {
     r.select(col("node"), col("r").as("pr_fixed"))
   }
 
+  /** Personalized PageRank: the random walk restarts at the SEED SET
+    * (parts with pk % [[PprSeedMod]] == 0 — a dial) instead of uniformly,
+    * so rank concentrates in the seeds' neighborhoods — the
+    * related-products / local-relevance primitive. Same integer
+    * fixed-point, joins, and overflow bounds as [[pagerankOf]]; the only
+    * change is the restart term: (1-d)·Scale lands on seeds only, and the
+    * init places all mass on seeds. Nodes unreachable from any seed
+    * finish at exactly 0 and are filtered — at 100 TB the output is the
+    * seeds' basin, not the whole graph.
+    */
+  def pprOf(edgesDf: DataFrame): DataFrame = {
+    val e = edgesDf.transform(graft.CacheScope.persisted(_))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .transform(graft.CacheScope.persisted(_))
+    val ed = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .transform(graft.CacheScope.persisted(_))
+    val nodes = deg.select(col("src").as("node"),
+      (col("src") % PprSeedMod === 0).as("seed"))
+    val base = (100L - DampPct) * Scale / 100L
+    var r = nodes.select(col("node"),
+      when(col("seed"), lit(Scale)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to Iters) {
+      val contrib = ed.join(r, col("src") === col("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("contrib"))
+      r = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (when(col("seed"), lit(base)).otherwise(lit(0L)) +
+            expr(s"($DampPct * coalesce(contrib, 0L)) div 100")).as("r"))
+    }
+    r.filter(col("r") > 0).select(col("node"), col("r").as("ppr_fixed"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> ((s, d) => pagerank(s, d)),
+
+    "q_graph_ppr" -> ((s, d) => pprOf(edges(s, d))),
 
     // Degree-distribution profile of the same graph: the skew gauge you
     // read BEFORE running the iterative jobs (a power-law tail here is
@@ -616,6 +656,23 @@ object GraphQueries extends QueryPack {
        |  FROM be JOIN a$i a ON a.p = be.p GROUP BY be.c
        |)""".stripMargin
 
+  /** One unrolled personalized-PageRank iteration i: the restart term
+    * lands only on seed nodes (src % PprSeedMod == 0).
+    */
+  private def pprIterCte(i: Int): String = {
+    val base = (100L - DampPct) * Scale / 100L
+    s"""pc$i AS (
+       |  SELECT e.dst, sum(r.r // e.outdeg) AS contrib
+       |  FROM ed e JOIN pr${i - 1} r ON r.node = e.src
+       |  GROUP BY e.dst
+       |), pr$i AS (
+       |  SELECT d.src AS node,
+       |         (CASE WHEN d.src % $PprSeedMod = 0 THEN $base ELSE 0 END) +
+       |         ($DampPct * COALESCE(c.contrib, 0)) // 100 AS r
+       |  FROM deg d LEFT JOIN pc$i c ON c.dst = d.src
+       |)""".stripMargin
+  }
+
   /** One unrolled BFS relaxation round (reads d{i-1}, defines d{i}). */
   private def bfsCte(i: Int): String =
     s"""d$i AS (
@@ -632,6 +689,15 @@ object GraphQueries extends QueryPack {
        |)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "q_graph_ppr" ->
+      s"""$edgesCte,
+         |ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.src = e.src),
+         |pr0 AS (SELECT src AS node,
+         |               CASE WHEN src % $PprSeedMod = 0 THEN $Scale ELSE 0 END AS r
+         |        FROM deg),
+         |${(1 to Iters).map(pprIterCte).mkString(",\n")}
+         |SELECT node, CAST(r AS BIGINT) AS ppr_fixed FROM pr$Iters WHERE r > 0""".stripMargin,
+
     "q_graph_sssp" ->
       s"""$windowedEdgesCte, price AS (
          |  SELECT p_partkey, CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc

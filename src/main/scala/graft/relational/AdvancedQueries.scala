@@ -486,7 +486,45 @@ object AdvancedQueries extends QueryPack {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
 
+  /** Minimum pair support (co-purchase order count) for q_assoc_rules. */
+  val AssocMinSup = 3L
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Association rules (market-basket) over order baskets: for every
+    // DIRECTED part pair (a -> b) co-purchased in >= AssocMinSup orders,
+    // support, confidence sup(a,b)/sup(a), and lift n·sup(a,b)/(sup(a)·
+    // sup(b)) — the A-priori 2-itemset pass, the classic retail
+    // cross-sell primitive. Scale shape: baskets collapse to per-order
+    // part SETS (collect_set bounds state at <= 7 keys), pairs explode
+    // order-locally (<= 42 per order — never a self-join of the
+    // lineitem relation), and the support filter prunes BEFORE the
+    // singleton-support joins; the n_orders scalar rides a broadcast
+    // 1-row aggregate. Exact integers until the two final divisions.
+    "q_assoc_rules" -> ((s, d) => {
+      val baskets = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey")).agg(collect_set(col("l_partkey")).as("pks"))
+        .transform(graft.CacheScope.persisted(_))
+      val pairSup = baskets
+        .select(explode(col("pks")).as("a"), col("pks"))
+        .select(col("a"), explode(array_remove(col("pks"), col("a"))).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup_ab"))
+        .filter(col("sup_ab") >= AssocMinSup)
+      val singleSup = baskets
+        .select(explode(col("pks")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("sup"))
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+      pairSup
+        .join(singleSup.select(col("pk").as("a"), col("sup").as("sup_a")), "a")
+        .join(singleSup.select(col("pk").as("b"), col("sup").as("sup_b")), "b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("a").as("antecedent"), col("b").as("consequent"),
+          col("sup_ab"),
+          round(col("sup_ab").cast("double") / col("sup_a").cast("double"), 6)
+            .as("confidence"),
+          round((col("n_orders") * col("sup_ab")).cast("double") /
+            (col("sup_a") * col("sup_b")).cast("double"), 6).as("lift"))
+    }),
 
     "q_sql_grouping_sets" -> ((s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("lineitem")
@@ -1268,6 +1306,29 @@ object AdvancedQueries extends QueryPack {
   val EwmaTaps = 8
 
   override val oracles: Map[String, String] = Map(
+    // Distinct-pair self-join formulation — deliberately different from
+    // the Spark side's basket-local explode.
+    "q_assoc_rules" ->
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |), ps AS (
+         |  SELECT a.pk AS a, b.pk AS b, count(*) AS sup_ab
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= $AssocMinSup
+         |), ss AS (
+         |  SELECT pk, count(*) AS sup FROM li GROUP BY pk
+         |), n AS (
+         |  SELECT count(DISTINCT ok) AS n_orders FROM li
+         |)
+         |SELECT p.a AS antecedent, p.b AS consequent, p.sup_ab,
+         |       round(CAST(p.sup_ab AS DOUBLE) / CAST(sa.sup AS DOUBLE), 6) AS confidence,
+         |       round(CAST(n.n_orders * p.sup_ab AS DOUBLE) /
+         |             CAST(sa.sup * sb.sup AS DOUBLE), 6) AS lift
+         |FROM ps p
+         |JOIN ss sa ON sa.pk = p.a
+         |JOIN ss sb ON sb.pk = p.b
+         |CROSS JOIN n""".stripMargin,
+
     "q_events_funnel" ->
       """WITH v AS (
         |  SELECT user_id, event_id AS view_id, ts AS view_ts
