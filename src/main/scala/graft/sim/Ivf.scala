@@ -145,7 +145,7 @@ object Ivf {
         .agg(sum("qx").as("s"), count(lit(1)).as("n"))
     }
     persisted(ranked(distances(cent), p.nprobe)
-      .select(col("vid"), col("cell"), col("rn")))
+      .select(col("vid"), col("cell"), col("rn"), col("dd")))
   }
 
   /** DuckDB oracle CTEs for the same Params, appended after an `e` CTE

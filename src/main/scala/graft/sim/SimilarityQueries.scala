@@ -3,8 +3,9 @@ package graft.sim
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
-import graft.{QueryPack, Tables}
+import graft.{CacheScope, QueryPack, Tables}
 
 /** Similarity search over `embeddings.embedding` (BASELINE.json north star):
   *
@@ -122,6 +123,37 @@ object SimilarityQueries extends QueryPack {
     // both halves document. Same output schema as the other ANN methods,
     // so the recall harness folds it in unchanged.
     "sim_ivfpq" -> ((s, d) => IvfPq.ann(emb(s, d), IvfPqParams)),
+
+    // Grid-blocked DBSCAN over the (dim0, dim1) embedding plane
+    // ([[Dbscan]]): density clusters + deterministic border assignment,
+    // noise dropped — the arbitrary-shape counterpart of the centroid
+    // methods, with the eps-join expressed as a 3x3 cell equi-join.
+    "sim_dbscan" -> ((s, d) => Dbscan.cluster(emb(s, d), Dbscan.Default)),
+
+    // Standalone k-means readout of the SAME hash-seeded exact-integer
+    // Lloyd trainer IVF routes with ([[Ivf.probeRanked]]): per-cluster
+    // size, inertia, and mean squared distance — the clustering-quality
+    // gauge (elbow readout) a corpus-partitioning or IVF-dial decision
+    // reads. Per-vector squared distances are norm2 + dd/1e6 (exact
+    // norm, rank-distance from the trainer), round(,6)-pinned and summed
+    // as DECIMAL so the inertia can't wobble with partition order.
+    "sim_kmeans" -> ((s, d) => {
+      val e0 = CacheScope.persisted(
+        emb(s, d).select(col("vec_id"), col("qe"), col("norm2")))
+      val ex = CacheScope.persisted(e0.select(col("vec_id"),
+        posexplode(col("qe")).as(Seq("i", "qx"))))
+      val r1 = Ivf.probeRanked(e0, ex, IvfParams).filter(col("rn") === 1)
+      val sq = r1.join(e0.select(col("vec_id").as("vid"), col("norm2")), "vid")
+        .select(col("cell"),
+          round(col("norm2") + col("dd") / lit(1000000.0), 6)
+            .cast(DecimalType(24, 6)).as("sq"))
+      sq.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"), sum(col("sq")).as("ssq"))
+        .select(col("cell").as("cluster_id"), col("n_members"),
+          round(col("ssq").cast("double"), 6).as("inertia"),
+          round(col("ssq").cast("double") / col("n_members").cast("double"), 6)
+            .as("mean_sqdist"))
+    }),
 
     // Johnson-Lindenstrauss random projection to RpDims sign-hash
     // dimensions ([[rpProject]]) — the data-independent counterpart of
@@ -415,6 +447,25 @@ object SimilarityQueries extends QueryPack {
     s"""$eCte${Ivf.oracleCtes(IvfParams)}
        |SELECT q_id, n_id, cos, rnk FROM ivf_topk""".stripMargin
 
+  /** k-means twin: the same unrolled Lloyd CTEs; the assigned distance is
+    * re-read from the final dist relation at the assignment's (vid, cell).
+    */
+  private lazy val kmeansOracle: String =
+    s"""$eCte${Ivf.oracleCtes(IvfParams)},
+       |ad AS (
+       |  SELECT d.vid, d.cell, d.dd
+       |  FROM dist${IvfParams.iters} d
+       |  JOIN cellall a ON a.vid = d.vid AND a.cell = d.cell
+       |)
+       |SELECT ad.cell AS cluster_id, count(*) AS n_members,
+       |       round(CAST(sum(CAST(round(n.norm2 + ad.dd / 1000000.0, 6)
+       |                          AS DECIMAL(24,6))) AS DOUBLE), 6) AS inertia,
+       |       round(CAST(sum(CAST(round(n.norm2 + ad.dd / 1000000.0, 6)
+       |                          AS DECIMAL(24,6))) AS DOUBLE) /
+       |             CAST(count(*) AS DOUBLE), 6) AS mean_sqdist
+       |FROM ad JOIN norms n ON n.vec_id = ad.vid
+       |GROUP BY ad.cell""".stripMargin
+
   private lazy val pqOracle: String =
     s"""$eCte${Pq.oracleCtes(PqParams)}
        |SELECT q_id, n_id, adc, rnk FROM pq_topk""".stripMargin
@@ -522,6 +573,8 @@ object SimilarityQueries extends QueryPack {
     "sim_knn_outlier" -> knnOutlierOracle,
 
     "sim_pca_power" -> Pca.oracleSql,
+    "sim_dbscan" -> Dbscan.oracleSql(Dbscan.Default),
+    "sim_kmeans" -> kmeansOracle,
 
     "sim_rp_project" -> rpOracle,
 
