@@ -245,7 +245,82 @@ object TimeSeriesQueries extends QueryPack {
           round((col("hc").cast("double") / (col("hn") * 100).cast("double")) /
             (col("tc").cast("double") / (col("tn") * 100).cast("double")), 6)
             .as("seasonal_index"))
+    }),
+
+    // Inter-arrival-time distribution: per event type, the quantiles and
+    // mean of the gap since the SAME USER's previous event (any type) —
+    // the pacing profile that sizes session gaps, throttle windows, and
+    // streaming watermarks. Gaps are exact integer microseconds from a
+    // user-partitioned lag window; the quantiles are the exact
+    // interpolated percentile over those integers (state bounded by
+    // DISTINCT gap values — the q_events_rfm caveat: at a cardinality
+    // where exactness hurt, swap approx_percentile), converted to
+    // seconds only on output.
+    "q_ts_interarrival" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val g = t(s, d, "events")
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("ts"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+      g.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(gap, 0.5)").as("p50"),
+          expr("percentile(gap, 0.95)").as("p95"),
+          sum(col("gap")).as("sg"))
+        .select(col("event_type"), col("n"),
+          round(col("p50") / lit(1000000.0), 3).as("p50_s"),
+          round(col("p95") / lit(1000000.0), 3).as("p95_s"),
+          round(col("sg").cast("double") / col("n").cast("double") /
+            lit(1000000.0), 3).as("mean_s"))
+    }),
+
+    // Holt's linear-trend (double exponential) smoothing of the daily
+    // series: final level/trend, a 7-day-ahead forecast, and the
+    // one-step MAE — the model q_ts_forecast_eval's naive baselines
+    // exist to be beaten by. The recursion l_t = αy + (1-α)(l+b),
+    // b_t = β(l_t - l) + (1-β)b is inherently sequential, so it runs as
+    // an ORDERED ARRAY FOLD per key (collect day-sorted values, one
+    // `aggregate` lambda): legal at any corpus scale because the folded
+    // relation is the CALENDAR-BOUNDED daily series (types × days), not
+    // the event stream — the same bounded-relation argument every
+    // operator in this pack rests on. Constants are pre-folded
+    // (0.7 = 1-α, 0.9 = 1-β) so both engines evaluate the identical
+    // double expression tree; the fold order is pinned by array_sort on
+    // (day, y), unique per day.
+    "q_ts_holt" -> ((s, d) => {
+      val daily = dailyOf(t(s, d, "events"))
+      val series = daily
+        .groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day"),
+          (col("c").cast("double") / lit(100.0)).as("y")))).as("ys"))
+      series.select(col("event_type"), size(col("ys")).as("n_days"),
+          expr(s"""aggregate(
+            slice(ys, 2, size(ys) - 1),
+            named_struct('l', ys[0].y, 'b', CAST(0.0 AS DOUBLE),
+                         'e', CAST(0.0 AS DOUBLE)),
+            (acc, s) -> named_struct(
+              'l', $HoltAlpha * s.y + $HoltAlphaC * (acc.l + acc.b),
+              'b', $HoltBeta * (($HoltAlpha * s.y + $HoltAlphaC * (acc.l + acc.b)) - acc.l) +
+                   $HoltBetaC * acc.b,
+              'e', acc.e + abs((acc.l + acc.b) - s.y)))""").as("st"))
+        .select(col("event_type"), col("n_days"),
+          round(col("st.l"), 6).as("level"),
+          round(col("st.b"), 6).as("trend"),
+          round(col("st.l") + lit(7.0) * col("st.b"), 6).as("forecast_7d"),
+          when(col("n_days") > 1,
+            round(col("st.e") / (col("n_days") - 1).cast("double"), 6))
+            .otherwise(lit(0.0)).as("mae_1step"))
     }))
+
+  /** Holt smoothing dials, with the complements pre-folded so both
+    * engines see literal constants (never 1-α evaluated at runtime).
+    */
+  val HoltAlpha = "0.3"
+  val HoltAlphaC = "0.7"
+  val HoltBeta = "0.1"
+  val HoltBetaC = "0.9"
 
   override val oracles: Map[String, String] = Map(
 
@@ -376,5 +451,52 @@ object TimeSeriesQueries extends QueryPack {
          |       round(CAST(h.hc AS DOUBLE) / CAST(h.hn * 100 AS DOUBLE), 4) AS hourly_mean,
          |       round((CAST(h.hc AS DOUBLE) / CAST(h.hn * 100 AS DOUBLE)) /
          |             (CAST(t.tc AS DOUBLE) / CAST(t.tn * 100 AS DOUBLE)), 6) AS seasonal_index
-         |FROM hourly h JOIN typ t ON t.event_type = h.event_type""".stripMargin)
+         |FROM hourly h JOIN typ t ON t.event_type = h.event_type""".stripMargin,
+
+    "q_ts_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n,
+        |       round(quantile_cont(gap, 0.5) / 1000000.0, 3) AS p50_s,
+        |       round(quantile_cont(gap, 0.95) / 1000000.0, 3) AS p95_s,
+        |       round(CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE) /
+        |             1000000.0, 3) AS mean_s
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
+
+    // Recursive-CTE formulation of the same fold: one row per (type,
+    // step), joined forward on the day index — deliberately different
+    // machinery (recursion vs array fold), identical double expression
+    // tree.
+    "q_ts_holt" ->
+      s"""WITH RECURSIVE daily AS ($DailySql),
+         |idx AS (
+         |  SELECT event_type, c,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY day ASC) AS i
+         |  FROM daily
+         |), nn AS (
+         |  SELECT event_type, CAST(max(i) AS INTEGER) AS n FROM idx GROUP BY 1
+         |), rec(event_type, i, l, b, e) AS (
+         |  SELECT event_type, 1, CAST(c AS DOUBLE) / 100.0,
+         |         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+         |  FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.i + 1,
+         |         $HoltAlpha * (CAST(x.c AS DOUBLE) / 100.0) + $HoltAlphaC * (r.l + r.b),
+         |         $HoltBeta * (($HoltAlpha * (CAST(x.c AS DOUBLE) / 100.0) +
+         |                       $HoltAlphaC * (r.l + r.b)) - r.l) + $HoltBetaC * r.b,
+         |         r.e + abs((r.l + r.b) - CAST(x.c AS DOUBLE) / 100.0)
+         |  FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1
+         |)
+         |SELECT r.event_type, CAST(n.n AS INTEGER) AS n_days,
+         |       round(r.l, 6) AS level, round(r.b, 6) AS trend,
+         |       round(r.l + 7.0 * r.b, 6) AS forecast_7d,
+         |       CASE WHEN n.n > 1
+         |            THEN round(r.e / CAST(n.n - 1 AS DOUBLE), 6)
+         |            ELSE 0.0 END AS mae_1step
+         |FROM rec r JOIN nn n ON n.event_type = r.event_type AND r.i = n.n""".stripMargin)
 }
