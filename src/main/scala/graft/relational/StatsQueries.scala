@@ -404,6 +404,46 @@ object StatsQueries extends QueryPack {
             (col("n_a").cast("double") * col("n_b").cast("double")), 9).as("ks"))
     }),
 
+    // Welch's unequal-variance t-test between every event-type pair's
+    // spend means — the mean-shift companion of q_stats_ks (which sees
+    // any distribution change) and q_stats_chisq (categorical): t and
+    // the Welch–Satterthwaite df from EXACT integer-cents moments
+    // (n, Σc, Σc² — the squares routed through DECIMAL so 100 TB row
+    // counts can't overflow a bigint sum); doubles only in the final
+    // identical-on-both-engines t/df expressions. Scale shape: one
+    // events-sized aggregate to a |types|-row moments relation; the
+    // pairwise join is over that constant-size relation.
+    "q_stats_ttest" -> ((s, d) => {
+      val m = t(s, d, "events")
+        .select(col("event_type"), cents(col("value")).as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast(DecimalType(18, 0))).cast(DecimalType(24, 0)).as("s"),
+          sum((col("c") * col("c")).cast(DecimalType(20, 0)))
+            .cast(DecimalType(38, 0)).as("ssq"))
+      def dd(c: Column) = c.cast("double")
+      def variance(n: Column, s: Column, ssq: Column) =
+        (dd(ssq) - dd(s) * dd(s) / dd(n)) / dd(n - 1)
+      val a = m.select(col("event_type").as("type_a"), col("n").as("na"),
+        col("s").as("sa"), col("ssq").as("qa"))
+      val b = m.select(col("event_type").as("type_b"), col("n").as("nb"),
+        col("s").as("sb"), col("ssq").as("qb"))
+      val va = variance(col("na"), col("sa"), col("qa"))
+      val vb = variance(col("nb"), col("sb"), col("qb"))
+      val se2 = va / dd(col("na")) + vb / dd(col("nb"))
+      val df = se2 * se2 /
+        ((va / dd(col("na"))) * (va / dd(col("na"))) / dd(col("na") - 1) +
+         (vb / dd(col("nb"))) * (vb / dd(col("nb"))) / dd(col("nb") - 1))
+      a.join(broadcast(b), col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          col("na").as("n_a"), col("nb").as("n_b"),
+          round(dd(col("sa")) / dd(col("na")) / 100.0, 4).as("mean_a"),
+          round(dd(col("sb")) / dd(col("nb")) / 100.0, 4).as("mean_b"),
+          round((dd(col("sa")) / dd(col("na")) - dd(col("sb")) / dd(col("nb"))) /
+            sqrt(se2), 6).as("t_stat"),
+          round(df, 3).as("df_welch"))
+    }),
+
     // Benford leading-digit audit of the spend column, per event type —
     // the forensic data-quality screen for fabricated or clipped value
     // distributions. The leading digit comes from the exact integer
@@ -639,6 +679,31 @@ object StatsQueries extends QueryPack {
          |             (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)), 9) AS ks
          |FROM cdf a JOIN cdf b ON a.c = b.c AND a.et < b.et
          |GROUP BY a.et, b.et, a.n, b.n""".stripMargin,
+
+    "q_stats_ttest" ->
+      s"""WITH m AS (
+         |  SELECT event_type, count(*) AS n,
+         |         CAST(sum(CAST(c AS DECIMAL(18,0))) AS DECIMAL(24,0)) AS s,
+         |         CAST(sum(CAST(c * c AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS ssq
+         |  FROM (SELECT event_type, $CentsSql AS c FROM events)
+         |  GROUP BY event_type
+         |), v AS (
+         |  SELECT event_type, n, s,
+         |         ((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+         |           CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) / CAST(n AS DOUBLE) AS vn
+         |  FROM m
+         |)
+         |SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |       a.n AS n_a, b.n AS n_b,
+         |       round(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) / 100.0, 4) AS mean_a,
+         |       round(CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) / 100.0, 4) AS mean_b,
+         |       round((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) -
+         |              CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) /
+         |             sqrt(a.vn + b.vn), 6) AS t_stat,
+         |       round((a.vn + b.vn) * (a.vn + b.vn) /
+         |             (a.vn * a.vn / CAST(a.n - 1 AS DOUBLE) +
+         |              b.vn * b.vn / CAST(b.n - 1 AS DOUBLE)), 3) AS df_welch
+         |FROM v a JOIN v b ON a.event_type < b.event_type""".stripMargin,
 
     "q_dq_benford" ->
       s"""WITH cells AS (

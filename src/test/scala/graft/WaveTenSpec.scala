@@ -78,6 +78,20 @@ class WaveTenSpec extends SparkSpec {
     assert(out(0).getAs[Double]("ks") == 1.0)
   }
 
+  test("q_stats_ttest keeps Welch df inside its theoretical bounds") {
+    val rows = SparkEntry.queries("q_stats_ttest")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val na = r.getAs[Long]("n_a"); val nb = r.getAs[Long]("n_b")
+      val df = r.getAs[Double]("df_welch")
+      assert(df >= math.min(na, nb) - 1 - 0.001 && df <= na + nb - 2 + 0.001,
+        s"df=$df outside [${math.min(na, nb) - 1}, ${na + nb - 2}]")
+      val t = r.getAs[Double]("t_stat")
+      assert(!t.isNaN && !t.isInfinite)
+    }
+  }
+
   test("q_dq_benford shares sum to ~1 per type with digits in 1..9") {
     val rows = SparkEntry.queries("q_dq_benford")(spark, sfDir).collect()
     CacheScope.releaseAll()
