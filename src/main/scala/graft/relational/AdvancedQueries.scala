@@ -478,6 +478,19 @@ object AdvancedQueries extends QueryPack {
       |                  WHERE o.o_custkey = c.c_custkey
       |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin
 
+  /** NOT IN with a nullable (but null-free) subquery column: parts with
+    * no lineitem in recent orders. `nullif(pk, -1)` never fires on real
+    * keys, so the answer is non-trivial while the TYPE stays nullable
+    * and both planners must use three-valued NOT IN semantics.
+    */
+  private val NotInSub: String =
+    """SELECT p_partkey, p_name
+      |FROM part
+      |WHERE p_partkey NOT IN (
+      |  SELECT nullif(l.l_partkey, -1)
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  WHERE o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""".stripMargin
+
   /** Explicit GROUPING SETS (beyond cube/rollup) — one shared SQL text. */
   private val GSets: String =
     """SELECT l_returnflag, l_linestatus,
@@ -670,6 +683,20 @@ object AdvancedQueries extends QueryPack {
       Seq("customer", "orders").foreach(n =>
         t(s, d, n).createOrReplaceTempView(n))
       s.sql(ExistsSub)
+    }),
+
+    // NOT IN over a NULLABLE subquery column — the null-aware anti join,
+    // the planner shape a plain anti join silently gets WRONG (one NULL
+    // in the subquery must empty the result under three-valued logic).
+    // The nullif keeps the column nullable so Spark must plan the
+    // null-aware variant (isNullAware BroadcastHashJoin — the build side
+    // must broadcast, the documented constraint of this operator; at
+    // 100 TB a huge NOT IN side gets rewritten to the anti-join +
+    // null-check union instead). Same SQL text runs in both engines.
+    "q_sql_not_in" -> ((s, d) => {
+      Seq("part", "lineitem", "orders").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(NotInSub)
     }),
 
     "q_sql_tpch_q5" -> ((s, d) => {
@@ -876,6 +903,41 @@ object AdvancedQueries extends QueryPack {
       pairs.select(col("from_type"), col("to_type"), col("n"),
         round(col("n").cast("double") / sum(col("n")).over(rowTotal), 9)
           .as("p"))
+    }),
+
+    // Stationary distribution of that Markov chain — where the behavior
+    // converges if the observed dynamics persist, the long-run mix a
+    // capacity model plans against. Power iteration in INTEGER fixed
+    // point (the PageRank discipline on a |types|x|types| matrix): mass
+    // m·n div rt per step with the product routed through DECIMAL so a
+    // 100 TB transition count cannot overflow, MarkovIters rounds
+    // unrolled identically in the oracle. Everything after the one
+    // events-sized lead/count pass runs on the constant-size matrix.
+    "q_markov_stationary" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cnts = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .transform(graft.CacheScope.persisted(_))
+      val rt = cnts.groupBy("from_type").agg(sum(col("n")).as("rt"))
+      val pm = cnts.join(rt, "from_type")
+        .transform(graft.CacheScope.persisted(_))
+      var pi = rt.select(col("from_type").as("state"),
+        lit(MarkovScale).as("m"))
+      for (_ <- 1 to MarkovIters) {
+        pi = pm.join(pi, col("from_type") === col("state"))
+          .select(col("to_type"),
+            expr("CAST((CAST(m AS DECIMAL(20,0)) * n) div rt AS BIGINT)").as("c"))
+          .groupBy(col("to_type")).agg(sum(col("c")).as("m"))
+          .select(col("to_type").as("state"), col("m"))
+      }
+      pi.crossJoin(broadcast(pi.agg(sum(col("m")).as("tm"))))
+        .select(col("state"), col("m").as("pi_fixed"),
+          round(col("m").cast("double") / col("tm").cast("double"), 9).as("pi"))
     }),
 
     // Point-in-time lookup (the AS-OF warehouse join): recover each
@@ -1305,6 +1367,44 @@ object AdvancedQueries extends QueryPack {
   val EwmaAlpha = 0.2
   val EwmaTaps = 8
 
+  /** q_markov_stationary dials: mass units per state at init, power-
+    * iteration rounds (unrolled in the oracle).
+    */
+  val MarkovScale = 1000000000000L
+  val MarkovIters = 8
+
+  /** One unrolled stationary-distribution step (reads pi{i-1}). */
+  private def markovIterCte(i: Int): String =
+    s"""pi$i AS (
+       |  SELECT pm.to_type AS state,
+       |         CAST(sum((p.m * pm.n) // pm.rt) AS HUGEINT) AS m
+       |  FROM pm JOIN pi${i - 1} p ON p.state = pm.from_type
+       |  GROUP BY 1
+       |)""".stripMargin
+
+  private lazy val markovStationaryOracle: String =
+    s"""WITH pr AS (
+       |  SELECT event_type AS from_type,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |                                ORDER BY ts ASC, event_id ASC) AS to_type
+       |  FROM events
+       |), c AS (
+       |  SELECT from_type, to_type, count(*) AS n
+       |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2
+       |), rt AS (
+       |  SELECT from_type, CAST(sum(n) AS BIGINT) AS rt FROM c GROUP BY 1
+       |), pm AS (
+       |  SELECT c.from_type, c.to_type, c.n, r.rt
+       |  FROM c JOIN rt r ON r.from_type = c.from_type
+       |), pi0 AS (
+       |  SELECT from_type AS state, CAST($MarkovScale AS HUGEINT) AS m FROM rt
+       |),
+       |${(1 to MarkovIters).map(markovIterCte).mkString(",\n")}
+       |SELECT state, CAST(m AS BIGINT) AS pi_fixed,
+       |       round(CAST(m AS DOUBLE) /
+       |             (SELECT CAST(sum(m) AS DOUBLE) FROM pi$MarkovIters), 9) AS pi
+       |FROM pi$MarkovIters""".stripMargin
+
   override val oracles: Map[String, String] = Map(
     // Distinct-pair self-join formulation — deliberately different from
     // the Spark side's basket-local explode.
@@ -1511,6 +1611,8 @@ object AdvancedQueries extends QueryPack {
            |FROM orders""".stripMargin)
       .mkString("\nUNION ALL\n"),
 
+    "q_markov_stationary" -> markovStationaryOracle,
+
     "q_markov_transitions" ->
       """WITH p AS (
         |  SELECT event_type AS from_type,
@@ -1705,6 +1807,7 @@ object AdvancedQueries extends QueryPack {
          |FROM orders GROUP BY 1""".stripMargin,
     "q_sql_scalar_subquery" -> ScalarSub,
     "q_sql_exists" -> ExistsSub,
+    "q_sql_not_in" -> NotInSub,
 
     "q_range_join" ->
       """SELECT a.event_id AS event_a, b.event_id AS event_b,

@@ -251,6 +251,38 @@ object RelationalQueries extends QueryPack {
         .select(col("l_returnflag"), col("exact_n"), col("est_n"),
           round(abs(col("est_n") - col("exact_n")).cast("double") /
             col("exact_n"), 6).as("rel_err"))
+    }),
+
+    // The AQP estimate WITH its error bar — what turns q_aqp_sum's
+    // after-the-fact rel_err into a usable contract: the Horvitz-
+    // Thompson 95% CI for Bernoulli(1/64) sampling, V̂ = Σ_sample x²
+    // (1-p)/p², half-width 1.96·sqrt(V̂). The sample's Σx² runs as exact
+    // integer cents² through DECIMAL (order-independent), doubles only
+    // in the final sqrt; `covered` reports whether the exact answer
+    // (computed in the same single scan) fell inside the bar. One scan,
+    // conditional aggregates, no second pass.
+    "q_aqp_ci" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val inSample = aqpBucket(col("l_orderkey"), col("l_linenumber"))
+      val c = (col("l_extendedprice").cast(
+        org.apache.spark.sql.types.DecimalType(12, 2)) * 100).cast("long")
+      val agg = li.agg(
+        dsum(col("l_extendedprice"), 4).as("exact_sum"),
+        (sum(when(inSample, col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))) * AqpScale)
+          .cast("double").as("est_sum"),
+        sum(when(inSample, (c * c).cast(
+          org.apache.spark.sql.types.DecimalType(24, 0)))
+          .otherwise(lit(BigDecimal(0))
+            .cast(org.apache.spark.sql.types.DecimalType(24, 0))))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("sq"))
+      // (1-p)/p² with p = 1/64 is exactly 63·64 = 4032; cents² -> $² is
+      // the /10000.
+      val ci = lit(1.96) * sqrt(lit(4032.0) *
+        (col("sq").cast("double") / lit(10000.0)))
+      agg.select(col("exact_sum"), col("est_sum"),
+        round(ci, 2).as("ci_half"),
+        (abs(col("est_sum") - col("exact_sum")) <= ci).as("covered"))
     })
   )
 
@@ -281,6 +313,26 @@ object RelationalQueries extends QueryPack {
          |            AS BIGINT) AS est_n,
          |       round(abs(est_sum - exact_sum) / exact_sum, 6) AS rel_err
          |FROM lineitem""".stripMargin,
+
+    "q_aqp_ci" ->
+      s"""SELECT ${dsumSql("l_extendedprice", 4)} AS exact_sum,
+         |       CAST(sum(CASE WHEN $aqpBucketSql
+         |                     THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) * $AqpScale
+         |            AS DOUBLE) AS est_sum,
+         |       round(1.96 * sqrt(4032.0 *
+         |             (CAST(CAST(sum(CASE WHEN $aqpBucketSql
+         |                       THEN CAST(c * c AS DECIMAL(24,0))
+         |                       ELSE CAST(0 AS DECIMAL(24,0)) END) AS DECIMAL(38,0)) AS DOUBLE) / 10000.0)), 2) AS ci_half,
+         |       abs(CAST(sum(CASE WHEN $aqpBucketSql
+         |                     THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) * $AqpScale
+         |            AS DOUBLE) - ${dsumSql("l_extendedprice", 4)}) <=
+         |       1.96 * sqrt(4032.0 *
+         |             (CAST(CAST(sum(CASE WHEN $aqpBucketSql
+         |                       THEN CAST(c * c AS DECIMAL(24,0))
+         |                       ELSE CAST(0 AS DECIMAL(24,0)) END) AS DECIMAL(38,0)) AS DOUBLE) / 10000.0)) AS covered
+         |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+         |             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+         |      FROM lineitem)""".stripMargin,
 
     "q_aqp_groupby" ->
       s"""SELECT l_returnflag,

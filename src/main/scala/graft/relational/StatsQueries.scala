@@ -404,6 +404,41 @@ object StatsQueries extends QueryPack {
             (col("n_a").cast("double") * col("n_b").cast("double")), 9).as("ks"))
     }),
 
+    // One-way ANOVA across ALL event types at once — the k-group
+    // generalization of q_stats_ttest (which tests pairs): F =
+    // (SSB/(k-1)) / (SSW/(n-k)) with between/within sums of squares
+    // derived from the same exact integer-cents moments (n, Σc, Σc² per
+    // type; squares through DECIMAL). One events-sized aggregate to a
+    // |types|-row relation, collapsed to a single broadcast row; doubles
+    // only in the final F expression, identical in both engines.
+    "q_stats_anova" -> ((s, d) => {
+      val m = t(s, d, "events")
+        .select(col("event_type"), cents(col("value")).as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast(DecimalType(18, 0))).cast(DecimalType(24, 0)).as("s"),
+          sum((col("c") * col("c")).cast(DecimalType(20, 0)))
+            .cast(DecimalType(38, 0)).as("ssq"))
+      def dd(c: Column) = c.cast("double")
+      // per-type Σc²/n rides as a round-pinned DECIMAL so the k-row
+      // reduction is order-independent like every other grand total.
+      m.select(col("n"), col("s"), col("ssq"),
+          round(dd(col("s")) * dd(col("s")) / dd(col("n")), 6)
+            .cast(DecimalType(28, 6)).as("gm"))
+        .agg(count(lit(1)).as("k"), sum(col("n")).as("n"),
+          sum(col("s")).as("ts"), sum(col("ssq")).as("tq"),
+          sum(col("gm")).as("tg"))
+        .select(col("k"), col("n"),
+          round((dd(col("tg")) - dd(col("ts")) * dd(col("ts")) / dd(col("n"))) /
+            dd(col("k") - 1), 4).as("ms_between"),
+          round((dd(col("tq")) - dd(col("tg"))) / dd(col("n") - col("k")), 4)
+            .as("ms_within"),
+          round(((dd(col("tg")) - dd(col("ts")) * dd(col("ts")) / dd(col("n"))) /
+            dd(col("k") - 1)) /
+            ((dd(col("tq")) - dd(col("tg"))) / dd(col("n") - col("k"))), 6)
+            .as("f_stat"))
+    }),
+
     // Welch's unequal-variance t-test between every event-type pair's
     // spend means — the mean-shift companion of q_stats_ks (which sees
     // any distribution change) and q_stats_chisq (categorical): t and
@@ -679,6 +714,32 @@ object StatsQueries extends QueryPack {
          |             (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)), 9) AS ks
          |FROM cdf a JOIN cdf b ON a.c = b.c AND a.et < b.et
          |GROUP BY a.et, b.et, a.n, b.n""".stripMargin,
+
+    "q_stats_anova" ->
+      s"""WITH m AS (
+         |  SELECT event_type, count(*) AS n,
+         |         CAST(sum(CAST(c AS DECIMAL(18,0))) AS DECIMAL(24,0)) AS s,
+         |         CAST(sum(CAST(c * c AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS ssq
+         |  FROM (SELECT event_type, $CentsSql AS c FROM events)
+         |  GROUP BY event_type
+         |), g AS (
+         |  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,
+         |         CAST(sum(s) AS DECIMAL(24,0)) AS ts,
+         |         CAST(sum(ssq) AS DECIMAL(38,0)) AS tq,
+         |         sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+         |                        CAST(n AS DOUBLE), 6) AS DECIMAL(28,6))) AS tg
+         |  FROM m
+         |)
+         |SELECT k, n,
+         |       round((CAST(tg AS DOUBLE) - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) /
+         |              CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE), 4) AS ms_between,
+         |       round((CAST(tq AS DOUBLE) - CAST(tg AS DOUBLE)) /
+         |             CAST(n - k AS DOUBLE), 4) AS ms_within,
+         |       round(((CAST(tg AS DOUBLE) - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) /
+         |               CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE)) /
+         |             ((CAST(tq AS DOUBLE) - CAST(tg AS DOUBLE)) /
+         |              CAST(n - k AS DOUBLE)), 6) AS f_stat
+         |FROM g""".stripMargin,
 
     "q_stats_ttest" ->
       s"""WITH m AS (

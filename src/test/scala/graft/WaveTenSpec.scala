@@ -176,6 +176,54 @@ class WaveTenSpec extends SparkSpec {
     }
   }
 
+  test("q_stats_anova is consistent with its moment inputs") {
+    val r = SparkEntry.queries("q_stats_anova")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.length == 1)
+    val n = Tables.load(spark, sfDir, "events").count()
+    assert(r(0).getAs[Long]("n") == n)
+    val f = r(0).getAs[Double]("f_stat")
+    assert(f >= 0.0 && !f.isNaN && !f.isInfinite)
+    assert(r(0).getAs[Double]("ms_within") > 0.0)
+  }
+
+  test("q_sql_not_in returns exactly the parts absent from recent orders") {
+    val got = SparkEntry.queries("q_sql_not_in")(spark, sfDir)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    CacheScope.releaseAll()
+    import org.apache.spark.sql.functions.{col => c}
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .join(Tables.load(spark, sfDir, "orders"),
+        c("o_orderkey") === c("l_orderkey"))
+      .filter(c("o_orderdate") >= "2001-01-01")
+      .select("l_partkey").distinct().collect().map(_.getLong(0)).toSet
+    val all = Tables.load(spark, sfDir, "part")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    CacheScope.releaseAll()
+    assert(got == all.diff(li))
+  }
+
+  test("q_aqp_ci produces a positive error bar") {
+    val r = SparkEntry.queries("q_aqp_ci")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.length == 1)
+    val ci = r(0).getAs[Double]("ci_half")
+    assert(ci > 0.0 && !ci.isInfinite)
+    // the 95% bar should be reasonable: nonzero but far below the total.
+    assert(ci < r(0).getAs[Double]("exact_sum"))
+  }
+
+  test("q_markov_stationary conserves mass and sums to one") {
+    val rows = SparkEntry.queries("q_markov_stationary")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    val piSum = rows.map(_.getAs[Double]("pi")).sum
+    assert(math.abs(piSum - 1.0) < 1e-6, s"pi sum $piSum")
+    val mass = rows.map(_.getAs[Long]("pi_fixed")).sum
+    // integer truncation only loses mass vs the injected total.
+    assert(mass <= rows.length.toLong * AdvancedQueries.MarkovScale)
+  }
+
   test("q_assoc_rules yields bounded confidence and positive lift") {
     val rows = SparkEntry.queries("q_assoc_rules")(spark, sfDir).collect()
     CacheScope.releaseAll()
