@@ -235,7 +235,13 @@ object GraphQueries extends QueryPack {
     // machinery; distances beyond [[SsspRounds]] edges are (honestly)
     // absent, the documented bounded-iteration contract every fixpoint
     // operator here ships with.
-    "q_graph_sssp" -> ((s, d) => ssspOf(weightedEdges(s, d)))
+    "q_graph_sssp" -> ((s, d) => ssspOf(weightedEdges(s, d))),
+
+    // Minimum spanning forest of the weighted windowed co-purchase
+    // graph ([[mstOf]]) — the dissimilarity-minimal backbone / single-
+    // linkage primitive, unique under the (w, src, dst) total order so
+    // it hash-checks cross-engine.
+    "q_graph_mst" -> ((s, d) => mstOf(weightedEdges(s, d)))
   )
 
   /** BFS relaxation rounds — nodes beyond this hop count are (honestly)
@@ -293,6 +299,69 @@ object GraphQueries extends QueryPack {
       .join(price.select(col("p_partkey").as("src"), col("pc").as("pcs")), "src")
       .join(price.select(col("p_partkey").as("dst"), col("pc").as("pcd")), "dst")
       .select(col("src"), col("dst"), expr("1 + abs(pcs - pcd) div 100").as("w"))
+  }
+
+  /** Hard cap on Borůvka rounds for [[mstOf]] — component count at least
+    * halves per round, so log2(n) bounds it; the loop exits as soon as no
+    * cross-component edge remains (typical: far fewer rounds), and the
+    * cap THROWS rather than ship a partial forest (DedupClusters policy).
+    * The oracle unrolls this many rounds — extra rounds are no-ops once
+    * the forest spans, so early exit and the full unroll agree.
+    */
+  val MstRounds = 16
+
+  /** Borůvka minimum spanning forest over a weighted symmetric (src,
+    * dst, w) relation — the classic "cheapest backbone" (dissimilarity-
+    * minimal bundle skeleton here; at 100 TB the single-linkage
+    * clustering primitive). Weights are made UNIQUE by the (w, src, dst)
+    * total order, so the forest is unique and both engines must agree
+    * edge-for-edge — the property that makes an MST hash-checkable at
+    * all.
+    *
+    * Each round is pure relational Borůvka: label endpoints (two
+    * equi-joins), keep cross-component edges, per-component minimum edge
+    * as ONE min(struct) aggregation over the two-sided (comp, edge)
+    * relation (no window over the edge list), distinct the picks (both
+    * endpoints' components may pick the same edge), and relabel through
+    * the generic [[graft.dedup.DedupClusters]] fixpoint over the
+    * CUMULATIVE forest (<= n-1 edges at any point — the per-round
+    * components run on forest-sized, not graph-sized, input). Unique
+    * minima make Borůvka cycle-free, so no cycle check is needed.
+    */
+  def mstOf(edgesW: DataFrame): DataFrame = {
+    import graft.CacheScope.persisted
+    val und = persisted(edgesW.filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"), col("w")))
+    val nodes = persisted(und.select(col("src").as("node"))
+      .unionByName(und.select(col("dst").as("node"))).distinct())
+    var lbl = nodes.select(col("node"), col("node").as("comp"))
+    var chosen: DataFrame = und.filter(lit(false))
+    var done = false
+    for (_ <- 1 to MstRounds if !done) {
+      val cross = persisted(und
+        .join(lbl.select(col("node").as("src"), col("comp").as("ca")), "src")
+        .join(lbl.select(col("node").as("dst"), col("comp").as("cb")), "dst")
+        .filter(col("ca") =!= col("cb")))
+      if (cross.isEmpty) done = true
+      else {
+        val e = struct(col("w"), col("src"), col("dst"))
+        val picked = cross.select(col("ca").as("comp"), e.as("e"))
+          .unionByName(cross.select(col("cb").as("comp"), e.as("e")))
+          .groupBy(col("comp")).agg(min(col("e")).as("m"))
+          .select(col("m.src").as("src"), col("m.dst").as("dst"),
+            col("m.w").as("w"))
+          .distinct()
+        chosen = persisted(chosen.unionByName(picked))
+        lbl = graft.dedup.DedupClusters
+          .clusters(chosen.select(col("src").as("doc_a"),
+            col("dst").as("doc_b")), nodes.select(col("node").as("doc_id")))
+          .select(col("doc_id").as("node"), col("cluster_id").as("comp"))
+      }
+    }
+    if (!done) throw new IllegalStateException(
+      s"mstOf: forest not spanning after $MstRounds Borůvka rounds — " +
+        "raise GraphQueries.MstRounds (log2(n) bounds the need)")
+    chosen
   }
 
   /** Bounded-round Bellman–Ford over a weighted (src, dst, w) edge
@@ -656,6 +725,75 @@ object GraphQueries extends QueryPack {
        |  FROM be JOIN a$i a ON a.p = be.p GROUP BY be.c
        |)""".stripMargin
 
+  /** One unrolled Borůvka round i for the MST oracle: label endpoints
+    * with l{i-1}, pick each component's (w, src, dst)-minimum cross
+    * edge, accumulate the forest (c$i), and relabel via a recursive
+    * reachability CTE over the CUMULATIVE forest — the window rn=1 form
+    * of Spark's min(struct). Rounds past completion pick nothing and
+    * relabel identically, so the fixed unroll equals the early-exit
+    * loop.
+    */
+  private def mstRoundCte(i: Int): String =
+    s"""x$i AS MATERIALIZED (
+       |  SELECT u.src, u.dst, u.w, a.comp AS ca, b.comp AS cb
+       |  FROM und u
+       |  JOIN l${i - 1} a ON a.node = u.src
+       |  JOIN l${i - 1} b ON b.node = u.dst
+       |  WHERE a.comp <> b.comp
+       |), p$i AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst, w FROM (
+       |    SELECT src, dst, w,
+       |           row_number() OVER (PARTITION BY comp
+       |                              ORDER BY w ASC, src ASC, dst ASC) AS rn
+       |    FROM (SELECT ca AS comp, src, dst, w FROM x$i
+       |          UNION ALL
+       |          SELECT cb AS comp, src, dst, w FROM x$i)
+       |  ) WHERE rn = 1
+       |), c$i AS MATERIALIZED (
+       |  SELECT src, dst, w FROM c${i - 1} UNION ALL SELECT src, dst, w FROM p$i
+       |), s$i AS (
+       |  SELECT src, dst FROM c$i UNION ALL SELECT dst AS src, src AS dst FROM c$i
+       |), r$i(node, r) AS (
+       |  SELECT src, src FROM s$i
+       |  UNION
+       |  SELECT e.src, r$i.r FROM s$i e JOIN r$i ON r$i.node = e.dst
+       |), l$i AS MATERIALIZED (
+       |  SELECT n.node, COALESCE(m.c, n.node) AS comp
+       |  FROM mnodes n
+       |  LEFT JOIN (SELECT node, min(r) AS c FROM r$i GROUP BY node) m
+       |    ON m.node = n.node
+       |)""".stripMargin
+
+  /** The full MST oracle: [[MstRounds]] unrolled Borůvka rounds over the
+    * weighted windowed graph.
+    */
+  private lazy val mstOracle: String = {
+    val weightedUndCte =
+      s"""$windowedEdgesCte, price AS (
+         |  SELECT p_partkey, CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
+         |  FROM part
+         |), und AS MATERIALIZED (
+         |  SELECT e.src, e.dst, 1 + abs(ps.pc - pd.pc) // 100 AS w
+         |  FROM edges e
+         |  JOIN price ps ON ps.p_partkey = e.src
+         |  JOIN price pd ON pd.p_partkey = e.dst
+         |  WHERE e.src < e.dst
+         |), mnodes AS MATERIALIZED (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
+         |), c0 AS (
+         |  SELECT src, dst, w FROM und WHERE 1 = 0
+         |), l0 AS (
+         |  SELECT node, node AS comp FROM mnodes
+         |)""".stripMargin
+    // the shared windowedEdgesCte opens with WITH (non-recursive); the
+    // per-round reach CTEs need RECURSIVE on the WITH keyword.
+    val prefix = weightedUndCte.replaceFirst("WITH li", "WITH RECURSIVE li")
+    s"""$prefix,
+       |${(1 to MstRounds).map(mstRoundCte).mkString(",\n")}
+       |SELECT src, dst, CAST(w AS BIGINT) AS w FROM c$MstRounds""".stripMargin
+  }
+
   /** One unrolled personalized-PageRank iteration i: the restart term
     * lands only on seed nodes (src % PprSeedMod == 0).
     */
@@ -689,6 +827,8 @@ object GraphQueries extends QueryPack {
        |)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "q_graph_mst" -> mstOracle,
+
     "q_graph_ppr" ->
       s"""$edgesCte,
          |ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.src = e.src),

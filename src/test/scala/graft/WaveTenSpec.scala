@@ -224,6 +224,46 @@ class WaveTenSpec extends SparkSpec {
     assert(mass <= rows.length.toLong * AdvancedQueries.MarkovScale)
   }
 
+  test("q_graph_mst equals a sequential Kruskal forest edge-for-edge") {
+    val got = SparkEntry.queries("q_graph_mst")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    CacheScope.releaseAll()
+    val und = GraphQueries.weightedEdges(spark, sfDir)
+      .filter(col("src") < col("dst")).collect()
+      .map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+    CacheScope.releaseAll()
+    // independent sequential Kruskal under the same (w, src, dst) order
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val mst = scala.collection.mutable.Set[(Long, Long, Long)]()
+    und.sorted.foreach { case (w, s, d) =>
+      val (rs, rd) = (find(s), find(d))
+      if (rs != rd) { parent(rs) = rd; mst += ((s, d, w)) }
+    }
+    assert(got == mst.toSet)
+    assert(got.map(_._3).sum == mst.toSet.map((e: (Long, Long, Long)) => e._3).sum)
+  }
+
+  test("mstOf picks the unique forest on planted graphs, ties included") {
+    import spark.implicits._
+    // two components bridged by one expensive edge + an all-ties triangle
+    val g1 = Seq((1L, 2L, 1L), (3L, 4L, 1L), (1L, 3L, 5L), (2L, 4L, 10L))
+      .toDF("src", "dst", "w")
+    val m1 = GraphQueries.mstOf(g1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    CacheScope.releaseAll()
+    assert(m1 == Set((1L, 2L, 1L), (3L, 4L, 1L), (1L, 3L, 5L)))
+    val g2 = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L)).toDF("src", "dst", "w")
+    val m2 = GraphQueries.mstOf(g2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    CacheScope.releaseAll()
+    // all-equal weights: the (w, src, dst) order picks (1,2) and (1,3)
+    assert(m2 == Set((1L, 2L, 5L), (1L, 3L, 5L)))
+  }
+
   test("q_assoc_rules yields bounded confidence and positive lift") {
     val rows = SparkEntry.queries("q_assoc_rules")(spark, sfDir).collect()
     CacheScope.releaseAll()
