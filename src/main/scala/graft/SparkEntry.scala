@@ -25,6 +25,7 @@ object SparkEntry {
     relational.AdvancedQueries,
     relational.TimeSeriesQueries,
     relational.StatsQueries,
+    relational.MiningQueries,
     dedup.DedupQueries,
     sim.SimilarityQueries,
     sketch.SketchQueries,

@@ -41,6 +41,46 @@ object MultimodalQueries extends QueryPack {
     Tables.load(s, d, "documents")
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
 
+  /** Signature bit width (62 keeps the MSB-first fold non-negative). */
+  val PhashBits = 62
+
+  /** mm_phash_dedup gate distance; 4 bands pigeonhole-guarantee complete
+    * candidate recall for hamming <= 3 (one clean band per true pair).
+    */
+  val PhashHamMax = 3
+
+  /** doc_id offset of the corrupted twin in mm_phash_dedup's probe
+    * corpus (far above any real doc_id at every SF).
+    */
+  val PhashTwinOffset = 10000000L
+
+  /** mm_phash_dedup's probe corpus: the documents plus a one-"pixel"
+    * corrupted twin of each (same length, first byte flipped) — the
+    * testdata's natural near-dups are edit-SHIFTED (which moves every
+    * sample position, the known aHash failure mode), so, like
+    * stream_dedup's self-union, the twin is what gives the band join
+    * true positives to find at the gate distance.
+    */
+  private def phashDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+    docs.union(docs.select(col("doc_id") + PhashTwinOffset,
+      concat(lit("Z"), expr("substr(text, 2)"))))
+  }
+
+  /** The 62-sample average-hash signature per document (see mm_phash). */
+  private def phashOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), length(col("text")).as("n"), col("text"))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${PhashBits - 1}),
+           |  i -> ascii(substr(text, CAST(1 + (i * (n - 1)) div ${PhashBits - 1} AS INT), 1)))"""
+          .stripMargin))
+      .withColumn("scode", expr("aggregate(codes, 0L, (a, x) -> a + x)"))
+      .withColumn("phash", expr(
+        s"""aggregate(codes, 0L,
+           |  (a, x) -> a * 2 + CASE WHEN x * $PhashBits > scode THEN 1L ELSE 0L END)"""
+          .stripMargin))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Batched decode: binary column -> typed metadata via mapPartitions.
@@ -83,6 +123,53 @@ object MultimodalQueries extends QueryPack {
       media(s, d).select(col("doc_id") +: feats: _*)
     }),
 
+    // Perceptual hash (average-hash shape): 62 evenly-spaced "pixel"
+    // samples from the payload, each thresholded against the sample mean,
+    // folded MSB-first into one BIGINT signature. The codec stub stands in
+    // for real pixel extraction (same contract as mm_decode); everything
+    // downstream — the threshold compare (exact integer: code·62 > Σcodes,
+    // no division), the bit fold, the signature column — is the real
+    // plumbing a pHash pipeline ships. 62 bits keeps the fold inside a
+    // non-negative BIGINT under ANSI overflow checking. Narrow map, no
+    // shuffle; the oracle rebuilds the signature through an INDEPENDENT
+    // unnest/sum formulation.
+    "mm_phash" -> ((s, d) =>
+      phashOf(Tables.load(s, d, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("phash"),
+          bit_count(col("phash")).as("nbits"))),
+
+    // Near-duplicate media pairs by signature hamming distance <= 3,
+    // found via 4-band LSH over the 62-bit phash: pigeonhole guarantees
+    // any pair within distance 3 agrees exactly on at least one of the 4
+    // bands, so candidate generation is a UNION of band equi-joins —
+    // complete recall at the gate distance, never an all-pairs scan. The
+    // oracle IS the all-pairs formulation (feasible at oracle scale),
+    // so a banding bug that drops a true pair hash-fails. Same
+    // band-join discipline as dedup_simhash_pairs, applied to the
+    // multimodal lane.
+    "mm_phash_dedup" -> ((s, d) => {
+      val sigs = phashOf(phashDocs(s, d)).select(col("doc_id"), col("phash"))
+        .transform(graft.CacheScope.persisted(_))
+      val bands = sigs.select(col("doc_id"), col("phash"), explode(array(
+        struct(lit(0).as("bk"), shiftright(col("phash"), 48).as("bv")),
+        struct(lit(1).as("bk"),
+          shiftright(col("phash"), 32).bitwiseAND(lit(0xFFFFL)).as("bv")),
+        struct(lit(2).as("bk"),
+          shiftright(col("phash"), 16).bitwiseAND(lit(0xFFFFL)).as("bv")),
+        struct(lit(3).as("bk"),
+          col("phash").bitwiseAND(lit(0xFFFFL)).as("bv")))).as("b"))
+      val cand = bands.as("a").join(bands.as("c"),
+          col("a.b.bk") === col("c.b.bk") && col("a.b.bv") === col("c.b.bv") &&
+            col("a.doc_id") < col("c.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
+          col("a.phash").as("pa"), col("c.phash").as("pb"))
+        .distinct()
+      cand.withColumn("hamming",
+          bit_count(col("pa").bitwiseXOR(col("pb"))))
+        .filter(col("hamming") <= PhashHamMax)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }),
+
     // Frame sampling: every 10th frame index of a fake n_frames-long video.
     "mm_frame_sample" -> ((s, d) => {
       val nFrames = (length(col("payload")) % 96) + 1
@@ -94,6 +181,28 @@ object MultimodalQueries extends QueryPack {
           round(col("frame_idx") / 24.0, 6).as("frame_ts"))
     })
   )
+
+  /** Shared signature CTE for the phash oracles: unnest/sum rebuild of
+    * the Spark side's fold (independent formulation, identical bits),
+    * over the given docs relation.
+    */
+  private def phashSigSql(docsCte: String): String =
+    s"""WITH d0 AS ($docsCte),
+       |bits AS (
+       |  SELECT doc_id, i,
+       |         ascii(substr(text,
+       |           CAST(1 + (i * (length(text) - 1)) // ${PhashBits - 1} AS INT), 1)) AS code
+       |  FROM d0, (SELECT unnest(generate_series(0, ${PhashBits - 1})) AS i)
+       |), m AS (
+       |  SELECT doc_id, sum(code) AS scode FROM bits GROUP BY 1
+       |), sigs AS (
+       |  SELECT b.doc_id,
+       |         CAST(sum(CASE WHEN b.code * $PhashBits > m.scode
+       |                       THEN (CAST(1 AS BIGINT) << (${PhashBits - 1} - b.i))
+       |                       ELSE 0 END) AS BIGINT) AS phash
+       |  FROM bits b JOIN m ON m.doc_id = b.doc_id
+       |  GROUP BY 1
+       |)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
     "mm_decode" ->
@@ -122,6 +231,25 @@ object MultimodalQueries extends QueryPack {
              s"       (('0x' || substring(md5(text), ${1 + 2 * i}, 2))::BIGINT / 255.0) AS f$i")
             .mkString(",\n")}
          |FROM documents""".stripMargin,
+
+    "mm_phash" -> (phashSigSql("SELECT doc_id, text FROM documents") +
+      """
+        |SELECT doc_id, phash, CAST(bit_count(phash) AS INT) AS nbits
+        |FROM sigs""".stripMargin),
+
+    // All-pairs formulation — deliberately different machinery from the
+    // Spark side's 4-band LSH join (see the query comment): feasible at
+    // oracle scale, and it proves the banding loses no true pair.
+    "mm_phash_dedup" -> (phashSigSql(
+        s"""SELECT doc_id, text FROM documents
+           |     UNION ALL
+           |     SELECT doc_id + $PhashTwinOffset, 'Z' || substr(text, 2)
+           |     FROM documents""".stripMargin) +
+      s"""
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamMax""".stripMargin),
 
     "mm_frame_sample" ->
       """WITH m AS (

@@ -1,0 +1,461 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{CacheScope, QueryPack, Tables}
+
+/** Sequence/decision-mining operators: MATCH_RECOGNIZE-style event-sequence
+  * pattern counting, the Mann–Whitney U rank test, a single-pass Poisson
+  * bootstrap, and a decision-stump (best binary split) learner. The
+  * inferential siblings of [[StatsQueries]] — same exact-integer-cents
+  * discipline: counts, ranks, and moment sums stay in exact DECIMAL,
+  * doubles appear only in final shared expressions, round()-pinned.
+  *
+  * Distributed prefix sums (Mann–Whitney's cumulative rank base, the
+  * stump's cumulative class counts) follow the blessed sharded shape:
+  * constant-bucket totals + a self-join over the BOUNDED bucket relation
+  * for the bases (same machinery as text_quality_deciles /
+  * text_pack_sequences — never a global unpartitioned window).
+  */
+object MiningQueries extends QueryPack {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  private def cents(c: Column): Column =
+    (c.cast(DecimalType(12, 2)) * 100).cast("long")
+
+  private val CentsSql = "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+  /** Value-range buckets for the distributed prefix sums — constant, so
+    * the offsets relation (and its O(B²) base self-join) never grows with
+    * the corpus; per-bucket work parallelizes across B tasks.
+    */
+  val RankBuckets = 64
+
+  /** Poisson-bootstrap replicate count. */
+  val BootReps = 32
+
+  /** Item-CF dials: min co-purchase support, neighbors kept per item. */
+  val ItemCfMinCooc = 2
+  val ItemCfTopK = 5
+
+  /** Cumulative Poisson(1) thresholds scaled to the 24-bit md5-prefix
+    * domain [0, 16^6): replicate weight k is the first k with
+    * u < Thresh(k). Computed once here and EMBEDDED as integer literals
+    * in both engines' CASE chains, so the draw is exact and identical.
+    */
+  val PoissonThresh: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    var acc = 0.0
+    var fact = 1.0
+    (0 to 6).map { k =>
+      if (k > 0) fact *= k
+      acc += e1 / fact
+      math.floor(acc * 16777216.0).toLong
+    }
+  }
+
+  /** Bucket index of `v` within the broadcast [vmin, vmax] span — exact
+    * long arithmetic, identical in both engines.
+    */
+  private def bucketOf(v: String, vmin: String, vmax: String): String =
+    s"CAST(($v - $vmin) * $RankBuckets AS BIGINT) div ($vmax - $vmin + 1)"
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MATCH_RECOGNIZE-style sequence pattern count: per user, how many
+    // non-overlapping view→click→purchase runs appear in the event-time
+    // order? Each user's history collapses to a code string (one char
+    // per event — the five types have distinct initials) via an ordered
+    // array sort pinned by (ts, event_id); the pattern count is the
+    // classic replace-length identity (no regex — engines disagree on
+    // regex dialects, never on substring replace). Per-user state is the
+    // user's OWN event count — bounded by activity, the same contract as
+    // q_events_sessionize; a 100 TB deployment scopes the collect to
+    // (user, day/session) exactly as that query documents.
+    "q_events_pattern" -> ((s, d) => {
+      val code = upper(substring(col("event_type"), 1, 1))
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), code.as("ch"))
+        .groupBy(col("user_id"))
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("ch")))),
+          x => x.getField("ch"))).as("seq"))
+        .select(col("user_id"),
+          length(col("seq")).cast("long").as("n_events"),
+          ((length(col("seq")) -
+            length(expr("replace(seq, 'VCP', '')"))) / lit(3))
+            .cast("long").as("n_matches"))
+        .withColumn("converted", col("n_matches") > 0)
+    }),
+
+    // Mann–Whitney U (Wilcoxon rank-sum) test: does `value` differ in
+    // distribution between purchase and click events? The
+    // nonparametric complement of q_stats_ttest — rank-based, so one
+    // whale cannot drag the verdict the way it drags a mean. Ranks are
+    // NEVER materialized per row: the per-distinct-value relation
+    // (bounded by the cents domain) carries tie counts; average ranks
+    // come from the sharded prefix sum (bucket bases via the bounded
+    // self-join, within-bucket running sums via a bucket-PARTITIONED
+    // window); U, the tie-corrected variance, and z derive from exact
+    // integer sums, with doubles only in the one shared final
+    // expression. Doubled-rank trick keeps the .5-average-rank exact:
+    // 2·r̄(v) = 2·C(v⁻) + t + 1 is always integer.
+    "q_stats_mannwhitney" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select((col("event_type") === "purchase").as("g1"),
+          cents(col("value")).as("v"))
+      val per = ev.groupBy(col("v"))
+        .agg(count(lit(1)).as("t"),
+          sum(when(col("g1"), 1L).otherwise(0L)).as("t1"))
+        .transform(CacheScope.persisted(_))
+      val span = per.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      val b = per.crossJoin(broadcast(span))
+        .withColumn("bkt", expr(bucketOf("v", "vmin", "vmax")))
+      val totals = b.groupBy("bkt").agg(sum(col("t")).as("t"))
+      val bases = graft.text.TextAnalysisQueries.prefixBases(totals, "bkt", desc = false)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bkt").orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val ranked = b.join(broadcast(bases), "bkt")
+        .withColumn("cbelow", col("base") + coalesce(sum(col("t")).over(w), lit(0L)))
+        // doubled average rank: integer by construction
+        .withColumn("r2", lit(2) * col("cbelow") + col("t") + 1)
+      val agg = ranked.agg(
+        sum(col("t1")).as("n1"),
+        sum(col("t") - col("t1")).as("n2"),
+        sum(col("t1").cast(DecimalType(20, 0)) * col("r2").cast(DecimalType(20, 0)))
+          .cast(DecimalType(38, 0)).as("r1x2"),
+        sum(col("t").cast(DecimalType(20, 0)) * col("t").cast(DecimalType(20, 0)) *
+            col("t").cast(DecimalType(20, 0)) - col("t").cast(DecimalType(20, 0)))
+          .cast(DecimalType(38, 0)).as("ties"))
+      val n = col("n1") + col("n2")
+      val p = (col("n1") * col("n2")).cast("double")
+      val u1x2 = col("r1x2").cast("double") - (col("n1") * (col("n1") + 1)).cast("double")
+      val sigma = sqrt(p / 12.0 * ((n + 1).cast("double") -
+        col("ties").cast("double") / (n.cast("double") * (n - 1).cast("double"))))
+      agg.select(col("n1"), col("n2"),
+        round(u1x2 / 2.0, 1).as("u1"),
+        round((u1x2 - p) / (lit(2.0) * sigma), 6).as("z"),
+        round(lit(1.0) - u1x2 / p, 6).as("rank_biserial"))
+    }),
+
+    // Single-pass Poisson bootstrap of the mean value per event type:
+    // each of the 32 replicates weighs every row by an independent
+    // Poisson(1) draw — the ONLY bootstrap that works at 100 TB, because
+    // it needs no resampling shuffle, no row indices, and no second pass
+    // (Chamandy et al., "Estimating Uncertainty for Massive Data
+    // Streams"). Draws are md5-derived (rows × replicates is a narrow
+    // explode collapsed by map-side partial agg), thresholds are shared
+    // integer literals, replicate means are round(,6)-pinned before the
+    // exact-DECIMAL variance fold, so both engines see the identical 32
+    // doubles per type.
+    "q_stats_bootstrap" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"), col("event_id"), cents(col("value")).as("c"))
+      val drawn = ev
+        .select(col("event_type"), col("event_id"), col("c"),
+          explode(sequence(lit(0), lit(BootReps - 1))).as("rep"))
+        .withColumn("u", conv(substring(md5(concat(
+          col("event_id").cast("string"), lit(":"), col("rep").cast("string"))),
+          1, 6), 16, 10).cast("long"))
+        .withColumn("wt", poissonCase(col("u")))
+      val reps = drawn.groupBy(col("event_type"), col("rep"))
+        .agg(sum((col("wt") * col("c")).cast(DecimalType(28, 0))).as("wc"),
+          sum(col("wt")).as("w"))
+        .filter(col("w") > 0)
+        .withColumn("bmean",
+          round(col("wc").cast("double") / (col("w") * 100).cast("double"), 6))
+      val full = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+        .withColumn("est", round(col("sc").cast("double") / (col("n") * 100).cast("double"), 6))
+      val boot = reps.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("b"),
+          sum(col("bmean").cast(DecimalType(18, 6))).cast(DecimalType(24, 6)).as("sb"),
+          sum(col("bmean").cast(DecimalType(18, 6)) * col("bmean").cast(DecimalType(18, 6)))
+            .cast(DecimalType(30, 12)).as("sbb"))
+      val se = sqrt(greatest(lit(0.0),
+        (col("b").cast(DecimalType(6, 0)) * col("sbb") - col("sb") * col("sb")).cast("double") /
+          (col("b") * (col("b") - 1)).cast("double")))
+      full.join(boot, "event_type")
+        .select(col("event_type"), col("n"), col("est"),
+          round(se, 6).as("se_boot"),
+          round(col("est") - lit(1.96) * se, 6).as("lo95"),
+          round(col("est") + lit(1.96) * se, 6).as("hi95"))
+    }),
+
+    // Item-item collaborative filtering: per part, the top-5 most
+    // co-purchased neighbors by basket-cosine sim(i,j) =
+    // cooc(i,j)/sqrt(n_i·n_j) — q_assoc_rules' ranked-recommendation
+    // twin (rules gate on lift/confidence; this produces each item's
+    // neighbor LIST, the item-CF serving artifact). Candidate pairs come
+    // from the basket self-equi-join on l_orderkey — quadratic only in
+    // the BASKET size (bounded at 13 here; a 100 TB deployment caps or
+    // salts whale baskets exactly as q_assoc_rules documents) — and the
+    // min-support gate prunes before the per-item top-k window
+    // (partitioned by item, never global). Cosine is one double from
+    // exact counts, round(,6)-pinned before it orders the window, with
+    // the neighbor id breaking ties deterministically.
+    "q_itemcf_topk" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .transform(CacheScope.persisted(_))
+      val ni = li.groupBy("pk").agg(count(lit(1)).as("n"))
+      val cooc = li.join(
+          li.select(col("ok").as("ok2"), col("pk").as("pk2")),
+          col("ok") === col("ok2") && col("pk") < col("pk2"))
+        .groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= ItemCfMinCooc)
+      val sym = cooc.select(col("pk").as("i"), col("pk2").as("j"), col("c"))
+        .union(cooc.select(col("pk2").as("i"), col("pk").as("j"), col("c")))
+      val scored = sym
+        .join(ni.select(col("pk").as("i"), col("n").as("ni")), "i")
+        .join(ni.select(col("pk").as("j"), col("n").as("nj")), "j")
+        .withColumn("cosine", round(col("c").cast("double") /
+          sqrt((col("ni") * col("nj")).cast("double")), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("i").orderBy(col("cosine").desc, col("j").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= ItemCfTopK)
+        .select(col("i").as("part_a"), col("j").as("part_b"),
+          col("c").as("cooc"), col("cosine"), col("rk"))
+    }),
+
+    // Decision stump: the best single threshold on o_totalprice for
+    // predicting "order is 1-URGENT", by weighted Gini impurity — the
+    // depth-1 tree that anchors every boosted/forest pipeline, and the
+    // shape histogram-based GBDT learners (LightGBM-style) evaluate at
+    // scale: one pass collapses orders to 64 feature-range buckets with
+    // class counts; cumulative counts per candidate split come from the
+    // bounded-bucket self-join (64² pairs, corpus-independent); the
+    // argmin rides max(struct) — no window, no collect. Gini and
+    // accuracy are doubles over exact integer counts, round(,6)-pinned,
+    // with the bucket id breaking ties deterministically.
+    "q_ml_stump" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+        .select(cents(col("o_totalprice")).as("v"),
+          (col("o_orderpriority") === "1-URGENT").as("pos"))
+      val span = ord.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      val buckets = ord.crossJoin(broadcast(span))
+        .withColumn("bkt", expr(bucketOf("v", "vmin", "vmax")))
+        .groupBy("bkt")
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("q"))
+        .transform(CacheScope.persisted(_))
+      // cumulative class counts over candidate splits (bucket b = "goes
+      // left iff v lands in bucket <= b"); the last bucket is no split.
+      val cum = buckets.as("b").join(buckets.as("o"), col("o.bkt") <= col("b.bkt"))
+        .groupBy(col("b.bkt").as("bkt"))
+        .agg(sum(col("o.p")).as("pl"), sum(col("o.q")).as("ql"))
+      val tot = buckets.agg(sum(col("p")).as("tp"), sum(col("q")).as("tq"))
+      val g = cum.crossJoin(broadcast(tot))
+        .withColumn("pr", col("tp") - col("pl"))
+        .withColumn("qr", col("tq") - col("ql"))
+        .filter(col("pl") + col("ql") > 0 && col("pr") + col("qr") > 0)
+      val nl = (col("pl") + col("ql")).cast("double")
+      val nr = (col("pr") + col("qr")).cast("double")
+      val nn = nl + nr
+      val gini = nl / nn * (lit(1.0) -
+          (col("pl").cast("double") / nl) * (col("pl").cast("double") / nl) -
+          (col("ql").cast("double") / nl) * (col("ql").cast("double") / nl)) +
+        nr / nn * (lit(1.0) -
+          (col("pr").cast("double") / nr) * (col("pr").cast("double") / nr) -
+          (col("qr").cast("double") / nr) * (col("qr").cast("double") / nr))
+      val acc = (greatest(col("pl"), col("ql")) + greatest(col("pr"), col("qr")))
+        .cast("double") / nn
+      val scored = g.select(col("bkt"), col("pl"), col("ql"), col("pr"), col("qr"),
+        round(gini, 6).as("gini"), round(acc, 6).as("acc"))
+      scored.agg(min(struct(col("gini"), col("bkt"), col("pl"), col("ql"),
+          col("pr"), col("qr"), col("acc"))).as("m"))
+        .select(col("m.bkt").as("split_bucket"), col("m.gini").as("gini"),
+          col("m.acc").as("acc"), col("m.pl").as("pos_left"),
+          col("m.ql").as("neg_left"), col("m.pr").as("pos_right"),
+          col("m.qr").as("neg_right"))
+    }))
+
+  /** The shared Poisson(1) inverse-CDF CASE over the 24-bit draw. */
+  private def poissonCase(u: Column): Column = {
+    val base: Column = lit(PoissonThresh.length.toLong)
+    PoissonThresh.zipWithIndex.reverse.foldLeft(base) {
+      case (els, (thr, k)) => when(u < thr, k.toLong).otherwise(els)
+    }
+  }
+
+  /** Same CASE chain as SQL text for the oracle. */
+  private def poissonCaseSql(u: String): String =
+    PoissonThresh.zipWithIndex
+      .map { case (thr, k) => s"WHEN $u < $thr THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${PoissonThresh.length} END")
+
+  private val BucketSqlDuck =
+    s"(v - vmin) * $RankBuckets // (vmax - vmin + 1)"
+
+  override val oracles: Map[String, String] = Map(
+
+    "q_events_pattern" ->
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |         string_agg(upper(substr(event_type, 1, 1)), ''
+        |                    ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+        |       CAST((length(seq) - length(replace(seq, 'VCP', ''))) // 3 AS BIGINT)
+        |         AS n_matches,
+        |       (length(seq) - length(replace(seq, 'VCP', ''))) // 3 > 0 AS converted
+        |FROM seqs""".stripMargin,
+
+    "q_stats_mannwhitney" ->
+      s"""WITH ev AS (
+         |  SELECT event_type = 'purchase' AS g1, $CentsSql AS v
+         |  FROM events WHERE event_type IN ('purchase', 'click')
+         |), per AS (
+         |  SELECT v, count(*) AS t,
+         |         sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS t1
+         |  FROM ev GROUP BY 1
+         |), span AS (SELECT min(v) AS vmin, max(v) AS vmax FROM per),
+         |b AS (
+         |  SELECT per.*, $BucketSqlDuck AS bkt FROM per CROSS JOIN span
+         |), bases AS (
+         |  SELECT b0.bkt, coalesce(sum(o.t), 0) AS base
+         |  FROM (SELECT bkt, sum(t) AS t FROM b GROUP BY 1) b0
+         |  LEFT JOIN (SELECT bkt, sum(t) AS t FROM b GROUP BY 1) o
+         |    ON o.bkt < b0.bkt
+         |  GROUP BY 1
+         |), ranked AS (
+         |  SELECT b.t, b.t1,
+         |         bases.base + coalesce(sum(b.t) OVER (
+         |           PARTITION BY b.bkt ORDER BY b.v
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cbelow
+         |  FROM b JOIN bases ON bases.bkt = b.bkt
+         |), agg AS (
+         |  SELECT sum(t1) AS n1, sum(t - t1) AS n2,
+         |         CAST(sum(CAST(t1 AS DECIMAL(20,0)) *
+         |                  CAST(2 * cbelow + t + 1 AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS r1x2,
+         |         CAST(sum(CAST(t AS DECIMAL(20,0)) * CAST(t AS DECIMAL(20,0)) *
+         |                  CAST(t AS DECIMAL(20,0)) - CAST(t AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS ties
+         |  FROM ranked
+         |)
+         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |       round((CAST(r1x2 AS DOUBLE) - CAST(n1 * (n1 + 1) AS DOUBLE)) / 2.0, 1) AS u1,
+         |       round(((CAST(r1x2 AS DOUBLE) - CAST(n1 * (n1 + 1) AS DOUBLE)) -
+         |              CAST(n1 * n2 AS DOUBLE)) /
+         |             (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0 *
+         |                (CAST(n1 + n2 + 1 AS DOUBLE) -
+         |                 CAST(ties AS DOUBLE) /
+         |                 (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))),
+         |             6) AS z,
+         |       round(1.0 - (CAST(r1x2 AS DOUBLE) - CAST(n1 * (n1 + 1) AS DOUBLE)) /
+         |             CAST(n1 * n2 AS DOUBLE), 6) AS rank_biserial
+         |FROM agg""".stripMargin,
+
+    "q_stats_bootstrap" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, event_id, $CentsSql AS c FROM events
+         |), drawn AS (
+         |  SELECT event_type, rep, c,
+         |         ${poissonCaseSql(
+              "('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)), 1, 6))::BIGINT")} AS wt
+         |  FROM ev CROSS JOIN (
+         |    SELECT unnest(generate_series(0, ${BootReps - 1})) AS rep
+         |  )
+         |), reps AS (
+         |  SELECT event_type, rep,
+         |         round(CAST(sum(wt * c) AS DOUBLE) /
+         |               CAST(sum(wt) * 100 AS DOUBLE), 6) AS bmean
+         |  FROM drawn GROUP BY 1, 2 HAVING sum(wt) > 0
+         |), boot AS (
+         |  SELECT event_type, count(*) AS b,
+         |         CAST(sum(CAST(bmean AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS sb,
+         |         CAST(sum(CAST(bmean AS DECIMAL(18,6)) *
+         |                  CAST(bmean AS DECIMAL(18,6))) AS DECIMAL(30,12)) AS sbb
+         |  FROM reps GROUP BY 1
+         |), fl AS (
+         |  SELECT event_type, count(*) AS n,
+         |         round(CAST(sum(c) AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE), 6) AS est
+         |  FROM ev GROUP BY 1
+         |)
+         |SELECT f.event_type, f.n, f.est,
+         |       round(sqrt(greatest(0.0,
+         |         CAST(CAST(b.b AS DECIMAL(6,0)) * b.sbb - b.sb * b.sb AS DOUBLE) /
+         |         CAST(b.b * (b.b - 1) AS DOUBLE))), 6) AS se_boot,
+         |       round(f.est - 1.96 * sqrt(greatest(0.0,
+         |         CAST(CAST(b.b AS DECIMAL(6,0)) * b.sbb - b.sb * b.sb AS DOUBLE) /
+         |         CAST(b.b * (b.b - 1) AS DOUBLE))), 6) AS lo95,
+         |       round(f.est + 1.96 * sqrt(greatest(0.0,
+         |         CAST(CAST(b.b AS DECIMAL(6,0)) * b.sbb - b.sb * b.sb AS DOUBLE) /
+         |         CAST(b.b * (b.b - 1) AS DOUBLE))), 6) AS hi95
+         |FROM fl f JOIN boot b ON b.event_type = f.event_type""".stripMargin,
+
+    "q_itemcf_topk" ->
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |), ni AS (SELECT pk, count(*) AS n FROM li GROUP BY 1),
+         |cooc AS (
+         |  SELECT a.pk, b.pk AS pk2, count(*) AS c
+         |  FROM li a JOIN li b ON b.ok = a.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= $ItemCfMinCooc
+         |), sym AS (
+         |  SELECT pk AS i, pk2 AS j, c FROM cooc
+         |  UNION ALL
+         |  SELECT pk2 AS i, pk AS j, c FROM cooc
+         |), scored AS (
+         |  SELECT s.i, s.j, s.c,
+         |         round(CAST(s.c AS DOUBLE) /
+         |               sqrt(CAST(a.n * b.n AS DOUBLE)), 6) AS cosine
+         |  FROM sym s
+         |  JOIN ni a ON a.pk = s.i
+         |  JOIN ni b ON b.pk = s.j
+         |)
+         |SELECT i AS part_a, j AS part_b, c AS cooc, cosine, rk
+         |FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY i ORDER BY cosine DESC, j ASC) AS INTEGER) AS rk
+         |  FROM scored
+         |) WHERE rk <= $ItemCfTopK""".stripMargin,
+
+    "q_ml_stump" ->
+      s"""WITH ord AS (
+         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         |         o_orderpriority = '1-URGENT' AS pos
+         |  FROM orders
+         |), span AS (SELECT min(v) AS vmin, max(v) AS vmax FROM ord),
+         |buckets AS (
+         |  SELECT $BucketSqlDuck AS bkt,
+         |         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
+         |         sum(CASE WHEN pos THEN 0 ELSE 1 END) AS q
+         |  FROM ord CROSS JOIN span GROUP BY 1
+         |), cum AS (
+         |  SELECT b.bkt, sum(o.p) AS pl, sum(o.q) AS ql
+         |  FROM buckets b JOIN buckets o ON o.bkt <= b.bkt
+         |  GROUP BY 1
+         |), tot AS (SELECT sum(p) AS tp, sum(q) AS tq FROM buckets),
+         |g AS (
+         |  SELECT bkt, pl, ql, tp - pl AS pr, tq - ql AS qr
+         |  FROM cum CROSS JOIN tot
+         |  WHERE pl + ql > 0 AND (tp - pl) + (tq - ql) > 0
+         |), scored AS (
+         |  SELECT bkt, pl, ql, pr, qr,
+         |         round(CAST(pl + ql AS DOUBLE) / CAST(pl + ql + pr + qr AS DOUBLE) *
+         |               (1.0 - (CAST(pl AS DOUBLE) / CAST(pl + ql AS DOUBLE)) *
+         |                      (CAST(pl AS DOUBLE) / CAST(pl + ql AS DOUBLE)) -
+         |                      (CAST(ql AS DOUBLE) / CAST(pl + ql AS DOUBLE)) *
+         |                      (CAST(ql AS DOUBLE) / CAST(pl + ql AS DOUBLE))) +
+         |               CAST(pr + qr AS DOUBLE) / CAST(pl + ql + pr + qr AS DOUBLE) *
+         |               (1.0 - (CAST(pr AS DOUBLE) / CAST(pr + qr AS DOUBLE)) *
+         |                      (CAST(pr AS DOUBLE) / CAST(pr + qr AS DOUBLE)) -
+         |                      (CAST(qr AS DOUBLE) / CAST(pr + qr AS DOUBLE)) *
+         |                      (CAST(qr AS DOUBLE) / CAST(pr + qr AS DOUBLE))), 6) AS gini,
+         |         round(CAST(greatest(pl, ql) + greatest(pr, qr) AS DOUBLE) /
+         |               CAST(pl + ql + pr + qr AS DOUBLE), 6) AS acc
+         |  FROM g
+         |)
+         |SELECT bkt AS split_bucket, gini, acc,
+         |       CAST(pl AS BIGINT) AS pos_left, CAST(ql AS BIGINT) AS neg_left,
+         |       CAST(pr AS BIGINT) AS pos_right, CAST(qr AS BIGINT) AS neg_right
+         |FROM scored ORDER BY gini, bkt LIMIT 1""".stripMargin)
+}

@@ -312,6 +312,98 @@ object TimeSeriesQueries extends QueryPack {
           when(col("n_days") > 1,
             round(col("st.e") / (col("n_days") - 1).cast("double"), 6))
             .otherwise(lit(0.0)).as("mae_1step"))
+    }),
+
+    // SAX symbolization (Lin/Keogh): z-normalize each type's daily
+    // series, Piecewise-Aggregate-Approximate it into [[SaxSegments]]
+    // equal-count segments, and map each segment mean to a 4-letter
+    // alphabet at the Gaussian quartile breakpoints ±0.6745/0 — the
+    // discretization that turns a series into a string so the TEXT
+    // machinery (shingles, fingerprints, edit distance) can index shape.
+    // Everything that shapes a letter is exact until one shared double
+    // expression: per-type moments and per-segment sums are exact
+    // DECIMAL; z = (segmean - μ)/σ is evaluated on identical operands in
+    // both engines and round(,6)-pinned BEFORE the breakpoint compare,
+    // so a 1-ulp wobble cannot flip a letter. Segment assignment uses
+    // the type-partitioned row_number over the calendar-bounded daily
+    // relation (same bounded-window argument as q_ts_cusum); degenerate
+    // series (n < 2 or zero variance) are gated out on the exact ints.
+    "q_ts_sax" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+      val daily = dailyOf(t(s, d, "events"))
+        .transform(CacheScope.persisted(_))
+      val x = col("c").cast(DecimalType(14, 0))
+      val m = daily.groupBy(col("event_type").as("et_m"))
+        .agg(count(lit(1)).cast(DecimalType(6, 0)).as("n"),
+          sum(x).cast(DecimalType(16, 0)).as("sx"),
+          sum(x * x).cast(DecimalType(30, 0)).as("sxx"))
+        .filter(col("n") >= 2 && col("n") * col("sxx") - col("sx") * col("sx") > 0)
+      val seg = daily
+        .withColumn("k", row_number().over(w))
+        .join(broadcast(m), col("event_type") === col("et_m"))
+        .withColumn("seg",
+          expr(s"CAST((k - 1) * $SaxSegments AS BIGINT) div CAST(n AS BIGINT)"))
+        .groupBy(col("event_type"), col("seg"))
+        .agg(sum(x).cast(DecimalType(16, 0)).as("ss"),
+          count(lit(1)).cast(DecimalType(6, 0)).as("sn"),
+          first(col("n")).as("n"), first(col("sx")).as("sx"),
+          first(col("sxx")).as("sxx"))
+      val mu = col("sx").cast("double") / col("n").cast("double")
+      val sigma = sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) /
+        col("n").cast("double")
+      val z = round((col("ss").cast("double") / col("sn").cast("double") - mu) / sigma, 6)
+      val letter = when(z < -0.6745, "a").when(z < 0.0, "b")
+        .when(z < 0.6745, "c").otherwise("d")
+      seg.select(col("event_type"), col("n").cast("long").as("n_days"),
+          col("seg"), letter.as("letter"))
+        .groupBy(col("event_type"))
+        .agg(first(col("n_days")).as("n_days"),
+          concat_ws("", transform(
+            array_sort(collect_list(struct(col("seg"), col("letter")))),
+            c => c.getField("letter"))).as("sax"))
+    }),
+
+    // Lagged cross-correlation between every PAIR of event types' daily
+    // series at lags -3..+3 — the lead/lag detector ("do errors foreshadow
+    // purchases dropping two days later?") a monitoring pipeline runs
+    // across its signal matrix. Pairs come from an equi-join of the daily
+    // relation with itself on the lag-shifted calendar day (gap days drop
+    // identically in both engines; type_a < type_b deduplicates the
+    // matrix); Pearson r per (pair, lag) follows q_ts_acf's exact-moment
+    // discipline, with the same documented round(,6) 1-ulp absorption on
+    // the final ratio. Bounded post-agg work at any corpus size: |types|²
+    // × lags × days.
+    "q_ts_crosscorr" -> ((s, d) => {
+      val daily = dailyOf(t(s, d, "events"))
+        .transform(CacheScope.persisted(_))
+      val lagged = daily.select(col("event_type"), col("day"), col("c"),
+        explode(sequence(lit(-XcorrMaxLag), lit(XcorrMaxLag))).as("lag"))
+      val b = daily.select(col("event_type").as("bt"),
+        col("day").as("bday"), col("c").as("bc"))
+      val x = col("c").cast(DecimalType(14, 0))
+      val y = col("bc").cast(DecimalType(14, 0))
+      val m = lagged.join(b,
+          col("event_type") < col("bt") &&
+            col("bday") === date_add(col("day"), col("lag")))
+        .select(col("event_type").as("type_a"), col("bt").as("type_b"),
+          col("lag"), x.as("x"), y.as("y"))
+        .groupBy("type_a", "type_b", "lag")
+        .agg(count(lit(1)).cast(DecimalType(6, 0)).as("n"),
+          sum(col("x")).cast(DecimalType(14, 0)).as("sx"),
+          sum(col("y")).cast(DecimalType(14, 0)).as("sy"),
+          sum(col("x") * col("y")).cast(DecimalType(28, 0)).as("sxy"),
+          sum(col("x") * col("x")).cast(DecimalType(28, 0)).as("sxx"),
+          sum(col("y") * col("y")).cast(DecimalType(28, 0)).as("syy"))
+      m.select(col("type_a"), col("type_b"), col("lag"),
+          col("n").cast("long").as("n_pairs"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(greatest(lit(0.0),
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))) *
+             sqrt(greatest(lit(0.0),
+               (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))),
+            6).as("xcorr"))
+        .filter(col("xcorr").isNotNull)
     }))
 
   /** Holt smoothing dials, with the complements pre-folded so both
@@ -321,6 +413,12 @@ object TimeSeriesQueries extends QueryPack {
   val HoltAlphaC = "0.7"
   val HoltBeta = "0.1"
   val HoltBetaC = "0.9"
+
+  /** SAX word length (PAA segments). */
+  val SaxSegments = 8
+
+  /** Cross-correlation lag range (days, symmetric). */
+  val XcorrMaxLag = 3
 
   override val oracles: Map[String, String] = Map(
 
@@ -498,5 +596,72 @@ object TimeSeriesQueries extends QueryPack {
          |       CASE WHEN n.n > 1
          |            THEN round(r.e / CAST(n.n - 1 AS DOUBLE), 6)
          |            ELSE 0.0 END AS mae_1step
-         |FROM rec r JOIN nn n ON n.event_type = r.event_type AND r.i = n.n""".stripMargin)
+         |FROM rec r JOIN nn n ON n.event_type = r.event_type AND r.i = n.n""".stripMargin,
+
+    "q_ts_sax" ->
+      s"""WITH daily AS ($DailySql),
+         |m AS (
+         |  SELECT event_type AS et_m,
+         |         CAST(count(*) AS DECIMAL(6,0)) AS n,
+         |         CAST(sum(CAST(c AS DECIMAL(14,0))) AS DECIMAL(16,0)) AS sx,
+         |         CAST(sum(CAST(c AS DECIMAL(14,0)) * CAST(c AS DECIMAL(14,0))) AS DECIMAL(30,0)) AS sxx
+         |  FROM daily GROUP BY 1
+         |  HAVING count(*) >= 2 AND
+         |         CAST(count(*) AS DECIMAL(6,0)) * CAST(sum(CAST(c AS DECIMAL(14,0)) * CAST(c AS DECIMAL(14,0))) AS DECIMAL(30,0)) -
+         |         CAST(sum(CAST(c AS DECIMAL(14,0))) AS DECIMAL(16,0)) * CAST(sum(CAST(c AS DECIMAL(14,0))) AS DECIMAL(16,0)) > 0
+         |), idx AS (
+         |  SELECT event_type, c,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k
+         |  FROM daily
+         |), seg AS (
+         |  SELECT i.event_type,
+         |         CAST((i.k - 1) * $SaxSegments AS BIGINT) // CAST(m.n AS BIGINT) AS seg,
+         |         CAST(sum(CAST(i.c AS DECIMAL(14,0))) AS DECIMAL(16,0)) AS ss,
+         |         CAST(count(*) AS DECIMAL(6,0)) AS sn,
+         |         any_value(m.n) AS n, any_value(m.sx) AS sx, any_value(m.sxx) AS sxx
+         |  FROM idx i JOIN m ON m.et_m = i.event_type
+         |  GROUP BY 1, 2
+         |), lett AS (
+         |  SELECT event_type, seg, CAST(n AS BIGINT) AS n_days,
+         |         CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+         |              WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS letter
+         |  FROM (
+         |    SELECT event_type, seg, n,
+         |           round((CAST(ss AS DOUBLE) / CAST(sn AS DOUBLE) -
+         |                  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / CAST(n AS DOUBLE)),
+         |                 6) AS z
+         |    FROM seg
+         |  )
+         |)
+         |SELECT event_type, any_value(n_days) AS n_days,
+         |       string_agg(letter, '' ORDER BY seg) AS sax
+         |FROM lett GROUP BY event_type""".stripMargin,
+
+    "q_ts_crosscorr" ->
+      s"""WITH daily AS ($DailySql),
+         |lagged AS (
+         |  SELECT event_type, day, c,
+         |         CAST(unnest(generate_series(-$XcorrMaxLag, $XcorrMaxLag)) AS INTEGER) AS lag
+         |  FROM daily
+         |), m AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b, a.lag,
+         |         CAST(count(*) AS DECIMAL(6,0)) AS n,
+         |         CAST(sum(CAST(a.c AS DECIMAL(14,0))) AS DECIMAL(14,0)) AS sx,
+         |         CAST(sum(CAST(b.c AS DECIMAL(14,0))) AS DECIMAL(14,0)) AS sy,
+         |         CAST(sum(CAST(a.c AS DECIMAL(14,0)) * CAST(b.c AS DECIMAL(14,0))) AS DECIMAL(28,0)) AS sxy,
+         |         CAST(sum(CAST(a.c AS DECIMAL(14,0)) * CAST(a.c AS DECIMAL(14,0))) AS DECIMAL(28,0)) AS sxx,
+         |         CAST(sum(CAST(b.c AS DECIMAL(14,0)) * CAST(b.c AS DECIMAL(14,0))) AS DECIMAL(28,0)) AS syy
+         |  FROM lagged a JOIN daily b
+         |    ON a.event_type < b.event_type AND b.day = a.day + a.lag
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT * FROM (
+         |  SELECT type_a, type_b, lag, CAST(n AS BIGINT) AS n_pairs,
+         |         round(CAST(n * sxy - sx * sy AS DOUBLE) /
+         |               (sqrt(greatest(0.0, CAST(n * sxx - sx * sx AS DOUBLE))) *
+         |                sqrt(greatest(0.0, CAST(n * syy - sy * sy AS DOUBLE)))),
+         |               6) AS xcorr
+         |  FROM m
+         |) WHERE xcorr IS NOT NULL""".stripMargin)
 }

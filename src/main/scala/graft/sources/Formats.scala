@@ -90,6 +90,19 @@ object Formats {
     audit(s.read.schema(SliceSchema).json(s"$dir/li"))
   }
 
+  /** XML is built into Spark 4's sql module (the spark-xml donation,
+    * SPARK-44751) — same text-format discipline as CSV/JSON: explicit
+    * read schema, decimals as exact digit strings, rowTag pinned on both
+    * sides.
+    */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch("xml")
+    slice(s, d).write.mode("overwrite").option("rowTag", "li")
+      .format("xml").save(s"$dir/li")
+    audit(s.read.schema(SliceSchema).option("rowTag", "li")
+      .format("xml").load(s"$dir/li"))
+  }
+
   /** The oracle for all three round-trips: the same audit over the
     * ORIGINAL parquet — equality proves the write→read path lossless.
     */
