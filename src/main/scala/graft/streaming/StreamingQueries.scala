@@ -34,6 +34,28 @@ object StreamingQueries extends QueryPack {
         .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
           col("event_type"), col("n"), col("total"))),
 
+    // CHAINED time-window aggregations (Spark 3.4+/4.x multiple stateful
+    // operators): 10-minute tumbling partials re-aggregated into 1-hour
+    // windows by passing the WINDOW STRUCT itself as the next window()'s
+    // time column — the streaming rollup pattern (fine-grain state near
+    // the source, coarse-grain serving tables downstream, one pipeline).
+    // n_subwindows proves the plan really chains (a flat hourly agg
+    // cannot produce it). In batch mode this is two cascaded
+    // HashAggregates — the second over the BOUNDED (windows × types)
+    // relation; in streaming both levels keep watermark-bounded state
+    // (StreamingSpec runs the real two-level readStream variant).
+    "stream_chained_agg" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "10 minutes").as("w10"), col("event_type"))
+        .agg(count(lit(1)).as("n10"),
+          sum(col("value").cast(DecimalType(18, 4))).as("t10"))
+        .groupBy(window(col("w10"), "1 hour").as("w"), col("event_type"))
+        .agg(sum(col("n10")).as("n"),
+          sum(col("t10")).cast("double").as("total"),
+          count(lit(1)).as("n_subwindows"))
+        .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+          col("event_type"), col("n"), col("total"), col("n_subwindows"))),
+
     // Sliding 1-hour windows every 30 minutes (each event in 2 windows).
     "stream_sliding" -> ((s, d) =>
       events(s, d)
@@ -251,6 +273,20 @@ object StreamingQueries extends QueryPack {
         |       event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "stream_chained_agg" ->
+      """WITH w10 AS (
+        |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS t10, event_type,
+        |         count(*) AS n10,
+        |         sum(CAST(value AS DECIMAL(18,4))) AS t10v
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT time_bucket(INTERVAL '1 hour', t10) AS window_start,
+        |       time_bucket(INTERVAL '1 hour', t10) + INTERVAL '1 hour' AS window_end,
+        |       event_type, CAST(sum(n10) AS BIGINT) AS n,
+        |       CAST(sum(t10v) AS DOUBLE) AS total,
+        |       count(*) AS n_subwindows
+        |FROM w10 GROUP BY 1, 2, 3""".stripMargin,
 
     "stream_sliding" ->
       """WITH w AS (

@@ -67,6 +67,20 @@ object TextModelQueries extends QueryPack {
     // than W grams yield no complete window and drop out (both engines).
     "text_winnowing" -> ((s, d) => winnowingOf(docs(s, d))),
 
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    // the word co-occurrence graph (adjacent clean tokens, undirected,
+    // weighted by co-occurrence count, hapax edges pruned), emitting the
+    // corpus top-30 keywords. Reuses the graph pack's integer fixed-point
+    // discipline verbatim — rank in units of 1e-12 on int64, r div wdeg
+    // truncation, both engines bit-identical, zero float drift — with
+    // the weighted twist: each neighbor's pull is w(u,v)·(r(u) div W(u)),
+    // W(u) the node's total edge weight. Per-term contribution <= r(u)
+    // (w <= W), so a node's inbound sum is bounded by vocab·Scale —
+    // inside int64 up to ~1e6 distinct words; past that, drop Scale one
+    // decade. The final top-30 is TakeOrderedAndProject (global top-k,
+    // no window); 5 iterations, unrolled as CTEs in the oracle.
+    "text_textrank" -> ((s, d) => textrankOf(docs(s, d))),
+
     // Winnowing-based near-dup CANDIDATE PAIRS: documents sharing >= 2
     // selected fingerprints — the LOCAL-similarity dedup generator
     // MinHash can't be (a long quoted span between otherwise-different
@@ -151,7 +165,93 @@ object TextModelQueries extends QueryPack {
       .distinct()
   }
 
+  /** TextRank dials (see the registration comment). */
+  val TrIters = 5
+  val TrScale = 1000000000000L
+  val TrDampPct = 85L
+  val TrMinCooc = 2
+  val TrTopK = 30
+
+  /** Weighted integer fixed-point TextRank over any (doc_id, text)
+    * relation — public for TextModelSpec's planted-keyword checks.
+    */
+  def textrankOf(documents: DataFrame): DataFrame = {
+    val tk = documents
+      .select(filter(cleanTokens(col("text")), x => x =!= "").as("tk"))
+    val bg = tk.filter(size(col("tk")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("w1"),
+          element_at(col("tk"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val und = bg.select(col("w1").as("src"), col("w2").as("dst"))
+      .union(bg.select(col("w2").as("src"), col("w1").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= TrMinCooc)
+      .transform(CacheScope.persisted(_))
+    val deg = und.groupBy("src").agg(sum(col("w")).as("wdeg"))
+      .transform(CacheScope.persisted(_))
+    val ed = und.join(deg, "src")
+      .select(col("src"), col("dst"), col("w"), col("wdeg"))
+      .transform(CacheScope.persisted(_))
+    val nodes = deg.select(col("src").as("node"))
+    var r = nodes.select(col("node"), lit(TrScale).as("r"))
+    for (_ <- 1 to TrIters) {
+      val contrib = ed.join(r, col("src") === col("node"))
+        .select(col("dst"), (col("w") * expr("r div wdeg")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("contrib"))
+      r = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit((100L - TrDampPct) * TrScale / 100L) +
+            expr(s"($TrDampPct * coalesce(contrib, 0L)) div 100")).as("r"))
+    }
+    r.select(col("node").as("word"), col("r").as("tr_fixed"))
+      .orderBy(col("tr_fixed").desc, col("word").asc)
+      .limit(TrTopK)
+  }
+
+  /** One unrolled TextRank iteration for the oracle. */
+  private def trIterCte(i: Int): String = {
+    val base = (100L - TrDampPct) * TrScale / 100L
+    s"""c$i AS (
+       |  SELECT e.dst, sum(e.w * (r.r // e.wdeg)) AS contrib
+       |  FROM ed e JOIN r${i - 1} r ON r.node = e.src
+       |  GROUP BY e.dst
+       |), r$i AS (
+       |  SELECT d.src AS node,
+       |         $base + ($TrDampPct * COALESCE(c.contrib, 0)) // 100 AS r
+       |  FROM deg d LEFT JOIN c$i c ON c.dst = d.src
+       |)""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
+
+    "text_textrank" ->
+      s"""WITH toks AS (
+         |  SELECT list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +'),
+         |                     x -> x <> '') AS tk
+         |  FROM documents
+         |), bg AS (
+         |  SELECT unnest(list_transform(range(1, len(tk)),
+         |                i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
+         |  FROM toks WHERE len(tk) >= 2
+         |), bgf AS (
+         |  SELECT b.w1 AS w1, b.w2 AS w2 FROM bg WHERE b.w1 <> b.w2
+         |), und AS (
+         |  SELECT src, dst, count(*) AS w FROM (
+         |    SELECT w1 AS src, w2 AS dst FROM bgf
+         |    UNION ALL
+         |    SELECT w2 AS src, w1 AS dst FROM bgf
+         |  ) GROUP BY 1, 2 HAVING count(*) >= $TrMinCooc
+         |), deg AS (
+         |  SELECT src, sum(w) AS wdeg FROM und GROUP BY 1
+         |), ed AS (
+         |  SELECT u.src, u.dst, u.w, d.wdeg FROM und u JOIN deg d ON d.src = u.src
+         |), r0 AS (SELECT src AS node, $TrScale AS r FROM deg),
+         |${(1 to TrIters).map(trIterCte).mkString(",\n")}
+         |SELECT node AS word, CAST(r AS BIGINT) AS tr_fixed
+         |FROM r$TrIters ORDER BY r DESC, node ASC LIMIT $TrTopK""".stripMargin,
 
     "text_naive_bayes" ->
       """WITH tok AS (

@@ -48,6 +48,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("chained two-level window agg (10m -> 1h) == batch result") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chain").toString
+    Tables.load(spark, sfDir, "events").write.mode("overwrite").parquet(tmp)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(tmp).schema)
+      .parquet(tmp)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w10"), col("event_type"))
+      .agg(count(lit(1)).as("n10"),
+        sum(col("value").cast(DecimalType(18, 4))).as("t10"))
+      .groupBy(window(col("w10"), "1 hour").as("w"), col("event_type"))
+      .agg(sum(col("n10")).as("n"),
+        sum(col("t10")).cast("double").as("total"),
+        count(lit(1)).as("n_subwindows"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n"), col("total"), col("n_subwindows"))
+
+    // Multiple stateful operators are APPEND-mode only (SPARK-40925):
+    // each level emits a window once the watermark closes it, so the
+    // streamed output is exactly the batch rows for CLOSED hour windows
+    // (end <= final watermark = max ts - the 10-minute delay).
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("chained_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(300000), "stream did not finish in time")
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getTimestamp(1), r.getString(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))
+    val streamed = spark.table("chained_out").collect().map(key).toSet
+    val batch = graft.streaming.StreamingQueries
+      .queries("stream_chained_agg")(spark, sfDir).collect().map(key).toSet
+    val cutoff = Tables.load(spark, sfDir, "events")
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime - 10 * 60 * 1000
+    val closed = batch.filter(_._2.getTime <= cutoff)
+    assert(streamed == closed)
+    assert(streamed.nonEmpty)
+    // chaining really happened: some hour aggregates >1 sub-window
+    assert(streamed.exists(_._6 > 1))
+  }
+
   test("stream-static join (events ⋈ customer dim) == batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sjs").toString
     Tables.load(spark, sfDir, "events").write.mode("overwrite").parquet(tmp)
