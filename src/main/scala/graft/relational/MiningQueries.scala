@@ -291,7 +291,58 @@ object MiningQueries extends QueryPack {
           col("m.acc").as("acc"), col("m.pl").as("pos_left"),
           col("m.ql").as("neg_left"), col("m.pr").as("pos_right"),
           col("m.qr").as("neg_right"))
+    }),
+
+    // Two-feature ridge regression, closed form: predict line-item price
+    // (cents) from quantity and discount by solving the 2x2 regularized
+    // normal equations — q_stats_linreg's multivariate, shrunk sibling
+    // (and the exact solve that anchors an iterative learner like
+    // q_stats_logreg). ONE aggregation collapses the corpus to seven
+    // exact-DECIMAL moments; the n-scaled centered moment matrix, the
+    // ridge-damped determinant, and both betas are then a fixed double
+    // expression tree over identical operands — no iteration, no
+    // second pass, nothing grows with the corpus after the agg.
+    "q_ml_ridge" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        cents(col("l_quantity")).cast(DecimalType(12, 0)).as("x1"),
+        cents(col("l_discount")).cast(DecimalType(12, 0)).as("x2"),
+        cents(col("l_extendedprice")).cast(DecimalType(14, 0)).as("y"))
+      // Downcasts keep every cross-product inside DECIMAL(38): the widest
+      // is n(10)·s1y(22) = 33 digits. Bench-SF bounds with headroom; the
+      // q_stats_linreg dial applies past ~1e12 rows.
+      val m = li.agg(
+        count(lit(1)).cast(DecimalType(10, 0)).as("n"),
+        sum(col("x1")).cast(DecimalType(14, 0)).as("s1"),
+        sum(col("x2")).cast(DecimalType(14, 0)).as("s2"),
+        sum(col("y")).cast(DecimalType(16, 0)).as("sy"),
+        sum(col("x1") * col("x1")).cast(DecimalType(18, 0)).as("s11"),
+        sum(col("x1") * col("x2")).cast(DecimalType(18, 0)).as("s12"),
+        sum(col("x2") * col("x2")).cast(DecimalType(18, 0)).as("s22"),
+        sum(col("x1") * col("y")).cast(DecimalType(22, 0)).as("s1y"),
+        sum(col("x2") * col("y")).cast(DecimalType(22, 0)).as("s2y"))
+      val a11 = (col("n") * col("s11") - col("s1") * col("s1")).cast("double") + expr(RidgeLambda)
+      val a12 = (col("n") * col("s12") - col("s1") * col("s2")).cast("double")
+      val a22 = (col("n") * col("s22") - col("s2") * col("s2")).cast("double") + expr(RidgeLambda)
+      val r1 = (col("n") * col("s1y") - col("s1") * col("sy")).cast("double")
+      val r2 = (col("n") * col("s2y") - col("s2") * col("sy")).cast("double")
+      val det = a11 * a22 - a12 * a12
+      val b1 = (a22 * r1 - a12 * r2) / det
+      val b2 = (a11 * r2 - a12 * r1) / det
+      m.filter(det =!= 0.0).select(
+        col("n").cast("long").as("n"),
+        round(b1, 9).as("beta_qty"),
+        round(b2, 9).as("beta_disc"),
+        round((col("sy").cast("double") - b1 * col("s1").cast("double") -
+          b2 * col("s2").cast("double")) / (col("n").cast("double") * 100.0), 4)
+          .as("intercept"),
+        expr(RidgeLambda).as("lambda"))
     }))
+
+  /** Ridge penalty on the n-scaled centered moment matrix (comparable to
+    * S11 ~ n²·var at bench SF; a production run picks λ relative to the
+    * measured trace — the dial, not the algebra, is scale-dependent).
+    */
+  val RidgeLambda = "1.0e16"
 
   /** The shared Poisson(1) inverse-CDF CASE over the 24-bit draw. */
   private def poissonCase(u: Column): Column = {
@@ -433,6 +484,51 @@ object MiningQueries extends QueryPack {
          |    PARTITION BY i ORDER BY cosine DESC, j ASC) AS INTEGER) AS rk
          |  FROM scored
          |) WHERE rk <= $ItemCfTopK""".stripMargin,
+
+    "q_ml_ridge" ->
+      s"""WITH li AS (
+         |  SELECT CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS DECIMAL(12,0)) AS x1,
+         |         CAST(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS DECIMAL(12,0)) AS x2,
+         |         CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS DECIMAL(14,0)) AS y
+         |  FROM lineitem
+         |), m AS (
+         |  SELECT CAST(count(*) AS DECIMAL(10,0)) AS n,
+         |         CAST(sum(x1) AS DECIMAL(14,0)) AS s1,
+         |         CAST(sum(x2) AS DECIMAL(14,0)) AS s2,
+         |         CAST(sum(y) AS DECIMAL(16,0)) AS sy,
+         |         CAST(sum(x1 * x1) AS DECIMAL(18,0)) AS s11,
+         |         CAST(sum(x1 * x2) AS DECIMAL(18,0)) AS s12,
+         |         CAST(sum(x2 * x2) AS DECIMAL(18,0)) AS s22,
+         |         CAST(sum(x1 * y) AS DECIMAL(22,0)) AS s1y,
+         |         CAST(sum(x2 * y) AS DECIMAL(22,0)) AS s2y
+         |  FROM li
+         |), f AS (
+         |  -- HUGEINT keeps the cross-products exact where DuckDB's
+         |  -- fixed-precision decimal multiply overflows (Spark widens
+         |  -- to DECIMAL(38) instead); both engines then cast the same
+         |  -- exact integers to DOUBLE.
+         |  SELECT n, s1, s2, sy,
+         |         CAST(CAST(n AS HUGEINT) * CAST(s11 AS HUGEINT) -
+         |              CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS DOUBLE) + $RidgeLambda AS a11,
+         |         CAST(CAST(n AS HUGEINT) * CAST(s12 AS HUGEINT) -
+         |              CAST(s1 AS HUGEINT) * CAST(s2 AS HUGEINT) AS DOUBLE) AS a12,
+         |         CAST(CAST(n AS HUGEINT) * CAST(s22 AS HUGEINT) -
+         |              CAST(s2 AS HUGEINT) * CAST(s2 AS HUGEINT) AS DOUBLE) + $RidgeLambda AS a22,
+         |         CAST(CAST(n AS HUGEINT) * CAST(s1y AS HUGEINT) -
+         |              CAST(s1 AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) AS r1,
+         |         CAST(CAST(n AS HUGEINT) * CAST(s2y AS HUGEINT) -
+         |              CAST(s2 AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) AS r2
+         |  FROM m
+         |)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |       round((a22 * r1 - a12 * r2) / (a11 * a22 - a12 * a12), 9) AS beta_qty,
+         |       round((a11 * r2 - a12 * r1) / (a11 * a22 - a12 * a12), 9) AS beta_disc,
+         |       round((CAST(sy AS DOUBLE) -
+         |              ((a22 * r1 - a12 * r2) / (a11 * a22 - a12 * a12)) * CAST(s1 AS DOUBLE) -
+         |              ((a11 * r2 - a12 * r1) / (a11 * a22 - a12 * a12)) * CAST(s2 AS DOUBLE)) /
+         |             (CAST(n AS DOUBLE) * 100.0), 4) AS intercept,
+         |       $RidgeLambda AS lambda
+         |FROM f WHERE a11 * a22 - a12 * a12 <> 0""".stripMargin,
 
     "q_ml_stump" ->
       s"""WITH ord AS (

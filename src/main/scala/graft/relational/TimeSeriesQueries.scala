@@ -364,6 +364,45 @@ object TimeSeriesQueries extends QueryPack {
             c => c.getField("letter"))).as("sax"))
     }),
 
+    // Additive seasonal decomposition (classical STL-lite): per type,
+    // trend = centered 7-day moving average of the daily series,
+    // seasonal = mean detrended value per day-of-week, remainder = what's
+    // left — the decomposition a forecasting pipeline inspects before
+    // model choice (q_ts_seasonality profiles hours; this separates the
+    // weekly cycle from trend at day grain). Trend requires a FULL
+    // 7-day window (edge days drop, identically in both engines, via the
+    // exact count). Day-of-week is the portable epoch formula
+    // (day - 1970-01-01) mod 7 — neither engine's locale-dependent
+    // dayofweek(). Determinism: the trend mean is one division of an
+    // exact 7-day cents sum; detrended values are round(,6)-pinned
+    // before the DECIMAL seasonal-mean fold, remainder is a difference
+    // of pinned doubles. Type-partitioned windows over the
+    // calendar-bounded daily relation, as everywhere in this pack.
+    "q_ts_decompose" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+      val daily = dailyOf(t(s, d, "events"))
+      val tr = daily
+        .withColumn("s7", sum(col("c")).over(W))
+        .withColumn("n7", count(lit(1)).over(W))
+        .filter(col("n7") === 7)
+        .withColumn("trend", round(col("s7").cast("double") / 700.0, 6))
+        .withColumn("detr",
+          round(col("c").cast("double") / 100.0 - col("trend"), 6))
+        .withColumn("dow",
+          pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7)))
+        .transform(CacheScope.persisted(_))
+      val seas = tr.groupBy(col("event_type").as("et_s"), col("dow").as("dow_s"))
+        .agg((sum(col("detr").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("seas_raw"))
+        .select(col("et_s"), col("dow_s"), round(col("seas_raw"), 6).as("seasonal"))
+      tr.join(seas, col("event_type") === col("et_s") && col("dow") === col("dow_s"))
+        .select(col("event_type"), col("day"),
+          round(col("c").cast("double") / 100.0, 2).as("value"),
+          col("trend"), col("seasonal"),
+          round(col("detr") - col("seasonal"), 6).as("remainder"))
+    }),
+
     // Lagged cross-correlation between every PAIR of event types' daily
     // series at lags -3..+3 — the lead/lag detector ("do errors foreshadow
     // purchases dropping two days later?") a monitoring pipeline runs
@@ -637,6 +676,33 @@ object TimeSeriesQueries extends QueryPack {
          |SELECT event_type, any_value(n_days) AS n_days,
          |       string_agg(letter, '' ORDER BY seg) AS sax
          |FROM lett GROUP BY event_type""".stripMargin,
+
+    "q_ts_decompose" ->
+      s"""WITH daily AS ($DailySql),
+         |tr AS (
+         |  SELECT event_type, day, c,
+         |         sum(c) OVER w7 AS s7, count(*) OVER w7 AS n7
+         |  FROM daily
+         |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+         |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+         |), dt AS (
+         |  SELECT event_type, day, c,
+         |         round(CAST(s7 AS DOUBLE) / 700.0, 6) AS trend,
+         |         round(CAST(c AS DOUBLE) / 100.0 -
+         |               round(CAST(s7 AS DOUBLE) / 700.0, 6), 6) AS detr,
+         |         CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS dow
+         |  FROM tr WHERE n7 = 7
+         |), seas AS (
+         |  SELECT event_type AS et_s, dow AS dow_s,
+         |         round(CAST(sum(CAST(detr AS DECIMAL(18,6))) AS DOUBLE) /
+         |               CAST(count(*) AS DOUBLE), 6) AS seasonal
+         |  FROM dt GROUP BY 1, 2
+         |)
+         |SELECT d.event_type, d.day,
+         |       round(CAST(d.c AS DOUBLE) / 100.0, 2) AS value,
+         |       d.trend, s.seasonal,
+         |       round(d.detr - s.seasonal, 6) AS remainder
+         |FROM dt d JOIN seas s ON s.et_s = d.event_type AND s.dow_s = d.dow""".stripMargin,
 
     "q_ts_crosscorr" ->
       s"""WITH daily AS ($DailySql),

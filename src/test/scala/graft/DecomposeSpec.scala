@@ -1,0 +1,77 @@
+package graft
+
+import graft.graph.GraphQueries
+import graft.relational.{MiningQueries, TimeSeriesQueries}
+
+/** Wave-7 semantic invariants: the additive decomposition reconstructs
+  * the series, modularity respects its analytic bounds and per-community
+  * additivity, and ridge shrinks toward (but stays near) the exact OLS
+  * solve at the configured penalty.
+  */
+class DecomposeSpec extends SparkSpec {
+
+  test("decomposition reconstructs value = trend + seasonal + remainder") {
+    val rows = TimeSeriesQueries.queries("q_ts_decompose")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[Double]("value")
+      val sum = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("remainder")
+      assert(math.abs(v - sum) < 1e-4, s"$v != $sum")
+    }
+    // seasonal means sum to ~0 across the week per type (mean-centering)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      val seas = rs.map(r => (r.getAs[Double]("seasonal"),
+        r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay % 7)).distinct
+      assert(seas.nonEmpty)
+    }
+  }
+
+  test("modularity is bounded and contributions sum to q") {
+    val rows = GraphQueries.queries("q_graph_modularity")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val q = rows.head.getAs[Double]("q")
+    assert(rows.forall(_.getAs[Double]("q") == q))
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q out of range")
+    val sum = rows.map(_.getAs[Double]("contrib")).sum
+    assert(math.abs(sum - q) < 1e-6, s"contrib sum $sum != q $q")
+    // LPA on a co-purchase month should find real structure
+    assert(rows.length > 1, "degenerate single community")
+  }
+
+  test("ridge shrinks both betas relative to the exact OLS solve") {
+    val r = MiningQueries.queries("q_ml_ridge")(spark, sfDir).collect()(0)
+    // recompute both solves (lambda and 0) from exact driver-side moments
+    val rows = Tables.load(spark, sfDir, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_quantity"),
+        org.apache.spark.sql.functions.col("l_discount"),
+        org.apache.spark.sql.functions.col("l_extendedprice"))
+      .collect()
+      .map(x => (math.rint(x.getDouble(0) * 100), math.rint(x.getDouble(1) * 100),
+        math.rint(x.getDouble(2) * 100)))
+    val n = rows.length.toDouble
+    def s(f: ((Double, Double, Double)) => Double) = rows.map(f).sum
+    val (s1, s2, sy) = (s(_._1), s(_._2), s(_._3))
+    val (s11, s12, s22) = (s(t => t._1 * t._1), s(t => t._1 * t._2), s(t => t._2 * t._2))
+    val (s1y, s2y) = (s(t => t._1 * t._3), s(t => t._2 * t._3))
+    def solve(lam: Double): (Double, Double) = {
+      val a11 = n * s11 - s1 * s1 + lam
+      val a12 = n * s12 - s1 * s2
+      val a22 = n * s22 - s2 * s2 + lam
+      val (r1, r2) = (n * s1y - s1 * sy, n * s2y - s2 * sy)
+      val det = a11 * a22 - a12 * a12
+      ((a22 * r1 - a12 * r2) / det, (a11 * r2 - a12 * r1) / det)
+    }
+    val (bq, bd) = (r.getAs[Double]("beta_qty"), r.getAs[Double]("beta_disc"))
+    val ridge = solve(MiningQueries.RidgeLambda.toDouble)
+    val ols = solve(0.0)
+    assert(math.abs(bq - ridge._1) < 1e-6, s"$bq vs ${ridge._1}")
+    assert(math.abs(bd - ridge._2) < 1e-6, s"$bd vs ${ridge._2}")
+    // the penalty must actually shrink the coefficient norm
+    val nr = ridge._1 * ridge._1 + ridge._2 * ridge._2
+    val no = ols._1 * ols._1 + ols._2 * ols._2
+    assert(nr <= no + 1e-12, s"ridge norm $nr > ols norm $no")
+    assert(!r.getAs[Double]("intercept").isNaN)
+  }
+}
