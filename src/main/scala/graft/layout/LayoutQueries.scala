@@ -110,9 +110,61 @@ object LayoutQueries extends QueryPack {
       .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("total"))
   }
 
+  /** Fragmentation dial for q_layout_compact: files before/after. */
+  val CompactFilesBefore = 64
+  val CompactFilesAfter = 4
+
+  /** Small-file compaction (the OPTIMIZE/rewrite maintenance job every
+    * streaming or incremental sink needs at scale — thousands of
+    * micro-batch files turn one logical scan into thousands of opens):
+    * a deliberately fragmented table is rewritten at the target file
+    * count, and the output carries the content audit PLUS the physical
+    * before/after file counts read from the filesystem — so the oracle
+    * pins both that compaction lost nothing AND that it actually
+    * changed the layout (the file counts are literals in the oracle).
+    * At 100 TB the repartition count comes from sum(file sizes) /
+    * target_file_size rather than a constant — the dial, not the shape.
+    */
+  def compactSmallFiles(s: SparkSession, d: String,
+      base: Option[String] = None): DataFrame = {
+    val dir = scratch(s, base)
+    val frag = s"$dir/li_frag"
+    val comp = s"$dir/li_comp"
+    Tables.load(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+          .as("qty"))
+      .repartition(CompactFilesBefore)
+      .write.mode("overwrite").parquet(frag)
+    CacheScope.deferred(() => deleteRec(java.nio.file.Paths.get(dir)))
+    s.read.parquet(frag)
+      .repartition(CompactFilesAfter)
+      .write.mode("overwrite").parquet(comp)
+    def nFiles(p: String): Long =
+      java.nio.file.Files.list(java.nio.file.Paths.get(p)).iterator()
+        .asScalaCount(_.toString.endsWith(".parquet"))
+    s.read.parquet(comp)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty")).cast("double").as("sum_qty"),
+        min(col("l_orderkey")).as("min_ok"),
+        max(col("l_orderkey")).as("max_ok"))
+      .withColumn("files_before", lit(nFiles(frag)))
+      .withColumn("files_after", lit(nFiles(comp)))
+  }
+
+  private implicit class IterCount[A](private val it: java.util.Iterator[A]) {
+    def asScalaCount(p: A => Boolean): Long = {
+      var n = 0L
+      while (it.hasNext) if (p(it.next())) n += 1
+      n
+    }
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_bucketed" -> ((s, d) => bucketedJoin(s, d)),
     "q_scan_pruned" -> ((s, d) => prunedScan(s, d)),
+    "q_layout_compact" -> ((s, d) => compactSmallFiles(s, d)),
 
     // Z-ORDER vs LINEAR clustering gauge: interleave the bits of
     // (partkey, suppkey) into a Morton key, cut BOTH key spaces into
@@ -226,6 +278,16 @@ object LayoutQueries extends QueryPack {
          |       ${dsumSql("value", 4)} AS total
          |FROM events
          |WHERE CAST(ts AS DATE) = DATE '2024-01-15'
-         |GROUP BY event_type""".stripMargin
+         |GROUP BY event_type""".stripMargin,
+
+    // The file-count literals make the layout change itself part of the
+    // hash gate, not just the content preservation.
+    "q_layout_compact" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+         |       CAST($CompactFilesBefore AS BIGINT) AS files_before,
+         |       CAST($CompactFilesAfter AS BIGINT) AS files_after
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

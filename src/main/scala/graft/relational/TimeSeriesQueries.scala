@@ -403,6 +403,93 @@ object TimeSeriesQueries extends QueryPack {
           round(col("detr") - col("seasonal"), 6).as("remainder"))
     }),
 
+    // Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) —
+    // the shape-preserving decimation every dashboard/monitoring stack
+    // runs before plotting a long series: keep both endpoints and, per
+    // equal-count interior bucket, the point forming the LARGEST
+    // triangle with the previously selected point and the next bucket's
+    // average. The greedy chain is sequential in the BUCKET dimension
+    // only, so it runs as ONE ordered array fold over the per-type
+    // bucket list (the q_ts_holt discipline — legal because the folded
+    // relation is calendar-bounded). The first cut unrolled the rounds
+    // as DataFrame joins and each round's selection fed BOTH the output
+    // union and the next round — the two-reads-per-round 2^rounds
+    // analysis blowup the graph pack's BFS rewrite documents; measured
+    // 11.0s -> 0.5s from the fold. The triangle comparison is EXACT:
+    // doubling the area and multiplying through by the next bucket's
+    // count clears both the /2 and the average's denominator, so the
+    // argmax runs on int64 cross products of day indices and cents — no
+    // float can flip a selection — with k ASC breaking exact ties; the
+    // oracle replays the same selection as unrolled window-argmax CTEs
+    // (independent machinery, identical integers).
+    "q_ts_lttb" -> ((s, d) => {
+      val W = LttbBuckets
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+      val daily = dailyOf(t(s, d, "events"))
+      val nRel = daily.groupBy(col("event_type").as("et_n"))
+        .agg(count(lit(1)).as("n"))
+      val pts = daily
+        .withColumn("k", row_number().over(w))
+        .join(broadcast(nRel), col("event_type") === col("et_n"))
+        .filter(col("n") >= W + 2)
+        .withColumn("x", datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+        .withColumn("y", col("c"))
+        .withColumn("b",
+          when(col("k") === 1, lit(-1))
+            .when(col("k") === col("n"), lit(W))
+            .otherwise(expr(s"CAST(((k - 2) * $W) div (n - 2) AS INT)")))
+        .select(col("event_type"), col("k"), col("x"), col("y"), col("b"))
+        .transform(CacheScope.persisted(_))
+      // per (type, bucket): day-sorted points + sums (each bucket's sums
+      // become the PREVIOUS bucket's triangle target)
+      val buckets = pts.filter(col("b").between(0, W - 1))
+        .groupBy(col("event_type"), col("b"))
+        .agg(array_sort(collect_list(struct(col("k"), col("x"), col("y")))).as("ps"),
+          sum(col("x")).as("bsx"), sum(col("y")).as("bsy"), count(lit(1)).as("bm"))
+      val nextT = buckets.select(col("event_type").as("nt"), (col("b") - 1).as("nb"),
+        col("bsx").as("tsx0"), col("bsy").as("tsy0"), col("bm").as("tm0"))
+      val ends = pts.filter(col("b") === -1 || col("b") === W)
+        .groupBy(col("event_type"))
+        .agg(min(struct(col("k"), col("x"), col("y"))).as("fp"),
+          max(struct(col("k"), col("x"), col("y"))).as("lp"))
+        .select(col("event_type").as("et_e"), col("fp"), col("lp"))
+      val seqd = buckets
+        .join(broadcast(nextT),
+          col("event_type") === col("nt") && col("b") === col("nb"), "left")
+        .join(broadcast(ends), col("event_type") === col("et_e"))
+        // the last interior bucket targets the final point itself
+        .select(col("event_type"), col("fp"), col("lp"),
+          struct(col("b"), col("ps"),
+            coalesce(col("tsx0"), col("lp.x")).as("tsx"),
+            coalesce(col("tsy0"), col("lp.y")).as("tsy"),
+            coalesce(col("tm0"), lit(1L)).as("tm")).as("bu"))
+        .groupBy(col("event_type"), col("fp"), col("lp"))
+        .agg(array_sort(collect_list(col("bu"))).as("bs"))
+      val a2 = "abs((acc.ax * bu.tm - bu.tsx) * (p.y - acc.ay) - " +
+        "(acc.ax - p.x) * (bu.tsy - acc.ay * bu.tm))"
+      val folded = seqd.withColumn("sels", expr(
+        s"""aggregate(bs,
+           |  named_struct('ax', fp.x, 'ay', fp.y,
+           |    'sels', array(named_struct('bucket', -1, 'k', fp.k, 'x', fp.x, 'y', fp.y))),
+           |  (acc, bu) -> element_at(transform(
+           |    array(aggregate(bu.ps,
+           |      named_struct('a2', CAST(-1 AS BIGINT), 'k', 0, 'x', CAST(0 AS BIGINT), 'y', CAST(0 AS BIGINT)),
+           |      (ba, p) -> CASE WHEN $a2 > ba.a2 THEN
+           |                   named_struct('a2', $a2, 'k', p.k, 'x', p.x, 'y', p.y)
+           |                 ELSE ba END)),
+           |    best -> named_struct('ax', best.x, 'ay', best.y,
+           |      'sels', concat(acc.sels, array(named_struct(
+           |        'bucket', bu.b, 'k', best.k, 'x', best.x, 'y', best.y))))), 1),
+           |  acc -> concat(acc.sels, array(named_struct(
+           |    'bucket', $W, 'k', lp.k, 'x', lp.x, 'y', lp.y))))""".stripMargin))
+      folded.select(col("event_type"), explode(col("sels")).as("s"))
+        .select(col("event_type"), col("s.bucket").as("bucket"),
+          col("s.k").cast("long").as("k"),
+          date_add(to_date(lit("1970-01-01")), col("s.x").cast("int")).as("day"),
+          round(col("s.y").cast("double") / 100.0, 2).as("value"))
+    }),
+
     // Lagged cross-correlation between every PAIR of event types' daily
     // series at lags -3..+3 — the lead/lag detector ("do errors foreshadow
     // purchases dropping two days later?") a monitoring pipeline runs
@@ -456,10 +543,67 @@ object TimeSeriesQueries extends QueryPack {
   /** SAX word length (PAA segments). */
   val SaxSegments = 8
 
+  /** LTTB interior bucket count (plus the always-kept endpoints). */
+  val LttbBuckets = 10
+
   /** Cross-correlation lag range (days, symmetric). */
   val XcorrMaxLag = 3
 
+  /** One unrolled LTTB round for the oracle: select bucket i's max-area
+    * point against prev p{i} and the round's target, define p{i+1}.
+    */
+  private def lttbRoundCte(i: Int): String = {
+    val W = LttbBuckets
+    val tgt =
+      if (i < W - 1) s"SELECT event_type, sx, sy, m FROM bavg WHERE b = ${i + 1}"
+      else s"SELECT event_type, x AS sx, y AS sy, 1 AS m FROM ptb WHERE b = $W"
+    s"""sel$i AS (
+       |  SELECT event_type, $i AS bucket, k, x, y FROM (
+       |    SELECT c.event_type, c.k, c.x, c.y,
+       |           row_number() OVER (PARTITION BY c.event_type
+       |             ORDER BY abs((p.ax * t.m - t.sx) * (c.y - p.ay) -
+       |                          (p.ax - c.x) * (t.sy - p.ay * t.m)) DESC,
+       |                      c.k ASC) AS rn
+       |    FROM ptb c
+       |    JOIN p$i p ON p.event_type = c.event_type
+       |    JOIN ($tgt) t ON t.event_type = c.event_type
+       |    WHERE c.b = $i
+       |  ) WHERE rn = 1
+       |), p${i + 1} AS (SELECT event_type, x AS ax, y AS ay FROM sel$i)"""
+      .stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
+
+    "q_ts_lttb" -> {
+      val W = LttbBuckets
+      s"""WITH daily AS ($DailySql),
+         |nrel AS (SELECT event_type AS et_n, count(*) AS n FROM daily GROUP BY 1),
+         |pts AS (
+         |  SELECT d.event_type,
+         |         row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS k,
+         |         CAST(d.day - DATE '1970-01-01' AS BIGINT) AS x,
+         |         d.c AS y, r.n
+         |  FROM daily d JOIN nrel r ON r.et_n = d.event_type
+         |  WHERE r.n >= ${W + 2}
+         |), ptb AS (
+         |  SELECT event_type, k, x, y,
+         |         CASE WHEN k = 1 THEN -1 WHEN k = n THEN $W
+         |              ELSE CAST(((k - 2) * $W) // (n - 2) AS INT) END AS b
+         |  FROM pts
+         |), bavg AS (
+         |  SELECT event_type, b, sum(x) AS sx, sum(y) AS sy, count(*) AS m
+         |  FROM ptb WHERE b BETWEEN 0 AND ${W - 1} GROUP BY 1, 2
+         |), p0 AS (SELECT event_type, x AS ax, y AS ay FROM ptb WHERE b = -1),
+         |${(0 until W).map(lttbRoundCte).mkString(",\n")}
+         |SELECT event_type, bucket, CAST(k AS BIGINT) AS k,
+         |       DATE '1970-01-01' + CAST(x AS INTEGER) AS day,
+         |       round(CAST(y AS DOUBLE) / 100.0, 2) AS value
+         |FROM (
+         |  SELECT event_type, b AS bucket, k, x, y FROM ptb WHERE b IN (-1, $W)
+         |  ${(0 until W).map(i => s"UNION ALL SELECT event_type, bucket, k, x, y FROM sel$i").mkString("\n  ")}
+         |)""".stripMargin
+    },
 
     "q_ts_acf" ->
       s"""WITH daily AS ($DailySql),

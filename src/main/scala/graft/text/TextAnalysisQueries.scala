@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.{QueryPack, Tables}
 
@@ -355,6 +356,40 @@ object TextAnalysisQueries extends QueryPack {
         round(stopRatio, 6).as("stop_ratio"),
         qualityScore.as("quality_score"))
     }),
+
+    // Per-document CHARACTER entropy — the gibberish/boilerplate signal
+    // the ratio-based quality score can't see (keyboard mash has normal
+    // length and punctuation but collapsed entropy; base64 blobs spike
+    // it). H = ln n − (Σ c·ln c)/n from exact per-char counts. ZERO
+    // shuffle: counts come from run lengths over the row's own sorted
+    // char array (sort → boundary positions → zip_with gaps), so the
+    // whole query is one narrow codegen map at any corpus size —
+    // measured 4.3s (char explode + (doc, char) shuffle) -> narrow at
+    // sf0.1. Exactness across formulations: each run's c·ln c is
+    // round(,9)-pinned and accumulated in DECIMAL(24,9) — decimal
+    // addition is exact, so the fold equals the oracle's grouped DECIMAL
+    // sum of the identical terms no matter how either side orders them.
+    "text_char_entropy" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), length(col("text")).as("n"),
+          expr("array_sort(filter(split(text, ''), x -> x != ''))").as("cs"))
+        .withColumn("bnd", expr(
+          """filter(sequence(1, size(cs)),
+            |  i -> i = 1 OR element_at(cs, i) != element_at(cs, greatest(i - 1, 1)))"""
+            .stripMargin))
+        .withColumn("runs", expr(
+          """zip_with(bnd,
+            |  concat(slice(bnd, 2, size(bnd) - 1), array(size(cs) + 1)),
+            |  (a, b) -> b - a)""".stripMargin))
+        .withColumn("sclnc", expr(
+          """aggregate(runs, CAST(0 AS DECIMAL(24,9)),
+            |  (a, c) -> CAST(a + CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+            |                          AS DECIMAL(24,9)) AS DECIMAL(24,9)))""".stripMargin))
+        .select(col("doc_id"), col("n").cast("long").as("n_chars"),
+          size(col("bnd")).cast("long").as("n_distinct_chars"),
+          round(log(col("n").cast("double")) -
+            col("sclnc").cast("double") / col("n").cast("double"), 6)
+            .as("entropy"))),
 
     // Global quality DECILES — exact corpus-wide rank by score, computed
     // with the same distributed machinery as text_pack_sequences' prefix
@@ -920,6 +955,24 @@ object TextAnalysisQueries extends QueryPack {
          |       CASE WHEN CAST(hits AS DOUBLE) / n_tokens >= 0.15
          |            THEN 'en' ELSE 'unknown' END AS pred_lang
          |FROM m""".stripMargin,
+
+    "text_char_entropy" ->
+      """WITH pos AS (
+        |  SELECT doc_id, length(text) AS n, text,
+        |         unnest(generate_series(1, length(text))) AS i
+        |  FROM documents
+        |), cc AS (
+        |  SELECT doc_id, n, substr(text, CAST(i AS INT), 1) AS ch,
+        |         count(*) AS c
+        |  FROM pos GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |       count(*) AS n_distinct_chars,
+        |       round(ln(CAST(n AS DOUBLE)) -
+        |             CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+        |                           AS DECIMAL(24,9))) AS DOUBLE) /
+        |             CAST(n AS DOUBLE), 6) AS entropy
+        |FROM cc GROUP BY doc_id, n""".stripMargin,
 
     "text_quality" ->
       s"""WITH m AS (

@@ -2,6 +2,7 @@ package graft
 
 import graft.graph.GraphQueries
 import graft.relational.{MiningQueries, TimeSeriesQueries}
+import graft.text.TextAnalysisQueries
 
 /** Wave-7 semantic invariants: the additive decomposition reconstructs
   * the series, modularity respects its analytic bounds and per-community
@@ -38,6 +39,78 @@ class DecomposeSpec extends SparkSpec {
     assert(math.abs(sum - q) < 1e-6, s"contrib sum $sum != q $q")
     // LPA on a co-purchase month should find real structure
     assert(rows.length > 1, "degenerate single community")
+  }
+
+  test("LTTB selection replays an independent sequential implementation") {
+    val W = TimeSeriesQueries.LttbBuckets
+    val got = TimeSeriesQueries.queries("q_ts_lttb")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("bucket"),
+        r.getAs[Long]("k")))
+    assert(got.nonEmpty)
+    // independent greedy replay over the collected daily series
+    val daily = Tables.load(spark, sfDir, "events")
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.date_trunc("day",
+          org.apache.spark.sql.functions.col("ts")).cast("date").as("day"))
+      .agg(org.apache.spark.sql.functions.sum(
+        (org.apache.spark.sql.functions.col("value")
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast("long")).as("c"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay,
+        r.getAs[Long]("c")))
+    daily.groupBy(_._1).foreach { case (et, pts0) =>
+      val pts = pts0.sortBy(_._2).zipWithIndex
+        .map { case ((_, x, y), i) => (i + 1, x, y) } // (k, x, y)
+      val n = pts.length
+      if (n >= W + 2) {
+        val expectKs = scala.collection.mutable.ArrayBuffer(1L)
+        var (ax, ay) = (pts.head._2, pts.head._3)
+        for (b <- 0 until W) {
+          val bucket = pts.filter { case (k, _, _) =>
+            k > 1 && k < n && ((k - 2) * W) / (n - 2) == b }
+          val (sx, sy, m) =
+            if (b < W - 1) {
+              val nb = pts.filter { case (k, _, _) =>
+                k > 1 && k < n && ((k - 2) * W) / (n - 2) == b + 1 }
+              (nb.map(_._2).sum, nb.map(_._3).sum, nb.length.toLong)
+            } else (pts.last._2, pts.last._3, 1L)
+          val best = bucket.maxBy { case (k, x, y) =>
+            (BigInt(ax * m - sx) * BigInt(y - ay) -
+              BigInt(ax - x) * BigInt(sy - ay * m)).abs -> -k
+          }(Ordering.Tuple2(Ordering.BigInt, Ordering.Int))
+          expectKs += best._1.toLong
+          ax = best._2; ay = best._3
+        }
+        expectKs += n.toLong
+        val gotKs = got.filter(_._1 == et).sortBy(_._2).map(_._3).toSeq
+        assert(gotKs == expectKs.toSeq, s"$et: $gotKs vs $expectKs")
+      }
+    }
+  }
+
+  test("char entropy matches a direct per-doc computation") {
+    val got = TextAnalysisQueries.queries("text_char_entropy")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars"), r.getAs[Long]("n_distinct_chars"),
+          r.getAs[Double]("entropy"))).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, text) =>
+      val counts = text.groupBy(identity).map(_._2.length)
+      val h = math.log(text.length) -
+        counts.map(c => math.rint(c * math.log(c) * 1e9) / 1e9).sum / text.length
+      val (n, nd, e) = got(id)
+      assert(n == text.length)
+      assert(nd == counts.size)
+      assert(math.abs(e - h) < 1e-5, s"doc $id: $e vs $h")
+    }
+    // entropy must separate repetitive from varied content
+    assert(got.values.map(_._3).max > got.values.map(_._3).min)
   }
 
   test("ridge shrinks both betas relative to the exact OLS solve") {
