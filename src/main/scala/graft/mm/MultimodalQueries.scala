@@ -170,6 +170,21 @@ object MultimodalQueries extends QueryPack {
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     }),
 
+    // Media dedup CLUSTERS: connected components over the banded phash
+    // pairs via the SAME generic [[graft.dedup.DedupClusters]] fixpoint
+    // the lexical, embedding, and graph families run — a twin and its
+    // original (and any transitive chain of within-gate neighbors)
+    // collapse to one canonical cluster id; untouched media stay
+    // singletons. Operator genericity across the multimodal lane; the
+    // oracle is the recursive-reachability formulation over the
+    // all-pairs phash relation.
+    "mm_dedup_clusters" -> ((s, d) => {
+      val pairs = queries("mm_phash_dedup")(s, d)
+        .select(col("doc_a"), col("doc_b"))
+      graft.dedup.DedupClusters.clusters(pairs,
+        phashDocs(s, d).select(col("doc_id")))
+    }),
+
     // Frame sampling: every 10th frame index of a fake n_frames-long video.
     "mm_frame_sample" -> ((s, d) => {
       val nFrames = (length(col("payload")) % 96) + 1
@@ -250,6 +265,29 @@ object MultimodalQueries extends QueryPack {
          |       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
          |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamMax""".stripMargin),
+
+    "mm_dedup_clusters" -> (phashSigSql(
+        s"""SELECT doc_id, text FROM documents
+           |     UNION ALL
+           |     SELECT doc_id + $PhashTwinOffset, 'Z' || substr(text, 2)
+           |     FROM documents""".stripMargin)
+      .replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      s""",
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamMax
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+         |), comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+         |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |FROM d0 d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin),
 
     "mm_frame_sample" ->
       """WITH m AS (

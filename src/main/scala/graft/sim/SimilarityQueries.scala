@@ -35,6 +35,10 @@ object SimilarityQueries extends QueryPack {
   private val TopK = 5
   private val NQueries = 10 // vec_id < 10 are the query vectors
 
+  /** MMR dials: exact-cosine candidate pool size and picks per query. */
+  val MmrPool = 10
+  val MmrK = 5
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Embedding covariance matrix (upper triangle) — the whitening / PCA
@@ -85,6 +89,79 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("cos").desc, col("n_id").asc)
       scored.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= TopK)
+    }),
+
+    // Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998)
+    // — the diversity pass a retrieval pipeline runs AFTER top-k so the
+    // result set isn't five near-copies of the best hit: greedily pick
+    // argmax λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s) from the
+    // exact-cosine top-[[MmrPool]] pool. Everything that orders a pick
+    // is an exact int64: cosines are pinned once to 1e-4 grains
+    // (round(cos·10⁴) — the knn rounding, as an integer), λ=0.7 scales
+    // to 7/3, so scores are integers and no float can flip a selection;
+    // n_id breaks exact ties. The greedy chain is the LTTB lesson
+    // applied: ONE array fold per query over the broadcast-sized pool
+    // (pairwise sims ride a pool×pool join — MmrPool² rows per query,
+    // corpus-independent), never unrolled DataFrame rounds. Oracle =
+    // unrolled window-argmax rounds with correlated max-sim subqueries
+    // (independent machinery, identical integers).
+    "sim_mmr" -> ((s, d) => {
+      val e = emb(s, d).transform(graft.CacheScope.persisted(_))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
+          col("norm2").as("q_norm2"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(cosine(dotQ(col("q_qe"), col("qe")),
+            col("q_norm2"), col("norm2")) * 10000, 0).cast("long").as("rel"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("rel").desc, col("n_id").asc)
+      val pool = scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= MmrPool)
+        .transform(graft.CacheScope.persisted(_))
+      val pv = pool.join(e.select(col("vec_id"), col("qe"), col("norm2")),
+          col("n_id") === col("vec_id"))
+        .select(col("q_id"), col("n_id"), col("rel"), col("qe"), col("norm2"))
+      val pb = pv.select(col("q_id").as("q2"), col("n_id").as("m_id"),
+        col("qe").as("qe2"), col("norm2").as("n2b"))
+      val psim = pv.join(broadcast(pb),
+          col("q_id") === col("q2") && col("n_id") =!= col("m_id"))
+        .select(col("q_id"), col("n_id"), col("rel"), col("m_id"),
+          round(cosine(dotQ(col("qe"), col("qe2")), col("norm2"), col("n2b")) *
+            10000, 0).cast("long").as("sim"))
+      val cands = psim.groupBy(col("q_id"), col("n_id"), col("rel"))
+        .agg(map_from_entries(collect_list(struct(col("m_id"), col("sim"))))
+          .as("smap"))
+        .groupBy(col("q_id"))
+        .agg(collect_list(struct(col("n_id"), col("rel"), col("smap"))).as("cands"))
+      val folded = cands.withColumn("out", expr(s"""
+        |aggregate(sequence(1, $MmrK),
+        |  named_struct('sel', CAST(array() AS ARRAY<BIGINT>),
+        |    'out', CAST(array() AS ARRAY<STRUCT<rnk: INT, n_id: BIGINT, sc: BIGINT>>)),
+        |  (acc, r) -> element_at(transform(array(
+        |    aggregate(cands,
+        |      named_struct('sc', CAST(-9000000000000000000 AS BIGINT),
+        |                   'n_id', CAST(-1 AS BIGINT)),
+        |      (ba, c) -> CASE WHEN array_contains(acc.sel, c.n_id) THEN ba
+        |        ELSE element_at(transform(array(
+        |          CASE WHEN size(acc.sel) = 0 THEN 7 * c.rel
+        |               ELSE 7 * c.rel - 3 * aggregate(acc.sel,
+        |                      CAST(-20000 AS BIGINT),
+        |                      (m, sid) -> greatest(m, element_at(c.smap, sid)))
+        |          END),
+        |          sc -> CASE WHEN sc > ba.sc OR (sc = ba.sc AND c.n_id < ba.n_id)
+        |                     THEN named_struct('sc', sc, 'n_id', c.n_id)
+        |                     ELSE ba END), 1)
+        |      END)),
+        |    best -> named_struct(
+        |      'sel', concat(acc.sel, array(best.n_id)),
+        |      'out', concat(acc.out, array(named_struct(
+        |        'rnk', CAST(r AS INT), 'n_id', best.n_id, 'sc', best.sc))))), 1),
+        |  acc -> acc.out)""".stripMargin))
+      folded.select(col("q_id"), explode(col("out")).as("o"))
+        .select(col("q_id"), col("o.rnk").as("mmr_rank"),
+          col("o.n_id").as("n_id"),
+          round(col("o.sc").cast("double") / 100000.0, 5).as("mmr_score"))
     }),
 
     "sim_ann_lsh" -> ((s, d) => {
@@ -395,6 +472,71 @@ object SimilarityQueries extends QueryPack {
       |  FROM e GROUP BY vec_id
       |)""".stripMargin
 
+  /** One unrolled MMR round r >= 2 (reads ss{r-1}, defines sel{r}/ss{r}). */
+  private def mmrRoundCte(r: Int): String =
+    s"""c$r AS (
+       |  SELECT c.q_id, c.n_id,
+       |         7 * c.rel - 3 * (SELECT max(p.sim) FROM psim p
+       |                          WHERE p.q_id = c.q_id AND p.a = c.n_id
+       |                            AND p.b IN (SELECT s.n_id FROM ss${r - 1} s
+       |                                        WHERE s.q_id = c.q_id)) AS sc
+       |  FROM pool c
+       |  WHERE NOT EXISTS (SELECT 1 FROM ss${r - 1} s
+       |                    WHERE s.q_id = c.q_id AND s.n_id = c.n_id)
+       |), sel$r AS (
+       |  SELECT q_id, n_id, sc, $r AS rnk FROM (
+       |    SELECT q_id, n_id, sc, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sc DESC, n_id ASC) AS rn
+       |    FROM c$r) WHERE rn = 1
+       |), ss$r AS (SELECT q_id, n_id FROM ss${r - 1}
+       |            UNION ALL SELECT q_id, n_id FROM sel$r)""".stripMargin
+
+  private lazy val mmrOracle: String =
+    s"""$eCte, dots AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         CAST(sum(q.qx * c.qx) AS DOUBLE) / 1000000.0 AS dot
+       |  FROM e q JOIN e c ON q.i = c.i AND q.vec_id < $NQueries
+       |                   AND c.vec_id <> q.vec_id
+       |  GROUP BY 1, 2
+       |), scoredm AS (
+       |  SELECT d.q_id, d.n_id,
+       |         CAST(round(d.dot / (sqrt(nq.norm2) * sqrt(nc.norm2)) * 10000, 0)
+       |              AS BIGINT) AS rel
+       |  FROM dots d
+       |  JOIN norms nq ON nq.vec_id = d.q_id
+       |  JOIN norms nc ON nc.vec_id = d.n_id
+       |), pool AS (
+       |  SELECT q_id, n_id, rel FROM (
+       |    SELECT q_id, n_id, rel, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, n_id ASC) AS rn
+       |    FROM scoredm) WHERE rn <= $MmrPool
+       |), psim AS (
+       |  SELECT pa.q_id, pa.n_id AS a, pb.n_id AS b,
+       |         CAST(round((CAST(sum(ea.qx * eb.qx) AS DOUBLE) / 1000000.0) /
+       |              (sqrt(any_value(na.norm2)) * sqrt(any_value(nb.norm2))) *
+       |              10000, 0) AS BIGINT) AS sim
+       |  FROM pool pa
+       |  JOIN pool pb ON pb.q_id = pa.q_id AND pb.n_id <> pa.n_id
+       |  JOIN e ea ON ea.vec_id = pa.n_id
+       |  JOIN e eb ON eb.vec_id = pb.n_id AND eb.i = ea.i
+       |  JOIN norms na ON na.vec_id = pa.n_id
+       |  JOIN norms nb ON nb.vec_id = pb.n_id
+       |  GROUP BY pa.q_id, pa.n_id, pb.n_id
+       |), c1 AS (
+       |  SELECT q_id, n_id, 7 * rel AS sc FROM pool
+       |), sel1 AS (
+       |  SELECT q_id, n_id, sc, 1 AS rnk FROM (
+       |    SELECT q_id, n_id, sc, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sc DESC, n_id ASC) AS rn
+       |    FROM c1) WHERE rn = 1
+       |), ss1 AS (SELECT q_id, n_id FROM sel1),
+       |${(2 to MmrK).map(mmrRoundCte).mkString(",\n")}
+       |SELECT q_id, rnk AS mmr_rank, n_id,
+       |       round(CAST(sc AS DOUBLE) / 100000.0, 5) AS mmr_score
+       |FROM (
+       |  ${(1 to MmrK).map(r => s"SELECT * FROM sel$r").mkString("\n  UNION ALL ")}
+       |)""".stripMargin
+
   private lazy val knnOracle: String =
     s"""$eCte, dots AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -581,6 +723,8 @@ object SimilarityQueries extends QueryPack {
     "sim_ann_recall" -> recallOracle,
 
     "sim_knn_bruteforce" -> knnOracle,
+
+    "sim_mmr" -> mmrOracle,
 
     "sim_ann_lsh" -> lshOracle,
 

@@ -90,6 +90,56 @@ class DecomposeSpec extends SparkSpec {
     }
   }
 
+  test("MMR selection replays an independent greedy implementation") {
+    val got = graft.sim.SimilarityQueries.queries("sim_mmr")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("mmr_rank"),
+        r.getAs[Long]("n_id")))
+    assert(got.nonEmpty)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.rint(x.toDouble * 1000).toLong).toArray)
+      .toMap
+    def cosI(a: Array[Long], b: Array[Long]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum / 1e6
+      val na = math.sqrt(a.map(x => x * x).sum / 1e6)
+      val nb = math.sqrt(b.map(x => x * x).sum / 1e6)
+      math.rint(dot / (na * nb) * 10000).toLong
+    }
+    (0L until 10L).foreach { qid =>
+      val qv = vecs(qid)
+      val pool = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosI(qv, v)) }
+        .sortBy { case (id, rel) => (-rel, id) }.take(10)
+      val sims = (for ((a, _) <- pool; (b, _) <- pool if a != b)
+        yield (a, b) -> cosI(vecs(a), vecs(b))).toMap
+      var sel = Vector.empty[Long]
+      val relOf = pool.toMap
+      for (_ <- 1 to 5) {
+        val best = pool.filter(p => !sel.contains(p._1)).map { case (id, rel) =>
+          val sc = if (sel.isEmpty) 7 * rel
+            else 7 * rel - 3 * sel.map(s => sims((id, s))).max
+          (id, sc)
+        }.minBy { case (id, sc) => (-sc, id) }
+        sel :+= best._1
+      }
+      val gotIds = got.filter(_._1 == qid).sortBy(_._2).map(_._3).toSeq
+      assert(gotIds == sel, s"q$qid: $gotIds vs $sel")
+    }
+    // the diversity term must actually matter somewhere: at least one
+    // query's MMR order differs from its pure-relevance pool order
+    val pureTop = (0L until 10L).map { qid =>
+      val qv = vecs(qid)
+      vecs.toSeq.filter(_._1 != qid).map { case (id, v) => (id, cosI(qv, v)) }
+        .sortBy { case (id, rel) => (-rel, id) }.take(5).map(_._1)
+    }
+    val mmrTop = (0L until 10L).map(q =>
+      got.filter(_._1 == q).sortBy(_._2).map(_._3).toSeq)
+    assert(pureTop.zip(mmrTop).exists { case (a, b) => a != b },
+      "MMR never diverged from pure relevance — diversity term inert")
+  }
+
   test("char entropy matches a direct per-doc computation") {
     val got = TextAnalysisQueries.queries("text_char_entropy")(spark, sfDir)
       .collect()
