@@ -468,6 +468,39 @@ object AdvancedQueries extends QueryPack {
     * (RewritePredicateSubquery), so at scale this is two shuffled hash
     * joins, not a per-row probe.
     */
+  /** Recursive CTE (Spark 4's WITH RECURSIVE — SPARK-24497): walk each
+    * part key up the implicit binary-tree hierarchy pk -> pk div 2 to
+    * the root and histogram the depths. One shared dialect-neutral text
+    * (CAST((cur - cur % 2) / 2 ...) instead of div/`//`); recursion
+    * depth is log2(max pk) — bounded at any SF, which is exactly the
+    * contract a recursive query needs at 100 TB (depth bounded by the
+    * HIERARCHY, fan-out handled by the per-iteration join).
+    */
+  private val RecursiveSql: String =
+    """WITH RECURSIVE walk(pk, cur, depth) AS (
+      |  SELECT p_partkey, p_partkey, CAST(0 AS INT) FROM part
+      |  UNION ALL
+      |  SELECT pk, CAST((cur - cur % 2) / 2 AS BIGINT), depth + 1
+      |  FROM walk WHERE cur > 1
+      |)
+      |SELECT depth_to_root, count(*) AS n_parts
+      |FROM (SELECT pk, CAST(max(depth) AS INT) AS depth_to_root
+      |      FROM walk GROUP BY pk)
+      |GROUP BY depth_to_root""".stripMargin
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — the top-N-per-
+    * group shape written the way an application developer writes it
+    * (both engines decorrelate it; the window-function twin is
+    * q_topk_per_group). Shared text, deterministic total order.
+    */
+  private val LateralSql: String =
+    """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+      |) t""".stripMargin
+
   private val ExistsSub: String =
     """SELECT c_custkey, c_name, c_mktsegment
       |FROM customer c
@@ -683,6 +716,17 @@ object AdvancedQueries extends QueryPack {
       Seq("customer", "orders").foreach(n =>
         t(s, d, n).createOrReplaceTempView(n))
       s.sql(ExistsSub)
+    }),
+
+    "q_sql_recursive" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("part")
+      s.sql(RecursiveSql)
+    }),
+
+    "q_sql_lateral" -> ((s, d) => {
+      Seq("customer", "orders").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(LateralSql)
     }),
 
     // NOT IN over a NULLABLE subquery column — the null-aware anti join,
@@ -1808,6 +1852,8 @@ object AdvancedQueries extends QueryPack {
     "q_sql_scalar_subquery" -> ScalarSub,
     "q_sql_exists" -> ExistsSub,
     "q_sql_not_in" -> NotInSub,
+    "q_sql_recursive" -> RecursiveSql,
+    "q_sql_lateral" -> LateralSql,
 
     "q_range_join" ->
       """SELECT a.event_id AS event_a, b.event_id AS event_b,

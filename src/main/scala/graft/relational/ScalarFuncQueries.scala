@@ -49,6 +49,23 @@ object ScalarFuncQueries extends QueryPack {
           get_json_object(col("props"), "$.k").cast("long").as("k_int"),
           get_json_object(col("props"), "$.missing").as("k_missing"))),
 
+    // Spark 4's VARIANT type (the open binary-JSON encoding semi-
+    // structured pipelines ingest once and shred lazily): parse_json ->
+    // typed variant_get extraction + schema_of_variant inference, with
+    // a missing-path probe returning NULL. At 100 TB the point of
+    // VARIANT over repeated get_json_object is parse-once: the string
+    // is decoded a single time per row, every later extraction is a
+    // binary field walk. The oracle reproduces the typed extraction via
+    // DuckDB's JSON functions and pins the inferred schema literal.
+    "q_json_variant" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(
+          col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"),
+          expr("schema_of_variant(v)").as("vschema"),
+          expr("variant_get(v, '$.missing', 'bigint')").as("k_missing"))),
+
     "q_math_funcs" -> ((s, d) =>
       t(s, d, "lineitem")
         .select(
@@ -155,6 +172,13 @@ object ScalarFuncQueries extends QueryPack {
         |       json_extract_string(props, '$.k') AS k_str,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
         |       json_extract_string(props, '$.missing') AS k_missing
+        |FROM events""".stripMargin,
+
+    "q_json_variant" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       'OBJECT<k: BIGINT>' AS vschema,
+        |       CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing
         |FROM events""".stripMargin,
 
     "q_math_funcs" ->
