@@ -155,6 +155,38 @@ object GraphQueries extends QueryPack {
       edges(s, d).groupBy("src").agg(count(lit(1)).as("outdeg"))
         .groupBy("outdeg").agg(count(lit(1)).as("n_nodes"))),
 
+    // Degree assortativity (Newman): the Pearson correlation of endpoint
+    // degrees over every directed edge — one scalar that says whether
+    // hubs attach to hubs (r > 0, social-graph shape) or to leaves
+    // (r < 0, the hub-and-spoke shape that drives skew mitigation). Two
+    // degree joins + exact-DECIMAL moment sums (the q_ts_acf discipline:
+    // degrees are bounded ints, products stay inside DECIMAL(38), the
+    // single double division is round(,6)-pinned). On the symmetric
+    // co-purchase relation this is the undirected coefficient.
+    "q_graph_assortativity" -> ((s, d) => {
+      val e = edges(s, d).transform(graft.CacheScope.persisted(_))
+      val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+        .transform(graft.CacheScope.persisted(_))
+      val x = col("da").cast(DecimalType(12, 0))
+      val y = col("db").cast(DecimalType(12, 0))
+      val m = e
+        .join(deg.select(col("src"), col("dg").as("da")), "src")
+        .join(deg.select(col("src").as("dst"), col("dg").as("db")), "dst")
+        .agg(count(lit(1)).cast(DecimalType(14, 0)).as("n"),
+          sum(x).cast(DecimalType(20, 0)).as("sx"),
+          sum(y).cast(DecimalType(20, 0)).as("sy"),
+          sum(x * y).cast(DecimalType(26, 0)).as("sxy"),
+          sum(x * x).cast(DecimalType(26, 0)).as("sxx"),
+          sum(y * y).cast(DecimalType(26, 0)).as("syy"))
+      m.select(col("n").cast("long").as("n_edges"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt(greatest(lit(0.0),
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))) *
+           sqrt(greatest(lit(0.0),
+             (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))),
+          6).as("assortativity"))
+    }),
+
     // Per-node triangle counts with the DEGREE-ORDERED orientation: each
     // undirected edge points from lower to higher (degree, id), which (a)
     // counts every triangle exactly once at its base edge and (b) bounds
@@ -1020,6 +1052,29 @@ object GraphQueries extends QueryPack {
     "q_graph_degree" ->
       s"""$edgesCte
          |SELECT outdeg, count(*) AS n_nodes FROM deg GROUP BY outdeg""".stripMargin,
+
+    "q_graph_assortativity" ->
+      s"""$edgesCte,
+         |m AS (
+         |  SELECT CAST(count(*) AS DECIMAL(14,0)) AS n,
+         |         CAST(sum(CAST(a.outdeg AS DECIMAL(12,0))) AS DECIMAL(20,0)) AS sx,
+         |         CAST(sum(CAST(b.outdeg AS DECIMAL(12,0))) AS DECIMAL(20,0)) AS sy,
+         |         CAST(sum(CAST(a.outdeg AS DECIMAL(12,0)) * CAST(b.outdeg AS DECIMAL(12,0))) AS DECIMAL(26,0)) AS sxy,
+         |         CAST(sum(CAST(a.outdeg AS DECIMAL(12,0)) * CAST(a.outdeg AS DECIMAL(12,0))) AS DECIMAL(26,0)) AS sxx,
+         |         CAST(sum(CAST(b.outdeg AS DECIMAL(12,0)) * CAST(b.outdeg AS DECIMAL(12,0))) AS DECIMAL(26,0)) AS syy
+         |  FROM edges e
+         |  JOIN deg a ON a.src = e.src
+         |  JOIN deg b ON b.src = e.dst
+         |)
+         |SELECT CAST(n AS BIGINT) AS n_edges,
+         |       round(CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT) -
+         |                  CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) /
+         |             (sqrt(greatest(0.0, CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT) -
+         |                  CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE))) *
+         |              sqrt(greatest(0.0, CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT) -
+         |                  CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)))),
+         |             6) AS assortativity
+         |FROM m""".stripMargin,
 
     // Wedge-join formulation — deliberately different from the Spark
     // side's adjacency-intersect (see the query comment).

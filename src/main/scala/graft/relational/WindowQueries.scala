@@ -165,6 +165,24 @@ object WindowQueries extends QueryPack {
           ntile(4).over(w).as("quartile"))
     }),
 
+    // Positional value extraction over the full partition frame:
+    // first/third/last event type of each user's history on an
+    // unbounded-both-ways frame — the nth_value surface (lead/lag's
+    // frame-anchored sibling; the ignore-nulls variant lives in
+    // q_gapfill_locf and the attribution queries). Deterministic via
+    // the unique (ts, event_id) order; user-partitioned like every
+    // window in this surface.
+    "q_window_nth" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          nth_value(col("event_type"), 3).over(w).as("third_type"),
+          last(col("event_type")).over(w).as("last_type"))
+    }),
+
     // Per-group top-k: top-3 orders by value per customer.
     "q_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -308,6 +326,16 @@ object WindowQueries extends QueryPack {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_window_nth" ->
+      """SELECT user_id, event_id,
+        |       first_value(event_type) OVER w AS first_type,
+        |       nth_value(event_type, 3) OVER w AS third_type,
+        |       last_value(event_type) OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+        .stripMargin,
 
     "q_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
