@@ -1266,6 +1266,35 @@ object AdvancedQueries extends QueryPack {
     // and durations are exact in both engines.
     "q_events_sessionize" -> ((s, d) => sessionizeBatchOf(t(s, d, "events"))),
 
+    // Gaps-and-islands: each user's LONGEST run of consecutive active
+    // days (the engagement-streak metric), via the classic day − rank
+    // grouping key — consecutive days share a constant difference, so
+    // the islands fall out of one user-partitioned row_number and a
+    // per-(user, island) aggregate; the longest-streak argmax is
+    // max(struct) with earliest-start tiebreak, no second window. The
+    // q_events_sessionize sibling at day grain: that one cuts on TIME
+    // gaps inside a day, this one on calendar holes across days.
+    "q_events_streaks" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+      val days = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val grp = days
+        .withColumn("grp", expr("date_sub(day, row_number() OVER " +
+          "(PARTITION BY user_id ORDER BY day))"))
+      val islands = grp.groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+      islands.groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(struct(col("len"),
+            (-datediff(col("start"), to_date(lit("1970-01-01")))).as("negs")))
+            .as("m"))
+        .select(col("user_id"), col("n_active_days"), col("n_streaks"),
+          col("m.len").as("longest_streak"),
+          date_add(to_date(lit("1970-01-01")), -col("m.negs")).as("streak_start"))
+    }),
+
     // U-shaped multi-touch attribution ([[attributionOf]]): every click in
     // the 72h lookback of a purchase gets fractional credit — 40/40 to the
     // first and last touch, the middle 20% split evenly (1.0 and 0.5/0.5
@@ -1565,6 +1594,28 @@ object AdvancedQueries extends QueryPack {
         |                     CAST(s.n * s.n AS DOUBLE))), 6) AS z
         |  FROM ev e JOIN st s USING (event_type)
         |) WHERE abs(z) >= 3""".stripMargin,
+
+    "q_events_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), grp AS (
+        |  SELECT user_id, day,
+        |         day - CAST(row_number() OVER (PARTITION BY user_id
+        |                                       ORDER BY day) AS INT) AS grp
+        |  FROM days
+        |), islands AS (
+        |  SELECT user_id, grp, count(*) AS len, min(day) AS start
+        |  FROM grp GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |       count(*) AS n_streaks,
+        |       -- composite scalar key: len dominates, earlier start wins ties
+        |       -- (epoch day < 1e6 at any plausible horizon)
+        |       CAST(max_by(len, len * 1000000 - (start - DATE '1970-01-01'))
+        |            AS BIGINT) AS longest_streak,
+        |       max_by(start, len * 1000000 - (start - DATE '1970-01-01'))
+        |         AS streak_start
+        |FROM islands GROUP BY user_id""".stripMargin,
 
     "q_events_sessionize" -> {
       val gapUs = SessionGapMinutes.toLong * 60L * 1000000L
