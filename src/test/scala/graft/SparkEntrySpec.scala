@@ -54,8 +54,8 @@ class SparkEntrySpec extends SparkSpec {
     val actualPacks = packs.map(_.getClass.getSimpleName.stripSuffix("$")).toSet
     assert(expectedPacks.subsetOf(actualPacks),
       s"packs removed from the registry: ${expectedPacks -- actualPacks}")
-    assert(SparkEntry.queries.size >= 105,
-      s"query surface shrank below the round-7 floor: ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size >= 265,
+      s"query surface shrank below the round-10 floor: ${SparkEntry.queries.size}")
   }
 
   test("flagship entry returns rows on sf0.001") {
