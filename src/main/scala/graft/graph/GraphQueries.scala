@@ -408,22 +408,45 @@ object GraphQueries extends QueryPack {
     * components run on forest-sized, not graph-sized, input). Unique
     * minima make Borůvka cycle-free, so no cycle check is needed.
     */
-  def mstOf(edgesW: DataFrame): DataFrame = {
+  def mstOf(edgesW: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
     import graft.CacheScope.persisted
-    val und = persisted(edgesW.filter(col("src") < col("dst"))
+    // Iteration state rides EAGER checkpoints, the DedupClusters storage
+    // discipline: two cache-chained variants of this loop (quotient
+    // contraction; cached edge cleanup) each measured ~6x SLOWER than
+    // re-joining the full graph every round, because chained lazy caches
+    // recompute under the fixpoint's repeated references — see PLANS.md.
+    // With the surviving-cross-edge set checkpoint-TRUNCATED per round,
+    // the classic Borůvka cleanup finally pays: the candidate relation
+    // shrinks geometrically (1.2M -> cross-component remnant) and later
+    // rounds join the remnant, not the graph (16.6s -> measured below).
+    val master = edgesW.sparkSession.sparkContext.master
+    require(checkpointDir.isDefined || master.startsWith("local"),
+      s"mstOf: master '$master' is not local — pass checkpointDir= a " +
+        "shared-filesystem path (localCheckpoint blocks die with their executor)")
+    checkpointDir.foreach(edgesW.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val und0 = persisted(edgesW.filter(col("src") < col("dst"))
       .select(col("src"), col("dst"), col("w")))
-    val nodes = persisted(und.select(col("src").as("node"))
-      .unionByName(und.select(col("dst").as("node"))).distinct())
+    val nodes = persisted(und0.select(col("src").as("node"))
+      .unionByName(und0.select(col("dst").as("node"))).distinct())
+    var und = und0
     var lbl = nodes.select(col("node"), col("node").as("comp"))
-    var chosen: DataFrame = und.filter(lit(false))
+    var chosen: DataFrame = und0.filter(lit(false))
     var done = false
     for (_ <- 1 to MstRounds if !done) {
-      val cross = persisted(und
+      val cross = pin(und
         .join(lbl.select(col("node").as("src"), col("comp").as("ca")), "src")
         .join(lbl.select(col("node").as("dst"), col("comp").as("cb")), "dst")
         .filter(col("ca") =!= col("cb")))
       if (cross.isEmpty) done = true
       else {
+        // Borůvka edge cleanup: an intra-component edge can never be
+        // picked later, so the surviving cross-component edges ARE the
+        // next round's candidate set (checkpoint-truncated above).
+        und = cross.select(col("src"), col("dst"), col("w"))
         val e = struct(col("w"), col("src"), col("dst"))
         val picked = cross.select(col("ca").as("comp"), e.as("e"))
           .unionByName(cross.select(col("cb").as("comp"), e.as("e")))
@@ -431,7 +454,7 @@ object GraphQueries extends QueryPack {
           .select(col("m.src").as("src"), col("m.dst").as("dst"),
             col("m.w").as("w"))
           .distinct()
-        chosen = persisted(chosen.unionByName(picked))
+        chosen = pin(chosen.unionByName(picked))
         lbl = graft.dedup.DedupClusters
           .clusters(chosen.select(col("src").as("doc_a"),
             col("dst").as("doc_b")), nodes.select(col("node").as("doc_id")))
