@@ -55,6 +55,28 @@ object DedupQueries extends QueryPack {
         .groupBy(md5(col("text")).as("text_md5"))
         .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))),
 
+    // Cluster-size HISTOGRAM + corpus duplication rate — the one-page
+    // readout a curation run reads before acting on the clusters (a fat
+    // tail here means boilerplate families; dup_rate is the fraction of
+    // the corpus a keep-one policy would drop). Third LabelsMemo
+    // consumer: the labels come from the shared materialized relation,
+    // the stats are two bounded aggregations over it plus a broadcast
+    // 1-row total; dup_rate is one double from exact counts, pinned.
+    "dedup_cluster_stats" -> ((s, d) => {
+      val sizes = clusterLabels(s, d)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .transform(graft.CacheScope.persisted(_))
+      val tot = sizes.agg(sum(col("sz")).as("n_docs"),
+        count(lit(1)).as("n_clusters"))
+      sizes.groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters_of_size"))
+        .crossJoin(broadcast(tot))
+        .select(col("cluster_size"), col("n_clusters_of_size"),
+          col("n_docs"), col("n_clusters"),
+          round(lit(1.0) - col("n_clusters").cast("double") /
+            col("n_docs").cast("double"), 6).as("dup_rate"))
+    }),
+
     // Normalized exact dedup: case-fold + whitespace-collapse before
     // hashing — catches trivially-reformatted copies that byte-exact
     // hashing misses, still one shuffle.
@@ -863,6 +885,23 @@ object DedupQueries extends QueryPack {
     // checkpoints, so it shares the oracle verbatim.
     "dedup_clusters" -> clustersOracle,
     "dedup_clusters_ckpt" -> clustersOracle,
+
+    "dedup_cluster_stats" ->
+      s"""$clustersCtes,
+         |sizes AS (
+         |  SELECT cluster_id, count(*) AS sz FROM lbl GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+         |         count(*) AS n_clusters
+         |  FROM sizes
+         |)
+         |SELECT s.sz AS cluster_size, count(*) AS n_clusters_of_size,
+         |       any_value(t.n_docs) AS n_docs,
+         |       any_value(t.n_clusters) AS n_clusters,
+         |       round(1.0 - CAST(any_value(t.n_clusters) AS DOUBLE) /
+         |             CAST(any_value(t.n_docs) AS DOUBLE), 6) AS dup_rate
+         |FROM sizes s CROSS JOIN tot t
+         |GROUP BY s.sz""".stripMargin,
     // The incremental path must land on EXACTLY the from-scratch labels —
     // sharing the oracle verbatim IS the reconciliation correctness claim.
     "dedup_incremental_reconcile" -> clustersOracle,

@@ -378,29 +378,30 @@ object TimeSeriesQueries extends QueryPack {
     // before the DECIMAL seasonal-mean fold, remainder is a difference
     // of pinned doubles. Type-partitioned windows over the
     // calendar-bounded daily relation, as everywhere in this pack.
-    "q_ts_decompose" -> ((s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
-      val daily = dailyOf(t(s, d, "events"))
-      val tr = daily
-        .withColumn("s7", sum(col("c")).over(W))
-        .withColumn("n7", count(lit(1)).over(W))
-        .filter(col("n7") === 7)
-        .withColumn("trend", round(col("s7").cast("double") / 700.0, 6))
-        .withColumn("detr",
-          round(col("c").cast("double") / 100.0 - col("trend"), 6))
-        .withColumn("dow",
-          pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7)))
-        .transform(CacheScope.persisted(_))
-      val seas = tr.groupBy(col("event_type").as("et_s"), col("dow").as("dow_s"))
-        .agg((sum(col("detr").cast(DecimalType(18, 6))).cast("double") /
-          count(lit(1)).cast("double")).as("seas_raw"))
-        .select(col("et_s"), col("dow_s"), round(col("seas_raw"), 6).as("seasonal"))
-      tr.join(seas, col("event_type") === col("et_s") && col("dow") === col("dow_s"))
-        .select(col("event_type"), col("day"),
-          round(col("c").cast("double") / 100.0, 2).as("value"),
-          col("trend"), col("seasonal"),
-          round(col("detr") - col("seasonal"), 6).as("remainder"))
+    "q_ts_decompose" -> ((s, d) => decomposedOf(s, d)),
+
+    // Anomaly scoring on the DESEASONALIZED remainder — the composition
+    // q_ts_decompose exists to enable: q_ts_anomaly_mad's modified
+    // z-score applied to the remainder series, so a legitimately busy
+    // weekday can no longer mask (or fake) an anomaly the way it can on
+    // the raw daily totals. Same median/MAD discipline (exact
+    // interpolated percentiles over the round-pinned remainders,
+    // identical double arithmetic, zero-MAD gated); the decomposition
+    // relation is bounded, so everything after the shared events agg is
+    // constant-size work.
+    "q_ts_anomaly_deseason" -> ((s, d) => {
+      val dec = decomposedOf(s, d).transform(CacheScope.persisted(_))
+      val med = dec.groupBy(col("event_type").as("et_m"))
+        .agg(expr("percentile(remainder, 0.5)").as("med"))
+      val mad = dec.join(med, col("event_type") === col("et_m"))
+        .groupBy(col("event_type").as("et_d"))
+        .agg(expr("percentile(abs(remainder - med), 0.5)").as("mad"))
+      val z = round(lit(0.6745) * (col("remainder") - col("med")) / col("mad"), 6)
+      dec.join(med, col("event_type") === col("et_m"))
+        .join(mad, col("event_type") === col("et_d"))
+        .filter(col("mad") > 0)
+        .select(col("event_type"), col("day"), col("value"),
+          col("remainder"), z.as("z"), (abs(z) >= 2.5).as("is_anomaly"))
     }),
 
     // Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) —
@@ -549,6 +550,34 @@ object TimeSeriesQueries extends QueryPack {
   /** Cross-correlation lag range (days, symmetric). */
   val XcorrMaxLag = 3
 
+  /** The q_ts_decompose relation (see its registration comment) — shared
+    * with q_ts_anomaly_deseason, which scores the remainder column.
+    */
+  private def decomposedOf(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    val daily = dailyOf(t(s, d, "events"))
+    val tr = daily
+      .withColumn("s7", sum(col("c")).over(W))
+      .withColumn("n7", count(lit(1)).over(W))
+      .filter(col("n7") === 7)
+      .withColumn("trend", round(col("s7").cast("double") / 700.0, 6))
+      .withColumn("detr",
+        round(col("c").cast("double") / 100.0 - col("trend"), 6))
+      .withColumn("dow",
+        pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7)))
+      .transform(CacheScope.persisted(_))
+    val seas = tr.groupBy(col("event_type").as("et_s"), col("dow").as("dow_s"))
+      .agg((sum(col("detr").cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1)).cast("double")).as("seas_raw"))
+      .select(col("et_s"), col("dow_s"), round(col("seas_raw"), 6).as("seasonal"))
+    tr.join(seas, col("event_type") === col("et_s") && col("dow") === col("dow_s"))
+      .select(col("event_type"), col("day"),
+        round(col("c").cast("double") / 100.0, 2).as("value"),
+        col("trend"), col("seasonal"),
+        round(col("detr") - col("seasonal"), 6).as("remainder"))
+  }
+
   /** One unrolled LTTB round for the oracle: select bucket i's max-area
     * point against prev p{i} and the round's target, define p{i+1}.
     */
@@ -572,6 +601,38 @@ object TimeSeriesQueries extends QueryPack {
        |), p${i + 1} AS (SELECT event_type, x AS ax, y AS ay FROM sel$i)"""
       .stripMargin
   }
+
+  /** Shared decompose CTE chain ending in `dec` (the q_ts_decompose
+    * relation) — consumed by both its oracle and the deseasonalized
+    * anomaly oracle.
+    */
+  private lazy val DecomposeCtes: String =
+    s"""WITH daily AS ($DailySql),
+       |tr AS (
+       |  SELECT event_type, day, c,
+       |         sum(c) OVER w7 AS s7, count(*) OVER w7 AS n7
+       |  FROM daily
+       |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+       |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+       |), dt AS (
+       |  SELECT event_type, day, c,
+       |         round(CAST(s7 AS DOUBLE) / 700.0, 6) AS trend,
+       |         round(CAST(c AS DOUBLE) / 100.0 -
+       |               round(CAST(s7 AS DOUBLE) / 700.0, 6), 6) AS detr,
+       |         CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS dow
+       |  FROM tr WHERE n7 = 7
+       |), seas AS (
+       |  SELECT event_type AS et_s, dow AS dow_s,
+       |         round(CAST(sum(CAST(detr AS DECIMAL(18,6))) AS DOUBLE) /
+       |               CAST(count(*) AS DOUBLE), 6) AS seasonal
+       |  FROM dt GROUP BY 1, 2
+       |), dec AS (
+       |  SELECT d.event_type, d.day,
+       |         round(CAST(d.c AS DOUBLE) / 100.0, 2) AS value,
+       |         d.trend, s.seasonal,
+       |         round(d.detr - s.seasonal, 6) AS remainder
+       |  FROM dt d JOIN seas s ON s.et_s = d.event_type AND s.dow_s = d.dow
+       |)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
 
@@ -822,31 +883,30 @@ object TimeSeriesQueries extends QueryPack {
          |FROM lett GROUP BY event_type""".stripMargin,
 
     "q_ts_decompose" ->
-      s"""WITH daily AS ($DailySql),
-         |tr AS (
-         |  SELECT event_type, day, c,
-         |         sum(c) OVER w7 AS s7, count(*) OVER w7 AS n7
-         |  FROM daily
-         |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
-         |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-         |), dt AS (
-         |  SELECT event_type, day, c,
-         |         round(CAST(s7 AS DOUBLE) / 700.0, 6) AS trend,
-         |         round(CAST(c AS DOUBLE) / 100.0 -
-         |               round(CAST(s7 AS DOUBLE) / 700.0, 6), 6) AS detr,
-         |         CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS dow
-         |  FROM tr WHERE n7 = 7
-         |), seas AS (
-         |  SELECT event_type AS et_s, dow AS dow_s,
-         |         round(CAST(sum(CAST(detr AS DECIMAL(18,6))) AS DOUBLE) /
-         |               CAST(count(*) AS DOUBLE), 6) AS seasonal
-         |  FROM dt GROUP BY 1, 2
+      s"""$DecomposeCtes
+         |SELECT event_type, day, value, trend, seasonal, remainder
+         |FROM dec""".stripMargin,
+
+    "q_ts_anomaly_deseason" ->
+      s"""$DecomposeCtes,
+         |med AS (
+         |  SELECT event_type AS et_m, quantile_cont(remainder, 0.5) AS med
+         |  FROM dec GROUP BY 1
+         |), mad AS (
+         |  SELECT d.event_type AS et_d,
+         |         quantile_cont(abs(d.remainder - m.med), 0.5) AS mad
+         |  FROM dec d JOIN med m ON m.et_m = d.event_type
+         |  GROUP BY 1
          |)
-         |SELECT d.event_type, d.day,
-         |       round(CAST(d.c AS DOUBLE) / 100.0, 2) AS value,
-         |       d.trend, s.seasonal,
-         |       round(d.detr - s.seasonal, 6) AS remainder
-         |FROM dt d JOIN seas s ON s.et_s = d.event_type AND s.dow_s = d.dow""".stripMargin,
+         |SELECT event_type, day, value, remainder, z, abs(z) >= 2.5 AS is_anomaly
+         |FROM (
+         |  SELECT d.event_type, d.day, d.value, d.remainder,
+         |         round(0.6745 * (d.remainder - m.med) / a.mad, 6) AS z
+         |  FROM dec d
+         |  JOIN med m ON m.et_m = d.event_type
+         |  JOIN mad a ON a.et_d = d.event_type
+         |  WHERE a.mad > 0
+         |)""".stripMargin,
 
     "q_ts_crosscorr" ->
       s"""WITH daily AS ($DailySql),
