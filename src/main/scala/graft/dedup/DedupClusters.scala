@@ -38,8 +38,26 @@ object DedupClusters {
       checkpointDir: Option[String]): Unit =
     require(checkpointDir.isDefined || master.startsWith("local"),
       s"DedupClusters: master '$master' is not local — pass checkpointDir= " +
-        "a shared-filesystem path (edge materialization and localCheckpoint " +
-        "are node-local and do not survive on a cluster)")
+        "(or sc.setCheckpointDir) a shared-filesystem path (edge " +
+        "materialization and localCheckpoint are node-local and do not " +
+        "survive on a cluster)")
+
+  /** Resolve the reliable-checkpoint base: the explicit argument wins
+    * (and is installed on the context); on a NON-local master a dir the
+    * caller already configured via `sc.setCheckpointDir` also counts —
+    * the normal cluster deployment shape, which must not be forced to
+    * re-thread the path through every registered query (ADVICE r10). On
+    * local masters with no explicit argument this stays None so the
+    * iterative operators keep the faster executor-local `localCheckpoint`
+    * (and a test session that happens to carry a checkpoint dir doesn't
+    * silently re-route every suite's iteration state through it).
+    */
+  private[graft] def resolveReliableDir(sc: org.apache.spark.SparkContext,
+      checkpointDir: Option[String]): Option[String] = {
+    checkpointDir.foreach(sc.setCheckpointDir)
+    if (checkpointDir.isDefined || sc.master.startsWith("local")) checkpointDir
+    else sc.getCheckpointDir
+  }
 
   /** pairs(doc_a, doc_b) + universe(doc_id) -> (doc_id, cluster_id).
     *
@@ -104,9 +122,10 @@ object DedupClusters {
     // lineage (measured: 30-140s per iteration instead of ~1s). Eager
     // checkpoints materialize AND truncate lineage, so each iteration
     // starts from stored blocks whatever happens upstream.
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    val reliableDir =
+      resolveReliableDir(pairs.sparkSession.sparkContext, checkpointDir)
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      if (reliableDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
 
     // pairs is usually an expensive LSH pipeline; it must be materialized
@@ -127,8 +146,8 @@ object DedupClusters {
     //     fixpoint (every downstream reference is materialized in pinned
     //     state by then).
     val ss = pairs.sparkSession
-    requireClusterSafe(ss.sparkContext.master, checkpointDir)
-    val base = checkpointDir.getOrElse(
+    requireClusterSafe(ss.sparkContext.master, reliableDir)
+    val base = reliableDir.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-clusters-").toString)
     val edgesPath = s"$base/edges.parquet"
     timed("write(edges)")(pairs.select(explode(array(
@@ -236,7 +255,7 @@ object DedupClusters {
     // before the strictness check so the failure path cleans up too.
     timed("delete(edges)") {
       val root = new org.apache.hadoop.fs.Path(
-        if (checkpointDir.isDefined) edgesPath else base)
+        if (reliableDir.isDefined) edgesPath else base)
       root.getFileSystem(ss.sparkContext.hadoopConfiguration).delete(root, true)
     }
     if (!converged) {

@@ -167,17 +167,23 @@ object GraphQueries extends QueryPack {
       val e = edges(s, d).transform(graft.CacheScope.persisted(_))
       val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
         .transform(graft.CacheScope.persisted(_))
+      // Precision budget (Spark multiply: DECIMAL(p1)*DECIMAL(p2) ->
+      // DECIMAL(p1+p2+1), clamped at 38 with silent-null/ANSI-throw past
+      // it): n(12)*sxy(25)+1 = 38 and sx(18)*sy(18)+1 = 37, so NO product
+      // below is clamped — the exactness invariant genuinely holds for
+      // deg <= 1e6, edges < 1e12, deg·edges < 1e18 (ADVICE r10: the old
+      // 14/20/26 casts put n*sxy at precision 41, silently clamped).
       val x = col("da").cast(DecimalType(12, 0))
       val y = col("db").cast(DecimalType(12, 0))
       val m = e
         .join(deg.select(col("src"), col("dg").as("da")), "src")
         .join(deg.select(col("src").as("dst"), col("dg").as("db")), "dst")
-        .agg(count(lit(1)).cast(DecimalType(14, 0)).as("n"),
-          sum(x).cast(DecimalType(20, 0)).as("sx"),
-          sum(y).cast(DecimalType(20, 0)).as("sy"),
-          sum(x * y).cast(DecimalType(26, 0)).as("sxy"),
-          sum(x * x).cast(DecimalType(26, 0)).as("sxx"),
-          sum(y * y).cast(DecimalType(26, 0)).as("syy"))
+        .agg(count(lit(1)).cast(DecimalType(12, 0)).as("n"),
+          sum(x).cast(DecimalType(18, 0)).as("sx"),
+          sum(y).cast(DecimalType(18, 0)).as("sy"),
+          sum(x * y).cast(DecimalType(25, 0)).as("sxy"),
+          sum(x * x).cast(DecimalType(25, 0)).as("sxx"),
+          sum(y * y).cast(DecimalType(25, 0)).as("syy"))
       m.select(col("n").cast("long").as("n_edges"),
         round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
           (sqrt(greatest(lit(0.0),
@@ -420,13 +426,19 @@ object GraphQueries extends QueryPack {
     // the classic Borůvka cleanup finally pays: the candidate relation
     // shrinks geometrically (1.2M -> cross-component remnant) and later
     // rounds join the remnant, not the graph (16.6s -> measured below).
-    val master = edgesW.sparkSession.sparkContext.master
-    require(checkpointDir.isDefined || master.startsWith("local"),
-      s"mstOf: master '$master' is not local — pass checkpointDir= a " +
-        "shared-filesystem path (localCheckpoint blocks die with their executor)")
-    checkpointDir.foreach(edgesW.sparkSession.sparkContext.setCheckpointDir)
+    val sc = edgesW.sparkSession.sparkContext
+    // Explicit argument wins; else a dir already installed via
+    // sc.setCheckpointDir (the normal cluster deployment shape); only
+    // when neither resolves does local mode become a requirement.
+    val reliableDir =
+      graft.dedup.DedupClusters.resolveReliableDir(sc, checkpointDir)
+    val master = sc.master
+    require(reliableDir.isDefined || master.startsWith("local"),
+      s"mstOf: master '$master' is not local — pass checkpointDir= (or " +
+        "sc.setCheckpointDir) a shared-filesystem path " +
+        "(localCheckpoint blocks die with their executor)")
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      if (reliableDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
     val und0 = persisted(edgesW.filter(col("src") < col("dst"))
       .select(col("src"), col("dst"), col("w")))

@@ -96,11 +96,12 @@ object KCore {
     // silent full recompute. Same cluster-safety rule as DedupClusters:
     // localCheckpoint blocks die with their executor, so a non-local
     // master requires a reliable `checkpointDir`.
+    val reliableDir = graft.dedup.DedupClusters.resolveReliableDir(
+      edges.sparkSession.sparkContext, checkpointDir)
     graft.dedup.DedupClusters.requireClusterSafe(
-      edges.sparkSession.sparkContext.master, checkpointDir)
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+      edges.sparkSession.sparkContext.master, reliableDir)
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      if (reliableDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
     val e0 = edges.transform(graft.CacheScope.persisted(_))
     val m = e0.count()

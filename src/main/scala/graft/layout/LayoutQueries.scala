@@ -140,9 +140,13 @@ object LayoutQueries extends QueryPack {
     s.read.parquet(frag)
       .repartition(CompactFilesAfter)
       .write.mode("overwrite").parquet(comp)
-    def nFiles(p: String): Long =
-      java.nio.file.Files.list(java.nio.file.Paths.get(p)).iterator()
-        .asScalaCount(_.toString.endsWith(".parquet"))
+    def nFiles(p: String): Long = {
+      // Files.list holds a directory fd until the stream is closed —
+      // repeated bench iterations would accumulate leaked fds otherwise.
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+      try st.iterator().asScalaCount(_.toString.endsWith(".parquet"))
+      finally st.close()
+    }
     s.read.parquet(comp)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),

@@ -129,9 +129,17 @@ object SimilarityQueries extends QueryPack {
         .select(col("q_id"), col("n_id"), col("rel"), col("m_id"),
           round(cosine(dotQ(col("qe"), col("qe2")), col("norm2"), col("n2b")) *
             10000, 0).cast("long").as("sim"))
-      val cands = psim.groupBy(col("q_id"), col("n_id"), col("rel"))
+      // Candidates come from the POOL, not psim: a query whose pool holds
+      // exactly one candidate has no pairwise rows at all, so deriving
+      // cands from psim alone would silently drop that query while the
+      // oracle still emits it (ADVICE r10). The pairwise-sim map
+      // left-joins in, defaulting to empty.
+      val smaps = psim.groupBy(col("q_id"), col("n_id"))
         .agg(map_from_entries(collect_list(struct(col("m_id"), col("sim"))))
           .as("smap"))
+      val cands = pool.join(smaps, Seq("q_id", "n_id"), "left")
+        .withColumn("smap",
+          coalesce(col("smap"), expr("CAST(map() AS MAP<BIGINT, BIGINT>)")))
         .groupBy(col("q_id"))
         .agg(collect_list(struct(col("n_id"), col("rel"), col("smap"))).as("cands"))
       val folded = cands.withColumn("out", expr(s"""
@@ -153,10 +161,10 @@ object SimilarityQueries extends QueryPack {
         |                     THEN named_struct('sc', sc, 'n_id', c.n_id)
         |                     ELSE ba END), 1)
         |      END)),
-        |    best -> named_struct(
+        |    best -> CASE WHEN best.n_id = -1 THEN acc ELSE named_struct(
         |      'sel', concat(acc.sel, array(best.n_id)),
         |      'out', concat(acc.out, array(named_struct(
-        |        'rnk', CAST(r AS INT), 'n_id', best.n_id, 'sc', best.sc))))), 1),
+        |        'rnk', CAST(r AS INT), 'n_id', best.n_id, 'sc', best.sc)))) END), 1),
         |  acc -> acc.out)""".stripMargin))
       folded.select(col("q_id"), explode(col("out")).as("o"))
         .select(col("q_id"), col("o.rnk").as("mmr_rank"),

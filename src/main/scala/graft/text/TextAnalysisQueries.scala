@@ -371,6 +371,11 @@ object TextAnalysisQueries extends QueryPack {
     // sum of the identical terms no matter how either side orders them.
     "text_char_entropy" -> ((s, d) =>
       docs(s, d)
+        // Empty documents emit NO row, matching the oracle's
+        // generate_series(1, 0) elision — and an empty cs would make the
+        // boundary filter probe element_at(cs, 0), which errors (SQL
+        // arrays are 1-indexed).
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"), length(col("text")).as("n"),
           expr("array_sort(filter(split(text, ''), x -> x != ''))").as("cs"))
         .withColumn("bnd", expr(
