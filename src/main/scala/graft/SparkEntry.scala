@@ -22,7 +22,10 @@ object SparkEntry {
     relational.RelationalQueries,
     relational.WindowQueries,
     relational.ScalarFuncQueries,
-    relational.AdvancedQueries,
+    relational.TpchQueries,
+    relational.SqlFeatureQueries,
+    relational.ProfilingQueries,
+    relational.EventOpsQueries,
     relational.TimeSeriesQueries,
     relational.StatsQueries,
     relational.MiningQueries,

@@ -1,0 +1,297 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+import graft.relational.Det._
+
+/** SQL language-feature surface beyond TPC-H: grouping sets, scalar /
+  * EXISTS / NOT IN (null-aware) / recursive / LATERAL subqueries,
+  * pivot + unpivot, the banded range join, the salted skew join, and the
+  * bucketed 2D skyline — each one shared ANSI text or a DataFrame shape
+  * with an independent DuckDB formulation.
+  */
+object SqlFeatureQueries extends QueryPack {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** Scalar subquery: orders above the global average price. The average
+    * goes through the exact-decimal formulation so both engines compute
+    * the identical threshold.
+    */
+  private val ScalarSub: String =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > 1.5 * (
+      |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      |  FROM orders)""".stripMargin
+
+  /** Correlated EXISTS + NOT EXISTS — one shared SQL text. Catalyst
+    * rewrites both to a left-semi + left-anti join on o_custkey
+    * (RewritePredicateSubquery), so at scale this is two shuffled hash
+    * joins, not a per-row probe.
+    */
+  /** Recursive CTE (Spark 4's WITH RECURSIVE — SPARK-24497): walk each
+    * part key up the implicit binary-tree hierarchy pk -> pk div 2 to
+    * the root and histogram the depths. One shared dialect-neutral text
+    * (CAST((cur - cur % 2) / 2 ...) instead of div/`//`); recursion
+    * depth is log2(max pk) — bounded at any SF, which is exactly the
+    * contract a recursive query needs at 100 TB (depth bounded by the
+    * HIERARCHY, fan-out handled by the per-iteration join).
+    */
+  private val RecursiveSql: String =
+    """WITH RECURSIVE walk(pk, cur, depth) AS (
+      |  SELECT p_partkey, p_partkey, CAST(0 AS INT) FROM part
+      |  UNION ALL
+      |  SELECT pk, CAST((cur - cur % 2) / 2 AS BIGINT), depth + 1
+      |  FROM walk WHERE cur > 1
+      |)
+      |SELECT depth_to_root, count(*) AS n_parts
+      |FROM (SELECT pk, CAST(max(depth) AS INT) AS depth_to_root
+      |      FROM walk GROUP BY pk)
+      |GROUP BY depth_to_root""".stripMargin
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — the top-N-per-
+    * group shape written the way an application developer writes it
+    * (both engines decorrelate it; the window-function twin is
+    * q_topk_per_group). Shared text, deterministic total order.
+    */
+  private val LateralSql: String =
+    """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+      |) t""".stripMargin
+
+  private val ExistsSub: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin
+
+  /** NOT IN with a nullable (but null-free) subquery column: parts with
+    * no lineitem in recent orders. `nullif(pk, -1)` never fires on real
+    * keys, so the answer is non-trivial while the TYPE stays nullable
+    * and both planners must use three-valued NOT IN semantics.
+    */
+  private val NotInSub: String =
+    """SELECT p_partkey, p_name
+      |FROM part
+      |WHERE p_partkey NOT IN (
+      |  SELECT nullif(l.l_partkey, -1)
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  WHERE o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""".stripMargin
+
+  /** Explicit GROUPING SETS (beyond cube/rollup) — one shared SQL text. */
+  private val GSets: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_sql_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(GSets)
+    }),
+
+    "q_sql_scalar_subquery" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(ScalarSub)
+    }),
+
+    "q_sql_exists" -> ((s, d) => {
+      Seq("customer", "orders").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(ExistsSub)
+    }),
+
+    "q_sql_recursive" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("part")
+      s.sql(RecursiveSql)
+    }),
+
+    "q_sql_lateral" -> ((s, d) => {
+      Seq("customer", "orders").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(LateralSql)
+    }),
+
+    // NOT IN over a NULLABLE subquery column — the null-aware anti join,
+    // the planner shape a plain anti join silently gets WRONG (one NULL
+    // in the subquery must empty the result under three-valued logic).
+    // The nullif keeps the column nullable so Spark must plan the
+    // null-aware variant (isNullAware BroadcastHashJoin — the build side
+    // must broadcast, the documented constraint of this operator; at
+    // 100 TB a huge NOT IN side gets rewritten to the anti-join +
+    // null-check union instead). Same SQL text runs in both engines.
+    "q_sql_not_in" -> ((s, d) => {
+      Seq("part", "lineitem", "orders").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(NotInSub)
+    }),
+
+    // Range join: ordered same-user event pairs within 60 seconds. BANDED:
+    // joining on (user) alone with a range residual is quadratic per user
+    // (measured ~35s at sf0.1); bucketing time into 60s cells and joining
+    // the left side's {cell, cell+1} against the right side's cell turns
+    // it into an equi-join whose candidates are only same/adjacent-minute
+    // events — the standard interval-banding rewrite.
+    "q_range_join" -> ((s, d) => {
+      val WindowUs = 60000000L
+      val e = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("bkt", floor(col("us") / WindowUs))
+      val aSide = e.withColumn("k", explode(array(col("bkt"), col("bkt") + 1)))
+      aSide.as("a").join(e.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.k") === col("b.bkt") &&
+            col("b.us") - col("a.us") >= 0 &&
+            col("b.us") - col("a.us") < WindowUs &&
+            (col("b.us") > col("a.us") || col("b.event_id") > col("a.event_id")))
+        .select(col("a.event_id").as("event_a"), col("b.event_id").as("event_b"),
+          col("a.user_id").as("user_id"),
+          (col("b.us") - col("a.us")).as("gap_us"))
+    }),
+
+    // Pivot: per-user event-type counts as columns.
+    "q_pivot" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
+    // Unpivot (wide->long), the inverse of q_pivot: Spark's
+    // Dataset.unpivot compiles to a single Expand over the aggregated
+    // relation — one narrow pass, no extra shuffle beyond the agg's.
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_quantity"), 2).as("qty"),
+          dsum(col("l_discount"), 2).as("disc"),
+          dsum(col("l_tax"), 2).as("tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("disc"), col("tax")), "measure", "amount")),
+
+    // Skew-resistant salted join on an INDUCED hot key: 70% of events are
+    // remapped onto skew_key 0 (the testdata is too uniform to exhibit the
+    // 100 TB hazard naturally), then the skewed fact side joins a derived
+    // dim through operators.SaltedJoin — the hot key's rows spread over 16
+    // salt sub-keys instead of one straggler task. Salt comes from
+    // event_id (deterministic); the salt never changes the JOIN RESULT,
+    // only its distribution, so the oracle is the plain join. See
+    // ARCHITECTURE.md "Skew" for the measured salted-vs-plain comparison.
+    "q_join_salted_skew" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("skew_key",
+          when(pmod(col("user_id"), lit(10)) < 7, lit(0L))
+            .otherwise(col("user_id")))
+      val dim = e.select(col("skew_key")).distinct()
+        .withColumn("grp",
+          concat(lit("g"), pmod(col("skew_key"), lit(7)).cast("string")))
+      graft.operators.SaltedJoin
+        .inner(e, dim, "skew_key", saltFactor = 16,
+          saltBy = Some(col("event_id")))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("total"))
+    }),
+
+    // 2D skyline / Pareto frontier over a quarter of orders: the
+    // "cheapest and latest" non-dominated set — see
+    // [[graft.operators.Skyline]] for the bucketed two-phase design that
+    // replaces the quadratic all-pairs check. The oracle IS that
+    // quadratic check (NOT EXISTS a dominator), an independent
+    // formulation kept tractable by the date window.
+    "q_skyline" -> ((s, d) => {
+      val pts = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("o_totalprice").as("price"),
+          col("o_orderdate").as("odate"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Skyline.skyline2D(pts, "price", "odate", 50000.0)
+    }),
+  )
+
+  override val oracles: Map[String, String] = Map(
+
+    "q_sql_grouping_sets" -> GSets,
+
+    "q_sql_scalar_subquery" -> ScalarSub,
+    "q_sql_exists" -> ExistsSub,
+    "q_sql_not_in" -> NotInSub,
+    "q_sql_recursive" -> RecursiveSql,
+    "q_sql_lateral" -> LateralSql,
+
+    "q_range_join" ->
+      """SELECT a.event_id AS event_a, b.event_id AS event_b,
+        |       a.user_id AS user_id,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) - epoch_us(a.ts) >= 0
+        | AND epoch_us(b.ts) - epoch_us(a.ts) < 60000000
+        | AND (epoch_us(b.ts) > epoch_us(a.ts) OR b.event_id > a.event_id)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      s"""WITH a AS (
+         |  SELECT l_returnflag,
+         |         ${dsumSql("l_quantity", 2)} AS qty,
+         |         ${dsumSql("l_discount", 2)} AS disc,
+         |         ${dsumSql("l_tax", 2)} AS tax
+         |  FROM lineitem GROUP BY 1
+         |)
+         |SELECT l_returnflag, measure, amount
+         |FROM a UNPIVOT (amount FOR measure IN (qty, disc, tax))""".stripMargin,
+
+    // Independent all-pairs dominance check (see q_skyline's comment).
+    "q_skyline" ->
+      """WITH p AS (
+        |  SELECT o_totalprice AS price, o_orderdate AS odate, count(*) AS n
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT price, odate, n FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price <= a.price AND b.odate >= a.odate
+        |    AND (b.price < a.price OR b.odate > a.odate))""".stripMargin,
+
+    // Salt is distribution-only, so the oracle is the PLAIN join.
+    "q_join_salted_skew" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, value,
+         |         CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS skew_key
+         |  FROM events
+         |), dim AS (
+         |  SELECT DISTINCT skew_key,
+         |         'g' || CAST(skew_key % 7 AS VARCHAR) AS grp
+         |  FROM e
+         |)
+         |SELECT dim.grp, count(*) AS n, ${dsumSql("e.value", 4)} AS total
+         |FROM e JOIN dim ON e.skew_key = dim.skew_key
+         |GROUP BY dim.grp""".stripMargin,
+  )
+}

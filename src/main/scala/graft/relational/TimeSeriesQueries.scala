@@ -9,7 +9,7 @@ import graft.{CacheScope, QueryPack, Tables}
 /** Time-series depth over the `events` table: autocorrelation, robust
   * (Theil–Sen) trend, CUSUM changepoint, and a seasonal (hour-of-day)
   * profile. Complements the q_ts_ewma / q_ts_zscore / q_ohlc_bars /
-  * q_gapfill_locf family in [[AdvancedQueries]].
+  * q_gapfill_locf family in [[EventOpsQueries]].
   *
   * Determinism discipline (Det.scala's, taken one step further): every
   * series value is lifted to INTEGER CENTS (`value` is exact 2dp — see

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 
-import graft.relational.AdvancedQueries
+import graft.relational.EventOpsQueries
 
 /** Planted-path checks for U-shaped multi-touch attribution: known credit
   * splits for 1/2/4-touch paths, window exclusion, and the per-purchase
@@ -41,7 +41,7 @@ class AttributionSpec extends SparkSpec {
 
   test("planted paths get the exact U-shaped credits") {
     val got =
-      try AdvancedQueries.attributionOf(eventsDf(planted))
+      try EventOpsQueries.attributionOf(eventsDf(planted))
         .collect().map(r => r.getLong(2) -> (r.getString(3), r.getDouble(4)))
         .toMap
       finally CacheScope.releaseAll()
@@ -56,7 +56,7 @@ class AttributionSpec extends SparkSpec {
 
   test("credits sum to 1.0 per purchase") {
     val rows =
-      try AdvancedQueries.attributionOf(eventsDf(planted)).collect()
+      try EventOpsQueries.attributionOf(eventsDf(planted)).collect()
       finally CacheScope.releaseAll()
     rows.groupBy(_.getLong(1)).foreach { case (buy, rs) =>
       val total = rs.map(_.getDouble(4)).sum

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
 
-import graft.relational.AdvancedQueries
+import graft.relational.EventOpsQueries
 
 /** Planted gap patterns for batch sessionization: events exactly at /
   * beyond / under the 30-minute gap split where they should, and the
@@ -32,7 +32,7 @@ class SessionizeBatchSpec extends SparkSpec {
       (1L, 4L, "2024-01-01 11:29:00.000001"),
       (2L, 5L, "2024-01-01 09:00:00"))
     val got =
-      try AdvancedQueries.sessionizeBatchOf(ev(rows))
+      try EventOpsQueries.sessionizeBatchOf(ev(rows))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(5)))
         .toMap

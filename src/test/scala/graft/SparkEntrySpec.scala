@@ -47,7 +47,8 @@ class SparkEntrySpec extends SparkSpec {
     // removal trips it.)
     val expectedPacks = Set(
       "TfIdfQueries", "PosQueries", "RelationalQueries", "WindowQueries",
-      "ScalarFuncQueries", "AdvancedQueries", "DedupQueries",
+      "ScalarFuncQueries", "TpchQueries", "SqlFeatureQueries",
+      "ProfilingQueries", "EventOpsQueries", "DedupQueries",
       "SimilarityQueries", "TextAnalysisQueries", "CorpusOpsQueries",
       "MultimodalQueries", "StreamingQueries", "SketchQueries",
       "LayoutQueries")

@@ -466,7 +466,7 @@ class StreamingSpec extends SparkSpec {
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), col("ver"))
       .collect().map(key).toSet
     // The batch side IS the registered query — drift-proof.
-    val batch = graft.relational.AdvancedQueries.queries("q_cdc_merge")(spark, sfDir)
+    val batch = graft.relational.ProfilingQueries.queries("q_cdc_merge")(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), col("ver"))
       .collect().map(key).toSet
     assert(streamed == batch,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.relational.AdvancedQueries
+import graft.relational.EventOpsQueries
 
 /** Scalar recomputation of the time-series operators on sf0.001 — the
   * DuckDB hash compare proves cross-engine parity; these prove the FIR
@@ -29,15 +29,15 @@ class TimeSeriesSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getDate(1).toString,
         r.getDecimal(2)))
     CacheScope.releaseAll()
-    val weights = (0 until AdvancedQueries.EwmaTaps).map(j =>
-      BigDecimal(math.pow(1.0 - AdvancedQueries.EwmaAlpha, j))
+    val weights = (0 until EventOpsQueries.EwmaTaps).map(j =>
+      BigDecimal(math.pow(1.0 - EventOpsQueries.EwmaAlpha, j))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP))
     val byType = daily.groupBy(_._1)
     assert(byType.nonEmpty && out.nonEmpty)
     byType.foreach { case (tp, rows) =>
       val series = rows.sortBy(_._2).map(r => BigDecimal(r._3))
       series.indices.foreach { i =>
-        val taps = (0 until AdvancedQueries.EwmaTaps).filter(_ <= i)
+        val taps = (0 until EventOpsQueries.EwmaTaps).filter(_ <= i)
         val num = taps.map(j => series(i - j) * weights(j)).sum
         val den = taps.map(weights(_)).sum
         val exp = r6(num.toDouble / den.toDouble)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.graph.GraphQueries
-import graft.relational.{AdvancedQueries, StatsQueries}
+import graft.relational.{EventOpsQueries, StatsQueries}
 
 /** Invariant checks for the round-10 fifth-wave operators (search,
   * keyphrases, logreg, KS, Benford, PPR, association rules). The DuckDB
@@ -221,7 +221,7 @@ class WaveTenSpec extends SparkSpec {
     assert(math.abs(piSum - 1.0) < 1e-6, s"pi sum $piSum")
     val mass = rows.map(_.getAs[Long]("pi_fixed")).sum
     // integer truncation only loses mass vs the injected total.
-    assert(mass <= rows.length.toLong * AdvancedQueries.MarkovScale)
+    assert(mass <= rows.length.toLong * EventOpsQueries.MarkovScale)
   }
 
   test("q_graph_mst equals a sequential Kruskal forest edge-for-edge") {
@@ -267,7 +267,7 @@ class WaveTenSpec extends SparkSpec {
   test("q_assoc_rules yields bounded confidence and positive lift") {
     val rows = SparkEntry.queries("q_assoc_rules")(spark, sfDir).collect()
     CacheScope.releaseAll()
-    assert(rows.forall(_.getLong(2) >= AdvancedQueries.AssocMinSup))
+    assert(rows.forall(_.getLong(2) >= EventOpsQueries.AssocMinSup))
     assert(rows.forall { r =>
       val c = r.getAs[Double]("confidence"); c > 0.0 && c <= 1.0
     })
