@@ -55,7 +55,12 @@ object DedupClusters {
   private[graft] def resolveReliableDir(sc: org.apache.spark.SparkContext,
       checkpointDir: Option[String]): Option[String] = {
     checkpointDir.foreach(sc.setCheckpointDir)
-    if (checkpointDir.isDefined || sc.master.startsWith("local")) checkpointDir
+    // local-cluster[...] runs executors as SEPARATE JVMs, so for fallback
+    // purposes it behaves like a real cluster (an inner fixpoint should
+    // ride the context's reliable dir, not executor-local blocks).
+    val isSingleJvm =
+      sc.master.startsWith("local") && !sc.master.startsWith("local-cluster")
+    if (checkpointDir.isDefined || isSingleJvm) checkpointDir
     else sc.getCheckpointDir
   }
 

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Child-JVM main for [[LocalClusterSpec]]: runs the three iterative
+  * operators (DedupClusters, KCore, mstOf) on planted inputs under a
+  * `local-cluster[2,2,1024]` master — REAL separate executor JVMs — with a
+  * reliable checkpointDir, so the non-local-master scale claims
+  * (reliable-checkpoint pinning, shared-FS edge materialization) are
+  * executed rather than merely require()d. Prints `LC-SMOKE OK` on
+  * success; any assertion failure or launch problem exits nonzero.
+  *
+  * Lives in test sources: it is test scaffolding, not product surface.
+  */
+object LocalClusterSmoke {
+
+  def main(args: Array[String]): Unit = {
+    val ckpt = Files.createTempDirectory("graft-lc-ckpt").toString
+    // Executors are fresh JVMs launched by the in-process Worker: they
+    // need this JVM's classpath (graft classes) and the JDK17 add-opens
+    // the driver got from build.sbt.
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,2,1024]")
+      .appName("graft-lc-smoke")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    try {
+      // 1. DedupClusters fixpoint: two components + singletons, labels
+      // pinned through RELIABLE checkpoints under ckpt.
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+      val universe = (1L to 12L).toDF("doc_id")
+      val got = dedup.DedupClusters
+        .clusters(pairs, universe, checkpointDir = Some(ckpt))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      CacheScope.releaseAll()
+      val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L) ++
+        Seq(4L, 5L, 6L, 7L, 8L, 9L, 12L).map(i => i -> i)
+      assert(got == expect, s"clusters: $got")
+
+      // 2. KCore cascade (the GraphSpec pendant-path case) on the
+      // reliable-checkpoint path.
+      val clique = for (a <- 0L to 3L; b <- 0L to 3L if a != b) yield (a, b)
+      val path = Seq((3L, 10L), (10L, 11L), (11L, 12L))
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val core = graph.KCore
+        .kcore((clique ++ path).toDF("src", "dst"), k = 2,
+          checkpointDir = Some(ckpt))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      CacheScope.releaseAll()
+      assert(core == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+        s"kcore: $core")
+
+      // 3. Borůvka MST with unique weights — exact forest expected.
+      val ew = Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 10L), (3L, 4L, 3L))
+        .toDF("src", "dst", "w")
+      val mst = graph.GraphQueries.mstOf(ew, checkpointDir = Some(ckpt))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      CacheScope.releaseAll()
+      assert(mst == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L)),
+        s"mst: $mst")
+
+      // Reliable checkpoints actually landed on the shared path.
+      val st = Files.walk(java.nio.file.Paths.get(ckpt))
+      val hasRdd =
+        try {
+          val it = st.iterator()
+          var found = false
+          while (it.hasNext && !found)
+            found = it.next().getFileName.toString.startsWith("rdd-")
+          found
+        } finally st.close()
+      assert(hasRdd, s"no ReliableCheckpointRDD dirs under $ckpt")
+
+      // scalastyle:off println
+      println("LC-SMOKE OK")
+      // scalastyle:on println
+    } finally {
+      CacheScope.releaseAllScopes()
+      spark.stop()
+    }
+  }
+}
