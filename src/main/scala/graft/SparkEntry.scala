@@ -35,8 +35,12 @@ object SparkEntry {
     layout.LayoutQueries,
     sources.FormatQueries,
     graph.GraphQueries,
+    graph.GraphPathQueries,
     text.TextAnalysisQueries,
+    dedup.SemanticDedupQueries,
+    text.BpeQueries,
     text.CorpusOpsQueries,
+    text.DriftQueries,
     text.EvalQueries,
     text.TextModelQueries,
     mm.MultimodalQueries,

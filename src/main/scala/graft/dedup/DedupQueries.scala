@@ -331,68 +331,6 @@ object DedupQueries extends QueryPack {
         .filter(col("sim") >= 0.3)
     }),
 
-    // Embedding-cosine near-dup within label buckets (coarse-cell stand-in).
-    // Vectors are integer-quantized once per row BEFORE the join; the
-    // threshold filter goes through VecMath.barrier so the cosine is
-    // evaluated once per candidate pair, not once per hash-bucket probe.
-    "dedup_embedding_cosine" -> ((s, d) => {
-      // persist: the quantized relation feeds both sides of the self-join —
-      // this is what makes "quantize ONCE per row" true in the executed
-      // plan, not just the logical one.
-      val e = Tables.load(s, d, "embeddings")
-        .select(col("vec_id"), col("label"), VecMath.quantize(col("embedding")).as("qe"))
-        .select(col("vec_id"), col("label"), col("qe"),
-          VecMath.norm2Q(col("qe")).as("norm2"))
-        .transform(graft.CacheScope.persisted(_))
-      e.as("a")
-        .join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.label").as("label"),
-          VecMath.barrier(round(VecMath.cosine(
-            VecMath.dotQ(col("a.qe"), col("b.qe")),
-            col("a.norm2"), col("b.norm2")), 4)).as("cos"))
-        .filter(col("cos") >= 0.3)
-    }),
-
-    // SEMANTIC dedup clusters: the same generic connected-components
-    // operator, fed by the embedding-cosine candidate graph instead of the
-    // lexical LSH one — near-dup canonicalization in embedding space
-    // (paraphrase/translation duplicates that no shingle overlap catches).
-    "dedup_semantic_clusters" -> ((s, d) => {
-      val pairs = queries("dedup_embedding_cosine")(s, d)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      DedupClusters.clusters(pairs,
-        Tables.load(s, d, "embeddings").select(col("vec_id").as("doc_id")))
-        .select(col("doc_id").as("vec_id"), col("cluster_id"))
-    }),
-
-    // SemDeDup candidate-generator EVAL — the lsh_eval discipline applied
-    // to the cell bucketing: recall/precision of same-cell pairs against
-    // EXACT all-pairs cosine>=tau truth. Recall quantifies exactly what
-    // cluster-scoped pruning misses (cross-cell near-dups); precision
-    // says how much of the within-cell pair work is wasted — the k dial's
-    // two-sided readout. The truth side is a deliberate all-pairs scan:
-    // an eval-slice tuning probe (run on a fixed sample at 100 TB), like
-    // dedup_lsh_eval's exact ground truth.
-    "dedup_semdedup_eval" -> ((s, d) =>
-      semdedupEvalOf(Tables.load(s, d, "embeddings"),
-        Some(graft.LabelsMemo.getOrCompute(s"semdedup_cells:$d", s)(
-          semdedupCells(Tables.load(s, d, "embeddings")))))),
-
-    // SemDeDup (cluster-then-prune semantic dedup): train an UNSUPERVISED
-    // coarse quantizer over the embeddings (the hash-seeded integer Lloyd
-    // of [[graft.sim.Ivf]] — no label column involved, unlike
-    // dedup_embedding_cosine's label blocking), then compare vectors only
-    // WITHIN their k-means cell and drop every vector that has a
-    // lower-vec_id cell-mate above the cosine threshold. This is the
-    // published recipe for semantic dedup at corpus scale: the cell
-    // assignment is the bucketing key, so candidate generation is an
-    // equi-join touching ~n²/k pairs instead of all pairs, and k is the
-    // dial that holds per-cell pair counts constant as the corpus grows.
-    "dedup_semdedup" -> ((s, d) =>
-      semdedupOf(Tables.load(s, d, "embeddings"))),
-
     // LSH candidate-generator EVAL: recall + precision of the band
     // collisions against EXACT threshold-Jaccard ground truth — the
     // dial-tuning readout for [[Bands]] x [[RowsPerBand]] (recall says
@@ -405,110 +343,6 @@ object DedupQueries extends QueryPack {
     // the shape requires it.
     "dedup_lsh_eval" -> ((s, d) => lshEvalOf(docs(s, d)))
   )
-
-  /** SemDeDup dials: cell count / Lloyd depth for the unsupervised coarse
-    * quantizer, and the within-cell cosine drop threshold.
-    */
-  val SemK = 8
-  val SemIters = 2
-  val SemTau = 0.3
-
-  /** The SemDeDup body over any (vec_id, embedding) relation — public so
-    * specs can feed planted vector sets. Returns every vector exactly once
-    * as (vec_id, cell, kept): kept=false iff a lower-vec_id vector in the
-    * SAME trained cell has cosine >= [[SemTau]] (keep-lowest-id is the
-    * deterministic stand-in for SemDeDup's keep-farthest-from-centroid).
-    */
-  def semdedupOf(emb0: DataFrame): DataFrame = {
-    import graft.sim.Ivf
-    import graft.CacheScope.persisted
-    val p = Ivf.Params(k = SemK, iters = SemIters, nprobe = 1, topK = 1,
-      nQueries = 1)
-    val e = persisted(emb0
-      .select(col("vec_id"), VecMath.quantize(col("embedding")).as("qe"))
-      .select(col("vec_id"), col("qe"), VecMath.norm2Q(col("qe")).as("norm2")))
-    val ex = persisted(e.select(col("vec_id"),
-      posexplode(col("qe")).as(Seq("i", "qx"))))
-    val cells = Ivf.probeRanked(e, ex, p).filter(col("rn") === 1)
-      .select(col("vid"), col("cell"))
-    // (vector, cell) with the quantized payload — feeds both sides of the
-    // within-cell pair join, so quantize-once stays true in the plan.
-    val ec = persisted(e.join(cells, e("vec_id") === cells("vid"))
-      .select(col("vec_id"), col("cell"), col("qe"), col("norm2")))
-    val drops = ec.as("a")
-      .join(ec.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("b.vec_id").as("vec_id"),
-        VecMath.barrier(round(VecMath.cosine(
-          VecMath.dotQ(col("a.qe"), col("b.qe")),
-          col("a.norm2"), col("b.norm2")), 4)).as("cos"))
-      .filter(col("cos") >= SemTau)
-      .select("vec_id").distinct()
-    ec.join(drops.select(col("vec_id"), lit(false).as("keep_flag")),
-        Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"),
-        coalesce(col("keep_flag"), lit(true)).as("kept"))
-  }
-
-  /** The SemDeDup quantizer's cell assignment (vid, cell) — the trained
-    * Lloyd cells both [[semdedupOf]] and [[semdedupEvalOf]] bucket by.
-    * Public so the eval's registration can route it through
-    * [[graft.LabelsMemo]]: `dedup_semdedup` trains it honestly inside its
-    * own benched pipeline, and the EVAL consumes the materialized
-    * assignment instead of re-running Lloyd (at 100 TB the assignment is
-    * a managed table the audit reads, not a training job it repeats).
-    */
-  def semdedupCells(emb0: DataFrame): DataFrame = {
-    import graft.sim.Ivf
-    import graft.CacheScope.persisted
-    val p = Ivf.Params(k = SemK, iters = SemIters, nprobe = 1, topK = 1,
-      nQueries = 1)
-    val e = persisted(emb0
-      .select(col("vec_id"), VecMath.quantize(col("embedding")).as("qe"))
-      .select(col("vec_id"), col("qe"), VecMath.norm2Q(col("qe")).as("norm2")))
-    val ex = persisted(e.select(col("vec_id"),
-      posexplode(col("qe")).as(Seq("i", "qx"))))
-    Ivf.probeRanked(e, ex, p).filter(col("rn") === 1)
-      .select(col("vid"), col("cell"))
-  }
-
-  /** The semdedup eval body over any (vec_id, embedding) relation —
-    * public for planted-geometry specs. Truth = exact all-pairs
-    * cosine >= [[SemTau]]; candidates = same-trained-cell pairs.
-    * `cellsPre` lets the registered query feed the memoized assignment;
-    * None (specs) trains inline.
-    */
-  def semdedupEvalOf(emb0: DataFrame,
-      cellsPre: Option[DataFrame] = None): DataFrame = {
-    import graft.CacheScope.persisted
-    val e = persisted(emb0
-      .select(col("vec_id"), VecMath.quantize(col("embedding")).as("qe"))
-      .select(col("vec_id"), col("qe"), VecMath.norm2Q(col("qe")).as("norm2")))
-    val cells = cellsPre.getOrElse(semdedupCells(emb0))
-    val truth = persisted(e.as("a")
-      .join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        VecMath.barrier(round(VecMath.cosine(
-          VecMath.dotQ(col("a.qe"), col("b.qe")),
-          col("a.norm2"), col("b.norm2")), 4)).as("cos"))
-      .filter(col("cos") >= SemTau)
-      .select(col("va"), col("vb")))
-    val cand = persisted(cells.as("ca")
-      .join(cells.as("cb"),
-        col("ca.cell") === col("cb.cell") && col("ca.vid") < col("cb.vid"))
-      .select(col("ca.vid").as("va"), col("cb.vid").as("vb")))
-    val hit = truth.join(cand, Seq("va", "vb"))
-    val safeRatio = (num: Column, den: Column) =>
-      when(den === 0, lit(1.0))
-        .otherwise(round(num.cast("double") / den.cast("double"), 6))
-    e.agg(count(lit(1)).as("n_vecs"))
-      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
-      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
-      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
-      .select(col("n_vecs"), col("n_truth"), col("n_cand"), col("n_hit"),
-        safeRatio(col("n_hit"), col("n_truth")).as("recall"),
-        safeRatio(col("n_hit"), col("n_cand")).as("precision"))
-  }
 
   /** The eval body over any (doc_id, text) relation — public so
     * DedupSimSpec can feed planted corpora with known truth/candidate
@@ -773,71 +607,7 @@ object DedupQueries extends QueryPack {
     * Ivf Params unrolled by Ivf.oracleCtes (cellall = the trained cell
     * assignment), then the within-cell pair scan and keep rule in SQL.
     */
-  private lazy val semdedupOracle: String = {
-    import graft.sim.{Ivf, SimilarityQueries}
-    val p = Ivf.Params(k = SemK, iters = SemIters, nprobe = 1, topK = 1,
-      nQueries = 1)
-    s"""${SimilarityQueries.eCte}${Ivf.oracleCtes(p)}, sdots AS (
-       |  SELECT a.vid AS va, b.vid AS vb,
-       |         CAST(sum(ea.qx * eb.qx) AS DOUBLE) / 1000000.0 AS dot
-       |  FROM cellall a
-       |  JOIN cellall b ON a.cell = b.cell AND a.vid < b.vid
-       |  JOIN e ea ON ea.vec_id = a.vid
-       |  JOIN e eb ON eb.vec_id = b.vid AND eb.i = ea.i
-       |  GROUP BY 1, 2
-       |), sdrop AS (
-       |  SELECT DISTINCT d.vb AS vec_id
-       |  FROM sdots d
-       |  JOIN norms na ON na.vec_id = d.va
-       |  JOIN norms nb ON nb.vec_id = d.vb
-       |  WHERE round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) >= $SemTau
-       |)
-       |SELECT c.vid AS vec_id, c.cell, (s.vec_id IS NULL) AS kept
-       |FROM cellall c LEFT JOIN sdrop s ON s.vec_id = c.vid""".stripMargin
-  }
-
-  /** dedup_semdedup_eval oracle: exact all-pairs truth + same-cell
-    * candidates (cellall from the shared Ivf CTEs), intersected.
-    */
-  private lazy val semdedupEvalOracle: String = {
-    import graft.sim.{Ivf, SimilarityQueries}
-    val p = Ivf.Params(k = SemK, iters = SemIters, nprobe = 1, topK = 1,
-      nQueries = 1)
-    s"""${SimilarityQueries.eCte}${Ivf.oracleCtes(p)}, tdots AS (
-       |  SELECT a.vec_id AS va, b.vec_id AS vb,
-       |         CAST(sum(a.qx * b.qx) AS DOUBLE) / 1000000.0 AS dot
-       |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
-       |  GROUP BY 1, 2
-       |), truth AS (
-       |  SELECT d.va, d.vb
-       |  FROM tdots d
-       |  JOIN norms na ON na.vec_id = d.va
-       |  JOIN norms nb ON nb.vec_id = d.vb
-       |  WHERE round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) >= $SemTau
-       |), cand AS (
-       |  SELECT a.vid AS va, b.vid AS vb
-       |  FROM cellall a JOIN cellall b ON a.cell = b.cell AND a.vid < b.vid
-       |), hit AS (
-       |  SELECT t.va, t.vb FROM truth t JOIN cand c ON c.va = t.va AND c.vb = t.vb
-       |), agg AS (
-       |  SELECT (SELECT count(DISTINCT vec_id) FROM e) AS n_vecs,
-       |         (SELECT count(*) FROM truth) AS n_truth,
-       |         (SELECT count(*) FROM cand) AS n_cand,
-       |         (SELECT count(*) FROM hit) AS n_hit
-       |)
-       |SELECT n_vecs, n_truth, n_cand, n_hit,
-       |       CASE WHEN n_truth = 0 THEN 1.0
-       |            ELSE round(CAST(n_hit AS DOUBLE) / n_truth, 6) END AS recall,
-       |       CASE WHEN n_cand = 0 THEN 1.0
-       |            ELSE round(CAST(n_hit AS DOUBLE) / n_cand, 6) END AS precision
-       |FROM agg""".stripMargin
-  }
-
   override val oracles: Map[String, String] = Map(
-    "dedup_semdedup" -> semdedupOracle,
-
-    "dedup_semdedup_eval" -> semdedupEvalOracle,
-
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
         |       count(*) AS n_copies
@@ -1055,39 +825,6 @@ object DedupQueries extends QueryPack {
          |JOIN sz za ON za.doc_id = p.doc_a
          |JOIN sz zb ON zb.doc_id = p.doc_b""".stripMargin,
 
-    "dedup_embedding_cosine" ->
-      s"""WITH $embCosCtes
-         |SELECT d.vec_a, d.vec_b, d.label,
-         |       round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) AS cos
-         |FROM dots d
-         |JOIN norms na ON na.vec_id = d.vec_a
-         |JOIN norms nb ON nb.vec_id = d.vec_b
-         |WHERE round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) >= 0.3""".stripMargin,
-
-    // Same two-algorithm agreement as dedup_clusters, over the SEMANTIC
-    // candidate graph: recursive reachability vs distributed fixpoint.
-    "dedup_semantic_clusters" ->
-      s"""WITH RECURSIVE $embCosCtes,
-         |cpairs AS (
-         |  SELECT d.vec_a, d.vec_b
-         |  FROM dots d
-         |  JOIN norms na ON na.vec_id = d.vec_a
-         |  JOIN norms nb ON nb.vec_id = d.vec_b
-         |  WHERE round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) >= 0.3
-         |), cedges AS (
-         |  SELECT vec_a AS src, vec_b AS dst FROM cpairs
-         |  UNION ALL
-         |  SELECT vec_b AS src, vec_a AS dst FROM cpairs
-         |), reach(vec_id, r) AS (
-         |  SELECT src, src FROM cedges
-         |  UNION
-         |  SELECT e.src, reach.r FROM cedges e JOIN reach ON reach.vec_id = e.dst
-         |), comp AS (
-         |  SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id
-         |)
-         |SELECT v.vec_id, COALESCE(c.cluster_id, v.vec_id) AS cluster_id
-         |FROM embeddings v LEFT JOIN comp c ON c.vec_id = v.vec_id""".stripMargin,
-
     // Truth = the prefix-jaccard oracle's relation; candidates = the LSH
     // oracle's band-collision relation. Shares bandsCte (which carries
     // sh + sig) verbatim with dedup_minhash_lsh.
@@ -1176,19 +913,4 @@ object DedupQueries extends QueryPack {
   /** Shared CTEs for the embedding-cosine pair pipeline (quantized int64
     * components, exact integer dots, label-bucketed self-join).
     */
-  private lazy val embCosCtes: String =
-    """e AS (
-      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
-      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS qx
-      |  FROM embeddings
-      |), dots AS (
-      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-      |         CAST(sum(a.qx * b.qx) AS DOUBLE) / 1000000.0 AS dot
-      |  FROM e a JOIN e b
-      |    ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
-      |  GROUP BY 1, 2, 3
-      |), norms AS (
-      |  SELECT vec_id, CAST(sum(qx * qx) AS DOUBLE) / 1000000.0 AS norm2
-      |  FROM e GROUP BY vec_id
-      |)""".stripMargin
 }

@@ -306,69 +306,7 @@ object GraphQueries extends QueryPack {
     // exact-integer normalized power iteration.
     "q_graph_hits" -> ((s, d) => hitsOf(bipartiteEdges(s, d))),
 
-    // Bounded-hop BFS ([[bfsOf]]) from the minimum-id node of the
-    // windowed co-purchase graph: exact hop distances for every node
-    // within [[BfsRounds]] hops — the reachability/radius primitive next
-    // to components (which says WHETHER nodes connect, not how close).
-    "q_graph_bfs" -> ((s, d) => bfsOf(windowedEdges(s, d))),
-
-    // Bounded-round Bellman–Ford SSSP ([[ssspOf]]): BFS's weighted
-    // sibling. Edge weights are exact-integer price DISSIMILARITY
-    // (1 + |retail-price gap in whole units| between the two parts), so
-    // the minimum-cost path prefers chains of similarly-priced
-    // co-purchased parts — hop count and path cost now disagree, which
-    // is the point of SSSP over BFS. Same linear-plan relaxation
-    // machinery; distances beyond [[SsspRounds]] edges are (honestly)
-    // absent, the documented bounded-iteration contract every fixpoint
-    // operator here ships with.
-    "q_graph_sssp" -> ((s, d) => ssspOf(weightedEdges(s, d))),
-
-    // Minimum spanning forest of the weighted windowed co-purchase
-    // graph ([[mstOf]]) — the dissimilarity-minimal backbone / single-
-    // linkage primitive, unique under the (w, src, dst) total order so
-    // it hash-checks cross-engine.
-    "q_graph_mst" -> ((s, d) => mstOf(weightedEdges(s, d)))
   )
-
-  /** BFS relaxation rounds — nodes beyond this hop count are (honestly)
-    * absent from the output; a dial, so the oracle can unroll it.
-    */
-  val BfsRounds = 6
-
-  /** Bounded-hop BFS over any symmetric (src, dst) edge relation, from
-    * the minimum node id. Each round is ONE equi-join + min-aggregation
-    * — the PageRank shuffle shape — because the edge relation carries
-    * ZERO-WEIGHT SELF-LOOPS: d'(v) = min over (u,v,w) of d(u) + w folds
-    * "keep my own distance" (self-loop, w=0) and "relax via a neighbor"
-    * (real edge, w=1) into a single consumption of the previous round's
-    * relation. The naive min(d(v), relax) form reads d TWICE per round —
-    * the 2^rounds analysis blowup the HITS rewrite measured (PLANS.md);
-    * the self-loop fold keeps the plan linear with no mid-query action.
-    * The frontier relation starts at 1 row and only ever holds REACHED
-    * nodes, so early rounds shuffle next to nothing. Public for
-    * planted-graph specs.
-    */
-  def bfsOf(edgesDf: DataFrame): DataFrame = {
-    val e = edgesDf.transform(graft.CacheScope.persisted(_))
-    val ew = e.select(col("src"), col("dst"), lit(1L).as("w"))
-      .unionByName(e.select(col("src")).distinct()
-        .select(col("src"), col("src").as("dst"), lit(0L).as("w")))
-      .transform(graft.CacheScope.persisted(_))
-    var d = e.select(col("src").as("node")).orderBy(col("node").asc).limit(1)
-      .select(col("node"), lit(0L).as("hops"))
-    for (_ <- 1 to BfsRounds) {
-      d = ew.join(d, col("src") === col("node"))
-        .groupBy(col("dst"))
-        .agg(min(col("hops") + col("w")).as("hops"))
-        .select(col("dst").as("node"), col("hops"))
-    }
-    d
-  }
-
-  /** Bellman–Ford relaxation rounds for [[ssspOf]] — same dial contract
-    * as [[BfsRounds]].
-    */
-  val SsspRounds = 6
 
   /** Windowed co-purchase edges with exact-integer weights: w = 1 +
     * |price(src) - price(dst)| in whole units, prices lifted to cents
@@ -385,122 +323,6 @@ object GraphQueries extends QueryPack {
       .join(price.select(col("p_partkey").as("src"), col("pc").as("pcs")), "src")
       .join(price.select(col("p_partkey").as("dst"), col("pc").as("pcd")), "dst")
       .select(col("src"), col("dst"), expr("1 + abs(pcs - pcd) div 100").as("w"))
-  }
-
-  /** Hard cap on Borůvka rounds for [[mstOf]] — component count at least
-    * halves per round, so log2(n) bounds it; the loop exits as soon as no
-    * cross-component edge remains (typical: far fewer rounds), and the
-    * cap THROWS rather than ship a partial forest (DedupClusters policy).
-    * The oracle unrolls this many rounds — extra rounds are no-ops once
-    * the forest spans, so early exit and the full unroll agree.
-    */
-  val MstRounds = 16
-
-  /** Borůvka minimum spanning forest over a weighted symmetric (src,
-    * dst, w) relation — the classic "cheapest backbone" (dissimilarity-
-    * minimal bundle skeleton here; at 100 TB the single-linkage
-    * clustering primitive). Weights are made UNIQUE by the (w, src, dst)
-    * total order, so the forest is unique and both engines must agree
-    * edge-for-edge — the property that makes an MST hash-checkable at
-    * all.
-    *
-    * Each round is pure relational Borůvka: label endpoints (two
-    * equi-joins), keep cross-component edges, per-component minimum edge
-    * as ONE min(struct) aggregation over the two-sided (comp, edge)
-    * relation (no window over the edge list), distinct the picks (both
-    * endpoints' components may pick the same edge), and relabel through
-    * the generic [[graft.dedup.DedupClusters]] fixpoint over the
-    * CUMULATIVE forest (<= n-1 edges at any point — the per-round
-    * components run on forest-sized, not graph-sized, input). Unique
-    * minima make Borůvka cycle-free, so no cycle check is needed.
-    */
-  def mstOf(edgesW: DataFrame,
-      checkpointDir: Option[String] = None): DataFrame = {
-    import graft.CacheScope.persisted
-    // Iteration state rides EAGER checkpoints, the DedupClusters storage
-    // discipline: two cache-chained variants of this loop (quotient
-    // contraction; cached edge cleanup) each measured ~6x SLOWER than
-    // re-joining the full graph every round, because chained lazy caches
-    // recompute under the fixpoint's repeated references — see PLANS.md.
-    // With the surviving-cross-edge set checkpoint-TRUNCATED per round,
-    // the classic Borůvka cleanup finally pays: the candidate relation
-    // shrinks geometrically (1.2M -> cross-component remnant) and later
-    // rounds join the remnant, not the graph (16.6s -> measured below).
-    val sc = edgesW.sparkSession.sparkContext
-    // Explicit argument wins; else a dir already installed via
-    // sc.setCheckpointDir (the normal cluster deployment shape); only
-    // when neither resolves does local mode become a requirement.
-    val reliableDir =
-      graft.dedup.DedupClusters.resolveReliableDir(sc, checkpointDir)
-    val master = sc.master
-    require(reliableDir.isDefined || master.startsWith("local"),
-      s"mstOf: master '$master' is not local — pass checkpointDir= (or " +
-        "sc.setCheckpointDir) a shared-filesystem path " +
-        "(localCheckpoint blocks die with their executor)")
-    def pin(df: DataFrame): DataFrame =
-      if (reliableDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
-    val und0 = persisted(edgesW.filter(col("src") < col("dst"))
-      .select(col("src"), col("dst"), col("w")))
-    val nodes = persisted(und0.select(col("src").as("node"))
-      .unionByName(und0.select(col("dst").as("node"))).distinct())
-    var und = und0
-    var lbl = nodes.select(col("node"), col("node").as("comp"))
-    var chosen: DataFrame = und0.filter(lit(false))
-    var done = false
-    for (_ <- 1 to MstRounds if !done) {
-      val cross = pin(und
-        .join(lbl.select(col("node").as("src"), col("comp").as("ca")), "src")
-        .join(lbl.select(col("node").as("dst"), col("comp").as("cb")), "dst")
-        .filter(col("ca") =!= col("cb")))
-      if (cross.isEmpty) done = true
-      else {
-        // Borůvka edge cleanup: an intra-component edge can never be
-        // picked later, so the surviving cross-component edges ARE the
-        // next round's candidate set (checkpoint-truncated above).
-        und = cross.select(col("src"), col("dst"), col("w"))
-        val e = struct(col("w"), col("src"), col("dst"))
-        val picked = cross.select(col("ca").as("comp"), e.as("e"))
-          .unionByName(cross.select(col("cb").as("comp"), e.as("e")))
-          .groupBy(col("comp")).agg(min(col("e")).as("m"))
-          .select(col("m.src").as("src"), col("m.dst").as("dst"),
-            col("m.w").as("w"))
-          .distinct()
-        chosen = pin(chosen.unionByName(picked))
-        lbl = graft.dedup.DedupClusters
-          .clusters(chosen.select(col("src").as("doc_a"),
-            col("dst").as("doc_b")), nodes.select(col("node").as("doc_id")))
-          .select(col("doc_id").as("node"), col("cluster_id").as("comp"))
-      }
-    }
-    if (!done) throw new IllegalStateException(
-      s"mstOf: forest not spanning after $MstRounds Borůvka rounds — " +
-        "raise GraphQueries.MstRounds (log2(n) bounds the need)")
-    chosen
-  }
-
-  /** Bounded-round Bellman–Ford over a weighted (src, dst, w) edge
-    * relation, from the minimum node id — [[bfsOf]] generalized to real
-    * weights. The zero-weight self-loop fold keeps each round ONE
-    * equi-join + min-aggregation consuming the previous distance relation
-    * exactly once (linear plan; see bfsOf's design note). Distances are
-    * exact int64 sums — bounded by rounds × max weight, overflow-loud
-    * under ANSI. Public for planted-graph specs.
-    */
-  def ssspOf(edgesW: DataFrame): DataFrame = {
-    val ew = edgesW
-      .unionByName(edgesW.select(col("src")).distinct()
-        .select(col("src"), col("src").as("dst"), lit(0L).as("w")))
-      .transform(graft.CacheScope.persisted(_))
-    var dist = ew.select(col("src").as("node")).orderBy(col("node").asc).limit(1)
-      .select(col("node"), lit(0L).as("dist"))
-    for (_ <- 1 to SsspRounds) {
-      dist = ew.join(dist, col("src") === col("node"))
-        .groupBy(col("dst"))
-        .agg(min(col("dist") + col("w")).as("dist"))
-        .select(col("dst").as("node"), col("dist"))
-    }
-    dist
   }
 
   /** HITS power-iteration rounds — a dial, so the oracle can unroll it. */
@@ -789,7 +611,7 @@ object GraphQueries extends QueryPack {
   /** The windowed-graph CTE prefix shared by the components and k-core
     * oracles (one month of orders).
     */
-  private val windowedEdgesCte: String =
+  private[graph] val windowedEdgesCte: String =
     """WITH li AS (
       |  SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -848,70 +670,6 @@ object GraphQueries extends QueryPack {
     * relabel identically, so the fixed unroll equals the early-exit
     * loop.
     */
-  private def mstRoundCte(i: Int): String =
-    s"""x$i AS MATERIALIZED (
-       |  SELECT u.src, u.dst, u.w, a.comp AS ca, b.comp AS cb
-       |  FROM und u
-       |  JOIN l${i - 1} a ON a.node = u.src
-       |  JOIN l${i - 1} b ON b.node = u.dst
-       |  WHERE a.comp <> b.comp
-       |), p$i AS MATERIALIZED (
-       |  SELECT DISTINCT src, dst, w FROM (
-       |    SELECT src, dst, w,
-       |           row_number() OVER (PARTITION BY comp
-       |                              ORDER BY w ASC, src ASC, dst ASC) AS rn
-       |    FROM (SELECT ca AS comp, src, dst, w FROM x$i
-       |          UNION ALL
-       |          SELECT cb AS comp, src, dst, w FROM x$i)
-       |  ) WHERE rn = 1
-       |), c$i AS MATERIALIZED (
-       |  SELECT src, dst, w FROM c${i - 1} UNION ALL SELECT src, dst, w FROM p$i
-       |), s$i AS (
-       |  SELECT src, dst FROM c$i UNION ALL SELECT dst AS src, src AS dst FROM c$i
-       |), r$i(node, r) AS (
-       |  SELECT src, src FROM s$i
-       |  UNION
-       |  SELECT e.src, r$i.r FROM s$i e JOIN r$i ON r$i.node = e.dst
-       |), l$i AS MATERIALIZED (
-       |  SELECT n.node, COALESCE(m.c, n.node) AS comp
-       |  FROM mnodes n
-       |  LEFT JOIN (SELECT node, min(r) AS c FROM r$i GROUP BY node) m
-       |    ON m.node = n.node
-       |)""".stripMargin
-
-  /** The full MST oracle: [[MstRounds]] unrolled Borůvka rounds over the
-    * weighted windowed graph.
-    */
-  private lazy val mstOracle: String = {
-    val weightedUndCte =
-      s"""$windowedEdgesCte, price AS (
-         |  SELECT p_partkey, CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
-         |  FROM part
-         |), und AS MATERIALIZED (
-         |  SELECT e.src, e.dst, 1 + abs(ps.pc - pd.pc) // 100 AS w
-         |  FROM edges e
-         |  JOIN price ps ON ps.p_partkey = e.src
-         |  JOIN price pd ON pd.p_partkey = e.dst
-         |  WHERE e.src < e.dst
-         |), mnodes AS MATERIALIZED (
-         |  SELECT DISTINCT node FROM (
-         |    SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
-         |), c0 AS (
-         |  SELECT src, dst, w FROM und WHERE 1 = 0
-         |), l0 AS (
-         |  SELECT node, node AS comp FROM mnodes
-         |)""".stripMargin
-    // the shared windowedEdgesCte opens with WITH (non-recursive); the
-    // per-round reach CTEs need RECURSIVE on the WITH keyword.
-    val prefix = weightedUndCte.replaceFirst("WITH li", "WITH RECURSIVE li")
-    s"""$prefix,
-       |${(1 to MstRounds).map(mstRoundCte).mkString(",\n")}
-       |SELECT src, dst, CAST(w AS BIGINT) AS w FROM c$MstRounds""".stripMargin
-  }
-
-  /** One unrolled personalized-PageRank iteration i: the restart term
-    * lands only on seed nodes (src % PprSeedMod == 0).
-    */
   private def pprIterCte(i: Int): String = {
     val base = (100L - DampPct) * Scale / 100L
     s"""pc$i AS (
@@ -927,23 +685,7 @@ object GraphQueries extends QueryPack {
   }
 
   /** One unrolled BFS relaxation round (reads d{i-1}, defines d{i}). */
-  private def bfsCte(i: Int): String =
-    s"""d$i AS (
-       |  SELECT ew.dst AS node, min(d.hops + ew.w) AS hops
-       |  FROM ew JOIN d${i - 1} d ON d.node = ew.src
-       |  GROUP BY ew.dst
-       |)""".stripMargin
-
-  private def ssspCte(i: Int): String =
-    s"""d$i AS (
-       |  SELECT ew.dst AS node, min(d.dist + ew.w) AS dist
-       |  FROM ew JOIN d${i - 1} d ON d.node = ew.src
-       |  GROUP BY ew.dst
-       |)""".stripMargin
-
   override val oracles: Map[String, String] = Map(
-    "q_graph_mst" -> mstOracle,
-
     "q_graph_ppr" ->
       s"""$edgesCte,
          |ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.src = e.src),
@@ -953,38 +695,6 @@ object GraphQueries extends QueryPack {
          |${(1 to Iters).map(pprIterCte).mkString(",\n")}
          |SELECT node, CAST(r AS BIGINT) AS ppr_fixed FROM pr$Iters WHERE r > 0""".stripMargin,
 
-    "q_graph_sssp" ->
-      s"""$windowedEdgesCte, price AS (
-         |  SELECT p_partkey, CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
-         |  FROM part
-         |), ew AS (
-         |  SELECT e.src, e.dst, 1 + abs(ps.pc - pd.pc) // 100 AS w
-         |  FROM edges e
-         |  JOIN price ps ON ps.p_partkey = e.src
-         |  JOIN price pd ON pd.p_partkey = e.dst
-         |  UNION ALL
-         |  SELECT src, src AS dst, CAST(0 AS BIGINT) AS w
-         |  FROM (SELECT DISTINCT src FROM edges)
-         |), d0 AS (
-         |  SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM edges
-         |),
-         |${(1 to SsspRounds).map(ssspCte).mkString(",\n")}
-         |SELECT node, dist FROM d$SsspRounds""".stripMargin,
-
-    "q_graph_bfs" ->
-      s"""$windowedEdgesCte, ew AS (
-         |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges
-         |  UNION ALL
-         |  SELECT src, src AS dst, CAST(0 AS BIGINT) AS w
-         |  FROM (SELECT DISTINCT src FROM edges)
-         |), d0 AS (
-         |  SELECT min(src) AS node, CAST(0 AS BIGINT) AS hops FROM edges
-         |),
-         |${(1 to BfsRounds).map(bfsCte).mkString(",\n")}
-         |SELECT node, hops FROM d$BfsRounds""".stripMargin,
-
-    // End normalization: HUGEINT `//` mirrors Spark's decimal `div`
-    // (all values positive, so floor == truncate).
     "q_graph_hits" ->
       s"""WITH be AS (
          |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p

@@ -77,6 +77,20 @@ object CorpusOpsQueries extends QueryPack {
   /** Training shards for text_shard_assign — a dial, not a truth. */
   val NShards = 16
 
+  /** The standard "flatten the language distribution" temperature.
+    * Declared BEFORE `oracles`: the oracle SQL interpolates it strictly at
+    * object init, and a forward reference would silently bake in 0.0 (the
+    * r11 split regression — see BpeQueries' init-order note).
+    */
+  val TempAlpha = 0.3
+
+  /** Language mixture weights (percent kept), the single source of truth
+    * for text_sample_mix's Spark CASE and its SQL twin. Same init-order
+    * constraint as [[TempAlpha]] (a forward reference NPEs in `oracles`).
+    */
+  val MixRates: Seq[(String, Int)] =
+    Seq("en" -> 80, "de" -> 60, "fr" -> 60, "es" -> 40, "zh" -> 20)
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Span-level exact dedup: per doc, how much of it is 10-token spans
@@ -146,7 +160,70 @@ object CorpusOpsQueries extends QueryPack {
         size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).as("n_emails"),
         size(regexp_extract_all(col("text"), lit(UrlPat), lit(0))).as("n_urls"),
         size(regexp_extract_all(col("text"), lit(LongNumPat), lit(0))).as("n_longnums"),
-        md5(scrub(col("text"))).as("scrubbed_md5")))
+        md5(scrub(col("text"))).as("scrubbed_md5"))),
+
+    // Deterministic hash-stratified sampling: md5-derived bucket per doc,
+    // ~10% per (lang, source) stratum — reproducible across engines and
+    // runs (never rand()), verified by per-stratum totals.
+    "text_sample_stratified" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      docs(s, d).select(col("lang"), col("source"), bucket.as("b"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("b") < 10, 1L).otherwise(0L)).as("n_sampled"))
+    }),
+
+    // Deterministic MIXTURE sampling (corpus assembly): each language
+    // keeps an md5-keyed fraction of its documents per [[MixRates]] — the
+    // data-mixing step that weights sources into a training corpus,
+    // reproducible run-over-run (never rand()). One narrow filter pass
+    // (NarrowOpsSpec), no shuffle at any scale; both engines evaluate the
+    // same CASE generated from the one rate table.
+    "text_sample_mix" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      val rate = MixRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+        when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          bucket.as("b"), rate.as("r"))
+        .filter(col("b") < col("r"))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // Deterministic WEIGHTED sampling without replacement (the
+    // Efraimidis-Spirakis exponential race): each doc draws an
+    // md5-derived uniform u in (0,1) and races with key = -ln(u)/w; the
+    // 200 smallest keys are a weight-proportional sample — here weighted
+    // by document length, the "sample long docs preferentially" corpus
+    // shaping step. Scale shape: one narrow map + TakeOrderedAndProject
+    // (no global sort, never rand() — re-runs pick the SAME sample,
+    // which is the whole point vs df.sample). u = (h + 0.5) / 2^52 is
+    // exact double arithmetic on a 52-bit md5 prefix so it can never be
+    // 0 or 1; the key is round(,9)-pinned like every computed ln in this
+    // pack, with doc_id as the total-order tiebreak.
+    "text_sample_weighted" -> ((s, d) => {
+      val h = conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))),
+        1, 13), 16, 10).cast("long")
+      val u = (h.cast("double") + 0.5) / lit(4503599627370496.0)
+      val w = greatest(col("n_chars"), lit(1L)).cast("double")
+      docs(s, d)
+        .select(col("doc_id"), col("n_chars"), round(-log(u) / w, 9).as("race_key"))
+        .orderBy(col("race_key").asc, col("doc_id").asc)
+        .limit(200)
+    }),
+
+    // TEMPERATURE (alpha) sampling — the mT5/XLM-R multilingual mixing
+    // rule: where text_sample_mix's rates are hand-set, these are DERIVED
+    // from the corpus itself. Language shares p_l are flattened to
+    // q_l ∝ p_l^alpha, realized without upsampling as per-language keep
+    // rates r_l = (n_l/n_min)^(alpha-1): the rarest language keeps
+    // everything, every other language is downsampled toward the
+    // flattened mix. See [[temperatureSampleOf]].
+    "text_sample_temperature" -> ((s, d) =>
+      temperatureSampleOf(docs(s, d), TempAlpha)),
   )
 
   /** CDC boundary modulus: expected chunk length in tokens. */
@@ -469,6 +546,69 @@ object CorpusOpsQueries extends QueryPack {
          |             '$UrlPat', '<URL>', 'g'),
          |             '$EmailPat', '<EMAIL>', 'g'),
          |             '$LongNumPat', '<NUM>', 'g')) AS scrubbed_md5
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    "text_sample_stratified" ->
+      """SELECT lang, source, count(*) AS n_total,
+        |       CAST(sum(CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY lang, source""".stripMargin,
+
+    "text_sample_mix" ->
+      s"""SELECT doc_id, lang, source
+         |FROM documents
+         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+         |      CASE lang ${MixRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")} ELSE 0 END""".stripMargin,
+
+    "text_sample_weighted" ->
+      """SELECT doc_id, n_chars,
+        |       round(-ln((('0x' || substring(md5('ws:' || doc_id), 1, 13))::BIGINT + 0.5)
+        |                 / 4503599627370496.0)
+        |             / greatest(n_chars, 1), 9) AS race_key
+        |FROM documents
+        |ORDER BY race_key ASC, doc_id ASC
+        |LIMIT 200""".stripMargin,
+
+    "text_sample_temperature" ->
+      s"""WITH c AS (
+         |  SELECT lang, count(*) AS nl FROM documents GROUP BY lang
+         |), r AS (
+         |  SELECT lang,
+         |         round(pow(CAST(nl AS DOUBLE) /
+         |                   (SELECT CAST(min(nl) AS DOUBLE) FROM c),
+         |                   ${TempAlpha - 1.0}), 9) AS r
+         |  FROM c
+         |)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN r ON r.lang = d.lang
+         |WHERE (('0x' || substring(md5('temp:' || doc_id), 1, 13))::BIGINT + 0.5)
+         |      / 4503599627370496.0 < r.r""".stripMargin
   )
+
+
+  /** Alpha-sampling body (see the text_sample_temperature registration):
+    * one bounded language-count aggregation, rates as a broadcast
+    * #langs-row table, one narrow filter pass — no corpus-sized shuffle
+    * at any scale. Determinism: the keep decision compares an exact
+    * md5-derived u (text_sample_weighted's 52-bit construction) against
+    * a round(,9)-pinned rate, so both engines make the SAME per-doc
+    * decision. Public so TrainingPrepSpec can replay the decisions
+    * doc-by-doc on a planted two-language corpus.
+    */
+  def temperatureSampleOf(dd0: DataFrame, alpha: Double): DataFrame = {
+    val dd = dd0.transform(graft.CacheScope.persisted(_))
+    val counts = dd.groupBy("lang").agg(count(lit(1)).as("nl"))
+    val nmin = counts.agg(min(col("nl")).as("nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col("lang"),
+        round(pow(col("nl").cast("double") / col("nmin").cast("double"),
+          lit(alpha - 1.0)), 9).as("r"))
+    val h = conv(substring(md5(concat(lit("temp:"), col("doc_id").cast("string"))),
+      1, 13), 16, 10).cast("long")
+    val u = (h.cast("double") + 0.5) / lit(4503599627370496.0)
+    dd.join(broadcast(rates), "lang")
+      .filter(u < col("r"))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
 }

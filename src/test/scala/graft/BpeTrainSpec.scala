@@ -1,6 +1,6 @@
 package graft
 
-import graft.text.TextAnalysisQueries
+import graft.text.BpeQueries
 
 /** Planted-corpus behavior of the BPE training loop — the oracled query
   * proves cross-engine parity; these prove the GREEDY MERGE SEMANTICS on
@@ -12,7 +12,7 @@ class BpeTrainSpec extends SparkSpec {
   import spark.implicits._
 
   private def train(texts: Seq[String], merges: Int) =
-    TextAnalysisQueries
+    BpeQueries
       .bpeTrainOf(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text"), merges = merges)
       .collect()
@@ -54,7 +54,7 @@ class BpeTrainSpec extends SparkSpec {
   test("apply encodes with merges in rank order") {
     val docs = Seq((7L, "the then xyz"), (8L, ""), (9L, "thethe"))
       .toDF("doc_id", "text")
-    val out = TextAnalysisQueries
+    val out = BpeQueries
       .bpeApplyOf(docs, Seq(("t h", "th"), ("th e", "the")))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-import graft.graph.GraphQueries
+import graft.graph.{GraphPathQueries, GraphQueries}
 
 /** Structural invariants of the fixed-point PageRank that the DuckDB hash
   * compare can't see: mass conservation up to integer-truncation loss,
@@ -97,7 +97,7 @@ class GraphSpec extends SparkSpec {
     val g = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
       (6L, 7L), (7L, 8L), (3L, 10L))
     val got =
-      try GraphQueries.bfsOf(edgesDf(g, 3))
+      try GraphPathQueries.bfsOf(edgesDf(g, 3))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       finally CacheScope.releaseAll()
     // Node 8 sits at hop 7 > BfsRounds=6 — honestly absent.
@@ -117,7 +117,7 @@ class GraphSpec extends SparkSpec {
       StructType(Seq(StructField("src", LongType), StructField("dst", LongType),
         StructField("w", LongType))))
     val got =
-      try GraphQueries.ssspOf(ew)
+      try GraphPathQueries.ssspOf(ew)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       finally CacheScope.releaseAll()
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 4L), s"got $got")

@@ -71,7 +71,7 @@ object LocalClusterSmoke {
       // 3. Borůvka MST with unique weights — exact forest expected.
       val ew = Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 10L), (3L, 4L, 3L))
         .toDF("src", "dst", "w")
-      val mst = graph.GraphQueries.mstOf(ew, checkpointDir = Some(ckpt))
+      val mst = graph.GraphPathQueries.mstOf(ew, checkpointDir = Some(ckpt))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       CacheScope.releaseAll()
       assert(mst == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L)),

@@ -95,8 +95,8 @@ class PropertiesSpec extends SparkSpec {
   }
 
   test("stratified sample is reproducible and bounded per stratum") {
-    import graft.text.TextAnalysisQueries
-    val q = TextAnalysisQueries.queries("text_sample_stratified")
+    import graft.text.CorpusOpsQueries
+    val q = CorpusOpsQueries.queries("text_sample_stratified")
     val a = q(spark, sfDir).collect().map(_.toSeq).toSet
     assert(a == q(spark, sfDir).collect().map(_.toSeq).toSet,
       "sampling must be reproducible run-over-run")

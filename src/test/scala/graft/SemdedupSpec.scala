@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
 
-import graft.dedup.DedupQueries
+import graft.dedup.{DedupQueries, SemanticDedupQueries}
 
 /** dedup_semdedup's contract on planted geometry. EXACT duplicate vectors
   * are guaranteed to co-locate (identical vectors have identical distances
@@ -25,7 +25,7 @@ class SemdedupSpec extends SparkSpec {
     Seq.tabulate(Dim)(j => if (j == i) scale else 0.0f)
 
   private def run(rows: Seq[(Long, Seq[Float])]): Map[Long, (Long, Boolean)] =
-    try DedupQueries.semdedupOf(embDf(rows)).collect()
+    try SemanticDedupQueries.semdedupOf(embDf(rows)).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     finally CacheScope.releaseAll()
 
@@ -65,7 +65,7 @@ class SemdedupSpec extends SparkSpec {
           (6L + k) -> axis(2 + k % 6, if (k < 6) 1.0f else -1.0f)
         }
     val r =
-      try DedupQueries.semdedupEvalOf(embDf(rows)).collect()(0)
+      try SemanticDedupQueries.semdedupEvalOf(embDf(rows)).collect()(0)
       finally CacheScope.releaseAll()
     val (nVecs, nTruth, nCand, nHit) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))

@@ -49,6 +49,7 @@ class SparkEntrySpec extends SparkSpec {
       "TfIdfQueries", "PosQueries", "RelationalQueries", "WindowQueries",
       "ScalarFuncQueries", "TpchQueries", "SqlFeatureQueries",
       "ProfilingQueries", "EventOpsQueries", "DedupQueries",
+      "SemanticDedupQueries", "BpeQueries", "GraphPathQueries",
       "SimilarityQueries", "TextAnalysisQueries", "CorpusOpsQueries",
       "MultimodalQueries", "StreamingQueries", "SketchQueries",
       "LayoutQueries")

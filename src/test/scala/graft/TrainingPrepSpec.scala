@@ -96,7 +96,7 @@ class TrainingPrepSpec extends SparkSpec {
 
   test("temperature sampling keeps the rarest language whole and makes " +
     "the exact md5-replayable decision per majority doc") {
-    import graft.text.TextAnalysisQueries
+    import graft.text.CorpusOpsQueries
     // 90 "big" docs vs 10 "small": n_min = 10, r_small = 1 (all kept),
     // r_big = round(9^(alpha-1), 9) — replay each keep decision in
     // scalar Scala and demand the identical set.
@@ -105,7 +105,7 @@ class TrainingPrepSpec extends SparkSpec {
       (91L to 100L).map(i => (i, "small", "s")))
       .toDF("doc_id", "lang", "source")
     val kept =
-      try TextAnalysisQueries.temperatureSampleOf(docsDf, alpha)
+      try CorpusOpsQueries.temperatureSampleOf(docsDf, alpha)
         .collect().map(r => (r.getLong(0), r.getString(1))).toSet
       finally CacheScope.releaseAll()
     assert((91L to 100L).forall(i => kept.contains((i, "small"))),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.graph.GraphQueries
+import graft.graph.{GraphPathQueries, GraphQueries}
 import graft.relational.{EventOpsQueries, StatsQueries}
 
 /** Invariant checks for the round-10 fifth-wave operators (search,
@@ -252,12 +252,12 @@ class WaveTenSpec extends SparkSpec {
     // two components bridged by one expensive edge + an all-ties triangle
     val g1 = Seq((1L, 2L, 1L), (3L, 4L, 1L), (1L, 3L, 5L), (2L, 4L, 10L))
       .toDF("src", "dst", "w")
-    val m1 = GraphQueries.mstOf(g1).collect()
+    val m1 = GraphPathQueries.mstOf(g1).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     CacheScope.releaseAll()
     assert(m1 == Set((1L, 2L, 1L), (3L, 4L, 1L), (1L, 3L, 5L)))
     val g2 = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L)).toDF("src", "dst", "w")
-    val m2 = GraphQueries.mstOf(g2).collect()
+    val m2 = GraphPathQueries.mstOf(g2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     CacheScope.releaseAll()
     // all-equal weights: the (w, src, dst) order picks (1,2) and (1,3)
