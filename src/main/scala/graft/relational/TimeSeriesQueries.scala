@@ -93,6 +93,48 @@ object TimeSeriesQueries extends QueryPack {
         .filter(col("acf").isNotNull)
     }),
 
+    // Periodogram probe at candidate periods (7 / 14 / 30 days): the
+    // spectral sibling of q_ts_acf — amplitude of the Fourier component
+    // at each period, 2·|Σ dev_d · e^(iω d)| / n, the direct "how strong
+    // is the weekly cycle" gauge a seasonality model reads before picking
+    // its period. Runs entirely on the bounded daily relation: per-type
+    // means ride a broadcast aggregate, each (day, period) row emits one
+    // cos + one sin contribution, and one bounded aggregation finishes.
+    // Determinism: cos/sin are libm calls that may differ by 1 ulp across
+    // engines, so the trig VALUES (only |period| distinct angles each)
+    // are round(,9)-pinned before multiplying, contributions are
+    // round(,4)-pinned, and the sums fold in exact DECIMAL.
+    "q_ts_periodogram" -> ((s, d) => {
+      val daily = dailyOf(t(s, d, "events"))
+        .select(col("event_type"),
+          datediff(col("day"), to_date(lit("1970-01-01"))).as("ti"), col("c"))
+        .transform(CacheScope.persisted(_))
+      val st = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum(col("c")).as("sumc"))
+        .select(col("event_type").as("set"), col("nd"),
+          (col("sumc").cast("double") / col("nd").cast("double")).as("mean"))
+      val tau = lit(6.283185307179586)
+      val per = daily.join(broadcast(st), col("event_type") === col("set"))
+        .select(col("event_type"), col("nd"), col("ti"),
+          (col("c").cast("double") - col("mean")).as("dev"),
+          explode(array(lit(7), lit(14), lit(30))).as("period"))
+      val ang = tau * (col("ti") % col("period")).cast("double") /
+        col("period").cast("double")
+      per.select(col("event_type"), col("period"), col("nd"),
+          round(col("dev") * round(cos(ang), 9), 4)
+            .cast(DecimalType(24, 4)).as("cc"),
+          round(col("dev") * round(sin(ang), 9), 4)
+            .cast(DecimalType(24, 4)).as("ss"))
+        .groupBy("event_type", "period")
+        .agg(max(col("nd")).as("n_days"),
+          sum(col("cc")).as("cs"), sum(col("ss")).as("sn"))
+        .select(col("event_type"), col("period").cast("long").as("period"),
+          col("n_days"),
+          round(lit(2.0) * sqrt(col("cs").cast("double") * col("cs").cast("double") +
+            col("sn").cast("double") * col("sn").cast("double")) /
+            col("n_days").cast("double"), 4).as("amplitude"))
+    }),
+
     // Theil–Sen robust trend per event_type: the median of all pairwise
     // slopes of the daily series — the outlier-resistant alternative to
     // least squares (one corrupted day moves OLS, not the median slope).
@@ -692,6 +734,33 @@ object TimeSeriesQueries extends QueryPack {
          |               6) AS acf
          |  FROM m
          |) WHERE acf IS NOT NULL""".stripMargin,
+
+    "q_ts_periodogram" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(day - DATE '1970-01-01' AS INTEGER) AS ti, c
+         |  FROM ($DailySql)
+         |), st AS (
+         |  SELECT event_type, count(*) AS nd,
+         |         CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+         |  FROM daily GROUP BY 1
+         |), per AS (
+         |  SELECT d.event_type, p.period, s.nd,
+         |         CAST(round((CAST(d.c AS DOUBLE) - s.mean) *
+         |           round(cos(6.283185307179586 * (d.ti % p.period) / CAST(p.period AS DOUBLE)), 9), 4)
+         |           AS DECIMAL(24,4)) AS cc,
+         |         CAST(round((CAST(d.c AS DOUBLE) - s.mean) *
+         |           round(sin(6.283185307179586 * (d.ti % p.period) / CAST(p.period AS DOUBLE)), 9), 4)
+         |           AS DECIMAL(24,4)) AS ss
+         |  FROM daily d
+         |  JOIN st s ON s.event_type = d.event_type
+         |  CROSS JOIN (VALUES (7), (14), (30)) p(period)
+         |)
+         |SELECT event_type, CAST(period AS BIGINT) AS period,
+         |       max(nd) AS n_days,
+         |       round(2.0 * sqrt(CAST(sum(cc) AS DOUBLE) * CAST(sum(cc) AS DOUBLE) +
+         |                        CAST(sum(ss) AS DOUBLE) * CAST(sum(ss) AS DOUBLE)) /
+         |             CAST(max(nd) AS DOUBLE), 4) AS amplitude
+         |FROM per GROUP BY 1, 2""".stripMargin,
 
     "q_ts_theilsen" ->
       s"""WITH daily AS (

@@ -202,40 +202,106 @@ object WindowQueries extends QueryPack {
     // the sort order, so the second Window adds NO exchange and no
     // re-sort. valid_to is NULL on each user's current row
     // (is_current = 1). Ties in ts break by event_id in both engines.
-    "q_scd2_intervals" -> ((s, d) => {
+    "q_scd2_intervals" -> ((s, d) => scd2Of(t(s, d, "events"))),
+
+    // INCREMENTAL SCD2 maintenance — the production shape of the build
+    // above: the dimension table exists (built from events before the
+    // cutoff), a new batch arrives (events after), and the load must fold
+    // the batch in WITHOUT re-reading history: close each still-open
+    // interval at its user's first post-cutoff change, append the batch's
+    // own change-point intervals, and pass closed history through
+    // untouched. The batch's first change per user is seeded with the
+    // open interval's type (a same-type continuation is NOT a change), so
+    // the fold is exactly equivalent to a full rebuild — and the oracle
+    // IS the full rebuild, so the hash match is the equivalence proof
+    // (the dedup_incremental_reconcile discipline). Cost scales with the
+    // batch + the open rows, never with history: history is touched only
+    // by the is_current partition filter, which at 100 TB is the
+    // partition-pruned current slice of the dimension table.
+    "q_scd2_incremental" -> ((s, d) => {
+      val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .transform(graft.CacheScope.persisted(_))
+      val baseScd = scd2Of(ev.filter(col("ts") < cutoff))
+        .transform(graft.CacheScope.persisted(_))
+      val open = baseScd.filter(col("is_current") === 1)
+        .select(col("user_id"), col("event_type").as("open_type"))
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
-      t(s, d, "events")
+      val dch = ev.filter(col("ts") >= cutoff)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
-          lag(col("event_type"), 1).over(w).as("prev"))
+          lag(col("event_type"), 1).over(w).as("prevd"))
+        .join(open, Seq("user_id"), "left")
+        .withColumn("prev", coalesce(col("prevd"), col("open_type")))
         .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from").asc, col("event_id").asc)
+      val newIv = dch
         .select(col("user_id"), col("event_type"),
-          col("ts").as("valid_from"), col("event_id"),
-          lead(col("ts"), 1).over(w).as("valid_to"))
+          col("ts").as("valid_from"), col("event_id"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
         .select(col("user_id"), col("event_type"), col("valid_from"),
           col("valid_to"),
           when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+        .transform(graft.CacheScope.persisted(_))
+      val firstNew = newIv.groupBy("user_id")
+        .agg(min(col("valid_from")).as("first_from"))
+      val closedOpen = baseScd.filter(col("is_current") === 1)
+        .join(firstNew, Seq("user_id"), "left")
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("first_from").as("valid_to"),
+          when(col("first_from").isNull, 1L).otherwise(0L).as("is_current"))
+      baseScd.filter(col("is_current") === 0)
+        .unionByName(closedOpen)
+        .unionByName(newIv)
     })
   )
 
+  /** SCD2 interval assembly over any (user_id, ts, event_id, event_type)
+    * slice — the q_scd2_intervals body, factored so the incremental fold
+    * builds its base dimension through the identical code path.
+    */
+  private[graft] def scd2Of(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev"))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("valid_from"), col("event_id"),
+        lead(col("ts"), 1).over(w).as("valid_to"))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"),
+        when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+  }
+
+  /** The full-rebuild SCD2 oracle — ALSO the q_scd2_incremental oracle:
+    * the incremental fold must hash-equal the from-scratch rebuild.
+    */
+  private val Scd2RebuildSql =
+    """WITH c AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts ASC, event_id ASC) AS prev
+      |  FROM events
+      |), ch AS (
+      |  SELECT user_id, event_type, ts AS valid_from, event_id
+      |  FROM c WHERE prev IS NULL OR prev <> event_type
+      |)
+      |SELECT user_id, event_type, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY user_id
+      |                              ORDER BY valid_from ASC, event_id ASC) AS valid_to,
+      |       CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+      |                    ORDER BY valid_from ASC, event_id ASC) IS NULL
+      |            THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM ch""".stripMargin
+
   override val oracles: Map[String, String] = Map(
-    "q_scd2_intervals" ->
-      """WITH c AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |         lag(event_type) OVER (PARTITION BY user_id
-        |                               ORDER BY ts ASC, event_id ASC) AS prev
-        |  FROM events
-        |), ch AS (
-        |  SELECT user_id, event_type, ts AS valid_from, event_id
-        |  FROM c WHERE prev IS NULL OR prev <> event_type
-        |)
-        |SELECT user_id, event_type, valid_from,
-        |       lead(valid_from) OVER (PARTITION BY user_id
-        |                              ORDER BY valid_from ASC, event_id ASC) AS valid_to,
-        |       CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
-        |                    ORDER BY valid_from ASC, event_id ASC) IS NULL
-        |            THEN 1 ELSE 0 END AS BIGINT) AS is_current
-        |FROM ch""".stripMargin,
+    "q_scd2_intervals" -> Scd2RebuildSql,
+
+    "q_scd2_incremental" -> Scd2RebuildSql,
 
     "q_window_rownum" ->
       """SELECT user_id, event_id, event_type, rn FROM (

@@ -189,6 +189,80 @@ object SimilarityQueries extends QueryPack {
         .filter(col("rnk") <= 3)
     }),
 
+    // Multi-probe LSH (Lv et al. 2007): the recall dial that does NOT
+    // spend memory — each query probes its home bucket plus all 8
+    // hamming-1 neighbor buckets (flip one sign bit), a 9x candidate
+    // widening at the SAME index layout as sim_ann_lsh. The probe list is
+    // a 9-element array exploded on the (tiny, broadcast) query side, so
+    // the candidate fetch stays a bucket equi-join and the collection is
+    // still touched exactly once; buckets partition the space, so a
+    // candidate matches at most one probe and no pair-dedup is needed.
+    // WaveElevenSpec asserts the candidate set strictly contains
+    // sim_ann_lsh's and that measured recall does not decrease.
+    "sim_ann_multiprobe" -> ((s, d) => {
+      val e = emb(s, d).withColumn("bucket", signBucket(col("embedding")))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
+          col("norm2").as("q_norm2"), col("bucket").as("q_bucket"))
+      val probes = q.withColumn("probe",
+        explode(array(col("q_bucket") +:
+          (0 until 8).map(i => col("q_bucket").bitwiseXOR(lit(1 << i))): _*)))
+      val scored = e
+        .join(broadcast(probes),
+          col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(cosine(dotQ(col("q_qe"), col("qe")),
+            col("q_norm2"), col("norm2")), 4).as("cos"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+    }),
+
+    // Scalar-quantization (SQ8) compressed search — the third compression
+    // point next to PQ (sim_pq_adc) and raw floats: each dimension maps to
+    // one byte against GLOBAL per-dim [min, max] ranges, a 4x bandwidth
+    // cut with no codebook training. The dims table is a single-row
+    // 64-entry array built by one bounded aggregation and broadcast into
+    // a narrow zip_with encode pass; search ranks by exact integer
+    // squared code distance |a|^2 + |b|^2 - 2a.b through the codegen DotQ
+    // kernel (never an interpreted fold), so the scan is one narrow map
+    // over 64-byte codes + the tiny top-k. Determinism: codes come from
+    // floor() on identical double expressions; distances are exact int64.
+    "sim_ann_sq8" -> ((s, d) => {
+      val raw = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("x"))
+        .transform(CacheScope.persisted(_))
+      val dims = raw.select(posexplode(col("x")).as(Seq("i", "v")))
+        .groupBy("i").agg(min("v").as("mn"), max("v").as("mx"))
+        .agg(sort_array(collect_list(struct(col("i"), col("mn"), col("mx"))))
+          .as("dims"))
+      val coded = raw.crossJoin(broadcast(dims))
+        .select(col("vec_id"), expr(
+          """zip_with(x, dims, (xi, dm) ->
+            |  CASE WHEN dm.mx = dm.mn THEN CAST(0 AS BIGINT)
+            |       ELSE CAST(least(greatest(
+            |              floor((xi - dm.mn) * 255.0 / (dm.mx - dm.mn)),
+            |              0.0), 255.0) AS BIGINT) END)""".stripMargin)
+          .as("code"))
+        .withColumn("cn", graft.functions.DotQ(col("code"), col("code")))
+        .transform(CacheScope.persisted(_))
+      val q = coded.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("code").as("q_code"),
+          col("cn").as("q_cn"))
+      val scored = coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (col("q_cn") + col("cn") -
+            lit(2L) * graft.functions.DotQ(col("q_code"), col("code")))
+            .as("qdist"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("qdist").asc, col("n_id").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("q_id"), col("n_id"), col("qdist"), col("rnk"))
+    }),
+
     // IVF (inverted-file) ANN — the parameterized train/assign/probe
     // operator ([[Ivf]]): deterministic hash-picked seeds (k independent
     // of any label), real Lloyd iterations with exact integer means,
@@ -593,6 +667,74 @@ object SimilarityQueries extends QueryPack {
        |  FROM scored
        |) WHERE rnk <= 3""".stripMargin
 
+  /** Multi-probe twin: probes = home bucket + 8 one-bit flips, expressed
+    * with engine-portable add/subtract (no xor builtin): flipping bit p is
+    * -p when set, +p when clear.
+    */
+  private lazy val multiprobeOracle: String =
+    s"""$eCte, bkt AS (
+       |  SELECT vec_id, ${VecMath.signBucketSql("embedding")} AS bucket
+       |  FROM embeddings
+       |), probes AS (
+       |  SELECT vec_id AS q_id, bucket AS probe FROM bkt WHERE vec_id < $NQueries
+       |  UNION ALL
+       |  SELECT b.vec_id,
+       |         CASE WHEN (b.bucket // v.p) % 2 = 1 THEN b.bucket - v.p
+       |              ELSE b.bucket + v.p END
+       |  FROM bkt b, (VALUES (1),(2),(4),(8),(16),(32),(64),(128)) v(p)
+       |  WHERE b.vec_id < $NQueries
+       |), dots AS (
+       |  SELECT p.q_id, c.vec_id AS n_id,
+       |         CAST(sum(q.qx * c.qx) AS DOUBLE) / 1000000.0 AS dot
+       |  FROM probes p
+       |  JOIN bkt bc ON bc.bucket = p.probe
+       |  JOIN e c ON c.vec_id = bc.vec_id
+       |  JOIN e q ON q.vec_id = p.q_id AND q.i = c.i
+       |  WHERE c.vec_id <> p.q_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT d.q_id, d.n_id,
+       |         round(d.dot / (sqrt(nq.norm2) * sqrt(nc.norm2)), 4) AS cos
+       |  FROM dots d
+       |  JOIN norms nq ON nq.vec_id = d.q_id
+       |  JOIN norms nc ON nc.vec_id = d.n_id
+       |)
+       |SELECT q_id, n_id, cos, rnk FROM (
+       |  SELECT q_id, n_id, cos,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos DESC, n_id ASC) AS rnk
+       |  FROM scored
+       |) WHERE rnk <= 3""".stripMargin
+
+  private lazy val sq8Oracle: String =
+    s"""WITH raw AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings
+       |), dims AS (
+       |  SELECT i, min(v) AS mn, max(v) AS mx FROM raw GROUP BY i
+       |), codes AS (
+       |  SELECT r.vec_id, r.i,
+       |         CASE WHEN d.mx = d.mn THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(least(greatest(
+       |                     floor((r.v - d.mn) * 255.0 / (d.mx - d.mn)),
+       |                     0.0), 255.0) AS BIGINT) END AS c
+       |  FROM raw r JOIN dims d ON d.i = r.i
+       |), dist AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         CAST(sum((q.c - c.c) * (q.c - c.c)) AS BIGINT) AS qdist
+       |  FROM codes q
+       |  JOIN codes c ON c.i = q.i AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |  GROUP BY 1, 2
+       |)
+       |SELECT q_id, n_id, qdist, rnk FROM (
+       |  SELECT q_id, n_id, qdist,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY qdist ASC, n_id ASC) AS rnk
+       |  FROM dist
+       |) WHERE rnk <= $TopK""".stripMargin
+
   private lazy val ivfOracle: String =
     s"""$eCte${Ivf.oracleCtes(IvfParams)}
        |SELECT q_id, n_id, cos, rnk FROM ivf_topk""".stripMargin
@@ -735,6 +877,8 @@ object SimilarityQueries extends QueryPack {
     "sim_mmr" -> mmrOracle,
 
     "sim_ann_lsh" -> lshOracle,
+    "sim_ann_multiprobe" -> multiprobeOracle,
+    "sim_ann_sq8" -> sq8Oracle,
 
     "sim_ann_ivf" -> ivfOracle,
 

@@ -176,6 +176,51 @@ object StreamingQueries extends QueryPack {
           col("view_ts"), col("buy_ts"), col("value"))
     }),
 
+    // FULL OUTER stream-stream interval join, batch evaluation: the
+    // two-sided completion of stream_join_left — unmatched views
+    // (abandonment) AND unmatched purchases (direct buys with no
+    // preceding view, attribution's dark traffic) both survive with null
+    // padding. Streaming twin in StreamingSpec: full-outer stream-stream
+    // joins need watermarks on BOTH sides + the interval condition;
+    // matched rows emit eagerly and each side's null-padded rows emit on
+    // its state eviction. user_id coalesces across sides so the key
+    // survives right-only rows.
+    "stream_join_full" -> ((s, d) => {
+      val ev = events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+          col("ts").as("buy_ts"), col("value"))
+      views.join(buys,
+          col("user_id") === col("b_user") &&
+            col("buy_ts") >= col("view_ts") &&
+            col("buy_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+          "full_outer")
+        .select(coalesce(col("user_id"), col("b_user")).as("user_id"),
+          col("view_id"), col("buy_id"), col("view_ts"), col("buy_ts"),
+          col("value"))
+    }),
+
+    // DYNAMIC-GAP session windows (Spark 3.2+): the inactivity gap is a
+    // per-event EXPRESSION — views hold the session open 10 minutes,
+    // everything else 5 — the real-world sessionization shape (content
+    // types with different dwell expectations). Semantics: each event
+    // spans [ts, ts+gap); overlapping spans merge; session end is the
+    // max span end, so variable gaps genuinely change session boundaries
+    // (a fixed-gap run cannot reproduce these rows). The oracle replays
+    // the merge as a user-partitioned running-max-of-span-end island
+    // build — break exactly when ts >= every previous span's end.
+    "stream_session_dyn" -> ((s, d) =>
+      events(s, d)
+        .groupBy(session_window(col("ts"),
+          when(col("event_type") === "view", "10 minutes")
+            .otherwise("5 minutes")).as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))),
+
     // Stateful threshold-crossing detection, batch evaluation: for each
     // user, the FIRST event at which their cumulative value reaches 100 —
     // the alerting/budget-cap shape (fraud thresholds, quota exhaustion,
@@ -363,6 +408,46 @@ object StreamingQueries extends QueryPack {
         |  ON v.user_id = b.user_id
         | AND b.buy_ts >= v.view_ts
         | AND b.buy_ts <= v.view_ts + INTERVAL 30 MINUTES""".stripMargin,
+
+    "stream_join_full" ->
+      """SELECT COALESCE(v.user_id, b.user_id) AS user_id,
+        |       v.view_id, b.buy_id, v.view_ts, b.buy_ts, b.value
+        |FROM (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |      FROM events WHERE event_type = 'view') v
+        |FULL OUTER JOIN (SELECT user_id, event_id AS buy_id, ts AS buy_ts, value
+        |                 FROM events WHERE event_type = 'purchase') b
+        |  ON v.user_id = b.user_id
+        | AND b.buy_ts >= v.view_ts
+        | AND b.buy_ts <= v.view_ts + INTERVAL 30 MINUTES""".stripMargin,
+
+    // Variable-gap merge replay: an event breaks a session exactly when
+    // its ts clears the running max of every previous event's span end.
+    "stream_session_dyn" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         ts + CASE WHEN event_type = 'view' THEN INTERVAL '10 minutes'
+        |                   ELSE INTERVAL '5 minutes' END AS e
+        |  FROM events
+        |), o AS (
+        |  SELECT user_id, ts, e,
+        |         CASE WHEN max(e) OVER (PARTITION BY user_id
+        |                ORDER BY ts ASC, event_id ASC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |                OR ts >= max(e) OVER (PARTITION BY user_id
+        |                     ORDER BY ts ASC, event_id ASC
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              THEN 1 ELSE 0 END AS brk,
+        |         event_id
+        |  FROM g
+        |), s AS (
+        |  SELECT user_id, ts, e,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, min(ts) AS session_start, max(e) AS session_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     // Same gap-break construction plus the distinct-type count the custom
     // operator tracks in its state.

@@ -74,6 +74,18 @@ object EvalQueries extends QueryPack {
     // smaller side broadcast — the Skyline prefix-max pattern.
     "text_eval_auc" -> ((s, d) => aucOf(labeled(s, d))),
 
+    // Average precision (area under the precision-recall curve, step
+    // interpolation) — the ranking metric that, unlike AUC, collapses
+    // under class imbalance exactly when a curation gate would: at a 1%
+    // positive rate an AUC of 0.95 can hide a precision of 0.1 at every
+    // usable threshold. AP = Σ_buckets (p_b / P) · precision@(score >= b),
+    // computed tie-safely over the SAME bounded per-score relation as
+    // text_eval_auc: cumulative counts come from the triangular
+    // broadcast join (b.sc >= a.sc) — never an unpartitioned window —
+    // per-bucket contributions are round(,9)-pinned into exact DECIMAL,
+    // and only the final /P runs in double.
+    "text_eval_avgprec" -> ((s, d) => avgPrecOf(labeled(s, d))),
+
     // Calibration / reliability table: decile bins of the score vs the
     // observed positive rate — the "is 0.8 really 80%?" check before a
     // threshold gate. Constant output (<= 11 bins); the mean score goes
@@ -126,6 +138,31 @@ object EvalQueries extends QueryPack {
           round(po, 6).as("po"),
           round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
     }))
+
+  /** Average-precision body — public so WaveElevenSpec can replay it
+    * against a driver-side sklearn-style computation on planted scores.
+    */
+  def avgPrecOf(lab: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 9)
+    val g = lab.groupBy(col("sc"))
+      .agg(count(when(col("y"), 1)).as("p"),
+        count(when(!col("y"), 1)).as("n"))
+      .transform(graft.CacheScope.persisted(_))
+    val cum = g.select(col("sc").as("sa"), col("p").as("pa"))
+      .join(broadcast(g.select(col("sc").as("sb"), col("p").as("pb"),
+        col("n").as("nb"))), col("sb") >= col("sa"))
+      .groupBy("sa", "pa")
+      .agg(sum(col("pb")).as("cp"), sum(col("nb")).as("cn"))
+    val contrib = round(col("pa").cast("double") * col("cp").cast("double") /
+      (col("cp") + col("cn")).cast("double"), 9).cast(dec)
+    val tot = g.agg(sum(col("p")).as("np"), sum(col("n")).as("nn"),
+      count(lit(1)).as("n_scores"))
+    val sap = cum.agg(sum(contrib).as("sap"))
+    tot.crossJoin(broadcast(sap))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"), col("n_scores"),
+        round(col("sap").cast("double") / col("np").cast("double"), 6)
+          .as("avg_prec"))
+  }
 
   /** The perplexity eval body (see the text_perplexity registration for
     * the full design notes): train on documents where `held` is false,
@@ -190,6 +227,28 @@ object EvalQueries extends QueryPack {
          |       round((CAST(c AS DOUBLE) + 0.5 * CAST(t AS DOUBLE)) /
          |             (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS auc
          |FROM tot, conc, ties""".stripMargin,
+
+    "text_eval_avgprec" ->
+      s"""WITH $labeledSql, g AS (
+         |  SELECT sc, count(CASE WHEN y THEN 1 END) AS p,
+         |         count(CASE WHEN NOT y THEN 1 END) AS n
+         |  FROM lab GROUP BY sc
+         |), cum AS (
+         |  SELECT a.sc AS sa, a.p AS pa,
+         |         CAST(sum(b.p) AS BIGINT) AS cp, CAST(sum(b.n) AS BIGINT) AS cn
+         |  FROM g a JOIN g b ON b.sc >= a.sc
+         |  GROUP BY a.sc, a.p
+         |), tot AS (
+         |  SELECT CAST(sum(p) AS BIGINT) AS np, CAST(sum(n) AS BIGINT) AS nn,
+         |         count(*) AS n_scores FROM g
+         |), sap AS (
+         |  SELECT sum(CAST(round(CAST(pa AS DOUBLE) * CAST(cp AS DOUBLE) /
+         |                        CAST(cp + cn AS DOUBLE), 9) AS DECIMAL(20,9))) AS sap
+         |  FROM cum
+         |)
+         |SELECT np AS n_pos, nn AS n_neg, n_scores,
+         |       round(CAST(sap AS DOUBLE) / CAST(np AS DOUBLE), 6) AS avg_prec
+         |FROM tot, sap""".stripMargin,
 
     "text_eval_calibration" ->
       s"""WITH $labeledSql
