@@ -547,4 +547,103 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming DYNAMIC-gap session windows == batch result") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sessdyn").toString
+    Tables.load(spark, sfDir, "events").write.mode("overwrite").parquet(tmp)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(tmp).schema)
+      .parquet(tmp)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"),
+        when(col("event_type") === "view", "10 minutes")
+          .otherwise("5 minutes")).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("sessdyn_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(300000), "stream did not finish in time")
+
+    val streamed = spark.table("sessdyn_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val batch = StreamingQueries.queries("stream_session_dyn")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // The variable gap must genuinely change boundaries vs the fixed-gap
+    // operator — otherwise this test would pass on a gap-ignoring plan.
+    val fixed = StreamingQueries.queries("stream_session")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(streamed != fixed, "dynamic-gap sessions degenerated to fixed-gap")
+  }
+
+  test("stream-stream FULL OUTER join: matched exact, both null sides on eviction") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssf").toString
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("ts")).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+
+    def side(tpe: String) = spark.readStream.schema(schema).parquet(tmp)
+      .filter(col("event_type") === tpe)
+
+    val views = side("view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val buys = side("purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "10 minutes")
+
+    val q = views.join(buys,
+        col("user_id") === col("b_user") &&
+          col("buy_ts") >= col("view_ts") &&
+          col("buy_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+        "full_outer")
+      .select(col("view_id"), col("buy_id"))
+      .writeStream.format("memory").queryName("ssf_join_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(300000), "stream did not finish in time")
+    assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+
+    def split(rows: Array[org.apache.spark.sql.Row]) = {
+      val m = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lv = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+        .map(_.getLong(0)).toSet
+      val rb = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+        .map(_.getLong(1)).toSet
+      (m, lv, rb)
+    }
+    val (sm, slv, srb) = split(spark.table("ssf_join_out").collect())
+    val (bm, blv, brb) = split(
+      StreamingQueries.queries("stream_join_full")(spark, sfDir)
+        .select(col("view_id"), col("buy_id")).collect())
+
+    // Matched rows emit eagerly — the drained stream must have them ALL.
+    assert(sm == bm,
+      s"matched rows diverge: missing=${(bm -- sm).take(3)}, extra=${(sm -- bm).take(3)}")
+    // Each null side emits on its state eviction: everything streamed
+    // must be a true batch non-match; rows near the final watermark may
+    // lawfully stay open, but a non-trivial share must have evicted.
+    assert((slv -- blv).isEmpty, "stream null-padded a view the batch matched")
+    assert((srb -- brb).isEmpty, "stream null-padded a purchase the batch matched")
+    assert(slv.nonEmpty, "no unmatched-view rows were ever emitted")
+    assert(srb.nonEmpty, "no unmatched-purchase rows were ever emitted")
+    assert(slv.intersect(sm.map(_._1)).isEmpty &&
+      srb.intersect(sm.map(_._2)).isEmpty,
+      "a row emitted both matched and null-padded")
+  }
 }

@@ -1,0 +1,210 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphPathQueries
+import graft.text.{DriftQueries, EvalQueries}
+
+/** Semantics checks for the round-11 operators. The DuckDB hash compare
+  * proves cross-engine parity; these prove the MEANING on planted inputs
+  * a twin-implementation bug could preserve: multi-probe must dominate
+  * single-bucket LSH, SQ8 must rank an obvious near neighbor first,
+  * harmonic centrality must match a hand-computed star+chain, the
+  * incremental SCD2 fold must equal the rebuild on boundary-shaped
+  * users, novelty must zero out a verbatim re-crawl, and JSD must match
+  * a driver-side replay of the exact md5 halving.
+  */
+class WaveElevenSpec extends SparkSpec {
+
+  private def md5half(id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    val hex = d.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % 2
+  }
+
+  test("multi-probe LSH dominates single-bucket LSH per query") {
+    val lsh = SparkEntry.queries("sim_ann_lsh")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+    CacheScope.releaseAll()
+    val mp = SparkEntry.queries("sim_ann_multiprobe")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+    CacheScope.releaseAll()
+    assert(mp.nonEmpty && lsh.nonEmpty)
+    // 9x the probes can only widen the candidate pool: per query, at
+    // least as many results, and a best-cosine at least as good.
+    val lshBy = lsh.groupBy(_._1); val mpBy = mp.groupBy(_._1)
+    lshBy.foreach { case (q, rows) =>
+      assert(mpBy.contains(q), s"query $q vanished under multi-probe")
+      assert(mpBy(q).length >= rows.length)
+      assert(mpBy(q).map(_._2._2).max >= rows.map(_._2._2).max - 1e-9,
+        s"query $q: multi-probe best cosine regressed")
+    }
+  }
+
+  test("SQ8 ranks the planted near neighbor first") {
+    val dir = Files.createTempDirectory("graft-w11-sq8").toString
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.2f), 0),
+      (1L, Array(0.9f, 0.1f, 0.2f), 0),
+      (2L, Array(0.0f, 1.0f, -0.4f), 0),
+      (3L, Array(-1.0f, 0.5f, 0.8f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("sim_ann_sq8")(spark, dir).collect()
+    CacheScope.releaseAll()
+    val top1 = rows.filter(r => r.getLong(0) == 0L && r.getInt(3) == 1)
+    assert(top1.length == 1 && top1(0).getLong(1) == 1L,
+      s"query 0 top-1 should be vec 1, got ${top1.mkString(",")}")
+    // Integer code distances are symmetric.
+    val d01 = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get.getLong(2)
+    val d10 = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 0L).get.getLong(2)
+    assert(d01 == d10 && d01 >= 0)
+  }
+
+  test("harmonic centrality matches the hand-computed star+chain") {
+    import spark.implicits._
+    // Star 0-{1..5} plus chain 5-6-7; symmetric edge list. Seeds are
+    // node % 41 == 0 -> only node 0.
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (5L, 6L), (6L, 7L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = GraphPathQueries.harmonicOf(edges).collect()
+    CacheScope.releaseAll()
+    assert(out.length == 1 && out(0).getLong(0) == 0L)
+    assert(out(0).getLong(1) == 7L, "node 0 reaches all 7 others in <= 4 hops")
+    // H(0) = 5*1 + 1/2 + 1/3, with 1/d pinned at 9dp before the fold.
+    val expected = BigDecimal(5.0) + BigDecimal("0.5") + BigDecimal("0.333333333")
+    assert(math.abs(out(0).getDouble(2) - expected.toDouble) < 1e-6)
+  }
+
+  test("average precision: perfect ranking gives 1.0; mixed matches a replay") {
+    import spark.implicits._
+    val perfect = Seq((true, 0.9), (true, 0.8), (false, 0.3), (false, 0.1))
+      .toDF("y", "sc")
+    val p = EvalQueries.avgPrecOf(perfect).collect()(0)
+    CacheScope.releaseAll()
+    assert(p.getAs[Double]("avg_prec") == 1.0)
+
+    val mixed = Seq((true, 0.9), (false, 0.8), (true, 0.7), (false, 0.6),
+      (true, 0.5), (true, 0.5), (false, 0.4)).toDF("y", "sc")
+    val m = EvalQueries.avgPrecOf(mixed).collect()(0)
+    CacheScope.releaseAll()
+    // Driver replay of the step-interpolated formula over distinct
+    // scores descending (ties collapse into one bucket).
+    val buckets = Seq((0.9, 1, 0), (0.8, 0, 1), (0.7, 1, 0), (0.6, 0, 1),
+      (0.5, 2, 0), (0.4, 0, 1))
+    var cp = 0; var cn = 0; var ap = 0.0
+    buckets.foreach { case (_, pp, nn) =>
+      cp += pp; cn += nn
+      ap += pp.toDouble * cp / (cp + cn)
+    }
+    ap /= buckets.map(_._2).sum
+    assert(math.abs(m.getAs[Double]("avg_prec") - ap) < 1e-6,
+      s"got ${m.getAs[Double]("avg_prec")}, replay $ap")
+  }
+
+  test("novelty zeroes a verbatim re-crawl and keeps the original at 1") {
+    val dir = Files.createTempDirectory("graft-w11-nov").toString
+    import spark.implicits._
+    Seq((1L, "a b c d e", "en", "t", 9L),
+      (2L, "a b c d e", "en", "t", 9L),
+      (3L, "x y z w", "en", "t", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = SparkEntry.queries("text_novelty")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    CacheScope.releaseAll()
+    assert(m(1L) == ((3L, 3L, 1.0)), s"original should be all-novel: ${m(1L)}")
+    assert(m(2L) == ((3L, 0L, 0.0)), s"re-crawl should be zero-novel: ${m(2L)}")
+    assert(m(3L) == ((2L, 2L, 1.0)))
+  }
+
+  test("JSD drift matches a driver-side replay of the exact md5 halving") {
+    val dir = Files.createTempDirectory("graft-w11-jsd").toString
+    import spark.implicits._
+    val docs = (1L to 20L).map(i =>
+      (i, if (i % 3 == 0) "apple banana apple" else "cat dog cat dog", "en", "t", 10L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = SparkEntry.queries("text_jsd_drift")(spark, dir).collect()(0)
+    CacheScope.releaseAll()
+    // Replay: same halving, same smoothing, same pinning.
+    val counts = scala.collection.mutable.Map.empty[(Long, String), Long]
+    docs.foreach { case (id, text, _, _, _) =>
+      val h = md5half(id)
+      text.split("\\s+").filter(_.nonEmpty)
+        .foreach(t => counts((h, t)) = counts.getOrElse((h, t), 0L) + 1)
+    }
+    val vocab = counts.keys.map(_._2).toSet
+    val n0 = counts.collect { case ((0L, _), c) => c }.sum
+    val n1 = counts.collect { case ((1L, _), c) => c }.sum
+    val jsd = vocab.toSeq.map { t =>
+      val p = (counts.getOrElse((0L, t), 0L) + 1).toDouble / (n0 + vocab.size)
+      val q = (counts.getOrElse((1L, t), 0L) + 1).toDouble / (n1 + vocab.size)
+      val mm = (p + q) / 2.0
+      BigDecimal(0.5 * p * math.log(p / mm) + 0.5 * q * math.log(q / mm))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    assert(row.getLong(0) == n0 && row.getLong(1) == n1)
+    assert(row.getLong(2) == vocab.size.toLong)
+    assert(math.abs(row.getDouble(3) - jsd.toDouble) < 1e-6,
+      s"got ${row.getDouble(3)}, replay $jsd")
+    assert(row.getDouble(3) > 0.0 && row.getDouble(3) <= math.log(2) + 1e-9)
+  }
+
+  test("incremental SCD2 equals the rebuild on cutoff-boundary users") {
+    val dir = Files.createTempDirectory("graft-w11-scd2").toString
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // User 10: history only (stays open). User 20: batch only (all new).
+    // User 30: same type across the cutoff (NOT a change). User 40: type
+    // change across the cutoff (close + insert).
+    Seq(
+      (1L, ts("2024-01-05 00:00:00"), 10L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-22 00:00:00"), 20L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-23 00:00:00"), 20L, "purchase", 1.0, "{}"),
+      (4L, ts("2024-01-06 00:00:00"), 30L, "view", 1.0, "{}"),
+      (5L, ts("2024-01-25 00:00:00"), 30L, "view", 1.0, "{}"),
+      (6L, ts("2024-01-07 00:00:00"), 40L, "view", 1.0, "{}"),
+      (7L, ts("2024-01-26 00:00:00"), 40L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def rows(k: String) = SparkEntry.queries(k)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getLong(4))).toSet
+    val inc = rows("q_scd2_incremental")
+    CacheScope.releaseAll()
+    val full = rows("q_scd2_intervals")
+    CacheScope.releaseAll()
+    assert(inc == full,
+      s"fold != rebuild: onlyInc=${(inc -- full).take(3)}, onlyFull=${(full -- inc).take(3)}")
+    // And the boundary semantics themselves:
+    assert(inc.count(_._1 == 30L) == 1, "same-type continuation must not split")
+    assert(inc.count(_._1 == 40L) == 2, "cross-cutoff type change must close + insert")
+    assert(inc.exists(r => r._1 == 10L && r._5 == 1L), "history-only user stays open")
+  }
+
+  test("periodogram: a planted weekly cycle peaks at period 7") {
+    val dir = Files.createTempDirectory("graft-w11-per").toString
+    import spark.implicits._
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    val ev = (0 until 84).map { d =>
+      val v = if (d % 7 == 0) 150.0 else 100.0
+      (d.toLong, java.sql.Timestamp.valueOf(base.plusDays(d).atStartOfDay()),
+        1L, "purchase", v, "{}")
+    }
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = SparkEntry.queries("q_ts_periodogram")(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    CacheScope.releaseAll()
+    assert(m(7L) > 5 * m(30L),
+      s"period-7 amplitude ${m(7L)} should dominate period-30 ${m(30L)}")
+    assert(m(7L) > 5 * m(14L),
+      s"period-7 amplitude ${m(7L)} should dominate period-14 ${m(14L)}")
+  }
+}
