@@ -27,6 +27,7 @@ object SparkEntry {
     relational.ProfilingQueries,
     relational.EventOpsQueries,
     relational.TimeSeriesQueries,
+    relational.DtwQueries,
     relational.StatsQueries,
     relational.MiningQueries,
     dedup.DedupQueries,
@@ -38,6 +39,7 @@ object SparkEntry {
     graph.GraphPathQueries,
     text.TextAnalysisQueries,
     dedup.SemanticDedupQueries,
+    dedup.PairEvalQueries,
     text.BpeQueries,
     text.CorpusOpsQueries,
     text.DriftQueries,

@@ -505,7 +505,7 @@ object DedupQueries extends QueryPack {
     * relation. (doc, band) is unique per side, so a plain count IS the
     * distinct shared-band count — no countDistinct Expand+agg pass.
     */
-  private def lshCandidates(sh: DataFrame): DataFrame = {
+  private[graft] def lshCandidates(sh: DataFrame): DataFrame = {
     val bnd = bands(signaturesFrom(sh))
     bnd.as("a")
       .join(bnd.as("b"),
@@ -582,7 +582,7 @@ object DedupQueries extends QueryPack {
   private val sigCte: String =
     s"$shCte, sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id)"
 
-  private val bandsCte: String = {
+  private[graft] val bandsCte: String = {
     val rows = (0 until Bands).map { b =>
       val ms = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', $ms)) AS band_key FROM sig"

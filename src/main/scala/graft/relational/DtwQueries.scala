@@ -1,0 +1,143 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{CacheScope, QueryPack, Tables}
+
+/** Dynamic Time Warping distance between every pair of event types' daily
+  * value series — the shape-similarity measure q_ts_crosscorr's fixed
+  * lags cannot give you (a signal that leads by 2 days mid-month and 4
+  * days at month-end correlates poorly at EVERY fixed lag but warps
+  * cheaply). The alignment-cost matrix is the classic O(n·m) DP, run
+  * entirely inside ONE row per type pair.
+  *
+  * Scale shape: the corpus collapses to the calendar-bounded daily
+  * relation (the TimeSeriesQueries contract), so the DP over a
+  * (days × days) grid is corpus-size-independent; pairs are |types|²/2
+  * rows, each carrying two bounded arrays. For year-scale series the
+  * standard Sakoe-Chiba band bounds each DP row — the dial is noted, not
+  * needed at calendar-month scale.
+  *
+  * Determinism: the ENTIRE DP runs on exact int64 — z-scores are computed
+  * from exact decimal moments as the all-exact numerator (c·n − sx) over
+  * one identical sqrt, scaled by 1e4 and round-pinned to integers, and
+  * DTW is then min/plus arithmetic on integers, so both engines must
+  * agree bit-for-bit however they order the DP. The oracle cannot express
+  * the row-serial DP directly, so it uses the prefix-min closed form
+  * newRow[j] = C[j] + min_{k<=j}(M[k] − C[k−1]) (C = cost prefix sums,
+  * M[k] = min(P[k], P[k−1])) inside a recursive CTE — algebraically equal
+  * integers through a deliberately different algorithm.
+  */
+object DtwQueries extends QueryPack {
+
+  import TimeSeriesQueries.{dailyOf, DailySql}
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_ts_dtw" -> ((s, d) => {
+      val daily = dailyOf(t(s, d, "events"))
+        .transform(CacheScope.persisted(_))
+      val x = col("c").cast(DecimalType(14, 0))
+      val m = daily.groupBy(col("event_type").as("et_m"))
+        .agg(count(lit(1)).cast(DecimalType(6, 0)).as("n"),
+          sum(x).cast(DecimalType(16, 0)).as("sx"),
+          sum(x * x).cast(DecimalType(30, 0)).as("sxx"))
+        .filter(col("n") >= 2 &&
+          col("n") * col("sxx") - col("sx") * col("sx") > 0)
+      // z·1e4 as exact int64: (c·n − sx) / sqrt(n·sxx − sx²) — numerator
+      // exact decimal, ONE sqrt+divide on identical operands, one pin.
+      val zz = daily.join(broadcast(m), col("event_type") === col("et_m"))
+        .select(col("event_type"), col("day"),
+          round((x * col("n") - col("sx")).cast("double") * 10000 /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")), 0).cast("long").as("z"))
+      val series = zz.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("z")))).as("zp"))
+        .select(col("event_type"),
+          expr("transform(zp, p -> p.z)").as("zs"))
+        .transform(CacheScope.persisted(_))
+      val pairs = series
+        .select(col("event_type").as("type_a"), col("zs").as("za"))
+        .join(series.select(col("event_type").as("type_b"),
+          col("zs").as("zb")), col("type_a") < col("type_b"))
+      // Row-serial DP: fold rows i = 2..n_a over the i=1 prefix-sum row;
+      // within a row, the j-1 dependency folds left-to-right with an
+      // array accumulator. All int64 min/plus.
+      val dp = expr(
+        """aggregate(
+          |  slice(za, 2, size(za) - 1),
+          |  transform(sequence(1, size(zb)), j ->
+          |    aggregate(slice(zb, 1, j), CAST(0 AS BIGINT),
+          |      (a, v) -> a + abs(element_at(za, 1) - v))),
+          |  (p, xi) -> aggregate(
+          |    sequence(2, size(zb)),
+          |    array(element_at(p, 1) + abs(xi - element_at(zb, 1))),
+          |    (row, j) -> array_append(row,
+          |      abs(xi - element_at(zb, j)) +
+          |      least(element_at(p, j), element_at(p, j - 1),
+          |            element_at(row, j - 1)))))""".stripMargin)
+      pairs.select(col("type_a"), col("type_b"),
+          size(col("za")).as("n_a"), size(col("zb")).as("n_b"),
+          element_at(dp, size(col("zb"))).as("sc"))
+        .select(col("type_a"), col("type_b"),
+          col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+          round(col("sc").cast("double") / 10000.0, 4).as("dtw"),
+          round(col("sc").cast("double") /
+            ((col("n_a") + col("n_b")).cast("double") * 10000.0), 6)
+            .as("dtw_per_step"))
+    }))
+
+  override val oracles: Map[String, String] = Map(
+
+    "q_ts_dtw" ->
+      s"""WITH RECURSIVE daily AS ($DailySql),
+         |m AS (
+         |  SELECT event_type,
+         |         CAST(count(*) AS DECIMAL(6,0)) AS n,
+         |         CAST(sum(CAST(c AS DECIMAL(14,0))) AS DECIMAL(16,0)) AS sx,
+         |         CAST(sum(CAST(c AS DECIMAL(14,0)) * CAST(c AS DECIMAL(14,0))) AS DECIMAL(30,0)) AS sxx
+         |  FROM daily GROUP BY 1
+         |  HAVING count(*) >= 2 AND
+         |         CAST(count(*) AS DECIMAL(6,0)) *
+         |         CAST(sum(CAST(c AS DECIMAL(14,0)) * CAST(c AS DECIMAL(14,0))) AS DECIMAL(30,0)) -
+         |         CAST(sum(CAST(c AS DECIMAL(14,0))) AS DECIMAL(16,0)) *
+         |         CAST(sum(CAST(c AS DECIMAL(14,0))) AS DECIMAL(16,0)) > 0
+         |), zz AS (
+         |  SELECT d.event_type, d.day,
+         |         CAST(round(CAST(CAST(d.c AS DECIMAL(14,0)) * m.n - m.sx AS DOUBLE) * 10000 /
+         |              sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)), 0) AS BIGINT) AS z
+         |  FROM daily d JOIN m ON m.event_type = d.event_type
+         |), series AS (
+         |  SELECT event_type, list(z ORDER BY day) AS zs FROM zz GROUP BY 1
+         |), pairs AS (
+         |  SELECT a.event_type AS ta, a.zs AS za, b.event_type AS tb, b.zs AS zb
+         |  FROM series a JOIN series b ON a.event_type < b.event_type
+         |), r AS (
+         |  SELECT ta, tb, za, zb, 1 AS i,
+         |         list_transform(range(1, len(zb) + 1), j ->
+         |           list_sum(list_transform(range(1, j + 1), t ->
+         |             abs(za[1] - zb[t])))) AS p
+         |  FROM pairs
+         |  UNION ALL
+         |  SELECT ta, tb, za, zb, i + 1,
+         |         list_transform(range(1, len(zb) + 1), j ->
+         |           list_sum(list_transform(range(1, j + 1), t ->
+         |             abs(za[i + 1] - zb[t]))) +
+         |           list_min(list_transform(range(1, j + 1), k ->
+         |             (CASE WHEN k = 1 THEN p[1]
+         |                   ELSE least(p[k], p[k - 1]) END) -
+         |             COALESCE(list_sum(list_transform(range(1, k), t ->
+         |               abs(za[i + 1] - zb[t]))), 0))))
+         |  FROM r WHERE i < len(za)
+         |)
+         |SELECT ta AS type_a, tb AS type_b,
+         |       CAST(len(za) AS BIGINT) AS n_a, CAST(len(zb) AS BIGINT) AS n_b,
+         |       round(CAST(p[len(zb)] AS DOUBLE) / 10000.0, 4) AS dtw,
+         |       round(CAST(p[len(zb)] AS DOUBLE) /
+         |             (CAST(len(za) + len(zb) AS DOUBLE) * 10000.0), 6) AS dtw_per_step
+         |FROM r WHERE i = len(za)""".stripMargin)
+}

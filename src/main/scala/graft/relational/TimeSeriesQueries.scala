@@ -40,12 +40,12 @@ object TimeSeriesQueries extends QueryPack {
   val AcfMaxLag = 7
 
   /** The shared per-(type, day) exact-cents daily series. */
-  private def dailyOf(ev: DataFrame): DataFrame =
+  private[graft] def dailyOf(ev: DataFrame): DataFrame =
     ev.groupBy(col("event_type"),
         date_trunc("day", col("ts")).cast("date").as("day"))
       .agg(sum(cents(col("value"))).as("c"))
 
-  private val DailySql =
+  private[graft] val DailySql =
     """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
       |         sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS c
       |  FROM events GROUP BY 1, 2""".stripMargin

@@ -188,6 +188,59 @@ class WaveElevenSpec extends SparkSpec {
     assert(inc.exists(r => r._1 == 10L && r._5 == 1L), "history-only user stays open")
   }
 
+  test("DTW: identical series warp at zero cost; a shifted impulse warps cheap") {
+    val dir = Files.createTempDirectory("graft-w11-dtw").toString
+    import spark.implicits._
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    def ts(d: Int) = java.sql.Timestamp.valueOf(base.plusDays(d).atStartOfDay())
+    // Types a/b: identical impulse at day 10. Type c: the SAME impulse
+    // shifted to day 11 — the warp absorbs a pure shift at ZERO cost
+    // (exactly what fixed-lag cross-correlation cannot do). Type e: a
+    // genuinely different shape (two impulses) that no warp can flatten.
+    val ev = (0 until 30).flatMap { d =>
+      def v(imps: Int*) = if (imps.contains(d)) 200.0 else 100.0
+      Seq((d * 4L, ts(d), 1L, "a", v(10), "{}"),
+        (d * 4L + 1, ts(d), 1L, "b", v(10), "{}"),
+        (d * 4L + 2, ts(d), 1L, "c", v(11), "{}"),
+        (d * 4L + 3, ts(d), 1L, "e", v(5, 20), "{}"))
+    }
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = SparkEntry.queries("q_ts_dtw")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    CacheScope.releaseAll()
+    assert(m.size == 6)
+    assert(m(("a", "b")) == 0.0, s"identical series must cost 0: ${m(("a", "b"))}")
+    assert(m(("a", "c")) == 0.0,
+      s"a pure shift must warp at zero cost: ${m(("a", "c"))}")
+    assert(m(("a", "e")) > 0.0, "a different shape must cost > 0")
+  }
+
+  test("ROUGE pairs: a verbatim near-copy scores F1 = 1 and bounds hold") {
+    val dir = Files.createTempDirectory("graft-w11-rouge").toString
+    import spark.implicits._
+    // Two identical docs (same minhash signature -> all bands collide)
+    // plus an unrelated doc that must not pair with them.
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    Seq((1L, txt, "en", "t", 60L), (2L, txt, "en", "t", 60L),
+      (3L, "completely different words entirely disjoint vocabulary here now", "en", "t", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("text_rouge_pairs")(spark, dir).collect()
+    CacheScope.releaseAll()
+    val pair = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(pair.isDefined, s"identical docs must band-collide: ${rows.mkString(";")}")
+    assert(pair.get.getDouble(3) == 1.0 && pair.get.getDouble(4) == 1.0 &&
+      pair.get.getDouble(5) == 1.0 && pair.get.getDouble(6) == 1.0,
+      s"verbatim copy must score 1.0 everywhere: ${pair.get}")
+    rows.foreach { r =>
+      Seq(3, 4, 5, 6).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0, s"metric out of [0,1]: $r")
+      }
+    }
+  }
+
   test("periodogram: a planted weekly cycle peaks at period 7") {
     val dir = Files.createTempDirectory("graft-w11-per").toString
     import spark.implicits._
