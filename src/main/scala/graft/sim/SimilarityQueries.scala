@@ -367,6 +367,8 @@ object SimilarityQueries extends QueryPack {
         .unionByName(recallOf("ann_ivf", memoized("sim_ann_ivf")))
         .unionByName(recallOf("pq_adc", memoized("sim_pq_adc")))
         .unionByName(recallOf("ivfpq", memoized("sim_ivfpq")))
+        .unionByName(recallOf("multiprobe", memoized("sim_ann_multiprobe")))
+        .unionByName(recallOf("sq8", memoized("sim_ann_sq8")))
         .orderBy("method")
     }),
 
@@ -779,13 +781,17 @@ object SimilarityQueries extends QueryPack {
        |c_ann_lsh AS (SELECT q_id, n_id FROM ($lshOracle) t),
        |c_ann_ivf AS (SELECT q_id, n_id FROM ($ivfOracle) t),
        |c_pq_adc AS (SELECT q_id, n_id FROM ($pqOracle) t),
-       |c_ivfpq AS (SELECT q_id, n_id FROM ($ivfpqOracle) t)
+       |c_ivfpq AS (SELECT q_id, n_id FROM ($ivfpqOracle) t),
+       |c_multiprobe AS (SELECT q_id, n_id FROM ($multiprobeOracle) t),
+       |c_sq8 AS (SELECT q_id, n_id FROM ($sq8Oracle) t)
        |SELECT method, n_exact, n_hits,
        |       round(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall
        |FROM (${hit("ann_lsh")}
        |UNION ALL ${hit("ann_ivf")}
        |UNION ALL ${hit("pq_adc")}
-       |UNION ALL ${hit("ivfpq")})
+       |UNION ALL ${hit("ivfpq")}
+       |UNION ALL ${hit("multiprobe")}
+       |UNION ALL ${hit("sq8")})
        |ORDER BY method""".stripMargin
   }
 
