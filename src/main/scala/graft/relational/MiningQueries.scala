@@ -293,6 +293,122 @@ object MiningQueries extends QueryPack {
           col("m.qr").as("neg_right"))
     }),
 
+    // One gradient-boosting round over histogram stumps — the iterative
+    // additive-fit template GBDT learners run at scale: stage 1 fits a
+    // squared-loss stump to the URGENT label on the o_totalprice
+    // histogram; stage 2 fits a second stump to the RESIDUALS of the
+    // first. The stage-2 statistics never touch rows: stage 1's split
+    // lands on a bucket boundary, so every bucket lies wholly on one
+    // side and its residual sum / sum-of-squares are closed forms of
+    // (n_b, sy_b) — the whole round is ONE corpus scan + two bounded
+    // 64²-triangular cumulations, which is why histogram GBDT scales.
+    // Determinism: residuals are rationals y − sy_side/n_side, so all
+    // stage-2 stats are computed in r·D units (D = nl·nr) as EXACT
+    // decimals; split gains are round(,6)-pinned doubles over exact
+    // operands, argmax via max(struct) with a bucket tie-break. Decimal
+    // headroom: bounds hold to ~3e6 rows (sr2 has 36 digits); past that
+    // the documented dial is a wider sr2 cast (the q_ml_ridge note).
+    "q_ml_gbdt_round" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+        .select(cents(col("o_totalprice")).as("v"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("y"))
+      val span = ord.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      val bk = ord.crossJoin(broadcast(span))
+        .withColumn("bkt", expr(bucketOf("v", "vmin", "vmax")))
+        .groupBy("bkt")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+        .transform(CacheScope.persisted(_))
+      val tot = bk.agg(sum(col("n")).as("nn"), sum(col("sy")).as("syt"))
+      val cum1 = bk.as("b").join(bk.as("o"), col("o.bkt") <= col("b.bkt"))
+        .groupBy(col("b.bkt").as("bkt"))
+        .agg(sum(col("o.n")).as("nl"), sum(col("o.sy")).as("syl"))
+        .crossJoin(broadcast(tot))
+        .withColumn("nr", col("nn") - col("nl"))
+        .withColumn("syr", col("syt") - col("syl"))
+        .filter(col("nr") > 0)
+      val g1 = round(col("syl").cast("double") * col("syl").cast("double") /
+        col("nl").cast("double") +
+        col("syr").cast("double") * col("syr").cast("double") /
+          col("nr").cast("double"), 6)
+      val best1 = cum1
+        .select(struct(g1.as("g"), (-col("bkt")).as("nb"), col("bkt").as("b1"),
+          col("nl").as("nl1"), col("syl").as("syl1"), col("nr").as("nr1"),
+          col("syr").as("syr1"), col("nn"), col("syt")).as("s"))
+        .agg(max(col("s")).as("m"))
+        .select(col("m.b1").as("b1"), col("m.nl1").as("nl1"),
+          col("m.syl1").as("syl1"), col("m.nr1").as("nr1"),
+          col("m.syr1").as("syr1"), col("m.nn").as("nn"), col("m.syt").as("syt"))
+        .transform(CacheScope.persisted(_))
+      // Per-bucket residual stats in r·D units (all exact decimals).
+      val r2 = bk.crossJoin(broadcast(best1))
+        .withColumn("dd", (col("nl1").cast(DecimalType(12, 0)) *
+          col("nr1").cast(DecimalType(12, 0))).cast(DecimalType(24, 0)))
+        .withColumn("c", when(col("bkt") <= col("b1"),
+            (col("syl1").cast(DecimalType(12, 0)) *
+              col("nr1").cast(DecimalType(12, 0))).cast(DecimalType(24, 0)))
+          .otherwise((col("syr1").cast(DecimalType(12, 0)) *
+            col("nl1").cast(DecimalType(12, 0))).cast(DecimalType(24, 0))))
+        .select(col("bkt"), col("n"), col("nl1"), col("nr1"),
+          (col("sy").cast(DecimalType(12, 0)) * col("dd") -
+            col("n").cast(DecimalType(12, 0)) * col("c"))
+            .cast(DecimalType(24, 0)).as("sr"),
+          (col("sy").cast(DecimalType(12, 0)) *
+            ((col("dd") - col("c")).cast(DecimalType(11, 0)) *
+              (col("dd") - col("c")).cast(DecimalType(11, 0)))
+              .cast(DecimalType(23, 0)) +
+            (col("n") - col("sy")).cast(DecimalType(12, 0)) *
+              (col("c").cast(DecimalType(11, 0)) *
+                col("c").cast(DecimalType(11, 0))).cast(DecimalType(23, 0)))
+            .cast(DecimalType(36, 0)).as("sr2"))
+        .transform(CacheScope.persisted(_))
+      val tot2 = r2.agg(sum(col("sr")).cast(DecimalType(26, 0)).as("srt"),
+        sum(col("sr2")).cast(DecimalType(38, 0)).as("sr2t"),
+        sum(col("n")).as("nn2"),
+        max(col("nl1")).as("dnl"), max(col("nr1")).as("dnr"))
+      val cum2 = r2.as("b").join(r2.as("o"), col("o.bkt") <= col("b.bkt"))
+        .groupBy(col("b.bkt").as("bkt"))
+        .agg(sum(col("o.n")).as("nl"),
+          sum(col("o.sr")).cast(DecimalType(26, 0)).as("srl"))
+        .crossJoin(broadcast(tot2))
+        .withColumn("nr", col("nn2") - col("nl"))
+        .withColumn("srr", (col("srt") - col("srl")).cast(DecimalType(26, 0)))
+        .filter(col("nr") > 0)
+      val ddb = col("dnl").cast("double") * col("dnr").cast("double")
+      val g2 = round((col("srl").cast("double") * col("srl").cast("double") /
+        col("nl").cast("double") +
+        col("srr").cast("double") * col("srr").cast("double") /
+          col("nr").cast("double")) / (ddb * ddb), 6)
+      val best2 = cum2
+        .select(struct(g2.as("g"), (-col("bkt")).as("nb"), col("bkt").as("b2"),
+          col("nl").as("nl2"), col("srl").as("srl2"), col("nr").as("nr2"),
+          col("srr").as("srr2"), col("sr2t"), col("nn2"), col("dnl"),
+          col("dnr")).as("s"))
+        .agg(max(col("s")).as("m")).select(col("m.*"))
+      val row1 = best1.select(lit(1L).as("stage"), col("b1").as("split_bucket"),
+        round(col("syl1").cast("double") / col("nl1").cast("double"), 6)
+          .as("leaf_left"),
+        round(col("syr1").cast("double") / col("nr1").cast("double"), 6)
+          .as("leaf_right"),
+        round((col("syt").cast("double") -
+          col("syl1").cast("double") * col("syl1").cast("double") /
+            col("nl1").cast("double") -
+          col("syr1").cast("double") * col("syr1").cast("double") /
+            col("nr1").cast("double")) / col("nn").cast("double"), 6)
+          .as("mse_after"))
+      val row2 = best2.select(lit(2L).as("stage"), col("b2").as("split_bucket"),
+        round(col("srl2").cast("double") /
+          (col("nl2").cast("double") * ddb), 6).as("leaf_left"),
+        round(col("srr2").cast("double") /
+          (col("nr2").cast("double") * ddb), 6).as("leaf_right"),
+        round((col("sr2t").cast("double") -
+          col("srl2").cast("double") * col("srl2").cast("double") /
+            col("nl2").cast("double") -
+          col("srr2").cast("double") * col("srr2").cast("double") /
+            col("nr2").cast("double")) /
+          (ddb * ddb * col("nn2").cast("double")), 6).as("mse_after"))
+      row1.unionByName(row2)
+    }),
+
     // Two-feature ridge regression, closed form: predict line-item price
     // (cents) from quantity and discount by solving the 2x2 regularized
     // normal equations — q_stats_linreg's multivariate, shrunk sibling
@@ -484,6 +600,84 @@ object MiningQueries extends QueryPack {
          |    PARTITION BY i ORDER BY cosine DESC, j ASC) AS INTEGER) AS rk
          |  FROM scored
          |) WHERE rk <= $ItemCfTopK""".stripMargin,
+
+    "q_ml_gbdt_round" ->
+      s"""WITH o AS (
+         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+         |  FROM orders
+         |), span AS (SELECT min(v) AS vmin, max(v) AS vmax FROM o),
+         |bk AS (
+         |  SELECT $BucketSqlDuck AS bkt, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy
+         |  FROM o, span GROUP BY 1
+         |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sy) AS BIGINT) AS syt FROM bk),
+         |cum1 AS (
+         |  SELECT b.bkt, CAST(sum(ob.n) AS BIGINT) AS nl, CAST(sum(ob.sy) AS BIGINT) AS syl
+         |  FROM bk b JOIN bk ob ON ob.bkt <= b.bkt GROUP BY 1
+         |), c1 AS (
+         |  SELECT c.bkt, c.nl, c.syl, t.nn - c.nl AS nr, t.syt - c.syl AS syr, t.nn, t.syt
+         |  FROM cum1 c, tot t WHERE t.nn - c.nl > 0
+         |), best1 AS (
+         |  SELECT * FROM (
+         |    SELECT bkt AS b1, nl AS nl1, syl AS syl1, nr AS nr1, syr AS syr1, nn, syt,
+         |           round(CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE) / CAST(nl AS DOUBLE) +
+         |                 CAST(syr AS DOUBLE) * CAST(syr AS DOUBLE) / CAST(nr AS DOUBLE), 6) AS g
+         |    FROM c1)
+         |  ORDER BY g DESC, b1 ASC LIMIT 1
+         |), r2p AS (
+         |  SELECT bk.bkt, bk.n, bk.sy, b.nl1, b.nr1,
+         |         CAST(b.nl1 AS HUGEINT) * b.nr1 AS dd,
+         |         CASE WHEN bk.bkt <= b.b1 THEN CAST(b.syl1 AS HUGEINT) * b.nr1
+         |              ELSE CAST(b.syr1 AS HUGEINT) * b.nl1 END AS c
+         |  FROM bk, best1 b
+         |), r2 AS (
+         |  SELECT bkt, n, nl1, nr1,
+         |         CAST(sy AS HUGEINT) * dd - CAST(n AS HUGEINT) * c AS sr,
+         |         CAST(sy AS HUGEINT) * ((dd - c) * (dd - c)) +
+         |         CAST(n - sy AS HUGEINT) * (c * c) AS sr2
+         |  FROM r2p
+         |), tot2 AS (
+         |  SELECT sum(sr) AS srt, sum(sr2) AS sr2t, CAST(sum(n) AS BIGINT) AS nn2,
+         |         max(nl1) AS dnl, max(nr1) AS dnr
+         |  FROM r2
+         |), cum2 AS (
+         |  SELECT b.bkt, CAST(sum(ob.n) AS BIGINT) AS nl, sum(ob.sr) AS srl
+         |  FROM r2 b JOIN r2 ob ON ob.bkt <= b.bkt GROUP BY 1
+         |), c2 AS (
+         |  SELECT c.bkt, c.nl, c.srl, t.nn2 - c.nl AS nr, t.srt - c.srl AS srr,
+         |         t.sr2t, t.nn2, t.dnl, t.dnr
+         |  FROM cum2 c, tot2 t WHERE t.nn2 - c.nl > 0
+         |), best2 AS (
+         |  SELECT * FROM (
+         |    SELECT bkt AS b2, nl AS nl2, srl AS srl2, nr AS nr2, srr AS srr2,
+         |           sr2t, nn2, dnl, dnr,
+         |           round((CAST(srl AS DOUBLE) * CAST(srl AS DOUBLE) / CAST(nl AS DOUBLE) +
+         |                  CAST(srr AS DOUBLE) * CAST(srr AS DOUBLE) / CAST(nr AS DOUBLE)) /
+         |                 ((CAST(dnl AS DOUBLE) * CAST(dnr AS DOUBLE)) *
+         |                  (CAST(dnl AS DOUBLE) * CAST(dnr AS DOUBLE))), 6) AS g
+         |    FROM c2)
+         |  ORDER BY g DESC, b2 ASC LIMIT 1
+         |)
+         |SELECT CAST(1 AS BIGINT) AS stage, b1 AS split_bucket,
+         |       round(CAST(syl1 AS DOUBLE) / CAST(nl1 AS DOUBLE), 6) AS leaf_left,
+         |       round(CAST(syr1 AS DOUBLE) / CAST(nr1 AS DOUBLE), 6) AS leaf_right,
+         |       round((CAST(syt AS DOUBLE) -
+         |              CAST(syl1 AS DOUBLE) * CAST(syl1 AS DOUBLE) / CAST(nl1 AS DOUBLE) -
+         |              CAST(syr1 AS DOUBLE) * CAST(syr1 AS DOUBLE) / CAST(nr1 AS DOUBLE)) /
+         |             CAST(nn AS DOUBLE), 6) AS mse_after
+         |FROM best1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), b2,
+         |       round(CAST(srl2 AS DOUBLE) /
+         |             (CAST(nl2 AS DOUBLE) * (CAST(dnl AS DOUBLE) * CAST(dnr AS DOUBLE))), 6),
+         |       round(CAST(srr2 AS DOUBLE) /
+         |             (CAST(nr2 AS DOUBLE) * (CAST(dnl AS DOUBLE) * CAST(dnr AS DOUBLE))), 6),
+         |       round((CAST(sr2t AS DOUBLE) -
+         |              CAST(srl2 AS DOUBLE) * CAST(srl2 AS DOUBLE) / CAST(nl2 AS DOUBLE) -
+         |              CAST(srr2 AS DOUBLE) * CAST(srr2 AS DOUBLE) / CAST(nr2 AS DOUBLE)) /
+         |             ((CAST(dnl AS DOUBLE) * CAST(dnr AS DOUBLE)) *
+         |              (CAST(dnl AS DOUBLE) * CAST(dnr AS DOUBLE)) * CAST(nn2 AS DOUBLE)), 6)
+         |FROM best2""".stripMargin,
 
     "q_ml_ridge" ->
       s"""WITH li AS (

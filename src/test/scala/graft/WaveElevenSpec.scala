@@ -241,6 +241,34 @@ class WaveElevenSpec extends SparkSpec {
     }
   }
 
+  test("GBDT round: stage 2 fits residual structure stage 1 cannot see") {
+    val dir = Files.createTempDirectory("graft-w11-gbdt").toString
+    import spark.implicits._
+    // Dominant signal: urgent iff price >= 800 (stage 1's split). A
+    // secondary urgent block at [400, 500) survives as residual
+    // structure only a second stump can capture.
+    val rows = (0 until 1000).map { i =>
+      val price = i.toDouble
+      val urgent = price >= 800 || (price >= 400 && price < 500)
+      (i.toLong, java.math.BigDecimal.valueOf(price).setScale(2),
+        if (urgent) "1-URGENT" else "3-MEDIUM")
+    }
+    rows.toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_ml_gbdt_round")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    CacheScope.releaseAll()
+    assert(out.size == 2)
+    val (b1, _, _, mse1) = out(1L)
+    val (_, _, _, mse2) = out(2L)
+    // Stage 1 must find the dominant >= 800 threshold (bucket ~51 of 64).
+    assert(b1 >= 48 && b1 <= 53, s"stage-1 split bucket $b1")
+    // The second stump must strictly reduce training MSE — the planted
+    // secondary block guarantees exploitable residual structure.
+    assert(mse2 < mse1, s"boosting must improve: $mse1 -> $mse2")
+  }
+
   test("periodogram: a planted weekly cycle peaks at period 7") {
     val dir = Files.createTempDirectory("graft-w11-per").toString
     import spark.implicits._
