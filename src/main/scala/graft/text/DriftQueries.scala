@@ -77,15 +77,20 @@ object DriftQueries extends QueryPack {
     // [[NoveltyN]] tokens have no grams and emit no row, identically in
     // both engines.
     "text_novelty" -> ((s, d) => {
-      val tk = split(lower(col("text")), "\\s+")
+      // Materialize the token array BEFORE the gram lambda: an inlined
+      // split would be re-evaluated by every element_at inside the
+      // transform (3 splits/gram — measured 9.8s -> see PLANS.md), the
+      // same trap text_ngram_counts' two-step select avoids.
       val grams = docs(s, d)
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tk"))
         .select(col("doc_id"),
-          explode(when(size(tk) < NoveltyN, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), size(tk) - (NoveltyN - 1)),
-              i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
-                element_at(tk, i + 2))))).as("gram"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gh"))
+          explode(when(size(col("tk")) < NoveltyN, array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(1), size(col("tk")) - (NoveltyN - 1)),
+              i => conv(substring(md5(concat_ws(" ",
+                element_at(col("tk"), i), element_at(col("tk"), i + 1),
+                element_at(col("tk"), i + 2))), 1, 15), 16, 10)
+                .cast("long")))).as("gh"))
         .distinct()
         .transform(graft.CacheScope.persisted(_))
       val firsts = grams.groupBy("gh").agg(min(col("doc_id")).as("fd"))
