@@ -58,7 +58,21 @@ object GraphPathQueries extends QueryPack {
     // |seeds| × reach, and the seed modulus is the batch dial at 100 TB
     // (run seed cohorts back to back, union the outputs). Per-node
     // contributions 1/d are round(,9)-pinned and folded in exact DECIMAL.
-    "q_graph_closeness" -> ((s, d) => harmonicOf(windowedEdges(s, d)))
+    "q_graph_closeness" -> ((s, d) => harmonicOf(windowedEdges(s, d))),
+
+    // Seed-sampled Brandes betweenness ([[betweennessOf]]): accumulated
+    // shortest-path dependency δ from the deterministic seed set within
+    // [[BetweennessRounds]] hops — WHICH nodes the graph's traffic flows
+    // THROUGH (closeness says who is near everything; betweenness says
+    // who brokers it — the bottleneck/bridge detector). Forward pass:
+    // layered multi-source BFS carrying exact integer path counts σ
+    // (one join + one anti-join + one agg per layer). Backward pass:
+    // Brandes' δ(v) = Σ_succ σv/σw·(1+δw), one join + agg per layer with
+    // contributions round(,9)-pinned into DECIMAL so partition order
+    // cannot move a dependency. Seed sampling is the standard
+    // approximation (Brandes-Pich): the seed modulus is the accuracy/
+    // cost dial, and at 100 TB seed cohorts run as separate batches.
+    "q_graph_betweenness" -> ((s, d) => betweennessOf(windowedEdges(s, d)))
   )
 
   /** BFS relaxation rounds — nodes beyond this hop count are (honestly)
@@ -255,6 +269,68 @@ object GraphPathQueries extends QueryPack {
     dist
   }
 
+  /** Hop bound for [[betweennessOf]]'s forward/backward passes. */
+  val BetweennessRounds = 4
+
+  /** Seed modulus for [[betweennessOf]] — same sampling discipline as
+    * [[ClosenessSeedMod]].
+    */
+  val BetweennessSeedMod = 41
+
+  /** Seed-sampled bounded-hop Brandes betweenness over a symmetric
+    * (src, dst) edge relation — see the q_graph_betweenness
+    * registration. Public for planted-graph specs (the path graph's
+    * middle node must dominate).
+    */
+  def betweennessOf(edgesDf: DataFrame): DataFrame = {
+    import graft.CacheScope.persisted
+    import org.apache.spark.sql.types.DecimalType
+    val e = persisted(edgesDf.select(col("src"), col("dst")))
+    val seeds = e.select(col("src")).distinct()
+      .filter(col("src") % BetweennessSeedMod === 0)
+    var layers = List(persisted(seeds.select(col("src").as("seed"),
+      col("src").as("node"), lit(1L).as("sig"))))
+    var visited = layers.head.select(col("seed"), col("node"))
+    for (_ <- 1 to BetweennessRounds) {
+      val next = persisted(
+        e.join(layers.head, col("src") === col("node"))
+          .select(col("seed"), col("dst"), col("sig"))
+          .join(visited.select(col("seed").as("vs"), col("node").as("vn")),
+            col("seed") === col("vs") && col("dst") === col("vn"), "left_anti")
+          .groupBy(col("seed"), col("dst"))
+          .agg(sum(col("sig")).as("sig"))
+          .select(col("seed"), col("dst").as("node"), col("sig")))
+      layers = next :: layers
+      visited = persisted(visited.unionByName(
+        next.select(col("seed"), col("node"))))
+    }
+    val dec = DecimalType(18, 9)
+    // Backward accumulation: layers is (L_R, ..., L_1, L_0); start with
+    // δ = 0 on the deepest layer, walk shallower, collect d_R .. d_1
+    // (d_0 is the seed itself — excluded by Brandes' definition).
+    var dAbove = layers.head.withColumn("del", lit(0.0))
+    val acc = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (lr <- layers.tail) {
+      val b = e.join(lr, col("src") === col("node"))
+        .select(col("seed"), col("node"), col("sig"), col("dst"))
+        .join(dAbove.select(col("seed").as("ws"), col("node").as("wn"),
+          col("sig").as("wsig"), col("del").as("wdel")),
+          col("seed") === col("ws") && col("dst") === col("wn"))
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(round(col("sig").cast("double") / col("wsig").cast("double") *
+          (lit(1.0) + col("wdel")), 9).cast(dec)).as("dsum"))
+        .select(col("seed"), col("node"), col("dsum").cast("double").as("del"))
+      acc += dAbove.select(col("node"), col("del"))
+      dAbove = persisted(lr.join(b, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("sig"),
+          coalesce(col("del"), lit(0.0)).as("del")))
+    }
+    acc.reduce(_ unionByName _)
+      .groupBy(col("node"))
+      .agg(sum(round(col("del"), 6).cast(dec)).as("bsum"))
+      .select(col("node"), round(col("bsum").cast("double"), 6).as("dependency"))
+  }
+
   private def mstRoundCte(i: Int): String =
     s"""x$i AS MATERIALIZED (
        |  SELECT u.src, u.dst, u.w, a.comp AS ca, b.comp AS cb
@@ -341,6 +417,56 @@ object GraphPathQueries extends QueryPack {
        |  GROUP BY 1, 2
        |)""".stripMargin
 
+  /** One forward Brandes layer i: new frontier with summed path counts,
+    * frontier membership gated on the cumulative visited relation.
+    */
+  private def brandesFwdCte(i: Int): String =
+    s"""l$i AS MATERIALIZED (
+       |  SELECT d.seed, e.dst AS node, CAST(sum(d.sig) AS BIGINT) AS sig
+       |  FROM l${i - 1} d JOIN edges e ON e.src = d.node
+       |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} x
+       |                    WHERE x.seed = d.seed AND x.node = e.dst)
+       |  GROUP BY 1, 2
+       |), v$i AS MATERIALIZED (
+       |  SELECT seed, node FROM v${i - 1}
+       |  UNION ALL SELECT seed, node FROM l$i
+       |)""".stripMargin
+
+  /** One backward Brandes layer i (reads d{i+1}, defines b{i}/d{i}). */
+  private def brandesBwdCte(i: Int): String =
+    s"""b$i AS (
+       |  SELECT l.seed, l.node,
+       |         CAST(sum(CAST(round(CAST(l.sig AS DOUBLE) / CAST(w.sig AS DOUBLE) *
+       |                              (1.0 + w.del), 9) AS DECIMAL(18,9)))
+       |              AS DOUBLE) AS del
+       |  FROM l$i l
+       |  JOIN edges e ON e.src = l.node
+       |  JOIN d${i + 1} w ON w.seed = l.seed AND w.node = e.dst
+       |  GROUP BY 1, 2
+       |), d$i AS MATERIALIZED (
+       |  SELECT l.seed, l.node, l.sig, COALESCE(b.del, 0.0) AS del
+       |  FROM l$i l LEFT JOIN b$i b ON b.seed = l.seed AND b.node = l.node
+       |)""".stripMargin
+
+  private lazy val betweennessOracle: String = {
+    val r = BetweennessRounds
+    s"""$windowedEdgesCte,
+       |nodes AS (SELECT DISTINCT src FROM edges),
+       |l0 AS MATERIALIZED (
+       |  SELECT src AS seed, src AS node, CAST(1 AS BIGINT) AS sig
+       |  FROM nodes WHERE src % $BetweennessSeedMod = 0
+       |), v0 AS (SELECT seed, node FROM l0),
+       |${(1 to r).map(brandesFwdCte).mkString(",\n")},
+       |d$r AS (SELECT seed, node, sig, CAST(0.0 AS DOUBLE) AS del FROM l$r),
+       |${(r - 1 to 0 by -1).map(brandesBwdCte).mkString(",\n")}
+       |SELECT node,
+       |       round(CAST(sum(CAST(round(del, 6) AS DECIMAL(18,9))) AS DOUBLE), 6)
+       |         AS dependency
+       |FROM (${(1 to r).map(i => s"SELECT node, del FROM d$i")
+                 .mkString(" UNION ALL ")})
+       |GROUP BY node""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
 
     "q_graph_mst" -> mstOracle,
@@ -374,6 +500,8 @@ object GraphPathQueries extends QueryPack {
          |),
          |${(1 to BfsRounds).map(bfsCte).mkString(",\n")}
          |SELECT node, hops FROM d$BfsRounds""".stripMargin,
+
+    "q_graph_betweenness" -> betweennessOracle,
 
     "q_graph_closeness" ->
       s"""$windowedEdgesCte, ew AS (

@@ -55,6 +55,54 @@ object TextModelQueries extends QueryPack {
     // collect, no window.
     "text_naive_bayes" -> ((s, d) => naiveBayesOf(docs(s, d))),
 
+    // Interpolated Kneser-Ney bigram scoring — the smoothing real LMs
+    // actually shipped (KenLM's default): P(w2|w1) = max(c(w1w2)−d,0)/
+    // c(w1·) + d·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··), with the famous
+    // CONTINUATION probability ("how many contexts does w2 complete?")
+    // replacing the raw unigram — "francisco" is frequent but follows
+    // only "san", so KN backs off to it far less than add-one would
+    // (text_bigram_logprob is the unsmoothed baseline; text_perplexity
+    // the Laplace one). Everything derives from the pair vocab in two
+    // vocab-sized aggregations — the left marginal + follower-type count
+    // share ONE groupBy(w1), continuation counts one groupBy(w2), the
+    // distinct-pair total a broadcast 1-row aggregate; no second corpus
+    // pass. Per-bigram log-probs are round(,9)-pinned into exact DECIMAL
+    // sums (the unigram_logprob discipline); n2 >= 1 keeps every
+    // probability strictly positive, so no -inf can reach the fold.
+    "text_bigram_kn" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+      val bg = docs(s, d)
+        .select(col("doc_id"),
+          filter(cleanTokens(col("text")), x => x =!= "").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .transform(graft.CacheScope.persisted(_))
+      val v2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+        .transform(graft.CacheScope.persisted(_))
+      val left = v2.groupBy("w1")
+        .agg(sum(col("n2")).as("n1"), count(lit(1)).as("f1"))
+      val cont = v2.groupBy("w2").agg(count(lit(1)).as("c2"))
+      val tot = v2.agg(count(lit(1)).as("tp"))
+      val p = (greatest(col("n2").cast("double") - lit(0.75), lit(0.0)) /
+          col("n1").cast("double")) +
+        (lit(0.75) * col("f1").cast("double") / col("n1").cast("double")) *
+          (col("c2").cast("double") / col("tp").cast("double"))
+      val lp = round(log(p), 9).cast(dec)
+      bg.join(v2, Seq("w1", "w2"))
+        .join(left, Seq("w1"))
+        .join(cont, Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(lp).as("slp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("slp").cast("double") / col("n_bigrams"), 6)
+            .as("avg_logprob_kn"))
+    }),
+
     // Winnowing fingerprints: 60-bit word-3-gram hashes in document
     // order; every W-gram window contributes its minimum hash (rightmost
     // position on ties — the canonical robust-winnowing rule), and the
@@ -226,6 +274,39 @@ object TextModelQueries extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
+
+    "text_bigram_kn" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +'),
+        |                     x -> x <> '') AS tk
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(tk)),
+        |                i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
+        |  FROM toks WHERE len(tk) >= 2
+        |), bg2 AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg
+        |), v2 AS (
+        |  SELECT w1, w2, count(*) AS n2 FROM bg2 GROUP BY 1, 2
+        |), lft AS (
+        |  SELECT w1, CAST(sum(n2) AS BIGINT) AS n1, count(*) AS f1 FROM v2 GROUP BY 1
+        |), cont AS (
+        |  SELECT w2, count(*) AS c2 FROM v2 GROUP BY 1
+        |), tot AS (SELECT count(*) AS tp FROM v2)
+        |SELECT t.doc_id, count(*) AS n_bigrams,
+        |       round(CAST(sum(CAST(round(ln(
+        |           (greatest(CAST(v.n2 AS DOUBLE) - 0.75, 0.0) / CAST(l.n1 AS DOUBLE)) +
+        |           (0.75 * CAST(l.f1 AS DOUBLE) / CAST(l.n1 AS DOUBLE)) *
+        |             (CAST(c.c2 AS DOUBLE) / CAST(s.tp AS DOUBLE))), 9)
+        |         AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS avg_logprob_kn
+        |FROM bg2 t
+        |JOIN v2 v ON v.w1 = t.w1 AND v.w2 = t.w2
+        |JOIN lft l ON l.w1 = t.w1
+        |JOIN cont c ON c.w2 = t.w2
+        |CROSS JOIN tot s
+        |GROUP BY t.doc_id""".stripMargin,
 
     "text_textrank" ->
       s"""WITH toks AS (

@@ -269,6 +269,41 @@ class WaveElevenSpec extends SparkSpec {
     assert(mse2 < mse1, s"boosting must improve: $mse1 -> $mse2")
   }
 
+  test("betweenness: a path graph's dependencies match Brandes by hand") {
+    import spark.implicits._
+    // Path 41-42-43-44-45; the only seed (id % 41 == 0) is 41, so from
+    // that single source Brandes gives δ(42)=3, δ(43)=2, δ(44)=1,
+    // δ(45)=0 — each interior node carries everything beyond it.
+    val und = Seq((41L, 42L), (42L, 43L), (43L, 44L), (44L, 45L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val m = GraphPathQueries.betweennessOf(edges).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    CacheScope.releaseAll()
+    assert(m == Map(42L -> 3.0, 43L -> 2.0, 44L -> 1.0, 45L -> 0.0),
+      s"got $m")
+  }
+
+  test("Kneser-Ney: continuation probability demotes a one-context word") {
+    val dir = Files.createTempDirectory("graft-w11-kn").toString
+    import spark.implicits._
+    // "san francisco" repeated makes 'francisco' frequent but it follows
+    // ONLY 'san' (1 continuation context); 'trip' follows many distinct
+    // words. A doc of "nice francisco" bigrams must score WORSE than
+    // "nice trip" under KN even though raw counts tie.
+    val docs = Seq(
+      (1L, "san francisco san francisco san francisco san francisco", "en", "t", 1L),
+      (2L, "good trip great trip short trip long trip", "en", "t", 1L),
+      (3L, "nice francisco", "en", "t", 1L),
+      (4L, "nice trip", "en", "t", 1L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = SparkEntry.queries("text_bigram_kn")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    CacheScope.releaseAll()
+    assert(m(3L) < m(4L),
+      s"'nice francisco' (${m(3L)}) must score below 'nice trip' (${m(4L)})")
+  }
+
   test("periodogram: a planted weekly cycle peaks at period 7") {
     val dir = Files.createTempDirectory("graft-w11-per").toString
     import spark.implicits._
