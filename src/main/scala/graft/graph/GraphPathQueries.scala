@@ -273,7 +273,10 @@ object GraphPathQueries extends QueryPack {
   val BetweennessRounds = 4
 
   /** Seed modulus for [[betweennessOf]] — same sampling discipline as
-    * [[ClosenessSeedMod]].
+    * [[ClosenessSeedMod]]. The seed count is the linear accuracy/cost
+    * dial, but it was NOT the r11 hotspot: thinning seeds 5x moved the
+    * sf0.1 median 49.7s -> 46.3s, while checkpoint-truncating the layer
+    * state moved it to 2.7s (see PLANS.md).
     */
   val BetweennessSeedMod = 41
 
@@ -282,17 +285,32 @@ object GraphPathQueries extends QueryPack {
     * registration. Public for planted-graph specs (the path graph's
     * middle node must dominate).
     */
-  def betweennessOf(edgesDf: DataFrame): DataFrame = {
+  def betweennessOf(edgesDf: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
     import graft.CacheScope.persisted
     import org.apache.spark.sql.types.DecimalType
+    // Iteration state rides EAGER checkpoints, the mstOf/DedupClusters
+    // storage discipline: with plain persisted() chains the backward
+    // pass's re-references recomputed the forward layers every round
+    // (measured 46s at sf0.1; checkpoint-truncated: see PLANS.md r11).
+    val sc = edgesDf.sparkSession.sparkContext
+    val reliableDir =
+      graft.dedup.DedupClusters.resolveReliableDir(sc, checkpointDir)
+    val master = sc.master
+    require(reliableDir.isDefined || master.startsWith("local"),
+      s"betweennessOf: master '$master' is not local — pass checkpointDir= " +
+        "(or sc.setCheckpointDir) a shared-filesystem path")
+    def pin(df: DataFrame): DataFrame =
+      if (reliableDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     val e = persisted(edgesDf.select(col("src"), col("dst")))
     val seeds = e.select(col("src")).distinct()
       .filter(col("src") % BetweennessSeedMod === 0)
-    var layers = List(persisted(seeds.select(col("src").as("seed"),
+    var layers = List(pin(seeds.select(col("src").as("seed"),
       col("src").as("node"), lit(1L).as("sig"))))
     var visited = layers.head.select(col("seed"), col("node"))
     for (_ <- 1 to BetweennessRounds) {
-      val next = persisted(
+      val next = pin(
         e.join(layers.head, col("src") === col("node"))
           .select(col("seed"), col("dst"), col("sig"))
           .join(visited.select(col("seed").as("vs"), col("node").as("vn")),
@@ -301,7 +319,7 @@ object GraphPathQueries extends QueryPack {
           .agg(sum(col("sig")).as("sig"))
           .select(col("seed"), col("dst").as("node"), col("sig")))
       layers = next :: layers
-      visited = persisted(visited.unionByName(
+      visited = pin(visited.unionByName(
         next.select(col("seed"), col("node"))))
     }
     val dec = DecimalType(18, 9)
@@ -321,7 +339,7 @@ object GraphPathQueries extends QueryPack {
           (lit(1.0) + col("wdel")), 9).cast(dec)).as("dsum"))
         .select(col("seed"), col("node"), col("dsum").cast("double").as("del"))
       acc += dAbove.select(col("node"), col("del"))
-      dAbove = persisted(lr.join(b, Seq("seed", "node"), "left")
+      dAbove = pin(lr.join(b, Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), col("sig"),
           coalesce(col("del"), lit(0.0)).as("del")))
     }
