@@ -80,6 +80,70 @@ object PairEvalQueries extends QueryPack {
             (col("na1") + col("nb1")).cast("double"), 6).as("r1_f1"),
           round(lit(2.0) * coalesce(col("o2"), lit(0L)).cast("double") /
             (col("na2") + col("nb2")).cast("double"), 6).as("r2_f1"))
+    }),
+
+    // IDF-weighted Jaccard over the same LSH candidates — plain set
+    // jaccard next to the version where each shared token counts its
+    // ln(N/df) rarity: two documents that agree only on boilerplate
+    // ("the", "a", frequent fillers) score high on the plain metric and
+    // collapse on the weighted one, which is the ranking a precision-
+    // tuned dedup gate actually wants. Weights are round(idf*1e6)
+    // integers (one corpus-level df aggregation; N rides a broadcast
+    // 1-row count), so both sums and the final divisions are exact-int
+    // based; per-doc totals and the pair intersection are equi-joins
+    // restricted to candidate docs.
+    "dedup_weighted_jaccard" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sh = Shingles.docShingles(dd)
+        .transform(graft.CacheScope.persisted(_))
+      val cand = DedupQueries.lshCandidates(sh)
+        .select(col("doc_a"), col("doc_b"))
+        .transform(graft.CacheScope.persisted(_))
+      val candDocs = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val tokAll = dd
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .distinct()
+        .transform(graft.CacheScope.persisted(_))
+      val dfreq = tokAll.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = dd.agg(count(lit(1)).as("nd"))
+      val w = tokAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .join(dfreq, Seq("tok"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("tok"),
+          round(log(col("nd").cast("double") / col("df").cast("double")) *
+            lit(1000000.0), 0).cast("long").as("w6"))
+        .transform(graft.CacheScope.persisted(_))
+      val tw = w.groupBy("doc_id")
+        .agg(sum(col("w6")).as("tw"), count(lit(1)).as("tn"))
+      val inter = cand
+        .join(w.select(col("doc_id").as("doc_a"), col("tok"), col("w6")),
+          Seq("doc_a"))
+        .join(w.select(col("doc_id").as("doc_b"), col("tok")),
+          Seq("doc_b", "tok"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(col("w6")).as("iw"), count(lit(1)).as("ic"))
+      cand
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(tw.select(col("doc_id").as("doc_a"), col("tw").as("twa"),
+          col("tn").as("tna")), "doc_a")
+        .join(tw.select(col("doc_id").as("doc_b"), col("tw").as("twb"),
+          col("tn").as("tnb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(col("ic"), lit(0L)).as("n_shared_tokens"),
+          round(coalesce(col("ic"), lit(0L)).cast("double") /
+            (col("tna") + col("tnb") - coalesce(col("ic"), lit(0L)))
+              .cast("double"), 6).as("jaccard_plain"),
+          // A pair of all-boilerplate docs (every token idf 0) has a
+          // zero weighted union: define the score as 0, not NaN.
+          round(when(col("twa") + col("twb") - coalesce(col("iw"), lit(0L)) === 0,
+            lit(0.0)).otherwise(
+            coalesce(col("iw"), lit(0L)).cast("double") /
+              (col("twa") + col("twb") - coalesce(col("iw"), lit(0L)))
+                .cast("double")), 6).as("jaccard_weighted"))
     }))
 
   override val oracles: Map[String, String] = Map(
@@ -138,5 +202,53 @@ object PairEvalQueries extends QueryPack {
          |JOIN ut uta ON uta.doc_id = c.doc_a
          |JOIN ut utb ON utb.doc_id = c.doc_b
          |JOIN bt bta ON bta.doc_id = c.doc_a
-         |JOIN bt btb ON btb.doc_id = c.doc_b""".stripMargin)
+         |JOIN bt btb ON btb.doc_id = c.doc_b""".stripMargin,
+
+    "dedup_weighted_jaccard" ->
+      s"""${DedupQueries.bandsCte},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |), cd AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM cand
+         |    UNION ALL SELECT doc_b FROM cand)
+         |), tokall AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+         |    FROM documents)
+         |  WHERE tok <> ''
+         |), dfreq AS (SELECT tok, count(*) AS df FROM tokall GROUP BY 1),
+         |nd AS (SELECT count(*) AS nd FROM documents),
+         |w AS (
+         |  SELECT t.doc_id, t.tok,
+         |         CAST(round(ln(CAST(n.nd AS DOUBLE) / CAST(f.df AS DOUBLE)) * 1000000.0, 0)
+         |              AS BIGINT) AS w6
+         |  FROM tokall t
+         |  JOIN cd USING (doc_id)
+         |  JOIN dfreq f ON f.tok = t.tok
+         |  CROSS JOIN nd n
+         |), tw AS (
+         |  SELECT doc_id, CAST(sum(w6) AS BIGINT) AS tw, count(*) AS tn
+         |  FROM w GROUP BY 1
+         |), inter AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(sum(wa.w6) AS BIGINT) AS iw, count(*) AS ic
+         |  FROM cand c
+         |  JOIN w wa ON wa.doc_id = c.doc_a
+         |  JOIN w wb ON wb.doc_id = c.doc_b AND wb.tok = wa.tok
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.doc_a, c.doc_b,
+         |       COALESCE(i.ic, 0) AS n_shared_tokens,
+         |       round(CAST(COALESCE(i.ic, 0) AS DOUBLE) /
+         |             CAST(ta.tn + tb.tn - COALESCE(i.ic, 0) AS DOUBLE), 6) AS jaccard_plain,
+         |       round(CASE WHEN ta.tw + tb.tw - COALESCE(i.iw, 0) = 0 THEN 0.0
+         |             ELSE CAST(COALESCE(i.iw, 0) AS DOUBLE) /
+         |                  CAST(ta.tw + tb.tw - COALESCE(i.iw, 0) AS DOUBLE) END, 6) AS jaccard_weighted
+         |FROM cand c
+         |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |JOIN tw ta ON ta.doc_id = c.doc_a
+         |JOIN tw tb ON tb.doc_id = c.doc_b""".stripMargin)
 }

@@ -392,6 +392,35 @@ object SimilarityQueries extends QueryPack {
     // collection per bucket in expectation).
     "sim_knn_graph" -> ((s, d) => knnGraphOf(emb(s, d))),
 
+    // kNN majority-vote classification over the bucketed knn graph — the
+    // instance-based sibling of sim_nearest_centroid (no centroids: a
+    // vector takes its bucket-mates' majority label, ties to the
+    // smallest label). The readout is the gold × predicted confusion
+    // matrix, with pred = -1 for vectors whose LSH bucket holds no
+    // mates — the honest abstention bucket an index-backed classifier
+    // actually has. Scale shape is the knn graph's: one bucket-keyed
+    // self-join + per-vector top-k, then two bounded aggregations; the
+    // max(struct) argmax replaces any per-vector sort.
+    "sim_knn_classify" -> ((s, d) => {
+      val g = knnGraphOf(emb(s, d))
+      val lbl = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("label"))
+        .transform(CacheScope.persisted(_))
+      val votes = g
+        .join(lbl.select(col("vec_id").as("n_id"), col("label").as("n_label")),
+          Seq("n_id"))
+        .groupBy(col("vec_id"), col("n_label"))
+        .agg(count(lit(1)).as("v"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("v"), (-col("n_label")).as("neg"),
+          col("n_label"))).as("m"))
+        .select(col("vec_id"), col("m.n_label").as("pred_label"))
+      lbl.join(votes, Seq("vec_id"), "left")
+        .groupBy(col("label"),
+          coalesce(col("pred_label"), lit(-1)).as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // kNN-distance outlier scoring over the same bucketed knn graph —
     // the embedding-space noise detector (mislabeled shards, encoder
     // garbage, adversarial junk) a curation pass runs before training:
@@ -867,6 +896,24 @@ object SimilarityQueries extends QueryPack {
     "sim_nearest_centroid" -> centroidOracle,
 
     "sim_knn_graph" -> knnGraphOracle,
+
+    "sim_knn_classify" ->
+      s"""WITH g AS (SELECT vec_id, n_id FROM ($knnGraphOracle) t),
+         |lbl AS (SELECT vec_id, label FROM embeddings),
+         |votes AS (
+         |  SELECT g.vec_id, l.label AS n_label, count(*) AS v
+         |  FROM g JOIN lbl l ON l.vec_id = g.n_id
+         |  GROUP BY 1, 2
+         |), pred AS (
+         |  SELECT vec_id, n_label AS pred_label FROM (
+         |    SELECT vec_id, n_label,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY v DESC, n_label ASC) AS rn
+         |    FROM votes) WHERE rn = 1
+         |)
+         |SELECT l.label, COALESCE(p.pred_label, -1) AS pred_label, count(*) AS n
+         |FROM lbl l LEFT JOIN pred p ON p.vec_id = l.vec_id
+         |GROUP BY 1, 2""".stripMargin,
 
     "sim_knn_outlier" -> knnOutlierOracle,
 

@@ -304,6 +304,58 @@ class WaveElevenSpec extends SparkSpec {
       s"'nice francisco' (${m(3L)}) must score below 'nice trip' (${m(4L)})")
   }
 
+  test("weighted jaccard collapses a boilerplate-only overlap") {
+    val dir = Files.createTempDirectory("graft-w11-wjac").toString
+    import spark.implicits._
+    // Commons appear in EVERY doc (idf 0). Docs 1/2 share only commons
+    // plus one distinct rare token each; docs 3/4 are identical with a
+    // genuinely rare payload.
+    val commons = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (1L, s"$commons rareone", "en", "t", 1L),
+      (2L, s"$commons raretwo", "en", "t", 1L),
+      (3L, s"$commons payload secret unique", "en", "t", 1L),
+      (4L, s"$commons payload secret unique", "en", "t", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = SparkEntry.queries("dedup_weighted_jaccard")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    CacheScope.releaseAll()
+    val id = m.get((3L, 4L))
+    assert(id.isDefined, s"identical docs must band-collide: $m")
+    assert(id.get == ((1.0, 1.0)), s"identical docs score 1/1: ${id.get}")
+    m.get((1L, 2L)).foreach { case (plain, weighted) =>
+      assert(plain > 0.7, s"boilerplate pair plain jaccard $plain")
+      assert(weighted < 0.1,
+        s"idf weighting must collapse the boilerplate pair: $weighted")
+    }
+  }
+
+  test("kNN classification is perfect on bucket-separated label clusters") {
+    val dir = Files.createTempDirectory("graft-w11-knnc").toString
+    import spark.implicits._
+    // Label 0 lives in the all-positive sign bucket, label 1 flips dim 0:
+    // different LSH buckets, so every vector's bucket-mates share its
+    // label and the confusion matrix must be purely diagonal.
+    val vecs = (0 until 8).map { i =>
+      val lbl = i % 2
+      val base = Array.fill(8)(1.0f + (i / 2) * 0.01f)
+      if (lbl == 1) base(0) = -1.0f
+      (100L + i, base, lbl)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("sim_knn_classify")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { case (gold, pred, n) =>
+      assert(gold == pred, s"off-diagonal cell ($gold, $pred, $n) in $rows")
+    }
+    assert(rows.map(_._3).sum == 8L)
+  }
+
   test("periodogram: a planted weekly cycle peaks at period 7") {
     val dir = Files.createTempDirectory("graft-w11-per").toString
     import spark.implicits._
