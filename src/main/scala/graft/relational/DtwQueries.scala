@@ -89,6 +89,59 @@ object DtwQueries extends QueryPack {
           round(col("sc").cast("double") /
             ((col("n_a") + col("n_b")).cast("double") * 10000.0), 6)
             .as("dtw_per_step"))
+    }),
+
+    // Binary-segmentation changepoints — q_ts_cusum recursed one level:
+    // find the level-1 argmax of |D_k| = |n·C_k − k·S|, split the series
+    // there, and re-run the same exact-integer CUSUM inside each half
+    // (halves shorter than 4 days emit no row). Two changepoints is
+    // where step-shaped regime shifts (deploy + rollback) stop fooling
+    // the single-cusum reading. Everything runs on the calendar-bounded
+    // daily relation with (type, segment)-partitioned windows — never
+    // global — and all D_k arithmetic is exact DECIMAL with the
+    // (absd desc, earliest day) argmax pinned via max(struct).
+    "q_ts_cusum_binseg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = dailyOf(t(s, d, "events"))
+        .transform(CacheScope.persisted(_))
+      val epoch = to_date(lit("1970-01-01"))
+      def cpOf(dd: DataFrame, keys: Seq[String]): DataFrame = {
+        val w = Window.partitionBy(keys.map(col): _*).orderBy("day")
+        val wr = w.rowsBetween(Window.unboundedPreceding, 0)
+        val cum = dd.select(keys.map(col) :+ col("day") :+
+          sum(col("c")).over(wr).as("ck") :+
+          row_number().over(w).cast("long").as("k"): _*)
+        val tot = dd.groupBy(keys.map(col): _*)
+          .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+        val dk = col("n").cast(DecimalType(10, 0)) * col("ck").cast(DecimalType(20, 0)) -
+          col("k").cast(DecimalType(10, 0)) * col("s").cast(DecimalType(20, 0))
+        cum.join(tot, keys)
+          .select(keys.map(col) :+ col("n") :+
+            abs(dk).cast(DecimalType(31, 0)).as("absd") :+
+            datediff(col("day"), epoch).as("ti"): _*)
+          .groupBy(keys.map(col) :+ col("n"): _*)
+          .agg(max(struct(col("absd"), (-col("ti")).as("negti"))).as("m"))
+          .select(keys.map(col) :+
+            date_add(epoch, -col("m.negti")).as("cp_day") :+
+            col("n") :+ col("m.absd").as("absd"): _*)
+      }
+      val cp1 = cpOf(daily, Seq("event_type"))
+        .transform(CacheScope.persisted(_))
+      val seg = daily.join(cp1.select(col("event_type"), col("cp_day")),
+          "event_type")
+        .withColumn("segment",
+          when(col("day") <= col("cp_day"), "L").otherwise("R"))
+        .select(col("event_type"), col("segment"), col("day"), col("c"))
+      val cp2 = cpOf(seg, Seq("event_type", "segment"))
+        .filter(col("n") >= 4)
+      val stat = round(col("absd").cast("double") /
+        (col("n") * 100).cast("double"), 4)
+      cp1.select(col("event_type"), lit(1L).as("level"), lit("-").as("segment"),
+          col("cp_day").as("change_day"), col("n").as("seg_days"),
+          stat.as("stat"))
+        .unionByName(cp2.select(col("event_type"), lit(2L).as("level"),
+          col("segment"), col("cp_day").as("change_day"),
+          col("n").as("seg_days"), stat.as("stat")))
     }))
 
   override val oracles: Map[String, String] = Map(
@@ -139,5 +192,58 @@ object DtwQueries extends QueryPack {
          |       round(CAST(p[len(zb)] AS DOUBLE) / 10000.0, 4) AS dtw,
          |       round(CAST(p[len(zb)] AS DOUBLE) /
          |             (CAST(len(za) + len(zb) AS DOUBLE) * 10000.0), 6) AS dtw_per_step
-         |FROM r WHERE i = len(za)""".stripMargin)
+         |FROM r WHERE i = len(za)""".stripMargin,
+
+    "q_ts_cusum_binseg" ->
+      s"""WITH daily AS ($DailySql),
+         |cum AS (
+         |  SELECT event_type, day,
+         |         sum(c) OVER (PARTITION BY event_type ORDER BY day
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k
+         |  FROM daily
+         |), tot AS (
+         |  SELECT event_type, sum(c) AS s, count(*) AS n FROM daily GROUP BY 1
+         |), d1 AS (
+         |  SELECT c.event_type, c.day, t.n,
+         |         abs(CAST(t.n AS HUGEINT) * c.ck - CAST(c.k AS HUGEINT) * t.s) AS absd
+         |  FROM cum c JOIN tot t USING (event_type)
+         |), cp1 AS (
+         |  SELECT event_type, day AS cp_day, n, absd FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY event_type
+         |               ORDER BY absd DESC, day ASC) AS rn
+         |    FROM d1) WHERE rn = 1
+         |), seg AS (
+         |  SELECT d.event_type,
+         |         CASE WHEN d.day <= p.cp_day THEN 'L' ELSE 'R' END AS segment,
+         |         d.day, d.c
+         |  FROM daily d JOIN cp1 p USING (event_type)
+         |), cum2 AS (
+         |  SELECT event_type, segment, day,
+         |         sum(c) OVER (PARTITION BY event_type, segment ORDER BY day
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck,
+         |         row_number() OVER (PARTITION BY event_type, segment ORDER BY day) AS k
+         |  FROM seg
+         |), tot2 AS (
+         |  SELECT event_type, segment, sum(c) AS s, count(*) AS n
+         |  FROM seg GROUP BY 1, 2 HAVING count(*) >= 4
+         |), d2 AS (
+         |  SELECT c.event_type, c.segment, c.day, t.n,
+         |         abs(CAST(t.n AS HUGEINT) * c.ck - CAST(c.k AS HUGEINT) * t.s) AS absd
+         |  FROM cum2 c
+         |  JOIN tot2 t ON t.event_type = c.event_type AND t.segment = c.segment
+         |), cp2 AS (
+         |  SELECT event_type, segment, day AS cp_day, n, absd FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY event_type, segment
+         |               ORDER BY absd DESC, day ASC) AS rn
+         |    FROM d2) WHERE rn = 1
+         |)
+         |SELECT event_type, CAST(1 AS BIGINT) AS level, '-' AS segment,
+         |       cp_day AS change_day, CAST(n AS BIGINT) AS seg_days,
+         |       round(CAST(absd AS DOUBLE) / CAST(n * 100 AS DOUBLE), 4) AS stat
+         |FROM cp1
+         |UNION ALL
+         |SELECT event_type, CAST(2 AS BIGINT), segment, cp_day, CAST(n AS BIGINT),
+         |       round(CAST(absd AS DOUBLE) / CAST(n * 100 AS DOUBLE), 4)
+         |FROM cp2""".stripMargin)
 }

@@ -356,6 +356,31 @@ class WaveElevenSpec extends SparkSpec {
     assert(rows.map(_._3).sum == 8L)
   }
 
+  test("binary segmentation recovers both edges of a planted bump") {
+    val dir = Files.createTempDirectory("graft-w11-binseg").toString
+    import spark.implicits._
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    // 100 for 20 days, 200 for 20 days, back to 100 — a deploy+rollback
+    // bump whose two edges a single CUSUM reading cannot both report.
+    val ev = (0 until 60).map { d =>
+      val v = if (d >= 20 && d < 40) 200.0 else 100.0
+      (d.toLong, java.sql.Timestamp.valueOf(base.plusDays(d).atStartOfDay()),
+        1L, "purchase", v, "{}")
+    }
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q_ts_cusum_binseg")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getString(2),
+        r.getDate(3).toLocalDate.toEpochDay - base.toEpochDay))
+    CacheScope.releaseAll()
+    val days = rows.map(_._3)
+    assert(rows.exists(r => r._1 == 1L), "level-1 row missing")
+    assert(days.exists(d => math.abs(d - 19) <= 2),
+      s"step-up edge (~day 19) not found in $rows")
+    assert(days.exists(d => math.abs(d - 39) <= 2),
+      s"step-down edge (~day 39) not found in $rows")
+  }
+
   test("periodogram: a planted weekly cycle peaks at period 7") {
     val dir = Files.createTempDirectory("graft-w11-per").toString
     import spark.implicits._
