@@ -138,6 +138,48 @@ object MultimodalQueries extends QueryPack {
         .select(col("doc_id"), col("phash"),
           bit_count(col("phash")).as("nbits"))),
 
+    // DCT perceptual hash — the REAL pHash algorithm shape next to
+    // mm_phash's average-hash: the 256 deterministic payload samples
+    // form a 16x16 "image", a 2D DCT projects it onto the 4x4 lowest
+    // frequencies, and the 15 AC coefficients threshold against their
+    // own mean into a 15-bit signature. Low-frequency energy is what
+    // survives resizing/compression, which is why DCT hashes out-rank
+    // average hashes on real media; here the transform, thresholding,
+    // and bit packing are the real plumbing over the stub sampler.
+    // Determinism is pushed all the way to integers: cos factors are
+    // round(,9)-pinned (64 distinct angles per axis), per-term products
+    // round(,9)-pinned and folded in exact DECIMAL, coefficients scaled
+    // to round(C*1e6) int64 — so the threshold compare is exact integer
+    // arithmetic (ci*15 > Σci) and no libm ulp can flip a bit. One
+    // narrow map stage, zero shuffle.
+    "mm_phash_dct" -> ((s, d) =>
+      Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+        .select(col("doc_id"), length(col("text")).as("n"), col("text"))
+        .withColumn("m", expr(
+          """transform(sequence(0, 255),
+            |  p -> ascii(substr(text, CAST(1 + (p * (n - 1)) div 255 AS INT), 1)))"""
+            .stripMargin))
+        .withColumn("coefs", expr(
+          """transform(sequence(0, 15), uv ->
+            |  CAST(round(CAST(aggregate(sequence(0, 255),
+            |    CAST(0 AS DECIMAL(20,9)),
+            |    (a, p) -> CAST(a + CAST(round(
+            |      CAST(element_at(m, p + 1) AS DOUBLE) *
+            |      round(cos(3.141592653589793 * (2 * (p div 16) + 1) * (uv div 4) / 32.0), 9) *
+            |      round(cos(3.141592653589793 * (2 * (p % 16) + 1) * (uv % 4) / 32.0), 9),
+            |      9) AS DECIMAL(20,9)) AS DECIMAL(20,9))) AS DOUBLE) * 1000000.0, 0)
+            |  AS BIGINT))""".stripMargin))
+        .withColumn("ac", expr("slice(coefs, 2, 15)"))
+        .withColumn("stot", expr("aggregate(ac, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("dct_hash", expr(
+          """aggregate(transform(sequence(1, 15),
+            |  i -> CASE WHEN element_at(ac, i) * 15 > stot
+            |            THEN CAST(round(pow(2, 15 - i), 0) AS BIGINT)
+            |            ELSE CAST(0 AS BIGINT) END),
+            |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+        .select(col("doc_id"), col("n").cast("long").as("n_chars"),
+          col("dct_hash"), bit_count(col("dct_hash")).as("nbits"))),
+
     // Near-duplicate media pairs by signature hamming distance <= 3,
     // found via 4-band LSH over the 62-bit phash: pigeonhole guarantees
     // any pair within distance 3 agrees exactly on at least one of the 4
@@ -251,6 +293,40 @@ object MultimodalQueries extends QueryPack {
       """
         |SELECT doc_id, phash, CAST(bit_count(phash) AS INT) AS nbits
         |FROM sigs""".stripMargin),
+
+    "mm_phash_dct" ->
+      """WITH base AS (
+        |  SELECT doc_id, length(text) AS n, text FROM documents
+        |), sm AS (
+        |  SELECT doc_id, n,
+        |         list_transform(range(0, 256),
+        |           p -> ascii(substr(text, CAST(1 + (p * (n - 1)) // 255 AS INT), 1))) AS m
+        |  FROM base
+        |), cf AS (
+        |  SELECT doc_id, n,
+        |         list_transform(range(0, 16), uv ->
+        |           CAST(round(CAST(list_sum(list_transform(range(0, 256),
+        |             p -> CAST(round(
+        |               CAST(m[p + 1] AS DOUBLE) *
+        |               round(cos(3.141592653589793 * (2 * (p // 16) + 1) * (uv // 4) / 32.0), 9) *
+        |               round(cos(3.141592653589793 * (2 * (p % 16) + 1) * (uv % 4) / 32.0), 9),
+        |               9) AS DECIMAL(20,9)))) AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS coefs
+        |  FROM sm
+        |), acr AS (
+        |  SELECT doc_id, n, coefs[2:16] AS ac FROM cf
+        |), st AS (
+        |  SELECT doc_id, n, ac, CAST(list_sum(ac) AS BIGINT) AS stot FROM acr
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |       CAST(list_sum(list_transform(range(1, 16),
+        |         i -> CASE WHEN ac[i] * 15 > stot
+        |                   THEN CAST(round(pow(2, 15 - i), 0) AS BIGINT)
+        |                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dct_hash,
+        |       CAST(bit_count(CAST(list_sum(list_transform(range(1, 16),
+        |         i -> CASE WHEN ac[i] * 15 > stot
+        |                   THEN CAST(round(pow(2, 15 - i), 0) AS BIGINT)
+        |                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS INT) AS nbits
+        |FROM st""".stripMargin,
 
     // All-pairs formulation — deliberately different machinery from the
     // Spark side's 4-band LSH join (see the query comment): feasible at

@@ -381,6 +381,27 @@ class WaveElevenSpec extends SparkSpec {
       s"step-down edge (~day 39) not found in $rows")
   }
 
+  test("DCT phash: verbatim copies collide; corruption stays near") {
+    val dir = Files.createTempDirectory("graft-w11-dct").toString
+    import spark.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog " * 6
+    Seq((1L, t1, "en", "t", 1L), (2L, t1, "en", "t", 1L),
+      (3L, t1.updated(10, 'Z'), "en", "t", 1L),
+      (4L, "completely different payload with other words entirely " * 5, "en", "t", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = SparkEntry.queries("mm_phash_dct")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    CacheScope.releaseAll()
+    assert(m(1L) == m(2L), "identical payloads must hash equal")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // One corrupted byte perturbs at most a few low-frequency bits;
+    // an unrelated payload should sit farther in hamming space.
+    assert(ham(m(1L), m(3L)) <= ham(m(1L), m(4L)),
+      s"corruption ${ham(m(1L), m(3L))} vs unrelated ${ham(m(1L), m(4L))}")
+    m.values.foreach(h => assert(h >= 0 && h < (1L << 15)))
+  }
+
   test("periodogram: a planted weekly cycle peaks at period 7") {
     val dir = Files.createTempDirectory("graft-w11-per").toString
     import spark.implicits._
