@@ -2,6 +2,7 @@ package graft.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.{QueryPack, Tables}
 import graft.relational.Det._
@@ -229,6 +230,56 @@ object EventOpsQueries extends QueryPack {
           expr("datediff(week, cohort_week) div 7").cast("long").as("week_offset"))
         .groupBy("cohort_week", "week_offset")
         .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Cohort lifetime-value curve — q_events_retention's revenue twin:
+    // for each first-seen-week cohort, the cumulative average purchase
+    // value per cohort user at each week of age. The "is newer traffic
+    // monetizing like the old" readout every mixing/acquisition decision
+    // reads next to retention counts. Scale shape: cohorts and weekly
+    // spend are events-sized aggregations to the bounded (cohort × age)
+    // relation; the cumulative sum runs as a triangular join over THAT
+    // bounded relation (calendar-bounded at any corpus size) — never a
+    // window over raw events. Spend is exact integer cents until the
+    // single per-user division.
+    "q_events_ltv" -> ((s, d) => {
+      val ev = t(s, d, "events").transform(graft.CacheScope.persisted(_))
+      val weeks = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .distinct()
+        .transform(graft.CacheScope.persisted(_))
+      val cohort = weeks.groupBy("user_id")
+        .agg(min(col("week")).as("cohort_week"))
+        .transform(graft.CacheScope.persisted(_))
+      val sizes = cohort.groupBy("cohort_week")
+        .agg(count(lit(1)).as("cohort_users"))
+      val offsets = weeks.join(cohort, "user_id")
+        .select(col("cohort_week"),
+          expr("datediff(week, cohort_week) div 7").cast("long")
+            .as("week_offset"))
+        .distinct()
+      val spend = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"),
+          (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
+        .join(cohort, "user_id")
+        .select(col("cohort_week"),
+          expr("datediff(week, cohort_week) div 7").cast("long")
+            .as("week_offset"), col("cents"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(sum(col("cents")).as("sp"))
+      val cum = offsets.as("o")
+        .join(spend.as("s"),
+          col("s.cohort_week") === col("o.cohort_week") &&
+            col("s.week_offset") <= col("o.week_offset"), "left")
+        .groupBy(col("o.cohort_week").as("cohort_week"),
+          col("o.week_offset").as("week_offset"))
+        .agg(coalesce(sum(col("s.sp")), lit(0L)).as("cum_cents"))
+      cum.join(sizes, "cohort_week")
+        .select(col("cohort_week"), col("week_offset"), col("cohort_users"),
+          col("cum_cents"),
+          round(col("cum_cents").cast("double") /
+            col("cohort_users").cast("double") / 100.0, 4).as("ltv"))
     }),
 
     // Bounded-lag EWMA smoothing of the per-type daily value series —
@@ -586,6 +637,38 @@ object EventOpsQueries extends QueryPack {
         |       count(*) AS n_users
         |FROM ev JOIN c ON c.user_id = ev.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_events_ltv" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+        |), sizes AS (
+        |  SELECT cohort_week, count(*) AS cohort_users FROM c GROUP BY 1
+        |), offs AS (
+        |  SELECT DISTINCT c.cohort_week,
+        |         CAST((ev.week - c.cohort_week) // 7 AS BIGINT) AS week_offset
+        |  FROM ev JOIN c ON c.user_id = ev.user_id
+        |), spend AS (
+        |  SELECT c.cohort_week,
+        |         CAST((CAST(date_trunc('week', e.ts) AS DATE) - c.cohort_week) // 7 AS BIGINT) AS week_offset,
+        |         CAST(sum(CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sp
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT o.cohort_week, o.week_offset,
+        |         COALESCE(CAST(sum(s.sp) AS BIGINT), 0) AS cum_cents
+        |  FROM offs o
+        |  LEFT JOIN spend s ON s.cohort_week = o.cohort_week
+        |                   AND s.week_offset <= o.week_offset
+        |  GROUP BY 1, 2
+        |)
+        |SELECT m.cohort_week, m.week_offset, z.cohort_users, m.cum_cents,
+        |       round(CAST(m.cum_cents AS DOUBLE) /
+        |             CAST(z.cohort_users AS DOUBLE) / 100.0, 4) AS ltv
+        |FROM cum m JOIN sizes z ON z.cohort_week = m.cohort_week""".stripMargin,
 
     "q_ts_ewma" -> {
       val weights = (0 until EwmaTaps).map(j =>

@@ -77,6 +77,18 @@ object LocalClusterSmoke {
       assert(mst == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L)),
         s"mst: $mst")
 
+      // 4. Brandes betweenness layer pinning through the same reliable
+      // checkpointDir (the r11 operator's non-local-master path): path
+      // graph 41-42-43-44-45, single seed 41, hand-computed dependencies.
+      val bund = Seq((41L, 42L), (42L, 43L), (43L, 44L), (44L, 45L))
+      val bedges = (bund ++ bund.map(_.swap)).toDF("src", "dst")
+      val btw = graph.GraphPathQueries
+        .betweennessOf(bedges, checkpointDir = Some(ckpt))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      CacheScope.releaseAll()
+      assert(btw == Map(42L -> 3.0, 43L -> 2.0, 44L -> 1.0, 45L -> 0.0),
+        s"betweenness: $btw")
+
       // Reliable checkpoints actually landed on the shared path.
       val st = Files.walk(java.nio.file.Paths.get(ckpt))
       val hasRdd =
