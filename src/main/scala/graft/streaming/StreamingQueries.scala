@@ -221,6 +221,16 @@ object StreamingQueries extends QueryPack {
         .select(col("user_id"), col("w.start").as("session_start"),
           col("w.end").as("session_end"), col("n_events"))),
 
+    // Token-bucket rate limiting, batch evaluation of [[TokenBucket]]
+    // (the transformWithState operator): each user's bucket holds 3
+    // tokens refilling at 1 per 10 minutes; admitted events and their
+    // remaining whole-token balance. All int64 µs-token arithmetic, so
+    // the fold here, the streaming processor, and the recursive-CTE
+    // oracle must agree exactly (StreamingSpec asserts streaming ≡ batch
+    // under in-order replay).
+    "stream_token_bucket" -> ((s, d) =>
+      TokenBucket.batch(events(s, d))),
+
     // Stateful threshold-crossing detection, batch evaluation: for each
     // user, the FIRST event at which their cumulative value reaches 100 —
     // the alerting/budget-cap shape (fraud thresholds, quota exhaustion,
@@ -408,6 +418,31 @@ object StreamingQueries extends QueryPack {
         |  ON v.user_id = b.user_id
         | AND b.buy_ts >= v.view_ts
         | AND b.buy_ts <= v.view_ts + INTERVAL 30 MINUTES""".stripMargin,
+
+    // The bucket walk replayed as a per-user recursive CTE over
+    // row-number-indexed events — identical integers by construction.
+    "stream_token_bucket" ->
+      s"""WITH RECURSIVE idx AS (
+         |  SELECT user_id, epoch_us(ts) AS us, event_id, ts,
+         |         row_number() OVER (PARTITION BY user_id
+         |                            ORDER BY epoch_us(ts), event_id) AS k
+         |  FROM events
+         |), r AS (
+         |  SELECT user_id, k, us, event_id, ts,
+         |         CAST(${TokenBucket.CapUs} - ${TokenBucket.RefillUs} AS BIGINT) AS avail,
+         |         TRUE AS admitted
+         |  FROM idx WHERE k = 1
+         |  UNION ALL
+         |  SELECT i.user_id, i.k, i.us, i.event_id, i.ts,
+         |         CASE WHEN least(${TokenBucket.CapUs}, r.avail + (i.us - r.us)) >= ${TokenBucket.RefillUs}
+         |              THEN least(${TokenBucket.CapUs}, r.avail + (i.us - r.us)) - ${TokenBucket.RefillUs}
+         |              ELSE least(${TokenBucket.CapUs}, r.avail + (i.us - r.us)) END,
+         |         least(${TokenBucket.CapUs}, r.avail + (i.us - r.us)) >= ${TokenBucket.RefillUs}
+         |  FROM r JOIN idx i ON i.user_id = r.user_id AND i.k = r.k + 1
+         |)
+         |SELECT user_id, event_id, ts,
+         |       CAST(avail // ${TokenBucket.RefillUs} AS BIGINT) AS tokens_after
+         |FROM r WHERE admitted""".stripMargin,
 
     "stream_join_full" ->
       """SELECT COALESCE(v.user_id, b.user_id) AS user_id,

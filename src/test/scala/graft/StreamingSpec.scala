@@ -519,6 +519,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState token bucket (RocksDB) == batch exactly") {
+    import graft.streaming.TokenBucket
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tbucket").toString
+    Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .orderBy(col("ts")).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = TokenBucket.limited(TokenBucket.fromRaw(
+        spark.readStream.schema(spark.read.parquet(tmp).schema).parquet(tmp)))
+      val q = stream.writeStream
+        .format("memory").queryName("tbucket_out")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(300000), "stream did not finish in time")
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3))
+      val streamed = spark.table("tbucket_out")
+        .select(col("user_id"), col("event_id"), col("ts"), col("tokens_after"))
+        .collect().map(key).toSet
+      val batch = StreamingQueries.queries("stream_token_bucket")(spark, sfDir)
+        .collect().map(key).toSet
+      assert(streamed == batch,
+        s"token bucket diverges: missing=${(batch -- streamed).take(3)}, " +
+          s"extra=${(streamed -- batch).take(3)}")
+      // The limiter must genuinely reject at these dials — an
+      // admit-everything bucket would pass equality vacuously.
+      val total = spark.read.parquet(tmp).count()
+      assert(streamed.size < total, "limiter admitted every event")
+      assert(streamed.nonEmpty)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming session windows == batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     Tables.load(spark, sfDir, "events").write.mode("overwrite").parquet(tmp)
