@@ -91,6 +91,58 @@ object DtwQueries extends QueryPack {
             .as("dtw_per_step"))
     }),
 
+    // Holt-Winters additive triple smoothing — the model above the
+    // forecasting ladder's q_ts_holt rung: level + trend + a 7-slot
+    // weekly seasonal state, the classic answer once q_ts_periodogram /
+    // q_ts_seasonality confirm a weekly cycle. The inherently sequential
+    // recursion runs as ONE ordered array fold per type over the
+    // calendar-bounded daily series (the q_ts_holt legality argument);
+    // the state struct carries (l, b, s[7], e) with the level update
+    // inlined at each use site so both engines evaluate the identical
+    // double expression tree. α=0.5, β=0.3, γ=0.3 with prefolded
+    // complements; the oracle replays the identical recursion as a
+    // per-type recursive CTE carrying the seasonal LIST.
+    "q_ts_holtwinters" -> ((s, d) => {
+      val daily = dailyOf(t(s, d, "events"))
+      val series = daily
+        .select(col("event_type"),
+          datediff(col("day"), to_date(lit("1970-01-01"))).as("ti"),
+          (col("c").cast("double") / lit(100.0)).as("y"))
+        .groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("ti"), col("y")))).as("sr"))
+      series
+        .select(col("event_type"), size(col("sr")).as("n_days"),
+          expr("element_at(sr, -1).ti").as("last_ti"),
+          expr(
+            """aggregate(
+              |  slice(sr, 2, size(sr) - 1),
+              |  named_struct('l', CAST(element_at(sr, 1).y AS DOUBLE),
+              |               'b', CAST(0.0 AS DOUBLE),
+              |               's', array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+              |                          CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+              |                          CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+              |                          CAST(0.0 AS DOUBLE)),
+              |               'e', CAST(0.0 AS DOUBLE)),
+              |  (acc, o) -> named_struct(
+              |    'l', 0.5 * (o.y - element_at(acc.s, CAST(o.ti % 7 AS INT) + 1)) + 0.5 * (acc.l + acc.b),
+              |    'b', 0.3 * ((0.5 * (o.y - element_at(acc.s, CAST(o.ti % 7 AS INT) + 1)) + 0.5 * (acc.l + acc.b)) - acc.l) + 0.7 * acc.b,
+              |    's', transform(acc.s, (sv, i) ->
+              |      CASE WHEN i = CAST(o.ti % 7 AS INT)
+              |           THEN 0.3 * (o.y - (0.5 * (o.y - element_at(acc.s, CAST(o.ti % 7 AS INT) + 1)) + 0.5 * (acc.l + acc.b))) + 0.7 * sv
+              |           ELSE sv END),
+              |    'e', acc.e + abs((acc.l + acc.b + element_at(acc.s, CAST(o.ti % 7 AS INT) + 1)) - o.y)))"""
+              .stripMargin).as("st"))
+        .select(col("event_type"), col("n_days").cast("long").as("n_days"),
+          round(col("st.l"), 6).as("level"),
+          round(col("st.b"), 6).as("trend"),
+          round(col("st.l") + col("st.b") +
+            expr("element_at(st.s, CAST((last_ti + 1) % 7 AS INT) + 1)"), 6)
+            .as("forecast_1d"),
+          when(col("n_days") > 1,
+            round(col("st.e") / (col("n_days") - 1).cast("double"), 6))
+            .otherwise(lit(0.0)).as("mae_1step"))
+    }),
+
     // Binary-segmentation changepoints — q_ts_cusum recursed one level:
     // find the level-1 argmax of |D_k| = |n·C_k − k·S|, split the series
     // there, and re-run the same exact-integer CUSUM inside each half
@@ -193,6 +245,40 @@ object DtwQueries extends QueryPack {
          |       round(CAST(p[len(zb)] AS DOUBLE) /
          |             (CAST(len(za) + len(zb) AS DOUBLE) * 10000.0), 6) AS dtw_per_step
          |FROM r WHERE i = len(za)""".stripMargin,
+
+    "q_ts_holtwinters" ->
+      s"""WITH RECURSIVE daily AS ($DailySql),
+         |idx AS (
+         |  SELECT event_type,
+         |         CAST(day - DATE '1970-01-01' AS INTEGER) AS ti,
+         |         CAST(c AS DOUBLE) / 100.0 AS y,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k
+         |  FROM daily
+         |), r AS (
+         |  SELECT event_type, k, ti, y AS l, CAST(0.0 AS DOUBLE) AS b,
+         |         CAST([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[]) AS s,
+         |         CAST(0.0 AS DOUBLE) AS e
+         |  FROM idx WHERE k = 1
+         |  UNION ALL
+         |  SELECT i.event_type, i.k, i.ti,
+         |         0.5 * (i.y - r.s[(i.ti % 7) + 1]) + 0.5 * (r.l + r.b),
+         |         0.3 * ((0.5 * (i.y - r.s[(i.ti % 7) + 1]) + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b,
+         |         list_transform(range(0, 7), j ->
+         |           CASE WHEN j = (i.ti % 7)
+         |                THEN 0.3 * (i.y - (0.5 * (i.y - r.s[(i.ti % 7) + 1]) + 0.5 * (r.l + r.b))) + 0.7 * r.s[j + 1]
+         |                ELSE r.s[j + 1] END),
+         |         r.e + abs((r.l + r.b + r.s[(i.ti % 7) + 1]) - i.y)
+         |  FROM r JOIN idx i ON i.event_type = r.event_type AND i.k = r.k + 1
+         |), mk AS (
+         |  SELECT event_type, max(k) AS mk FROM idx GROUP BY 1
+         |)
+         |SELECT r.event_type, CAST(m.mk AS BIGINT) AS n_days,
+         |       round(r.l, 6) AS level,
+         |       round(r.b, 6) AS trend,
+         |       round(r.l + r.b + r.s[((r.ti + 1) % 7) + 1], 6) AS forecast_1d,
+         |       CASE WHEN m.mk > 1 THEN round(r.e / CAST(m.mk - 1 AS DOUBLE), 6)
+         |            ELSE 0.0 END AS mae_1step
+         |FROM r JOIN mk m ON m.event_type = r.event_type AND r.k = m.mk""".stripMargin,
 
     "q_ts_cusum_binseg" ->
       s"""WITH daily AS ($DailySql),

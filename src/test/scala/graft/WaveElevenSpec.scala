@@ -402,6 +402,27 @@ class WaveElevenSpec extends SparkSpec {
     m.values.foreach(h => assert(h >= 0 && h < (1L << 15)))
   }
 
+  test("Holt-Winters beats plain Holt on a planted weekly cycle") {
+    val dir = Files.createTempDirectory("graft-w11-hw").toString
+    import spark.implicits._
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    val ev = (0 until 84).map { d =>
+      val v = if (d % 7 == 0) 150.0 else 100.0
+      (d.toLong, java.sql.Timestamp.valueOf(base.plusDays(d).atStartOfDay()),
+        1L, "purchase", v, "{}")
+    }
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val hw = SparkEntry.queries("q_ts_holtwinters")(spark, dir).collect()(0)
+      .getAs[Double]("mae_1step")
+    CacheScope.releaseAll()
+    val holt = SparkEntry.queries("q_ts_holt")(spark, dir).collect()(0)
+      .getAs[Double]("mae_1step")
+    CacheScope.releaseAll()
+    assert(hw < holt,
+      s"the seasonal state must pay on a weekly cycle: hw=$hw holt=$holt")
+  }
+
   test("periodogram: a planted weekly cycle peaks at period 7") {
     val dir = Files.createTempDirectory("graft-w11-per").toString
     import spark.implicits._
