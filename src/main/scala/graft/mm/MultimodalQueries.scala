@@ -165,8 +165,8 @@ object MultimodalQueries extends QueryPack {
             |    CAST(0 AS DECIMAL(20,9)),
             |    (a, p) -> CAST(a + CAST(round(
             |      CAST(element_at(m, p + 1) AS DOUBLE) *
-            |      round(cos(3.141592653589793 * (2 * (p div 16) + 1) * (uv div 4) / 32.0), 9) *
-            |      round(cos(3.141592653589793 * (2 * (p % 16) + 1) * (uv % 4) / 32.0), 9),
+            |      round(cos(CAST(3.141592653589793 AS DOUBLE) * (2 * (p div 16) + 1) * (uv div 4) / 32.0), 9) *
+            |      round(cos(CAST(3.141592653589793 AS DOUBLE) * (2 * (p % 16) + 1) * (uv % 4) / 32.0), 9),
             |      9) AS DECIMAL(20,9)) AS DECIMAL(20,9))) AS DOUBLE) * 1000000.0, 0)
             |  AS BIGINT))""".stripMargin))
         .withColumn("ac", expr("slice(coefs, 2, 15)"))

@@ -423,6 +423,24 @@ class WaveElevenSpec extends SparkSpec {
       s"the seasonal state must pay on a weekly cycle: hw=$hw holt=$holt")
   }
 
+  test("degenerate docs (empty / 1-char) survive both perceptual hashes") {
+    val dir = Files.createTempDirectory("graft-w11-degen").toString
+    import spark.implicits._
+    Seq((1L, "", "en", "t", 0L), (2L, "x", "en", "t", 1L),
+      (3L, "hello world text here", "en", "t", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Both hashers sample positions scaled by (n - 1): empty and 1-char
+    // docs must degrade to an all-equal sample vector (ascii('') = 0 in
+    // both engines), not crash.
+    val dct = SparkEntry.queries("mm_phash_dct")(spark, dir).collect()
+    CacheScope.releaseAll()
+    assert(dct.length == 3)
+    val avg = SparkEntry.queries("mm_phash")(spark, dir).collect()
+    CacheScope.releaseAll()
+    assert(avg.length == 3)
+  }
+
   test("periodogram: a planted weekly cycle peaks at period 7") {
     val dir = Files.createTempDirectory("graft-w11-per").toString
     import spark.implicits._
