@@ -52,12 +52,14 @@ class SparkEntrySpec extends SparkSpec {
       "SemanticDedupQueries", "BpeQueries", "GraphPathQueries",
       "SimilarityQueries", "TextAnalysisQueries", "CorpusOpsQueries",
       "MultimodalQueries", "StreamingQueries", "SketchQueries",
-      "LayoutQueries")
+      "LayoutQueries", "PairEvalQueries", "DriftQueries", "DtwQueries",
+      "TimeSeriesQueries", "StatsQueries", "MiningQueries",
+      "TextModelQueries", "EvalQueries")
     val actualPacks = packs.map(_.getClass.getSimpleName.stripSuffix("$")).toSet
     assert(expectedPacks.subsetOf(actualPacks),
       s"packs removed from the registry: ${expectedPacks -- actualPacks}")
-    assert(SparkEntry.queries.size >= 265,
-      s"query surface shrank below the round-10 floor: ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size >= 289,
+      s"query surface shrank below the round-11 floor: ${SparkEntry.queries.size}")
   }
 
   test("flagship entry returns rows on sf0.001") {
