@@ -44,6 +44,24 @@ object MultimodalQueries extends QueryPack {
   /** Signature bit width (62 keeps the MSB-first fold non-negative). */
   val PhashBits = 62
 
+  /** DCT cos basis for mm_phash_dct, 1e9-scaled integers: entry
+    * [u*16 + x] = round(cos(π(2x+1)u/32) * 1e9) for u in 0..3, x in
+    * 0..15 — computed ONCE here and embedded as the SAME literal array
+    * in the Spark expression and the DuckDB oracle (the EwmaTaps
+    * shared-constants pattern), so no libm call and no literal-parsing
+    * divergence can reach the hot path.
+    */
+  val DctCosTab: IndexedSeq[Long] =
+    for (u <- 0 to 3; x <- 0 to 15) yield
+      BigDecimal(math.cos(math.Pi * (2 * x + 1) * u / 32.0) * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** The table as a Spark SQL array literal. */
+  val DctCosTabSql: String = DctCosTab.mkString("array(", ", ", ")")
+
+  /** The same values as a DuckDB list literal. */
+  val DctCosTabDuck: String = DctCosTab.mkString("[", ", ", "]")
+
   /** mm_phash_dedup gate distance; 4 bands pigeonhole-guarantee complete
     * candidate recall for hamming <= 3 (one clean band per true pair).
     */
@@ -146,29 +164,41 @@ object MultimodalQueries extends QueryPack {
     // survives resizing/compression, which is why DCT hashes out-rank
     // average hashes on real media; here the transform, thresholding,
     // and bit packing are the real plumbing over the stub sampler.
-    // Determinism is pushed all the way to integers: cos factors are
-    // round(,9)-pinned (64 distinct angles per axis), per-term products
-    // round(,9)-pinned and folded in exact DECIMAL, coefficients scaled
-    // to round(C*1e6) int64 — so the threshold compare is exact integer
-    // arithmetic (ci*15 > Σci) and no libm ulp can flip a bit. One
-    // narrow map stage, zero shuffle.
-    "mm_phash_dct" -> ((s, d) =>
-      Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+    // Determinism is FULLY integer: the cos basis is a precomputed
+    // 1e9-scaled BIGINT literal table ([[DctCosTab]] — the EwmaTaps
+    // "same constants in both SQL texts" pattern, which also removes
+    // libm from the hot path entirely; an earlier in-expression
+    // cos(3.14...) form additionally hit Spark parsing the bare literal
+    // as DECIMAL(16,15) and truncating the angle), per-term products are
+    // exact DECIMAL integers in 1e-18 units, and coefficients land as
+    // round(/1e12) int64 so the threshold compare is exact integer
+    // arithmetic (ci*15 > Σci). The sample vector and the coefficient
+    // vector cross PERSISTED projection boundaries: left in one chained
+    // projection, CollapseProject inlines the coefficient fold into
+    // every downstream reference and the 4096-term DCT re-evaluates
+    // dozens of times per row (measured: the sf0.1 verify write sat 35+
+    // minutes single-task; with the barriers the scan is seconds).
+    "mm_phash_dct" -> ((s, d) => {
+      val samples = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
         .select(col("doc_id"), length(col("text")).as("n"), col("text"))
-        .withColumn("m", expr(
+        .select(col("doc_id"), col("n"), expr(
           """transform(sequence(0, 255),
             |  p -> ascii(substr(text, CAST(1 + (p * (n - 1)) div 255 AS INT), 1)))"""
-            .stripMargin))
-        .withColumn("coefs", expr(
-          """transform(sequence(0, 15), uv ->
-            |  CAST(round(CAST(aggregate(sequence(0, 255),
-            |    CAST(0 AS DECIMAL(20,9)),
-            |    (a, p) -> CAST(a + CAST(round(
-            |      CAST(element_at(m, p + 1) AS DOUBLE) *
-            |      round(cos(CAST(3.141592653589793 AS DOUBLE) * (2 * (p div 16) + 1) * (uv div 4) / 32.0), 9) *
-            |      round(cos(CAST(3.141592653589793 AS DOUBLE) * (2 * (p % 16) + 1) * (uv % 4) / 32.0), 9),
-            |      9) AS DECIMAL(20,9)) AS DECIMAL(20,9))) AS DOUBLE) * 1000000.0, 0)
-            |  AS BIGINT))""".stripMargin))
+            .stripMargin).as("m"))
+        .transform(graft.CacheScope.persisted(_))
+      val coefs = samples.select(col("doc_id"), col("n"), expr(
+          s"""transform(sequence(0, 15), uv ->
+             |  CAST(round(CAST(aggregate(sequence(0, 255),
+             |    CAST(0 AS DECIMAL(38,0)),
+             |    (a, p) -> CAST(a +
+             |      CAST(CAST(element_at(m, p + 1) AS DECIMAL(4,0)) *
+             |           CAST(element_at($DctCosTabSql, CAST((uv div 4) * 16 + (p div 16) + 1 AS INT)) AS DECIMAL(12,0)) AS DECIMAL(17,0)) *
+             |      CAST(element_at($DctCosTabSql, CAST((uv % 4) * 16 + (p % 16) + 1 AS INT)) AS DECIMAL(12,0))
+             |      AS DECIMAL(38,0))) AS DOUBLE) / 1000000000000.0, 0)
+             |  AS BIGINT))""".stripMargin).as("coefs"))
+        .transform(graft.CacheScope.persisted(_))
+      coefs
         .withColumn("ac", expr("slice(coefs, 2, 15)"))
         .withColumn("stot", expr("aggregate(ac, CAST(0 AS BIGINT), (a, x) -> a + x)"))
         .withColumn("dct_hash", expr(
@@ -178,7 +208,8 @@ object MultimodalQueries extends QueryPack {
             |            ELSE CAST(0 AS BIGINT) END),
             |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
         .select(col("doc_id"), col("n").cast("long").as("n_chars"),
-          col("dct_hash"), bit_count(col("dct_hash")).as("nbits"))),
+          col("dct_hash"), bit_count(col("dct_hash")).as("nbits"))
+    }),
 
     // Near-duplicate media pairs by signature hamming distance <= 3,
     // found via 4-band LSH over the 62-bit phash: pigeonhole guarantees
@@ -295,23 +326,23 @@ object MultimodalQueries extends QueryPack {
         |FROM sigs""".stripMargin),
 
     "mm_phash_dct" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, length(text) AS n, text FROM documents
         |), sm AS (
         |  SELECT doc_id, n,
         |         list_transform(range(0, 256),
         |           p -> ascii(substr(text, CAST(1 + (p * (n - 1)) // 255 AS INT), 1))) AS m
         |  FROM base
-        |), cf AS (
+        |), ct AS (SELECT $DctCosTabDuck AS tab),
+        |cf AS (
         |  SELECT doc_id, n,
         |         list_transform(range(0, 16), uv ->
         |           CAST(round(CAST(list_sum(list_transform(range(0, 256),
-        |             p -> CAST(round(
-        |               CAST(m[p + 1] AS DOUBLE) *
-        |               round(cos(3.141592653589793 * (2 * (p // 16) + 1) * (uv // 4) / 32.0), 9) *
-        |               round(cos(3.141592653589793 * (2 * (p % 16) + 1) * (uv % 4) / 32.0), 9),
-        |               9) AS DECIMAL(20,9)))) AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS coefs
-        |  FROM sm
+        |             p -> CAST(CAST(m[p + 1] AS HUGEINT) *
+        |                       tab[(uv // 4) * 16 + (p // 16) + 1] *
+        |                       tab[(uv % 4) * 16 + (p % 16) + 1] AS HUGEINT)))
+        |             AS DOUBLE) / 1000000000000.0, 0) AS BIGINT)) AS coefs
+        |  FROM sm, ct
         |), acr AS (
         |  SELECT doc_id, n, coefs[2:16] AS ac FROM cf
         |), st AS (
