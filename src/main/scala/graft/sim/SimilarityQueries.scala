@@ -65,15 +65,32 @@ object SimilarityQueries extends QueryPack {
       val m1 = q.select(posexplode(col("q")).as(Seq("i", "x")))
         .groupBy(col("i")).agg(sum(col("x")).as("s1"))
         .transform(graft.CacheScope.persisted(_))
-      val cov = round((col("sp").cast("double") / lit(1000000.0) -
-        (col("s1a").cast("double") / lit(1000.0)) *
-          (col("s1b").cast("double") / lit(1000.0)) /
-          col("n").cast("double")) / col("n").cast("double"), 9)
+      // cov·1e9 as EXACT integer arithmetic: cov = (sp·n − s1a·s1b) /
+      // (1e6·n²), so round(cov, 9) = sign·((2·|num|·1000 + n²) div
+      // (2·n²)) — round-half-away with no float anywhere, because the
+      // float form flaked at sf0.1: the (3,3) cell's true value sits
+      // exactly on a .5e-9 boundary and the two engines' round()
+      // implementations (BigDecimal HALF_UP of the double's exact
+      // expansion vs multiply-round-divide) disagree there. Division is
+      // kept on POSITIVE operands (Spark div truncates toward zero,
+      // DuckDB // floors — they only agree above zero).
       s2.join(broadcast(m1.select(col("i").as("ia"), col("s1").as("s1a"))),
           col("i") === col("ia"))
         .join(broadcast(m1.select(col("i").as("ib"), col("s1").as("s1b"))),
           col("j") === col("ib"))
-        .select(col("i"), col("j"), col("n"), cov.as("cov"))
+        .withColumn("num", expr(
+          """CAST(CAST(sp AS DECIMAL(22,0)) * CAST(n AS DECIMAL(10,0)) AS DECIMAL(33,0)) -
+            |CAST(CAST(s1a AS DECIMAL(14,0)) * CAST(s1b AS DECIMAL(14,0)) AS DECIMAL(33,0))"""
+            .stripMargin))
+        .withColumn("n2", expr(
+          "CAST(CAST(n AS DECIMAL(10,0)) * CAST(n AS DECIMAL(10,0)) AS DECIMAL(20,0))"))
+        .withColumn("r9", expr(
+          """CASE WHEN num >= 0
+            |     THEN CAST((CAST(abs(num) AS DECIMAL(30,0)) * 2000 + n2) div (2 * n2) AS BIGINT)
+            |     ELSE -CAST((CAST(abs(num) AS DECIMAL(30,0)) * 2000 + n2) div (2 * n2) AS BIGINT) END"""
+            .stripMargin))
+        .select(col("i"), col("j"), col("n"),
+          (col("r9").cast("double") / lit(1000000000.0)).as("cov"))
     }),
 
     "sim_knn_bruteforce" -> ((s, d) => {
@@ -956,9 +973,12 @@ object SimilarityQueries extends QueryPack {
         |  FROM withI GROUP BY 1
         |)
         |SELECT s2.i, s2.j, s2.n,
-        |       round((CAST(sp AS DOUBLE) / 1000000.0 -
-        |              (CAST(a.s1 AS DOUBLE) / 1000.0) * (CAST(b.s1 AS DOUBLE) / 1000.0) / CAST(s2.n AS DOUBLE)) /
-        |             CAST(s2.n AS DOUBLE), 9) AS cov
+        |       CAST(CASE WHEN CAST(sp AS HUGEINT) * s2.n - CAST(a.s1 AS HUGEINT) * b.s1 >= 0
+        |            THEN (abs(CAST(sp AS HUGEINT) * s2.n - CAST(a.s1 AS HUGEINT) * b.s1) * 2000 +
+        |                  CAST(s2.n AS HUGEINT) * s2.n) // (2 * CAST(s2.n AS HUGEINT) * s2.n)
+        |            ELSE -((abs(CAST(sp AS HUGEINT) * s2.n - CAST(a.s1 AS HUGEINT) * b.s1) * 2000 +
+        |                    CAST(s2.n AS HUGEINT) * s2.n) // (2 * CAST(s2.n AS HUGEINT) * s2.n)) END
+        |            AS DOUBLE) / 1000000000.0 AS cov
         |FROM s2
         |JOIN m1 a ON a.i = s2.i
         |JOIN m1 b ON b.i = s2.j""".stripMargin
