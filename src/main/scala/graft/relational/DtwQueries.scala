@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -194,6 +194,114 @@ object DtwQueries extends QueryPack {
         .unionByName(cp2.select(col("event_type"), lit(2L).as("level"),
           col("segment"), col("cp_day").as("change_day"),
           col("n").as("seg_days"), stat.as("stat")))
+    }),
+
+    // Mann–Kendall trend test (with tau-b) per event type — the
+    // distribution-free "is this series trending?" gate that q_stats_linreg's
+    // least-squares slope cannot give when the trend is monotone but
+    // nonlinear or the noise is heavy-tailed. S = Σ_{i<j} sign(y_j − y_i)
+    // over the calendar-bounded daily series; the tie-corrected variance
+    // n(n−1)(2n+5) − Σt(t−1)(2t+5) and the tau-b denominator run on exact
+    // int64 (n ≤ calendar days keeps every product far under 2^63);
+    // doubles only in the final z/tau divisions. Scale shape: the pair
+    // join is equi on event_type over the DAILY relation, so its fan-out
+    // is calendar² per type, corpus-size-independent (the documented dial
+    // for year-scale series is the O(n log n) rank formulation of S).
+    "q_ts_mannkendall" -> ((s, d) => {
+      val daily = dailyOf(t(s, d, "events"))
+        .transform(CacheScope.persisted(_))
+      val b = daily.select(col("event_type").as("et2"),
+        col("day").as("day2"), col("c").as("c2"))
+      val sRel = daily.join(b,
+          col("event_type") === col("et2") && col("day") < col("day2"))
+        .groupBy("event_type")
+        .agg(sum(when(col("c2") > col("c"), 1L)
+          .when(col("c2") < col("c"), -1L).otherwise(0L)).as("s_stat"))
+      val ties = daily.groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).as("tt"))
+        .groupBy("event_type")
+        .agg(sum(col("tt") * (col("tt") - 1) * (col("tt") * 2 + 5)).as("tsum"),
+          sum(col("tt") * (col("tt") - 1)).as("t2sum"))
+      val cnt = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+      val j = cnt.join(broadcast(ties), "event_type")
+        .join(broadcast(sRel), "event_type")
+        .filter(col("n") >= 5 &&
+          col("n") * (col("n") - 1) > col("t2sum"))
+      val varS = (col("n") * (col("n") - 1) * (col("n") * 2 + 5) -
+        col("tsum")).cast("double") / 18.0
+      val nn1 = (col("n") * (col("n") - 1)).cast("double")
+      j.select(col("event_type"), col("n").as("n_days"), col("s_stat"),
+          round(when(col("s_stat") > 0,
+              (col("s_stat") - 1).cast("double") / sqrt(varS))
+            .when(col("s_stat") < 0,
+              (col("s_stat") + 1).cast("double") / sqrt(varS))
+            .otherwise(lit(0.0)), 9).as("z_mk"),
+          round(col("s_stat").cast("double") * 2.0 /
+            sqrt(nn1 * (nn1 - col("t2sum").cast("double"))), 9).as("tau_b"))
+    }),
+
+    // AR(2) fit by Yule–Walker plus a one-step forecast, per event type —
+    // the autoregressive rung between q_ts_holt's exponential smoothers
+    // (no memory structure) and a full ARIMA: φ1, φ2 from the lag-1/lag-2
+    // autocovariances, which fall out of the SAME calendar-lag equi-join
+    // pattern as q_ts_acf. Every covariance is cleared of the rational
+    // mean by scaling through n² — n²·C_k = n²·S_k − n·Σy·(A_k+B_k) +
+    // m_k·(Σy)² — so r1, r2 are ratios of EXACT decimals and doubles
+    // appear only in the final φ algebra; φ's are round(,9)-pinned before
+    // the forecast uses them, so both engines extrapolate with identical
+    // coefficients. Degenerate series (short, constant, or |1−r1²| ≈ 0)
+    // are gated out on the same exact decimals.
+    "q_ts_ar2" -> ((s, d) => {
+      val daily = dailyOf(t(s, d, "events"))
+        .transform(CacheScope.persisted(_))
+      val dec = DecimalType(16, 0)
+      val base = daily.groupBy("event_type")
+        .agg(count(lit(1)).cast(DecimalType(6, 0)).as("n"),
+          sum(col("c").cast(dec)).cast(dec).as("sy"),
+          sum((col("c").cast(dec) * col("c").cast(dec))
+            .cast(DecimalType(30, 0))).cast(DecimalType(30, 0)).as("syy"),
+          max(col("day")).as("maxday"))
+      def lagAgg(k: Int) = {
+        val b2 = daily.select(col("event_type").as("et2"),
+          col("day").as("day2"), col("c").cast(dec).as("c2"))
+        daily.join(b2, col("event_type") === col("et2") &&
+            col("day2") === date_add(col("day"), k))
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast(DecimalType(6, 0)).as(s"m$k"),
+            sum((col("c").cast(dec) * col("c2")).cast(DecimalType(30, 0)))
+              .cast(DecimalType(30, 0)).as(s"s$k"),
+            sum(col("c").cast(dec)).cast(dec).as(s"a$k"),
+            sum(col("c2")).cast(dec).as(s"b$k"))
+      }
+      val last2 = daily.join(
+          daily.groupBy(col("event_type").as("et3")).agg(max(col("day")).as("md")),
+          col("event_type") === col("et3") &&
+            (col("day") === col("md") || col("day") === date_sub(col("md"), 1)))
+        .groupBy("event_type")
+        .agg(max(when(col("day") === col("md"), col("c"))).as("ylast"),
+          max(when(col("day") =!= col("md"), col("c"))).as("yprev"),
+          count(lit(1)).as("nlast"))
+        .filter(col("nlast") === 2)
+      val j = base.join(broadcast(lagAgg(1)), "event_type")
+        .join(broadcast(lagAgg(2)), "event_type")
+        .join(broadcast(last2), "event_type")
+      def dd(c: Column) = c.cast("double")
+      val g0 = col("n") * col("n") * col("syy") - col("n") * col("sy") * col("sy")
+      def gk(k: Int) = col("n") * col("n") * col(s"s$k") -
+        col("n") * col("sy") * (col(s"a$k") + col(s"b$k")) +
+        col(s"m$k") * col("sy") * col("sy")
+      val r1 = dd(gk(1)) / dd(g0)
+      val r2 = dd(gk(2)) / dd(g0)
+      val phi1 = round(r1 * (lit(1.0) - r2) / (lit(1.0) - r1 * r1), 9)
+      val phi2 = round((r2 - r1 * r1) / (lit(1.0) - r1 * r1), 9)
+      val ybar = dd(col("sy")) / dd(col("n"))
+      j.filter(col("n") >= 8 && col("m1") >= 2 && col("m2") >= 2 && g0 > 0 &&
+          abs(lit(1.0) - r1 * r1) > 1e-9)
+        .select(col("event_type"), col("n").cast("long").as("n_days"),
+          phi1.as("phi1"), phi2.as("phi2"),
+          round((ybar + phi1 * (dd(col("ylast")) - ybar) +
+            phi2 * (dd(col("yprev")) - ybar)) / 100.0, 4).as("forecast_1d"))
     }))
 
   override val oracles: Map[String, String] = Map(
@@ -331,5 +439,94 @@ object DtwQueries extends QueryPack {
          |UNION ALL
          |SELECT event_type, CAST(2 AS BIGINT), segment, cp_day, CAST(n AS BIGINT),
          |       round(CAST(absd AS DOUBLE) / CAST(n * 100 AS DOUBLE), 4)
-         |FROM cp2""".stripMargin)
+         |FROM cp2""".stripMargin,
+
+    "q_ts_mannkendall" ->
+      s"""WITH daily AS ($DailySql),
+         |srel AS (
+         |  SELECT a.event_type,
+         |         CAST(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+         |  FROM daily a JOIN daily b
+         |    ON b.event_type = a.event_type AND a.day < b.day
+         |  GROUP BY 1
+         |), ties AS (
+         |  SELECT event_type,
+         |         sum(tt * (tt - 1) * (2 * tt + 5)) AS tsum,
+         |         sum(tt * (tt - 1)) AS t2sum
+         |  FROM (SELECT event_type, c, count(*) AS tt FROM daily GROUP BY 1, 2)
+         |  GROUP BY 1
+         |), cnt AS (
+         |  SELECT event_type, count(*) AS n FROM daily GROUP BY 1
+         |)
+         |SELECT c.event_type, c.n AS n_days, s.s_stat,
+         |       round(CASE WHEN s.s_stat > 0
+         |                  THEN CAST(s.s_stat - 1 AS DOUBLE) /
+         |                       sqrt(CAST(c.n * (c.n - 1) * (2 * c.n + 5) - t.tsum AS DOUBLE) / 18.0)
+         |                  WHEN s.s_stat < 0
+         |                  THEN CAST(s.s_stat + 1 AS DOUBLE) /
+         |                       sqrt(CAST(c.n * (c.n - 1) * (2 * c.n + 5) - t.tsum AS DOUBLE) / 18.0)
+         |                  ELSE 0.0 END, 9) AS z_mk,
+         |       round(CAST(s.s_stat AS DOUBLE) * 2.0 /
+         |             sqrt(CAST(c.n * (c.n - 1) AS DOUBLE) *
+         |                  (CAST(c.n * (c.n - 1) AS DOUBLE) - CAST(t.t2sum AS DOUBLE))), 9) AS tau_b
+         |FROM cnt c JOIN ties t USING (event_type) JOIN srel s USING (event_type)
+         |WHERE c.n >= 5 AND c.n * (c.n - 1) > t.t2sum""".stripMargin,
+
+    "q_ts_ar2" ->
+      s"""WITH daily AS ($DailySql),
+         |base AS (
+         |  SELECT event_type, CAST(count(*) AS DECIMAL(6,0)) AS n,
+         |         CAST(sum(CAST(c AS DECIMAL(16,0))) AS DECIMAL(16,0)) AS sy,
+         |         CAST(sum(CAST(CAST(c AS DECIMAL(16,0)) * CAST(c AS DECIMAL(16,0)) AS DECIMAL(30,0))) AS DECIMAL(30,0)) AS syy,
+         |         max(day) AS maxday
+         |  FROM daily GROUP BY 1
+         |), lag1 AS (
+         |  SELECT a.event_type, CAST(count(*) AS DECIMAL(6,0)) AS m1,
+         |         CAST(sum(CAST(CAST(a.c AS DECIMAL(16,0)) * CAST(b.c AS DECIMAL(16,0)) AS DECIMAL(30,0))) AS DECIMAL(30,0)) AS s1,
+         |         CAST(sum(CAST(a.c AS DECIMAL(16,0))) AS DECIMAL(16,0)) AS a1,
+         |         CAST(sum(CAST(b.c AS DECIMAL(16,0))) AS DECIMAL(16,0)) AS b1
+         |  FROM daily a JOIN daily b
+         |    ON b.event_type = a.event_type AND b.day = a.day + 1
+         |  GROUP BY 1
+         |), lag2 AS (
+         |  SELECT a.event_type, CAST(count(*) AS DECIMAL(6,0)) AS m2,
+         |         CAST(sum(CAST(CAST(a.c AS DECIMAL(16,0)) * CAST(b.c AS DECIMAL(16,0)) AS DECIMAL(30,0))) AS DECIMAL(30,0)) AS s2,
+         |         CAST(sum(CAST(a.c AS DECIMAL(16,0))) AS DECIMAL(16,0)) AS a2,
+         |         CAST(sum(CAST(b.c AS DECIMAL(16,0))) AS DECIMAL(16,0)) AS b2
+         |  FROM daily a JOIN daily b
+         |    ON b.event_type = a.event_type AND b.day = a.day + 2
+         |  GROUP BY 1
+         |), last2 AS (
+         |  SELECT d.event_type,
+         |         max(CASE WHEN d.day = m.md THEN d.c END) AS ylast,
+         |         max(CASE WHEN d.day <> m.md THEN d.c END) AS yprev,
+         |         count(*) AS nlast
+         |  FROM daily d
+         |  JOIN (SELECT event_type, max(day) AS md FROM daily GROUP BY 1) m
+         |    ON m.event_type = d.event_type AND (d.day = m.md OR d.day = m.md - 1)
+         |  GROUP BY 1 HAVING count(*) = 2
+         |), j AS (
+         |  SELECT b.*, l1.m1, l1.s1, l1.a1, l1.b1, l2.m2, l2.s2, l2.a2, l2.b2,
+         |         z.ylast, z.yprev,
+         |         b.n * b.n * b.syy - b.n * b.sy * b.sy AS g0,
+         |         b.n * b.n * l1.s1 - b.n * b.sy * (l1.a1 + l1.b1) + l1.m1 * b.sy * b.sy AS g1,
+         |         b.n * b.n * l2.s2 - b.n * b.sy * (l2.a2 + l2.b2) + l2.m2 * b.sy * b.sy AS g2
+         |  FROM base b JOIN lag1 l1 USING (event_type)
+         |  JOIN lag2 l2 USING (event_type) JOIN last2 z USING (event_type)
+         |), r AS (
+         |  SELECT *, CAST(g1 AS DOUBLE) / CAST(g0 AS DOUBLE) AS r1,
+         |         CAST(g2 AS DOUBLE) / CAST(g0 AS DOUBLE) AS r2,
+         |         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar
+         |  FROM j
+         |), p AS (
+         |  SELECT *, round(r1 * (1.0 - r2) / (1.0 - r1 * r1), 9) AS phi1,
+         |         round((r2 - r1 * r1) / (1.0 - r1 * r1), 9) AS phi2
+         |  FROM r
+         |  WHERE n >= 8 AND m1 >= 2 AND m2 >= 2 AND g0 > 0
+         |    AND abs(1.0 - r1 * r1) > 1e-9
+         |)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_days, phi1, phi2,
+         |       round((ybar + phi1 * (CAST(ylast AS DOUBLE) - ybar) +
+         |              phi2 * (CAST(yprev AS DOUBLE) - ybar)) / 100.0, 4) AS forecast_1d
+         |FROM p""".stripMargin)
 }

@@ -452,6 +452,52 @@ object MiningQueries extends QueryPack {
           b2 * col("s2").cast("double")) / (col("n").cast("double") * 100.0), 4)
           .as("intercept"),
         expr(RidgeLambda).as("lambda"))
+    }),
+
+    // One exact coordinate-descent sweep of the two-feature LASSO —
+    // q_ml_ridge's sparsity-inducing sibling (the L1 penalty that a
+    // feature-selection pass runs to find which signals matter at all,
+    // where ridge only shrinks). From β = 0: β1 = S(r1, λ)/a11, then
+    // β2 = S(r2 − β1·a12, λ)/a22 with soft-threshold S(v,λ) =
+    // sign(v)·max(|v|−λ, 0) — the classic closed-form CD update on the
+    // n-scaled centered moments, so it reuses the exact-DECIMAL moment
+    // relation unchanged and needs NO iteration or second data pass.
+    // β1 is round(,9)-pinned before β2 consumes it, so both engines
+    // thread identical coefficients; λ rides the same n²-scale as
+    // RidgeLambda (the dial note there applies verbatim).
+    "q_ml_lasso_cd" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        cents(col("l_quantity")).cast(DecimalType(12, 0)).as("x1"),
+        cents(col("l_discount")).cast(DecimalType(12, 0)).as("x2"),
+        cents(col("l_extendedprice")).cast(DecimalType(14, 0)).as("y"))
+      val m = li.agg(
+        count(lit(1)).cast(DecimalType(10, 0)).as("n"),
+        sum(col("x1")).cast(DecimalType(14, 0)).as("s1"),
+        sum(col("x2")).cast(DecimalType(14, 0)).as("s2"),
+        sum(col("y")).cast(DecimalType(16, 0)).as("sy"),
+        sum(col("x1") * col("x1")).cast(DecimalType(18, 0)).as("s11"),
+        sum(col("x1") * col("x2")).cast(DecimalType(18, 0)).as("s12"),
+        sum(col("x2") * col("x2")).cast(DecimalType(18, 0)).as("s22"),
+        sum(col("x1") * col("y")).cast(DecimalType(22, 0)).as("s1y"),
+        sum(col("x2") * col("y")).cast(DecimalType(22, 0)).as("s2y"))
+      val a11 = (col("n") * col("s11") - col("s1") * col("s1")).cast("double")
+      val a12 = (col("n") * col("s12") - col("s1") * col("s2")).cast("double")
+      val a22 = (col("n") * col("s22") - col("s2") * col("s2")).cast("double")
+      val r1 = (col("n") * col("s1y") - col("s1") * col("sy")).cast("double")
+      val r2 = (col("n") * col("s2y") - col("s2") * col("sy")).cast("double")
+      def soft(v: Column): Column =
+        signum(v) * greatest(abs(v) - expr(LassoLambda), lit(0.0))
+      val b1 = round(soft(r1) / a11, 9)
+      val b2 = round(soft(r2 - b1 * a12) / a22, 9)
+      m.filter(a11 > 0.0 && a22 > 0.0).select(
+        col("n").cast("long").as("n"),
+        b1.as("beta_qty"),
+        b2.as("beta_disc"),
+        ((b1 =!= 0.0).cast("long") + (b2 =!= 0.0).cast("long")).as("nnz"),
+        round((col("sy").cast("double") - b1 * col("s1").cast("double") -
+          b2 * col("s2").cast("double")) / (col("n").cast("double") * 100.0), 4)
+          .as("intercept"),
+        expr(LassoLambda).as("lambda"))
     }))
 
   /** Ridge penalty on the n-scaled centered moment matrix (comparable to
@@ -459,6 +505,13 @@ object MiningQueries extends QueryPack {
     * measured trace — the dial, not the algebra, is scale-dependent).
     */
   val RidgeLambda = "1.0e16"
+
+  /** LASSO soft-threshold level on the same n²-scaled moment scale as
+    * [[RidgeLambda]] — chosen so the weak feature (discount) is driven
+    * exactly to zero at bench SF while the strong one survives, which is
+    * the behavior the operator exists to demonstrate.
+    */
+  val LassoLambda = "1.0e15"
 
   /** The shared Poisson(1) inverse-CDF CASE over the 24-bit draw. */
   private def poissonCase(u: Column): Column = {
@@ -723,6 +776,53 @@ object MiningQueries extends QueryPack {
          |             (CAST(n AS DOUBLE) * 100.0), 4) AS intercept,
          |       $RidgeLambda AS lambda
          |FROM f WHERE a11 * a22 - a12 * a12 <> 0""".stripMargin,
+
+    "q_ml_lasso_cd" ->
+      s"""WITH li AS (
+         |  SELECT CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS DECIMAL(12,0)) AS x1,
+         |         CAST(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS DECIMAL(12,0)) AS x2,
+         |         CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS DECIMAL(14,0)) AS y
+         |  FROM lineitem
+         |), m AS (
+         |  SELECT CAST(count(*) AS DECIMAL(10,0)) AS n,
+         |         CAST(sum(x1) AS DECIMAL(14,0)) AS s1,
+         |         CAST(sum(x2) AS DECIMAL(14,0)) AS s2,
+         |         CAST(sum(y) AS DECIMAL(16,0)) AS sy,
+         |         CAST(sum(x1 * x1) AS DECIMAL(18,0)) AS s11,
+         |         CAST(sum(x1 * x2) AS DECIMAL(18,0)) AS s12,
+         |         CAST(sum(x2 * x2) AS DECIMAL(18,0)) AS s22,
+         |         CAST(sum(x1 * y) AS DECIMAL(22,0)) AS s1y,
+         |         CAST(sum(x2 * y) AS DECIMAL(22,0)) AS s2y
+         |  FROM li
+         |), f AS (
+         |  SELECT n, s1, s2, sy,
+         |         CAST(CAST(n AS HUGEINT) * CAST(s11 AS HUGEINT) -
+         |              CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS DOUBLE) AS a11,
+         |         CAST(CAST(n AS HUGEINT) * CAST(s12 AS HUGEINT) -
+         |              CAST(s1 AS HUGEINT) * CAST(s2 AS HUGEINT) AS DOUBLE) AS a12,
+         |         CAST(CAST(n AS HUGEINT) * CAST(s22 AS HUGEINT) -
+         |              CAST(s2 AS HUGEINT) * CAST(s2 AS HUGEINT) AS DOUBLE) AS a22,
+         |         CAST(CAST(n AS HUGEINT) * CAST(s1y AS HUGEINT) -
+         |              CAST(s1 AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) AS r1,
+         |         CAST(CAST(n AS HUGEINT) * CAST(s2y AS HUGEINT) -
+         |              CAST(s2 AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) AS r2
+         |  FROM m
+         |), b AS (
+         |  SELECT *, round(sign(r1) * greatest(abs(r1) - $LassoLambda, 0.0) / a11, 9) AS b1
+         |  FROM f
+         |), b2t AS (
+         |  SELECT *, round(sign(r2 - b1 * a12) *
+         |                  greatest(abs(r2 - b1 * a12) - $LassoLambda, 0.0) / a22, 9) AS b2
+         |  FROM b
+         |)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |       b1 AS beta_qty, b2 AS beta_disc,
+         |       CAST((CASE WHEN b1 <> 0.0 THEN 1 ELSE 0 END) +
+         |            (CASE WHEN b2 <> 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+         |       round((CAST(sy AS DOUBLE) - b1 * CAST(s1 AS DOUBLE) -
+         |              b2 * CAST(s2 AS DOUBLE)) / (CAST(n AS DOUBLE) * 100.0), 4) AS intercept,
+         |       $LassoLambda AS lambda
+         |FROM b2t WHERE a11 > 0.0 AND a22 > 0.0""".stripMargin,
 
     "q_ml_stump" ->
       s"""WITH ord AS (

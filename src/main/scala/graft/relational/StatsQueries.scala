@@ -505,9 +505,75 @@ object StatsQueries extends QueryPack {
           round(share, 6).as("share"),
           round(benford, 6).as("benford"),
           round(share - benford, 6).as("dev"))
+    }),
+
+    // Spearman rank correlation between quantity and price PER SUPPLIER —
+    // the monotone-association screen Pearson (q_corr) misses when the
+    // relationship is nonlinear. Ranks are average-ranks doubled into
+    // exact integers (2·avgrank = 2·rank_min + ties − 1, so ties never
+    // introduce a .5 float), then Pearson-on-ranks runs through the same
+    // exact DECIMAL moment discipline as q_stats_linreg; doubles only in
+    // the final rho division. Scale shape: the rank windows partition by
+    // l_suppkey — tens of thousands of small independent groups, the
+    // embarrassingly-parallel window shape (no global sort anywhere);
+    // at 100 TB a supplier's lineitems still fit one task by orders of
+    // magnitude. Degenerate groups (n<10 or zero rank variance, i.e. a
+    // column constant within the supplier) are gated out on the exact
+    // decimals so neither engine divides by zero.
+    "q_stats_spearman" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, d, "lineitem").select(col("l_suppkey").as("sk"),
+        cents(col("l_quantity")).as("x"), cents(col("l_extendedprice")).as("y"))
+      def rank2(v: String): Column =
+        (lit(2) * rank().over(Window.partitionBy("sk").orderBy(col(v).asc)) +
+          count(lit(1)).over(Window.partitionBy("sk", v)) - 1)
+          .cast(DecimalType(16, 0))
+      val m = li.select(col("sk"), rank2("x").as("rx"), rank2("y").as("ry"))
+        .groupBy("sk")
+        .agg(count(lit(1)).cast(DecimalType(8, 0)).as("n"),
+          sum(col("rx")).cast(DecimalType(18, 0)).as("sx"),
+          sum(col("ry")).cast(DecimalType(18, 0)).as("sy"),
+          sum(col("rx") * col("ry")).cast(DecimalType(30, 0)).as("sxy"),
+          sum(col("rx") * col("rx")).cast(DecimalType(30, 0)).as("sxx"),
+          sum(col("ry") * col("ry")).cast(DecimalType(30, 0)).as("syy"))
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      m.filter(col("n") >= 10 && vx > 0 && vy > 0)
+        .select(col("sk").as("suppkey"), col("n").cast("long").as("n_items"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(vx.cast("double") * vy.cast("double")), 9).as("rho"))
     }))
 
   override val oracles: Map[String, String] = Map(
+
+    "q_stats_spearman" ->
+      """WITH li AS (
+        |  SELECT l_suppkey AS sk,
+        |         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem
+        |), ranked AS (
+        |  SELECT sk,
+        |         CAST(2 * rank() OVER (PARTITION BY sk ORDER BY x)
+        |              + count(*) OVER (PARTITION BY sk, x) - 1 AS DECIMAL(16,0)) AS rx,
+        |         CAST(2 * rank() OVER (PARTITION BY sk ORDER BY y)
+        |              + count(*) OVER (PARTITION BY sk, y) - 1 AS DECIMAL(16,0)) AS ry
+        |  FROM li
+        |), m AS (
+        |  SELECT sk, CAST(count(*) AS DECIMAL(8,0)) AS n,
+        |         CAST(sum(rx) AS DECIMAL(18,0)) AS sx,
+        |         CAST(sum(ry) AS DECIMAL(18,0)) AS sy,
+        |         CAST(sum(rx * ry) AS DECIMAL(30,0)) AS sxy,
+        |         CAST(sum(rx * rx) AS DECIMAL(30,0)) AS sxx,
+        |         CAST(sum(ry * ry) AS DECIMAL(30,0)) AS syy
+        |  FROM ranked GROUP BY sk
+        |)
+        |SELECT sk AS suppkey, CAST(n AS BIGINT) AS n_items,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |                  CAST(n * syy - sy * sy AS DOUBLE)), 9) AS rho
+        |FROM m
+        |WHERE n >= 10 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin,
 
     "q_stats_chisq" ->
       """WITH cells AS (

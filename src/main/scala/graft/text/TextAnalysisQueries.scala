@@ -21,6 +21,11 @@ object TextAnalysisQueries extends QueryPack {
   /** BPE-ish pre-tokenizer: letter runs, single digits, punctuation runs. */
   val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
 
+  /** Feature-hashing vector width (2^6; production uses 2^18-2^20 — the
+    * same expression with one constant changed).
+    */
+  val FeatureHashBuckets = 64
+
   private def wsTokens(c: Column): Column = split(c, "\\s+")
 
   /** Lowercased letter-only tokens (the reference's cleaning pipeline). */
@@ -471,6 +476,32 @@ object TextAnalysisQueries extends QueryPack {
           count(lit(1)).as("n_shingles"))
     }),
 
+    // Hashing-trick (signed feature hashing) document vectors: token →
+    // bucket h mod 64 with a ±1 sign from the hash's 7th bit, summed per
+    // (doc, bucket) — the vocabulary-FREE featurizer (Weinberger et al.)
+    // that replaces a build-vocab + broadcast-dictionary pass with pure
+    // per-row arithmetic. That is precisely what survives 100 TB: no
+    // driver-side vocabulary, no dictionary join, just one narrow
+    // hash/explode scan into one (doc, bucket)-keyed partial-aggregating
+    // reduce, with the fixed bucket width bounding the output at
+    // docs × 64 whatever the corpus vocabulary does. Zero-sum buckets
+    // (sign cancellation) are dropped on both sides — the sparse-vector
+    // contract. Hash = the portable 60-bit md5 (Shingles.hash60), never
+    // an engine-seeded murmur.
+    "text_feature_hash" -> ((s, d) => {
+      import graft.dedup.Shingles
+      docs(s, d)
+        .select(col("doc_id"), explode(cleanTokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .select(col("doc_id"), Shingles.hash60(col("tok")).as("h"))
+        .select(col("doc_id"), (col("h") % FeatureHashBuckets).cast("int").as("bucket"),
+          when(expr(s"(h div $FeatureHashBuckets) % 2") === 0, 1L)
+            .otherwise(-1L).as("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(sum(col("sgn")).as("w"))
+        .filter(col("w") =!= 0)
+    }),
+
     // The COMPOSED C4-style cleaning pipeline — what a training-data run
     // actually executes: language gate (stopword-hit heuristic) + quality
     // gate + exact dedup (keep min doc_id), one narrow scoring scan and
@@ -831,6 +862,20 @@ object TextAnalysisQueries extends QueryPack {
          |SELECT doc_id, min(h) AS fingerprint,
          |       count(*) AS n_shingles
          |FROM sh GROUP BY doc_id""".stripMargin,
+
+    "text_feature_hash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS tok
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, ${graft.dedup.Shingles.hash60Sql("tok")} AS h
+         |  FROM toks WHERE tok <> ''
+         |)
+         |SELECT doc_id, CAST(h % $FeatureHashBuckets AS INTEGER) AS bucket,
+         |       CAST(sum(CASE WHEN (h // $FeatureHashBuckets) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w
+         |FROM h GROUP BY 1, 2
+         |HAVING sum(CASE WHEN (h // $FeatureHashBuckets) % 2 = 0 THEN 1 ELSE -1 END) <> 0""".stripMargin,
 
     "text_clean_pipeline" ->
       s"""WITH m AS (
