@@ -30,6 +30,7 @@ object SparkEntry {
     relational.DtwQueries,
     relational.StatsQueries,
     relational.MiningQueries,
+    relational.ModelPrepQueries,
     dedup.DedupQueries,
     sim.SimilarityQueries,
     sketch.SketchQueries,

@@ -1,0 +1,572 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{CacheScope, QueryPack, Tables}
+
+/** Model-preparation operators: the steps a training pipeline runs BETWEEN
+  * raw data and a fitted model — k-fold cross-validation, conformal
+  * prediction intervals, mutual-information feature ranking, rank-based
+  * group comparison (Kruskal–Wallis), and Fellegi–Sunter record-linkage
+  * scoring (the probabilistic entity-resolution step that decides whether
+  * two source systems describe the same entity before their rows are
+  * merged into one training example).
+  *
+  * Scale discipline (same as [[MiningQueries]]): exact integer cents /
+  * counts through DECIMAL aggregation (order-independent), scalar algebra
+  * on the resulting aggregates in IEEE doubles with identical expression
+  * shape on both engines, round-pinned before anything downstream consumes
+  * a coefficient. No query materializes a per-row rank or sorts a
+  * whole relation: the conformal quantile comes from an iterative radix
+  * selection whose per-level relations are bounded by VALUE RANGE (≤4096
+  * buckets), not row count.
+  */
+object ModelPrepQueries extends QueryPack {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  private def cents(c: Column): Column =
+    (c.cast(DecimalType(12, 2)) * 100).cast("long")
+
+  private def dd(c: Column): Column = c.cast("double")
+
+  /** CV fold count (q_ml_cvfolds). */
+  val CvFolds = 5
+
+  /** Conformal miscoverage level: intervals target 1 − Alpha = 90%. */
+  val ConformalAlphaPct = 10
+
+  /** Fellegi–Sunter m-probabilities (P(field agrees | true match)) for the
+    * three comparison fields — standard literature dials; u-probabilities
+    * are estimated from the data (random-agreement rates), which is what
+    * makes rare-value agreement worth more than common-value agreement.
+    */
+  val FsM1 = 0.95 // name-id field
+  val FsM2 = 0.80 // balance band
+  val FsM3 = 0.90 // balance sign
+
+  /** Minimum log-likelihood-ratio score for a pair to be emitted as a
+    * linkage candidate: 0 = "evidence favors match over non-match".
+    */
+  val FsScoreFloor = 0.0
+
+  /** The shared (x = quantity cents, y = extendedprice cents, fold) design
+    * relation for the CV / conformal queries. Folds hash on l_orderkey —
+    * a stable, engine-portable split key (pure modulus, no seeded RNG).
+    */
+  private def design(s: SparkSession, d: String, folds: Int): DataFrame =
+    t(s, d, "lineitem").select(
+      (col("l_orderkey") % folds).as("fold"),
+      cents(col("l_quantity")).as("x"),
+      cents(col("l_extendedprice")).as("y"))
+
+  /** Exact per-fold moment relation: everything any least-squares algebra
+    * downstream needs, one scan, order-independent DECIMAL sums.
+    */
+  private def foldMoments(li: DataFrame): DataFrame =
+    li.groupBy("fold").agg(
+      count(lit(1)).cast(DecimalType(12, 0)).as("n"),
+      sum(col("x")).cast(DecimalType(18, 0)).as("sx"),
+      sum(col("y")).cast(DecimalType(20, 0)).as("sy"),
+      sum(col("x") * col("x")).cast(DecimalType(24, 0)).as("sxx"),
+      sum(col("x") * col("y")).cast(DecimalType(28, 0)).as("sxy"),
+      sum(col("y") * col("y")).cast(DecimalType(30, 0)).as("syy"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // k-fold cross-validation of the price~quantity regression in ONE
+    // data pass — no per-fold re-scan, no model-fit loop. The trick is
+    // moment subtraction: the per-fold exact moment relation (5 rows)
+    // plus its own total gives every fold's TRAINING moments as
+    // (total − fold), and the held-out SSE needs no second pass either,
+    // because Σ(y−a−bx)² expands into the SAME six held-out moments:
+    // syy − 2a·sy − 2b·sxy + 2ab·sx + a²n + b²sxx. At 100 TB this is
+    // exactly one scan + algebra on a 5-row relation; a naive CV loop
+    // would be k scans and k fits. β/α are round(,9)-pinned before the
+    // SSE expansion so both engines expand with identical coefficients.
+    "q_ml_cvfolds" -> ((s, d) => {
+      val pf = foldMoments(design(s, d, CvFolds))
+      val tot = pf.agg(
+        sum(col("n")).cast(DecimalType(14, 0)).as("tn"),
+        sum(col("sx")).cast(DecimalType(20, 0)).as("tsx"),
+        sum(col("sy")).cast(DecimalType(22, 0)).as("tsy"),
+        sum(col("sxx")).cast(DecimalType(26, 0)).as("tsxx"),
+        sum(col("sxy")).cast(DecimalType(30, 0)).as("tsxy"))
+      val j = pf.crossJoin(broadcast(tot))
+      def tr(total: String, f: String) = dd(col(total)) - dd(col(f))
+      val (rn, rsx, rsy, rsxx, rsxy) =
+        (tr("tn", "n"), tr("tsx", "sx"), tr("tsy", "sy"),
+          tr("tsxx", "sxx"), tr("tsxy", "sxy"))
+      val b = round((rn * rsxy - rsx * rsy) / (rn * rsxx - rsx * rsx), 9)
+      val a = round((rsy - b * rsx) / rn, 9)
+      val sse = dd(col("syy")) - lit(2.0) * a * dd(col("sy")) -
+        lit(2.0) * b * dd(col("sxy")) + lit(2.0) * a * b * dd(col("sx")) +
+        a * a * dd(col("n")) + b * b * dd(col("sxx"))
+      j.select(col("fold"),
+          col("n").cast("long").as("n_test"),
+          b.as("beta"),
+          round(a / 100.0, 6).as("intercept_usd"),
+          round(sqrt(greatest(sse, lit(0.0)) / dd(col("n"))) / 100.0, 4)
+            .as("rmse_usd"))
+    }),
+
+    // Split-conformal 90% prediction interval for the same regression:
+    // fit on fold 0, calibrate on fold 1 (q̂ = the ⌈0.9(n+1)⌉-th smallest
+    // absolute residual), report empirical coverage on fold 2 — the
+    // distribution-free interval a serving layer attaches to point
+    // predictions. Residuals are EXACT int64 (y·10⁹ − a₉ − b₉·x with the
+    // coefficients pinned to integer 1e-9-cent scale), so the order
+    // statistic is over integers and can never tie-break differently
+    // across engines. The quantile itself uses radix selection — five
+    // rounds of (filter, group by value div 2^s, bounded prefix-sum
+    // join), each level's bucket relation capped at 4096 rows BY VALUE
+    // RANGE regardless of corpus size, with the rank offset carried as a
+    // broadcast 1-row state. No global sort, no window, no per-row rank
+    // ever materializes: this is how a k-th order statistic survives
+    // 100 TB. (The bounded TakeOrdered(1) per level picks the threshold
+    // bucket from ≤4096 candidates.)
+    "q_ml_conformal" -> ((s, d) => {
+      val li = design(s, d, 3)
+      val m0 = foldMoments(li.filter(col("fold") === 0)).drop("fold")
+      val bRaw = (dd(col("n")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) /
+        (dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx")))
+      val coef0 = m0.select(
+        col("n").cast("long").as("n_train"),
+        round(bRaw * 1e9, 0).cast("long").as("b9"))
+      val coef = coef0.crossJoin(broadcast(m0.select(
+          dd(col("sy")).as("dsy"), dd(col("sx")).as("dsx"), dd(col("n")).as("dn"))))
+        .select(col("n_train"), col("b9"),
+          round(((col("dsy") - (dd(col("b9")) / 1e9) * col("dsx")) / col("dn")) * 1e9, 0)
+            .cast("long").as("a9"))
+      val resid = li.filter(col("fold") === 1)
+        .crossJoin(broadcast(coef))
+        .select(abs(col("y") * lit(1000000000L) - col("a9") -
+          col("b9") * col("x")).as("r"))
+        .transform(CacheScope.persisted(_))
+      val kRow = resid.agg(count(lit(1)).as("n_cal"))
+        .select(col("n_cal"),
+          least(expr("(9 * (n_cal + 1) + 9) div 10"), col("n_cal")).as("kk"),
+          lit(0L).as("pfx"))
+      // Radix selection: shifts 60 (vacuous prefix) -> 48/36/24/12/0.
+      var st = kRow
+      var prev = 60
+      for (sh <- Seq(48, 36, 24, 12, 0)) {
+        val stb = broadcast(st)
+        val cnt = resid.crossJoin(stb)
+          .filter(expr(s"r div ${1L << prev}") === col("pfx"))
+          .groupBy(expr(s"r div ${1L << sh}").as("b"))
+          .agg(count(lit(1)).as("t"))
+        val cum = cnt.as("x").join(cnt.as("o"), col("o.b") < col("x.b"), "left")
+          .groupBy(col("x.b").as("b"))
+          .agg(max(col("x.t")).as("t"),
+            coalesce(sum(col("o.t")), lit(0L)).as("base"))
+        st = cum.crossJoin(stb)
+          .filter(col("base") + col("t") >= col("kk"))
+          .orderBy(col("b"))
+          .limit(1)
+          .select(col("n_cal"), (col("kk") - col("base")).as("kk"),
+            col("b").as("pfx"))
+        prev = sh
+      }
+      val qhat = st.select(col("n_cal"), col("pfx").as("qhat9"))
+      val scored = li.filter(col("fold") === 2)
+        .crossJoin(broadcast(coef.crossJoin(broadcast(qhat))))
+      scored.groupBy("n_train", "n_cal", "b9", "qhat9")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(abs(col("y") * lit(1000000000L) - col("a9") -
+            col("b9") * col("x")) <= col("qhat9"), 1L).otherwise(0L)).as("cov"))
+        .select(col("n_train"), col("n_cal"), col("n_test"),
+          round(dd(col("b9")) / 1e9, 9).as("beta"),
+          round(dd(col("qhat9")) / 1e11, 4).as("qhat_usd"),
+          round(dd(col("cov")) / dd(col("n_test")), 6).as("coverage"))
+    }),
+
+    // Kruskal–Wallis H across event types on the daily series — the
+    // rank-based complement of q_stats_anova (one whale day cannot drag
+    // the verdict). Pooled average ranks come from the per-distinct-value
+    // relation + strictly-less prefix bases (the q_stats_mannwhitney
+    // doubled-rank discipline: 2·r̄(v) = 2·C(v⁻) + t + 1 is always
+    // integer), so no per-row rank exists; every relation here is
+    // calendar-bounded (types × days) whatever the corpus size. The ≤5
+    // per-group R²/n terms are round(,9)-pinned into an exact DECIMAL
+    // fold before the single H expression, so group summation order can
+    // never flip the hash.
+    "q_stats_kruskal" -> ((s, d) => {
+      val daily = TimeSeriesQueries.dailyOf(t(s, d, "events"))
+        .transform(CacheScope.persisted(_))
+      val perv = daily.groupBy(col("c")).agg(count(lit(1)).as("t"))
+      val bases = graft.text.TextAnalysisQueries.prefixBases(perv, "c", desc = false)
+      val pergv = daily.groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).as("tg"))
+      val r2 = pergv.join(perv, "c").join(bases, "c")
+        .withColumn("r2v", lit(2L) * col("base") + col("t") + 1)
+      val grp = r2.groupBy("event_type")
+        .agg(sum(col("tg")).as("n_g"),
+          sum(col("tg") * col("r2v")).as("r2sum"))
+        .withColumn("term",
+          round(dd(col("r2sum")) * dd(col("r2sum")) / dd(col("n_g")), 9)
+            .cast(DecimalType(28, 9)))
+      val ties = perv.agg(
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      val glob = grp.agg(sum(col("n_g")).as("nn"),
+          count(lit(1)).as("n_groups"),
+          sum(col("term")).cast(DecimalType(32, 9)).as("tsum"))
+        .crossJoin(broadcast(ties))
+      val h = lit(3.0) * dd(col("tsum")) /
+        (dd(col("nn")) * (dd(col("nn")) + 1.0)) -
+        lit(3.0) * (dd(col("nn")) + 1.0)
+      val corr = lit(1.0) - dd(col("ties")) /
+        (dd(col("nn")) * dd(col("nn")) * dd(col("nn")) - dd(col("nn")))
+      val hRow = glob.select(col("nn").cast("long").as("n_obs"),
+        col("n_groups"), round(h, 6).as("h_stat"),
+        round(h / corr, 6).as("h_tie"))
+      grp.select(col("event_type"), col("n_g").cast("long").as("n_days"),
+          round(dd(col("r2sum")) / (lit(2.0) * dd(col("n_g"))), 6).as("mean_rank"))
+        .crossJoin(broadcast(hRow))
+    }),
+
+    // Mutual information between two candidate features (quantity decade,
+    // discount band) and the return-flag label — the model-free feature
+    // ranking a pipeline runs before committing training columns. Each
+    // feature is one tiny contingency aggregation (cells bounded by the
+    // feature domain × label domain, corpus-size-free); per-cell
+    // c·ln(cN/(c_x·c_y)) terms are round(,9)-pinned into an exact DECIMAL
+    // fold. Buckets are integer (floor on non-negative ints), so binning
+    // is engine-exact.
+    "q_ml_mutual_info" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) div 1000")
+          .as("f_qty_decade"),
+        expr("CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) div 2")
+          .as("f_disc_band"),
+        col("l_returnflag").as("lbl"))
+        .transform(CacheScope.persisted(_))
+      def miOf(fcol: String, tag: String): DataFrame = {
+        val cells = li.groupBy(col(fcol).as("fv"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        val mx = cells.groupBy("fv").agg(sum(col("c")).as("cx"))
+        val my = cells.groupBy("lbl").agg(sum(col("c")).as("cy"))
+        val nn = cells.agg(sum(col("c")).as("nn"))
+        cells.join(mx, "fv").join(broadcast(my), "lbl")
+          .crossJoin(broadcast(nn))
+          .select(round(dd(col("c")) *
+              log(dd(col("c")) * dd(col("nn")) / (dd(col("cx")) * dd(col("cy")))), 9)
+              .cast(DecimalType(28, 9)).as("term"),
+            col("nn"))
+          .groupBy("nn")
+          .agg(count(lit(1)).as("n_cells"),
+            sum(col("term")).cast(DecimalType(32, 9)).as("tsum"))
+          .select(lit(tag).as("feature"), col("n_cells"),
+            round(dd(col("tsum")) / dd(col("nn")), 9).as("mi_nats"))
+      }
+      miOf("f_qty_decade", "qty_decade")
+        .unionByName(miOf("f_disc_band", "disc_band"))
+    }),
+
+    // Fellegi–Sunter record-linkage scoring between customer and supplier
+    // "source systems": blocked candidate pairs, per-field agreement
+    // log-likelihood-ratio weights with DATA-ESTIMATED u-probabilities
+    // (random-agreement rates — agreeing on a rare name-id is worth more
+    // than agreeing on a common balance band), fixed literature
+    // m-probability dials. Blocking is an equi-join on (nation, $500
+    // balance band), so candidate generation is bucketed — never
+    // all-pairs; production adds blocking fields to hold bucket sizes,
+    // the documented dial. Balances shift by +$1000 before banding so
+    // integer division stays on non-negative operands (floor ≡ truncate
+    // in both engines). The u-estimates are exact count ratios; weights
+    // are round(,9)-pinned scalars broadcast to the pair scan.
+    "q_er_fellegi" -> ((s, d) => {
+      def side(df: DataFrame, k: String, nk: String, ab: String) = df
+        .select(col(k).as("key"), col(nk).as("nation"),
+          (col(k) % 100).as("id2"), cents(col(ab)).as("abc"))
+        .select(col("key"), col("nation"), col("id2"),
+          // +$1000 shift keeps the dividend non-negative, so truncating
+          // `div` equals floor in both engines
+          expr("(abc + 100000) div 50000").as("band5"),
+          expr("(abc + 100000) div 10000").as("band1"),
+          (col("abc") < 0).cast("int").as("neg"))
+      val cust = side(t(s, d, "customer"), "c_custkey", "c_nationkey", "c_acctbal")
+        .transform(CacheScope.persisted(_))
+      val supp = side(t(s, d, "supplier"), "s_suppkey", "s_nationkey", "s_acctbal")
+        .transform(CacheScope.persisted(_))
+      def uOf(f: String, alias: String): DataFrame = {
+        val cc = cust.groupBy(col(f)).agg(count(lit(1)).as("cc"))
+        val sc = supp.groupBy(col(f)).agg(count(lit(1)).as("sc"))
+        val ns = cust.agg(count(lit(1)).as("ncu"))
+          .crossJoin(supp.agg(count(lit(1)).as("nsu")))
+        cc.join(sc, f)
+          .agg(sum(col("cc") * col("sc")).as("hits"))
+          .crossJoin(broadcast(ns))
+          .select((dd(coalesce(col("hits"), lit(0L))) /
+            (dd(col("ncu")) * dd(col("nsu")))).as(alias))
+      }
+      def wa(m: Double, u: Column) =
+        round(log(lit(m) / least(greatest(u, lit(1e-9)), lit(1.0 - 1e-9))), 9)
+      def wd(m: Double, u: Column) =
+        round(log(lit(1.0 - m) /
+          (lit(1.0) - least(greatest(u, lit(1e-9)), lit(1.0 - 1e-9)))), 9)
+      val w = uOf("id2", "u1").crossJoin(uOf("band1", "u2"))
+        .crossJoin(uOf("neg", "u3"))
+        .select(
+          wa(FsM1, col("u1")).as("w1a"), wd(FsM1, col("u1")).as("w1d"),
+          wa(FsM2, col("u2")).as("w2a"), wd(FsM2, col("u2")).as("w2d"),
+          wa(FsM3, col("u3")).as("w3a"), wd(FsM3, col("u3")).as("w3d"))
+      val pairs = cust.as("c").join(supp.as("s"),
+        col("c.nation") === col("s.nation") && col("c.band5") === col("s.band5"))
+      pairs.crossJoin(broadcast(w))
+        .select(col("c.key").as("custkey"), col("s.key").as("suppkey"),
+          col("c.nation").as("nationkey"),
+          (col("c.id2") === col("s.id2")).cast("int").as("agree_id"),
+          (col("c.band1") === col("s.band1")).cast("int").as("agree_band"),
+          (col("c.neg") === col("s.neg")).cast("int").as("agree_sign"),
+          round(
+            when(col("c.id2") === col("s.id2"), col("w1a")).otherwise(col("w1d")) +
+            when(col("c.band1") === col("s.band1"), col("w2a")).otherwise(col("w2d")) +
+            when(col("c.neg") === col("s.neg"), col("w3a")).otherwise(col("w3d")), 6)
+            .as("score"))
+        .filter(col("score") >= FsScoreFloor)
+    }))
+
+  private val DesignSql =
+    """SELECT l_orderkey %% %d AS fold,
+      |       CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+      |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+      |FROM lineitem""".stripMargin
+
+  private val MomentsSql =
+    """SELECT fold, CAST(count(*) AS DECIMAL(12,0)) AS n,
+      |       CAST(sum(x) AS DECIMAL(18,0)) AS sx,
+      |       CAST(sum(y) AS DECIMAL(20,0)) AS sy,
+      |       CAST(sum(x * x) AS DECIMAL(24,0)) AS sxx,
+      |       CAST(sum(x * y) AS DECIMAL(28,0)) AS sxy,
+      |       CAST(sum(y * y) AS DECIMAL(30,0)) AS syy
+      |FROM li GROUP BY fold""".stripMargin
+
+  override val oracles: Map[String, String] = Map(
+
+    "q_ml_cvfolds" ->
+      s"""WITH li AS (${DesignSql.format(CvFolds)}),
+         |pf AS ($MomentsSql),
+         |tot AS (
+         |  SELECT CAST(sum(n) AS DECIMAL(14,0)) AS tn,
+         |         CAST(sum(sx) AS DECIMAL(20,0)) AS tsx,
+         |         CAST(sum(sy) AS DECIMAL(22,0)) AS tsy,
+         |         CAST(sum(sxx) AS DECIMAL(26,0)) AS tsxx,
+         |         CAST(sum(sxy) AS DECIMAL(30,0)) AS tsxy
+         |  FROM pf
+         |), j AS (
+         |  SELECT pf.*,
+         |         CAST(tn AS DOUBLE) - CAST(n AS DOUBLE) AS rn,
+         |         CAST(tsx AS DOUBLE) - CAST(sx AS DOUBLE) AS rsx,
+         |         CAST(tsy AS DOUBLE) - CAST(sy AS DOUBLE) AS rsy,
+         |         CAST(tsxx AS DOUBLE) - CAST(sxx AS DOUBLE) AS rsxx,
+         |         CAST(tsxy AS DOUBLE) - CAST(sxy AS DOUBLE) AS rsxy
+         |  FROM pf, tot
+         |), co AS (
+         |  SELECT *, round((rn * rsxy - rsx * rsy) / (rn * rsxx - rsx * rsx), 9) AS b
+         |  FROM j
+         |), co2 AS (
+         |  SELECT *, round((rsy - b * rsx) / rn, 9) AS a FROM co
+         |)
+         |SELECT fold, CAST(n AS BIGINT) AS n_test, b AS beta,
+         |       round(a / 100.0, 6) AS intercept_usd,
+         |       round(sqrt(greatest(
+         |         CAST(syy AS DOUBLE) - 2.0 * a * CAST(sy AS DOUBLE) -
+         |         2.0 * b * CAST(sxy AS DOUBLE) + 2.0 * a * b * CAST(sx AS DOUBLE) +
+         |         a * a * CAST(n AS DOUBLE) + b * b * CAST(sxx AS DOUBLE),
+         |         0.0) / CAST(n AS DOUBLE)) / 100.0, 4) AS rmse_usd
+         |FROM co2""".stripMargin,
+
+    "q_ml_conformal" ->
+      s"""WITH li AS (${DesignSql.format(3)}),
+         |m0 AS (
+         |  SELECT CAST(count(*) AS DECIMAL(12,0)) AS n,
+         |         CAST(sum(x) AS DECIMAL(18,0)) AS sx,
+         |         CAST(sum(y) AS DECIMAL(20,0)) AS sy,
+         |         CAST(sum(x * x) AS DECIMAL(24,0)) AS sxx,
+         |         CAST(sum(x * y) AS DECIMAL(28,0)) AS sxy
+         |  FROM li WHERE fold = 0
+         |), coef AS (
+         |  SELECT CAST(n AS BIGINT) AS n_train,
+         |         CAST(round(
+         |           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |            CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |           (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e9, 0) AS BIGINT) AS b9,
+         |         CAST(sy AS DOUBLE) AS dsy, CAST(sx AS DOUBLE) AS dsx,
+         |         CAST(n AS DOUBLE) AS dn
+         |  FROM m0
+         |), coef2 AS (
+         |  SELECT n_train, b9,
+         |         CAST(round(((dsy - (CAST(b9 AS DOUBLE) / 1e9) * dsx) / dn) * 1e9, 0)
+         |              AS BIGINT) AS a9
+         |  FROM coef
+         |), cal AS (
+         |  SELECT abs(y * 1000000000 - a9 - b9 * x) AS r
+         |  FROM li, coef2 WHERE fold = 1
+         |), k AS (
+         |  SELECT count(*) AS n_cal,
+         |         least((9 * (count(*) + 1) + 9) // 10, count(*)) AS kk
+         |  FROM cal
+         |), q AS (
+         |  SELECT min(r) AS qhat9 FROM (
+         |    SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal
+         |  ) WHERE rn = (SELECT kk FROM k)
+         |)
+         |SELECT n_train, (SELECT n_cal FROM k) AS n_cal,
+         |       count(*) AS n_test,
+         |       round(CAST(b9 AS DOUBLE) / 1e9, 9) AS beta,
+         |       round(CAST(qhat9 AS DOUBLE) / 1e11, 4) AS qhat_usd,
+         |       round(CAST(sum(CASE WHEN abs(y * 1000000000 - a9 - b9 * x) <= qhat9
+         |                           THEN 1 ELSE 0 END) AS DOUBLE) /
+         |             CAST(count(*) AS DOUBLE), 6) AS coverage
+         |FROM li, coef2, q WHERE fold = 2
+         |GROUP BY n_train, b9, qhat9""".stripMargin,
+
+    "q_stats_kruskal" ->
+      s"""WITH daily AS (${graft.relational.TimeSeriesQueries.DailySql}),
+         |perv AS (SELECT c, count(*) AS t FROM daily GROUP BY 1),
+         |bases AS (
+         |  SELECT b.c, coalesce(sum(o.t), 0) AS base
+         |  FROM perv b LEFT JOIN perv o ON o.c < b.c GROUP BY 1
+         |), pergv AS (
+         |  SELECT event_type, c, count(*) AS tg FROM daily GROUP BY 1, 2
+         |), r2 AS (
+         |  SELECT g.event_type, g.tg, 2 * bs.base + p.t + 1 AS r2v
+         |  FROM pergv g JOIN perv p USING (c) JOIN bases bs USING (c)
+         |), grp AS (
+         |  SELECT event_type, sum(tg) AS n_g, sum(tg * r2v) AS r2sum,
+         |         CAST(round(CAST(sum(tg * r2v) AS DOUBLE) *
+         |                    CAST(sum(tg * r2v) AS DOUBLE) /
+         |                    CAST(sum(tg) AS DOUBLE), 9) AS DECIMAL(28,9)) AS term
+         |  FROM r2 GROUP BY 1
+         |), ties AS (
+         |  SELECT sum(t * t * t - t) AS ties FROM perv
+         |), gstat AS (
+         |  SELECT sum(n_g) AS nn, count(*) AS n_groups,
+         |         CAST(sum(term) AS DECIMAL(32,9)) AS tsum,
+         |         (SELECT ties FROM ties) AS ties
+         |  FROM grp
+         |), hrow AS (
+         |  SELECT CAST(nn AS BIGINT) AS n_obs, n_groups,
+         |         round(3.0 * CAST(tsum AS DOUBLE) /
+         |               (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)) -
+         |               3.0 * (CAST(nn AS DOUBLE) + 1.0), 6) AS h_stat,
+         |         round((3.0 * CAST(tsum AS DOUBLE) /
+         |                (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)) -
+         |                3.0 * (CAST(nn AS DOUBLE) + 1.0)) /
+         |               (1.0 - CAST(ties AS DOUBLE) /
+         |                (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) -
+         |                 CAST(nn AS DOUBLE))), 6) AS h_tie
+         |  FROM gstat
+         |)
+         |SELECT g.event_type, CAST(g.n_g AS BIGINT) AS n_days,
+         |       round(CAST(g.r2sum AS DOUBLE) / (2.0 * CAST(g.n_g AS DOUBLE)), 6)
+         |         AS mean_rank,
+         |       h.n_obs, h.n_groups, h.h_stat, h.h_tie
+         |FROM grp g, hrow h""".stripMargin,
+
+    "q_ml_mutual_info" ->
+      """WITH li AS (
+        |  SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) // 1000
+        |           AS f_qty_decade,
+        |         CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) // 2
+        |           AS f_disc_band,
+        |         l_returnflag AS lbl
+        |  FROM lineitem
+        |), mi1 AS (
+        |  WITH cells AS (
+        |    SELECT f_qty_decade AS fv, lbl, count(*) AS c FROM li GROUP BY 1, 2
+        |  ), mx AS (SELECT fv, sum(c) AS cx FROM cells GROUP BY 1),
+        |  my AS (SELECT lbl, sum(c) AS cy FROM cells GROUP BY 1),
+        |  nn AS (SELECT sum(c) AS nn FROM cells)
+        |  SELECT 'qty_decade' AS feature, count(*) AS n_cells,
+        |         round(CAST(CAST(sum(CAST(round(CAST(c AS DOUBLE) *
+        |             ln(CAST(c AS DOUBLE) * CAST(nn.nn AS DOUBLE) /
+        |                (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 9)
+        |             AS DECIMAL(28,9))) AS DECIMAL(32,9)) AS DOUBLE) /
+        |           CAST(max(nn.nn) AS DOUBLE), 9) AS mi_nats
+        |  FROM cells JOIN mx USING (fv) JOIN my USING (lbl), nn
+        |), mi2 AS (
+        |  WITH cells AS (
+        |    SELECT f_disc_band AS fv, lbl, count(*) AS c FROM li GROUP BY 1, 2
+        |  ), mx AS (SELECT fv, sum(c) AS cx FROM cells GROUP BY 1),
+        |  my AS (SELECT lbl, sum(c) AS cy FROM cells GROUP BY 1),
+        |  nn AS (SELECT sum(c) AS nn FROM cells)
+        |  SELECT 'disc_band' AS feature, count(*) AS n_cells,
+        |         round(CAST(CAST(sum(CAST(round(CAST(c AS DOUBLE) *
+        |             ln(CAST(c AS DOUBLE) * CAST(nn.nn AS DOUBLE) /
+        |                (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 9)
+        |             AS DECIMAL(28,9))) AS DECIMAL(32,9)) AS DOUBLE) /
+        |           CAST(max(nn.nn) AS DOUBLE), 9) AS mi_nats
+        |  FROM cells JOIN mx USING (fv) JOIN my USING (lbl), nn
+        |)
+        |SELECT * FROM mi1 UNION ALL SELECT * FROM mi2""".stripMargin,
+
+    "q_er_fellegi" ->
+      s"""WITH cust AS (
+         |  SELECT c_custkey AS key, c_nationkey AS nation,
+         |         c_custkey % 100 AS id2,
+         |         (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000)
+         |           // 50000 AS band5,
+         |         (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000)
+         |           // 10000 AS band1,
+         |         CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) < 0
+         |              AS INTEGER) AS neg
+         |  FROM customer
+         |), supp AS (
+         |  SELECT s_suppkey AS key, s_nationkey AS nation,
+         |         s_suppkey % 100 AS id2,
+         |         (CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000)
+         |           // 50000 AS band5,
+         |         (CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000)
+         |           // 10000 AS band1,
+         |         CAST(CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) < 0
+         |              AS INTEGER) AS neg
+         |  FROM supplier
+         |), u1 AS (
+         |  SELECT CAST(coalesce(sum(cc * sc), 0) AS DOUBLE) /
+         |         ((SELECT CAST(count(*) AS DOUBLE) FROM cust) *
+         |          (SELECT CAST(count(*) AS DOUBLE) FROM supp)) AS u
+         |  FROM (SELECT id2, count(*) AS cc FROM cust GROUP BY 1) c
+         |  JOIN (SELECT id2, count(*) AS sc FROM supp GROUP BY 1) s USING (id2)
+         |), u2 AS (
+         |  SELECT CAST(coalesce(sum(cc * sc), 0) AS DOUBLE) /
+         |         ((SELECT CAST(count(*) AS DOUBLE) FROM cust) *
+         |          (SELECT CAST(count(*) AS DOUBLE) FROM supp)) AS u
+         |  FROM (SELECT band1, count(*) AS cc FROM cust GROUP BY 1) c
+         |  JOIN (SELECT band1, count(*) AS sc FROM supp GROUP BY 1) s USING (band1)
+         |), u3 AS (
+         |  SELECT CAST(coalesce(sum(cc * sc), 0) AS DOUBLE) /
+         |         ((SELECT CAST(count(*) AS DOUBLE) FROM cust) *
+         |          (SELECT CAST(count(*) AS DOUBLE) FROM supp)) AS u
+         |  FROM (SELECT neg, count(*) AS cc FROM cust GROUP BY 1) c
+         |  JOIN (SELECT neg, count(*) AS sc FROM supp GROUP BY 1) s USING (neg)
+         |), w AS (
+         |  SELECT
+         |    round(ln($FsM1 / least(greatest(u1.u, 1e-9), 1.0 - 1e-9)), 9) AS w1a,
+         |    round(ln(${1.0 - FsM1} /
+         |          (1.0 - least(greatest(u1.u, 1e-9), 1.0 - 1e-9))), 9) AS w1d,
+         |    round(ln($FsM2 / least(greatest(u2.u, 1e-9), 1.0 - 1e-9)), 9) AS w2a,
+         |    round(ln(${1.0 - FsM2} /
+         |          (1.0 - least(greatest(u2.u, 1e-9), 1.0 - 1e-9))), 9) AS w2d,
+         |    round(ln($FsM3 / least(greatest(u3.u, 1e-9), 1.0 - 1e-9)), 9) AS w3a,
+         |    round(ln(${1.0 - FsM3} /
+         |          (1.0 - least(greatest(u3.u, 1e-9), 1.0 - 1e-9))), 9) AS w3d
+         |  FROM u1, u2, u3
+         |)
+         |SELECT c.key AS custkey, s.key AS suppkey, c.nation AS nationkey,
+         |       CAST(c.id2 = s.id2 AS INTEGER) AS agree_id,
+         |       CAST(c.band1 = s.band1 AS INTEGER) AS agree_band,
+         |       CAST(c.neg = s.neg AS INTEGER) AS agree_sign,
+         |       round((CASE WHEN c.id2 = s.id2 THEN w1a ELSE w1d END) +
+         |             (CASE WHEN c.band1 = s.band1 THEN w2a ELSE w2d END) +
+         |             (CASE WHEN c.neg = s.neg THEN w3a ELSE w3d END), 6) AS score
+         |FROM cust c JOIN supp s ON c.nation = s.nation AND c.band5 = s.band5, w
+         |WHERE (CASE WHEN c.id2 = s.id2 THEN w1a ELSE w1d END) +
+         |      (CASE WHEN c.band1 = s.band1 THEN w2a ELSE w2d END) +
+         |      (CASE WHEN c.neg = s.neg THEN w3a ELSE w3d END) >= $FsScoreFloor
+         |""".stripMargin)
+}
