@@ -33,6 +33,7 @@ object SparkEntry {
     relational.ModelPrepQueries,
     dedup.DedupQueries,
     sim.SimilarityQueries,
+    sim.SelectionQueries,
     sketch.SketchQueries,
     layout.LayoutQueries,
     sources.FormatQueries,

@@ -302,7 +302,102 @@ object DtwQueries extends QueryPack {
           phi1.as("phi1"), phi2.as("phi2"),
           round((ybar + phi1 * (dd(col("ylast")) - ybar) +
             phi2 * (dd(col("yprev")) - ybar)) / 100.0, 4).as("forecast_1d"))
+    }),
+
+    // Unnormalized Haar wavelet decomposition of the first 16 days of
+    // each type's daily series — the multi-resolution feature a series
+    // compressor or anomaly localizer extracts (which SCALE carries the
+    // energy: day-pair jitter vs week-over-week drift). Integer Haar
+    // (a = x₀+x₁, d = x₀−x₁ per pair, recursing on the approximations)
+    // keeps every coefficient an exact int64, so the pyramid is
+    // engine-exact with zero float anywhere. The series rides the same
+    // dense-position array as q_ts_dtw (collect per type, calendar-
+    // bounded); the four levels are fixed-size array transforms — one
+    // narrow map per type, no shuffle beyond the daily aggregation.
+    "q_ts_haar" -> ((s, d) => {
+      val daily = dailyOf(t(s, d, "events"))
+      val series = daily.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("c")))).as("dp"))
+        .select(col("event_type"), expr("transform(dp, p -> p.c)").as("xs"))
+        .filter(size(col("xs")) >= HaarN)
+        .select(col("event_type"), expr(s"slice(xs, 1, $HaarN)").as("a0"))
+      val lv = series
+        .withColumn("a1", expr(haarPairs("a0", 8, diff = false)))
+        .withColumn("d1", expr(haarPairs("a0", 8, diff = true)))
+        .withColumn("a2", expr(haarPairs("a1", 4, diff = false)))
+        .withColumn("d2", expr(haarPairs("a1", 4, diff = true)))
+        .withColumn("a3", expr(haarPairs("a2", 2, diff = false)))
+        .withColumn("d3", expr(haarPairs("a2", 2, diff = true)))
+        .withColumn("a4", expr(haarPairs("a3", 1, diff = false)))
+        .withColumn("d4", expr(haarPairs("a3", 1, diff = true)))
+        .transform(CacheScope.persisted(_))
+      def coefs(arr: String, level: Int, kind: String): DataFrame =
+        lv.select(col("event_type"), lit(level).as("level"), lit(kind).as("kind"),
+            posexplode(col(arr)).as(Seq("pos", "coef")))
+          .select(col("event_type"), col("level"), col("kind"),
+            col("pos").cast("long").as("pos"), col("coef"))
+      Seq(coefs("d1", 1, "detail"), coefs("d2", 2, "detail"),
+        coefs("d3", 3, "detail"), coefs("d4", 4, "detail"),
+        coefs("a4", 4, "approx")).reduce(_ unionByName _)
+    }),
+
+    // Matrix profile (w = 7 days) of the daily series: for every window
+    // position, the squared Euclidean distance to its nearest
+    // NON-TRIVIAL match (|i−j| ≥ w exclusion zone) — the motif/discord
+    // primitive (Yeh et al., "Matrix Profile I"): low profile = repeated
+    // weekly motif, high profile = discord (anomalous week). Windows are
+    // slices of the same dense-position array as q_ts_dtw; the pair
+    // relation is an equi-join on event_type over the WINDOW-START
+    // relation, so its size is starts² per type — calendar-bounded,
+    // corpus-size-independent (year-scale series dial: STOMP's O(n²)
+    // incremental dot products ride the identical pair relation).
+    // Distances are exact int64 sums of squared cent diffs; the argmin
+    // tie-breaks on smallest j via one min(struct) — no window function.
+    "q_ts_matrixprofile" -> ((s, d) => {
+      val daily = dailyOf(t(s, d, "events"))
+      val series = daily.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("c")))).as("dp"))
+        .select(col("event_type"), expr("transform(dp, p -> p.c)").as("xs"))
+        .filter(size(col("xs")) >= 2 * MpW)
+        .transform(CacheScope.persisted(_))
+      def starts(side: String) = series
+        .select(col("event_type"),
+          explode(expr(s"sequence(0, size(xs) - $MpW)")).as(s"i$side"),
+          col("xs").as(s"xs$side"))
+        .select(col("event_type"), col(s"i$side"),
+          expr(s"slice(xs$side, i$side + 1, $MpW)").as(s"w$side"))
+      val pairs = starts("a").join(starts("b"), "event_type")
+        .filter(abs(col("ia") - col("ib")) >= MpW)
+        .select(col("event_type"), col("ia"), col("ib"),
+          expr("""aggregate(zip_with(wa, wb, (x, y) -> (x - y) * (x - y)),
+                |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin).as("d2"))
+      pairs.groupBy(col("event_type"), col("ia").as("pos"))
+        .agg(min(struct(col("d2"), col("ib"))).as("m"))
+        .select(col("event_type"), col("pos").cast("long").as("pos"),
+          col("m.ib").cast("long").as("nn_pos"),
+          round(col("m.d2").cast("double") / 1e4, 4).as("nn_dist2"))
     }))
+
+  /** Haar prefix length (2^4 days) — fixed so the pyramid depth is static. */
+  val HaarN = 16
+
+  /** Matrix-profile window length (days). */
+  val MpW = 7
+
+  /** One Haar level: pairwise sums (approximations) or differences
+    * (details) over `m` pairs of `src`. Spark text uses element_at
+    * (1-based); the oracle builder emits DuckDB's 1-based `src[i]`.
+    */
+  private def haarPairs(src: String, m: Int, diff: Boolean): String = {
+    val op = if (diff) "-" else "+"
+    s"transform(sequence(0, ${m - 1}), " +
+      s"p -> element_at($src, 2 * p + 1) $op element_at($src, 2 * p + 2))"
+  }
+
+  private def haarPairsSql(src: String, m: Int, diff: Boolean): String = {
+    val op = if (diff) "-" else "+"
+    s"list_transform(range(0, $m), p -> $src[2 * p + 1] $op $src[2 * p + 2])"
+  }
 
   override val oracles: Map[String, String] = Map(
 
@@ -528,5 +623,63 @@ object DtwQueries extends QueryPack {
          |SELECT event_type, CAST(n AS BIGINT) AS n_days, phi1, phi2,
          |       round((ybar + phi1 * (CAST(ylast AS DOUBLE) - ybar) +
          |              phi2 * (CAST(yprev AS DOUBLE) - ybar)) / 100.0, 4) AS forecast_1d
-         |FROM p""".stripMargin)
+         |FROM p""".stripMargin,
+
+    "q_ts_haar" ->
+      s"""WITH daily AS ($DailySql),
+         |series AS (
+         |  SELECT event_type, list(CAST(c AS BIGINT) ORDER BY day) AS xs
+         |  FROM daily GROUP BY 1
+         |), h0 AS (
+         |  SELECT event_type, xs[1:$HaarN] AS a0 FROM series WHERE len(xs) >= $HaarN
+         |), h1 AS (
+         |  SELECT event_type, ${haarPairsSql("a0", 8, diff = false)} AS a1,
+         |         ${haarPairsSql("a0", 8, diff = true)} AS d1 FROM h0
+         |), h2 AS (
+         |  SELECT event_type, ${haarPairsSql("a1", 4, diff = false)} AS a2,
+         |         ${haarPairsSql("a1", 4, diff = true)} AS d2, d1 FROM h1
+         |), h3 AS (
+         |  SELECT event_type, ${haarPairsSql("a2", 2, diff = false)} AS a3,
+         |         ${haarPairsSql("a2", 2, diff = true)} AS d3, d1, d2 FROM h2
+         |), h4 AS (
+         |  SELECT event_type, ${haarPairsSql("a3", 1, diff = false)} AS a4,
+         |         ${haarPairsSql("a3", 1, diff = true)} AS d4, d1, d2, d3 FROM h3
+         |)
+         |SELECT event_type, 1 AS level, 'detail' AS kind,
+         |       CAST(generate_subscripts(d1, 1) - 1 AS BIGINT) AS pos,
+         |       unnest(d1) AS coef FROM h4
+         |UNION ALL
+         |SELECT event_type, 2, 'detail',
+         |       CAST(generate_subscripts(d2, 1) - 1 AS BIGINT), unnest(d2) FROM h4
+         |UNION ALL
+         |SELECT event_type, 3, 'detail',
+         |       CAST(generate_subscripts(d3, 1) - 1 AS BIGINT), unnest(d3) FROM h4
+         |UNION ALL
+         |SELECT event_type, 4, 'detail',
+         |       CAST(generate_subscripts(d4, 1) - 1 AS BIGINT), unnest(d4) FROM h4
+         |UNION ALL
+         |SELECT event_type, 4, 'approx',
+         |       CAST(generate_subscripts(a4, 1) - 1 AS BIGINT), unnest(a4) FROM h4""".stripMargin,
+
+    "q_ts_matrixprofile" ->
+      s"""WITH daily AS ($DailySql),
+         |series AS (
+         |  SELECT event_type, list(c ORDER BY day) AS xs FROM daily GROUP BY 1
+         |  HAVING count(*) >= ${2 * MpW}
+         |), starts AS (
+         |  SELECT event_type, xs, unnest(range(0, len(xs) - ${MpW - 1})) AS i
+         |  FROM series
+         |), p AS (
+         |  SELECT a.event_type, a.i AS ia, b.i AS ib,
+         |         list_sum(list_transform(range(0, $MpW), t ->
+         |           (a.xs[a.i + t + 1] - b.xs[b.i + t + 1]) *
+         |           (a.xs[a.i + t + 1] - b.xs[b.i + t + 1]))) AS d2
+         |  FROM starts a JOIN starts b
+         |    ON a.event_type = b.event_type AND abs(a.i - b.i) >= $MpW
+         |)
+         |SELECT event_type, CAST(ia AS BIGINT) AS pos, CAST(ib AS BIGINT) AS nn_pos,
+         |       round(CAST(d2 AS DOUBLE) / 1e4, 4) AS nn_dist2
+         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type, ia
+         |                                   ORDER BY d2, ib) AS rn FROM p)
+         |WHERE rn = 1""".stripMargin)
 }

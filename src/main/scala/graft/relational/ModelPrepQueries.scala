@@ -327,6 +327,56 @@ object ModelPrepQueries extends QueryPack {
             when(col("c.neg") === col("s.neg"), col("w3a")).otherwise(col("w3d")), 6)
             .as("score"))
         .filter(col("score") >= FsScoreFloor)
+    }),
+
+    // Exact Shapley attribution of R² between the two candidate features
+    // (quantity, discount) — with two players the Shapley value is
+    // closed-form, φ₁ = ½·R²{1} + ½·(R²{12} − R²{2}), so the "which
+    // feature actually carries the signal, accounting for their overlap"
+    // question costs ONE scan: every R² (single- and two-feature OLS)
+    // falls out of the same nine exact moments, with the two-feature fit
+    // via the 2×2 normal-equation closed form — no iterative solver, no
+    // per-coalition refit pass. Moment combination runs in IEEE doubles
+    // with identical expression shape on both engines; each R² is
+    // round(,9)-pinned before the Shapley algebra consumes it.
+    "q_ml_shapley_r2" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        cents(col("l_quantity")).as("x1"),
+        cents(col("l_discount")).as("x2"),
+        cents(col("l_extendedprice")).as("y"))
+      val m = li.agg(
+        count(lit(1)).cast(DecimalType(12, 0)).as("n"),
+        sum(col("x1")).cast(DecimalType(16, 0)).as("s1"),
+        sum(col("x2")).cast(DecimalType(16, 0)).as("s2"),
+        sum(col("y")).cast(DecimalType(20, 0)).as("sy"),
+        sum(col("x1") * col("x1")).cast(DecimalType(22, 0)).as("s11"),
+        sum(col("x1") * col("x2")).cast(DecimalType(22, 0)).as("s12"),
+        sum(col("x2") * col("x2")).cast(DecimalType(22, 0)).as("s22"),
+        sum(col("x1") * col("y")).cast(DecimalType(26, 0)).as("s1y"),
+        sum(col("x2") * col("y")).cast(DecimalType(26, 0)).as("s2y"),
+        sum(col("y") * col("y")).cast(DecimalType(30, 0)).as("syy"))
+      val a11 = dd(col("n")) * dd(col("s11")) - dd(col("s1")) * dd(col("s1"))
+      val a22 = dd(col("n")) * dd(col("s22")) - dd(col("s2")) * dd(col("s2"))
+      val a12 = dd(col("n")) * dd(col("s12")) - dd(col("s1")) * dd(col("s2"))
+      val r1y = dd(col("n")) * dd(col("s1y")) - dd(col("s1")) * dd(col("sy"))
+      val r2y = dd(col("n")) * dd(col("s2y")) - dd(col("s2")) * dd(col("sy"))
+      val ayy = dd(col("n")) * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))
+      val det = a11 * a22 - a12 * a12
+      val g = m.filter(a11 > 0.0 && a22 > 0.0 && ayy > 0.0 && abs(det) > 0.0)
+        .select(col("n").cast("long").as("n"),
+          round(r1y * r1y / (a11 * ayy), 9).as("rsq1"),
+          round(r2y * r2y / (a22 * ayy), 9).as("rsq2"),
+          round((a22 * r1y * r1y - lit(2.0) * a12 * r1y * r2y +
+            a11 * r2y * r2y) / (det * ayy), 9).as("rsq12"))
+      g.select(lit("quantity").as("feature"), col("n"),
+          col("rsq1").as("r2_alone"), col("rsq12").as("r2_joint"),
+          round(lit(0.5) * col("rsq1") +
+            lit(0.5) * (col("rsq12") - col("rsq2")), 9).as("shapley"))
+        .unionByName(
+          g.select(lit("discount").as("feature"), col("n"),
+            col("rsq2").as("r2_alone"), col("rsq12").as("r2_joint"),
+            round(lit(0.5) * col("rsq2") +
+              lit(0.5) * (col("rsq12") - col("rsq1")), 9).as("shapley")))
     }))
 
   private val DesignSql =
@@ -568,5 +618,48 @@ object ModelPrepQueries extends QueryPack {
          |WHERE (CASE WHEN c.id2 = s.id2 THEN w1a ELSE w1d END) +
          |      (CASE WHEN c.band1 = s.band1 THEN w2a ELSE w2d END) +
          |      (CASE WHEN c.neg = s.neg THEN w3a ELSE w3d END) >= $FsScoreFloor
-         |""".stripMargin)
+         |""".stripMargin,
+
+    "q_ml_shapley_r2" ->
+      """WITH li AS (
+        |  SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x1,
+        |         CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS x2,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n0, count(*) AS nn,
+        |         CAST(CAST(sum(x1) AS DECIMAL(16,0)) AS DOUBLE) AS s1,
+        |         CAST(CAST(sum(x2) AS DECIMAL(16,0)) AS DOUBLE) AS s2,
+        |         CAST(CAST(sum(y) AS DECIMAL(20,0)) AS DOUBLE) AS sy,
+        |         CAST(CAST(sum(x1 * x1) AS DECIMAL(22,0)) AS DOUBLE) AS s11,
+        |         CAST(CAST(sum(x1 * x2) AS DECIMAL(22,0)) AS DOUBLE) AS s12,
+        |         CAST(CAST(sum(x2 * x2) AS DECIMAL(22,0)) AS DOUBLE) AS s22,
+        |         CAST(CAST(sum(x1 * y) AS DECIMAL(26,0)) AS DOUBLE) AS s1y,
+        |         CAST(CAST(sum(x2 * y) AS DECIMAL(26,0)) AS DOUBLE) AS s2y,
+        |         CAST(CAST(sum(y * y) AS DECIMAL(30,0)) AS DOUBLE) AS syy
+        |  FROM li
+        |), f AS (
+        |  SELECT nn,
+        |         n0 * s11 - s1 * s1 AS a11, n0 * s22 - s2 * s2 AS a22,
+        |         n0 * s12 - s1 * s2 AS a12,
+        |         n0 * s1y - s1 * sy AS r1y, n0 * s2y - s2 * sy AS r2y,
+        |         n0 * syy - sy * sy AS ayy
+        |  FROM m
+        |), g AS (
+        |  SELECT CAST(nn AS BIGINT) AS n,
+        |         round(r1y * r1y / (a11 * ayy), 9) AS rsq1,
+        |         round(r2y * r2y / (a22 * ayy), 9) AS rsq2,
+        |         round((a22 * r1y * r1y - 2.0 * a12 * r1y * r2y +
+        |                a11 * r2y * r2y) / ((a11 * a22 - a12 * a12) * ayy), 9) AS rsq12
+        |  FROM f
+        |  WHERE a11 > 0.0 AND a22 > 0.0 AND ayy > 0.0
+        |    AND abs(a11 * a22 - a12 * a12) > 0.0
+        |)
+        |SELECT 'quantity' AS feature, n, rsq1 AS r2_alone, rsq12 AS r2_joint,
+        |       round(0.5 * rsq1 + 0.5 * (rsq12 - rsq2), 9) AS shapley
+        |FROM g
+        |UNION ALL
+        |SELECT 'discount', n, rsq2, rsq12,
+        |       round(0.5 * rsq2 + 0.5 * (rsq12 - rsq1), 9)
+        |FROM g""".stripMargin)
 }
