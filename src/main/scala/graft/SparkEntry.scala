@@ -31,6 +31,7 @@ object SparkEntry {
     relational.StatsQueries,
     relational.MiningQueries,
     relational.ModelPrepQueries,
+    relational.PrivacyQueries,
     dedup.DedupQueries,
     sim.SimilarityQueries,
     sim.SelectionQueries,

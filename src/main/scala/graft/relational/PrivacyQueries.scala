@@ -1,0 +1,131 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** Privacy operators — the audit and release steps a pipeline runs before
+  * training data or aggregate statistics leave a trust boundary:
+  * k-anonymity / l-diversity audit of quasi-identifier groups, and
+  * differentially-private releases (Laplace-noised histogram, noisy
+  * top-k) with the [[MiningQueries]] bootstrap's md5-derived uniform
+  * draws so the "noise" is engine-reproducible: DP noise must be
+  * cryptographically random in production, but the MECHANISM (sensitivity
+  * bound, inverse-CDF transform, post-noise ranking) is what this pack
+  * oracles — swapping the md5 draw for a secure RNG is a one-line change
+  * at the draw site.
+  *
+  * Scale shape: everything is a bounded group-by (QI-group cells, the
+  * 5-cell priority histogram) or a global TakeOrdered(k) on a
+  * noisy-count relation — no windows, no sorts beyond top-k, and the
+  * per-key noise is a narrow codegen'd hash expression.
+  */
+object PrivacyQueries extends QueryPack {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** k-anonymity threshold (min rows per released QI group). */
+  val KAnon = 100
+
+  /** l-diversity threshold (min distinct sensitive values per QI group). */
+  val LDiv = 3
+
+  /** DP privacy budget: Laplace scale = sensitivity (1 count) / epsilon. */
+  val DpEpsilon = 1.0
+
+  /** Noisy top-k size. */
+  val DpTopK = 10
+
+  /** 24-bit md5 uniform for `key` (the q_stats_bootstrap draw), as a
+    * Laplace(1/epsilon) deviate via inverse CDF: u in (0,1) can never hit
+    * exactly 0.5 or the endpoints because u = (u24 + 0.5) / 2^24.
+    */
+  private def laplace(key: Column): Column = {
+    val u24 = conv(substring(md5(key), 1, 6), 16, 10).cast("long")
+    val u = (u24.cast("double") + 0.5) / 16777216.0
+    -lit(1.0 / DpEpsilon) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+  }
+
+  private def laplaceSql(key: String): String = {
+    val u = s"((('0x' || substring(md5($key), 1, 6))::BIGINT + 0.5) / 16777216.0)"
+    s"(-(${1.0 / DpEpsilon}) * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5)))"
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // k-anonymity / l-diversity audit: for every quasi-identifier group
+    // (market segment x nation) over the customer-joined orders, how many
+    // rows share the QI, and how many DISTINCT sensitive values
+    // (order priority) do they span? Groups failing either bound are the
+    // ones a release would have to suppress or generalize. One
+    // broadcast-joined scan into one two-key aggregation; the QI-cell
+    // relation is domain-bounded (segments x nations), corpus-size-free.
+    "q_dp_kanonymity" -> ((s, d) => {
+      val j = t(s, d, "orders").select(col("o_custkey"), col("o_orderpriority"))
+        .join(broadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+      j.groupBy(col("c_mktsegment").as("segment"), col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderpriority")).as("l_div"))
+        .select(col("segment"), col("nation"), col("n_rows"), col("l_div"),
+          (col("n_rows") >= KAnon).cast("int").as("k_ok"),
+          (col("l_div") >= LDiv).cast("int").as("l_ok"))
+    }),
+
+    // Laplace mechanism on the order-priority histogram: counts have
+    // sensitivity 1 (one order moves one cell), so count + Lap(1/eps) is
+    // eps-DP. The released cells carry ONLY the noisy value. Bounded
+    // 5-cell aggregate; the noise is a per-cell scalar expression.
+    "q_dp_laplace_hist" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("priority"),
+          round(col("n").cast("double") +
+            laplace(concat(lit("dp:"), col("priority"))), 6).as("noisy_n"),
+          lit(DpEpsilon).as("epsilon"))),
+
+    // DP noisy top-k: per-customer order counts + Lap(1/eps) each, then
+    // the k largest NOISY counts (one-shot noisy-max composition). The
+    // ranking is a global TakeOrdered(k) over the noisy relation — the
+    // only "sort" is the k-row heap merge, which is exactly what survives
+    // a 1000-executor release job. Ties (astronomically unlikely off the
+    // continuous noise) break on custkey so both engines pick one order.
+    "q_dp_noisy_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("custkey"),
+          round(col("n").cast("double") +
+            laplace(concat(lit("dpk:"), col("custkey").cast("string"))), 6).as("noisy_n"))
+        .orderBy(col("noisy_n").desc, col("custkey").asc)
+        .limit(DpTopK)))
+
+  override val oracles: Map[String, String] = Map(
+
+    "q_dp_kanonymity" ->
+      s"""SELECT c.c_mktsegment AS segment, c.c_nationkey AS nation,
+         |       count(*) AS n_rows,
+         |       count(DISTINCT o.o_orderpriority) AS l_div,
+         |       CAST(count(*) >= $KAnon AS INTEGER) AS k_ok,
+         |       CAST(count(DISTINCT o.o_orderpriority) >= $LDiv AS INTEGER) AS l_ok
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_dp_laplace_hist" ->
+      s"""SELECT o_orderpriority AS priority,
+         |       round(CAST(count(*) AS DOUBLE) +
+         |             ${laplaceSql("'dp:' || o_orderpriority")}, 6) AS noisy_n,
+         |       $DpEpsilon AS epsilon
+         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_dp_noisy_topk" ->
+      s"""SELECT custkey,
+         |       round(CAST(n AS DOUBLE) +
+         |             ${laplaceSql("'dpk:' || CAST(custkey AS VARCHAR)")}, 6) AS noisy_n
+         |FROM (SELECT o_custkey AS custkey, count(*) AS n FROM orders GROUP BY 1)
+         |ORDER BY noisy_n DESC, custkey ASC LIMIT $DpTopK""".stripMargin)
+}
