@@ -91,7 +91,47 @@ object CorpusOpsQueries extends QueryPack {
   val MixRates: Seq[(String, Int)] =
     Seq("en" -> 80, "de" -> 60, "fr" -> 60, "es" -> 40, "zh" -> 20)
 
+  /** Boilerplate threshold: a shingle present in >= this percent of a
+    * source's documents (and in >= 2 of them) is template text. 10% is
+    * the working dial for the synthetic corpus (real web sources run
+    * 30-50%); the gate compares exact integers either way.
+    */
+  val BoilerPct = 10
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-SOURCE boilerplate detection: token 3-gram shingles that recur
+    // across >= BoilerPct% of the SAME source's documents are template text
+    // (headers, footers, nav chrome — the C4/RefinedWeb cleaning step
+    // that corpus-wide span dedup misses, because a template is frequent
+    // within its site yet globally rare). Output: each document's
+    // boilerplate shingle fraction. Scale shape: the shingle stream is
+    // aggregated once to (source, hash) document frequencies (map-side
+    // partial agg), the source-size relation is a tiny broadcast, and
+    // the flag join back to the per-doc stream is agg-to-agg on the
+    // (source, hash) key — the raw shingle relation shuffles once. The
+    // percentage gate compares exact integers (df * 100 >= pct * n_docs).
+    "text_boilerplate" -> ((s, d) => {
+      val sh = docs(s, d)
+        .select(col("doc_id"), col("source"), Shingles.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(Shingles.shingleHashes3(col("tk")))).as("h"))
+        .transform(graft.CacheScope.persisted(_))
+      val srcSize = docs(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+      val boiler = sh.groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).as("df"))
+        .join(broadcast(srcSize), "source")
+        .filter(col("df") * 100 >= lit(BoilerPct) * col("n_docs") && col("df") >= 2)
+        .select(col("source"), col("h"), lit(1L).as("is_boiler"))
+      sh.join(boiler, Seq("source", "h"), "left")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+        .select(col("doc_id"), col("source"), col("n_shingles"), col("n_boiler"),
+          round(col("n_boiler").cast("double") / col("n_shingles").cast("double"), 6)
+            .as("boiler_ratio"))
+    }),
 
     // Span-level exact dedup: per doc, how much of it is 10-token spans
     // that occur elsewhere in the corpus (or again in the same doc).
@@ -436,6 +476,31 @@ object CorpusOpsQueries extends QueryPack {
        |)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+
+    "text_boilerplate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS tk
+         |  FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, source,
+         |         unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+         |                i -> ${Shingles.hash60Sql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")})) AS h
+         |  FROM toks WHERE len(tk) >= 3
+         |), srcsize AS (
+         |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+         |), boiler AS (
+         |  SELECT s.source, s.h
+         |  FROM (SELECT source, h, count(*) AS df FROM sh GROUP BY 1, 2) s
+         |  JOIN srcsize z USING (source)
+         |  WHERE s.df * 100 >= $BoilerPct * z.n_docs AND s.df >= 2
+         |)
+         |SELECT sh.doc_id, sh.source, count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_boiler,
+         |       round(CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+         |             CAST(count(*) AS DOUBLE), 6) AS boiler_ratio
+         |FROM sh LEFT JOIN boiler b ON b.source = sh.source AND b.h = sh.h
+         |GROUP BY 1, 2""".stripMargin,
     "text_budget_select" ->
       s"""WITH ${TextAnalysisQueries.qualityScoreCte}, toks AS (
          |  SELECT doc_id,

@@ -1,0 +1,51 @@
+package graft
+
+/** Invariant checks for wave 16: per-source boilerplate accounting and
+  * the EM-estimated Fellegi–Sunter parameters.
+  */
+class WaveSixteenSpec extends SparkSpec {
+
+  test("text_boilerplate: counts consistent, signal present on the gate corpus") {
+    val rows = SparkEntry.queries("text_boilerplate")(spark, "/root/testdata/sf0.01")
+      .collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_shingles")
+      val b = r.getAs[Long]("n_boiler")
+      assert(n > 0 && b >= 0 && b <= n)
+      val ratio = r.getAs[Double]("boiler_ratio")
+      assert(math.abs(ratio - b.toDouble / n) < 1e-6)
+    }
+    // the dial is tuned so the synthetic corpus actually exhibits
+    // template shingles — an all-zero column would be a vacuous oracle
+    assert(rows.exists(_.getAs[Long]("n_boiler") > 0))
+  }
+
+  test("q_er_em_weights: probabilities bounded, EM separates the informative field") {
+    val rows = SparkEntry.queries("q_er_em_weights")(spark, "/root/testdata/sf0.01")
+      .collect()
+    CacheScope.releaseAll()
+    assert(rows.length == 3)
+    val byField = rows.map(r => r.getAs[String]("field") -> r).toMap
+    rows.foreach { r =>
+      Seq("m_hat", "u_hat", "p_match").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+      }
+    }
+    val p = rows.head.getAs[Double]("p_match")
+    assert(rows.forall(_.getAs[Double]("p_match") == p))
+    assert(p > 0.0 && p < 1.0)
+    // band1 is the field whose agreement actually separates the latent
+    // classes under (nation, band5) blocking
+    val band = byField("band1")
+    assert(band.getAs[Double]("m_hat") > band.getAs[Double]("u_hat"))
+    assert(band.getAs[Double]("w_agree") > 0.0)
+    // the balance SIGN is constant within a $500 band block, so EM must
+    // find it uninformative: agreement probability 1 in BOTH classes
+    val neg = byField("neg")
+    assert(neg.getAs[Double]("m_hat") == 1.0 && neg.getAs[Double]("u_hat") == 1.0)
+    assert(neg.getAs[Double]("w_agree") == 0.0)
+  }
+}
