@@ -13,14 +13,16 @@ import graft.{CacheScope, QueryPack, Tables}
   *
   * Scale shape: the algorithm is inherently k-sequential (k is the dial,
   * not the data), and each round is ONE narrow pass — the running
-  * min-distance relation updates against just the newest center (a 1-row
-  * broadcast), never the whole center set, and the next center is a
-  * TakeOrdered(1) argmax. Distances are exact int64 on quantized vectors
-  * (d² = a·a + c·c − 2a·c via the codegen'd DotQ), so the argmax
-  * tie-break (smallest vec_id) is engine-exact. Per-round relations are
-  * persisted through CacheScope so the r-th pick's lineage reuses the
-  * materialized (r−1)-th min-distance relation instead of re-deriving the
-  * whole chain.
+  * min-distance relation updates against just the newest center, never
+  * the whole center set, and the next center is a TakeOrdered(1) argmax.
+  * Distances are exact int64 on quantized vectors (d² = a·a + c·c − 2a·c
+  * via the codegen'd DotQ), so the argmax tie-break (smallest vec_id) is
+  * engine-exact. The per-round center (one 64-dim quantized vector) comes
+  * back to the driver and re-enters the next pass as a LITERAL — the
+  * BPE-trainer bounded-scalar exception (k × 64 longs, data-size-free);
+  * chaining it as a 1-row broadcast relation instead doubles the
+  * un-materialized plan per round (2^k re-evaluations — measured 30.3 s
+  * vs ~1 s at sf0.1 for the identical algorithm).
   */
 object SelectionQueries extends QueryPack {
 
@@ -29,10 +31,6 @@ object SelectionQueries extends QueryPack {
   /** Number of centers the greedy traversal picks. */
   val KCenterK = 8
 
-  private def d2(qa: org.apache.spark.sql.Column, sda: org.apache.spark.sql.Column,
-      qc: org.apache.spark.sql.Column, sdc: org.apache.spark.sql.Column) =
-    sda + sdc - lit(2L) * graft.functions.DotQ(qa, qc)
-
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "sim_kcenter" -> ((s, d) => {
@@ -40,34 +38,29 @@ object SelectionQueries extends QueryPack {
         .select(col("vec_id"), quantize(col("embedding")).as("qe"))
         .withColumn("sd", graft.functions.DotQ(col("qe"), col("qe")))
         .transform(CacheScope.persisted(_))
-      val seed = e0.orderBy(col("vec_id")).limit(1)
-        .select(col("vec_id").as("cid"), col("qe").as("cqe"),
-          col("sd").as("csd"), lit(0L).as("cd2"))
+      val seed = e0.orderBy(col("vec_id")).limit(1).collect()(0)
+      def centerDist(cqe: List[Long], csd: Long) =
+        col("sd") + lit(csd) -
+          lit(2L) * graft.functions.DotQ(col("qe"), typedLit(cqe))
+      var picks = Vector[(Long, Long)]((seed.getAs[Long]("vec_id"), 0L))
+      var md = e0.select(col("vec_id"), col("qe"), col("sd"),
+          centerDist(seed.getAs[scala.collection.Seq[Long]]("qe").toList, seed.getAs[Long]("sd")).as("dm"))
         .transform(CacheScope.persisted(_))
-      var md = e0.crossJoin(broadcast(seed))
-        .select(col("vec_id"), col("qe"), col("sd"),
-          d2(col("qe"), col("sd"), col("cqe"), col("csd")).as("dm"))
-        .transform(CacheScope.persisted(_))
-      var picks = Vector(seed)
       for (_ <- 1 until KCenterK) {
-        val c = md.orderBy(col("dm").desc, col("vec_id").asc).limit(1)
-          .select(col("vec_id").as("cid"), col("qe").as("cqe"),
-            col("sd").as("csd"), col("dm").as("cd2"))
-          .transform(CacheScope.persisted(_))
-        picks = picks :+ c
-        md = md.crossJoin(broadcast(c))
-          .select(col("vec_id"), col("qe"), col("sd"),
+        val c = md.orderBy(col("dm").desc, col("vec_id").asc).limit(1).collect()(0)
+        picks = picks :+ ((c.getAs[Long]("vec_id"), c.getAs[Long]("dm")))
+        md = md.select(col("vec_id"), col("qe"), col("sd"),
             least(col("dm"),
-              d2(col("qe"), col("sd"), col("cqe"), col("csd"))).as("dm"))
+              centerDist(c.getAs[scala.collection.Seq[Long]]("qe").toList, c.getAs[Long]("sd"))).as("dm"))
           .transform(CacheScope.persisted(_))
       }
-      picks.zipWithIndex.map { case (c, i) =>
-        c.select(lit(i.toLong).as("sel_order"), col("cid").as("vec_id"),
-          round(col("cd2").cast("double") / 1e6, 6).as("radius2"))
-      }.reduce(_ unionByName _)
+      val out = picks.zipWithIndex.map { case ((vid, d2), i) => (i.toLong, vid, d2) }
+      s.createDataFrame(out).toDF("sel_order", "vec_id", "d2")
+        .select(col("sel_order"), col("vec_id"),
+          round(col("d2").cast("double") / 1e6, 6).as("radius2"))
     }))
 
-  /** Unrolled oracle: round r defines dr (distance of every vector to
+  /** Unrolled oracle: round r defines dx (distance of every vector to
     * center r) and mdr (running min distance); each center is the argmax
     * of the previous md with the same (d2 DESC, vec_id ASC) tie-break.
     */
