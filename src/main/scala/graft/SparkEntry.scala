@@ -32,6 +32,7 @@ object SparkEntry {
     relational.MiningQueries,
     relational.ModelPrepQueries,
     relational.PrivacyQueries,
+    relational.DecisionQueries,
     dedup.DedupQueries,
     sim.SimilarityQueries,
     sim.SelectionQueries,

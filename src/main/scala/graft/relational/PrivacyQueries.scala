@@ -88,6 +88,38 @@ object PrivacyQueries extends QueryPack {
             laplace(concat(lit("dp:"), col("priority"))), 6).as("noisy_n"),
           lit(DpEpsilon).as("epsilon"))),
 
+    // k-anonymity REPAIR by generalization ascent: groups failing k at
+    // (segment, nation) roll up the location hierarchy to (segment,
+    // region); groups still failing are fully suppressed. Output: each
+    // original QI group's achieved generalization level and released
+    // key — the lattice-climb step an anonymizing release pipeline runs
+    // after the audit. Two domain-bounded aggregations plus broadcast
+    // hierarchy joins; the level decision is exact integer compares.
+    "q_dp_generalize" -> ((s, d) => {
+      val nat = t(s, d, "nation")
+        .select(col("n_nationkey").as("nation"), col("n_regionkey").as("region"))
+      val base = t(s, d, "orders").select(col("o_custkey"))
+        .join(broadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+            col("c_nationkey").as("nation"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), "nation")
+      val l1 = base.groupBy("segment", "nation", "region")
+        .agg(count(lit(1)).as("n_l1"))
+      val l2 = l1.groupBy("segment", "region")
+        .agg(sum(col("n_l1")).as("n_l2"))
+      l1.join(l2, Seq("segment", "region"))
+        .select(col("segment"), col("nation"), col("region"),
+          col("n_l1"), col("n_l2"),
+          when(col("n_l1") >= KAnon, 0)
+            .when(col("n_l2") >= KAnon, 1).otherwise(2).as("level"),
+          when(col("n_l1") >= KAnon,
+              concat(col("segment"), lit("/N"), col("nation")))
+            .when(col("n_l2") >= KAnon,
+              concat(col("segment"), lit("/R"), col("region")))
+            .otherwise(lit("*")).as("released_key"))
+    }),
+
     // DP noisy top-k: per-customer order counts + Lap(1/eps) each, then
     // the k largest NOISY counts (one-shot noisy-max composition). The
     // ranking is a global TakeOrdered(k) over the noisy relation — the
@@ -121,6 +153,30 @@ object PrivacyQueries extends QueryPack {
          |             ${laplaceSql("'dp:' || o_orderpriority")}, 6) AS noisy_n,
          |       $DpEpsilon AS epsilon
          |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_dp_generalize" ->
+      s"""WITH base AS (
+         |  SELECT c.c_mktsegment AS segment, c.c_nationkey AS nation,
+         |         n.n_regionkey AS region
+         |  FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+         |), l1 AS (
+         |  SELECT segment, nation, region, count(*) AS n_l1
+         |  FROM base GROUP BY 1, 2, 3
+         |), l2 AS (
+         |  SELECT segment, region, CAST(sum(n_l1) AS BIGINT) AS n_l2
+         |  FROM l1 GROUP BY 1, 2
+         |)
+         |SELECT l1.segment, l1.nation, l1.region, l1.n_l1, l2.n_l2,
+         |       CASE WHEN l1.n_l1 >= $KAnon THEN 0
+         |            WHEN l2.n_l2 >= $KAnon THEN 1 ELSE 2 END AS level,
+         |       CASE WHEN l1.n_l1 >= $KAnon
+         |              THEN l1.segment || '/N' || CAST(l1.nation AS VARCHAR)
+         |            WHEN l2.n_l2 >= $KAnon
+         |              THEN l1.segment || '/R' || CAST(l1.region AS VARCHAR)
+         |            ELSE '*' END AS released_key
+         |FROM l1 JOIN l2 USING (segment, region)""".stripMargin,
 
     "q_dp_noisy_topk" ->
       s"""SELECT custkey,
