@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -107,7 +107,148 @@ object DecisionQueries extends QueryPack {
         .select(col("b").as("disc_band"), col("w").as("n"),
           round(col("sr").cast("double") / col("w").cast("double"), 6).as("p_raw"),
           round(col("fit"), 6).as("p_iso"))
+    }),
+
+    // Exact global median of extendedprice with a 95% order-statistic
+    // confidence interval — three k-th-order-statistic extractions via
+    // the shared [[graft.operators.RadixSelect]] (no global sort, no
+    // window; each rank costs ~5 flat map-side-combining aggregations
+    // over the cached cents column). The CI ranks are the standard
+    // binomial bounds n/2 ∓ 1.96·√n/2 — distribution-free, exact
+    // integers once floor/ceil lands, identical double algebra in the
+    // oracle's rank computation.
+    "q_stats_median_ci" -> ((s, d) => {
+      val v = t(s, d, "lineitem")
+        .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("v"))
+        .transform(graft.CacheScope.persisted(_))
+      val n = v.count()
+      val z = 1.959964
+      def clamp(r: Double) = math.max(1L, math.min(n, r.toLong))
+      val kMed = (n + 1) / 2 // lower median: a real data value, never an average
+      val kLo = clamp(math.floor((n - z * math.sqrt(n.toDouble)) / 2.0))
+      val kHi = clamp(math.ceil((n + z * math.sqrt(n.toDouble)) / 2.0 + 1.0))
+      val med = graft.operators.RadixSelect.kth(v, "v", kMed)
+      val lo = graft.operators.RadixSelect.kth(v, "v", kLo)
+      val hi = graft.operators.RadixSelect.kth(v, "v", kHi)
+      s.range(1).select(lit(n).as("n"),
+        round(lit(med).cast("double") / 100.0, 2).as("median_usd"),
+        round(lit(lo).cast("double") / 100.0, 2).as("lo95_usd"),
+        round(lit(hi).cast("double") / 100.0, 2).as("hi95_usd"))
+    }),
+
+    // Depth-2 decision tree over (totalprice, orderdate) for the
+    // 1-URGENT label — one level past q_ml_stump, built the way a
+    // histogram GBDT grows trees at scale: the ROOT split is searched on
+    // the 64-bucket price histogram; each branch then searches its OWN
+    // 64-bucket date histogram, and because the per-(branch, bucket)
+    // class counts are one aggregation over the SAME scan, the second
+    // level costs one more bounded self-join — never a re-scan per node.
+    // Everything after the two histogram aggregations runs on ≤128-row
+    // relations; argmins are min(struct) under a total order.
+    "q_ml_tree_depth2" -> ((s, d) => {
+      val ord = t(s, d, "orders").select(
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("v1"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1990-01-01') AS BIGINT)")
+          .as("v2"),
+        (col("o_orderpriority") === "1-URGENT").as("pos"))
+      val span = ord.agg(min(col("v1")).as("n1"), max(col("v1")).as("x1"),
+        min(col("v2")).as("n2"), max(col("v2")).as("x2"))
+      val bk = ord.crossJoin(broadcast(span))
+        .select(expr(s"CAST((v1 - n1) * $TreeBkts AS BIGINT) div (x1 - n1 + 1)").as("b1"),
+          expr(s"CAST((v2 - n2) * $TreeBkts AS BIGINT) div (x2 - n2 + 1)").as("b2"),
+          col("pos"))
+        .transform(graft.CacheScope.persisted(_))
+      def gini(pl: Column, ql: Column, pr: Column, qr: Column): Column = {
+        val nl = (pl + ql).cast("double")
+        val nr = (pr + qr).cast("double")
+        val nn = nl + nr
+        nl / nn * (lit(1.0) - (pl.cast("double") / nl) * (pl.cast("double") / nl) -
+          (ql.cast("double") / nl) * (ql.cast("double") / nl)) +
+          nr / nn * (lit(1.0) - (pr.cast("double") / nr) * (pr.cast("double") / nr) -
+            (qr.cast("double") / nr) * (qr.cast("double") / nr))
+      }
+      // root search on the price histogram
+      val c1 = bk.groupBy("b1")
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("q"))
+      val cum1 = c1.as("b").join(broadcast(c1.as("o")), col("o.b1") <= col("b.b1"))
+        .groupBy(col("b.b1").as("bkt"))
+        .agg(sum(col("o.p")).as("pl"), sum(col("o.q")).as("ql"))
+        .crossJoin(broadcast(c1.agg(sum(col("p")).as("tp"), sum(col("q")).as("tq"))))
+        .withColumn("pr", col("tp") - col("pl"))
+        .withColumn("qr", col("tq") - col("ql"))
+        .filter(col("pl") + col("ql") > 0 && col("pr") + col("qr") > 0)
+        .withColumn("gini", round(gini(col("pl"), col("ql"), col("pr"), col("qr")), 6))
+      val best1 = cum1
+        .agg(min(struct(col("gini"), col("bkt"), col("pl"), col("ql"),
+          col("pr"), col("qr"))).as("m"))
+        .select(col("m.bkt").as("rbkt"), col("m.gini").as("rgini"),
+          ((greatest(col("m.pl"), col("m.ql")) + greatest(col("m.pr"), col("m.qr")))
+            .cast("double") /
+            (col("m.pl") + col("m.ql") + col("m.pr") + col("m.qr")).cast("double"))
+            .as("racc"))
+      // per-branch search on the date histogram
+      val c2 = bk.crossJoin(broadcast(best1))
+        .groupBy((col("b1") <= col("rbkt")).as("br"), col("b2"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("q"))
+        .transform(graft.CacheScope.persisted(_))
+      val cum2 = c2.as("b").join(broadcast(c2.as("o")),
+          col("o.br") === col("b.br") && col("o.b2") <= col("b.b2"))
+        .groupBy(col("b.br").as("br"), col("b.b2").as("bkt"))
+        .agg(sum(col("o.p")).as("pl"), sum(col("o.q")).as("ql"))
+        .join(broadcast(c2.groupBy(col("br").as("tbr"))
+          .agg(sum(col("p")).as("tp"), sum(col("q")).as("tq"))),
+          col("br") === col("tbr"))
+        .withColumn("pr", col("tp") - col("pl"))
+        .withColumn("qr", col("tq") - col("ql"))
+        .filter(col("pl") + col("ql") > 0 && col("pr") + col("qr") > 0)
+        .withColumn("gini", round(gini(col("pl"), col("ql"), col("pr"), col("qr")), 6))
+      val best2 = cum2.groupBy("br")
+        .agg(min(struct(col("gini"), col("bkt"), col("pl"), col("ql"),
+          col("pr"), col("qr"))).as("m"),
+          max(col("tp") + col("tq")).as("nbr"))
+        .select(col("br"), col("m.bkt").as("bkt"), col("m.gini").as("gini"),
+          col("nbr"),
+          (greatest(col("m.pl"), col("m.ql")) + greatest(col("m.pr"), col("m.qr")))
+            .as("maj"))
+        .transform(graft.CacheScope.persisted(_))
+      val rootRow = best1.select(lit("root").as("node"),
+        lit("totalprice").as("feature"), col("rbkt").as("split_bucket"),
+        col("rgini").as("gini"), round(col("racc"), 6).as("acc"))
+      val childRows = best2.select(
+        when(col("br"), "left").otherwise("right").as("node"),
+        lit("orderdate").as("feature"), col("bkt").as("split_bucket"),
+        col("gini"),
+        round(col("maj").cast("double") / col("nbr").cast("double"), 6).as("acc"))
+      val treeRow = best2
+        .agg(sum(col("maj")).as("m"), sum(col("nbr")).as("nn"),
+          sum(col("gini") * col("nbr").cast("double")).as("gw"))
+        .select(lit("tree").as("node"), lit("-").as("feature"),
+          lit(-1L).as("split_bucket"),
+          round(col("gw") / col("nn").cast("double"), 6).as("gini"),
+          round(col("m").cast("double") / col("nn").cast("double"), 6).as("acc"))
+      rootRow.unionByName(childRows).unionByName(treeRow)
     }))
+
+  /** Histogram width for the depth-2 tree splits. */
+  val TreeBkts = 64
+
+  /** The weighted-Gini SQL text over (pl, ql, pr, qr) column names —
+    * identical expression shape to the Spark builder's `gini`.
+    */
+  private def giniSql(pl: String, ql: String, pr: String, qr: String): String =
+    s"""CAST($pl + $ql AS DOUBLE) / CAST($pl + $ql + $pr + $qr AS DOUBLE) *
+       |  (1.0 - (CAST($pl AS DOUBLE) / CAST($pl + $ql AS DOUBLE)) *
+       |         (CAST($pl AS DOUBLE) / CAST($pl + $ql AS DOUBLE)) -
+       |         (CAST($ql AS DOUBLE) / CAST($pl + $ql AS DOUBLE)) *
+       |         (CAST($ql AS DOUBLE) / CAST($pl + $ql AS DOUBLE))) +
+       |CAST($pr + $qr AS DOUBLE) / CAST($pl + $ql + $pr + $qr AS DOUBLE) *
+       |  (1.0 - (CAST($pr AS DOUBLE) / CAST($pr + $qr AS DOUBLE)) *
+       |         (CAST($pr AS DOUBLE) / CAST($pr + $qr AS DOUBLE)) -
+       |         (CAST($qr AS DOUBLE) / CAST($pr + $qr AS DOUBLE)) *
+       |         (CAST($qr AS DOUBLE) / CAST($pr + $qr AS DOUBLE)))""".stripMargin
 
   override val oracles: Map[String, String] = Map(
 
@@ -172,5 +313,92 @@ object DecisionQueries extends QueryPack {
         |SELECT bins.b AS disc_band, bins.w AS n,
         |       round(CAST(bins.sr AS DOUBLE) / CAST(bins.w AS DOUBLE), 6) AS p_raw,
         |       round(fit.fit, 6) AS p_iso
-        |FROM bins JOIN fit ON fit.k = bins.b""".stripMargin)
+        |FROM bins JOIN fit ON fit.k = bins.b""".stripMargin,
+
+    "q_stats_median_ci" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem
+        |), nn AS (SELECT count(*) AS n FROM v),
+        |k AS (
+        |  SELECT n, (n + 1) // 2 AS kmed,
+        |         greatest(1, least(n, CAST(floor((n - 1.959964 *
+        |           sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT))) AS klo,
+        |         greatest(1, least(n, CAST(ceil((n + 1.959964 *
+        |           sqrt(CAST(n AS DOUBLE))) / 2.0 + 1.0) AS BIGINT))) AS khi
+        |  FROM nn
+        |), r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+        |SELECT k.n,
+        |       round(CAST((SELECT min(v) FROM r WHERE rn = k.kmed) AS DOUBLE) / 100.0, 2)
+        |         AS median_usd,
+        |       round(CAST((SELECT min(v) FROM r WHERE rn = k.klo) AS DOUBLE) / 100.0, 2)
+        |         AS lo95_usd,
+        |       round(CAST((SELECT min(v) FROM r WHERE rn = k.khi) AS DOUBLE) / 100.0, 2)
+        |         AS hi95_usd
+        |FROM k""".stripMargin,
+
+    "q_ml_tree_depth2" ->
+      s"""WITH ord AS (
+         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v1,
+         |         CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+         |              AS BIGINT) AS v2,
+         |         o_orderpriority = '1-URGENT' AS pos
+         |  FROM orders
+         |), span AS (
+         |  SELECT min(v1) AS n1, max(v1) AS x1, min(v2) AS n2, max(v2) AS x2 FROM ord
+         |), bk AS (
+         |  SELECT CAST((v1 - n1) * $TreeBkts AS BIGINT) // (x1 - n1 + 1) AS b1,
+         |         CAST((v2 - n2) * $TreeBkts AS BIGINT) // (x2 - n2 + 1) AS b2, pos
+         |  FROM ord, span
+         |), c1 AS (
+         |  SELECT b1, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
+         |         sum(CASE WHEN pos THEN 0 ELSE 1 END) AS q
+         |  FROM bk GROUP BY 1
+         |), cum1 AS (
+         |  SELECT b.b1 AS bkt, sum(o.p) AS pl, sum(o.q) AS ql
+         |  FROM c1 b JOIN c1 o ON o.b1 <= b.b1 GROUP BY 1
+         |), tot1 AS (SELECT sum(p) AS tp, sum(q) AS tq FROM c1),
+         |g1 AS (
+         |  SELECT bkt, pl, ql, tp - pl AS pr, tq - ql AS qr,
+         |         round(${giniSql("pl", "ql", "(tp - pl)", "(tq - ql)")}, 6) AS gini
+         |  FROM cum1, tot1
+         |  WHERE pl + ql > 0 AND (tp - pl) + (tq - ql) > 0
+         |), b1best AS (
+         |  SELECT * FROM g1 ORDER BY gini, bkt LIMIT 1
+         |), c2 AS (
+         |  SELECT bk.b1 <= (SELECT bkt FROM b1best) AS br, b2,
+         |         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
+         |         sum(CASE WHEN pos THEN 0 ELSE 1 END) AS q
+         |  FROM bk GROUP BY 1, 2
+         |), cum2 AS (
+         |  SELECT b.br, b.b2 AS bkt, sum(o.p) AS pl, sum(o.q) AS ql
+         |  FROM c2 b JOIN c2 o ON o.br = b.br AND o.b2 <= b.b2 GROUP BY 1, 2
+         |), tot2 AS (SELECT br, sum(p) AS tp, sum(q) AS tq FROM c2 GROUP BY 1),
+         |g2 AS (
+         |  SELECT cum2.br, bkt, pl, ql, tp - pl AS pr, tq - ql AS qr, tp, tq,
+         |         round(${giniSql("pl", "ql", "(tp - pl)", "(tq - ql)")}, 6) AS gini
+         |  FROM cum2 JOIN tot2 ON tot2.br = cum2.br
+         |  WHERE pl + ql > 0 AND (tp - pl) + (tq - ql) > 0
+         |), b2best AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY br ORDER BY gini, bkt) AS rn
+         |    FROM g2) WHERE rn = 1
+         |)
+         |SELECT 'root' AS node, 'totalprice' AS feature,
+         |       bkt AS split_bucket, gini,
+         |       round(CAST(greatest(pl, ql) + greatest(pr, qr) AS DOUBLE) /
+         |             CAST(pl + ql + pr + qr AS DOUBLE), 6) AS acc
+         |FROM b1best
+         |UNION ALL
+         |SELECT CASE WHEN br THEN 'left' ELSE 'right' END, 'orderdate', bkt, gini,
+         |       round(CAST(greatest(pl, ql) + greatest(pr, qr) AS DOUBLE) /
+         |             CAST(tp + tq AS DOUBLE), 6)
+         |FROM b2best
+         |UNION ALL
+         |SELECT 'tree', '-', CAST(-1 AS BIGINT),
+         |       round(sum(gini * CAST(tp + tq AS DOUBLE)) /
+         |             CAST(sum(tp + tq) AS DOUBLE), 6),
+         |       round(CAST(sum(greatest(pl, ql) + greatest(pr, qr)) AS DOUBLE) /
+         |             CAST(sum(tp + tq) AS DOUBLE), 6)
+         |FROM b2best""".stripMargin)
 }

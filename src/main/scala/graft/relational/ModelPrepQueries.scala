@@ -160,36 +160,13 @@ object ModelPrepQueries extends QueryPack {
         .select(abs(col("y") * lit(1000000000L) - col("a9") -
           col("b9") * col("x")).as("r"))
         .transform(CacheScope.persisted(_))
-      // Radix selection, shifts 48/36/24/12/0. The per-level state is TWO
-      // scalars (selected prefix, remaining rank) — they come back to the
-      // driver per level (the BPE-trainer bounded-scalar exception: 2
-      // longs x 5 levels, data-size-free) so each level is ONE flat
-      // filtered aggregation over the cached residuals; threading the
-      // state as a chained 1-row broadcast relation instead doubles the
-      // un-materialized plan per level (2^levels re-evaluations —
-      // measured 41.7 s vs 1.4 s at sf0.1 for the identical algorithm).
+      // k-th order statistic via the shared radix-selection operator
+      // (graft.operators.RadixSelect — flat per-level jobs, bounded
+      // driver state; see its scaladoc for the 2^levels plan-blowup this
+      // replaces).
       val nCal = resid.count()
-      var kk = math.min((9L * (nCal + 1) + 9) / 10, nCal)
-      var pfx = 0L
-      var prev = 60
-      for (sh <- Seq(48, 36, 24, 12, 0)) {
-        val cnt = resid
-          .filter(expr(s"r div ${1L << prev}") === lit(pfx))
-          .groupBy(expr(s"r div ${1L << sh}").as("b"))
-          .agg(count(lit(1)).as("t"))
-        val sel = cnt.as("x").join(cnt.as("o"), col("o.b") < col("x.b"), "left")
-          .groupBy(col("x.b").as("b"))
-          .agg(max(col("x.t")).as("t"),
-            coalesce(sum(col("o.t")), lit(0L)).as("base"))
-          .filter(col("base") + col("t") >= lit(kk))
-          .orderBy(col("b"))
-          .limit(1)
-          .collect()(0)
-        kk -= sel.getAs[Long]("base")
-        pfx = sel.getAs[Long]("b")
-        prev = sh
-      }
-      val qhat9 = pfx
+      val kk = math.min((9L * (nCal + 1) + 9) / 10, nCal)
+      val qhat9 = graft.operators.RadixSelect.kth(resid, "r", kk)
       li.filter(col("fold") === 2)
         .crossJoin(broadcast(coef))
         .groupBy("n_train", "b9")

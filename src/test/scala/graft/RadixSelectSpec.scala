@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RadixSelect
+
+/** Planted-input proof of the radix k-th order statistic: agreement with
+  * a driver-side sort at every rank, under duplicates, zeros, and values
+  * spanning multiple radix levels.
+  */
+class RadixSelectSpec extends SparkSpec {
+
+  test("kth matches the sorted answer at every rank, with dups and zeros") {
+    val vals: Seq[Long] = Seq(0L, 0L, 5L, 5L, 5L, 7L, 1L << 13, 1L << 25,
+      (1L << 25) + 1, 1L << 40, 987654321098L, 3L, 3L)
+    import spark.implicits._
+    val df = vals.toDF("v").repartition(4).transform(CacheScope.persisted(_))
+    val sorted = vals.sorted
+    (1 to vals.size).foreach { k =>
+      assert(RadixSelect.kth(df, "v", k.toLong) == sorted(k - 1), s"rank $k")
+    }
+    CacheScope.releaseAll()
+  }
+
+  test("median via kth agrees with Spark's own sort on real data") {
+    val v = Tables.load(spark, sfDir, "lineitem")
+      .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("v"))
+      .transform(CacheScope.persisted(_))
+    val n = v.count()
+    val k = (n + 1) / 2
+    val viaRadix = RadixSelect.kth(v, "v", k)
+    val viaSort = v.orderBy("v").collect()(k.toInt - 1).getLong(0)
+    CacheScope.releaseAll()
+    assert(viaRadix == viaSort)
+  }
+}
