@@ -267,8 +267,45 @@ object MultimodalQueries extends QueryPack {
           explode(sequence(lit(0), col("n_frames") - 1, lit(10))).as("frame_idx"))
         .select(col("doc_id"), col("n_frames"), col("frame_idx"),
           round(col("frame_idx") / 24.0, 6).as("frame_ts"))
-    })
+    }),
+
+    // Audio-modality feature extraction: treat the opaque payload as a
+    // PCM sample stream ("decoded" by the same documented stub
+    // discipline as mm_decode — byte/char code minus a bias), frame it
+    // into complete 64-sample windows, and emit the two classic frame
+    // features — energy (Σ v²) and zero-crossing count — as exact
+    // integers. The Spark shape is what a real librosa-style extractor
+    // needs: ONE narrow map per document (array slice + two folds per
+    // frame, no shuffle until nothing is left but (doc, frame, feature)
+    // rows), with the frame width the batch dial. A real deployment
+    // swaps the char-code sample for codec PCM at one site.
+    "mm_audio_energy" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .filter(length(col("text")) >= AudioFrame)
+        .select(col("doc_id"),
+          expr(s"transform(filter(split(text, ''), x -> x != ''), " +
+            s"c -> CAST(ascii(c) - $AudioBias AS BIGINT))").as("v"))
+        .select(col("doc_id"),
+          explode(expr(s"sequence(0, size(v) div $AudioFrame - 1)")).as("frame"),
+          col("v"))
+        .select(col("doc_id"), col("frame"),
+          expr(s"slice(v, frame * $AudioFrame + 1, $AudioFrame)").as("w"))
+        .select(col("doc_id"), col("frame").cast("long").as("frame"),
+          expr("aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + x * x)").as("energy"),
+          expr(s"""aggregate(
+                  |  zip_with(slice(w, 1, ${AudioFrame - 1}), slice(w, 2, ${AudioFrame - 1}),
+                  |    (a, b) -> CASE WHEN (a >= 0) != (b >= 0) THEN 1L ELSE 0L END),
+                  |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("zcr")))
   )
+
+  /** Audio-stub frame width (samples per analysis window). */
+  val AudioFrame = 64
+
+  /** Audio-stub sample bias: char code minus this gives a signed sample
+    * that actually crosses zero on the synthetic corpus (ASCII letters
+    * sit at 97-122, space at 32).
+    */
+  val AudioBias = 96
 
   /** Shared signature CTE for the phash oracles: unnest/sum rebuild of
     * the Spark side's fold (independent formulation, identical bits),
@@ -403,6 +440,31 @@ object MultimodalQueries extends QueryPack {
         |)
         |SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx,
         |       round(CAST(unnest(range(0, n_frames, 10)) AS INT) / 24.0, 6) AS frame_ts
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "mm_audio_energy" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, text, length(text) // $AudioFrame AS nf
+         |  FROM documents WHERE length(text) >= $AudioFrame
+         |), fr AS (
+         |  SELECT doc_id, text, unnest(generate_series(0, nf - 1)) AS frame FROM d0
+         |), vals AS (
+         |  SELECT doc_id, frame, j,
+         |         CAST(ascii(substr(text, CAST(frame * $AudioFrame + j AS INT), 1))
+         |              - $AudioBias AS BIGINT) AS v
+         |  FROM fr, (SELECT unnest(generate_series(1, $AudioFrame)) AS j)
+         |), en AS (
+         |  SELECT doc_id, frame, CAST(sum(v * v) AS BIGINT) AS energy
+         |  FROM vals GROUP BY 1, 2
+         |), zc AS (
+         |  SELECT a.doc_id, a.frame,
+         |         CAST(sum(CASE WHEN (a.v >= 0) != (b.v >= 0) THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS zcr
+         |  FROM vals a JOIN vals b
+         |    ON b.doc_id = a.doc_id AND b.frame = a.frame AND b.j = a.j + 1
+         |  GROUP BY 1, 2
+         |)
+         |SELECT en.doc_id, CAST(en.frame AS BIGINT) AS frame, en.energy, zc.zcr
+         |FROM en JOIN zc ON zc.doc_id = en.doc_id AND zc.frame = en.frame""".stripMargin
   )
 }

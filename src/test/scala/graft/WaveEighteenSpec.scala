@@ -29,4 +29,20 @@ class WaveEighteenSpec extends SparkSpec {
     assert(byNode("tree").getAs[Double]("acc") >=
       byNode("root").getAs[Double]("acc") - 1e-6)
   }
+
+  test("mm_audio_energy: frame features bounded, frames contiguous from 0") {
+    val rows = SparkEntry.queries("mm_audio_energy")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    val w = graft.mm.MultimodalQueries.AudioFrame
+    rows.foreach { r =>
+      assert(r.getAs[Long]("energy") >= 0L)
+      val z = r.getAs[Long]("zcr")
+      assert(z >= 0L && z <= w - 1, s"zcr=$z")
+    }
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val fs = rs.map(_.getAs[Long]("frame")).sorted
+      assert(fs.head == 0L && fs.sameElements(fs.head to fs.last))
+    }
+  }
 }
