@@ -54,11 +54,12 @@ class SparkEntrySpec extends SparkSpec {
       "MultimodalQueries", "StreamingQueries", "SketchQueries",
       "LayoutQueries", "PairEvalQueries", "DriftQueries", "DtwQueries",
       "TimeSeriesQueries", "StatsQueries", "MiningQueries",
-      "TextModelQueries", "EvalQueries")
+      "TextModelQueries", "EvalQueries", "ModelPrepQueries",
+      "PrivacyQueries", "DecisionQueries", "SelectionQueries")
     val actualPacks = packs.map(_.getClass.getSimpleName.stripSuffix("$")).toSet
     assert(expectedPacks.subsetOf(actualPacks),
       s"packs removed from the registry: ${expectedPacks -- actualPacks}")
-    assert(SparkEntry.queries.size >= 289,
+    assert(SparkEntry.queries.size >= 314,
       s"query surface shrank below the round-11 floor: ${SparkEntry.queries.size}")
   }
 
