@@ -261,6 +261,36 @@ object GraphQueries extends QueryPack {
     // doubles. Two label equi-joins + bounded per-community aggregates
     // on top of the same lpaOf fixpoint q_graph_lpa runs; at 100 TB the
     // per-community relation is |communities|-bounded.
+    // Conductance per detected community — the BOUNDARY quality metric
+    // beside q_graph_modularity's internal-density one: φ(c) =
+    // cut(c) / min(vol(c), 2m − vol(c)). A community can score well on
+    // modularity yet leak (high conductance); partition-quality audits
+    // want both. Same composition shape: the LPA fixpoint through
+    // LabelsMemo, two label equi-joins, |communities|-bounded aggregates,
+    // exact integers until the single φ division.
+    "q_graph_conductance" -> ((s, d) => {
+      val e = windowedEdges(s, d).transform(graft.CacheScope.persisted(_))
+      val lab = graft.LabelsMemo.getOrCompute(s"lpa-labels:$d", s)(lpaOf(e))
+      val m2 = e.agg(count(lit(1)).as("m2"))
+      val cut = e
+        .join(lab.select(col("node").as("src"), col("community").as("c1")), "src")
+        .join(lab.select(col("node").as("dst"), col("community").as("c2")), "dst")
+        .filter(col("c1") =!= col("c2"))
+        .groupBy(col("c1").as("community")).agg(count(lit(1)).as("cut_edges"))
+      val degc = e.groupBy("src").agg(count(lit(1)).as("dg"))
+        .join(lab.select(col("node").as("src"), col("community")), "src")
+        .groupBy(col("community"))
+        .agg(sum(col("dg")).as("d_c"), count(lit(1)).as("n_nodes"))
+      degc.join(cut, Seq("community"), "left")
+        .withColumn("cut_edges", coalesce(col("cut_edges"), lit(0L)))
+        .crossJoin(broadcast(m2))
+        .filter(least(col("d_c"), col("m2") - col("d_c")) > 0)
+        .select(col("community"), col("n_nodes"), col("cut_edges"), col("d_c"),
+          round(col("cut_edges").cast("double") /
+            least(col("d_c"), col("m2") - col("d_c")).cast("double"), 9)
+            .as("phi"))
+    }),
+
     "q_graph_modularity" -> ((s, d) => {
       val e = windowedEdges(s, d).transform(graft.CacheScope.persisted(_))
       // The partition under scoring IS q_graph_lpa's output; LabelsMemo
@@ -721,6 +751,35 @@ object GraphQueries extends QueryPack {
          |l0 AS (SELECT node, node AS lbl FROM nodes),
          |${(1 to LpaRounds).map(lpaCte).mkString(",\n")}
          |SELECT node, lbl AS community FROM l$LpaRounds""".stripMargin,
+
+    "q_graph_conductance" ->
+      s"""$windowedEdgesCte,
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |l0 AS (SELECT node, node AS lbl FROM nodes),
+         |${(1 to LpaRounds).map(lpaCte).mkString(",\n")},
+         |lab AS (SELECT node, lbl AS community FROM l$LpaRounds),
+         |m2 AS (SELECT count(*) AS m2 FROM edges),
+         |cut AS (
+         |  SELECT a.community AS community, count(*) AS cut_edges
+         |  FROM edges e
+         |  JOIN lab a ON a.node = e.src
+         |  JOIN lab b ON b.node = e.dst AND b.community <> a.community
+         |  GROUP BY 1
+         |), degc AS (
+         |  SELECT l.community, CAST(sum(d.dg) AS BIGINT) AS d_c,
+         |         count(*) AS n_nodes
+         |  FROM (SELECT src, count(*) AS dg FROM edges GROUP BY 1) d
+         |  JOIN lab l ON l.node = d.src
+         |  GROUP BY 1
+         |)
+         |SELECT dc.community, dc.n_nodes,
+         |       coalesce(c.cut_edges, 0) AS cut_edges, dc.d_c,
+         |       round(CAST(coalesce(c.cut_edges, 0) AS DOUBLE) /
+         |             CAST(least(dc.d_c, m2.m2 - dc.d_c) AS DOUBLE), 9) AS phi
+         |FROM degc dc
+         |LEFT JOIN cut c ON c.community = dc.community
+         |CROSS JOIN m2
+         |WHERE least(dc.d_c, m2.m2 - dc.d_c) > 0""".stripMargin,
 
     "q_graph_modularity" ->
       s"""$windowedEdgesCte,

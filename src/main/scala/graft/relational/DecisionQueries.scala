@@ -137,6 +137,33 @@ object DecisionQueries extends QueryPack {
         round(lit(hi).cast("double") / 100.0, 2).as("hi95_usd"))
     }),
 
+    // 5%-each-side trimmed mean of extendedprice — the whale-immune
+    // location estimate between the mean (q_stats_agg) and the median
+    // (q_stats_median_ci). The trim BOUNDS are exact order statistics
+    // from [[graft.operators.RadixSelect]] (ranks ⌈n/20⌉ and n+1−⌈n/20⌉,
+    // pure integer arithmetic); the kept mass is then one exact filtered
+    // DECIMAL aggregation. Trimming is by VALUE bound, so boundary ties
+    // are all kept — identical rule in the oracle.
+    "q_stats_trimmed_mean" -> ((s, d) => {
+      val v = t(s, d, "lineitem")
+        .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("v"))
+        .transform(graft.CacheScope.persisted(_))
+      val n = v.count()
+      val kLo = (n + 19) / 20
+      val kHi = n + 1 - kLo
+      val lo = graft.operators.RadixSelect.kth(v, "v", kLo)
+      val hi = graft.operators.RadixSelect.kth(v, "v", kHi)
+      v.filter(col("v") >= lo && col("v") <= hi)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("v")).cast(DecimalType(24, 0)).as("sv"))
+        .select(lit(n).as("n"), col("n_kept"),
+          round(lit(lo).cast("double") / 100.0, 2).as("lo_usd"),
+          round(lit(hi).cast("double") / 100.0, 2).as("hi_usd"),
+          round(col("sv").cast("double") /
+            (col("n_kept").cast("double") * 100.0), 4).as("trimmed_mean_usd"))
+    }),
+
     // Depth-2 decision tree over (totalprice, orderdate) for the
     // 1-URGENT label — one level past q_ml_stump, built the way a
     // histogram GBDT grows trees at scale: the ROOT split is searched on
@@ -336,6 +363,28 @@ object DecisionQueries extends QueryPack {
         |       round(CAST((SELECT min(v) FROM r WHERE rn = k.khi) AS DOUBLE) / 100.0, 2)
         |         AS hi95_usd
         |FROM k""".stripMargin,
+
+    "q_stats_trimmed_mean" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem
+        |), nn AS (SELECT count(*) AS n FROM v),
+        |k AS (
+        |  SELECT n, (n + 19) // 20 AS klo, n + 1 - (n + 19) // 20 AS khi FROM nn
+        |), r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+        |b AS (
+        |  SELECT k.n,
+        |         (SELECT min(v) FROM r WHERE rn = k.klo) AS lo,
+        |         (SELECT min(v) FROM r WHERE rn = k.khi) AS hi
+        |  FROM k
+        |)
+        |SELECT b.n, count(*) AS n_kept,
+        |       round(CAST(b.lo AS DOUBLE) / 100.0, 2) AS lo_usd,
+        |       round(CAST(b.hi AS DOUBLE) / 100.0, 2) AS hi_usd,
+        |       round(CAST(CAST(sum(v.v) AS DECIMAL(24,0)) AS DOUBLE) /
+        |             (CAST(count(*) AS DOUBLE) * 100.0), 4) AS trimmed_mean_usd
+        |FROM v, b WHERE v.v >= b.lo AND v.v <= b.hi
+        |GROUP BY b.n, b.lo, b.hi""".stripMargin,
 
     "q_ml_tree_depth2" ->
       s"""WITH ord AS (
