@@ -59,13 +59,15 @@ object PrivacyQueries extends QueryPack {
     // (market segment x nation) over the customer-joined orders, how many
     // rows share the QI, and how many DISTINCT sensitive values
     // (order priority) do they span? Groups failing either bound are the
-    // ones a release would have to suppress or generalize. One
-    // broadcast-joined scan into one two-key aggregation; the QI-cell
+    // ones a release would have to suppress or generalize. One size-
+    // planned equi-join into one two-key aggregation; the QI-cell
     // relation is domain-bounded (segments x nations), corpus-size-free.
     "q_dp_kanonymity" -> ((s, d) => {
       val j = t(s, d, "orders").select(col("o_custkey"), col("o_orderpriority"))
-        .join(broadcast(t(s, d, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))),
+        // no explicit broadcast: customer scales with the corpus, so the
+        // size-based planner must keep the right to shuffle-join at scale
+        .join(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
       j.groupBy(col("c_mktsegment").as("segment"), col("c_nationkey").as("nation"))
         .agg(count(lit(1)).as("n_rows"),
@@ -99,9 +101,10 @@ object PrivacyQueries extends QueryPack {
       val nat = t(s, d, "nation")
         .select(col("n_nationkey").as("nation"), col("n_regionkey").as("region"))
       val base = t(s, d, "orders").select(col("o_custkey"))
-        .join(broadcast(t(s, d, "customer")
+        // same no-hint rule as q_dp_kanonymity: customer is corpus-sized
+        .join(t(s, d, "customer")
           .select(col("c_custkey"), col("c_mktsegment").as("segment"),
-            col("c_nationkey").as("nation"))),
+            col("c_nationkey").as("nation")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), "nation")
       val l1 = base.groupBy("segment", "nation", "region")
