@@ -81,14 +81,19 @@ object ModelPrepQueries extends QueryPack {
   /** Exact per-fold moment relation: everything any least-squares algebra
     * downstream needs, one scan, order-independent DECIMAL sums.
     */
-  private def foldMoments(li: DataFrame): DataFrame =
+  private def foldMoments(li: DataFrame): DataFrame = {
+    // operands widen to DECIMAL BEFORE the product: at sf0.1 the raw
+    // int64 sum of y*y already brushes 2^63 (and overflows past it) --
+    // decimal products make every moment sum exact at any SF
+    def dx(c: Column) = c.cast(DecimalType(14, 0))
     li.groupBy("fold").agg(
       count(lit(1)).cast(DecimalType(12, 0)).as("n"),
       sum(col("x")).cast(DecimalType(18, 0)).as("sx"),
       sum(col("y")).cast(DecimalType(20, 0)).as("sy"),
-      sum(col("x") * col("x")).cast(DecimalType(24, 0)).as("sxx"),
-      sum(col("x") * col("y")).cast(DecimalType(28, 0)).as("sxy"),
-      sum(col("y") * col("y")).cast(DecimalType(30, 0)).as("syy"))
+      sum(dx(col("x")) * dx(col("x"))).cast(DecimalType(24, 0)).as("sxx"),
+      sum(dx(col("x")) * dx(col("y"))).cast(DecimalType(28, 0)).as("sxy"),
+      sum(dx(col("y")) * dx(col("y"))).cast(DecimalType(30, 0)).as("syy"))
+  }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -331,17 +336,19 @@ object ModelPrepQueries extends QueryPack {
         cents(col("l_quantity")).as("x1"),
         cents(col("l_discount")).as("x2"),
         cents(col("l_extendedprice")).as("y"))
+      def dx(c: Column) = c.cast(DecimalType(14, 0))
       val m = li.agg(
         count(lit(1)).cast(DecimalType(12, 0)).as("n"),
         sum(col("x1")).cast(DecimalType(16, 0)).as("s1"),
         sum(col("x2")).cast(DecimalType(16, 0)).as("s2"),
         sum(col("y")).cast(DecimalType(20, 0)).as("sy"),
-        sum(col("x1") * col("x1")).cast(DecimalType(22, 0)).as("s11"),
-        sum(col("x1") * col("x2")).cast(DecimalType(22, 0)).as("s12"),
-        sum(col("x2") * col("x2")).cast(DecimalType(22, 0)).as("s22"),
-        sum(col("x1") * col("y")).cast(DecimalType(26, 0)).as("s1y"),
-        sum(col("x2") * col("y")).cast(DecimalType(26, 0)).as("s2y"),
-        sum(col("y") * col("y")).cast(DecimalType(30, 0)).as("syy"))
+        // decimal products: the int64 sum of y*y overflows at sf0.1
+        sum(dx(col("x1")) * dx(col("x1"))).cast(DecimalType(22, 0)).as("s11"),
+        sum(dx(col("x1")) * dx(col("x2"))).cast(DecimalType(22, 0)).as("s12"),
+        sum(dx(col("x2")) * dx(col("x2"))).cast(DecimalType(22, 0)).as("s22"),
+        sum(dx(col("x1")) * dx(col("y"))).cast(DecimalType(26, 0)).as("s1y"),
+        sum(dx(col("x2")) * dx(col("y"))).cast(DecimalType(26, 0)).as("s2y"),
+        sum(dx(col("y")) * dx(col("y"))).cast(DecimalType(30, 0)).as("syy"))
       val a11 = dd(col("n")) * dd(col("s11")) - dd(col("s1")) * dd(col("s1"))
       val a22 = dd(col("n")) * dd(col("s22")) - dd(col("s2")) * dd(col("s2"))
       val a12 = dd(col("n")) * dd(col("s12")) - dd(col("s1")) * dd(col("s2"))
