@@ -55,6 +55,12 @@ object ModelPrepQueries extends QueryPack {
   /** EM refinement rounds for q_er_em_weights. */
   val EmRounds = 2
 
+  /** Supplier-node offset for q_er_clusters: keeps the two source
+    * systems' key spaces disjoint in the shared entity graph (far above
+    * any custkey at every SF).
+    */
+  val ErSuppOffset = 1000000L
+
   /** One "source system" side for the record-linkage queries: key, nation,
     * the name-id field, $500/$100 balance bands, balance sign. The +$1000
     * shift keeps the band dividend non-negative, so truncating `div`
@@ -373,6 +379,33 @@ object ModelPrepQueries extends QueryPack {
               lit(0.5) * (col("rsq12") - col("rsq1")), 9).as("shapley")))
     }),
 
+    // The END of the entity-resolution pipeline: block → score → match
+    // (q_er_fellegi) → TRANSITIVE MERGE. Matched pairs become edges of a
+    // bipartite entity graph (supplier keys offset into a disjoint id
+    // space) and the generic distributed union-find operator
+    // ([[graft.dedup.DedupClusters]] — the same fixpoint the document
+    // and multimodal lanes run) collapses them into entity ids, so a
+    // customer matched to a supplier matched to another customer lands
+    // in ONE entity. Output: every node with its source system, entity
+    // id, and entity size. Composition is the point — the ER lane reuses
+    // the cluster operator unchanged.
+    "q_er_clusters" -> ((s, d) => {
+      val matches = queries("q_er_fellegi")(s, d)
+        .select(col("custkey").as("doc_a"),
+          (col("suppkey") + ErSuppOffset).as("doc_b"))
+      val universe = t(s, d, "customer").select(col("c_custkey").as("doc_id"))
+        .unionByName(t(s, d, "supplier")
+          .select((col("s_suppkey") + ErSuppOffset).as("doc_id")))
+      val lab = graft.dedup.DedupClusters.clusters(matches, universe)
+        .transform(CacheScope.persisted(_))
+      val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      lab.join(sizes, "cluster_id")
+        .select(col("doc_id").as("node_id"),
+          when(col("doc_id") < ErSuppOffset, "customer").otherwise("supplier")
+            .as("kind"),
+          col("cluster_id").as("entity_id"), col("n_members"))
+    }),
+
     // EM estimation of the Fellegi–Sunter m/u probabilities — the step
     // q_er_fellegi's fixed m-dials stand in for: with no labeled pairs,
     // the two-class mixture over agreement PATTERNS is fit by EM (Winkler
@@ -544,6 +577,74 @@ object ModelPrepQueries extends QueryPack {
       |       CAST(sum(y * y) AS DECIMAL(30,0)) AS syy
       |FROM li GROUP BY fold""".stripMargin
 
+  /** The full Fellegi-Sunter scoring statement (shared by the
+    * q_er_clusters oracle, which nests it as a derived table).
+    */
+  private lazy val fellegiOracle: String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey AS key, c_nationkey AS nation,
+       |         c_custkey % 100 AS id2,
+       |         (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000)
+       |           // 50000 AS band5,
+       |         (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000)
+       |           // 10000 AS band1,
+       |         CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) < 0
+       |              AS INTEGER) AS neg
+       |  FROM customer
+       |), supp AS (
+       |  SELECT s_suppkey AS key, s_nationkey AS nation,
+       |         s_suppkey % 100 AS id2,
+       |         (CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000)
+       |           // 50000 AS band5,
+       |         (CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000)
+       |           // 10000 AS band1,
+       |         CAST(CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) < 0
+       |              AS INTEGER) AS neg
+       |  FROM supplier
+       |), u1 AS (
+       |  SELECT CAST(coalesce(sum(cc * sc), 0) AS DOUBLE) /
+       |         ((SELECT CAST(count(*) AS DOUBLE) FROM cust) *
+       |          (SELECT CAST(count(*) AS DOUBLE) FROM supp)) AS u
+       |  FROM (SELECT id2, count(*) AS cc FROM cust GROUP BY 1) c
+       |  JOIN (SELECT id2, count(*) AS sc FROM supp GROUP BY 1) s USING (id2)
+       |), u2 AS (
+       |  SELECT CAST(coalesce(sum(cc * sc), 0) AS DOUBLE) /
+       |         ((SELECT CAST(count(*) AS DOUBLE) FROM cust) *
+       |          (SELECT CAST(count(*) AS DOUBLE) FROM supp)) AS u
+       |  FROM (SELECT band1, count(*) AS cc FROM cust GROUP BY 1) c
+       |  JOIN (SELECT band1, count(*) AS sc FROM supp GROUP BY 1) s USING (band1)
+       |), u3 AS (
+       |  SELECT CAST(coalesce(sum(cc * sc), 0) AS DOUBLE) /
+       |         ((SELECT CAST(count(*) AS DOUBLE) FROM cust) *
+       |          (SELECT CAST(count(*) AS DOUBLE) FROM supp)) AS u
+       |  FROM (SELECT neg, count(*) AS cc FROM cust GROUP BY 1) c
+       |  JOIN (SELECT neg, count(*) AS sc FROM supp GROUP BY 1) s USING (neg)
+       |), w AS (
+       |  SELECT
+       |    round(ln($FsM1 / least(greatest(u1.u, 1e-9), 1.0 - 1e-9)), 9) AS w1a,
+       |    round(ln(${1.0 - FsM1} /
+       |          (1.0 - least(greatest(u1.u, 1e-9), 1.0 - 1e-9))), 9) AS w1d,
+       |    round(ln($FsM2 / least(greatest(u2.u, 1e-9), 1.0 - 1e-9)), 9) AS w2a,
+       |    round(ln(${1.0 - FsM2} /
+       |          (1.0 - least(greatest(u2.u, 1e-9), 1.0 - 1e-9))), 9) AS w2d,
+       |    round(ln($FsM3 / least(greatest(u3.u, 1e-9), 1.0 - 1e-9)), 9) AS w3a,
+       |    round(ln(${1.0 - FsM3} /
+       |          (1.0 - least(greatest(u3.u, 1e-9), 1.0 - 1e-9))), 9) AS w3d
+       |  FROM u1, u2, u3
+       |)
+       |SELECT c.key AS custkey, s.key AS suppkey, c.nation AS nationkey,
+       |       CAST(c.id2 = s.id2 AS INTEGER) AS agree_id,
+       |       CAST(c.band1 = s.band1 AS INTEGER) AS agree_band,
+       |       CAST(c.neg = s.neg AS INTEGER) AS agree_sign,
+       |       round((CASE WHEN c.id2 = s.id2 THEN w1a ELSE w1d END) +
+       |             (CASE WHEN c.band1 = s.band1 THEN w2a ELSE w2d END) +
+       |             (CASE WHEN c.neg = s.neg THEN w3a ELSE w3d END), 6) AS score
+       |FROM cust c JOIN supp s ON c.nation = s.nation AND c.band5 = s.band5, w
+       |WHERE (CASE WHEN c.id2 = s.id2 THEN w1a ELSE w1d END) +
+       |      (CASE WHEN c.band1 = s.band1 THEN w2a ELSE w2d END) +
+       |      (CASE WHEN c.neg = s.neg THEN w3a ELSE w3d END) >= $FsScoreFloor
+       |""".stripMargin
+
   override val oracles: Map[String, String] = Map(
 
     "q_er_em_weights" -> emOracle,
@@ -707,70 +808,34 @@ object ModelPrepQueries extends QueryPack {
         |)
         |SELECT * FROM mi1 UNION ALL SELECT * FROM mi2""".stripMargin,
 
-    "q_er_fellegi" ->
-      s"""WITH cust AS (
-         |  SELECT c_custkey AS key, c_nationkey AS nation,
-         |         c_custkey % 100 AS id2,
-         |         (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000)
-         |           // 50000 AS band5,
-         |         (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000)
-         |           // 10000 AS band1,
-         |         CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) < 0
-         |              AS INTEGER) AS neg
-         |  FROM customer
-         |), supp AS (
-         |  SELECT s_suppkey AS key, s_nationkey AS nation,
-         |         s_suppkey % 100 AS id2,
-         |         (CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000)
-         |           // 50000 AS band5,
-         |         (CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000)
-         |           // 10000 AS band1,
-         |         CAST(CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) < 0
-         |              AS INTEGER) AS neg
-         |  FROM supplier
-         |), u1 AS (
-         |  SELECT CAST(coalesce(sum(cc * sc), 0) AS DOUBLE) /
-         |         ((SELECT CAST(count(*) AS DOUBLE) FROM cust) *
-         |          (SELECT CAST(count(*) AS DOUBLE) FROM supp)) AS u
-         |  FROM (SELECT id2, count(*) AS cc FROM cust GROUP BY 1) c
-         |  JOIN (SELECT id2, count(*) AS sc FROM supp GROUP BY 1) s USING (id2)
-         |), u2 AS (
-         |  SELECT CAST(coalesce(sum(cc * sc), 0) AS DOUBLE) /
-         |         ((SELECT CAST(count(*) AS DOUBLE) FROM cust) *
-         |          (SELECT CAST(count(*) AS DOUBLE) FROM supp)) AS u
-         |  FROM (SELECT band1, count(*) AS cc FROM cust GROUP BY 1) c
-         |  JOIN (SELECT band1, count(*) AS sc FROM supp GROUP BY 1) s USING (band1)
-         |), u3 AS (
-         |  SELECT CAST(coalesce(sum(cc * sc), 0) AS DOUBLE) /
-         |         ((SELECT CAST(count(*) AS DOUBLE) FROM cust) *
-         |          (SELECT CAST(count(*) AS DOUBLE) FROM supp)) AS u
-         |  FROM (SELECT neg, count(*) AS cc FROM cust GROUP BY 1) c
-         |  JOIN (SELECT neg, count(*) AS sc FROM supp GROUP BY 1) s USING (neg)
-         |), w AS (
-         |  SELECT
-         |    round(ln($FsM1 / least(greatest(u1.u, 1e-9), 1.0 - 1e-9)), 9) AS w1a,
-         |    round(ln(${1.0 - FsM1} /
-         |          (1.0 - least(greatest(u1.u, 1e-9), 1.0 - 1e-9))), 9) AS w1d,
-         |    round(ln($FsM2 / least(greatest(u2.u, 1e-9), 1.0 - 1e-9)), 9) AS w2a,
-         |    round(ln(${1.0 - FsM2} /
-         |          (1.0 - least(greatest(u2.u, 1e-9), 1.0 - 1e-9))), 9) AS w2d,
-         |    round(ln($FsM3 / least(greatest(u3.u, 1e-9), 1.0 - 1e-9)), 9) AS w3a,
-         |    round(ln(${1.0 - FsM3} /
-         |          (1.0 - least(greatest(u3.u, 1e-9), 1.0 - 1e-9))), 9) AS w3d
-         |  FROM u1, u2, u3
-         |)
-         |SELECT c.key AS custkey, s.key AS suppkey, c.nation AS nationkey,
-         |       CAST(c.id2 = s.id2 AS INTEGER) AS agree_id,
-         |       CAST(c.band1 = s.band1 AS INTEGER) AS agree_band,
-         |       CAST(c.neg = s.neg AS INTEGER) AS agree_sign,
-         |       round((CASE WHEN c.id2 = s.id2 THEN w1a ELSE w1d END) +
-         |             (CASE WHEN c.band1 = s.band1 THEN w2a ELSE w2d END) +
-         |             (CASE WHEN c.neg = s.neg THEN w3a ELSE w3d END), 6) AS score
-         |FROM cust c JOIN supp s ON c.nation = s.nation AND c.band5 = s.band5, w
-         |WHERE (CASE WHEN c.id2 = s.id2 THEN w1a ELSE w1d END) +
-         |      (CASE WHEN c.band1 = s.band1 THEN w2a ELSE w2d END) +
-         |      (CASE WHEN c.neg = s.neg THEN w3a ELSE w3d END) >= $FsScoreFloor
-         |""".stripMargin,
+    "q_er_fellegi" -> fellegiOracle,
+
+    "q_er_clusters" ->
+      s"""WITH RECURSIVE matches AS (
+         |  SELECT custkey AS doc_a, suppkey + $ErSuppOffset AS doc_b
+         |  FROM ($fellegiOracle) f
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM matches
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM matches
+         |), univ AS (
+         |  SELECT c_custkey AS doc_id FROM customer
+         |  UNION ALL
+         |  SELECT s_suppkey + $ErSuppOffset FROM supplier
+         |), reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+         |), comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+         |lab AS (
+         |  SELECT u.doc_id, COALESCE(c.cluster_id, u.doc_id) AS entity_id
+         |  FROM univ u LEFT JOIN comp c ON c.node = u.doc_id
+         |), sz AS (SELECT entity_id, count(*) AS n_members FROM lab GROUP BY 1)
+         |SELECT l.doc_id AS node_id,
+         |       CASE WHEN l.doc_id < $ErSuppOffset THEN 'customer'
+         |            ELSE 'supplier' END AS kind,
+         |       l.entity_id, sz.n_members
+         |FROM lab l JOIN sz USING (entity_id)""".stripMargin,
 
     "q_ml_shapley_r2" ->
       """WITH li AS (

@@ -48,4 +48,32 @@ class WaveSixteenSpec extends SparkSpec {
     assert(neg.getAs[Double]("m_hat") == 1.0 && neg.getAs[Double]("u_hat") == 1.0)
     assert(neg.getAs[Double]("w_agree") == 0.0)
   }
+
+  test("q_er_clusters: every node labeled once, matched pairs co-cluster") {
+    val rows = SparkEntry.queries("q_er_clusters")(spark, "/root/testdata/sf0.01")
+      .collect()
+    val matches = SparkEntry.queries("q_er_fellegi")(spark, "/root/testdata/sf0.01")
+      .collect()
+    CacheScope.releaseAll()
+    val off = graft.relational.ModelPrepQueries.ErSuppOffset
+    // one label per node, kinds agree with the id-space split
+    assert(rows.map(_.getAs[Long]("node_id")).distinct.length == rows.length)
+    rows.foreach { r =>
+      val isCust = r.getAs[Long]("node_id") < off
+      assert(r.getAs[String]("kind") == (if (isCust) "customer" else "supplier"))
+    }
+    // transitivity floor: every scored match must land both ends in the
+    // same entity
+    val ent = rows.map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("entity_id")).toMap
+    matches.foreach { m =>
+      assert(ent(m.getAs[Long]("custkey")) == ent(m.getAs[Long]("suppkey") + off))
+    }
+    // entity sizes are consistent with the label multiset
+    val bySize = rows.groupBy(_.getAs[Long]("entity_id"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") ==
+        bySize(r.getAs[Long]("entity_id")).length.toLong)
+    }
+    assert(rows.exists(_.getAs[Long]("n_members") > 1))
+  }
 }
