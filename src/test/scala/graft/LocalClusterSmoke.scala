@@ -89,6 +89,20 @@ object LocalClusterSmoke {
       assert(btw == Map(42L -> 3.0, 43L -> 2.0, 44L -> 1.0, 45L -> 0.0),
         s"betweenness: $btw")
 
+      // 5. RadixSelect (the r11 k-th-order-statistic operator): each
+      // level is a filtered aggregation across the separate executor
+      // JVMs with only the 2-scalar rank state returning to the driver —
+      // exactly the protocol a cluster run exercises.
+      val vals = Seq(0L, 5L, 5L, 7L, 1L << 20, 1L << 37, 999999999999L, 3L)
+      val vdf = vals.toDF("v").repartition(4)
+        .transform(CacheScope.persisted(_))
+      val sortedV = vals.sorted
+      (1 to vals.size).foreach { k =>
+        val got = operators.RadixSelect.kth(vdf, "v", k.toLong)
+        assert(got == sortedV(k - 1), s"radix rank $k: $got")
+      }
+      CacheScope.releaseAll()
+
       // Reliable checkpoints actually landed on the shared path.
       val st = Files.walk(java.nio.file.Paths.get(ckpt))
       val hasRdd =
