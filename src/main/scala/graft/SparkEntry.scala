@@ -33,6 +33,8 @@ object SparkEntry {
     relational.ModelPrepQueries,
     relational.PrivacyQueries,
     relational.DecisionQueries,
+    relational.FeatureQueries,
+    relational.RollingQueries,
     dedup.DedupQueries,
     sim.SimilarityQueries,
     sim.SelectionQueries,

@@ -72,8 +72,47 @@ object GraphPathQueries extends QueryPack {
     // cannot move a dependency. Seed sampling is the standard
     // approximation (Brandes-Pich): the seed modulus is the accuracy/
     // cost dial, and at 100 TB seed cohorts run as separate batches.
-    "q_graph_betweenness" -> ((s, d) => betweennessOf(windowedEdges(s, d)))
+    "q_graph_betweenness" -> ((s, d) => betweennessOf(windowedEdges(s, d))),
+
+    // Katz centrality — the UNNORMALIZED influence propagation
+    // (pagerank divides mass by outdegree; Katz lets a high-degree hub
+    // amplify): x ← 1 + α·Aᵀx truncated at [[KatzIters]] terms, in the
+    // same integer fixed-point grains as pagerankOf so the result is
+    // bit-reproducible under any partitioning. Each round is one
+    // equi-join + sum-agg over the persisted edge relation; α = 5% keeps
+    // the truncated series (and the int64 headroom) comfortably bounded
+    // at any degree the co-purchase graph produces.
+    "q_graph_katz" -> ((s, d) => katzOf(windowedEdges(s, d)))
   )
+
+  /** Katz damping α as a percentage (x·α = (x·[[KatzAlphaPct]]) div 100). */
+  val KatzAlphaPct = 5L
+
+  /** Fixed-point grain for Katz scores. */
+  val KatzScale = 1000000000L
+
+  /** Truncation depth of the Katz series (a dial the oracle unrolls). */
+  val KatzIters = 5
+
+  /** The truncated-Katz fixpoint over any symmetric (src, dst) edge
+    * relation. Exact integer arithmetic end to end.
+    */
+  def katzOf(edgesDf: DataFrame): DataFrame = {
+    val e = edgesDf.transform(graft.CacheScope.persisted(_))
+    val nodes = e.select(col("src").as("node")).distinct()
+      .transform(graft.CacheScope.persisted(_))
+    var x = nodes.select(col("node"), lit(KatzScale).as("x"))
+    for (_ <- 1 to KatzIters) {
+      val contrib = e.join(x, col("src") === col("node"))
+        .select(col("dst"), col("x"))
+        .groupBy("dst").agg(sum(col("x")).as("contrib"))
+      x = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(KatzScale) +
+            expr(s"($KatzAlphaPct * coalesce(contrib, 0L)) div 100")).as("x"))
+    }
+    x.select(col("node"), col("x").as("katz_fixed"))
+  }
 
   /** BFS relaxation rounds — nodes beyond this hop count are (honestly)
     * absent from the output; a dial, so the oracle can unroll it.
@@ -542,5 +581,27 @@ object GraphPathQueries extends QueryPack {
 
     // End normalization: HUGEINT `//` mirrors Spark's decimal `div`
     // (all values positive, so floor == truncate).
+
+    "q_graph_katz" ->
+      s"""$windowedEdgesCte, nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |), x0 AS (
+         |  SELECT node, CAST($KatzScale AS BIGINT) AS x FROM nodes
+         |),
+         |${(1 to KatzIters).map(katzCte).mkString(",\n")}
+         |SELECT node, CAST(x AS BIGINT) AS katz_fixed FROM x$KatzIters""".stripMargin
   )
+
+  /** One unrolled Katz round i (reads x{i-1}, defines x{i}). */
+  private def katzCte(i: Int): String =
+    s"""c$i AS (
+       |  SELECT e.dst, sum(x.x) AS contrib
+       |  FROM edges e JOIN x${i - 1} x ON x.node = e.src
+       |  GROUP BY 1
+       |), x$i AS (
+       |  SELECT n.node,
+       |         CAST($KatzScale + ($KatzAlphaPct * COALESCE(c.contrib, 0)) // 100
+       |              AS BIGINT) AS x
+       |  FROM nodes n LEFT JOIN c$i c ON c.dst = n.node
+       |)""".stripMargin
 }

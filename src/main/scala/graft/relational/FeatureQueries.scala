@@ -1,0 +1,545 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryPack, Tables}
+
+/** Feature-engineering and multiple-testing operators — the supervised
+  * feature-prep layer a training pipeline runs between raw joins and model
+  * fitting: leave-one-out target encoding (Micci-Barreca 2001), Weight of
+  * Evidence / Information Value binning (the credit-scoring standard), the
+  * Benjamini–Hochberg step-up FDR correction over a family of per-group
+  * tests, and the Brown–Forsythe (median-centered Levene) equal-variance
+  * test.
+  *
+  * Scale discipline: every operator reduces the corpus to a DOMAIN-bounded
+  * relation first (25 brands, 11 discount bands, 25 nations, 3 return
+  * flags) with one map-side-combining aggregation; everything after runs
+  * on those bounded relations via broadcast self-joins — no windows, no
+  * driver loops. Group medians for Brown–Forsythe come from the shared
+  * [[graft.operators.RadixSelect]] (no sort, no per-row rank) — the
+  * 3-group iteration is a bounded driver literal, the same exception as
+  * q_stats_median_ci. Doubles appear only after exact integer/DECIMAL
+  * moments, with round(,9) pins ahead of any cross-engine argmin/rank.
+  */
+object FeatureQueries extends QueryPack {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** Smoothing pseudo-count for the target encoder. */
+  val EncodeM = 10
+
+  /** BH family-wise alpha = 1/Alpha20 (exact rational compare). */
+  val FdrAlphaInv = 20
+
+  /** Histogram width shared with q_ml_tree_depth2 (same bucketization). */
+  val TreeBkts = DecisionQueries.TreeBkts
+
+  /** a..z → consonant-class digit (soundex classes; vowel class = 0). */
+  val PhoneticMap = "01230120022455012623010202"
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Leave-one-out target encoding of part brand against the lineitem
+    // return label, with m=10 prior smoothing: for a row with label y,
+    // enc = (sum_y - y + prior·m) / (n - 1 + m). The category relation is
+    // DOMAIN-bounded (25 brands), so the whole encoder is one shuffled
+    // equi-join (lineitem ⋈ part, both sides corpus-sized — the one
+    // unavoidable shuffle) + one bounded aggregation; the per-row encode
+    // a consumer applies is then a broadcast map join against these 25
+    // rows. Output: both LOO values per category (y=1 / y=0) — the full
+    // encoder table.
+    "q_ml_target_encode" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_partkey").as("pk"),
+        (col("l_returnflag") === "R").cast("long").as("y"))
+      val pt = t(s, d, "part").select(col("p_partkey").as("pk"), col("p_brand"))
+      val cat = li.join(pt, "pk").groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      val tot = cat.agg(sum(col("n")).as("nn"), sum(col("sy")).as("gg"))
+      cat.crossJoin(broadcast(tot))
+        .select(col("p_brand"), col("n"), col("sy"),
+          round(col("sy").cast("double") / col("n").cast("double"), 6).as("raw_rate"),
+          round((col("sy").cast("double") - 1.0 +
+            col("gg").cast("double") / col("nn").cast("double") * EncodeM) /
+            (col("n").cast("double") - 1.0 + EncodeM), 6).as("enc_pos"),
+          round((col("sy").cast("double") +
+            col("gg").cast("double") / col("nn").cast("double") * EncodeM) /
+            (col("n").cast("double") - 1.0 + EncodeM), 6).as("enc_neg"))
+    }),
+
+    // Weight of Evidence / Information Value of the discount band against
+    // the return flag: woe_b = ln((good_b/G)/(bad_b/B)), iv_b =
+    // (good_b/G - bad_b/B)·woe_b, IV = Σ iv_b. Bands are the 11-value
+    // discount domain; counts are exact longs, so the only doubles are
+    // the final ratio/ln per band. Per-band iv is round(,9)-pinned into
+    // DECIMAL before the exact total fold (the mm_phash lesson: never let
+    // an unpinned double chain cross an aggregation the oracle re-runs).
+    "q_ml_woe_iv" -> ((s, d) => {
+      val bins = t(s, d, "lineitem")
+        .groupBy(expr("CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("band"))
+        .agg(sum((col("l_returnflag") =!= "R").cast("long")).as("g"),
+          sum((col("l_returnflag") === "R").cast("long")).as("b"))
+        .filter(col("g") > 0 && col("b") > 0)
+        .transform(graft.CacheScope.persisted(_))
+      val tot = bins.agg(sum(col("g")).as("gg"), sum(col("b")).as("bb"))
+      val woed = bins.crossJoin(broadcast(tot))
+        .withColumn("woe", round(
+          log((col("g").cast("double") / col("gg").cast("double")) /
+            (col("b").cast("double") / col("bb").cast("double"))), 9))
+        .withColumn("iv_bin", round(
+          (col("g").cast("double") / col("gg").cast("double") -
+            col("b").cast("double") / col("bb").cast("double")) * col("woe"), 9)
+          .cast(DecimalType(20, 9)))
+        .transform(graft.CacheScope.persisted(_))
+      val iv = woed.agg(sum(col("iv_bin")).as("ivt"))
+      woed.crossJoin(broadcast(iv))
+        .select(col("band"), (col("g") + col("b")).as("n"),
+          round(col("woe"), 6).as("woe"),
+          round(col("iv_bin").cast("double"), 6).as("iv_bin"),
+          round(col("ivt").cast("double"), 6).as("iv_total"))
+    }),
+
+    // Benjamini–Hochberg step-up FDR over the per-nation urgent-rate
+    // z-tests: p-values from the Abramowitz–Stegun 26.2.17 normal-tail
+    // polynomial (explicit double constants, identical expression text in
+    // both engines, round(,9)-pinned BEFORE ranking), ranks from a
+    // broadcast self-join over the 25-row test relation (no window), and
+    // the step-up threshold p_(k) ≤ k/(α⁻¹·m) compared EXACTLY as
+    // p·α⁻¹·m ≤ k in DECIMAL — the cross-engine-fragile inequality never
+    // touches floating point.
+    "q_stats_fdr_bh" -> ((s, d) => {
+      val ord = t(s, d, "orders").select(col("o_custkey").as("ck"),
+        (col("o_orderpriority") === "1-URGENT").cast("long").as("x"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").as("ck"), col("c_nationkey").as("nation"))
+      val per = ord.join(cust, "ck").groupBy("nation")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("x"))
+      val tot = per.agg(sum(col("n")).as("nn"), sum(col("x")).as("xx"))
+      val p0 = col("xx").cast("double") / col("nn").cast("double")
+      val z = (col("x").cast("double") / col("n").cast("double") - p0) /
+        sqrt(p0 * (lit(1.0) - p0) / col("n").cast("double"))
+      val az = abs(z)
+      val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+      val phi = exp(az * az * lit(-0.5)) / lit(2.5066282746310002)
+      val poly = tt * (lit(0.319381530) + tt * (lit(-0.356563782) +
+        tt * (lit(1.781477937) + tt * (lit(-1.821255978) +
+          tt * lit(1.330274429)))))
+      val tests = per.crossJoin(broadcast(tot))
+        .select(col("nation"), col("n"), col("x"),
+          round(lit(2.0) * phi * poly, 9).cast(DecimalType(12, 9)).as("p"))
+        .transform(graft.CacheScope.persisted(_))
+      val ranked = tests.as("a")
+        .join(broadcast(tests.select(col("nation").as("n2"), col("p").as("p2"))),
+          col("p2") < col("p") || (col("p2") === col("p") && col("n2") <= col("nation")))
+        .groupBy(col("nation")).agg(max(col("p")).as("p"),
+          max(col("n")).as("n"), max(col("x")).as("x"),
+          count(lit(1)).as("rank"))
+        .transform(graft.CacheScope.persisted(_))
+      val m = ranked.agg(count(lit(1)).as("m"))
+      val withM = ranked.crossJoin(broadcast(m))
+      val kstar = withM
+        .filter(col("p") * FdrAlphaInv * col("m") <= col("rank"))
+        .agg(max(col("rank")).as("kstar"))
+      withM.crossJoin(broadcast(kstar))
+        .select(col("nation"), col("n"), col("x"),
+          round(col("p").cast("double"), 6).as("pval"), col("rank"),
+          (col("kstar").isNotNull && col("rank") <= col("kstar")).as("rejected"))
+    }),
+
+    // Two rounds of AdaBoost with decision stumps over the tree_depth2
+    // bucket pair (64-bin totalprice / orderdate histograms): round 1
+    // searches all (threshold, polarity) stumps on exact counts; the
+    // weight update never calls exp — exp(±α) = sqrt((1-e)/e)^{±1}
+    // exactly, and sqrt IS correctly rounded, so the round-2 weighted
+    // histogram folds cnt × round(w,9) in exact DECIMAL and the second
+    // argmin compares exact decimals. Each round is one bounded
+    // aggregation over the same persisted bucket scan + a ≤64-row prefix
+    // self-join — the schoolbook boosting loop with zero re-scans.
+    "q_ml_adaboost_round" -> ((s, d) => {
+      val ord = t(s, d, "orders").select(
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("v1"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1990-01-01') AS BIGINT)")
+          .as("v2"),
+        (col("o_orderpriority") === "1-URGENT").as("pos"))
+      val span = ord.agg(min(col("v1")).as("n1"), max(col("v1")).as("x1"),
+        min(col("v2")).as("n2"), max(col("v2")).as("x2"))
+      val bk = ord.crossJoin(broadcast(span))
+        .select(expr(s"CAST((v1 - n1) * $TreeBkts AS BIGINT) div (x1 - n1 + 1)").as("b1"),
+          expr(s"CAST((v2 - n2) * $TreeBkts AS BIGINT) div (x2 - n2 + 1)").as("b2"),
+          col("pos"))
+        .transform(graft.CacheScope.persisted(_))
+      val c1 = bk.groupBy("b1")
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("q"))
+      val tot1 = c1.agg(sum(col("p")).as("pp"), sum(col("q")).as("qq"))
+      val cum1 = c1.as("b").join(broadcast(c1.as("o")), col("o.b1") <= col("b.b1"))
+        .groupBy(col("b.b1").as("t"))
+        .agg(sum(col("o.p")).as("pl"), sum(col("o.q")).as("ql"))
+        .crossJoin(broadcast(tot1))
+      // pol 0: left side predicts positive; pol 1: right side does
+      val best1 = cum1.select(col("t"), col("pp"), col("qq"),
+          least(struct((col("ql") + col("pp") - col("pl")).as("e"),
+              col("t"), lit(0L).as("pol")),
+            struct((col("pl") + col("qq") - col("ql")).as("e"),
+              col("t"), lit(1L).as("pol"))).as("cand"))
+        .agg(min(col("cand")).as("m"), max(col("pp") + col("qq")).as("nn"))
+        .select(col("m.t").as("t1"), col("m.pol").as("pol1"),
+          greatest(col("m.e"), lit(1L)).as("e1"), col("nn"))
+        .withColumn("wr", round(sqrt((col("nn") - col("e1")).cast("double") /
+          col("e1").cast("double")), 9).cast(DecimalType(16, 9)))
+        .withColumn("wc", round(sqrt(col("e1").cast("double") /
+          (col("nn") - col("e1")).cast("double")), 9).cast(DecimalType(16, 9)))
+      val c2 = bk.crossJoin(broadcast(best1))
+        .withColumn("correct",
+          when(col("pol1") === 0, (col("b1") <= col("t1")) === col("pos"))
+            .otherwise((col("b1") > col("t1")) === col("pos")))
+        .groupBy("b2")
+        .agg(sum(when(col("pos"),
+            when(col("correct"), col("wc")).otherwise(col("wr")))
+            .otherwise(lit(0).cast(DecimalType(16, 9)))).as("pw"),
+          sum(when(!col("pos"),
+            when(col("correct"), col("wc")).otherwise(col("wr")))
+            .otherwise(lit(0).cast(DecimalType(16, 9)))).as("qw"))
+      val tot2 = c2.agg(sum(col("pw")).as("ppw"), sum(col("qw")).as("qqw"))
+      val cum2 = c2.as("b").join(broadcast(c2.as("o")), col("o.b2") <= col("b.b2"))
+        .groupBy(col("b.b2").as("t"))
+        .agg(sum(col("o.pw")).as("pwl"), sum(col("o.qw")).as("qwl"))
+        .crossJoin(broadcast(tot2))
+      val best2 = cum2.select(
+          least(struct((col("qwl") + col("ppw") - col("pwl")).as("e"),
+              col("t"), lit(0L).as("pol")),
+            struct((col("pwl") + col("qqw") - col("qwl")).as("e"),
+              col("t"), lit(1L).as("pol"))).as("cand"))
+        .agg(min(col("cand")).as("m"))
+        .crossJoin(broadcast(tot2))
+        .select(col("m.t").as("t2"), col("m.pol").as("pol2"),
+          col("m.e").cast("double").as("e2w"),
+          (col("ppw") + col("qqw")).cast("double").as("ww"))
+      val r1 = best1.select(lit(1L).as("round"), lit("totalprice").as("feature"),
+        col("t1").as("threshold"), col("pol1").as("polarity"),
+        round(col("e1").cast("double") / col("nn").cast("double"), 6).as("err_rate"),
+        round(log((col("nn") - col("e1")).cast("double") /
+          col("e1").cast("double")) * 0.5, 6).as("alpha"))
+      val r2 = best2.select(lit(2L).as("round"), lit("orderdate").as("feature"),
+        col("t2").as("threshold"), col("pol2").as("polarity"),
+        round(col("e2w") / col("ww"), 6).as("err_rate"),
+        round(log((col("ww") - col("e2w")) / col("e2w")) * 0.5, 6).as("alpha"))
+      r1.unionByName(r2)
+    }),
+
+    // Phonetic-key blocking for entity resolution over the part noun
+    // (second word of p_name): a soundex-style code — first letter +
+    // consonant-class digits with adjacent duplicates collapsed and
+    // vowel-class zeros dropped, rpad'ed to 4 — built with translate()
+    // plus ONE fold over the char array (no regex backreferences, which
+    // RE2-based engines lack). Blocking reduces the candidate-pair space
+    // from |parts|² to Σ_block C(n,2): the output reports exactly that
+    // contraction per block. The oracle collapses duplicates with a
+    // lag-window sweep instead of a fold — algorithmic diversity, same
+    // answer.
+    "q_er_phonetic" -> ((s, d) => {
+      val words = t(s, d, "part")
+        .select(element_at(split(col("p_name"), " "), 2).as("w"))
+        .withColumn("coded", translate(expr("substr(w, 2)"),
+          "abcdefghijklmnopqrstuvwxyz", PhoneticMap))
+        .withColumn("dedup", expr(
+          "aggregate(split(coded, ''), '', (acc, c) -> " +
+            "CASE WHEN c = '' OR right(acc, 1) = c THEN acc " +
+            "ELSE concat(acc, c) END)"))
+        .withColumn("key", rpad(concat(upper(expr("substr(w, 1, 1)")),
+          expr("substr(replace(dedup, '0', ''), 1, 3)")), 4, "0"))
+      words.groupBy("key")
+        .agg(count(lit(1)).as("n_parts"),
+          countDistinct(col("w")).as("n_nouns"),
+          min(col("w")).as("first_noun"), max(col("w")).as("last_noun"))
+        .withColumn("n_pairs", expr("(n_parts * (n_parts - 1)) div 2"))
+    }),
+
+    // Brown–Forsythe equal-variance test of extendedprice across the 3
+    // return-flag groups: center each group at its exact LOWER median
+    // (rank (n+1)/2 via RadixSelect — no sort, no window, ~5 bounded
+    // aggregations per group over the persisted cents column; the 3-group
+    // loop is a bounded driver literal), then one-way ANOVA on the
+    // absolute deviations from exact DECIMAL moments. Doubles enter only
+    // in the final F assembly.
+    "q_stats_levene" -> ((s, d) => {
+      val v = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("v"))
+        .transform(graft.CacheScope.persisted(_))
+      val groups = v.groupBy("flag").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).sortBy(_._1)
+      val meds = groups.map { case (g, n) =>
+        g -> graft.operators.RadixSelect.kth(v.filter(col("flag") === g), "v", (n + 1) / 2)
+      }.toMap
+      val medCol = groups.map(_._1).foldRight(lit(-1L): Column) { (g, acc) =>
+        when(col("flag") === g, lit(meds(g))).otherwise(acc)
+      }
+      val zg = v.select(col("flag"), abs(col("v") - medCol).as("z"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("z").cast(DecimalType(14, 0))).cast(DecimalType(24, 0)).as("sz"),
+          sum((col("z").cast(DecimalType(14, 0)) * col("z").cast(DecimalType(14, 0)))
+            .cast(DecimalType(28, 0))).cast(DecimalType(34, 0)).as("szz"))
+        .transform(graft.CacheScope.persisted(_))
+      val g = zg.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(col("sz")).cast(DecimalType(30, 0)).as("tsz"),
+        sum(col("szz")).cast(DecimalType(38, 0)).as("tszz"),
+        sum(round(col("sz").cast("double") * col("sz").cast("double") /
+          col("n").cast("double"), 4).cast(DecimalType(30, 4))).as("szn"))
+      val f = g.select(col("k"), col("nn"),
+        round(((col("szn").cast("double") -
+          col("tsz").cast("double") * col("tsz").cast("double") /
+            col("nn").cast("double")) / (col("k").cast("double") - 1.0)) /
+          ((col("tszz").cast("double") - col("szn").cast("double")) /
+            (col("nn").cast("double") - col("k").cast("double"))), 6).as("f_stat"),
+        (col("k") - 1).as("df1"), (col("nn") - col("k")).as("df2"))
+      zg.crossJoin(broadcast(f))
+        .select(col("flag"), col("n"),
+          round(medCol.cast("double") / 100.0, 2).as("med_usd"),
+          round(col("sz").cast("double") / col("n").cast("double") / 100.0, 4)
+            .as("zbar_usd"),
+          col("f_stat"), col("df1"), col("df2"))
+    }))
+
+  /** The A&S normal-tail p-value SQL over a DOUBLE column expr `z` —
+    * identical constant text to the Spark builder.
+    */
+  private def pvalSql(z: String): String =
+    s"""round(2.0 * exp(($z) * ($z) * -0.5) / 2.5066282746310002 *
+       |  ((1.0 / (1.0 + 0.2316419 * ($z))) * (0.319381530 +
+       |   (1.0 / (1.0 + 0.2316419 * ($z))) * (-0.356563782 +
+       |   (1.0 / (1.0 + 0.2316419 * ($z))) * (1.781477937 +
+       |   (1.0 / (1.0 + 0.2316419 * ($z))) * (-1.821255978 +
+       |   (1.0 / (1.0 + 0.2316419 * ($z))) * 1.330274429))))), 9)""".stripMargin
+
+  override val oracles: Map[String, String] = Map(
+
+    "q_ml_target_encode" ->
+      s"""WITH cat AS (
+         |  SELECT p_brand, count(*) AS n,
+         |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS sy
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  GROUP BY 1
+         |), tot AS (SELECT sum(n) AS nn, sum(sy) AS gg FROM cat)
+         |SELECT p_brand, n, sy,
+         |       round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+         |       round((CAST(sy AS DOUBLE) - 1.0 +
+         |              CAST(gg AS DOUBLE) / CAST(nn AS DOUBLE) * $EncodeM) /
+         |             (CAST(n AS DOUBLE) - 1.0 + $EncodeM), 6) AS enc_pos,
+         |       round((CAST(sy AS DOUBLE) +
+         |              CAST(gg AS DOUBLE) / CAST(nn AS DOUBLE) * $EncodeM) /
+         |             (CAST(n AS DOUBLE) - 1.0 + $EncodeM), 6) AS enc_neg
+         |FROM cat, tot""".stripMargin,
+
+    "q_ml_woe_iv" ->
+      """WITH bins AS (
+        |  SELECT CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS band,
+        |         CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS g,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS b
+        |  FROM lineitem GROUP BY 1
+        |  HAVING g > 0 AND b > 0
+        |), tot AS (SELECT sum(g) AS gg, sum(b) AS bb FROM bins),
+        |woed AS (
+        |  SELECT band, g + b AS n,
+        |         round(ln((CAST(g AS DOUBLE) / CAST(gg AS DOUBLE)) /
+        |                  (CAST(b AS DOUBLE) / CAST(bb AS DOUBLE))), 9) AS woe,
+        |         CAST(round((CAST(g AS DOUBLE) / CAST(gg AS DOUBLE) -
+        |                     CAST(b AS DOUBLE) / CAST(bb AS DOUBLE)) *
+        |                    round(ln((CAST(g AS DOUBLE) / CAST(gg AS DOUBLE)) /
+        |                             (CAST(b AS DOUBLE) / CAST(bb AS DOUBLE))), 9), 9)
+        |              AS DECIMAL(20,9)) AS iv_bin
+        |  FROM bins, tot
+        |), iv AS (SELECT sum(iv_bin) AS ivt FROM woed)
+        |SELECT band, n, round(woe, 6) AS woe,
+        |       round(CAST(iv_bin AS DOUBLE), 6) AS iv_bin,
+        |       round(CAST(ivt AS DOUBLE), 6) AS iv_total
+        |FROM woed, iv""".stripMargin,
+
+    "q_stats_fdr_bh" ->
+      s"""WITH per AS (
+         |  SELECT c_nationkey AS nation, count(*) AS n,
+         |         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS x
+         |  FROM orders JOIN customer ON c_custkey = o_custkey
+         |  GROUP BY 1
+         |), tot AS (SELECT sum(n) AS nn, sum(x) AS xx FROM per),
+         |tests AS (
+         |  SELECT nation, n, x,
+         |         CAST(${pvalSql(
+        """abs((CAST(x AS DOUBLE) / CAST(n AS DOUBLE) -
+          |   CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE)) /
+          |  sqrt(CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE) *
+          |       (1.0 - CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE)) /
+          |       CAST(n AS DOUBLE)))""".stripMargin)} AS DECIMAL(12,9)) AS p
+         |  FROM per, tot
+         |), ranked AS (
+         |  SELECT a.nation, max(a.p) AS p, max(a.n) AS n, max(a.x) AS x,
+         |         count(*) AS rank
+         |  FROM tests a JOIN tests b
+         |    ON b.p < a.p OR (b.p = a.p AND b.nation <= a.nation)
+         |  GROUP BY 1
+         |), m AS (SELECT count(*) AS m FROM ranked),
+         |kstar AS (
+         |  SELECT max(rank) AS kstar FROM ranked, m
+         |  WHERE p * $FdrAlphaInv * m <= rank
+         |)
+         |SELECT nation, n, x, round(CAST(p AS DOUBLE), 6) AS pval, rank,
+         |       kstar IS NOT NULL AND rank <= kstar AS rejected
+         |FROM ranked, kstar""".stripMargin,
+
+    "q_ml_adaboost_round" ->
+      s"""WITH ord AS (
+         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v1,
+         |         CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+         |              AS BIGINT) AS v2,
+         |         o_orderpriority = '1-URGENT' AS pos
+         |  FROM orders
+         |), span AS (
+         |  SELECT min(v1) AS n1, max(v1) AS x1, min(v2) AS n2, max(v2) AS x2 FROM ord
+         |), bk AS (
+         |  SELECT CAST((v1 - n1) * $TreeBkts AS BIGINT) // (x1 - n1 + 1) AS b1,
+         |         CAST((v2 - n2) * $TreeBkts AS BIGINT) // (x2 - n2 + 1) AS b2, pos
+         |  FROM ord, span
+         |), c1 AS (
+         |  SELECT b1, CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         |         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS q
+         |  FROM bk GROUP BY 1
+         |), tot1 AS (
+         |  SELECT CAST(sum(p) AS BIGINT) AS pp, CAST(sum(q) AS BIGINT) AS qq FROM c1
+         |), cum1 AS (
+         |  SELECT b.b1 AS t, CAST(sum(o.p) AS BIGINT) AS pl,
+         |         CAST(sum(o.q) AS BIGINT) AS ql
+         |  FROM c1 b JOIN c1 o ON o.b1 <= b.b1 GROUP BY 1
+         |), s1 AS (
+         |  SELECT t, CAST(0 AS BIGINT) AS pol, ql + pp - pl AS e, pp, qq
+         |  FROM cum1, tot1
+         |  UNION ALL
+         |  SELECT t, 1, pl + qq - ql, pp, qq FROM cum1, tot1
+         |), best1 AS (
+         |  SELECT t AS t1, pol AS pol1, greatest(e, 1) AS e1, pp + qq AS nn,
+         |         CAST(round(sqrt(CAST(pp + qq - greatest(e, 1) AS DOUBLE) /
+         |                         CAST(greatest(e, 1) AS DOUBLE)), 9)
+         |              AS DECIMAL(16,9)) AS wr,
+         |         CAST(round(sqrt(CAST(greatest(e, 1) AS DOUBLE) /
+         |                         CAST(pp + qq - greatest(e, 1) AS DOUBLE)), 9)
+         |              AS DECIMAL(16,9)) AS wc
+         |  FROM s1 ORDER BY e, t, pol LIMIT 1
+         |), c2 AS (
+         |  SELECT b2,
+         |         sum(CASE WHEN pos THEN (CASE WHEN correct THEN wc ELSE wr END)
+         |                  ELSE CAST(0 AS DECIMAL(16,9)) END) AS pw,
+         |         sum(CASE WHEN NOT pos THEN (CASE WHEN correct THEN wc ELSE wr END)
+         |                  ELSE CAST(0 AS DECIMAL(16,9)) END) AS qw
+         |  FROM (SELECT b2, pos,
+         |               CASE WHEN pol1 = 0 THEN (b1 <= t1) = pos
+         |                    ELSE (b1 > t1) = pos END AS correct,
+         |               wc, wr
+         |        FROM bk, best1)
+         |  GROUP BY 1
+         |), tot2 AS (SELECT sum(pw) AS ppw, sum(qw) AS qqw FROM c2),
+         |cum2 AS (
+         |  SELECT b.b2 AS t, sum(o.pw) AS pwl, sum(o.qw) AS qwl
+         |  FROM c2 b JOIN c2 o ON o.b2 <= b.b2 GROUP BY 1
+         |), s2 AS (
+         |  SELECT t, CAST(0 AS BIGINT) AS pol, qwl + ppw - pwl AS e, ppw, qqw
+         |  FROM cum2, tot2
+         |  UNION ALL
+         |  SELECT t, 1, pwl + qqw - qwl, ppw, qqw FROM cum2, tot2
+         |), best2 AS (
+         |  SELECT t AS t2, pol AS pol2, CAST(e AS DOUBLE) AS e2w,
+         |         CAST(ppw + qqw AS DOUBLE) AS ww
+         |  FROM s2 ORDER BY e, t, pol LIMIT 1
+         |)
+         |SELECT CAST(1 AS BIGINT) AS round, 'totalprice' AS feature,
+         |       t1 AS threshold, pol1 AS polarity,
+         |       round(CAST(e1 AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS err_rate,
+         |       round(ln(CAST(nn - e1 AS DOUBLE) / CAST(e1 AS DOUBLE)) * 0.5, 6)
+         |         AS alpha
+         |FROM best1
+         |UNION ALL
+         |SELECT 2, 'orderdate', t2, pol2, round(e2w / ww, 6),
+         |       round(ln((ww - e2w) / e2w) * 0.5, 6)
+         |FROM best2""".stripMargin,
+
+    "q_er_phonetic" ->
+      s"""WITH words AS (
+         |  SELECT p_partkey AS pk, string_split(p_name, ' ')[2] AS w FROM part
+         |), coded AS (
+         |  SELECT pk, w, translate(substr(w, 2), 'abcdefghijklmnopqrstuvwxyz',
+         |                          '$PhoneticMap') AS coded
+         |  FROM words
+         |), seq AS (
+         |  SELECT pk, coded, unnest(generate_series(1, length(coded))) AS i FROM coded
+         |), chars AS (
+         |  SELECT pk, i, substr(coded, i, 1) AS c FROM seq
+         |), filt AS (
+         |  SELECT pk, i, c FROM (
+         |    SELECT pk, i, c, lag(c) OVER (PARTITION BY pk ORDER BY i) AS lc
+         |    FROM chars)
+         |  WHERE lc IS NULL OR lc <> c
+         |), ded AS (
+         |  SELECT pk, string_agg(c, '' ORDER BY i) AS dedup FROM filt GROUP BY 1
+         |), keyed AS (
+         |  SELECT w.pk, w.w,
+         |         rpad(upper(substr(w.w, 1, 1)) ||
+         |              substr(replace(coalesce(ded.dedup, ''), '0', ''), 1, 3),
+         |              4, '0') AS key
+         |  FROM words w LEFT JOIN ded ON ded.pk = w.pk
+         |)
+         |SELECT key, count(*) AS n_parts, count(DISTINCT w) AS n_nouns,
+         |       min(w) AS first_noun, max(w) AS last_noun,
+         |       CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+         |FROM keyed GROUP BY 1""".stripMargin,
+
+    "q_stats_levene" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem
+        |), r AS (
+        |  SELECT flag, v, row_number() OVER (PARTITION BY flag ORDER BY v) AS rn,
+        |         count(*) OVER (PARTITION BY flag) AS n
+        |  FROM v
+        |), med AS (
+        |  SELECT flag, min(v) AS med FROM r WHERE rn = (n + 1) // 2 GROUP BY 1
+        |), zg AS (
+        |  SELECT v.flag, count(*) AS n,
+        |         CAST(sum(CAST(abs(v.v - med.med) AS DECIMAL(14,0)))
+        |              AS DECIMAL(24,0)) AS sz,
+        |         CAST(sum(CAST(CAST(abs(v.v - med.med) AS DECIMAL(14,0)) *
+        |                       CAST(abs(v.v - med.med) AS DECIMAL(14,0))
+        |                       AS DECIMAL(28,0))) AS DECIMAL(34,0)) AS szz,
+        |         max(med.med) AS med
+        |  FROM v JOIN med ON med.flag = v.flag
+        |  GROUP BY 1
+        |), g AS (
+        |  SELECT count(*) AS k, sum(n) AS nn,
+        |         CAST(sum(sz) AS DECIMAL(30,0)) AS tsz,
+        |         CAST(sum(szz) AS DECIMAL(38,0)) AS tszz,
+        |         sum(CAST(round(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) /
+        |                        CAST(n AS DOUBLE), 4) AS DECIMAL(30,4))) AS szn
+        |  FROM zg
+        |), f AS (
+        |  SELECT k, nn,
+        |         round(((CAST(szn AS DOUBLE) -
+        |                 CAST(tsz AS DOUBLE) * CAST(tsz AS DOUBLE) /
+        |                   CAST(nn AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)) /
+        |               ((CAST(tszz AS DOUBLE) - CAST(szn AS DOUBLE)) /
+        |                (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat,
+        |         k - 1 AS df1, CAST(nn - k AS BIGINT) AS df2
+        |  FROM g
+        |)
+        |SELECT zg.flag, zg.n, round(CAST(zg.med AS DOUBLE) / 100.0, 2) AS med_usd,
+        |       round(CAST(zg.sz AS DOUBLE) / CAST(zg.n AS DOUBLE) / 100.0, 4)
+        |         AS zbar_usd,
+        |       f.f_stat, f.df1, f.df2
+        |FROM zg, f""".stripMargin)
+}

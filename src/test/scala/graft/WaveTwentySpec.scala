@@ -1,0 +1,153 @@
+package graft
+
+/** Invariant checks for the round-11 feature-engineering wave: target
+  * encoding, WoE/IV, BH-FDR, and the Brown–Forsythe variance test.
+  */
+class WaveTwentySpec extends SparkSpec {
+
+  test("q_ml_target_encode: LOO gap is exactly 1/(n-1+m), rates bounded") {
+    val rows = SparkEntry.queries("q_ml_target_encode")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val (pos, neg) = (r.getAs[Double]("enc_pos"), r.getAs[Double]("enc_neg"))
+      assert(pos >= 0.0 && neg <= 1.0 && pos < neg)
+      // removing one positive vs one negative differs by exactly 1/(n-1+m)
+      val gap = 1.0 / (n - 1 + relational.FeatureQueries.EncodeM)
+      assert(math.abs((neg - pos) - gap) < 2e-6, s"gap ${neg - pos} vs $gap")
+    }
+  }
+
+  test("q_ml_woe_iv: iv_total is the exact fold of the per-bin terms") {
+    val rows = SparkEntry.queries("q_ml_woe_iv")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    val total = rows.head.getAs[Double]("iv_total")
+    rows.foreach(r => assert(r.getAs[Double]("iv_total") == total))
+    // per-bin terms were round(,9)-pinned before the fold; the output
+    // re-rounds to 6, so the recomputed sum can sit half a ulp off
+    val sum = rows.map(_.getAs[Double]("iv_bin")).sum
+    assert(math.abs(sum - total) < 1e-5, s"$sum vs $total")
+    rows.foreach(r => assert(r.getAs[Double]("iv_bin") >= -1e-12))
+  }
+
+  test("q_stats_fdr_bh: rejections form a prefix of the p-value ranking") {
+    val rows = SparkEntry.queries("q_stats_fdr_bh")(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+    rows.foreach(r => {
+      val p = r.getAs[Double]("pval")
+      assert(p >= 0.0 && p <= 1.0 + 1e-9, s"p=$p")
+    })
+    // BH rejects exactly ranks 1..k*: once a row is kept, no later row
+    // may be rejected
+    val flags = rows.map(_.getAs[Boolean]("rejected"))
+    assert(!flags.dropWhile(identity).contains(true), flags.mkString(","))
+  }
+
+  test("q_ml_adaboost_round: stumps beat chance, alpha matches err") {
+    val rows = SparkEntry.queries("q_ml_adaboost_round")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val e = r.getAs[Double]("err_rate")
+      val a = r.getAs[Double]("alpha")
+      // the stump search takes the min over both polarities, so err <= 0.5
+      assert(e > 0.0 && e <= 0.5 + 1e-9, s"err=$e")
+      assert(math.abs(a - 0.5 * math.log((1 - e) / e)) < 1e-4, s"alpha=$a err=$e")
+    }
+  }
+
+  test("q_er_phonetic: 4-char keys, pair counts, noun->key is a function") {
+    val rows = SparkEntry.queries("q_er_phonetic")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    var parts = 0L
+    rows.foreach { r =>
+      assert(r.getAs[String]("key").length == 4)
+      val n = r.getAs[Long]("n_parts")
+      assert(r.getAs[Long]("n_pairs") == n * (n - 1) / 2)
+      assert(r.getAs[Long]("n_nouns") >= 1)
+      parts += n
+    }
+    // blocking is a partition: every part lands in exactly one block
+    val total = Tables.load(spark, sfDir, "part").count()
+    assert(parts == total, s"$parts vs $total")
+  }
+
+  test("q_ts_hampel: outlier flag matches the integer decision rule") {
+    val rows = SparkEntry.queries("q_ts_hampel")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c, med, mad) = (r.getAs[Long]("c"), r.getAs[Long]("med"),
+        r.getAs[Long]("mad"))
+      assert(r.getAs[Boolean]("is_outlier") ==
+        (math.abs(c - med) * 10000 > relational.RollingQueries.HampelK4 * mad))
+      assert(mad >= 0)
+    }
+  }
+
+  test("q_ts_rolling_beta: full windows only, all-types beta is bounded") {
+    val rows = SparkEntry.queries("q_ts_rolling_beta")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    // y <= x by construction (a type's count is part of the total), so a
+    // regression of y on x over any window keeps |beta| modest; the real
+    // invariant is finiteness and the n=14 gate (warmup rows dropped)
+    rows.foreach(r => assert(!r.getAs[Double]("beta").isNaN))
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    assert(types.length >= 2)
+  }
+
+  test("q_events_regularity: cv2 >= 0 (Cauchy-Schwarz) and flags match") {
+    val rows = SparkEntry.queries("q_events_regularity")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cv2 = r.getAs[Double]("cv2")
+      assert(cv2 >= -1e-9, s"cv2=$cv2")
+      assert(r.getAs[Boolean]("is_regular") == (cv2 < 0.1))
+      assert(r.getAs[Boolean]("is_bursty") == (cv2 > 5.0))
+      assert(r.getAs[Long]("span_s") >= 0)
+      val ts = r.getAs[Double]("top_share")
+      assert(ts > 0.0 && ts <= 1.0)
+    }
+  }
+
+  test("q_graph_katz: floor at Scale, hubs strictly above isolated floor") {
+    val rows = SparkEntry.queries("q_graph_katz")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getAs[Long]("katz_fixed"))
+    // every node has the +1 restart mass; any node with an in-edge from a
+    // live node exceeds it (symmetric graph: every node has an in-edge)
+    assert(scores.forall(_ > graph.GraphPathQueries.KatzScale))
+  }
+
+  test("q_stats_levene: F >= 0 and group medians match RadixSelect rank") {
+    val rows = SparkEntry.queries("q_stats_levene")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.length == 3)
+    val f = rows.head.getAs[Double]("f_stat")
+    assert(f >= 0.0)
+    assert(rows.head.getAs[Long]("df2") ==
+      rows.map(_.getAs[Long]("n")).sum - 3)
+    // lower-median invariant: at least half the group's mass is >= med
+    // and at least (n+1)/2 is <= med — spot-check via a direct recount
+    import org.apache.spark.sql.functions._
+    val v = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("v"))
+    rows.foreach { r =>
+      val medCents = math.round(r.getAs[Double]("med_usd") * 100)
+      val below = v.filter(col("flag") === r.getAs[String]("flag") &&
+        col("v") <= medCents).count()
+      val n = r.getAs[Long]("n")
+      assert(below >= (n + 1) / 2 && below <= n, s"${r.getAs[String]("flag")}")
+    }
+  }
+}
