@@ -287,6 +287,61 @@ object MultimodalQueries extends QueryPack {
           round(col("frame_idx") / 24.0, 6).as("frame_ts"))
     }),
 
+    // Shot-boundary detection over the sampled frames: per-frame scalar
+    // feature (stub: one sampled char code — a real pipeline plugs the
+    // decoded frame's luma mean at this one site), then a boundary
+    // wherever the feature jumps by more than [[ShotThreshold]] against
+    // the previous sampled frame. The lag window is PARTITIONED by video
+    // — per-partition state is ~10 sampled frames regardless of corpus
+    // size — and the decision |Δfeat| > thr is pure integers.
+    "mm_shot_detect" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_idx")
+      docs
+        .select(col("doc_id"), col("text"), col("n"),
+          explode(sequence(lit(0), (col("n") % 96 + 1) - 1, lit(10)))
+            .as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          expr("ascii(substr(text, CAST(1 + (frame_idx * 7) % n AS INT), 1))")
+            .as("feat"))
+        .withColumn("pf", lag(col("feat"), 1).over(w))
+        .select(col("doc_id"), col("frame_idx"), col("feat"),
+          (col("pf").isNull ||
+            abs(col("feat") - col("pf")) > ShotThreshold).as("is_boundary"))
+    }),
+
+    // Silence segmentation: gaps-and-islands over the audio frames —
+    // consecutive frames whose energy (same stub PCM + Σv² as
+    // mm_audio_energy) sits below [[SilenceThreshold]] merge into
+    // (start, end, length) segments via the classic frame − row_number
+    // island key. Both windows are partitioned by document; the segment
+    // relation is bounded by frames/doc, never by corpus bytes.
+    "mm_silence_runs" -> ((s, d) => {
+      val en = Tables.load(s, d, "documents")
+        .filter(length(col("text")) >= AudioFrame)
+        .select(col("doc_id"),
+          expr(s"transform(filter(split(text, ''), x -> x != ''), " +
+            s"c -> CAST(ascii(c) - $AudioBias AS BIGINT))").as("v"))
+        .select(col("doc_id"),
+          explode(expr(s"sequence(0, size(v) div $AudioFrame - 1)")).as("frame"),
+          col("v"))
+        .select(col("doc_id"), col("frame").cast("long").as("frame"),
+          expr(s"aggregate(slice(v, frame * $AudioFrame + 1, $AudioFrame), " +
+            "CAST(0 AS BIGINT), (a, x) -> a + x * x)").as("energy"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame")
+      en.filter(col("energy") < SilenceThreshold)
+        .withColumn("grp", col("frame") - row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(min(col("frame")).as("start_frame"),
+          max(col("frame")).as("end_frame"),
+          count(lit(1)).as("n_frames"))
+        .drop("grp")
+    }),
+
     // Audio-modality feature extraction: treat the opaque payload as a
     // PCM sample stream ("decoded" by the same documented stub
     // discipline as mm_decode — byte/char code minus a bias), frame it
@@ -318,6 +373,14 @@ object MultimodalQueries extends QueryPack {
 
   /** Audio-stub frame width (samples per analysis window). */
   val AudioFrame = 64
+
+  /** Shot-boundary feature-jump gate (char-code units in the stub). */
+  val ShotThreshold = 24
+
+  /** Silence gate on the 64-sample frame energy (the synthetic corpus
+    * ranges ~47k-70k; a real pipeline calibrates this dial per codec).
+    */
+  val SilenceThreshold = 55000L
 
   /** Audio-stub sample bias: char code minus this gives a signed sample
     * that actually crosses zero on the synthetic corpus (ASCII letters
@@ -459,6 +522,48 @@ object MultimodalQueries extends QueryPack {
          |), comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
          |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
          |FROM d0 d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin),
+
+    "mm_shot_detect" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text, length(text) AS n, length(text) % 96 + 1 AS nf
+         |  FROM documents WHERE length(text) > 0
+         |), fr AS (
+         |  SELECT doc_id, text, n, CAST(unnest(range(0, nf, 10)) AS INT) AS frame_idx
+         |  FROM m
+         |), ft AS (
+         |  SELECT doc_id, frame_idx,
+         |         ascii(substr(text, CAST(1 + (frame_idx * 7) % n AS INT), 1)) AS feat
+         |  FROM fr
+         |)
+         |SELECT doc_id, frame_idx, feat,
+         |       pf IS NULL OR abs(feat - pf) > $ShotThreshold AS is_boundary
+         |FROM (SELECT doc_id, frame_idx, feat,
+         |             lag(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pf
+         |      FROM ft)""".stripMargin,
+
+    "mm_silence_runs" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, text, length(text) // $AudioFrame AS nf
+         |  FROM documents WHERE length(text) >= $AudioFrame
+         |), fr AS (
+         |  SELECT doc_id, text, unnest(generate_series(0, nf - 1)) AS frame FROM d0
+         |), vals AS (
+         |  SELECT doc_id, frame,
+         |         CAST(ascii(substr(text, CAST(frame * $AudioFrame + j AS INT), 1))
+         |              - $AudioBias AS BIGINT) AS v
+         |  FROM fr, (SELECT unnest(generate_series(1, $AudioFrame)) AS j)
+         |), en AS (
+         |  SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+         |         CAST(sum(v * v) AS BIGINT) AS energy
+         |  FROM vals GROUP BY 1, 2
+         |), sil AS (
+         |  SELECT doc_id, frame,
+         |         frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame) AS grp
+         |  FROM en WHERE energy < $SilenceThreshold
+         |)
+         |SELECT doc_id, min(frame) AS start_frame, max(frame) AS end_frame,
+         |       count(*) AS n_frames
+         |FROM sil GROUP BY doc_id, grp""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH m AS (

@@ -40,6 +40,9 @@ object FeatureQueries extends QueryPack {
   /** a..z → consonant-class digit (soundex classes; vowel class = 0). */
   val PhoneticMap = "01230120022455012623010202"
 
+  /** Permutation-test replicate count (a dial; p-resolution 1/(B+1)). */
+  val PermB = 200
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Leave-one-out target encoding of part brand against the lineitem
@@ -256,6 +259,107 @@ object FeatureQueries extends QueryPack {
           countDistinct(col("w")).as("n_nouns"),
           min(col("w")).as("first_noun"), max(col("w")).as("last_noun"))
         .withColumn("n_pairs", expr("(n_parts * (n_parts - 1)) div 2"))
+    }),
+
+    // Chi-square feature ranking against the return label — the filter
+    // feature-selection pass a training pipeline runs before fitting:
+    // five candidate categorical features are exploded out of ONE scan
+    // (array-of-struct explode, so adding a feature never adds a scan),
+    // each feature's 2×k contingency chi² is assembled from exact cell
+    // counts with per-cell terms round(,9)-pinned into DECIMAL before
+    // the fold, and the final ranking is a broadcast prefix-join over
+    // the 5-row feature relation.
+    "q_ml_chi2_rank" -> ((s, d) => {
+      val li = t(s, d, "lineitem").join(
+        t(s, d, "part").select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        "l_partkey")
+      val cells = li.select(
+          (col("l_returnflag") === "R").as("pos"),
+          explode(array(
+            struct(lit("brand").as("feature"), col("p_brand").as("cat")),
+            struct(lit("discount_band").as("feature"),
+              expr("CAST(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS STRING)")
+                .as("cat")),
+            struct(lit("quantity_band").as("feature"),
+              expr("CAST(CAST(l_quantity AS BIGINT) div 5 AS STRING)").as("cat")),
+            struct(lit("ship_month").as("feature"),
+              expr("CAST(month(l_shipdate) AS STRING)").as("cat")),
+            struct(lit("linestatus").as("feature"), col("l_linestatus").as("cat"))))
+            .as("f"))
+        .groupBy(col("f.feature").as("feature"), col("f.cat").as("cat"))
+        .agg(count(lit(1)).as("n"), sum(when(col("pos"), 1L).otherwise(0L)).as("r"))
+      val tot = cells.groupBy(col("feature").as("tf"))
+        .agg(sum(col("n")).as("nn"), sum(col("r")).as("rr"))
+      val nD = col("n").cast("double")
+      val nnD = col("nn").cast("double")
+      val rrD = col("rr").cast("double")
+      val ePos = nD * rrD / nnD
+      val eNeg = nD * (nnD - rrD) / nnD
+      val rD = col("r").cast("double")
+      val term = (rD - ePos) * (rD - ePos) / ePos +
+        ((nD - rD) - eNeg) * ((nD - rD) - eNeg) / eNeg
+      val byFeat = cells.join(broadcast(tot), col("feature") === col("tf"))
+        .select(col("feature"),
+          round(term, 9).cast(DecimalType(24, 9)).as("term"))
+        .groupBy("feature")
+        .agg(count(lit(1)).as("n_cells"), sum(col("term")).as("chi2d"))
+        .select(col("feature"), col("n_cells"), (col("n_cells") - 1).as("dof"),
+          round(col("chi2d").cast("double"), 6).as("chi2"))
+        .transform(graft.CacheScope.persisted(_))
+      byFeat.as("a")
+        .join(broadcast(byFeat.select(col("feature").as("f2"), col("chi2").as("c2"))),
+          col("c2") > col("chi2") ||
+            (col("c2") === col("chi2") && col("f2") <= col("feature")))
+        .groupBy(col("feature"))
+        .agg(max(col("n_cells")).as("n_cells"), max(col("dof")).as("dof"),
+          max(col("chi2")).as("chi2"), count(lit(1)).as("rank"))
+    }),
+
+    // Permutation test of the per-variant purchase-value difference:
+    // the observed md5-parity split's mean gap is compared against
+    // [[PermB]] label permutations, each a fresh deterministic hash
+    // md5(user:b) — no RNG, both engines rebuild the identical null
+    // distribution. The corpus collapses to the per-user (count, sum)
+    // relation FIRST, so the B-fold replicate blowup multiplies |users|,
+    // never |events| (and is a narrow broadcast-range nested loop, the
+    // allowed bounded-broadcast shape); per-permutation gaps are
+    // round(,9)-pinned into DECIMAL before the exceedance count, so the
+    // p-value is a deterministic integer ratio.
+    "q_stats_permutation" -> ((s, d) => {
+      val perUser = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("k"),
+          sum(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")).as("sv"))
+        .transform(graft.CacheScope.persisted(_))
+      def gap(v: Column): Column =
+        round(
+          sum(when(v === 0, col("sv"))).cast("double") /
+            sum(when(v === 0, col("k"))).cast("double") -
+          sum(when(v === 1, col("sv"))).cast("double") /
+            sum(when(v === 1, col("k"))).cast("double"), 9)
+          .cast(DecimalType(18, 9))
+      val obsRow = perUser
+        .select((conv(substring(md5(col("user_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 2).as("v"), col("k"), col("sv"))
+        .agg(gap(col("v")).as("diff_obs"), count(lit(1)).as("n_users"))
+      val permDiff = perUser
+        .crossJoin(broadcast(s.range(1, PermB + 1).select(col("id").as("b"))))
+        .select(col("b"),
+          (conv(substring(md5(concat(col("user_id").cast("string"), lit(":"),
+            col("b").cast("string"))), 1, 6), 16, 10).cast("long") % 2).as("v"),
+          col("k"), col("sv"))
+        .groupBy("b").agg(gap(col("v")).as("diff_b"))
+      permDiff.crossJoin(broadcast(obsRow))
+        .agg(max(col("n_users")).as("n_users"),
+          max(col("diff_obs")).as("dobs"),
+          sum(when(abs(col("diff_b")) >= abs(col("diff_obs")), 1L).otherwise(0L))
+            .as("n_exceed"))
+        .select(col("n_users"),
+          round(col("dobs").cast("double") / 100.0, 6).as("diff_obs_usd"),
+          lit(PermB.toLong).as("n_perms"), col("n_exceed"),
+          round((lit(1.0) + col("n_exceed").cast("double")) / (PermB + 1.0), 6)
+            .as("p_value"))
     }),
 
     // Brown–Forsythe equal-variance test of extendedprice across the 3
@@ -498,6 +602,99 @@ object FeatureQueries extends QueryPack {
          |       min(w) AS first_noun, max(w) AS last_noun,
          |       CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
          |FROM keyed GROUP BY 1""".stripMargin,
+
+    "q_ml_chi2_rank" ->
+      """WITH li AS (
+        |  SELECT l_returnflag = 'R' AS pos, p_brand,
+        |         CAST(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |              AS VARCHAR) AS dband,
+        |         CAST(CAST(l_quantity AS BIGINT) // 5 AS VARCHAR) AS qband,
+        |         CAST(month(l_shipdate) AS VARCHAR) AS smonth,
+        |         l_linestatus
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |), cells AS (
+        |  SELECT feature, cat, count(*) AS n,
+        |         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |  FROM (
+        |    SELECT 'brand' AS feature, p_brand AS cat, pos FROM li
+        |    UNION ALL SELECT 'discount_band', dband, pos FROM li
+        |    UNION ALL SELECT 'quantity_band', qband, pos FROM li
+        |    UNION ALL SELECT 'ship_month', smonth, pos FROM li
+        |    UNION ALL SELECT 'linestatus', l_linestatus, pos FROM li)
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT feature AS tf, CAST(sum(n) AS BIGINT) AS nn,
+        |         CAST(sum(r) AS BIGINT) AS rr
+        |  FROM cells GROUP BY 1
+        |), terms AS (
+        |  SELECT feature,
+        |         CAST(round(
+        |           (CAST(r AS DOUBLE) - CAST(n AS DOUBLE) * CAST(rr AS DOUBLE) /
+        |              CAST(nn AS DOUBLE)) *
+        |           (CAST(r AS DOUBLE) - CAST(n AS DOUBLE) * CAST(rr AS DOUBLE) /
+        |              CAST(nn AS DOUBLE)) /
+        |           (CAST(n AS DOUBLE) * CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)) +
+        |           ((CAST(n AS DOUBLE) - CAST(r AS DOUBLE)) -
+        |            CAST(n AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(rr AS DOUBLE)) /
+        |              CAST(nn AS DOUBLE)) *
+        |           ((CAST(n AS DOUBLE) - CAST(r AS DOUBLE)) -
+        |            CAST(n AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(rr AS DOUBLE)) /
+        |              CAST(nn AS DOUBLE)) /
+        |           (CAST(n AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(rr AS DOUBLE)) /
+        |              CAST(nn AS DOUBLE)), 9) AS DECIMAL(24,9)) AS term
+        |  FROM cells JOIN tot ON tf = feature
+        |), byfeat AS (
+        |  SELECT feature, count(*) AS n_cells, CAST(count(*) - 1 AS BIGINT) AS dof,
+        |         round(CAST(sum(term) AS DOUBLE), 6) AS chi2
+        |  FROM terms GROUP BY 1
+        |)
+        |SELECT a.feature, max(a.n_cells) AS n_cells, max(a.dof) AS dof,
+        |       max(a.chi2) AS chi2, count(*) AS rank
+        |FROM byfeat a JOIN byfeat b
+        |  ON b.chi2 > a.chi2 OR (b.chi2 = a.chi2 AND b.feature <= a.feature)
+        |GROUP BY 1""".stripMargin,
+
+    "q_stats_permutation" ->
+      s"""WITH pu AS (
+         |  SELECT user_id, count(*) AS k,
+         |         CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+         |              AS BIGINT) AS sv
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+         |), obs AS (
+         |  SELECT CAST(round(
+         |           CAST(sum(CASE WHEN v = 0 THEN sv END) AS DOUBLE) /
+         |           CAST(sum(CASE WHEN v = 0 THEN k END) AS DOUBLE) -
+         |           CAST(sum(CASE WHEN v = 1 THEN sv END) AS DOUBLE) /
+         |           CAST(sum(CASE WHEN v = 1 THEN k END) AS DOUBLE), 9)
+         |         AS DECIMAL(18,9)) AS diff_obs,
+         |         count(*) AS n_users
+         |  FROM (SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 6))
+         |                 ::BIGINT % 2 AS v, k, sv
+         |        FROM pu)
+         |), bs AS (SELECT unnest(generate_series(1, $PermB)) AS b),
+         |pd AS (
+         |  SELECT b, CAST(round(
+         |           CAST(sum(CASE WHEN v = 0 THEN sv END) AS DOUBLE) /
+         |           CAST(sum(CASE WHEN v = 0 THEN k END) AS DOUBLE) -
+         |           CAST(sum(CASE WHEN v = 1 THEN sv END) AS DOUBLE) /
+         |           CAST(sum(CASE WHEN v = 1 THEN k END) AS DOUBLE), 9)
+         |         AS DECIMAL(18,9)) AS diff_b
+         |  FROM (SELECT b,
+         |               ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':' ||
+         |                                      CAST(b AS VARCHAR)), 1, 6))
+         |                 ::BIGINT % 2 AS v, k, sv
+         |        FROM pu, bs)
+         |  GROUP BY b
+         |), ex AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_exceed
+         |  FROM pd, obs WHERE abs(diff_b) >= abs(diff_obs)
+         |)
+         |SELECT CAST(obs.n_users AS BIGINT) AS n_users,
+         |       round(CAST(obs.diff_obs AS DOUBLE) / 100.0, 6) AS diff_obs_usd,
+         |       CAST($PermB AS BIGINT) AS n_perms, ex.n_exceed,
+         |       round((1.0 + CAST(ex.n_exceed AS DOUBLE)) / (1.0 * $PermB + 1.0), 6)
+         |         AS p_value
+         |FROM obs, ex""".stripMargin,
 
     "q_stats_levene" ->
       """WITH v AS (

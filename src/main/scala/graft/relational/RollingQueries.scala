@@ -96,6 +96,53 @@ object RollingQueries extends QueryPack {
             .as("beta"))
     }),
 
+    // Steady-state alpha-beta filter (the fixed-gain Kalman tracker,
+    // α=1/2, β=1/4) over each type's daily cents series: predict
+    // xp = x + v, then x ← xp + r div 2, v ← v + r div 4 on the residual
+    // r = z − xp — exact integer truncating division end to end (Spark
+    // `div` ≡ DuckDB `//`, both truncate toward zero), so the
+    // whole trajectory is bit-reproducible. The recurrence is inherently
+    // sequential PER SERIES but the series is the bounded daily relation:
+    // ONE fold (aggregate lambda) per type over its sorted day array — a
+    // narrow per-group map, embarrassingly parallel across types/keys at
+    // any corpus size. The oracle replays it as a recursive CTE —
+    // algorithmic diversity, identical integers.
+    "q_ts_alphabeta" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")).as("z"))
+      daily
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("z")))).as("zs"))
+        .withColumn("traj", expr(
+          """aggregate(
+            |  zs,
+            |  struct(CAST(0 AS BIGINT) AS x, CAST(0 AS BIGINT) AS v,
+            |         CAST(array() AS ARRAY<STRUCT<day: DATE, z: BIGINT,
+            |                                      level: BIGINT, trend: BIGINT>>)
+            |           AS outs,
+            |         true AS first),
+            |  (acc, e) -> CASE WHEN acc.first THEN
+            |      named_struct('x', e.z, 'v', CAST(0 AS BIGINT),
+            |        'outs', array(named_struct('day', e.day, 'z', e.z,
+            |                      'level', e.z, 'trend', CAST(0 AS BIGINT))),
+            |        'first', false)
+            |    ELSE
+            |      named_struct(
+            |        'x', (acc.x + acc.v) + (e.z - (acc.x + acc.v)) div 2,
+            |        'v', acc.v + (e.z - (acc.x + acc.v)) div 4,
+            |        'outs', concat(acc.outs, array(named_struct(
+            |          'day', e.day, 'z', e.z,
+            |          'level', (acc.x + acc.v) + (e.z - (acc.x + acc.v)) div 2,
+            |          'trend', acc.v + (e.z - (acc.x + acc.v)) div 4))),
+            |        'first', false)
+            |    END)""".stripMargin))
+        .select(col("event_type"), explode(col("traj.outs")).as("o"))
+        .select(col("event_type"), col("o.day").as("day"), col("o.z").as("z"),
+          col("o.level").as("level"), col("o.trend").as("trend"))
+    }),
+
     // Per-user interarrival-regularity profile — the bot signature: event
     // count, active span, CV² of the interarrival gaps
     // (CV² = (m·Σg² − S²)/S² over microsecond gaps held as exact
@@ -194,6 +241,28 @@ object RollingQueries extends QueryPack {
          |FROM win
          |WHERE n = $BetaWin
          |  AND CAST(n AS DECIMAL(2,0)) * sxx <> sx * sx""".stripMargin,
+
+    "q_ts_alphabeta" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |              AS BIGINT) AS z
+        |  FROM events GROUP BY 1, 2
+        |), idx AS (
+        |  SELECT event_type, day, z,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+        |  FROM daily
+        |), rec AS (
+        |  SELECT event_type, day, z, i, z AS level, CAST(0 AS BIGINT) AS trend
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT n.event_type, n.day, n.z, n.i,
+        |         (r.level + r.trend) + (n.z - (r.level + r.trend)) // 2,
+        |         r.trend + (n.z - (r.level + r.trend)) // 4
+        |  FROM rec r JOIN idx n
+        |    ON n.event_type = r.event_type AND n.i = r.i + 1
+        |)
+        |SELECT event_type, day, z, level, trend FROM rec""".stripMargin,
 
     "q_events_regularity" ->
       """WITH ev AS (

@@ -277,6 +277,24 @@ object StreamingQueries extends QueryPack {
     // The custom flatMapGroupsWithState sessionizer (Sessionize), batch
     // evaluation — richer per-session state than session_window can carry
     // (distinct event-type count).
+    // CDC-style materialized latest state per key — the streaming
+    // "table view of a changelog": in batch this is one max(struct) agg
+    // keyed by user (event_id breaks timestamp ties, so the pick is
+    // total-ordered); the streaming twin (LatestStateStreamSpec) runs
+    // the identical agg in complete/update mode where the state store
+    // holds exactly one struct per key — the canonical bounded-state
+    // upsert view. At 100 TB the state is |keys|, not |events|.
+    "stream_latest_state" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(struct(col("ts"), col("event_id"), col("event_type"),
+            col("value"))).as("last"))
+        .select(col("user_id"), col("n_events"),
+          col("last.ts").as("last_ts"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"))),
+
     "stream_sessionize_custom" -> ((s, d) => {
       import s.implicits._
       Sessionize.sessionsBatch(
@@ -292,6 +310,18 @@ object StreamingQueries extends QueryPack {
   val CrossThreshold = 100
 
   override val oracles: Map[String, String] = Map(
+    "stream_latest_state" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_type, value,
+        |         count(*) OVER (PARTITION BY user_id) AS n_events,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events, ts AS last_ts,
+        |       event_type AS last_type, value AS last_value
+        |FROM r WHERE rn = 1""".stripMargin,
+
     "stream_threshold_cross" ->
       s"""WITH c AS (
          |  SELECT user_id, event_id, ts,

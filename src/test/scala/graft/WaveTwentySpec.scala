@@ -128,6 +128,102 @@ class WaveTwentySpec extends SparkSpec {
     assert(scores.forall(_ > graph.GraphPathQueries.KatzScale))
   }
 
+  test("mm_shot_detect: every clip opens with a boundary, jumps flagged") {
+    val rows = SparkEntry.queries("mm_shot_detect")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (_, frames) =>
+      val sorted = frames.sortBy(_.getAs[Int]("frame_idx"))
+      assert(sorted.head.getAs[Boolean]("is_boundary"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val jump = math.abs(b.getAs[Int]("feat") - a.getAs[Int]("feat"))
+          assert(b.getAs[Boolean]("is_boundary") ==
+            (jump > mm.MultimodalQueries.ShotThreshold))
+        case _ =>
+      }
+    }
+  }
+
+  test("mm_silence_runs: segments are well-formed, disjoint per doc") {
+    val rows = SparkEntry.queries("mm_silence_runs")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, runs) =>
+      val sorted = runs.sortBy(_.getAs[Long]("start_frame"))
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("n_frames") ==
+          r.getAs[Long]("end_frame") - r.getAs[Long]("start_frame") + 1)
+      }
+      // maximal islands: consecutive runs are separated by a loud frame
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_frame") > a.getAs[Long]("end_frame") + 1)
+        case _ =>
+      }
+    }
+  }
+
+  test("q_ts_alphabeta: driver-side replay reproduces the fold exactly") {
+    val rows = SparkEntry.queries("q_ts_alphabeta")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Date]("day").getTime)
+      var x = 0L; var v = 0L; var first = true
+      sorted.foreach { r =>
+        val z = r.getAs[Long]("z")
+        if (first) { x = z; v = 0L; first = false }
+        else {
+          val res = z - (x + v)
+          x = (x + v) + res / 2 // Scala / on Long truncates, same as div
+          v = v + res / 4
+        }
+        assert(r.getAs[Long]("level") == x && r.getAs[Long]("trend") == v,
+          s"at ${r.getAs[java.sql.Date]("day")}")
+      }
+    }
+  }
+
+  test("q_ml_chi2_rank: ranks are a permutation, chi2 nonnegative") {
+    val rows = SparkEntry.queries("q_ml_chi2_rank")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ==
+      (1L to rows.length).toSeq)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("chi2") >= 0.0)
+      assert(r.getAs[Long]("dof") == r.getAs[Long]("n_cells") - 1)
+    }
+    // higher rank number == lower chi2 (descending ranking)
+    val byRank = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("chi2"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_stats_permutation: p-value is a valid exceedance ratio") {
+    val rows = SparkEntry.queries("q_stats_permutation")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.length == 1)
+    val r = rows.head
+    val b = r.getAs[Long]("n_perms")
+    val ex = r.getAs[Long]("n_exceed")
+    assert(ex >= 0 && ex <= b)
+    val p = r.getAs[Double]("p_value")
+    assert(math.abs(p - (1.0 + ex) / (b + 1.0)) < 1e-6)
+    assert(p > 0.0 && p <= 1.0)
+  }
+
+  test("stream_latest_state: snapshot keys are unique, counts sum to corpus") {
+    val rows = SparkEntry.queries("stream_latest_state")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    val users = rows.map(_.getAs[Long]("user_id"))
+    assert(users.distinct.length == users.length)
+    val total = Tables.load(spark, sfDir, "events").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+  }
+
   test("q_stats_levene: F >= 0 and group medians match RadixSelect rank") {
     val rows = SparkEntry.queries("q_stats_levene")(spark, sfDir).collect()
     CacheScope.releaseAll()
