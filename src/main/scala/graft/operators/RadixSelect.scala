@@ -55,4 +55,46 @@ object RadixSelect {
     }
     pfx
   }
+
+  /** Per-group k-th smallest values, all groups narrowed SIMULTANEOUSLY:
+    * one (group, bucket) aggregation per radix level — 5 total whatever
+    * the group count — instead of [[kth]]'s 5 per group. The per-level
+    * driver traffic grows from two scalars to ≤ |groups|·4096 bounded
+    * count rows (bounded BY VALUE RANGE, not by data size — the same
+    * bounded-driver-literal exception, one size up); the per-group
+    * prefix-sum over those counts runs on the driver. Callers should
+    * persist `values`.
+    */
+  def kthByGroup(values: DataFrame, groupCol: String, valueCol: String,
+      ks: Map[String, Long]): Map[String, Long] = {
+    require(ks.nonEmpty && ks.values.forall(_ >= 1), s"bad ranks: $ks")
+    // group -> (remaining rank, selected prefix)
+    var state = ks.map { case (g, k) => g -> (k, 0L) }
+    var prev = 60
+    for (sh <- Seq(48, 36, 24, 12, 0)) {
+      val inPrefix = state.map { case (g, (_, pfx)) =>
+        (col(groupCol) === g) &&
+          (expr(s"$valueCol div ${1L << prev}") === lit(pfx))
+      }.reduce(_ || _)
+      val cnt = values.filter(inPrefix)
+        .groupBy(col(groupCol).as("g"),
+          expr(s"$valueCol div ${1L << sh}").as("b"))
+        .agg(count(lit(1)).as("t"))
+        .collect()
+        .groupBy(_.getAs[String]("g"))
+      state = state.map { case (g, (kk, _)) =>
+        val buckets = cnt.getOrElse(g, Array.empty)
+          .map(r => (r.getAs[Long]("b"), r.getAs[Long]("t"))).sortBy(_._1)
+        var acc = 0L
+        val (b, base) = buckets.collectFirst {
+          case (b, t) if { val hit = acc + t >= kk; if (!hit) acc += t; hit } =>
+            (b, acc)
+        }.getOrElse(throw new IllegalStateException(
+          s"rank $kk exhausted for group $g (n < k?)"))
+        g -> (kk - base, b)
+      }
+      prev = sh
+    }
+    state.map { case (g, (_, pfx)) => g -> pfx }
+  }
 }

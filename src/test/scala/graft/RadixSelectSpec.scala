@@ -22,6 +22,40 @@ class RadixSelectSpec extends SparkSpec {
     CacheScope.releaseAll()
   }
 
+  test("kthByGroup == per-group kth at assorted ranks, planted groups") {
+    import spark.implicits._
+    val rows: Seq[(String, Long)] =
+      Seq("a" -> 0L, "a" -> 5L, "a" -> 5L, "a" -> (1L << 30), "a" -> 17L,
+        "b" -> 3L, "b" -> 999999999999L, "b" -> 3L, "b" -> 4L,
+        "c" -> 42L)
+    val df = rows.toDF("g", "v").repartition(4).transform(CacheScope.persisted(_))
+    val ks = Map("a" -> 3L, "b" -> 2L, "c" -> 1L)
+    val grouped = RadixSelect.kthByGroup(df, "g", "v", ks)
+    ks.foreach { case (g, k) =>
+      val single = RadixSelect.kth(df.filter(col("g") === g), "v", k)
+      assert(grouped(g) == single, s"group $g rank $k")
+    }
+    CacheScope.releaseAll()
+  }
+
+  test("kthByGroup medians agree with per-group sort on real data") {
+    val v = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("v"))
+      .transform(CacheScope.persisted(_))
+    val ns = v.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    val meds = RadixSelect.kthByGroup(v, "g", "v",
+      ns.map { case (g, n) => g -> (n + 1) / 2 })
+    ns.foreach { case (g, n) =>
+      val viaSort = v.filter(col("g") === g).orderBy("v")
+        .collect()(((n + 1) / 2).toInt - 1).getLong(1)
+      assert(meds(g) == viaSort, s"group $g")
+    }
+    CacheScope.releaseAll()
+  }
+
   test("median via kth agrees with Spark's own sort on real data") {
     val v = Tables.load(spark, sfDir, "lineitem")
       .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
