@@ -66,13 +66,32 @@ object RadixSelect {
     * persist `values`.
     */
   def kthByGroup(values: DataFrame, groupCol: String, valueCol: String,
-      ks: Map[String, Long]): Map[String, Long] = {
-    require(ks.nonEmpty && ks.values.forall(_ >= 1), s"bad ranks: $ks")
-    // group -> (remaining rank, selected prefix)
-    var state = ks.map { case (g, k) => g -> (k, 0L) }
+      ks: Map[String, Long]): Map[String, Long] =
+    ranksByGroup(values, groupCol, valueCol,
+      ks.map { case (g, k) => g -> Seq(k) })
+      .map { case ((g, _), v) => g -> v }
+
+  /** MANY ranks per group, still 5 aggregations total: all (group, rank)
+    * cursors narrow through the same per-level (group, bucket) count
+    * relation — a bucket's prefix is `bucket div 2^(prevShift-shift)`, so
+    * the driver routes each count row to exactly the cursors whose
+    * selected prefix matches. This is the exact grouped-percentile
+    * primitive: P10/P50/P90 across every group costs the same 5 passes
+    * as one median.
+    */
+  def ranksByGroup(values: DataFrame, groupCol: String, valueCol: String,
+      ks: Map[String, Seq[Long]]): Map[(String, Long), Long] = {
+    require(ks.nonEmpty && ks.values.forall(s => s.nonEmpty && s.forall(_ >= 1)),
+      s"bad ranks: $ks")
+    // (group, original rank) -> (remaining rank, selected prefix)
+    var state: Map[(String, Long), (Long, Long)] =
+      ks.flatMap { case (g, rs) => rs.map(k => (g, k) -> (k, 0L)) }
     var prev = 60
     for (sh <- Seq(48, 36, 24, 12, 0)) {
-      val inPrefix = state.map { case (g, (_, pfx)) =>
+      val ratio = 1L << (prev - sh)
+      val livePrefixes = state.toSeq.map { case ((g, _), (_, pfx)) => (g, pfx) }
+        .distinct
+      val inPrefix = livePrefixes.map { case (g, pfx) =>
         (col(groupCol) === g) &&
           (expr(s"$valueCol div ${1L << prev}") === lit(pfx))
       }.reduce(_ || _)
@@ -82,19 +101,21 @@ object RadixSelect {
         .agg(count(lit(1)).as("t"))
         .collect()
         .groupBy(_.getAs[String]("g"))
-      state = state.map { case (g, (kk, _)) =>
+      state = state.map { case ((g, k0), (kk, pfx)) =>
         val buckets = cnt.getOrElse(g, Array.empty)
-          .map(r => (r.getAs[Long]("b"), r.getAs[Long]("t"))).sortBy(_._1)
+          .map(r => (r.getAs[Long]("b"), r.getAs[Long]("t")))
+          .filter(_._1 / ratio == pfx)
+          .sortBy(_._1)
         var acc = 0L
         val (b, base) = buckets.collectFirst {
           case (b, t) if { val hit = acc + t >= kk; if (!hit) acc += t; hit } =>
             (b, acc)
         }.getOrElse(throw new IllegalStateException(
           s"rank $kk exhausted for group $g (n < k?)"))
-        g -> (kk - base, b)
+        (g, k0) -> (kk - base, b)
       }
       prev = sh
     }
-    state.map { case (g, (_, pfx)) => g -> pfx }
+    state.map { case (gk, (_, pfx)) => gk -> pfx }
   }
 }

@@ -261,6 +261,32 @@ object FeatureQueries extends QueryPack {
         .withColumn("n_pairs", expr("(n_parts * (n_parts - 1)) div 2"))
     }),
 
+    // Exact per-group percentile bands (P10/P25/P50/P75/P90 of
+    // extendedprice per return flag) — the grouped-quantile profile a
+    // feature store materializes — via [[graft.operators.RadixSelect
+    // .ranksByGroup]]: ALL 15 (group, rank) cursors narrow through the
+    // SAME 5 bounded aggregations; no sort, no window, no percentile
+    // state. Ranks are ceil(n·p/100) (a real data value, never an
+    // average), so every band is reproducible to the cent.
+    "q_stats_quartile_bands" -> ((s, d) => {
+      import s.implicits._
+      val v = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("v"))
+        .transform(graft.CacheScope.persisted(_))
+      val ns = v.groupBy("flag").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).sortBy(_._1)
+      val pcts = Seq(10L, 25L, 50L, 75L, 90L)
+      val sel = graft.operators.RadixSelect.ranksByGroup(v, "flag", "v",
+        ns.map { case (g, n) => g -> pcts.map(p => (n * p + 99) / 100) }.toMap)
+      ns.toSeq.map { case (g, n) =>
+        val Seq(p10, p25, p50, p75, p90) =
+          pcts.map(p => sel((g, (n * p + 99) / 100)) / 100.0)
+        (g, n, p10, p25, p50, p75, p90)
+      }.toDF("flag", "n", "p10_usd", "p25_usd", "p50_usd", "p75_usd", "p90_usd")
+    }),
+
     // Chi-square feature ranking against the return label — the filter
     // feature-selection pass a training pipeline runs before fitting:
     // five candidate categorical features are exploded out of ONE scan
@@ -601,6 +627,30 @@ object FeatureQueries extends QueryPack {
          |       min(w) AS first_noun, max(w) AS last_noun,
          |       CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
          |FROM keyed GROUP BY 1""".stripMargin,
+
+    "q_stats_quartile_bands" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem
+        |), r AS (
+        |  SELECT flag, v, row_number() OVER (PARTITION BY flag ORDER BY v) AS rn
+        |  FROM v
+        |), k AS (
+        |  SELECT flag, count(*) AS n FROM v GROUP BY 1
+        |)
+        |SELECT k.flag, k.n,
+        |       CAST((SELECT min(r.v) FROM r WHERE r.flag = k.flag
+        |             AND rn = (k.n * 10 + 99) // 100) AS DOUBLE) / 100.0 AS p10_usd,
+        |       CAST((SELECT min(r.v) FROM r WHERE r.flag = k.flag
+        |             AND rn = (k.n * 25 + 99) // 100) AS DOUBLE) / 100.0 AS p25_usd,
+        |       CAST((SELECT min(r.v) FROM r WHERE r.flag = k.flag
+        |             AND rn = (k.n * 50 + 99) // 100) AS DOUBLE) / 100.0 AS p50_usd,
+        |       CAST((SELECT min(r.v) FROM r WHERE r.flag = k.flag
+        |             AND rn = (k.n * 75 + 99) // 100) AS DOUBLE) / 100.0 AS p75_usd,
+        |       CAST((SELECT min(r.v) FROM r WHERE r.flag = k.flag
+        |             AND rn = (k.n * 90 + 99) // 100) AS DOUBLE) / 100.0 AS p90_usd
+        |FROM k""".stripMargin,
 
     "q_ml_chi2_rank" ->
       """WITH li AS (

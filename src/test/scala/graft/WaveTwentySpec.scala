@@ -186,6 +186,31 @@ class WaveTwentySpec extends SparkSpec {
     }
   }
 
+  test("q_stats_quartile_bands: bands are monotone, p50 is the lower median") {
+    val rows = SparkEntry.queries("q_stats_quartile_bands")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val bands = Seq("p10_usd", "p25_usd", "p50_usd", "p75_usd", "p90_usd")
+        .map(r.getAs[Double])
+      bands.zip(bands.tail).foreach { case (a, b) => assert(a <= b) }
+    }
+    // cross-check p50 against the independent single-rank path
+    import org.apache.spark.sql.functions._
+    val v = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("v"))
+      .transform(CacheScope.persisted(_))
+    rows.foreach { r =>
+      val g = r.getAs[String]("flag")
+      val n = r.getAs[Long]("n")
+      val med = graft.operators.RadixSelect.kth(
+        v.filter(col("flag") === g), "v", (n * 50 + 99) / 100)
+      assert(r.getAs[Double]("p50_usd") == med / 100.0, s"group $g")
+    }
+    CacheScope.releaseAll()
+  }
+
   test("q_ml_chi2_rank: ranks are a permutation, chi2 nonnegative") {
     val rows = SparkEntry.queries("q_ml_chi2_rank")(spark, sfDir).collect()
     CacheScope.releaseAll()
