@@ -342,6 +342,47 @@ object MultimodalQueries extends QueryPack {
         .drop("grp")
     }),
 
+    // MFCC-shaped cepstral features: per 64-sample frame, 16 sub-band
+    // energies (filterbank stub: 4 adjacent samples per band) → log →
+    // 4-coefficient DCT against the SAME shared integer cos table as
+    // mm_phash_dct (one constant source for both engines — the EwmaTaps
+    // discipline). Float determinism, measured the hard way: log
+    // energies pin at round(,4) (a COARSE grid, so JVM-vs-libm ln ulp
+    // differences can't straddle a boundary), each DCT term pins at
+    // round(,4) into DECIMAL, the 16-term fold is exact, and the output
+    // IS that exact 4dp sum cast to double — NO final re-round, because
+    // re-rounding an exact ...xx50 decimal through doubles is where
+    // Spark (shortest-repr HALF_UP) and DuckDB (binary-value nearest)
+    // systematically disagree on ties. One narrow map per document
+    // (array slices + folds), zero shuffle.
+    "mm_audio_cepstrum" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .filter(length(col("text")) >= AudioFrame)
+        .select(col("doc_id"),
+          expr(s"transform(filter(split(text, ''), x -> x != ''), " +
+            s"c -> CAST(ascii(c) - $AudioBias AS BIGINT))").as("v"))
+        .select(col("doc_id"),
+          explode(expr(s"sequence(0, size(v) div $AudioFrame - 1)")).as("frame"),
+          col("v"))
+        .select(col("doc_id"), col("frame").cast("long").as("frame"),
+          expr(s"slice(v, frame * $AudioFrame + 1, $AudioFrame)").as("w"))
+        .withColumn("lb", expr(
+          s"""transform(sequence(0, ${CepBands - 1}),
+             |  j -> round(ln(CAST(aggregate(slice(w, j * ${AudioFrame / CepBands} + 1,
+             |                                ${AudioFrame / CepBands}),
+             |                     CAST(0 AS BIGINT), (a, x) -> a + x * x)
+             |                + 1 AS DOUBLE)), 4))""".stripMargin))
+        .select(Seq(col("doc_id"), col("frame")) ++
+          (0 until CepCoefs).map { u =>
+            expr(
+              s"""CAST(aggregate(
+                 |  zip_with(lb, slice($DctCosTabSql, ${u * 16} + 1, 16),
+                 |    (a, b) -> CAST(round(a * b / 1.0E9, 4) AS DECIMAL(18,4))),
+                 |  CAST(0 AS DECIMAL(28,4)),
+                 |  (acc, t) -> CAST(acc + t AS DECIMAL(28,4))) AS DOUBLE)"""
+                .stripMargin).as(s"c$u")
+          }: _*)),
+
     // Audio-modality feature extraction: treat the opaque payload as a
     // PCM sample stream ("decoded" by the same documented stub
     // discipline as mm_decode — byte/char code minus a bias), frame it
@@ -376,6 +417,14 @@ object MultimodalQueries extends QueryPack {
 
   /** Shot-boundary feature-jump gate (char-code units in the stub). */
   val ShotThreshold = 24
+
+  /** Cepstrum filterbank bands per frame (AudioFrame/CepBands samples
+    * each) — sized so the DCT reuses the 16-point [[DctCosTab]] rows.
+    */
+  val CepBands = 16
+
+  /** Cepstral coefficients kept (rows of [[DctCosTab]]). */
+  val CepCoefs = 4
 
   /** Silence gate on the 64-sample frame energy (the synthetic corpus
     * ranges ~47k-70k; a real pipeline calibrates this dial per codec).
@@ -540,6 +589,38 @@ object MultimodalQueries extends QueryPack {
          |FROM (SELECT doc_id, frame_idx, feat,
          |             lag(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pf
          |      FROM ft)""".stripMargin,
+
+    "mm_audio_cepstrum" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, text, length(text) // $AudioFrame AS nf
+         |  FROM documents WHERE length(text) >= $AudioFrame
+         |), fr AS (
+         |  SELECT doc_id, text, unnest(generate_series(0, nf - 1)) AS frame FROM d0
+         |), vals AS (
+         |  SELECT doc_id, frame, j,
+         |         CAST(ascii(substr(text, CAST(frame * $AudioFrame + j AS INT), 1))
+         |              - $AudioBias AS BIGINT) AS v
+         |  FROM fr, (SELECT unnest(generate_series(1, $AudioFrame)) AS j)
+         |), bands AS (
+         |  SELECT doc_id, frame, (j - 1) // ${AudioFrame / CepBands} AS band,
+         |         CAST(sum(v * v) AS BIGINT) AS e
+         |  FROM vals GROUP BY 1, 2, 3
+         |), lb AS (
+         |  SELECT doc_id, frame, band, round(ln(CAST(e + 1 AS DOUBLE)), 4) AS l
+         |  FROM bands
+         |), terms AS (
+         |  SELECT doc_id, frame, u.u,
+         |         CAST(round(l * ($DctCosTabDuck)
+         |                          [CAST(u.u * $CepBands + band + 1 AS INT)]
+         |                    / 1000000000.0, 4) AS DECIMAL(18,4)) AS t
+         |  FROM lb, (SELECT unnest(generate_series(0, ${CepCoefs - 1})) AS u) u
+         |)
+         |SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+         |       CAST(sum(CASE WHEN u = 0 THEN t END) AS DOUBLE) AS c0,
+         |       CAST(sum(CASE WHEN u = 1 THEN t END) AS DOUBLE) AS c1,
+         |       CAST(sum(CASE WHEN u = 2 THEN t END) AS DOUBLE) AS c2,
+         |       CAST(sum(CASE WHEN u = 3 THEN t END) AS DOUBLE) AS c3
+         |FROM terms GROUP BY 1, 2""".stripMargin,
 
     "mm_silence_runs" ->
       s"""WITH d0 AS (

@@ -96,6 +96,26 @@ object RollingQueries extends QueryPack {
             .as("beta"))
     }),
 
+    // New-high-watermark extraction: the events where a user's value
+    // strictly exceeds every prior value — the running-max alert stream
+    // (in streaming form this is one long of state per key in
+    // mapGroupsWithState; here the batch twin is a partitioned
+    // unbounded-preceding max window). Exact cents comparisons; the
+    // first event per user is a watermark by definition (NULL prior).
+    "q_events_high_watermark" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          expr("unix_micros(ts)").as("us"),
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+        .withColumn("prev_max_cents", max(col("vc")).over(w))
+        .filter(col("prev_max_cents").isNull || col("vc") > col("prev_max_cents"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("vc").as("value_cents"), col("prev_max_cents"))
+    }),
+
     // Steady-state alpha-beta filter (the fixed-gain Kalman tracker,
     // α=1/2, β=1/4) over each type's daily cents series: predict
     // xp = x + v, then x ← xp + r div 2, v ← v + r div 4 on the residual
@@ -241,6 +261,22 @@ object RollingQueries extends QueryPack {
          |FROM win
          |WHERE n = $BetaWin
          |  AND CAST(n AS DECIMAL(2,0)) * sxx <> sx * sx""".stripMargin,
+
+    "q_events_high_watermark" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+        |  FROM events
+        |), wm AS (
+        |  SELECT user_id, event_id, ts, vc,
+        |         max(vc) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prev_max_cents
+        |  FROM ev
+        |)
+        |SELECT user_id, event_id, ts, vc AS value_cents, prev_max_cents
+        |FROM wm
+        |WHERE prev_max_cents IS NULL OR vc > prev_max_cents""".stripMargin,
 
     "q_ts_alphabeta" ->
       """WITH RECURSIVE daily AS (

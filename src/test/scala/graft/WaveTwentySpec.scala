@@ -249,6 +249,32 @@ class WaveTwentySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sum == total)
   }
 
+  test("mm_audio_cepstrum: c0 dominates (all-positive DC row), 4 coefs") {
+    val rows = SparkEntry.queries("mm_audio_cepstrum")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cs = Seq("c0", "c1", "c2", "c3").map(r.getAs[Double])
+      // DC row of the cos table is the all-1e9 row: c0 = sum of log
+      // energies, strictly positive and larger than any AC coefficient
+      assert(cs.head > 0.0)
+      cs.tail.foreach(c => assert(math.abs(c) < cs.head))
+    }
+  }
+
+  test("q_events_high_watermark: per user, watermark values strictly rise") {
+    val rows = SparkEntry.queries("q_events_high_watermark")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val byTime = rs.sortBy(_.getAs[java.sql.Timestamp]("ts").getTime)
+      val vals = byTime.map(_.getAs[Long]("value_cents"))
+      vals.zip(vals.tail).foreach { case (a, b) => assert(b > a) }
+      // the first watermark has no prior maximum
+      assert(byTime.head.isNullAt(byTime.head.fieldIndex("prev_max_cents")))
+    }
+  }
+
   test("q_stats_levene: F >= 0 and group medians match RadixSelect rank") {
     val rows = SparkEntry.queries("q_stats_levene")(spark, sfDir).collect()
     CacheScope.releaseAll()
