@@ -29,6 +29,7 @@ object SparkEntry {
     relational.TimeSeriesQueries,
     relational.DtwQueries,
     relational.StatsQueries,
+    relational.InferenceQueries,
     relational.MiningQueries,
     relational.ModelPrepQueries,
     relational.PrivacyQueries,

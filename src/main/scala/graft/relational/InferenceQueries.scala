@@ -1,0 +1,510 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryPack, Tables}
+
+/** Hypothesis-testing and effect-size operators over `events` — the second
+  * wave of "is this shift real?" primitives beyond [[StatsQueries]]:
+  * Wilcoxon signed-rank (paired, nonparametric), Jarque–Bera normality,
+  * Cramér's V effect size, Cohen's d, Grubbs max-outlier, and the
+  * two-proportion z-test. Together with q_stats_ttest / q_stats_mannwhitney
+  * these cover the standard before/after monitoring decision table
+  * (paired vs unpaired × parametric vs rank-based).
+  *
+  * Determinism discipline (see [[Det]]): every quantity that ORDERS or
+  * SELECTS rows is exact integer/DECIMAL arithmetic (cents, counts,
+  * 2x-scaled average ranks, |n*x - s1| deviations); doubles appear only in
+  * final closed-form statistics computed from identical operands in both
+  * engines, pinned with round(,6).
+  *
+  * Scale shapes: everything aggregates events once to a bounded relation
+  * (per-user, per-type-day, or per-cell) before any join; the one global
+  * ranking (Wilcoxon) uses value-range shards + the triangular
+  * prefix-bases join — a shard-partitioned window, never an unpartitioned
+  * one (the text_pack_sequences discipline).
+  */
+object InferenceQueries extends QueryPack {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  private def cents(c: Column): Column =
+    (c.cast(DecimalType(12, 2)) * 100).cast("long")
+
+  private val CentsSql = "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+  /** Value-range shards for the Wilcoxon global rank: a constant-size
+    * offsets relation (prefix bases) at any scale; within a shard the rank
+    * window is shard-partitioned. 64 shards keeps the triangular bases
+    * join at 64^2/2 rows while bounding per-shard skew at ~1/64 of the
+    * pair population for any non-degenerate |d| distribution.
+    */
+  val RankShards = 64
+
+  /** Events split into equal time halves by epoch-microsecond midpoint
+    * (the q_dq_drift_psi convention — integer `div`, never double `/`).
+    */
+  private def withHalf(ev: DataFrame): DataFrame = {
+    val rng = ev.agg(min(col("us")).as("us0"), max(col("us")).as("us1"))
+    ev.crossJoin(broadcast(rng))
+      .withColumn("first_half", expr("us < us0 + (us1 - us0) div 2"))
+      .drop("us0", "us1")
+  }
+
+  private val HalfSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      |  FROM events
+      |), rng AS (SELECT min(us) AS us0, max(us) AS us1 FROM ev),
+      |h AS (
+      |  SELECT user_id, event_type, c,
+      |         us < us0 + (us1 - us0) // 2 AS first_half
+      |  FROM ev CROSS JOIN rng
+      |)""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Wilcoxon signed-rank test: did per-user total spend shift between
+    // the first and second half of the time range? The PAIRED rank-based
+    // sibling of q_stats_mannwhitney (which compares independent
+    // samples) — each user is their own control, so user-level variance
+    // cancels. All rank machinery is exact integers: d = cents(H2) -
+    // cents(H1) per user; rank2 = TWICE the average rank of |d|
+    // (2*cntBelow + tieCnt + 1 — the q_stats_spearman trick, integral
+    // even for x.5 average ranks); W2+ = sum of rank2 over positive d.
+    // The normal approximation z = (W2 - n(n+1)/2)/sqrt(n(n+1)(2n+1)/6)
+    // runs on identical doubles. Scale shape: one events-sized agg to
+    // per-user rows, then the 64-shard range-partitioned rank (window is
+    // shard-partitioned; shard offsets ride the triangular bases join
+    // over a 64-row relation) — no global sort at any scale.
+    "q_stats_wilcoxon" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          cents(col("value")).as("c"))
+      val u = withHalf(ev)
+        .groupBy("user_id")
+        .agg(sum(when(col("first_half"), col("c")).otherwise(0L)).as("s1"),
+          sum(when(col("first_half"), 0L).otherwise(col("c"))).as("s2"))
+        .select((col("s2") - col("s1")).as("d"))
+        .filter(col("d") =!= 0)
+        .select(col("d"), abs(col("d")).as("a"))
+      // Distinct-|d| tie groups: cnt per group + how many are positive.
+      val grp = u.groupBy("a")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("d") > 0, 1L).otherwise(0L)).as("pos"))
+        .transform(graft.CacheScope.persisted(_))
+      val rng = grp.agg(min(col("a")).as("a0"), max(col("a")).as("a1"))
+      val sharded = grp.crossJoin(broadcast(rng))
+        .withColumn("shard",
+          expr(s"(a - a0) * $RankShards div (a1 - a0 + 1)"))
+        .transform(graft.CacheScope.persisted(_))
+      val totals = sharded.groupBy("shard").agg(sum(col("cnt")).as("t"))
+      val bases = graft.text.TextAnalysisQueries
+        .prefixBases(totals, "shard", desc = false)
+      val cumBefore = sum(col("cnt")).over(
+        Window.partitionBy("shard").orderBy("a")
+          .rowsBetween(Window.unboundedPreceding, -1))
+      val ranked = sharded.join(broadcast(bases), "shard")
+        .select(col("pos"), col("cnt"),
+          (col("base") + coalesce(cumBefore, lit(0L))).as("below"))
+        .select(col("pos"), col("cnt"),
+          (lit(2) * col("below") + col("cnt") + 1).as("rank2"))
+      // n from the tie-group counts, W2+ from pos * rank2 — both exact.
+      val m = ranked
+        .agg(sum(col("cnt")).as("n"), sum(col("pos") * col("rank2")).as("w2"))
+        .filter(col("n") > 0)
+      m.select(col("n").cast("long").as("n_pairs"),
+          (col("w2").cast("double") / 2).as("w_plus"),
+          round((col("w2").cast("double") -
+              (col("n") * (col("n") + 1)).cast("double") / 2) /
+            sqrt((col("n") * (col("n") + 1) * (lit(2) * col("n") + 1)).cast("double") / 6),
+            6).as("z"))
+    }),
+
+    // Jarque–Bera normality test of the per-type daily-total distribution:
+    // JB = n/6 * (S^2 + (K-3)^2/4) from skewness and kurtosis. The daily
+    // totals are exact cents; central moments come from power sums of the
+    // SHIFTED series x - (s1 div n) — the integer shift keeps the decimal
+    // power sums ~1e18 instead of ~1e32, far from both the DECIMAL(38)
+    // clamp and the decimal->double conversion divergence (the
+    // q_graph_assortativity lesson). The moment formulas then run on
+    // identical doubles in both engines, pinned at 6dp. Scale shape: one
+    // events-sized agg to type×day, a broadcast per-type shift join, one
+    // bounded agg — no window, no collect.
+    "q_stats_jarque_bera" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(cents(col("value"))).as("x"))
+        .transform(graft.CacheScope.persisted(_))
+      // Integer `div` for the shift in BOTH engines: Spark casts
+      // double->long by truncation but DuckDB ROUNDS, so a double mean
+      // here would silently diverge.
+      val shift = daily.groupBy("event_type")
+        .agg(expr("sum(x) div count(1)").as("m0"))
+      val xc = (col("x") - col("m0")).cast(DecimalType(12, 0))
+      // s4's factors are DECIMAL(19): 19+19=38 is the widest product
+      // BOTH engines accept (DuckDB errors past 38 rather than clamping);
+      // values fit while |xc| <= ~3e9 cents — the documented dial.
+      val m = daily.join(broadcast(shift), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(xc).as("s1d"),
+          sum(xc * xc).as("s2d"),
+          sum((xc * xc).cast(DecimalType(24, 0)) * xc).as("s3d"),
+          sum((xc * xc).cast(DecimalType(19, 0)) *
+            (xc * xc).cast(DecimalType(19, 0))).as("s4d"))
+        .filter(col("n") >= 8 &&
+          col("n") * col("s2d") - col("s1d") * col("s1d") > 0)
+        .select(col("event_type"), col("n"),
+          col("n").cast("double").as("nd"), col("s1d").cast("double").as("p1"),
+          col("s2d").cast("double").as("p2"), col("s3d").cast("double").as("p3"),
+          col("s4d").cast("double").as("p4"))
+      // Identical-text double formulas (see matching oracle SQL).
+      m.select(col("event_type"), col("n").cast("long").as("n_days"),
+          expr("p1 / nd").as("mu"), col("nd"), col("p2"), col("p3"), col("p4"))
+        .select(col("event_type"), col("n_days"),
+          expr("p2 / nd - mu * mu").as("m2"),
+          expr("p3 / nd - 3 * mu * (p2 / nd) + 2 * mu * mu * mu").as("m3"),
+          expr("p4 / nd - 4 * mu * (p3 / nd) + 6 * mu * mu * (p2 / nd) " +
+            "- 3 * mu * mu * mu * mu").as("m4"),
+          col("nd"))
+        .select(col("event_type"), col("n_days"),
+          expr("m3 / (m2 * sqrt(m2))").as("skew"),
+          expr("m4 / (m2 * m2)").as("kurt"), col("nd"))
+        .select(col("event_type"), col("n_days"),
+          round(col("skew"), 6).as("skewness"),
+          round(col("kurt"), 6).as("kurtosis"),
+          round(expr("nd / 6 * (skew * skew + (kurt - 3) * (kurt - 3) / 4)"),
+            6).as("jb"))
+    }),
+
+    // Cramér's V: the [0,1] effect size of the event_type × time-of-day
+    // association that q_stats_chisq tests — V = sqrt(chi2 / (n *
+    // min(r-1, c-1))). A chi-squared p-value at 100 TB is always ~0
+    // (everything is "significant" at n=1e12); V is the number that
+    // still means something, which is why it ships as its own operator.
+    // Same exact-margins + round(,6)-pinned-contribution DECIMAL sum as
+    // q_stats_chisq; one row out.
+    "q_stats_cramers_v" -> ((s, d) => {
+      val cells = t(s, d, "events")
+        .groupBy(col("event_type"), (hour(col("ts")) / lit(6)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("o"))
+        .transform(graft.CacheScope.persisted(_))
+      val rt = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
+      val ct = cells.groupBy("bucket").agg(sum(col("o")).as("ct"))
+      val g = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("event_type")).as("r"),
+        countDistinct(col("bucket")).as("c"))
+      val e = (col("rt") * col("ct")).cast("double") / col("n").cast("double")
+      val contrib = round((col("o").cast("double") - e) *
+        (col("o").cast("double") - e) / e, 6)
+      val chi2 = cells.join(rt, "event_type").join(ct, "bucket")
+        .crossJoin(broadcast(g))
+        .select(contrib.cast(DecimalType(18, 6)).as("contrib"))
+        .agg(sum(col("contrib")).cast("double").as("chi2"))
+      g.crossJoin(broadcast(chi2))
+        .select(col("n").cast("long").as("n"), col("r").cast("long").as("r"),
+          col("c").cast("long").as("c"), col("chi2"),
+          round(sqrt(col("chi2") /
+            (col("n").cast("double") * least(col("r") - 1, col("c") - 1).cast("double"))),
+            6).as("cramers_v"))
+    }),
+
+    // Cohen's d per event type: the standardized first-half vs
+    // second-half mean shift — the effect size behind q_stats_ttest's
+    // significance answer, and the threshold a retraining trigger should
+    // gate on instead of a p-value (same rationale as Cramér's V at
+    // scale). Variances from exact cents sums; pooled sd and d on
+    // identical doubles; means reported in currency units. Scale shape:
+    // one 1-row range broadcast + one events-sized agg to type×half.
+    "q_stats_cohens_d" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          cents(col("value")).as("c"))
+      val h = withHalf(ev)
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("first_half"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("first_half"), col("c")).otherwise(0L)).as("t1"),
+          sum(when(col("first_half"), col("c") * col("c")).otherwise(0L)).as("q1"),
+          sum(when(col("first_half"), 0L).otherwise(1L)).as("n2"),
+          sum(when(col("first_half"), 0L).otherwise(col("c"))).as("t2"),
+          sum(when(col("first_half"), 0L).otherwise(col("c") * col("c"))).as("q2"))
+        .filter(col("n1") >= 2 && col("n2") >= 2)
+      val v1 = (col("n1").cast("double") * col("q1").cast("double") -
+        col("t1").cast("double") * col("t1").cast("double")) /
+        (col("n1").cast("double") * (col("n1").cast("double") - 1))
+      val v2 = (col("n2").cast("double") * col("q2").cast("double") -
+        col("t2").cast("double") * col("t2").cast("double")) /
+        (col("n2").cast("double") * (col("n2").cast("double") - 1))
+      val sp2 = ((col("n1").cast("double") - 1) * v1 +
+        (col("n2").cast("double") - 1) * v2) /
+        (col("n1").cast("double") + col("n2").cast("double") - 2)
+      h.filter(sp2 > 0)
+        .select(col("event_type"), col("n1"), col("n2"),
+          round(col("t1").cast("double") / col("n1").cast("double") / 100, 4).as("mean_first"),
+          round(col("t2").cast("double") / col("n2").cast("double") / 100, 4).as("mean_second"),
+          round((col("t2").cast("double") / col("n2").cast("double") -
+            col("t1").cast("double") / col("n1").cast("double")) / sqrt(sp2),
+            6).as("cohens_d"))
+    }),
+
+    // Grubbs max-outlier: for each event type, the single day whose total
+    // deviates most from the type mean, with its test statistic
+    // G = |x - mean| / sd. The day is selected by the EXACT integer
+    // deviation |n*x - s1| (ties break to the earliest day) via ONE
+    // max(struct) aggregation — the q_graph_mst min-edge discipline, no
+    // window, no double ordering anywhere. G itself is identical doubles
+    // pinned at 6dp.
+    "q_stats_grubbs" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(cents(col("value"))).as("x"))
+        .transform(graft.CacheScope.persisted(_))
+      // The variance gate runs on DECIMALs: s1*s1 as long*long would wrap
+      // silently past 9.2e18 (s1 is a whole-type cents total).
+      val m = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(col("x").cast(DecimalType(18, 0)) * col("x")).as("s2"))
+        .filter(col("n") >= 3 &&
+          col("n") * col("s2") -
+            col("s1").cast(DecimalType(18, 0)) * col("s1") > 0)
+      val dev = abs(col("n") * col("x") - col("s1"))
+      val picked = daily.join(broadcast(m), "event_type")
+        .select(col("event_type"), col("n"), col("s1"), col("s2"),
+          struct(dev.as("dev"),
+            (-datediff(col("day"), to_date(lit("1970-01-01")))).as("negday"),
+            col("x").as("x")).as("cand"))
+        .groupBy("event_type")
+        .agg(first(col("n")).as("n"), first(col("s1")).as("s1"),
+          first(col("s2")).as("s2"), max(col("cand")).as("top"))
+      val sd = sqrt((col("n").cast("double") * col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double")) /
+        (col("n").cast("double") * (col("n").cast("double") - 1)))
+      picked.select(col("event_type"), col("n").cast("long").as("n_days"),
+        date_format(date_add(to_date(lit("1970-01-01")),
+          (-col("top.negday")).cast("int")), "yyyy-MM-dd").as("outlier_day"),
+        round(col("top.x").cast("double") / 100, 2).as("outlier_value"),
+        round(col("top.dev").cast("double") / col("n").cast("double") / sd,
+          6).as("grubbs_g"))
+    }),
+
+    // Two-proportion z-test: did the error RATE (share of 'error' events)
+    // change between the first and second half of the range? The
+    // categorical sibling of q_stats_ttest — exact counts, pooled
+    // p-hat, identical-double z, one row out.
+    "q_stats_two_prop" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          cents(col("value")).as("c"))
+      val agg = withHalf(ev).agg(
+        sum(when(col("first_half"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("first_half") && col("event_type") === "error", 1L)
+          .otherwise(0L)).as("x1"),
+        sum(when(col("first_half"), 0L).otherwise(1L)).as("n2"),
+        sum(when(!col("first_half") && col("event_type") === "error", 1L)
+          .otherwise(0L)).as("x2"))
+        .filter(col("n1") > 0 && col("n2") > 0 &&
+          col("x1") + col("x2") > 0 && col("x1") + col("x2") < col("n1") + col("n2"))
+      val p1 = col("x1").cast("double") / col("n1").cast("double")
+      val p2 = col("x2").cast("double") / col("n2").cast("double")
+      val ph = (col("x1") + col("x2")).cast("double") /
+        (col("n1") + col("n2")).cast("double")
+      agg.select(col("n1"), col("x1"), col("n2"), col("x2"),
+        round(p1, 6).as("p_first"), round(p2, 6).as("p_second"),
+        round((p1 - p2) /
+          sqrt(ph * (lit(1) - ph) *
+            (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double"))),
+          6).as("z"))
+    }))
+
+  override val oracles: Map[String, String] = Map(
+
+    "q_stats_wilcoxon" ->
+      s"""$HalfSql, u AS (
+         |  SELECT user_id,
+         |         sum(CASE WHEN first_half THEN c ELSE 0 END) AS s1,
+         |         sum(CASE WHEN first_half THEN 0 ELSE c END) AS s2
+         |  FROM h GROUP BY 1
+         |), dd AS (
+         |  SELECT s2 - s1 AS d, abs(s2 - s1) AS a FROM u WHERE s2 <> s1
+         |), r AS (
+         |  SELECT d, 2 * rank() OVER (ORDER BY a)
+         |            + count(*) OVER (PARTITION BY a) - 1 AS rank2
+         |  FROM dd
+         |), agg AS (
+         |  SELECT count(*) AS n,
+         |         sum(CASE WHEN d > 0 THEN rank2 ELSE 0 END) AS w2
+         |  FROM r
+         |)
+         |SELECT CAST(n AS BIGINT) AS n_pairs,
+         |       CAST(w2 AS DOUBLE) / 2 AS w_plus,
+         |       round((CAST(w2 AS DOUBLE) - CAST(n * (n + 1) AS DOUBLE) / 2) /
+         |             sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 6),
+         |             6) AS z
+         |FROM agg WHERE n > 0""".stripMargin,
+
+    "q_stats_jarque_bera" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         sum($CentsSql) AS x
+         |  FROM events GROUP BY 1, 2
+         |), shift AS (
+         |  SELECT event_type, CAST(sum(x) AS BIGINT) // count(*) AS m0
+         |  FROM daily GROUP BY 1
+         |), mm AS (
+         |  SELECT d.event_type, count(*) AS n,
+         |         sum(CAST(d.x - s.m0 AS DECIMAL(12,0))) AS s1d,
+         |         sum(CAST(d.x - s.m0 AS DECIMAL(12,0)) *
+         |             CAST(d.x - s.m0 AS DECIMAL(12,0))) AS s2d,
+         |         sum(CAST(CAST(d.x - s.m0 AS DECIMAL(12,0)) *
+         |                  CAST(d.x - s.m0 AS DECIMAL(12,0)) AS DECIMAL(24,0)) *
+         |             CAST(d.x - s.m0 AS DECIMAL(12,0))) AS s3d,
+         |         sum(CAST(CAST(d.x - s.m0 AS DECIMAL(12,0)) *
+         |                  CAST(d.x - s.m0 AS DECIMAL(12,0)) AS DECIMAL(19,0)) *
+         |             CAST(CAST(d.x - s.m0 AS DECIMAL(12,0)) *
+         |                  CAST(d.x - s.m0 AS DECIMAL(12,0)) AS DECIMAL(19,0))) AS s4d
+         |  FROM daily d JOIN shift s ON s.event_type = d.event_type
+         |  GROUP BY 1
+         |), f AS (
+         |  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+         |         CAST(s1d AS DOUBLE) AS p1, CAST(s2d AS DOUBLE) AS p2,
+         |         CAST(s3d AS DOUBLE) AS p3, CAST(s4d AS DOUBLE) AS p4
+         |  FROM mm WHERE n >= 8 AND n * s2d - s1d * s1d > 0
+         |), c1 AS (
+         |  SELECT event_type, n, nd, p1 / nd AS mu, p2, p3, p4 FROM f
+         |), c2 AS (
+         |  SELECT event_type, n, nd,
+         |         p2 / nd - mu * mu AS m2,
+         |         p3 / nd - 3 * mu * (p2 / nd) + 2 * mu * mu * mu AS m3,
+         |         p4 / nd - 4 * mu * (p3 / nd) + 6 * mu * mu * (p2 / nd)
+         |           - 3 * mu * mu * mu * mu AS m4
+         |  FROM c1
+         |), c3 AS (
+         |  SELECT event_type, n, nd,
+         |         m3 / (m2 * sqrt(m2)) AS skew, m4 / (m2 * m2) AS kurt
+         |  FROM c2
+         |)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         |       round(skew, 6) AS skewness, round(kurt, 6) AS kurtosis,
+         |       round(nd / 6 * (skew * skew + (kurt - 3) * (kurt - 3) / 4), 6) AS jb
+         |FROM c3""".stripMargin,
+
+    "q_stats_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(hour(ts) // 6 AS INTEGER) AS bucket,
+        |         count(*) AS o
+        |  FROM events GROUP BY 1, 2
+        |), rt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT bucket, sum(o) AS ct FROM cells GROUP BY 1),
+        |g AS (
+        |  SELECT sum(o) AS n, count(DISTINCT event_type) AS r,
+        |         count(DISTINCT bucket) AS c
+        |  FROM cells
+        |), chi AS (
+        |  SELECT CAST(sum(CAST(round(
+        |           (CAST(cl.o AS DOUBLE) - CAST(r.rt * t.ct AS DOUBLE) / CAST(g.n AS DOUBLE)) *
+        |           (CAST(cl.o AS DOUBLE) - CAST(r.rt * t.ct AS DOUBLE) / CAST(g.n AS DOUBLE)) /
+        |           (CAST(r.rt * t.ct AS DOUBLE) / CAST(g.n AS DOUBLE)),
+        |           6) AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+        |  FROM cells cl
+        |  JOIN rt r ON r.event_type = cl.event_type
+        |  JOIN ct t ON t.bucket = cl.bucket
+        |  CROSS JOIN g
+        |)
+        |SELECT CAST(g.n AS BIGINT) AS n, CAST(g.r AS BIGINT) AS r,
+        |       CAST(g.c AS BIGINT) AS c, chi.chi2,
+        |       round(sqrt(chi.chi2 /
+        |             (CAST(g.n AS DOUBLE) * CAST(least(g.r - 1, g.c - 1) AS DOUBLE))),
+        |             6) AS cramers_v
+        |FROM g CROSS JOIN chi""".stripMargin,
+
+    "q_stats_cohens_d" ->
+      s"""$HalfSql, m AS (
+         |  SELECT event_type,
+         |         sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS n1,
+         |         sum(CASE WHEN first_half THEN c ELSE 0 END) AS t1,
+         |         sum(CASE WHEN first_half THEN c * c ELSE 0 END) AS q1,
+         |         sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS n2,
+         |         sum(CASE WHEN first_half THEN 0 ELSE c END) AS t2,
+         |         sum(CASE WHEN first_half THEN 0 ELSE c * c END) AS q2
+         |  FROM h GROUP BY 1
+         |  HAVING n1 >= 2 AND n2 >= 2
+         |), v AS (
+         |  SELECT event_type, n1, n2, t1, t2,
+         |         (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE) -
+         |          CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)) /
+         |         (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1)) AS v1,
+         |         (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE) -
+         |          CAST(t2 AS DOUBLE) * CAST(t2 AS DOUBLE)) /
+         |         (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1)) AS v2
+         |  FROM m
+         |), p AS (
+         |  SELECT event_type, n1, n2, t1, t2,
+         |         ((CAST(n1 AS DOUBLE) - 1) * v1 + (CAST(n2 AS DOUBLE) - 1) * v2) /
+         |         (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2) AS sp2
+         |  FROM v
+         |)
+         |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |       round(CAST(t1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100, 4) AS mean_first,
+         |       round(CAST(t2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100, 4) AS mean_second,
+         |       round((CAST(t2 AS DOUBLE) / CAST(n2 AS DOUBLE) -
+         |              CAST(t1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / sqrt(sp2),
+         |             6) AS cohens_d
+         |FROM p WHERE sp2 > 0""".stripMargin,
+
+    "q_stats_grubbs" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         sum($CentsSql) AS x
+         |  FROM events GROUP BY 1, 2
+         |), m AS (
+         |  SELECT event_type, count(*) AS n, sum(x) AS s1,
+         |         sum(CAST(x AS DECIMAL(18,0)) * x) AS s2
+         |  FROM daily GROUP BY 1
+         |  HAVING count(*) >= 3 AND count(*) * sum(CAST(x AS DECIMAL(18,0)) * x)
+         |         - sum(x) * sum(x) > 0
+         |), top AS (
+         |  SELECT d.event_type, m.n, m.s1, m.s2, d.day, d.x,
+         |         abs(m.n * d.x - m.s1) AS dev
+         |  FROM daily d JOIN m ON m.event_type = d.event_type
+         |  QUALIFY row_number() OVER (PARTITION BY d.event_type
+         |                             ORDER BY dev DESC, d.day) = 1
+         |)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         |       strftime(day, '%Y-%m-%d') AS outlier_day,
+         |       round(CAST(x AS DOUBLE) / 100, 2) AS outlier_value,
+         |       round(CAST(dev AS DOUBLE) / CAST(n AS DOUBLE) /
+         |             sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+         |                   CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+         |                  (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))),
+         |             6) AS grubbs_g
+         |FROM top""".stripMargin,
+
+    "q_stats_two_prop" ->
+      s"""$HalfSql, agg AS (
+         |  SELECT sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS n1,
+         |         sum(CASE WHEN first_half AND event_type = 'error' THEN 1 ELSE 0 END) AS x1,
+         |         sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS n2,
+         |         sum(CASE WHEN NOT first_half AND event_type = 'error' THEN 1 ELSE 0 END) AS x2
+         |  FROM h
+         |)
+         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+         |       CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+         |       round(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p_first,
+         |       round(CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS p_second,
+         |       round((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+         |              CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+         |             sqrt(CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) *
+         |                  (1 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) *
+         |                  (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))),
+         |             6) AS z
+         |FROM agg
+         |WHERE n1 > 0 AND n2 > 0 AND x1 + x2 > 0 AND x1 + x2 < n1 + n2""".stripMargin)
+}
