@@ -44,6 +44,7 @@ object SparkEntry {
     sources.FormatQueries,
     graph.GraphQueries,
     graph.GraphPathQueries,
+    graph.SccQueries,
     text.TextAnalysisQueries,
     dedup.SemanticDedupQueries,
     dedup.PairEvalQueries,
