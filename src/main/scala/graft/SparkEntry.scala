@@ -30,6 +30,7 @@ object SparkEntry {
     relational.DtwQueries,
     relational.StatsQueries,
     relational.InferenceQueries,
+    relational.RecsysQueries,
     relational.MiningQueries,
     relational.ModelPrepQueries,
     relational.PrivacyQueries,

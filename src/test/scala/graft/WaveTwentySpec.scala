@@ -64,6 +64,30 @@ class WaveTwentySpec extends SparkSpec {
     }
   }
 
+  test("q_ml_als_round/rmse: least-squares fit beats the zero predictor") {
+    import org.apache.spark.sql.functions._
+    val u = SparkEntry.queries("q_ml_als_round")(spark, sfDir).collect()
+    val rm = SparkEntry.queries("q_ml_als_rmse")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(u.nonEmpty)
+    u.foreach { r =>
+      assert(!r.getAs[Double]("u1").isNaN && !r.getAs[Double]("u2").isNaN)
+      assert(r.getAs[Long]("n_items") > 0)
+    }
+    assert(rm.length == 1)
+    val rmse = rm(0).getAs[Double]("rmse")
+    // the ridge solve minimizes ||r - Vu||^2 + lambda||u||^2, whose
+    // optimum is <= the u=0 objective, so SSE <= sum(r^2) exactly
+    val zero = Tables.load(spark, sfDir, "lineitem")
+      .join(Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("r"))
+      .agg(sqrt(avg(col("r") * col("r"))).as("z")).collect()(0).getDouble(0)
+    assert(rmse > 0 && rmse <= zero, s"rmse=$rmse zero=$zero")
+  }
+
   test("q_stats_two_prop: proportions valid, z sign tracks the rate shift") {
     val r = SparkEntry.queries("q_stats_two_prop")(spark, sfDir).collect()
     CacheScope.releaseAll()
