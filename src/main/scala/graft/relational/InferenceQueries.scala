@@ -295,6 +295,50 @@ object InferenceQueries extends QueryPack {
           6).as("grubbs_g"))
     }),
 
+    // Wald–Wolfowitz runs test: is each type's daily-total series RANDOM
+    // around its mean, or does it trend/oscillate? The independence check
+    // that belongs before any i.i.d.-assuming test above. Above/below is
+    // the EXACT integer comparison n*x > s1 (ties count as below — a
+    // deterministic convention both engines share); runs count from one
+    // lag window over the bounded per-type daily relation; the normal
+    // approximation z assembles on identical doubles. Scale shape: one
+    // events-sized agg, one broadcast mean join, one partitioned window.
+    "q_stats_runs" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(cents(col("value"))).as("x"))
+        .transform(graft.CacheScope.persisted(_))
+      val m = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val signed = daily.join(broadcast(m), "event_type")
+        .select(col("event_type"),
+          col("day"), (col("n") * col("x") > col("s1")).as("up"))
+      val agg = signed
+        .withColumn("brk",
+          when(lag(col("up"), 1).over(w).isNull ||
+            lag(col("up"), 1).over(w) =!= col("up"), 1L).otherwise(0L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("nd"),
+          sum(when(col("up"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("up"), 0L).otherwise(1L)).as("n2"),
+          sum(col("brk")).as("runs"))
+        .filter(col("n1") > 0 && col("n2") > 0 && col("nd") >= 3)
+      val n1d = col("n1").cast("double")
+      val n2d = col("n2").cast("double")
+      val nd = n1d + n2d
+      val mu = lit(2.0) * n1d * n2d / nd + 1
+      val v = lit(2.0) * n1d * n2d * (lit(2.0) * n1d * n2d - nd) /
+        (nd * nd * (nd - 1))
+      agg.filter(v > 0)
+        .select(col("event_type"), col("nd").cast("long").as("n_days"),
+          col("n1").cast("long").as("n_above"),
+          col("n2").cast("long").as("n_below"),
+          col("runs").cast("long").as("runs"),
+          round((col("runs").cast("double") - mu) / sqrt(v), 6).as("z"))
+    }),
+
     // Two-proportion z-test: did the error RATE (share of 'error' events)
     // change between the first and second half of the range? The
     // categorical sibling of q_stats_ttest — exact counts, pooled
@@ -486,6 +530,46 @@ object InferenceQueries extends QueryPack {
          |                  (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))),
          |             6) AS grubbs_g
          |FROM top""".stripMargin,
+
+    "q_stats_runs" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         sum($CentsSql) AS x
+         |  FROM events GROUP BY 1, 2
+         |), m AS (
+         |  SELECT event_type, count(*) AS n, sum(x) AS s1 FROM daily GROUP BY 1
+         |), signed AS (
+         |  SELECT d.event_type, d.day, m.n * d.x > m.s1 AS up
+         |  FROM daily d JOIN m ON m.event_type = d.event_type
+         |), brk AS (
+         |  SELECT event_type, up,
+         |         CASE WHEN lag(up, 1) OVER tw IS NULL
+         |                OR lag(up, 1) OVER tw <> up THEN 1 ELSE 0 END AS brk
+         |  FROM signed
+         |  WINDOW tw AS (PARTITION BY event_type ORDER BY day)
+         |), agg AS (
+         |  SELECT event_type, count(*) AS nd,
+         |         sum(CASE WHEN up THEN 1 ELSE 0 END) AS n1,
+         |         sum(CASE WHEN up THEN 0 ELSE 1 END) AS n2,
+         |         sum(brk) AS runs
+         |  FROM brk GROUP BY 1
+         |  HAVING n1 > 0 AND n2 > 0 AND nd >= 3
+         |), f AS (
+         |  SELECT event_type, nd, n1, n2, runs,
+         |         CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+         |  FROM agg
+         |)
+         |SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+         |       CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+         |       CAST(runs AS BIGINT) AS runs,
+         |       round((CAST(runs AS DOUBLE) -
+         |              (2.0 * n1d * n2d / (n1d + n2d) + 1)) /
+         |             sqrt(2.0 * n1d * n2d * (2.0 * n1d * n2d - (n1d + n2d)) /
+         |                  ((n1d + n2d) * (n1d + n2d) * ((n1d + n2d) - 1))),
+         |             6) AS z
+         |FROM f
+         |WHERE 2.0 * n1d * n2d * (2.0 * n1d * n2d - (n1d + n2d)) /
+         |      ((n1d + n2d) * (n1d + n2d) * ((n1d + n2d) - 1)) > 0""".stripMargin,
 
     "q_stats_two_prop" ->
       s"""$HalfSql, agg AS (

@@ -31,6 +31,26 @@ object RollingQueries extends QueryPack {
   /** Rolling-beta trailing window length (days). */
   val BetaWin = 14
 
+  /** GARCH(1,1) dials: alpha (ARCH weight on the last squared return),
+    * beta (persistence), omega (base variance, hundreds-of-currency²
+    * units), and the FIR truncation depth. With fixed coefficients the
+    * variance recursion is linear, so sigma²_t unrolls to omega·Σbʲ +
+    * alpha·Σbʲ r²_{t-1-j} — the q_ts_ewma taps discipline; the dropped
+    * bᵀσ²_{t-T} tail is < b⁸ ≈ 0.27 of a decaying term, the documented
+    * truncation trade.
+    */
+  val GarchAlpha = 0.10
+  val GarchBeta = 0.85
+  val GarchOmega = 1.0
+  val GarchTaps = 8
+
+  /** bʲ pinned at 6dp — exact decimals shared by BOTH engine texts (the
+    * EwmaTaps pattern: generate once in Scala, embed in each).
+    */
+  private val garchW: Seq[BigDecimal] = (0 until GarchTaps).map(j =>
+    BigDecimal(math.pow(GarchBeta, j)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+  private val garchWSum: BigDecimal = garchW.sum
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Hampel filter over the per-(type, day) exact-cents daily series:
@@ -202,6 +222,40 @@ object RollingQueries extends QueryPack {
             .as("top_share"),
           (cv2 < 0.1).as("is_regular"),
           (cv2 > 5.0).as("is_bursty"))
+    }),
+
+    // GARCH(1,1) conditional-volatility filter over each type's daily
+    // returns — the vol estimate a risk monitor or anomaly gate reads
+    // (a spike is judged against CURRENT vol, not all-time sd). Returns
+    // are integer hundreds-of-currency day-over-day diffs (the unit is
+    // the overflow dial: r² ≤ 1e8 at sf0.1 keeps every 6dp-scaled tap
+    // product under 2^53, so the decimal→double casts are exact in both
+    // engines — the q_ts_ewma bound); the 8 weighted taps accumulate as
+    // exact DECIMAL(28,6) and the final sigma assembles in identical
+    // doubles. One partitioned window over the bounded daily relation.
+    "q_ts_garch" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")).as("c"))
+        .withColumn("xh", expr("c div 10000"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+      val dec86 = DecimalType(8, 6)
+      val dec19 = DecimalType(19, 0)
+      val r = (col("xh") - lag(col("xh"), 1).over(w))
+      val withR = daily.withColumn("r", r).withColumn("r2", col("r") * col("r"))
+      val taps = garchW.zipWithIndex.map { case (bj, j) =>
+        (lit(bj).cast(dec86) * lag(col("r2"), j + 1).over(w).cast(dec19))
+          .cast(DecimalType(28, 6))
+      }.reduce(_ + _)
+      withR
+        .withColumn("tap", taps)
+        .withColumn("guard", lag(col("r2"), GarchTaps).over(w))
+        .filter(col("guard").isNotNull)
+        .select(col("event_type"), col("day"), col("r").as("ret_h"),
+          round(sqrt(lit(GarchOmega * garchWSum.toDouble) +
+            lit(GarchAlpha) * col("tap").cast("double")), 6).as("sigma_h"))
     }))
 
   override val oracles: Map[String, String] = Map(
@@ -341,5 +395,33 @@ object RollingQueries extends QueryPack {
         |             (CAST(g.sg AS DOUBLE) * CAST(g.sg AS DOUBLE)), 6) > 5.0
         |         AS is_bursty
         |FROM users u JOIN gaps g ON g.user_id = u.user_id
-        |WHERE u.n >= 5""".stripMargin)
+        |WHERE u.n >= 5""".stripMargin,
+
+    "q_ts_garch" -> {
+      val tapsSql = garchW.zipWithIndex.map { case (bj, j) =>
+        s"CAST($bj AS DECIMAL(8,6)) * CAST(lag(r2, ${j + 1}) OVER tw AS DECIMAL(19,0))"
+      }.mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+         |              AS BIGINT) // 10000 AS xh
+         |  FROM events GROUP BY 1, 2
+         |), r AS (
+         |  SELECT event_type, day,
+         |         xh - lag(xh, 1) OVER tw AS ret,
+         |         (xh - lag(xh, 1) OVER tw) * (xh - lag(xh, 1) OVER tw) AS r2
+         |  FROM daily
+         |  WINDOW tw AS (PARTITION BY event_type ORDER BY day)
+         |), tap AS (
+         |  SELECT event_type, day, ret,
+         |         $tapsSql AS tap,
+         |         lag(r2, $GarchTaps) OVER tw AS guard
+         |  FROM r
+         |  WINDOW tw AS (PARTITION BY event_type ORDER BY day)
+         |)
+         |SELECT event_type, day, ret AS ret_h,
+         |       round(sqrt(${GarchOmega * garchWSum.toDouble} +
+         |                  $GarchAlpha * CAST(tap AS DOUBLE)), 6) AS sigma_h
+         |FROM tap WHERE guard IS NOT NULL""".stripMargin
+    })
 }

@@ -331,6 +331,41 @@ object SimilarityQueries extends QueryPack {
             .as("mean_sqdist"))
     }),
 
+    // Simplified silhouette of the SAME Lloyd clustering: per point,
+    // a = distance to own centroid, b = distance to the nearest OTHER
+    // centroid, s = (b-a)/max(a,b) — the standard O(n·k) silhouette
+    // surrogate (the exact silhouette's all-pairs a/b is quadratic and
+    // adds nothing at this granularity). Both distances fall out of the
+    // trainer's ranked probe relation (rn 1 and 2), so the score costs
+    // one extra window rank — no new shuffle over the corpus. Squared
+    // distances are clamped at 0 before sqrt (float cancellation on a
+    // point sitting on its centroid can dip ~-1e-16); per-point scores
+    // are round(,6)-pinned and DECIMAL-summed per cluster.
+    "sim_silhouette" -> ((s, d) => {
+      val e0 = CacheScope.persisted(
+        emb(s, d).select(col("vec_id"), col("qe"), col("norm2")))
+      val ex = CacheScope.persisted(e0.select(col("vec_id"),
+        posexplode(col("qe")).as(Seq("i", "qx"))))
+      val r12 = Ivf.probeRanked(e0, ex, IvfParams).filter(col("rn") <= 2)
+        .join(e0.select(col("vec_id").as("vid"), col("norm2")), "vid")
+        .select(col("vid"), col("cell"), col("rn"),
+          greatest(col("norm2") + col("dd") / lit(1000000.0), lit(0.0)).as("d2"))
+      val own = r12.filter(col("rn") === 1)
+        .select(col("vid"), col("cell"), col("d2").as("a2"))
+      val nxt = r12.filter(col("rn") === 2)
+        .select(col("vid").as("v2"), col("d2").as("b2"))
+      own.join(nxt, col("vid") === col("v2"))
+        .select(col("cell"),
+          round((sqrt(col("b2")) - sqrt(col("a2"))) /
+            greatest(sqrt(col("a2")), sqrt(col("b2"))), 6)
+            .cast(DecimalType(18, 6)).as("sil"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"), sum(col("sil")).as("ssil"))
+        .select(col("cell").as("cluster_id"), col("n_members"),
+          round(col("ssil").cast("double") / col("n_members").cast("double"), 6)
+            .as("mean_silhouette"))
+    }),
+
     // Johnson-Lindenstrauss random projection to RpDims sign-hash
     // dimensions ([[rpProject]]) — the data-independent counterpart of
     // sim_pca_power for cheap distance-preserving dimensionality
@@ -937,6 +972,31 @@ object SimilarityQueries extends QueryPack {
     "sim_pca_power" -> Pca.oracleSql,
     "sim_dbscan" -> Dbscan.oracleSql(Dbscan.Default),
     "sim_kmeans" -> kmeansOracle,
+
+    "sim_silhouette" ->
+      s"""$eCte${Ivf.oracleCtes(IvfParams)},
+         |rr AS (
+         |  SELECT vid, cell, dd,
+         |         row_number() OVER (PARTITION BY vid
+         |                            ORDER BY dd ASC, cell ASC) AS rn
+         |  FROM dist${IvfParams.iters}
+         |), own AS (
+         |  SELECT r.vid, r.cell,
+         |         greatest(n.norm2 + r.dd / 1000000.0, 0.0) AS a2
+         |  FROM rr r JOIN norms n ON n.vec_id = r.vid WHERE r.rn = 1
+         |), nxt AS (
+         |  SELECT r.vid, greatest(n.norm2 + r.dd / 1000000.0, 0.0) AS b2
+         |  FROM rr r JOIN norms n ON n.vec_id = r.vid WHERE r.rn = 2
+         |), sil AS (
+         |  SELECT o.cell,
+         |         CAST(round((sqrt(x.b2) - sqrt(o.a2)) /
+         |                    greatest(sqrt(o.a2), sqrt(x.b2)), 6)
+         |              AS DECIMAL(18,6)) AS sil
+         |  FROM own o JOIN nxt x ON x.vid = o.vid
+         |)
+         |SELECT cell AS cluster_id, count(*) AS n_members,
+         |       round(CAST(sum(sil) AS DOUBLE) / count(*), 6) AS mean_silhouette
+         |FROM sil GROUP BY cell""".stripMargin,
 
     "sim_rp_project" -> rpOracle,
 

@@ -64,6 +64,50 @@ class WaveTwentySpec extends SparkSpec {
     }
   }
 
+  test("sim_silhouette: scores in [-1, 1], memberships match sim_kmeans") {
+    val sil = SparkEntry.queries("sim_silhouette")(spark, sfDir).collect()
+    val km = SparkEntry.queries("sim_kmeans")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(sil.nonEmpty)
+    sil.foreach { r =>
+      val s = r.getAs[Double]("mean_silhouette")
+      assert(s >= -1.0 && s <= 1.0, s"sil=$s")
+    }
+    val kmBy = km.map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("n_members")).toMap
+    sil.foreach(r => assert(
+      kmBy(r.getAs[Long]("cluster_id")) == r.getAs[Long]("n_members")))
+  }
+
+  test("q_ts_garch: sigma bounded below by the base-variance floor") {
+    val r = SparkEntry.queries("q_ts_garch")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.nonEmpty)
+    import relational.RollingQueries._
+    val floor = math.sqrt(GarchOmega *
+      (0 until GarchTaps).map(j => BigDecimal(math.pow(GarchBeta, j))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+    r.foreach { row =>
+      val s = row.getAs[Double]("sigma_h")
+      assert(s >= floor - 1e-9, s"sigma=$s floor=$floor")
+    }
+  }
+
+  test("q_stats_runs: run count within [1, n], counts add up") {
+    val r = SparkEntry.queries("q_stats_runs")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (n, n1, n2, runs) = (row.getAs[Long]("n_days"),
+        row.getAs[Long]("n_above"), row.getAs[Long]("n_below"),
+        row.getAs[Long]("runs"))
+      assert(n1 + n2 == n)
+      assert(runs >= 1 && runs <= n, s"runs=$runs n=$n")
+      // runs can't exceed 2*min(n1,n2)+1 (alternation is capped by the
+      // rarer sign)
+      assert(runs <= 2 * math.min(n1, n2) + 1)
+    }
+  }
+
   test("q_ml_als_round/rmse: least-squares fit beats the zero predictor") {
     import org.apache.spark.sql.functions._
     val u = SparkEntry.queries("q_ml_als_round")(spark, sfDir).collect()
