@@ -393,6 +393,41 @@ object MultimodalQueries extends QueryPack {
     // frame, no shuffle until nothing is left but (doc, frame, feature)
     // rows), with the frame width the batch dial. A real deployment
     // swaps the char-code sample for codec PCM at one site.
+    // Pitch (fundamental-period) detection per audio frame by integer
+    // autocorrelation — the classic F0 estimator (librosa/YIN's
+    // zeroth-order ancestor): r(τ) = Σ v_i·v_{i+τ} over the frame for
+    // τ ∈ [PitchMinLag, PitchMaxLag], period = argmax r (ties to the
+    // SMALLEST lag — the fundamental, not a harmonic). Everything is
+    // exact int64 (|v| ≤ ~60, so a frame's r(τ) ≤ ~2.3e5): the argmax is
+    // one array_max over (r, -τ) structs, the whole query a single
+    // narrow map per document — no shuffle, same scale shape as
+    // mm_audio_energy. voiced = the peak is positive (an all-noise frame
+    // anticorrelates at every lag).
+    "mm_audio_pitch" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .filter(length(col("text")) >= AudioFrame)
+        .select(col("doc_id"),
+          expr(s"transform(filter(split(text, ''), x -> x != ''), " +
+            s"c -> CAST(ascii(c) - $AudioBias AS BIGINT))").as("v"))
+        .select(col("doc_id"),
+          explode(expr(s"sequence(0, size(v) div $AudioFrame - 1)")).as("frame"),
+          col("v"))
+        .select(col("doc_id"), col("frame").cast("long").as("frame"),
+          expr(s"slice(v, frame * $AudioFrame + 1, $AudioFrame)").as("w"))
+        .select(col("doc_id"), col("frame"),
+          expr(s"""array_max(transform(sequence($PitchMinLag, $PitchMaxLag),
+                  |  t -> struct(
+                  |    aggregate(
+                  |      zip_with(slice(w, 1, $AudioFrame - t),
+                  |               slice(w, t + 1, $AudioFrame - t),
+                  |               (a, b) -> a * b),
+                  |      CAST(0 AS BIGINT), (acc, x) -> acc + x) AS r,
+                  |    -t AS nt)))""".stripMargin).as("best"))
+        .select(col("doc_id"), col("frame"),
+          (-col("best.nt")).cast("long").as("period"),
+          col("best.r").as("peak_r"),
+          (col("best.r") > 0).as("voiced"))),
+
     "mm_audio_energy" -> ((s, d) =>
       Tables.load(s, d, "documents")
         .filter(length(col("text")) >= AudioFrame)
@@ -414,6 +449,13 @@ object MultimodalQueries extends QueryPack {
 
   /** Audio-stub frame width (samples per analysis window). */
   val AudioFrame = 64
+
+  /** Autocorrelation lag search range for mm_audio_pitch (min lag 2
+    * rejects the trivial τ=1 self-similarity of any smooth signal; max
+    * lag at half the frame keeps ≥32 product terms per estimate).
+    */
+  val PitchMinLag = 2
+  val PitchMaxLag = AudioFrame / 2
 
   /** Shot-boundary feature-jump gate (char-code units in the stub). */
   val ShotThreshold = 24
@@ -654,6 +696,35 @@ object MultimodalQueries extends QueryPack {
         |SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx,
         |       round(CAST(unnest(range(0, n_frames, 10)) AS INT) / 24.0, 6) AS frame_ts
         |FROM m""".stripMargin,
+
+    "mm_audio_pitch" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, text, length(text) // $AudioFrame AS nf
+         |  FROM documents WHERE length(text) >= $AudioFrame
+         |), fr AS (
+         |  SELECT doc_id, text, unnest(generate_series(0, nf - 1)) AS frame FROM d0
+         |), vals AS (
+         |  SELECT doc_id, frame, j,
+         |         CAST(ascii(substr(text, CAST(frame * $AudioFrame + j AS INT), 1))
+         |              - $AudioBias AS BIGINT) AS v
+         |  FROM fr, (SELECT unnest(generate_series(1, $AudioFrame)) AS j)
+         |), ac AS (
+         |  SELECT a.doc_id, a.frame, t.tau,
+         |         CAST(sum(a.v * b.v) AS BIGINT) AS r
+         |  FROM (SELECT unnest(generate_series($PitchMinLag, $PitchMaxLag)) AS tau) t,
+         |       vals a
+         |  JOIN vals b ON b.doc_id = a.doc_id AND b.frame = a.frame
+         |  WHERE b.j = a.j + t.tau
+         |  GROUP BY 1, 2, 3
+         |), best AS (
+         |  SELECT doc_id, frame, tau, r,
+         |         row_number() OVER (PARTITION BY doc_id, frame
+         |                            ORDER BY r DESC, tau ASC) AS rn
+         |  FROM ac
+         |)
+         |SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+         |       CAST(tau AS BIGINT) AS period, r AS peak_r, r > 0 AS voiced
+         |FROM best WHERE rn = 1""".stripMargin,
 
     "mm_audio_energy" ->
       s"""WITH d0 AS (

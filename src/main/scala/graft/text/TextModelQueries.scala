@@ -38,7 +38,47 @@ object TextModelQueries extends QueryPack {
   /** Minimum shared fingerprints for a candidate pair. */
   val MinSharedFps = 2
 
+  /** Terms reported by text_lsa. */
+  val LsaTopK = 25
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Latent-semantic-analysis dominant axis of the sparse term-document
+    // COUNT matrix: two exact-integer power steps v2 = AᵀA·AᵀA·1 on the
+    // never-materialized Gram matrix (AᵀA is vocab², but each step is
+    // just matvec = one equi-join + one groupBy on the (doc, term, tf)
+    // relation — the Pca.project discipline moved to a SPARSE matrix).
+    // The output is the top-|LsaTopK| term loadings on the first singular
+    // direction — the "what is this corpus about" axis, and the
+    // projection basis LSA retrieval uses. Integer headroom: |v2| ≤
+    // nnz²·tf²·maxu grows ~corpus⁴ and step-2 sums run as DECIMAL(38,0)
+    // (HUGEINT in the oracle); past ~1e38 the production dial is an
+    // exact integer RESCALE between steps (divide by a power of ten),
+    // exactly as Pca.project documents. The only doubles are the final
+    // scale-invariant loading = v2/max|v2| from exact operands.
+    "text_lsa" -> ((s, d) => {
+      val td = docs(s, d)
+        .select(col("doc_id"), explode(cleanTokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .transform(CacheScope.persisted(_))
+      val dec = (c: Column) => c.cast(DecimalType(38, 0))
+      val u1 = td.groupBy("doc_id").agg(sum(col("tf")).as("u1"))
+      val v1 = td.join(u1, "doc_id")
+        .groupBy("term").agg(sum(col("tf") * col("u1")).as("v1"))
+      val u2 = td.join(v1, "term")
+        .groupBy("doc_id").agg(sum(dec(col("tf")) * dec(col("v1"))).as("u2"))
+      val v2 = td.join(u2, "doc_id")
+        .groupBy("term").agg(sum(dec(col("tf")) * dec(col("u2"))).as("v2"))
+        .transform(CacheScope.persisted(_))
+      val mx = v2.agg(max(abs(col("v2"))).as("mx"))
+      v2.crossJoin(broadcast(mx))
+        .select(col("term"),
+          round(col("v2").cast("double") / col("mx").cast("double"), 6)
+            .as("loading"))
+        .orderBy(abs(col("loading")).desc, col("term").asc)
+        .limit(LsaTopK)
+    }),
 
     // Multinomial naive Bayes over tokens, trained on the gold `lang`
     // labels and evaluated in-corpus: P(lang|doc) ∝ P(lang) · Π
@@ -274,6 +314,33 @@ object TextModelQueries extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
+
+    "text_lsa" ->
+      s"""WITH td AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id,
+         |           unnest(string_split_regex(
+         |             regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS term
+         |    FROM documents
+         |  ) WHERE term <> '' GROUP BY 1, 2
+         |), u1 AS (
+         |  SELECT doc_id, sum(tf) AS u1 FROM td GROUP BY 1
+         |), v1 AS (
+         |  SELECT t.term, sum(t.tf * u.u1) AS v1
+         |  FROM td t JOIN u1 u USING (doc_id) GROUP BY 1
+         |), u2 AS (
+         |  SELECT t.doc_id, sum(CAST(t.tf AS HUGEINT) * CAST(v.v1 AS HUGEINT)) AS u2
+         |  FROM td t JOIN v1 v USING (term) GROUP BY 1
+         |), v2 AS (
+         |  SELECT t.term, sum(CAST(t.tf AS HUGEINT) * CAST(u.u2 AS HUGEINT)) AS v2
+         |  FROM td t JOIN u2 u USING (doc_id) GROUP BY 1
+         |), mx AS (SELECT max(abs(v2)) AS mx FROM v2)
+         |SELECT term,
+         |       round(CAST(v2 AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS loading
+         |FROM v2, mx
+         |ORDER BY abs(round(CAST(v2 AS DOUBLE) / CAST(mx AS DOUBLE), 6)) DESC,
+         |         term ASC
+         |LIMIT $LsaTopK""".stripMargin,
 
     "text_bigram_kn" ->
       """WITH toks AS (

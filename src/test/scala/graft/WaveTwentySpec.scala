@@ -78,6 +78,33 @@ class WaveTwentySpec extends SparkSpec {
       kmBy(r.getAs[Long]("cluster_id")) == r.getAs[Long]("n_members")))
   }
 
+  test("mm_audio_pitch: period inside the lag search range, frames align with energy") {
+    val p = SparkEntry.queries("mm_audio_pitch")(spark, sfDir).collect()
+    val e = SparkEntry.queries("mm_audio_energy")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(p.nonEmpty)
+    import mm.MultimodalQueries._
+    p.foreach { r =>
+      val period = r.getAs[Long]("period")
+      assert(period >= PitchMinLag && period <= PitchMaxLag, s"period=$period")
+      assert(r.getAs[Boolean]("voiced") == (r.getAs[Long]("peak_r") > 0))
+    }
+    // same framing as the energy extractor: identical (doc, frame) keys
+    def keys(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Any]("doc_id").toString, r.getAs[Long]("frame"))).toSet
+    assert(keys(p) == keys(e))
+  }
+
+  test("text_lsa: nonnegative loadings with the max pinned at 1") {
+    val r = SparkEntry.queries("text_lsa")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    // count matrix is nonnegative, so v2 = (AtA)^2 * 1 >= 0 coordinatewise
+    assert(r.length == text.TextModelQueries.LsaTopK)
+    val ls = r.map(_.getAs[Double]("loading"))
+    assert(ls.forall(l => l >= 0.0 && l <= 1.0))
+    assert(ls.max == 1.0)
+  }
+
   test("q_ts_garch: sigma bounded below by the base-variance floor") {
     val r = SparkEntry.queries("q_ts_garch")(spark, sfDir).collect()
     CacheScope.releaseAll()
