@@ -103,6 +103,21 @@ object LocalClusterSmoke {
       }
       CacheScope.releaseAll()
 
+      // 6. SCC peeling (this round's directed-connectivity operator):
+      // forced multi-partition state so the condensed-graph loop and its
+      // reliable checkpoints run across the separate executor JVMs — the
+      // Tarjan fast path alone would sidestep the distributed machinery.
+      val sccEdges = ((1L to 6L).map(i => i -> (i % 6 + 1)) ++
+        Seq(3L -> 7L, 7L -> 8L, 8L -> 3L, 8L -> 20L, 30L -> 1L))
+        .toDF("src", "dst")
+      val scc = graph.Scc
+        .sccOf(sccEdges, checkpointDir = Some(ckpt), stateParts = Some(3))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      CacheScope.releaseAll()
+      val sccExpect = (1L to 8L).map(_ -> 8L).toMap ++
+        Map(20L -> 20L, 30L -> 30L)
+      assert(scc == sccExpect, s"scc: $scc")
+
       // Reliable checkpoints actually landed on the shared path.
       val st = Files.walk(java.nio.file.Paths.get(ckpt))
       val hasRdd =
