@@ -295,6 +295,82 @@ object InferenceQueries extends QueryPack {
           6).as("grubbs_g"))
     }),
 
+    // Granger-causality screen over every ordered pair of event types:
+    // does x's lagged daily total improve the AR(1) fit of y's?
+    // F = ((SSE_r − SSE_u)/1) / (SSE_u/(n−3)) between the restricted
+    // (y_t ~ y_{t−1}) and unrestricted (y_t ~ y_{t−1} + x_{t−1}) OLS —
+    // the standard lead/lag dependency triage before building any
+    // cross-series model. Arithmetic: daily totals in integer HUNDREDS
+    // of currency shifted by each type's integer-div mean (the
+    // q_stats_jarque_bera discipline), so every moment is an exact int64
+    // sum with |xc| ≤ ~1e4 at sf0.1 and all closed-form algebra runs on
+    // identical doubles. Scale shape: one events-sized agg, one lag
+    // window per type, then a day equi-join fanned only by the bounded
+    // |types|² pair count; "previous" means each series' previous
+    // OBSERVATION (the daily grid is dense in this corpus).
+    "q_ts_granger" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(cents(col("value"))).as("c"))
+        .withColumn("v", expr("c div 10000"))
+      val shift = daily.groupBy("event_type")
+        .agg(expr("sum(v) div count(1)").as("m0"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lagd = daily.join(broadcast(shift), "event_type")
+        .select(col("event_type"), col("day"), (col("v") - col("m0")).as("xc"))
+        .withColumn("xl", lag(col("xc"), 1).over(w))
+        .filter(col("xl").isNotNull)
+        .transform(graft.CacheScope.persisted(_))
+      val xs = lagd.select(col("event_type").as("x_type"), col("day"),
+        col("xl").as("x1"))
+      val ys = lagd.select(col("event_type").as("y_type"), col("day"),
+        col("xc").as("y0"), col("xl").as("y1"))
+      val m = ys.join(xs, "day").filter(col("x_type") =!= col("y_type"))
+        .groupBy("x_type", "y_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("y0")).as("sy"), sum(col("y1")).as("sy1"),
+          sum(col("x1")).as("sx1"),
+          sum(col("y0") * col("y0")).as("syy"),
+          sum(col("y1") * col("y1")).as("sy1y1"),
+          sum(col("x1") * col("x1")).as("sx1x1"),
+          sum(col("y0") * col("y1")).as("syy1"),
+          sum(col("y0") * col("x1")).as("syx1"),
+          sum(col("y1") * col("x1")).as("sy1x1"))
+        .filter(col("n") >= 10)
+        .select(col("x_type"), col("y_type"), col("n"),
+          col("n").cast("double").as("nd"),
+          col("sy").cast("double").as("syd"), col("sy1").cast("double").as("sy1d"),
+          col("sx1").cast("double").as("sx1d"), col("syy").cast("double").as("syyd"),
+          col("sy1y1").cast("double").as("sy1y1d"),
+          col("sx1x1").cast("double").as("sx1x1d"),
+          col("syy1").cast("double").as("syy1d"),
+          col("syx1").cast("double").as("syx1d"),
+          col("sy1x1").cast("double").as("sy1x1d"))
+      // Identical-text double formulas (see the matching oracle SQL).
+      m.select(col("x_type"), col("y_type"), col("n"), col("nd"),
+          expr("syyd - syd * syd / nd").as("myy"),
+          expr("sy1y1d - sy1d * sy1d / nd").as("a11"),
+          expr("sx1x1d - sx1d * sx1d / nd").as("a22"),
+          expr("sy1x1d - sy1d * sx1d / nd").as("a12"),
+          expr("syy1d - syd * sy1d / nd").as("c1"),
+          expr("syx1d - syd * sx1d / nd").as("c2"))
+        .filter(col("a11") > 0 && col("a22") > 0 &&
+          expr("a11 * a22 - a12 * a12") > 0)
+        .select(col("x_type"), col("y_type"), col("n"), col("nd"),
+          col("myy"), col("c1"), col("c2"),
+          expr("myy - c1 * c1 / a11").as("sse_r"),
+          expr("(a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12)").as("b1"),
+          expr("(a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12)").as("b2"))
+        .select(col("x_type"), col("y_type"), col("n"), col("nd"),
+          col("sse_r"), col("b2"),
+          expr("myy - (b1 * c1 + b2 * c2)").as("sse_u"))
+        .filter(col("sse_u") > 0)
+        .select(col("x_type"), col("y_type"), col("n").cast("long").as("n_days"),
+          round(col("b2"), 6).as("cross_coef"),
+          round(expr("(sse_r - sse_u) / (sse_u / (nd - 3))"), 6).as("f_stat"))
+    }),
+
     // Wald–Wolfowitz runs test: is each type's daily-total series RANDOM
     // around its mean, or does it trend/oscillate? The independence check
     // that belongs before any i.i.d.-assuming test above. Above/below is
@@ -530,6 +606,68 @@ object InferenceQueries extends QueryPack {
          |                  (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))),
          |             6) AS grubbs_g
          |FROM top""".stripMargin,
+
+    "q_ts_granger" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         CAST(sum($CentsSql) AS BIGINT) // 10000 AS v
+         |  FROM events GROUP BY 1, 2
+         |), shift AS (
+         |  SELECT event_type, CAST(sum(v) AS BIGINT) // count(*) AS m0
+         |  FROM daily GROUP BY 1
+         |), lagd AS (
+         |  SELECT * FROM (
+         |    SELECT d.event_type, d.day, d.v - s.m0 AS xc,
+         |           lag(d.v - s.m0, 1) OVER (PARTITION BY d.event_type
+         |                                    ORDER BY d.day) AS xl
+         |    FROM daily d JOIN shift s ON s.event_type = d.event_type
+         |  ) WHERE xl IS NOT NULL
+         |), m AS (
+         |  SELECT x.event_type AS x_type, y.event_type AS y_type,
+         |         count(*) AS n,
+         |         sum(y.xc) AS sy, sum(y.xl) AS sy1, sum(x.xl) AS sx1,
+         |         sum(y.xc * y.xc) AS syy, sum(y.xl * y.xl) AS sy1y1,
+         |         sum(x.xl * x.xl) AS sx1x1, sum(y.xc * y.xl) AS syy1,
+         |         sum(y.xc * x.xl) AS syx1, sum(y.xl * x.xl) AS sy1x1
+         |  FROM lagd y JOIN lagd x ON x.day = y.day
+         |  WHERE x.event_type <> y.event_type
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= 10
+         |), f AS (
+         |  SELECT x_type, y_type, n, CAST(n AS DOUBLE) AS nd,
+         |         CAST(sy AS DOUBLE) AS syd, CAST(sy1 AS DOUBLE) AS sy1d,
+         |         CAST(sx1 AS DOUBLE) AS sx1d, CAST(syy AS DOUBLE) AS syyd,
+         |         CAST(sy1y1 AS DOUBLE) AS sy1y1d,
+         |         CAST(sx1x1 AS DOUBLE) AS sx1x1d,
+         |         CAST(syy1 AS DOUBLE) AS syy1d,
+         |         CAST(syx1 AS DOUBLE) AS syx1d,
+         |         CAST(sy1x1 AS DOUBLE) AS sy1x1d
+         |  FROM m
+         |), c0 AS (
+         |  SELECT x_type, y_type, n, nd,
+         |         syyd - syd * syd / nd AS myy,
+         |         sy1y1d - sy1d * sy1d / nd AS a11,
+         |         sx1x1d - sx1d * sx1d / nd AS a22,
+         |         sy1x1d - sy1d * sx1d / nd AS a12,
+         |         syy1d - syd * sy1d / nd AS c1,
+         |         syx1d - syd * sx1d / nd AS c2
+         |  FROM f
+         |), c1x AS (
+         |  SELECT x_type, y_type, n, nd, myy, c1, c2,
+         |         myy - c1 * c1 / a11 AS sse_r,
+         |         (a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12) AS b1,
+         |         (a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12) AS b2
+         |  FROM c0
+         |  WHERE a11 > 0 AND a22 > 0 AND a11 * a22 - a12 * a12 > 0
+         |), c2x AS (
+         |  SELECT x_type, y_type, n, nd, sse_r, b2,
+         |         myy - (b1 * c1 + b2 * c2) AS sse_u
+         |  FROM c1x
+         |)
+         |SELECT x_type, y_type, CAST(n AS BIGINT) AS n_days,
+         |       round(b2, 6) AS cross_coef,
+         |       round((sse_r - sse_u) / (sse_u / (nd - 3)), 6) AS f_stat
+         |FROM c2x WHERE sse_u > 0""".stripMargin,
 
     "q_stats_runs" ->
       s"""WITH daily AS (

@@ -53,6 +53,18 @@ object PrivacyQueries extends QueryPack {
     s"(-(${1.0 / DpEpsilon}) * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5)))"
   }
 
+  /** Standard Gumbel deviate -ln(-ln(u)) on the same md5 uniform. */
+  private def gumbel(key: Column): Column = {
+    val u24 = conv(substring(md5(key), 1, 6), 16, 10).cast("long")
+    val u = (u24.cast("double") + 0.5) / 16777216.0
+    -log(-log(u))
+  }
+
+  private def gumbelSql(key: String): String = {
+    val u = s"((('0x' || substring(md5($key), 1, 6))::BIGINT + 0.5) / 16777216.0)"
+    s"(-ln(-ln($u)))"
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // k-anonymity / l-diversity audit: for every quasi-identifier group
@@ -137,7 +149,35 @@ object PrivacyQueries extends QueryPack {
           round(col("n").cast("double") +
             laplace(concat(lit("dpk:"), col("custkey").cast("string"))), 6).as("noisy_n"))
         .orderBy(col("noisy_n").desc, col("custkey").asc)
-        .limit(DpTopK)))
+        .limit(DpTopK)),
+
+    // Exponential mechanism: privately select the most common order
+    // priority via the Gumbel-max trick — winner = argmax of
+    // eps·u(c)/(2Δu) + Gumbel, which samples candidates with probability
+    // ∝ exp(eps·u/(2Δu)), the textbook mechanism for categorical
+    // releases where Laplace-on-counts doesn't apply. The Gumbel deviate
+    // is -ln(-ln(u)) on the same seeded md5 uniform as the Laplace
+    // queries (audit-replayable "noise" — the whole DP pack's
+    // convention). The candidate relation is domain-bounded (priorities),
+    // so everything after the one orders-sized agg is constant work.
+    "q_dp_exponential" -> ((s, d) => {
+      val scored = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("priority"), col("n"),
+          round(lit(DpEpsilon / 2.0) * col("n").cast("double") +
+            gumbel(concat(lit("dpe:"), col("priority"))), 6).as("noisy_score"))
+        .transform(graft.CacheScope.persisted(_))
+      // struct-max: ties on the 6dp score (effectively impossible on
+      // distinct md5 draws, but the rule must still be total) break to
+      // the LARGEST priority string in both engines.
+      val top = scored.agg(max(struct(col("noisy_score"),
+        col("priority"))).as("w"))
+      scored.crossJoin(broadcast(top))
+        .select(col("priority"), col("n"), col("noisy_score"),
+          (col("noisy_score") === col("w.noisy_score") &&
+            col("priority") === col("w.priority")).as("is_winner"))
+    }))
 
   override val oracles: Map[String, String] = Map(
 
@@ -186,5 +226,20 @@ object PrivacyQueries extends QueryPack {
          |       round(CAST(n AS DOUBLE) +
          |             ${laplaceSql("'dpk:' || CAST(custkey AS VARCHAR)")}, 6) AS noisy_n
          |FROM (SELECT o_custkey AS custkey, count(*) AS n FROM orders GROUP BY 1)
-         |ORDER BY noisy_n DESC, custkey ASC LIMIT $DpTopK""".stripMargin)
+         |ORDER BY noisy_n DESC, custkey ASC LIMIT $DpTopK""".stripMargin,
+
+    "q_dp_exponential" ->
+      s"""WITH scored AS (
+         |  SELECT o_orderpriority AS priority, count(*) AS n,
+         |         round(${DpEpsilon / 2.0} * CAST(count(*) AS DOUBLE) +
+         |               ${gumbelSql("'dpe:' || o_orderpriority")}, 6) AS noisy_score
+         |  FROM orders GROUP BY 1
+         |), w AS (
+         |  SELECT noisy_score, priority FROM scored
+         |  ORDER BY noisy_score DESC, priority DESC LIMIT 1
+         |)
+         |SELECT s.priority, s.n, s.noisy_score,
+         |       s.noisy_score = w.noisy_score AND s.priority = w.priority
+         |         AS is_winner
+         |FROM scored s CROSS JOIN w""".stripMargin)
 }

@@ -119,6 +119,31 @@ class WaveTwentySpec extends SparkSpec {
     }
   }
 
+  test("q_dp_exponential: exactly one winner, and it is the max noisy score") {
+    val r = SparkEntry.queries("q_dp_exponential")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.nonEmpty)
+    val winners = r.filter(_.getAs[Boolean]("is_winner"))
+    assert(winners.length == 1)
+    val best = r.map(_.getAs[Double]("noisy_score")).max
+    assert(winners(0).getAs[Double]("noisy_score") == best)
+  }
+
+  test("q_ts_granger: F nonnegative (nesting), pair fan-out bounded") {
+    val r = SparkEntry.queries("q_ts_granger")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      // the restricted model is nested in the unrestricted one, so
+      // SSE_r >= SSE_u and F >= 0 up to the 6dp output rounding
+      assert(row.getAs[Double]("f_stat") >= -1e-6,
+        s"F=${row.getAs[Double]("f_stat")}")
+      assert(row.getAs[String]("x_type") != row.getAs[String]("y_type"))
+    }
+    val types = r.map(_.getAs[String]("x_type")).distinct.length
+    assert(r.length <= types * (types + 1))
+  }
+
   test("q_stats_runs: run count within [1, n], counts add up") {
     val r = SparkEntry.queries("q_stats_runs")(spark, sfDir).collect()
     CacheScope.releaseAll()
