@@ -44,6 +44,9 @@ object InferenceQueries extends QueryPack {
     */
   val RankShards = 64
 
+  /** Generalized-ESD outlier rounds (unrolled in both engines). */
+  val EsdRounds = 3
+
   /** Events split into equal time halves by epoch-microsecond midpoint
     * (the q_dq_drift_psi convention — integer `div`, never double `/`).
     */
@@ -415,6 +418,119 @@ object InferenceQueries extends QueryPack {
           round((col("runs").cast("double") - mu) / sqrt(v), 6).as("z"))
     }),
 
+    // Generalized ESD (Rosner): the top-EsdRounds outliers per event
+    // type by REPEATED Grubbs rounds — after each pick the day is
+    // REMOVED and mean/sd recomputed, which is what lets ESD find
+    // multiple outliers where a single Grubbs test masks (two spikes
+    // inflate each other's sd). Selection stays the exact-integer
+    // |n·x − s1| max-struct (ties to the earliest day); each round's
+    // removal is one anti-join; rounds are unrolled (a dial, not a
+    // loop), so the oracle unrolls the same three CTEs.
+    "q_stats_esd" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(cents(col("value"))).as("x"))
+        .transform(graft.CacheScope.persisted(_))
+      var rem = daily
+      val rounds = (1 to EsdRounds).map { i =>
+        val m = rem.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+            sum(col("x").cast(DecimalType(18, 0)) * col("x")).as("s2"))
+          .filter(col("n") >= 3 &&
+            col("n") * col("s2") -
+              col("s1").cast(DecimalType(18, 0)) * col("s1") > 0)
+        val dev = abs(col("n") * col("x") - col("s1"))
+        val picked = rem.join(broadcast(m), "event_type")
+          .select(col("event_type"), col("n"), col("s1"), col("s2"),
+            struct(dev.as("dev"),
+              (-datediff(col("day"), to_date(lit("1970-01-01")))).as("negday"),
+              col("x").as("x")).as("cand"))
+          .groupBy("event_type")
+          .agg(first(col("n")).as("n"), first(col("s1")).as("s1"),
+            first(col("s2")).as("s2"), max(col("cand")).as("top"))
+          .transform(graft.CacheScope.persisted(_))
+        val sd = sqrt((col("n").cast("double") * col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double")) /
+          (col("n").cast("double") * (col("n").cast("double") - 1)))
+        val out = picked.select(col("event_type"), lit(i).as("round"),
+          date_format(date_add(to_date(lit("1970-01-01")),
+            (-col("top.negday")).cast("int")), "yyyy-MM-dd").as("outlier_day"),
+          round(col("top.x").cast("double") / 100, 2).as("outlier_value"),
+          round(col("top.dev").cast("double") / col("n").cast("double") / sd,
+            6).as("r_stat"))
+        rem = rem.join(picked.select(col("event_type").as("pt"),
+            date_add(to_date(lit("1970-01-01")),
+              (-col("top.negday")).cast("int")).as("pd")),
+          rem("event_type") === col("pt") && rem("day") === col("pd"),
+          "left_anti")
+        out
+      }
+      rounds.reduce(_.unionByName(_))
+    }),
+
+    // Chow structural-break test: did each type's AR(1) dynamics CHANGE
+    // between the calendar halves of the range? Pooled vs split-sample
+    // least squares on y_t ~ y_{t−1}: F = ((SSE_p − SSE_1 − SSE_2)/2) /
+    // ((SSE_1 + SSE_2)/(n−4)) — the regime-shift sibling of
+    // q_ts_granger's nested-model F, and the test behind "did the
+    // pipeline change the data's dynamics, or just its level?". Same
+    // exact-integer moment discipline (hundreds units, integer-div mean
+    // shift, lag window per type); the half split is integer DATE
+    // arithmetic on each type's own range.
+    "q_ts_chow" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(cents(col("value"))).as("c"))
+        .withColumn("v", expr("c div 10000"))
+      val shift = daily.groupBy("event_type")
+        .agg(expr("sum(v) div count(1)").as("m0"),
+          min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lagd = daily.join(broadcast(shift), "event_type")
+        .select(col("event_type"), col("day"), (col("v") - col("m0")).as("y"),
+          (col("day") < date_add(col("d0"),
+            (datediff(col("d1"), col("d0")) / 2).cast("int"))).as("first_half"))
+        .withColumn("y1", lag(col("y"), 1).over(w))
+        .filter(col("y1").isNotNull)
+      def moments(df: DataFrame, seg: String) = df.groupBy("event_type")
+        .agg(count(lit(1)).as(s"n$seg"),
+          sum(col("y")).as(s"sy$seg"), sum(col("y1")).as(s"sx$seg"),
+          sum(col("y") * col("y")).as(s"syy$seg"),
+          sum(col("y1") * col("y1")).as(s"sxx$seg"),
+          sum(col("y") * col("y1")).as(s"sxy$seg"))
+      val mp = moments(lagd, "p")
+      val m1 = moments(lagd.filter(col("first_half")), "1")
+      val m2 = moments(lagd.filter(!col("first_half")), "2")
+      def sse(seg: String) = expr(
+        s"(syy${seg}d - sy${seg}d * sy${seg}d / n${seg}d) - " +
+          s"(sxy${seg}d - sy${seg}d * sx${seg}d / n${seg}d) * " +
+          s"(sxy${seg}d - sy${seg}d * sx${seg}d / n${seg}d) / " +
+          s"(sxx${seg}d - sx${seg}d * sx${seg}d / n${seg}d)")
+      val j = mp.join(m1, "event_type").join(m2, "event_type")
+        .filter(col("n1") >= 4 && col("n2") >= 4)
+      val jd = Seq("p", "1", "2").foldLeft(j) { (df, seg) =>
+        df.withColumn(s"n${seg}d", col(s"n$seg").cast("double"))
+          .withColumn(s"sy${seg}d", col(s"sy$seg").cast("double"))
+          .withColumn(s"sx${seg}d", col(s"sx$seg").cast("double"))
+          .withColumn(s"syy${seg}d", col(s"syy$seg").cast("double"))
+          .withColumn(s"sxx${seg}d", col(s"sxx$seg").cast("double"))
+          .withColumn(s"sxy${seg}d", col(s"sxy$seg").cast("double"))
+      }
+        .filter(expr("sxxpd - sxpd * sxpd / npd") > 0 &&
+          expr("sxx1d - sx1d * sx1d / n1d") > 0 &&
+          expr("sxx2d - sx2d * sx2d / n2d") > 0)
+        .withColumn("sse_p", sse("p"))
+        .withColumn("sse_s", sse("1") + sse("2"))
+        .filter(col("sse_s") > 0)
+      jd.select(col("event_type"),
+        col("n1").cast("long").as("n_first"),
+        col("n2").cast("long").as("n_second"),
+        round(expr("((sse_p - sse_s) / 2) / (sse_s / (n1d + n2d - 4))"), 6)
+          .as("f_stat"))
+    }),
+
     // Two-proportion z-test: did the error RATE (share of 'error' events)
     // change between the first and second half of the range? The
     // categorical sibling of q_stats_ttest — exact counts, pooled
@@ -578,6 +694,117 @@ object InferenceQueries extends QueryPack {
          |              CAST(t1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / sqrt(sp2),
          |             6) AS cohens_d
          |FROM p WHERE sp2 > 0""".stripMargin,
+
+    "q_stats_esd" -> {
+      def roundCtes(i: Int): String = {
+        val src = if (i == 1) "daily" else s"r$i"
+        val prevRem = if (i == 1) ""
+        else
+          s"""r$i AS (
+             |  SELECT d.* FROM ${if (i == 2) "daily" else s"r${i - 1}"} d
+             |  WHERE NOT EXISTS (SELECT 1 FROM t${i - 1} t
+             |                    WHERE t.event_type = d.event_type
+             |                      AND t.day = d.day)
+             |), """.stripMargin
+        s"""${prevRem}m$i AS (
+           |  SELECT event_type, count(*) AS n, sum(x) AS s1,
+           |         sum(CAST(x AS DECIMAL(18,0)) * x) AS s2
+           |  FROM $src GROUP BY 1
+           |  HAVING count(*) >= 3 AND count(*) * sum(CAST(x AS DECIMAL(18,0)) * x)
+           |         - sum(x) * sum(x) > 0
+           |), t$i AS (
+           |  SELECT d.event_type, m.n, m.s1, m.s2, d.day, d.x,
+           |         abs(m.n * d.x - m.s1) AS dev
+           |  FROM $src d JOIN m$i m ON m.event_type = d.event_type
+           |  QUALIFY row_number() OVER (PARTITION BY d.event_type
+           |                             ORDER BY dev DESC, d.day) = 1
+           |)""".stripMargin
+      }
+      def pick(i: Int): String =
+        s"""SELECT event_type, $i AS round,
+           |       strftime(day, '%Y-%m-%d') AS outlier_day,
+           |       round(CAST(x AS DOUBLE) / 100, 2) AS outlier_value,
+           |       round(CAST(dev AS DOUBLE) / CAST(n AS DOUBLE) /
+           |             sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+           |                   CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+           |                  (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))),
+           |             6) AS r_stat
+           |FROM t$i""".stripMargin
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         sum($CentsSql) AS x
+         |  FROM events GROUP BY 1, 2
+         |), ${(1 to EsdRounds).map(roundCtes).mkString(", ")}
+         |${(1 to EsdRounds).map(pick).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    "q_ts_chow" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         CAST(sum($CentsSql) AS BIGINT) // 10000 AS v
+         |  FROM events GROUP BY 1, 2
+         |), shift AS (
+         |  SELECT event_type, CAST(sum(v) AS BIGINT) // count(*) AS m0,
+         |         min(day) AS d0, max(day) AS d1
+         |  FROM daily GROUP BY 1
+         |), lagd AS (
+         |  SELECT * FROM (
+         |    SELECT d.event_type, d.day, d.v - s.m0 AS y,
+         |           lag(d.v - s.m0, 1) OVER (PARTITION BY d.event_type
+         |                                    ORDER BY d.day) AS y1,
+         |           d.day < s.d0 + CAST((s.d1 - s.d0) // 2 AS INTEGER) AS first_half
+         |    FROM daily d JOIN shift s ON s.event_type = d.event_type
+         |  ) WHERE y1 IS NOT NULL
+         |), mp AS (
+         |  SELECT event_type, count(*) AS np, sum(y) AS syp, sum(y1) AS sxp,
+         |         sum(y * y) AS syyp, sum(y1 * y1) AS sxxp, sum(y * y1) AS sxyp
+         |  FROM lagd GROUP BY 1
+         |), m1 AS (
+         |  SELECT event_type, count(*) AS n1, sum(y) AS sy1, sum(y1) AS sx1,
+         |         sum(y * y) AS syy1, sum(y1 * y1) AS sxx1, sum(y * y1) AS sxy1
+         |  FROM lagd WHERE first_half GROUP BY 1
+         |), m2 AS (
+         |  SELECT event_type, count(*) AS n2, sum(y) AS sy2, sum(y1) AS sx2,
+         |         sum(y * y) AS syy2, sum(y1 * y1) AS sxx2, sum(y * y1) AS sxy2
+         |  FROM lagd WHERE NOT first_half GROUP BY 1
+         |), f AS (
+         |  SELECT p.event_type,
+         |         CAST(p.np AS DOUBLE) AS npd, CAST(p.syp AS DOUBLE) AS sypd,
+         |         CAST(p.sxp AS DOUBLE) AS sxpd, CAST(p.syyp AS DOUBLE) AS syypd,
+         |         CAST(p.sxxp AS DOUBLE) AS sxxpd, CAST(p.sxyp AS DOUBLE) AS sxypd,
+         |         a.n1, CAST(a.n1 AS DOUBLE) AS n1d, CAST(a.sy1 AS DOUBLE) AS sy1d,
+         |         CAST(a.sx1 AS DOUBLE) AS sx1d, CAST(a.syy1 AS DOUBLE) AS syy1d,
+         |         CAST(a.sxx1 AS DOUBLE) AS sxx1d, CAST(a.sxy1 AS DOUBLE) AS sxy1d,
+         |         b.n2, CAST(b.n2 AS DOUBLE) AS n2d, CAST(b.sy2 AS DOUBLE) AS sy2d,
+         |         CAST(b.sx2 AS DOUBLE) AS sx2d, CAST(b.syy2 AS DOUBLE) AS syy2d,
+         |         CAST(b.sxx2 AS DOUBLE) AS sxx2d, CAST(b.sxy2 AS DOUBLE) AS sxy2d
+         |  FROM mp p
+         |  JOIN m1 a ON a.event_type = p.event_type
+         |  JOIN m2 b ON b.event_type = p.event_type
+         |  WHERE a.n1 >= 4 AND b.n2 >= 4
+         |), g AS (
+         |  SELECT event_type, n1, n2, n1d, n2d,
+         |         (syypd - sypd * sypd / npd) -
+         |         (sxypd - sypd * sxpd / npd) * (sxypd - sypd * sxpd / npd) /
+         |         (sxxpd - sxpd * sxpd / npd) AS sse_p,
+         |         -- parenthesized EXACTLY as the Spark side's S1 + S2
+         |         -- (float addition is association-sensitive)
+         |         ((syy1d - sy1d * sy1d / n1d) -
+         |          (sxy1d - sy1d * sx1d / n1d) * (sxy1d - sy1d * sx1d / n1d) /
+         |          (sxx1d - sx1d * sx1d / n1d)) +
+         |         ((syy2d - sy2d * sy2d / n2d) -
+         |          (sxy2d - sy2d * sx2d / n2d) * (sxy2d - sy2d * sx2d / n2d) /
+         |          (sxx2d - sx2d * sx2d / n2d)) AS sse_s
+         |  FROM f
+         |  WHERE sxxpd - sxpd * sxpd / npd > 0
+         |    AND sxx1d - sx1d * sx1d / n1d > 0
+         |    AND sxx2d - sx2d * sx2d / n2d > 0
+         |)
+         |SELECT event_type, CAST(n1 AS BIGINT) AS n_first,
+         |       CAST(n2 AS BIGINT) AS n_second,
+         |       round(((sse_p - sse_s) / 2) / (sse_s / (n1d + n2d - 4)), 6)
+         |         AS f_stat
+         |FROM g WHERE sse_s > 0""".stripMargin,
 
     "q_stats_grubbs" ->
       s"""WITH daily AS (

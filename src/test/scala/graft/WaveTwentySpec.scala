@@ -119,6 +119,39 @@ class WaveTwentySpec extends SparkSpec {
     }
   }
 
+  test("q_stats_esd: round 1 is the Grubbs pick, no day repeats, rounds complete") {
+    val esd = SparkEntry.queries("q_stats_esd")(spark, sfDir).collect()
+    val gr = SparkEntry.queries("q_stats_grubbs")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(esd.nonEmpty)
+    import relational.InferenceQueries.EsdRounds
+    val byType = esd.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (t, rows) =>
+      assert(rows.length == EsdRounds, s"$t rounds=${rows.length}")
+      val days = rows.map(_.getAs[String]("outlier_day"))
+      assert(days.distinct.length == days.length, s"$t repeated a day")
+      rows.foreach(r => assert(r.getAs[Double]("r_stat") > 0))
+    }
+    // the first ESD round IS the single-Grubbs answer
+    val g1 = gr.map(r => r.getAs[String]("event_type") ->
+      (r.getAs[String]("outlier_day"), r.getAs[Double]("grubbs_g"))).toMap
+    esd.filter(_.getAs[Int]("round") == 1).foreach { r =>
+      val (day, g) = g1(r.getAs[String]("event_type"))
+      assert(r.getAs[String]("outlier_day") == day)
+      assert(r.getAs[Double]("r_stat") == g)
+    }
+  }
+
+  test("q_ts_chow: F nonnegative (split model nests the pooled one)") {
+    val r = SparkEntry.queries("q_ts_chow")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Double]("f_stat") >= -1e-6)
+      assert(row.getAs[Long]("n_first") >= 4 && row.getAs[Long]("n_second") >= 4)
+    }
+  }
+
   test("q_dp_exponential: exactly one winner, and it is the max noisy score") {
     val r = SparkEntry.queries("q_dp_exponential")(spark, sfDir).collect()
     CacheScope.releaseAll()
