@@ -153,6 +153,56 @@ object ModelPrepQueries extends QueryPack {
     // per-row rank ever materializes: this is how a k-th order statistic
     // survives 100 TB. (The bounded TakeOrdered(1) per level picks the
     // threshold bucket from ≤4096 candidates.)
+    // One EM round of a 1-D two-component Gaussian mixture on each
+    // type's daily totals — the soft-assignment sibling of the hard
+    // Lloyd step sim_kmeans audits: E-step responsibilities from
+    // deterministic integer-seeded parameters (component means at the
+    // integer-div midpoints mean±(extreme−mean)/2, shared variance from
+    // exact moments), M-step reweighted means from round(,6)-pinned
+    // DECIMAL responsibility sums. The responsibility logistic
+    // 1/(1+exp(Δ/(2σ²))) evaluates on exact-integer Δ = (x−μ₂)²−(x−μ₁)²
+    // (the q_stats_logreg exp-parity precedent). One events-sized agg +
+    // one broadcast join + one bounded agg per type.
+    "q_ml_gmm_em" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(cents(col("value"))).as("c"))
+        .withColumn("v", expr("c div 10000"))
+        .transform(CacheScope.persisted(_))
+      val st = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+          sum(col("v") * col("v")).as("s2"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .withColumn("m", expr("s1 div n"))
+        .withColumn("mu1", expr("(mn + m) div 2"))
+        .withColumn("mu2", expr("(mx + m) div 2"))
+        .filter(col("n") >= 8 && col("mu1") < col("mu2"))
+      val varG = (col("n").cast("double") * col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double")) /
+        (col("n").cast("double") * col("n").cast("double"))
+      val delta = ((col("v") - col("mu2")) * (col("v") - col("mu2")) -
+        (col("v") - col("mu1")) * (col("v") - col("mu1"))).cast("double")
+      val resp = lit(1.0) / (lit(1.0) + exp(delta / (lit(2.0) * varG)))
+      val e = daily.join(broadcast(st), "event_type")
+        .filter(varG > 0)
+        .select(col("event_type"), col("n"), col("s1"), col("v"),
+          round(resp, 6).cast(DecimalType(10, 6)).as("r"))
+      e.groupBy("event_type")
+        .agg(first(col("n")).as("n"), first(col("s1")).as("s1"),
+          sum(col("r")).as("sr"),
+          sum(col("r") * col("v").cast(DecimalType(20, 0))).as("srx"))
+        .filter(col("sr") > 0 && col("sr") < col("n"))
+        .select(col("event_type"), col("n").cast("long").as("n_days"),
+          round(col("sr").cast("double") / col("n").cast("double"), 6)
+            .as("weight2"),
+          round((col("s1").cast("double") - col("srx").cast("double")) /
+            (col("n").cast("double") - col("sr").cast("double")), 6)
+            .as("mu1_new"),
+          round(col("srx").cast("double") / col("sr").cast("double"), 6)
+            .as("mu2_new"))
+    }),
+
     "q_ml_conformal" -> ((s, d) => {
       val li = design(s, d, 3)
       val m0 = foldMoments(li.filter(col("fold") === 0)).drop("fold")
@@ -681,6 +731,46 @@ object ModelPrepQueries extends QueryPack {
          |         a * a * CAST(n AS DOUBLE) + b * b * CAST(sxx AS DOUBLE),
          |         0.0) / CAST(n AS DOUBLE)) / 100.0, 4) AS rmse_usd
          |FROM co2""".stripMargin,
+
+    "q_ml_gmm_em" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |              AS BIGINT) // 10000 AS v
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2,
+        |         min(v) AS mn, max(v) AS mx,
+        |         CAST(sum(v) AS BIGINT) // count(*) AS m
+        |  FROM daily GROUP BY 1
+        |), p AS (
+        |  SELECT event_type, n, s1, s2,
+        |         (mn + m) // 2 AS mu1, (mx + m) // 2 AS mu2,
+        |         (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+        |          CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+        |         (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS varg
+        |  FROM st
+        |  WHERE n >= 8 AND (mn + m) // 2 < (mx + m) // 2
+        |), e AS (
+        |  SELECT d.event_type, p.n, p.s1, d.v,
+        |         CAST(round(1.0 / (1.0 + exp(
+        |           CAST((d.v - p.mu2) * (d.v - p.mu2) -
+        |                (d.v - p.mu1) * (d.v - p.mu1) AS DOUBLE) /
+        |           (2.0 * p.varg))), 6) AS DECIMAL(10,6)) AS r
+        |  FROM daily d JOIN p ON p.event_type = d.event_type
+        |  WHERE p.varg > 0
+        |), m AS (
+        |  SELECT event_type, max(n) AS n, max(s1) AS s1,
+        |         sum(r) AS sr, sum(r * CAST(v AS DECIMAL(20,0))) AS srx
+        |  FROM e GROUP BY 1
+        |  HAVING sum(r) > 0 AND sum(r) < max(n)
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |       round(CAST(sr AS DOUBLE) / CAST(n AS DOUBLE), 6) AS weight2,
+        |       round((CAST(s1 AS DOUBLE) - CAST(srx AS DOUBLE)) /
+        |             (CAST(n AS DOUBLE) - CAST(sr AS DOUBLE)), 6) AS mu1_new,
+        |       round(CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE), 6) AS mu2_new
+        |FROM m""".stripMargin,
 
     "q_ml_conformal" ->
       s"""WITH li AS (${DesignSql.format(3)}),

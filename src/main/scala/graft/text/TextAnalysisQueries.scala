@@ -165,6 +165,31 @@ object TextAnalysisQueries extends QueryPack {
         qualityScore.as("quality_score"))
     }),
 
+    // Flesch reading-ease per document — the classic readability gate a
+    // curriculum or quality filter applies next to text_quality's ratio
+    // score: 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    // Sentences = terminator characters, syllables ≈ vowel GROUPS (the
+    // standard regex surrogate) — both exact integer counts via the
+    // delete-and-diff / split-count tricks that hold in both engines;
+    // the formula assembles in identical doubles. One narrow projection,
+    // zero shuffle.
+    "text_readability" -> ((s, d) => {
+      val text = col("text")
+      val words = size(wsTokens(text)).cast("double")
+      val sents = greatest(
+        charClassCount(text, "[^.!?]").cast("double"), lit(1.0))
+      val syll = greatest(
+        (size(split(lower(text), "[aeiouy]+")) - 1).cast("double"), lit(1.0))
+      docs(s, d)
+        .filter(size(wsTokens(text)) > 0)
+        .select(col("doc_id"),
+          words.cast("long").as("n_words"),
+          sents.cast("long").as("n_sentences"),
+          syll.cast("long").as("n_syllables"),
+          round(lit(206.835) - lit(1.015) * (words / sents) -
+            lit(84.6) * (syll / words), 6).as("flesch"))
+    }),
+
     // Per-document CHARACTER entropy — the gibberish/boilerplate signal
     // the ratio-based quality score can't see (keyboard mash has normal
     // length and punctuation but collapsed entropy; base64 blobs spike
@@ -629,6 +654,25 @@ object TextAnalysisQueries extends QueryPack {
         |                           AS DECIMAL(24,9))) AS DOUBLE) /
         |             CAST(n AS DOUBLE), 6) AS entropy
         |FROM cc GROUP BY doc_id, n""".stripMargin,
+
+    "text_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS words,
+        |         greatest(CAST(length(text) -
+        |           length(regexp_replace(text, '[^.!?]', '', 'g')) AS DOUBLE),
+        |           1.0) AS sents,
+        |         greatest(CAST(len(string_split_regex(lower(text), '[aeiouy]+')) - 1
+        |           AS DOUBLE), 1.0) AS syll
+        |  FROM documents
+        |  WHERE len(string_split_regex(text, '\s+')) > 0
+        |)
+        |SELECT doc_id, CAST(words AS BIGINT) AS n_words,
+        |       CAST(sents AS BIGINT) AS n_sentences,
+        |       CAST(syll AS BIGINT) AS n_syllables,
+        |       round(206.835 - 1.015 * (words / sents) - 84.6 * (syll / words),
+        |             6) AS flesch
+        |FROM m""".stripMargin,
 
     "text_quality" ->
       s"""WITH m AS (

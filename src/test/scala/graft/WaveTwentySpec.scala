@@ -177,6 +177,32 @@ class WaveTwentySpec extends SparkSpec {
     assert(r.length <= types * (types + 1))
   }
 
+  test("text_readability: flesch recomputes from its own components") {
+    val r = SparkEntry.queries("text_readability")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (w, s, y) = (row.getAs[Long]("n_words").toDouble,
+        row.getAs[Long]("n_sentences").toDouble,
+        row.getAs[Long]("n_syllables").toDouble)
+      assert(w >= 1 && s >= 1 && y >= 1)
+      val expect = BigDecimal(206.835 - 1.015 * (w / s) - 84.6 * (y / w))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(row.getAs[Double]("flesch") - expect) < 1e-9)
+    }
+  }
+
+  test("q_ml_gmm_em: weights in (0,1), component means stay ordered") {
+    val r = SparkEntry.queries("q_ml_gmm_em")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val w2 = row.getAs[Double]("weight2")
+      assert(w2 > 0 && w2 < 1, s"w2=$w2")
+      assert(row.getAs[Double]("mu1_new") < row.getAs[Double]("mu2_new"))
+    }
+  }
+
   test("q_stats_runs: run count within [1, n], counts add up") {
     val r = SparkEntry.queries("q_stats_runs")(spark, sfDir).collect()
     CacheScope.releaseAll()
