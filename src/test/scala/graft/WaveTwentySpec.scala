@@ -177,6 +177,20 @@ class WaveTwentySpec extends SparkSpec {
     assert(r.length <= types * (types + 1))
   }
 
+  test("q_markov_absorption: steps within [1, iters], error excluded") {
+    val r = SparkEntry.queries("q_markov_absorption")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.nonEmpty)
+    import relational.EventOpsQueries.{AbsorbIters, MarkovAbsorb}
+    r.foreach { row =>
+      assert(row.getAs[String]("state") != MarkovAbsorb)
+      val e = row.getAs[Double]("expected_steps")
+      // every transient state needs >= 1 step; truncation caps at iters
+      assert(e >= 1.0 && e <= AbsorbIters + 1e-9, s"e=$e")
+      assert(row.getAs[Boolean]("is_saturated") == (e > AbsorbIters - 1e-6))
+    }
+  }
+
   test("text_readability: flesch recomputes from its own components") {
     val r = SparkEntry.queries("text_readability")(spark, sfDir).collect()
     CacheScope.releaseAll()
