@@ -418,6 +418,53 @@ object InferenceQueries extends QueryPack {
           round((col("runs").cast("double") - mu) / sqrt(v), 6).as("z"))
     }),
 
+    // Friedman test: do the event types RANK consistently within each
+    // day (blocked repeated-measures), or is the daily ordering noise?
+    // The blocked sibling of q_stats_kruskal (independent samples) —
+    // day-level market effects cancel because ranking happens INSIDE
+    // each day. Ranks are the exact 2×-average-rank integers
+    // (2·cntBelow + tieCnt + 1) from a day-keyed self-join whose fan-out
+    // is |types|² per day — bounded, no window, no global sort; only
+    // COMPLETE blocks (days where every type traded) enter, the
+    // textbook requirement. χ² assembles on identical doubles.
+    "q_stats_friedman" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(cents(col("value"))).as("x"))
+        .transform(graft.CacheScope.persisted(_))
+      val k = daily.agg(countDistinct(col("event_type")).as("k"))
+      val complete = daily.groupBy("day").agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(k)).filter(col("c") === col("k"))
+        .select(col("day"))
+      val blocks = daily.join(complete, "day")
+        .transform(graft.CacheScope.persisted(_))
+      val rank2 = blocks.as("a")
+        .join(blocks.select(col("day").as("bd"), col("x").as("bx")).as("b"),
+          col("a.day") === col("bd"))
+        .groupBy(col("a.day").as("day"), col("a.event_type").as("event_type"))
+        .agg((lit(2) * sum(when(col("bx") < col("a.x"), 1L).otherwise(0L)) +
+          sum(when(col("bx") === col("a.x"), 1L).otherwise(0L)) + 1).as("r2"))
+      val sums = rank2.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("r2")).as("rj2"))
+        .transform(graft.CacheScope.persisted(_))
+      val chi = sums.crossJoin(broadcast(k))
+        .agg(first(col("k")).as("k"), first(col("n")).as("n"),
+          sum(col("rj2") * col("rj2")).as("sr2"))
+        .filter(col("n") > 0 && col("k") >= 2)
+        .select(col("k"),
+          round(lit(3.0) * col("sr2").cast("double") /
+            (col("n").cast("double") * col("k").cast("double") *
+              (col("k").cast("double") + 1)) -
+            lit(3.0) * col("n").cast("double") * (col("k").cast("double") + 1),
+            6).as("chi2"))
+      sums.crossJoin(broadcast(chi))
+        .select(col("event_type"), col("n").cast("long").as("n_blocks"),
+          round(col("rj2").cast("double") / (lit(2.0) * col("n").cast("double")),
+            6).as("mean_rank"),
+          col("k").cast("long").as("k"), col("chi2"))
+    }),
+
     // Generalized ESD (Rosner): the top-EsdRounds outliers per event
     // type by REPEATED Grubbs rounds — after each pick the day is
     // REMOVED and mean/sd recomputed, which is what lets ESD find
@@ -694,6 +741,42 @@ object InferenceQueries extends QueryPack {
          |              CAST(t1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / sqrt(sp2),
          |             6) AS cohens_d
          |FROM p WHERE sp2 > 0""".stripMargin,
+
+    "q_stats_friedman" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         sum($CentsSql) AS x
+         |  FROM events GROUP BY 1, 2
+         |), kk AS (SELECT count(DISTINCT event_type) AS k FROM daily),
+         |complete AS (
+         |  SELECT day FROM daily GROUP BY 1
+         |  HAVING count(*) = (SELECT k FROM kk)
+         |), blocks AS (
+         |  SELECT d.* FROM daily d JOIN complete c ON c.day = d.day
+         |), rank2 AS (
+         |  SELECT a.day, a.event_type,
+         |         2 * sum(CASE WHEN b.x < a.x THEN 1 ELSE 0 END) +
+         |         sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) + 1 AS r2
+         |  FROM blocks a JOIN blocks b ON b.day = a.day
+         |  GROUP BY 1, 2
+         |), sums AS (
+         |  SELECT event_type, count(*) AS n, sum(r2) AS rj2
+         |  FROM rank2 GROUP BY 1
+         |), chi AS (
+         |  SELECT max(kk.k) AS k, max(s.n) AS n,
+         |         round(3.0 * CAST(sum(s.rj2 * s.rj2) AS DOUBLE) /
+         |               (CAST(max(s.n) AS DOUBLE) * CAST(max(kk.k) AS DOUBLE) *
+         |                (CAST(max(kk.k) AS DOUBLE) + 1)) -
+         |               3.0 * CAST(max(s.n) AS DOUBLE) *
+         |               (CAST(max(kk.k) AS DOUBLE) + 1), 6) AS chi2
+         |  FROM sums s CROSS JOIN kk
+         |  HAVING max(s.n) > 0 AND max(kk.k) >= 2
+         |)
+         |SELECT s.event_type, CAST(s.n AS BIGINT) AS n_blocks,
+         |       round(CAST(s.rj2 AS DOUBLE) / (2.0 * CAST(s.n AS DOUBLE)), 6)
+         |         AS mean_rank,
+         |       CAST(c.k AS BIGINT) AS k, c.chi2
+         |FROM sums s CROSS JOIN chi c""".stripMargin,
 
     "q_stats_esd" -> {
       def roundCtes(i: Int): String = {

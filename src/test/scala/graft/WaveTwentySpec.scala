@@ -177,6 +177,19 @@ class WaveTwentySpec extends SparkSpec {
     assert(r.length <= types * (types + 1))
   }
 
+  test("q_stats_friedman: mean ranks average to (k+1)/2, chi2 >= 0") {
+    val r = SparkEntry.queries("q_stats_friedman")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.nonEmpty)
+    val k = r(0).getAs[Long]("k")
+    assert(r.length == k)
+    // ranks within a block are a permutation (up to ties), so the mean
+    // of the per-type mean ranks is exactly (k+1)/2
+    val avg = r.map(_.getAs[Double]("mean_rank")).sum / k
+    assert(math.abs(avg - (k + 1) / 2.0) < 1e-6, s"avg=$avg k=$k")
+    assert(r(0).getAs[Double]("chi2") >= 0.0)
+  }
+
   test("q_markov_absorption: steps within [1, iters], error excluded") {
     val r = SparkEntry.queries("q_markov_absorption")(spark, sfDir).collect()
     CacheScope.releaseAll()
