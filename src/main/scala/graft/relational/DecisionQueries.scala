@@ -164,6 +164,33 @@ object DecisionQueries extends QueryPack {
             (col("n_kept").cast("double") * 100.0), 4).as("trimmed_mean_usd"))
     }),
 
+    // 10%-each-side WINSORIZED mean — the clamping sibling of
+    // q_stats_trimmed_mean: extreme values are pulled IN to the exact
+    // P10/P90 order statistics instead of dropped, so every row keeps a
+    // vote (the estimator robust literature prefers when outliers are
+    // real-but-noisy rather than junk). Bounds from RadixSelect (no
+    // sort, no window); the clamped sum is one exact DECIMAL
+    // aggregation over all n rows.
+    "q_stats_winsor_mean" -> ((s, d) => {
+      val v = t(s, d, "lineitem")
+        .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("v"))
+        .transform(graft.CacheScope.persisted(_))
+      val n = v.count()
+      val kLo = (n + 9) / 10
+      val kHi = n + 1 - kLo
+      val lo = graft.operators.RadixSelect.kth(v, "v", kLo)
+      val hi = graft.operators.RadixSelect.kth(v, "v", kHi)
+      v.select(greatest(lit(lo), least(lit(hi), col("v"))).as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("w")).cast(DecimalType(24, 0)).as("sw"))
+        .select(col("n"),
+          round(lit(lo).cast("double") / 100.0, 2).as("lo_usd"),
+          round(lit(hi).cast("double") / 100.0, 2).as("hi_usd"),
+          round(col("sw").cast("double") /
+            (col("n").cast("double") * 100.0), 4).as("winsor_mean_usd"))
+    }),
+
     // Depth-2 decision tree over (totalprice, orderdate) for the
     // 1-URGENT label — one level past q_ml_stump, built the way a
     // histogram GBDT grows trees at scale: the ROOT split is searched on
@@ -385,6 +412,29 @@ object DecisionQueries extends QueryPack {
         |             (CAST(count(*) AS DOUBLE) * 100.0), 4) AS trimmed_mean_usd
         |FROM v, b WHERE v.v >= b.lo AND v.v <= b.hi
         |GROUP BY b.n, b.lo, b.hi""".stripMargin,
+
+    "q_stats_winsor_mean" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem
+        |), nn AS (SELECT count(*) AS n FROM v),
+        |k AS (
+        |  SELECT n, (n + 9) // 10 AS klo, n + 1 - (n + 9) // 10 AS khi FROM nn
+        |), r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+        |b AS (
+        |  SELECT k.n,
+        |         (SELECT min(v) FROM r WHERE rn = k.klo) AS lo,
+        |         (SELECT min(v) FROM r WHERE rn = k.khi) AS hi
+        |  FROM k
+        |)
+        |SELECT count(*) AS n,
+        |       round(CAST(b.lo AS DOUBLE) / 100.0, 2) AS lo_usd,
+        |       round(CAST(b.hi AS DOUBLE) / 100.0, 2) AS hi_usd,
+        |       round(CAST(CAST(sum(greatest(b.lo, least(b.hi, v.v)))
+        |                       AS DECIMAL(24,0)) AS DOUBLE) /
+        |             (CAST(count(*) AS DOUBLE) * 100.0), 4) AS winsor_mean_usd
+        |FROM v, b
+        |GROUP BY b.lo, b.hi""".stripMargin,
 
     "q_ml_tree_depth2" ->
       s"""WITH ord AS (

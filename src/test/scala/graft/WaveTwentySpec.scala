@@ -177,6 +177,22 @@ class WaveTwentySpec extends SparkSpec {
     assert(r.length <= types * (types + 1))
   }
 
+  test("q_stats_winsor_mean: bounds bracket the estimate, nothing dropped") {
+    val w = SparkEntry.queries("q_stats_winsor_mean")(spark, sfDir).collect()
+    val tm = SparkEntry.queries("q_stats_trimmed_mean")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(w.length == 1)
+    val row = w(0)
+    val (lo, hi, m) = (row.getAs[Double]("lo_usd"), row.getAs[Double]("hi_usd"),
+      row.getAs[Double]("winsor_mean_usd"))
+    assert(lo <= m && m <= hi, s"$lo / $m / $hi")
+    // winsorizing keeps every row — n equals the trimmed query's total n
+    assert(row.getAs[Long]("n") == tm(0).getAs[Long]("n"))
+    // 10% winsor bounds sit inside the 5% trim bounds
+    assert(lo >= tm(0).getAs[Double]("lo_usd") - 1e-9)
+    assert(hi <= tm(0).getAs[Double]("hi_usd") + 1e-9)
+  }
+
   test("q_stats_friedman: mean ranks average to (k+1)/2, chi2 >= 0") {
     val r = SparkEntry.queries("q_stats_friedman")(spark, sfDir).collect()
     CacheScope.releaseAll()
