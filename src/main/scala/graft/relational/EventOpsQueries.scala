@@ -157,6 +157,41 @@ object EventOpsQueries extends QueryPack {
           round(col("m").cast("double") / col("tm").cast("double"), 9).as("pi"))
     }),
 
+    // DAU / WAU / MAU / stickiness per day — the product-analytics
+    // rolling-distinct-users readout. A windowed COUNT DISTINCT cannot
+    // ride a plain window frame at scale (per-frame distinct state is
+    // unbounded); the standard shape is CONTRIBUTION EXPLOSION: each
+    // (user, active-day) row contributes to the ≤MauWindow report days
+    // it keeps the user "active" for, and one groupBy(report_day) with
+    // three conditional count-distincts does the rest — a bounded ×28
+    // fan-out on the deduplicated daily-actives relation (users × days,
+    // a sliver of the event log), never on raw events. Edge days with a
+    // partial lookback are flagged, not silently reported.
+    "q_events_stickiness" -> ((s, d) => {
+      val du = t(s, d, "events")
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+        .transform(graft.CacheScope.persisted(_))
+      val rng = du.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val c = du
+        .select(col("user_id"), col("day"),
+          explode(expr(s"sequence(0, ${MauWindow - 1})")).as("j"))
+        .select(col("user_id"), col("j"),
+          date_add(col("day"), col("j")).as("rday"))
+      c.crossJoin(broadcast(rng))
+        .filter(col("rday") <= col("d1"))
+        .groupBy(col("rday").as("day"))
+        .agg(countDistinct(when(col("j") === 0, col("user_id"))).as("dau"),
+          countDistinct(when(col("j") < WauWindow, col("user_id"))).as("wau"),
+          countDistinct(col("user_id")).as("mau"),
+          first(col("d0")).as("d0"))
+        .select(col("day"), col("dau"), col("wau"), col("mau"),
+          round(col("wau").cast("double") / col("mau").cast("double"), 6)
+            .as("stickiness"),
+          (datediff(col("day"), col("d0")) >= MauWindow - 1).as("full_window"))
+    }),
+
     // Expected steps to ABSORPTION in the 'error' state from each
     // transient state — the "how many more actions before this user hits
     // an error" readout next to q_markov_stationary's long-run mix.
@@ -587,6 +622,10 @@ object EventOpsQueries extends QueryPack {
   val MarkovAbsorb = "error"
   val AbsorbIters = 12
 
+  /** Rolling-active windows (days) for q_events_stickiness. */
+  val WauWindow = 7
+  val MauWindow = 28
+
   /** One unrolled absorption-time step (reads e{i-1}). */
   private def absorbIterCte(i: Int): String =
     s"""e$i AS (
@@ -872,6 +911,28 @@ object EventOpsQueries extends QueryPack {
         |FROM w""".stripMargin,
 
     "q_markov_stationary" -> markovStationaryOracle,
+
+    "q_events_stickiness" ->
+      s"""WITH du AS (
+         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+         |  FROM events
+         |), rng AS (SELECT min(day) AS d0, max(day) AS d1 FROM du),
+         |c AS (
+         |  SELECT du.user_id, j.j,
+         |         du.day + CAST(j.j AS INTEGER) AS rday
+         |  FROM du, (SELECT unnest(generate_series(0, ${MauWindow - 1})) AS j) j
+         |)
+         |SELECT c.rday AS day,
+         |       count(DISTINCT CASE WHEN c.j = 0 THEN c.user_id END) AS dau,
+         |       count(DISTINCT CASE WHEN c.j < $WauWindow THEN c.user_id END) AS wau,
+         |       count(DISTINCT c.user_id) AS mau,
+         |       round(CAST(count(DISTINCT CASE WHEN c.j < $WauWindow
+         |                                      THEN c.user_id END) AS DOUBLE) /
+         |             CAST(count(DISTINCT c.user_id) AS DOUBLE), 6) AS stickiness,
+         |       c.rday - max(rng.d0) >= ${MauWindow - 1} AS full_window
+         |FROM c CROSS JOIN rng
+         |WHERE c.rday <= rng.d1
+         |GROUP BY c.rday""".stripMargin,
 
     "q_markov_absorption" ->
       s"""WITH pr AS (

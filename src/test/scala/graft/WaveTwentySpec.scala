@@ -206,6 +206,24 @@ class WaveTwentySpec extends SparkSpec {
     assert(r(0).getAs[Double]("chi2") >= 0.0)
   }
 
+  test("q_events_stickiness: dau <= wau <= mau, stickiness in (0, 1]") {
+    val r = SparkEntry.queries("q_events_stickiness")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (d, w, m) = (row.getAs[Long]("dau"), row.getAs[Long]("wau"),
+        row.getAs[Long]("mau"))
+      assert(d <= w && w <= m, s"dau=$d wau=$w mau=$m")
+      val s = row.getAs[Double]("stickiness")
+      assert(s > 0 && s <= 1.0)
+    }
+    // one row per day in range, continuous
+    val days = r.map(_.getAs[java.sql.Date]("day").toLocalDate).sorted
+    assert(days.distinct.length == days.length)
+    assert(java.time.temporal.ChronoUnit.DAYS.between(
+      days.head, days.last) == days.length - 1)
+  }
+
   test("q_markov_absorption: steps within [1, iters], error excluded") {
     val r = SparkEntry.queries("q_markov_absorption")(spark, sfDir).collect()
     CacheScope.releaseAll()
