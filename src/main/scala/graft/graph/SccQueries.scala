@@ -63,6 +63,24 @@ object SccQueries extends QueryPack {
     "q_graph_scc" -> ((s, d) =>
       Scc.sccOf(seqEdges(s, d)).orderBy("node")),
 
+    // Reciprocity of the purchase-sequence graph: what share of
+    // "A bought-after B" edges also run the other way? The 1-hop
+    // mutuality summary next to q_graph_scc's full cycle structure (an
+    // SCC needs reciprocal paths; this measures reciprocal EDGES). One
+    // left-semi self-join on the reversed key — no fan-out, two bounded
+    // aggregates.
+    "q_graph_reciprocity" -> ((s, d) => {
+      val e = seqEdges(s, d).transform(graft.CacheScope.persisted(_))
+      val recip = e.join(
+        e.select(col("dst").as("rs"), col("src").as("rd")),
+        col("src") === col("rs") && col("dst") === col("rd"), "left_semi")
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_reciprocal"))))
+        .select(col("n_edges"), col("n_reciprocal"),
+          round(col("n_reciprocal").cast("double") /
+            col("n_edges").cast("double"), 6).as("reciprocity"))
+    }),
+
     // Local clustering coefficient over the undirected one-month
     // co-purchase graph: cc(v) = (# ordered adjacent neighbor pairs) /
     // (d(v)(d(v)-1)) — triangle counts ride the degree-ordered oriented
@@ -96,6 +114,20 @@ object SccQueries extends QueryPack {
          |FROM reach a JOIN reach b ON b.node = a.r AND b.r = a.node
          |GROUP BY a.node
          |ORDER BY node""".stripMargin,
+
+    "q_graph_reciprocity" ->
+      s"""$EdgesCte
+         |SELECT (SELECT count(*) FROM edges) AS n_edges,
+         |       (SELECT count(*) FROM edges e
+         |        WHERE EXISTS (SELECT 1 FROM edges r
+         |                      WHERE r.src = e.dst AND r.dst = e.src))
+         |         AS n_reciprocal,
+         |       round(CAST((SELECT count(*) FROM edges e
+         |                   WHERE EXISTS (SELECT 1 FROM edges r
+         |                                 WHERE r.src = e.dst AND r.dst = e.src))
+         |                  AS DOUBLE) /
+         |             CAST((SELECT count(*) FROM edges) AS DOUBLE), 6)
+         |         AS reciprocity""".stripMargin,
 
     "q_graph_clustercoef" ->
       """WITH li AS (

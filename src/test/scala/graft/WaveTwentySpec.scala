@@ -206,6 +206,30 @@ class WaveTwentySpec extends SparkSpec {
     assert(r(0).getAs[Double]("chi2") >= 0.0)
   }
 
+  test("q_ts_spectral_entropy: H in [0,1], dominant period inside the grid") {
+    val r = SparkEntry.queries("q_ts_spectral_entropy")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.nonEmpty)
+    import relational.TimeSeriesQueries.SpecMaxPeriod
+    r.foreach { row =>
+      val h = row.getAs[Double]("spectral_entropy")
+      assert(h >= 0.0 && h <= 1.0 + 1e-6, s"H=$h")
+      val p = row.getAs[Long]("dominant_period")
+      assert(p >= 2 && p <= SpecMaxPeriod)
+    }
+  }
+
+  test("q_graph_reciprocity: ratio consistent and within [0,1]") {
+    val r = SparkEntry.queries("q_graph_reciprocity")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.length == 1)
+    val row = r(0)
+    val (n, m) = (row.getAs[Long]("n_edges"), row.getAs[Long]("n_reciprocal"))
+    assert(n > 0 && m >= 0 && m <= n)
+    // reciprocal edges come in pairs
+    assert(m % 2 == 0)
+  }
+
   test("q_events_stickiness: dau <= wau <= mau, stickiness in (0, 1]") {
     val r = SparkEntry.queries("q_events_stickiness")(spark, sfDir).collect()
     CacheScope.releaseAll()
