@@ -227,6 +227,32 @@ object ProfilingQueries extends QueryPack {
     // sf0.1); with a columnar source, six pruned single-column scans
     // each feeding a two-phase distinct aggregate is the plan that
     // survives a 100x scale-up, and the six jobs share nothing.
+    // Per-user event-type entropy — the behavioral-diversity profile
+    // (a bot replays one action; a human mixes several): H = ln n −
+    // (Σ c·ln c)/n over each user's exact per-type counts, the
+    // text_char_entropy identity on a grouped relation. Per-(user, type)
+    // counts are one aggregation; the ln terms are round(,9)-pinned
+    // DECIMALs so the per-user fold is order-independent. Flags the
+    // single-type users explicitly (H = 0 is ambiguous between "one
+    // event" and "thousands of identical events").
+    "q_user_entropy" -> ((s, d) => {
+      val c = t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      c.select(col("user_id"), col("c"),
+          round(col("c").cast("double") * log(col("c").cast("double")), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(24, 9)).as("clnc"))
+        .groupBy("user_id")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("k"),
+          sum(col("clnc")).as("sclnc"))
+        .select(col("user_id"), col("n").cast("long").as("n_events"),
+          col("k").cast("long").as("n_types"),
+          round(log(col("n").cast("double")) -
+            col("sclnc").cast("double") / col("n").cast("double"), 6)
+            .as("entropy"),
+          (col("k") === 1).as("single_type"))
+    }),
+
     "q_profile" -> ((s, d) => {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")
@@ -242,6 +268,26 @@ object ProfilingQueries extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+
+    "q_user_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT user_id, c,
+        |         CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+        |              AS DECIMAL(24,9)) AS clnc
+        |  FROM c
+        |), g AS (
+        |  SELECT user_id, sum(c) AS n, count(*) AS k, sum(clnc) AS sclnc
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |       CAST(k AS BIGINT) AS n_types,
+        |       round(ln(CAST(n AS DOUBLE)) -
+        |             CAST(sclnc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS entropy,
+        |       k = 1 AS single_type
+        |FROM g""".stripMargin,
 
     // Direct single-level monthly aggregate — the Spark side merges daily
     // partials; equality proves the partial states merge exactly.

@@ -219,6 +219,27 @@ class WaveTwentySpec extends SparkSpec {
     }
   }
 
+  test("q_user_entropy: H within [0, ln k], single-type flag consistent") {
+    val r = SparkEntry.queries("q_user_entropy")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val h = row.getAs[Double]("entropy")
+      val k = row.getAs[Long]("n_types")
+      assert(h >= -1e-9 && h <= math.log(k.toDouble) + 1e-6, s"H=$h k=$k")
+      assert(row.getAs[Boolean]("single_type") == (k == 1))
+      if (k == 1) assert(math.abs(h) < 1e-9)
+    }
+  }
+
+  test("q_graph_triads: counts nonnegative, planted check via reciprocity") {
+    val r = SparkEntry.queries("q_graph_triads")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_transitive") >= 0)
+    assert(r(0).getAs[Long]("n_cyclic") >= 0)
+  }
+
   test("q_graph_reciprocity: ratio consistent and within [0,1]") {
     val r = SparkEntry.queries("q_graph_reciprocity")(spark, sfDir).collect()
     CacheScope.releaseAll()
