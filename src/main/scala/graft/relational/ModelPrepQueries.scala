@@ -35,6 +35,12 @@ object ModelPrepQueries extends QueryPack {
   /** CV fold count (q_ml_cvfolds). */
   val CvFolds = 5
 
+  /** Learning-curve folds and the max-fold-index of each curve point
+    * (training set = folds 0..m; the last fold is the fixed holdout).
+    */
+  val LcFolds = 8
+  val LcSizes = Seq(0, 1, 3, 6)
+
   /** Conformal miscoverage level: intervals target 1 − Alpha = 90%. */
   val ConformalAlphaPct = 10
 
@@ -153,6 +159,44 @@ object ModelPrepQueries extends QueryPack {
     // per-row rank ever materializes: this is how a k-th order statistic
     // survives 100 TB. (The bounded TakeOrdered(1) per level picks the
     // threshold bucket from ≤4096 candidates.)
+    // Learning curve: holdout R² of the price~quantity OLS at growing
+    // training fractions (1/8, 2/8, 4/8, 7/8 of the orderkey-hash
+    // folds) — the "would more data help" diagnostic that decides
+    // between collecting data and changing the model. Per-fold exact
+    // moments are aggregated ONCE; each curve point is a bounded
+    // re-aggregation of the ≤8-row moment relation plus the
+    // closed-form fit and the expanded-SSE holdout score — the whole
+    // curve costs one corpus scan.
+    "q_ml_learning_curve" -> ((s, d) => {
+      val pf = foldMoments(design(s, d, LcFolds))
+        .transform(CacheScope.persisted(_))
+      val hold = pf.filter(col("fold") === LcFolds - 1)
+        .select(col("n").as("hn"), col("sx").as("hsx"), col("sy").as("hsy"),
+          col("sxx").as("hsxx"), col("sxy").as("hsxy"), col("syy").as("hsyy"))
+      val curves = LcSizes.map { m =>
+        val tr = pf.filter(col("fold") <= m).agg(
+          sum(col("n")).cast(DecimalType(14, 0)).as("tn"),
+          sum(col("sx")).cast(DecimalType(20, 0)).as("tsx"),
+          sum(col("sy")).cast(DecimalType(22, 0)).as("tsy"),
+          sum(col("sxx")).cast(DecimalType(26, 0)).as("tsxx"),
+          sum(col("sxy")).cast(DecimalType(30, 0)).as("tsxy"))
+        val j = tr.crossJoin(broadcast(hold))
+        val b = round((dd(col("tn")) * dd(col("tsxy")) -
+          dd(col("tsx")) * dd(col("tsy"))) /
+          (dd(col("tn")) * dd(col("tsxx")) - dd(col("tsx")) * dd(col("tsx"))), 9)
+        val a = round((dd(col("tsy")) - b * dd(col("tsx"))) / dd(col("tn")), 9)
+        val sse = dd(col("hsyy")) - lit(2.0) * a * dd(col("hsy")) -
+          lit(2.0) * b * dd(col("hsxy")) + lit(2.0) * a * b * dd(col("hsx")) +
+          a * a * dd(col("hn")) + b * b * dd(col("hsxx"))
+        val sst = dd(col("hsyy")) - dd(col("hsy")) * dd(col("hsy")) / dd(col("hn"))
+        j.select(lit(m + 1).as("n_folds_train"),
+          col("tn").cast("long").as("n_train"),
+          b.as("beta"),
+          round(lit(1.0) - sse / sst, 6).as("r2_holdout"))
+      }
+      curves.reduce(_.unionByName(_))
+    }),
+
     // One EM round of a 1-D two-component Gaussian mixture on each
     // type's daily totals — the soft-assignment sibling of the hard
     // Lloyd step sim_kmeans audits: E-step responsibilities from
@@ -731,6 +775,53 @@ object ModelPrepQueries extends QueryPack {
          |         a * a * CAST(n AS DOUBLE) + b * b * CAST(sxx AS DOUBLE),
          |         0.0) / CAST(n AS DOUBLE)) / 100.0, 4) AS rmse_usd
          |FROM co2""".stripMargin,
+
+    "q_ml_learning_curve" -> {
+      def pt(m: Int): String =
+        s"""SELECT $m + 1 AS n_folds_train,
+           |       CAST(t.tn AS BIGINT) AS n_train,
+           |       round((CAST(t.tn AS DOUBLE) * CAST(t.tsxy AS DOUBLE) -
+           |              CAST(t.tsx AS DOUBLE) * CAST(t.tsy AS DOUBLE)) /
+           |             (CAST(t.tn AS DOUBLE) * CAST(t.tsxx AS DOUBLE) -
+           |              CAST(t.tsx AS DOUBLE) * CAST(t.tsx AS DOUBLE)), 9) AS beta,
+           |       round(1.0 - (CAST(h.hsyy AS DOUBLE)
+           |         - 2.0 * t.a * CAST(h.hsy AS DOUBLE)
+           |         - 2.0 * t.b * CAST(h.hsxy AS DOUBLE)
+           |         + 2.0 * t.a * t.b * CAST(h.hsx AS DOUBLE)
+           |         + t.a * t.a * CAST(h.hn AS DOUBLE)
+           |         + t.b * t.b * CAST(h.hsxx AS DOUBLE)) /
+           |         (CAST(h.hsyy AS DOUBLE) -
+           |          CAST(h.hsy AS DOUBLE) * CAST(h.hsy AS DOUBLE) /
+           |          CAST(h.hn AS DOUBLE)), 6) AS r2_holdout
+           |FROM (
+           |  SELECT tn, tsx, tsy, tsxx, tsxy, b,
+           |         round((CAST(tsy AS DOUBLE) - b * CAST(tsx AS DOUBLE)) /
+           |               CAST(tn AS DOUBLE), 9) AS a
+           |  FROM (
+           |    SELECT tn, tsx, tsy, tsxx, tsxy,
+           |           round((CAST(tn AS DOUBLE) * CAST(tsxy AS DOUBLE) -
+           |                  CAST(tsx AS DOUBLE) * CAST(tsy AS DOUBLE)) /
+           |                 (CAST(tn AS DOUBLE) * CAST(tsxx AS DOUBLE) -
+           |                  CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE)), 9) AS b
+           |    FROM (
+           |      SELECT CAST(sum(n) AS DECIMAL(14,0)) AS tn,
+           |             CAST(sum(sx) AS DECIMAL(20,0)) AS tsx,
+           |             CAST(sum(sy) AS DECIMAL(22,0)) AS tsy,
+           |             CAST(sum(sxx) AS DECIMAL(26,0)) AS tsxx,
+           |             CAST(sum(sxy) AS DECIMAL(30,0)) AS tsxy
+           |      FROM pf WHERE fold <= $m
+           |    )
+           |  )
+           |) t CROSS JOIN hold h""".stripMargin
+      s"""WITH li AS (${DesignSql.format(LcFolds)}),
+         |pf AS ($MomentsSql),
+         |hold AS (
+         |  SELECT n AS hn, sx AS hsx, sy AS hsy, sxx AS hsxx,
+         |         sxy AS hsxy, syy AS hsyy
+         |  FROM pf WHERE fold = ${LcFolds - 1}
+         |)
+         |${LcSizes.map(pt).mkString("\nUNION ALL\n")}""".stripMargin
+    },
 
     "q_ml_gmm_em" ->
       """WITH daily AS (

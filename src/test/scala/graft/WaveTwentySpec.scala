@@ -298,6 +298,20 @@ class WaveTwentySpec extends SparkSpec {
     }
   }
 
+  test("q_ml_learning_curve: train sizes strictly grow, r2 <= 1") {
+    val r = SparkEntry.queries("q_ml_learning_curve")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    import relational.ModelPrepQueries.LcSizes
+    assert(r.length == LcSizes.length)
+    val sorted = r.sortBy(_.getAs[Int]("n_folds_train"))
+    val sizes = sorted.map(_.getAs[Long]("n_train"))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a < b }, sizes.toSeq)
+    sorted.foreach { row =>
+      assert(row.getAs[Double]("r2_holdout") <= 1.0)
+      assert(row.getAs[Double]("beta") > 0) // price grows with quantity
+    }
+  }
+
   test("q_ml_gmm_em: weights in (0,1), component means stay ordered") {
     val r = SparkEntry.queries("q_ml_gmm_em")(spark, sfDir).collect()
     CacheScope.releaseAll()
