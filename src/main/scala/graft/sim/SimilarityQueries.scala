@@ -370,6 +370,44 @@ object SimilarityQueries extends QueryPack {
             .as("mean_silhouette"))
     }),
 
+    // Embedding-batch centroid drift: split the corpus into "old" and
+    // "new" halves by vec_id parity (the stand-in for two ingest
+    // batches) and report, per label, the cosine between the halves'
+    // centroids and their norm ratio — the cheap first-line embedding
+    // drift monitor before anything distributional (PSI on projections,
+    // MMD). Centroid component sums are exact int64 over the quantized
+    // vectors; cosine and norms assemble from three exact dot-product
+    // aggregates per label (d-bounded relations) in identical doubles.
+    "sim_centroid_drift" -> ((s, d) => {
+      val ex = emb(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("qe")).as(Seq("i", "qx")))
+      val cents = ex
+        .groupBy(col("label"), col("i"), (col("vec_id") % 2 === 0).as("old"))
+        .agg(sum(col("qx")).as("s"), countDistinct(col("vec_id")).as("n"))
+        .transform(CacheScope.persisted(_))
+      val o = cents.filter(col("old")).select(col("label"), col("i"),
+        col("s").as("so"), col("n").as("no"))
+      val nw = cents.filter(!col("old")).select(col("label").as("lb"),
+        col("i").as("i2"), col("s").as("sn"), col("n").as("nn"))
+      o.join(nw, col("label") === col("lb") && col("i") === col("i2"))
+        .groupBy("label")
+        .agg(max(col("no")).as("n_old"), max(col("nn")).as("n_new"),
+          sum(col("so").cast(DecimalType(28, 0)) * col("sn")).as("dot"),
+          sum(col("so").cast(DecimalType(28, 0)) * col("so")).as("oo"),
+          sum(col("sn").cast(DecimalType(28, 0)) * col("sn")).as("nn2"))
+        .filter(col("oo") > 0 && col("nn2") > 0)
+        .select(col("label"), col("n_old").cast("long").as("n_old"),
+          col("n_new").cast("long").as("n_new"),
+          round(col("dot").cast("double") /
+            (sqrt(col("oo").cast("double")) * sqrt(col("nn2").cast("double"))),
+            6).as("centroid_cos"),
+          // centroid norm ratio: ||c_new|| / ||c_old|| with the 1/n
+          // scales made explicit
+          round((sqrt(col("nn2").cast("double")) / col("n_new").cast("double")) /
+            (sqrt(col("oo").cast("double")) / col("n_old").cast("double")),
+            6).as("norm_ratio"))
+    }),
+
     // Johnson-Lindenstrauss random projection to RpDims sign-hash
     // dimensions ([[rpProject]]) — the data-independent counterpart of
     // sim_pca_power for cheap distance-preserving dimensionality
@@ -1003,6 +1041,33 @@ object SimilarityQueries extends QueryPack {
          |FROM sil GROUP BY cell""".stripMargin,
 
     "sim_rp_project" -> rpOracle,
+
+    "sim_centroid_drift" ->
+      s"""$eCte, cents AS (
+         |  SELECT label, i, vec_id % 2 = 0 AS old,
+         |         sum(qx) AS s, count(DISTINCT vec_id) AS n
+         |  FROM e GROUP BY 1, 2, 3
+         |), j AS (
+         |  SELECT o.label, max(o.n) AS n_old, max(w.n) AS n_new,
+         |         sum(CAST(o.s AS HUGEINT) * w.s) AS dot,
+         |         sum(CAST(o.s AS HUGEINT) * o.s) AS oo,
+         |         sum(CAST(w.s AS HUGEINT) * w.s) AS nn2
+         |  FROM cents o JOIN cents w
+         |    ON w.label = o.label AND w.i = o.i AND NOT w.old
+         |  WHERE o.old
+         |  GROUP BY 1
+         |  HAVING sum(CAST(o.s AS HUGEINT) * o.s) > 0
+         |     AND sum(CAST(w.s AS HUGEINT) * w.s) > 0
+         |)
+         |SELECT label, CAST(n_old AS BIGINT) AS n_old,
+         |       CAST(n_new AS BIGINT) AS n_new,
+         |       round(CAST(dot AS DOUBLE) /
+         |             (sqrt(CAST(oo AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE))),
+         |             6) AS centroid_cos,
+         |       round((sqrt(CAST(nn2 AS DOUBLE)) / CAST(n_new AS DOUBLE)) /
+         |             (sqrt(CAST(oo AS DOUBLE)) / CAST(n_old AS DOUBLE)),
+         |             6) AS norm_ratio
+         |FROM j""".stripMargin,
 
     "sim_ann_recall" -> recallOracle,
 

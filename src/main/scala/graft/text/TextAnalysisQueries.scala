@@ -35,6 +35,9 @@ object TextAnalysisQueries extends QueryPack {
   private[text] def countIn(toks: Column, set: Seq[String]): Column =
     graft.functions.CountInSet.countIn(toks, set)
 
+  /** Arrival batches for the Heaps'-law vocabulary-growth fit. */
+  val HeapsBuckets = 8
+
   /** Character-class count via delete-and-diff (portable to any engine). */
   private def charClassCount(text: Column, keepPattern: String): Column =
     length(text) - length(regexp_replace(text, keepPattern, ""))
@@ -163,6 +166,54 @@ object TextAnalysisQueries extends QueryPack {
         round(digits / greatest(nChars, lit(1.0)), 6).as("digit_ratio"),
         round(stopRatio, 6).as("stop_ratio"),
         qualityScore.as("quality_score"))
+    }),
+
+    // Heaps'-law fit V(n) ≈ K·n^β of vocabulary growth — the corpus
+    // statistic that predicts how much NEW vocabulary another 10× of
+    // data buys (β≈0.5 typical English; β→1 means unbounded novelty,
+    // β→0 means the corpus has saturated — a dedup/quality smell).
+    // Docs land in HeapsBuckets md5-hash "arrival batches"; a term's
+    // first appearance is its min bucket, so cumulative vocabulary per
+    // prefix is one bounded prefix join over a |buckets|-row relation —
+    // never a sequential scan. The log-log OLS runs on round(,6)-pinned
+    // DECIMAL moment sums of the |buckets| points.
+    "text_heaps" -> ((s, d) => {
+      val tok = docs(s, d)
+        .select(col("doc_id"), explode(cleanTokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+            .cast("long"), lit(HeapsBuckets.toLong)) + 1)
+        .transform(graft.CacheScope.persisted(_))
+      val nPerB = tok.groupBy("bucket").agg(count(lit(1)).as("nt"))
+      val vPerB = tok.groupBy("term").agg(min(col("bucket")).as("fb"))
+        .groupBy("fb").agg(count(lit(1)).as("nv"))
+      val grid = docs(s, d).limit(1)
+        .select(explode(expr(s"sequence(1, $HeapsBuckets)")).as("p"))
+      val pts = grid
+        .join(nPerB, col("bucket") <= col("p"))
+        .groupBy("p").agg(sum(col("nt")).as("n_cum"))
+        .join(grid.join(vPerB, col("fb") <= col("p"))
+          .groupBy(col("p").as("p2")).agg(sum(col("nv")).as("v_cum")),
+          col("p") === col("p2"))
+        .select(col("p"), col("n_cum"), col("v_cum"),
+          round(log(col("n_cum").cast("double")), 6)
+            .cast(DecimalType(12, 6)).as("x"),
+          round(log(col("v_cum").cast("double")), 6)
+            .cast(DecimalType(12, 6)).as("y"))
+      val m = pts.agg(count(lit(1)).as("np"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+        max(col("n_cum")).as("n_tokens"), max(col("v_cum")).as("n_terms"))
+      val beta = (col("np").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (col("np").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      m.select(col("n_tokens").cast("long").as("n_tokens"),
+        col("n_terms").cast("long").as("n_terms"),
+        round(beta, 6).as("beta"),
+        round(exp((col("sy").cast("double") - beta * col("sx").cast("double")) /
+          col("np").cast("double")), 6).as("k"))
     }),
 
     // Flesch reading-ease per document — the classic readability gate a
@@ -654,6 +705,52 @@ object TextAnalysisQueries extends QueryPack {
         |                           AS DECIMAL(24,9))) AS DOUBLE) /
         |             CAST(n AS DOUBLE), 6) AS entropy
         |FROM cc GROUP BY doc_id, n""".stripMargin,
+
+    "text_heaps" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+         |           % $HeapsBuckets + 1 AS bucket,
+         |         unnest(string_split_regex(
+         |           regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS term
+         |  FROM documents
+         |), tk AS (SELECT * FROM tok WHERE term <> ''),
+         |npb AS (SELECT bucket, count(*) AS nt FROM tk GROUP BY 1),
+         |vpb AS (
+         |  SELECT fb, count(*) AS nv FROM (
+         |    SELECT term, min(bucket) AS fb FROM tk GROUP BY 1
+         |  ) GROUP BY 1
+         |), grid AS (SELECT unnest(generate_series(1, $HeapsBuckets)) AS p),
+         |pts AS (
+         |  SELECT g.p,
+         |         (SELECT sum(nt) FROM npb WHERE bucket <= g.p) AS n_cum,
+         |         (SELECT sum(nv) FROM vpb WHERE fb <= g.p) AS v_cum
+         |  FROM grid g
+         |), xy AS (
+         |  SELECT p, n_cum, v_cum,
+         |         CAST(round(ln(CAST(n_cum AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+         |         CAST(round(ln(CAST(v_cum AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y
+         |  FROM pts
+         |), m AS (
+         |  SELECT count(*) AS np, sum(x) AS sx, sum(y) AS sy,
+         |         sum(x * x) AS sxx, sum(x * y) AS sxy,
+         |         max(n_cum) AS n_tokens, max(v_cum) AS n_terms
+         |  FROM xy
+         |)
+         |SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(n_terms AS BIGINT) AS n_terms,
+         |       round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |             (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta,
+         |       round(exp((CAST(sy AS DOUBLE) -
+         |                  (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |                   CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |                  (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+         |                  CAST(sx AS DOUBLE)) /
+         |                 CAST(np AS DOUBLE)), 6) AS k
+         |FROM m""".stripMargin,
 
     "text_readability" ->
       """WITH m AS (

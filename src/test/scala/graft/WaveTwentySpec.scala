@@ -219,6 +219,31 @@ class WaveTwentySpec extends SparkSpec {
     }
   }
 
+  test("sim_centroid_drift: cosine in [-1,1], norm ratio positive, halves partition") {
+    val r = SparkEntry.queries("sim_centroid_drift")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val c = row.getAs[Double]("centroid_cos")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"cos=$c")
+      assert(row.getAs[Double]("norm_ratio") > 0)
+      assert(row.getAs[Long]("n_old") > 0 && row.getAs[Long]("n_new") > 0)
+    }
+  }
+
+  test("text_heaps: beta in [0,1], K positive, vocabulary bounded by tokens") {
+    val r = SparkEntry.queries("text_heaps")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.length == 1)
+    val row = r(0)
+    val beta = row.getAs[Double]("beta")
+    // sublinear vocabulary growth: 0 (saturated vocab — this synthetic
+    // corpus) through 1 (every token new)
+    assert(beta >= -1e-9 && beta <= 1.0 + 1e-9, s"beta=$beta")
+    assert(row.getAs[Double]("k") > 0)
+    assert(row.getAs[Long]("n_terms") <= row.getAs[Long]("n_tokens"))
+  }
+
   test("q_user_entropy: H within [0, ln k], single-type flag consistent") {
     val r = SparkEntry.queries("q_user_entropy")(spark, sfDir).collect()
     CacheScope.releaseAll()
