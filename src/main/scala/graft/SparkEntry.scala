@@ -37,6 +37,8 @@ object SparkEntry {
     relational.DecisionQueries,
     relational.FeatureQueries,
     relational.RollingQueries,
+    relational.RobustStatsQueries,
+    relational.TsDiagnosticsQueries,
     dedup.DedupQueries,
     sim.SimilarityQueries,
     sim.SelectionQueries,
@@ -46,6 +48,7 @@ object SparkEntry {
     graph.GraphQueries,
     graph.GraphPathQueries,
     graph.SccQueries,
+    graph.CommunityQueries,
     text.TextAnalysisQueries,
     dedup.SemanticDedupQueries,
     dedup.PairEvalQueries,

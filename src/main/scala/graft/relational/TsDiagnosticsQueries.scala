@@ -1,0 +1,374 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryPack, Tables}
+
+/** Long-memory / state-space diagnostics over the HOURLY value series —
+  * the finer-grained sibling of [[TimeSeriesQueries]]'s daily operators
+  * (720 points per type instead of 30, enough signal for block statistics):
+  * a 1-D Kalman filter (the optimal-gain generalization of q_ts_alphabeta's
+  * fixed gains), Hurst exponent by rescaled-range analysis, sample entropy
+  * (regularity — the time-domain complement of q_ts_spectral_entropy), and
+  * the Lo–MacKinlay variance-ratio random-walk test.
+  *
+  * Determinism ([[Det]]): series values are exact cents; every block/pair
+  * statistic reduces to scale-0 DECIMAL combinations of integer sums
+  * (n·Σx² − (Σx)² — DECIMAL(38,0)→DOUBLE is a single correctly-rounded
+  * int→double conversion in both engines, no /10^scale step to diverge);
+  * ln/sqrt run on those identical doubles and are round()-pinned. The
+  * Kalman fold is the q_ts_holt contract: one `aggregate` HOF in Spark,
+  * the same arithmetic unrolled as a recursive CTE in DuckDB.
+  *
+  * Scale shapes: the hourly relation is CALENDAR-BOUNDED (|types| × hours
+  * in range — ~3.6k rows here, ~90k/decade at any data size), so every
+  * window below partitions a bounded relation by type (and block) — the
+  * q_ts_sax argument; the events table itself is touched exactly once per
+  * query by a map-side-combining aggregation. The SampEn pair generator
+  * broadcasts the bounded template relation — quadratic in the CALENDAR,
+  * constant in the data.
+  */
+object TsDiagnosticsQueries extends QueryPack {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  private def cents(c: Column): Column =
+    (c.cast(DecimalType(12, 2)) * 100).cast("long")
+
+  /** Hourly cents totals per type — the shared series relation. */
+  private def hourlyOf(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(cents(col("value"))).as("c"))
+
+  private val HourlySql =
+    """SELECT event_type, date_trunc('hour', ts) AS hr,
+      |         sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS c
+      |  FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Kalman local-level process/observation noise (units: (y in hundreds
+    * of cents)²). Only the ratio shapes the gain trajectory; the
+    * steady-state gain is (sqrt(q²+4qr) − q)/(2r) ≈ 0.27 here.
+    */
+  val KalmanQ = 1.0
+  val KalmanR = 10.0
+
+  /** R/S block sizes (hours). ln-spaced so the log-log regression has
+    * leverage; 720 calendar hours give 45..5 complete blocks per size.
+    */
+  val HurstSizes: Seq[Int] = Seq(16, 32, 64, 128)
+
+  /** Variance-ratio aggregation horizon (hours). */
+  val VrQ = 4
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // 1-D Kalman filter, local-level model: predict p' = p + Q, gain
+    // K = p'/(p'+R), update l += K(y − l), p = (1−K)p'. Unlike
+    // q_ts_alphabeta's fixed gains, K converges from 1·p0 toward the
+    // steady state — the optimal filter for a random-walk level observed
+    // in noise. One bounded array fold per type (the q_ts_holt shape);
+    // innovation MAE accumulates |y − l_pred| pre-update.
+    "q_ts_kalman" -> ((s, d) => {
+      val series = hourlyOf(t(s, d, "events"))
+        .groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("hr"),
+          (col("c").cast("double") / lit(100.0)).as("y")))).as("ys"))
+      series.select(col("event_type"), size(col("ys")).as("n_hours"),
+          expr(s"""aggregate(
+            slice(ys, 2, size(ys) - 1),
+            named_struct('l', ys[0].y, 'p', CAST($KalmanR AS DOUBLE),
+                         'e', CAST(0.0 AS DOUBLE), 'k', CAST(0.0 AS DOUBLE)),
+            (acc, s) -> named_struct(
+              'l', acc.l + ((acc.p + $KalmanQ) / (acc.p + $KalmanQ + $KalmanR)) * (s.y - acc.l),
+              'p', (1.0 - (acc.p + $KalmanQ) / (acc.p + $KalmanQ + $KalmanR)) * (acc.p + $KalmanQ),
+              'e', acc.e + abs(s.y - acc.l),
+              'k', (acc.p + $KalmanQ) / (acc.p + $KalmanQ + $KalmanR)))""").as("st"))
+        .select(col("event_type"), col("n_hours"),
+          round(col("st.l"), 6).as("level"),
+          round(col("st.p"), 9).as("p_var"),
+          round(col("st.k"), 9).as("gain"),
+          when(col("n_hours") > 1,
+            round(col("st.e") / (col("n_hours") - 1).cast("double"), 6))
+            .otherwise(lit(0.0)).as("mae_1step"))
+    }),
+
+    // Hurst exponent via rescaled range: for each block size n, split the
+    // series into complete n-blocks, compute R/S — the range of the
+    // mean-adjusted cumulative sum over the population stddev — and
+    // regress ln(avg R/S) on ln(n). H≈0.5 is a random walk; >0.5 long
+    // memory. Exactness: the scaled cumulative deviation n·cum_k − k·tot
+    // and the variance kernel n·Σx² − tot² are exact integers, so
+    // R/S = (maxdev − mindev)/sqrt(n·Σx² − tot²) divides identical
+    // doubles; per-size means decimal-sum round(,6)-pinned terms; the
+    // 4-point regression is closed-form. Scale: windows partition the
+    // calendar-bounded (type, size, block) relation.
+    "q_ts_hurst" -> ((s, d) => {
+      import s.implicits._
+      val sizes = broadcast(HurstSizes.toDF("bn"))
+      val wIdx = Window.partitionBy("event_type").orderBy("hr")
+      val idx = hourlyOf(t(s, d, "events"))
+        .withColumn("i", row_number().over(wIdx))
+        .transform(graft.CacheScope.persisted(_))
+      val blk = idx.crossJoin(sizes)
+        .withColumn("b", expr("(i - 1) div bn"))
+        .withColumn("j", (col("i") - 1) % col("bn") + 1)
+      // Tight decimal casts keep every product under precision 38 in BOTH
+      // engines (DuckDB errors out, Spark silently clamps): c ≤ 1e14
+      // cents/hour, tot ≤ 1e16, s2 ≤ 1e19 — dials documented, raise with
+      // the value magnitude, never with the row count (calendar-bounded).
+      val wB = Window.partitionBy("event_type", "bn", "b")
+      val wCum = wB.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+      val x = col("c").cast(DecimalType(14, 0))
+      val bnD = col("bn").cast(DecimalType(4, 0))
+      val scored = blk
+        .withColumn("cnt", count(lit(1)).over(wB))
+        .withColumn("tot", sum(x).over(wB).cast(DecimalType(16, 0)))
+        .withColumn("s2", sum(x * x).over(wB).cast(DecimalType(19, 0)))
+        .withColumn("cum", sum(x).over(wCum).cast(DecimalType(16, 0)))
+        .filter(col("cnt") === col("bn"))
+        .withColumn("dev", bnD * col("cum") -
+          col("j").cast(DecimalType(4, 0)) * col("tot"))
+      val rs = scored.groupBy(col("event_type"), col("bn"), col("b"))
+        .agg(max(col("dev")).as("dmax"), min(col("dev")).as("dmin"),
+          first(col("tot")).as("tot"), first(col("s2")).as("s2"))
+        .withColumn("vk", bnD * col("s2") - col("tot") * col("tot"))
+        .filter(col("vk") > 0)
+        .select(col("event_type"), col("bn"),
+          round((col("dmax") - col("dmin")).cast("double") /
+            sqrt(col("vk").cast("double")), 6).as("rsv"))
+      val perSize = rs.groupBy(col("event_type"), col("bn"))
+        .agg((sum(col("rsv").cast(DecimalType(20, 6))).cast("double") /
+          count(lit(1))).as("rs_avg"), count(lit(1)).as("nb"))
+        .filter(col("nb") >= 2)
+        .select(col("event_type"), log(col("bn")).as("lx"),
+          round(log(col("rs_avg")), 9).as("ly"))
+      perSize.groupBy("event_type")
+        .agg(count(lit(1)).as("n_sizes"), sum(col("lx")).as("sx"),
+          sum(col("ly")).as("sy"), sum(col("lx") * col("ly")).as("sxy"),
+          sum(col("lx") * col("lx")).as("sxx"))
+        .filter(col("n_sizes") >= 3)
+        .select(col("event_type"), col("n_sizes"),
+          round((col("n_sizes") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_sizes") * col("sxx") - col("sx") * col("sx")), 6).as("hurst"))
+    }),
+
+    // Sample entropy SampEn(m=2, r=0.2σ): −ln(A/B) where B counts template
+    // pairs of length 2 within Chebyshev distance r and A the pairs still
+    // matching at length 3 — low entropy = regular, self-similar series.
+    // The tolerance is floored to integer cents (identical doubles →
+    // identical floor in both engines), so every match decision is an
+    // exact integer comparison. The pair generator broadcasts the
+    // calendar-bounded template relation: quadratic in hours-in-range,
+    // constant in data size.
+    "q_ts_sampen" -> ((s, d) => {
+      val wIdx = Window.partitionBy("event_type").orderBy("hr")
+      val tmpl = hourlyOf(t(s, d, "events"))
+        .withColumn("i", row_number().over(wIdx))
+        .withColumn("y1", lead(col("c"), 1).over(wIdx))
+        .withColumn("y2", lead(col("c"), 2).over(wIdx))
+        .transform(graft.CacheScope.persisted(_))
+      val x = col("c").cast(DecimalType(14, 0))
+      val tol = tmpl.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).cast(DecimalType(7, 0)).as("n"),
+          sum(x).cast(DecimalType(16, 0)).as("s1"),
+          sum(x * x).cast(DecimalType(22, 0)).as("s2"))
+        .select(col("et"),
+          floor(sqrt((col("n") * col("s2") - col("s1") * col("s1"))
+            .cast("double")) /
+            (lit(5.0) * col("n").cast("double"))).cast("long").as("r"))
+      val a = tmpl.filter(col("y1").isNotNull)
+      val b = a.select(col("event_type").as("et2"), col("i").as("i2"),
+        col("c").as("c2"), col("y1").as("y12"), col("y2").as("y22"))
+      val pairs = a.join(broadcast(b),
+          col("event_type") === col("et2") && col("i") < col("i2"))
+        .join(broadcast(tol), col("event_type") === col("et"))
+        .withColumn("m2", greatest(abs(col("c") - col("c2")),
+          abs(col("y1") - col("y12"))) <= col("r"))
+        .withColumn("m3", col("y2").isNotNull && col("y22").isNotNull &&
+          col("m2") && abs(col("y2") - col("y22")) <= col("r"))
+      pairs.groupBy(col("event_type"))
+        .agg(sum(when(col("m2"), 1L).otherwise(0L)).as("b_pairs"),
+          sum(when(col("m3"), 1L).otherwise(0L)).as("a_pairs"))
+        .filter(col("a_pairs") > 0)
+        .select(col("event_type"), col("b_pairs"), col("a_pairs"),
+          round(log(col("b_pairs").cast("double") /
+            col("a_pairs").cast("double")), 6).as("sampen"))
+    }),
+
+    // Lo–MacKinlay variance ratio at horizon q: VR = Var(q-step diffs) /
+    // (q·Var(1-step diffs)) on the hourly level series; VR≈1 is a random
+    // walk, <1 mean reversion. Both variances are population variances
+    // from the exact scale-0 DECIMAL kernel n·Σd² − (Σd)², combined in one
+    // closed-form double expression; the z-statistic uses the asymptotic
+    // homoskedastic variance 2(2q−1)(q−1)/(3q·n).
+    "q_ts_varratio" -> ((s, d) => {
+      val wIdx = Window.partitionBy("event_type").orderBy("hr")
+      val diffs = hourlyOf(t(s, d, "events"))
+        .withColumn("d1", col("c") - lag(col("c"), 1).over(wIdx))
+        .withColumn("dq", col("c") - lag(col("c"), VrQ).over(wIdx))
+      val d1 = col("d1").cast(DecimalType(14, 0))
+      val dq = col("dq").cast(DecimalType(14, 0))
+      val m = diffs.groupBy("event_type")
+        .agg(sum(when(col("d1").isNotNull, 1L).otherwise(0L))
+            .cast(DecimalType(7, 0)).as("n1"),
+          sum(d1).cast(DecimalType(16, 0)).as("sa"),
+          sum(d1 * d1).cast(DecimalType(22, 0)).as("saa"),
+          sum(when(col("dq").isNotNull, 1L).otherwise(0L))
+            .cast(DecimalType(7, 0)).as("nq"),
+          sum(dq).cast(DecimalType(16, 0)).as("sb"),
+          sum(dq * dq).cast(DecimalType(22, 0)).as("sbb"))
+        .filter(col("n1") > 1 && col("nq") > 1)
+      val k1 = (col("n1") * col("saa") - col("sa") * col("sa")).cast("double")
+      val kq = (col("nq") * col("sbb") - col("sb") * col("sb")).cast("double")
+      val vr = (kq * col("n1").cast("double") * col("n1").cast("double")) /
+        (k1 * col("nq").cast("double") * col("nq").cast("double") * lit(VrQ.toDouble))
+      m.filter(k1 > 0)
+        .select(col("event_type"), col("nq").cast("long").as("n_diffs"),
+          round(vr, 6).as("vr"),
+          round((vr - 1.0) /
+            sqrt(lit(2.0 * (2 * VrQ - 1) * (VrQ - 1) / (3.0 * VrQ)) /
+              col("nq").cast("double")), 6).as("z"))
+    }))
+
+  override val oracles: Map[String, String] = Map(
+
+    "q_ts_kalman" ->
+      s"""WITH RECURSIVE hourly AS ($HourlySql),
+         |idx AS (
+         |  SELECT event_type, c,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY hr ASC) AS i
+         |  FROM hourly
+         |), nn AS (
+         |  SELECT event_type, CAST(max(i) AS INTEGER) AS n FROM idx GROUP BY 1
+         |), rec(event_type, i, l, p, e, k) AS (
+         |  SELECT event_type, 1, CAST(c AS DOUBLE) / 100.0,
+         |         CAST($KalmanR AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+         |  FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.i + 1,
+         |         r.l + ((r.p + $KalmanQ) / (r.p + $KalmanQ + $KalmanR)) *
+         |               (CAST(x.c AS DOUBLE) / 100.0 - r.l),
+         |         (1.0 - (r.p + $KalmanQ) / (r.p + $KalmanQ + $KalmanR)) *
+         |         (r.p + $KalmanQ),
+         |         r.e + abs(CAST(x.c AS DOUBLE) / 100.0 - r.l),
+         |         (r.p + $KalmanQ) / (r.p + $KalmanQ + $KalmanR)
+         |  FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1
+         |)
+         |SELECT r.event_type, CAST(n.n AS INTEGER) AS n_hours,
+         |       round(r.l, 6) AS level, round(r.p, 9) AS p_var,
+         |       round(r.k, 9) AS gain,
+         |       CASE WHEN n.n > 1 THEN round(r.e / CAST(n.n - 1 AS DOUBLE), 6)
+         |            ELSE 0.0 END AS mae_1step
+         |FROM rec r JOIN nn n ON n.event_type = r.event_type AND r.i = n.n""".stripMargin,
+
+    "q_ts_hurst" ->
+      s"""WITH hourly AS ($HourlySql),
+         |idx AS (
+         |  SELECT event_type, CAST(c AS DECIMAL(14,0)) AS c,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i
+         |  FROM hourly
+         |), blk AS (
+         |  SELECT i.event_type, s.bn, (i.i - 1) // s.bn AS b,
+         |         (i.i - 1) % s.bn + 1 AS j, i.c, i.i
+         |  FROM idx i CROSS JOIN (VALUES ${HurstSizes.map(n => s"($n)").mkString(", ")}) s(bn)
+         |), scored AS (
+         |  SELECT event_type, bn, b, CAST(j AS DECIMAL(4,0)) AS j,
+         |         count(*) OVER (PARTITION BY event_type, bn, b) AS cnt,
+         |         CAST(sum(c) OVER (PARTITION BY event_type, bn, b) AS DECIMAL(16,0)) AS tot,
+         |         CAST(sum(c * c) OVER (PARTITION BY event_type, bn, b) AS DECIMAL(19,0)) AS s2,
+         |         CAST(sum(c) OVER (PARTITION BY event_type, bn, b ORDER BY i
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(16,0)) AS cum
+         |  FROM blk
+         |), rsq AS (
+         |  SELECT event_type, bn, b,
+         |         max(CAST(bn AS DECIMAL(4,0)) * cum - j * tot) AS dmax,
+         |         min(CAST(bn AS DECIMAL(4,0)) * cum - j * tot) AS dmin,
+         |         any_value(tot) AS tot, any_value(s2) AS s2
+         |  FROM scored WHERE cnt = bn GROUP BY 1, 2, 3
+         |), rs AS (
+         |  SELECT event_type, bn,
+         |         round(CAST(dmax - dmin AS DOUBLE) /
+         |               sqrt(CAST(CAST(bn AS DECIMAL(4,0)) * s2 - tot * tot AS DOUBLE)), 6) AS rsv
+         |  FROM rsq WHERE CAST(bn AS DECIMAL(4,0)) * s2 - tot * tot > 0
+         |), persize AS (
+         |  SELECT event_type, ln(bn) AS lx,
+         |         round(ln(CAST(sum(CAST(rsv AS DECIMAL(20,6))) AS DOUBLE) / count(*)), 9) AS ly
+         |  FROM rs GROUP BY event_type, bn HAVING count(*) >= 2
+         |)
+         |SELECT event_type, count(*) AS n_sizes,
+         |       round((count(*) * sum(lx * ly) - sum(lx) * sum(ly)) /
+         |             (count(*) * sum(lx * lx) - sum(lx) * sum(lx)), 6) AS hurst
+         |FROM persize GROUP BY event_type HAVING count(*) >= 3""".stripMargin,
+
+    "q_ts_sampen" ->
+      s"""WITH hourly AS ($HourlySql),
+         |tmpl AS (
+         |  SELECT event_type, c,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i,
+         |         lead(c, 1) OVER (PARTITION BY event_type ORDER BY hr) AS y1,
+         |         lead(c, 2) OVER (PARTITION BY event_type ORDER BY hr) AS y2
+         |  FROM hourly
+         |), tol AS (
+         |  SELECT event_type AS et,
+         |         CAST(floor(sqrt(CAST(CAST(count(*) AS DECIMAL(7,0)) *
+         |                               CAST(sum(CAST(c AS DECIMAL(14,0)) * CAST(c AS DECIMAL(14,0))) AS DECIMAL(22,0))
+         |                             - CAST(sum(CAST(c AS DECIMAL(14,0))) AS DECIMAL(16,0)) *
+         |                               CAST(sum(CAST(c AS DECIMAL(14,0))) AS DECIMAL(16,0)) AS DOUBLE)) /
+         |                    (5.0 * CAST(count(*) AS DOUBLE))) AS BIGINT) AS r
+         |  FROM tmpl GROUP BY 1
+         |), pairs AS (
+         |  SELECT a.event_type,
+         |         greatest(abs(a.c - b.c), abs(a.y1 - b.y1)) <= t.r AS m2,
+         |         a.y2 IS NOT NULL AND b.y2 IS NOT NULL AND
+         |         greatest(abs(a.c - b.c), abs(a.y1 - b.y1)) <= t.r AND
+         |         abs(a.y2 - b.y2) <= t.r AS m3
+         |  FROM tmpl a
+         |  JOIN tmpl b ON b.event_type = a.event_type AND a.i < b.i
+         |  JOIN tol t ON t.et = a.event_type
+         |  WHERE a.y1 IS NOT NULL AND b.y1 IS NOT NULL
+         |)
+         |SELECT event_type,
+         |       CAST(sum(CASE WHEN m2 THEN 1 ELSE 0 END) AS BIGINT) AS b_pairs,
+         |       CAST(sum(CASE WHEN m3 THEN 1 ELSE 0 END) AS BIGINT) AS a_pairs,
+         |       round(ln(CAST(sum(CASE WHEN m2 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |                CAST(sum(CASE WHEN m3 THEN 1 ELSE 0 END) AS DOUBLE)), 6) AS sampen
+         |FROM pairs GROUP BY event_type
+         |HAVING sum(CASE WHEN m3 THEN 1 ELSE 0 END) > 0""".stripMargin,
+
+    "q_ts_varratio" ->
+      s"""WITH hourly AS ($HourlySql),
+         |diffs AS (
+         |  SELECT event_type,
+         |         CAST(c - lag(c, 1) OVER (PARTITION BY event_type ORDER BY hr) AS DECIMAL(14,0)) AS d1,
+         |         CAST(c - lag(c, $VrQ) OVER (PARTITION BY event_type ORDER BY hr) AS DECIMAL(14,0)) AS dq
+         |  FROM hourly
+         |), m AS (
+         |  SELECT event_type,
+         |         CAST(sum(CASE WHEN d1 IS NOT NULL THEN 1 ELSE 0 END) AS DECIMAL(7,0)) AS n1,
+         |         CAST(sum(d1) AS DECIMAL(16,0)) AS sa,
+         |         CAST(sum(d1 * d1) AS DECIMAL(22,0)) AS saa,
+         |         CAST(sum(CASE WHEN dq IS NOT NULL THEN 1 ELSE 0 END) AS DECIMAL(7,0)) AS nq,
+         |         CAST(sum(dq) AS DECIMAL(16,0)) AS sb,
+         |         CAST(sum(dq * dq) AS DECIMAL(22,0)) AS sbb
+         |  FROM diffs GROUP BY 1
+         |  HAVING sum(CASE WHEN d1 IS NOT NULL THEN 1 ELSE 0 END) > 1
+         |     AND sum(CASE WHEN dq IS NOT NULL THEN 1 ELSE 0 END) > 1
+         |)
+         |SELECT event_type, CAST(nq AS BIGINT) AS n_diffs,
+         |       round(CAST(nq * sbb - sb * sb AS DOUBLE) *
+         |             CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) /
+         |             (CAST(n1 * saa - sa * sa AS DOUBLE) *
+         |              CAST(nq AS DOUBLE) * CAST(nq AS DOUBLE) * $VrQ.0), 6) AS vr,
+         |       round((CAST(nq * sbb - sb * sb AS DOUBLE) *
+         |              CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) /
+         |              (CAST(n1 * saa - sa * sa AS DOUBLE) *
+         |               CAST(nq AS DOUBLE) * CAST(nq AS DOUBLE) * $VrQ.0) - 1.0) /
+         |             sqrt((2.0 * (2 * $VrQ - 1) * ($VrQ - 1) / (3.0 * $VrQ)) /
+         |                  CAST(nq AS DOUBLE)), 6) AS z
+         |FROM m
+         |WHERE n1 * saa - sa * sa > 0""".stripMargin)
+}
