@@ -57,6 +57,7 @@ object SparkEntry {
     text.DriftQueries,
     text.EvalQueries,
     text.TextModelQueries,
+    text.LexicalQueries,
     mm.MultimodalQueries,
     streaming.StreamingQueries)
 
