@@ -39,6 +39,7 @@ object SparkEntry {
     relational.RollingQueries,
     relational.RobustStatsQueries,
     relational.TsDiagnosticsQueries,
+    relational.HeavyTailQueries,
     dedup.DedupQueries,
     sim.SimilarityQueries,
     sim.SelectionQueries,

@@ -215,8 +215,89 @@ object LayoutQueries extends QueryPack {
           .select(lit(name).as("layout"), col("n_buckets"),
             col("avg_p_span"), col("avg_s_span"))
       spans("zval", "zorder").unionAll(spans("lval", "linear"))
+    }),
+
+    // Hilbert-curve layout vs z-order vs linear, same zone-map-span
+    // methodology as q_layout_zorder on an 8-bit grid: the Hilbert key
+    // visits every cell of a bucket-sized region before leaving it, so
+    // its per-file key spans beat Morton's (which jumps at quadrant
+    // seams) — the reason Delta/Iceberg offer hilbert clustering where
+    // multi-dimensional locality matters. The curve index is the
+    // canonical xy2d bit fold expressed as ONE aggregate HOF over the 8
+    // levels (no UDF, stays in codegen); flips mask to the low bits so
+    // every intermediate stays a non-negative integer — bit-identical in
+    // any engine. The oracle unrolls the same fold as a recursive CTE.
+    "q_layout_hilbert" -> ((s, d) => {
+      val raw = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+      val mm = raw.agg(min(col("p")).as("pmn"), max(col("p")).as("pmx"),
+        min(col("sk")).as("smn"), max(col("sk")).as("smx"))
+      val keyed = raw.crossJoin(broadcast(mm))
+        .select(
+          expr("CAST(((p - pmn) * 255) div greatest(pmx - pmn, 1) AS INT)")
+            .as("p8"),
+          expr("CAST(((sk - smn) * 255) div greatest(smx - smn, 1) AS INT)")
+            .as("s8"))
+        .select(col("p8"), col("s8"),
+          expr(hilbertFoldSpark).as("hval"),
+          expr(zTerms8Spark).cast("long").as("zval"),
+          (col("p8").cast("long") * 256 + col("s8")).as("lval"))
+        .transform(CacheScope.persisted(_))
+      def spans(keyCol: String, name: String): DataFrame =
+        keyed
+          .groupBy(expr(s"$keyCol div $HBucketW").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("p8")).as("pmin"), max(col("p8")).as("pmax"),
+            min(col("s8")).as("smin"), max(col("s8")).as("smax"))
+          .agg(count(lit(1)).as("n_buckets"),
+            round(avg(col("pmax") - col("pmin")), 4).as("avg_p_span"),
+            round(avg(col("smax") - col("smin")), 4).as("avg_s_span"))
+          .select(lit(name).as("layout"), col("n_buckets"),
+            col("avg_p_span"), col("avg_s_span"))
+      spans("hval", "hilbert").unionAll(spans("zval", "zorder"))
+        .unionAll(spans("lval", "linear"))
     })
   )
+
+  /** One Hilbert xy2d level: given state symbols (x, y) and the level
+    * half-width symbol s, the rotated/flipped next (x, y) and this
+    * level's d contribution s²·((3·rx) xor ry) — the xor spelled as a
+    * CASE over the four (rx, ry) quadrant codes 0/3/1/2 so no
+    * engine-specific xor operator is needed. Flips mask to the low bits
+    * ((s−1)-masked) so intermediates never go negative.
+    */
+  private def hilbertStep(x: String, y: String, s: String): (String, String, String) = (
+    s"CASE WHEN ($y & $s) = 0 THEN (CASE WHEN ($x & $s) > 0 " +
+      s"THEN $s - 1 - ($y & ($s - 1)) ELSE $y & ($s - 1) END) " +
+      s"ELSE $x & ($s - 1) END",
+    s"CASE WHEN ($y & $s) = 0 THEN (CASE WHEN ($x & $s) > 0 " +
+      s"THEN $s - 1 - ($x & ($s - 1)) ELSE $x & ($s - 1) END) " +
+      s"ELSE $y & ($s - 1) END",
+    s"$s * $s * (CASE WHEN ($y & $s) = 0 " +
+      s"THEN (CASE WHEN ($x & $s) > 0 THEN 3 ELSE 0 END) " +
+      s"ELSE (CASE WHEN ($x & $s) > 0 THEN 2 ELSE 1 END) END)")
+
+  private val hilbertFoldSpark: String = {
+    val (nx, ny, dd) = hilbertStep("a.x", "a.y", "s")
+    s"""aggregate(array(128, 64, 32, 16, 8, 4, 2, 1),
+       |  named_struct('x', CAST(p8 AS BIGINT), 'y', CAST(s8 AS BIGINT),
+       |               'd', CAST(0 AS BIGINT)),
+       |  (a, s) -> named_struct('x', CAST($nx AS BIGINT),
+       |                         'y', CAST($ny AS BIGINT),
+       |                         'd', a.d + ($dd)),
+       |  a -> a.d)""".stripMargin
+  }
+
+  private val zTerms8Spark: String = (0 until 8).flatMap(i => Seq(
+    s"shiftleft(CAST(shiftright(p8, $i) & 1 AS BIGINT), ${2 * i})",
+    s"shiftleft(CAST(shiftright(s8, $i) & 1 AS BIGINT), ${2 * i + 1})")).mkString(" + ")
+
+  private val zTerms8Sql: String = (0 until 8).flatMap(i => Seq(
+    s"(CAST((p8 >> $i) & 1 AS BIGINT) << ${2 * i})",
+    s"(CAST((s8 >> $i) & 1 AS BIGINT) << ${2 * i + 1})")).mkString(" + ")
+
+  /** Bucket width in the 16-bit (8+8) key space: 256 cells per bucket. */
+  val HBucketW: Long = 256L
 
   /** Morton interleave of two 16-bit keys, as engine-specific integer
     * expressions (Spark's shiftleft/shiftright vs DuckDB's operators) —
@@ -270,6 +351,60 @@ object LayoutQueries extends QueryPack {
          |       round(avg(pmax - pmin), 4) AS avg_p_span,
          |       round(avg(smax - smin), 4) AS avg_s_span
          |FROM l""".stripMargin,
+
+    "q_layout_hilbert" -> {
+      val (nx, ny, dd) = hilbertStep("x", "y", "s")
+      s"""WITH RECURSIVE mm AS (
+         |  SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+         |         min(l_suppkey) AS smn, max(l_suppkey) AS smx
+         |  FROM lineitem
+         |), keyed AS MATERIALIZED (
+         |  SELECT p8, s8,
+         |         $zTerms8Sql AS zval,
+         |         CAST(p8 AS BIGINT) * 256 + s8 AS lval
+         |  FROM (SELECT
+         |          CAST(((l_partkey - pmn) * 255) // greatest(pmx - pmn, 1) AS INT) AS p8,
+         |          CAST(((l_suppkey - smn) * 255) // greatest(smx - smn, 1) AS INT) AS s8
+         |        FROM lineitem CROSS JOIN mm)
+         |), rec AS (
+         |  SELECT p8, s8, zval, lval,
+         |         CAST(p8 AS BIGINT) AS x, CAST(s8 AS BIGINT) AS y,
+         |         CAST(0 AS BIGINT) AS d, CAST(128 AS BIGINT) AS s
+         |  FROM keyed
+         |  UNION ALL
+         |  SELECT p8, s8, zval, lval,
+         |         CAST($nx AS BIGINT), CAST($ny AS BIGINT),
+         |         d + ($dd), s // 2
+         |  FROM rec WHERE s >= 1
+         |), hil AS MATERIALIZED (
+         |  SELECT p8, s8, zval, lval, d AS hval FROM rec WHERE s = 0
+         |), h AS (
+         |  SELECT hval // $HBucketW AS bucket,
+         |         min(p8) AS pmin, max(p8) AS pmax,
+         |         min(s8) AS smin, max(s8) AS smax
+         |  FROM hil GROUP BY 1
+         |), z AS (
+         |  SELECT zval // $HBucketW AS bucket,
+         |         min(p8) AS pmin, max(p8) AS pmax,
+         |         min(s8) AS smin, max(s8) AS smax
+         |  FROM hil GROUP BY 1
+         |), l AS (
+         |  SELECT lval // $HBucketW AS bucket,
+         |         min(p8) AS pmin, max(p8) AS pmax,
+         |         min(s8) AS smin, max(s8) AS smax
+         |  FROM hil GROUP BY 1
+         |)
+         |SELECT 'hilbert' AS layout, count(*) AS n_buckets,
+         |       round(avg(pmax - pmin), 4) AS avg_p_span,
+         |       round(avg(smax - smin), 4) AS avg_s_span
+         |FROM h
+         |UNION ALL
+         |SELECT 'zorder', count(*), round(avg(pmax - pmin), 4),
+         |       round(avg(smax - smin), 4) FROM z
+         |UNION ALL
+         |SELECT 'linear', count(*), round(avg(pmax - pmin), 4),
+         |       round(avg(smax - smin), 4) FROM l""".stripMargin
+    },
 
     "q_join_bucketed" ->
       s"""SELECT o_orderpriority, count(*) AS n,

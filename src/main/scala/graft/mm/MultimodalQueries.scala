@@ -113,6 +113,43 @@ object MultimodalQueries extends QueryPack {
         .toDF()
     }),
 
+    // Aspect-ratio bucketing (the SDXL/LAION training-batch prep step):
+    // every image goes to the nearest standard aspect bucket so batches
+    // share a shape and padding waste is bounded. The argmin is EXACT —
+    // |w/h − a/b| ∝ |10⁴·w − bar·h| once the bucket ratio is the scaled
+    // integer bar = round(10⁴·a/b), so bucket assignment can never flip
+    // on a float ulp; per-image fit waste 1 − min(ar/bar', bar'/ar) is
+    // one identical double division, round(,9)-pinned and decimal-summed
+    // into the per-bucket mean. Scale shape: decode is the same narrow
+    // mapPartitions as mm_decode; the 7-row bucket relation broadcasts;
+    // output is |buckets|-bounded.
+    "mm_aspect_bucket" -> ((s, d) => {
+      import s.implicits._
+      val dims = media(s, d)
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val m = decodeStub(id, bytes)
+          (m.doc_id, m.width, m.height)
+        })
+        .toDF("doc_id", "w", "h")
+      val buckets = broadcast(AspectBuckets.toDF("bucket", "bar"))
+      dims.crossJoin(buckets)
+        .withColumn("dist", abs(lit(10000L) * col("w") - col("bar") * col("h")))
+        .groupBy(col("doc_id"), col("w"), col("h"))
+        .agg(min(struct(col("dist"), col("bar"), col("bucket"))).as("b"))
+        .select(col("doc_id"), col("w"), col("h"),
+          col("b.bucket").as("bucket"), col("b.bar").as("bar"),
+          round(lit(1.0) - least(
+            lit(10000.0) * col("w") / (col("b.bar") * col("h")),
+            col("b.bar") * col("h") / (lit(10000.0) * col("w"))), 9).as("waste"))
+        .groupBy(col("bucket"), col("bar"))
+        .agg(count(lit(1)).as("n_images"),
+          (sum(col("waste").cast(org.apache.spark.sql.types.DecimalType(20, 9)))
+            .cast("double") / count(lit(1))).as("sw"))
+        .select(col("bucket"), col("bar"), col("n_images"),
+          round(col("sw"), 6).as("avg_waste"))
+    }),
+
     // Resize: target 32x32x3 from the decoded dims (stub math; real path
     // swaps decodeStub + this arithmetic for a codec call, shape unchanged).
     "mm_resize" -> ((s, d) => {
@@ -501,7 +538,40 @@ object MultimodalQueries extends QueryPack {
        |  GROUP BY 1
        |)""".stripMargin
 
+  /** Standard training aspect buckets as (name, round(10⁴·w/h)). */
+  val AspectBuckets: Seq[(String, Long)] = Seq(
+    ("9:16", 5625L), ("2:3", 6667L), ("3:4", 7500L), ("1:1", 10000L),
+    ("4:3", 13333L), ("3:2", 15000L), ("16:9", 17778L))
+
+  private val AspectBucketsSql: String =
+    AspectBuckets.map { case (n, r) => s"('$n', $r)" }.mkString(", ")
+
   override val oracles: Map[String, String] = Map(
+
+    "mm_aspect_bucket" ->
+      s"""WITH dims AS (
+         |  SELECT doc_id,
+         |         CAST(1 + octet_length(encode(text)) % 64 AS INT) AS w,
+         |         CAST(1 + (octet_length(encode(text)) // 64) % 64 AS INT) AS h
+         |  FROM documents
+         |), cand AS (
+         |  SELECT d.doc_id, d.w, d.h, b.bucket, b.bar,
+         |         abs(10000 * d.w - b.bar * d.h) AS dist
+         |  FROM dims d CROSS JOIN (VALUES $AspectBucketsSql) b(bucket, bar)
+         |), best AS (
+         |  SELECT doc_id, w, h, bucket, bar FROM (
+         |    SELECT doc_id, w, h, bucket, bar,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY dist, bar) AS rn
+         |    FROM cand) WHERE rn = 1
+         |), scored AS (
+         |  SELECT bucket, bar,
+         |         round(1.0 - least(10000.0 * w / (bar * h),
+         |                           bar * h / (10000.0 * w)), 9) AS waste
+         |  FROM best
+         |)
+         |SELECT bucket, CAST(bar AS BIGINT) AS bar, count(*) AS n_images,
+         |       round(CAST(sum(CAST(waste AS DECIMAL(20,9))) AS DOUBLE) / count(*), 6) AS avg_waste
+         |FROM scored GROUP BY 1, 2""".stripMargin,
     "mm_decode" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
