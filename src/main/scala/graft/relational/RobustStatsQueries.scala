@@ -117,35 +117,35 @@ object RobustStatsQueries extends QueryPack {
     // of all Walsh averages (x_i + x_j)/2, i <= j — the location estimator
     // whose confidence interval inverts the Wilcoxon signed-rank test,
     // robust to 29% contamination where the mean tolerates none. The
-    // median of the ~2e6 exact integer pair sums per group comes from
-    // RadixSelect.ranksByGroup: 5 bounded (group, bucket) aggregations
-    // total — no sort, no window, no per-row rank — then the even/odd
-    // midpoint averages two exact longs. Driver traffic is the documented
-    // bounded-scalar exception (3 group counts + the radix cursors).
+    // Walsh-sum DOMAIN is bounded (quantity ≤ 50 units → s ≤ 10⁴ cents),
+    // so the exact median comes from ONE streamed pass over the pair
+    // generator into a (group, value) count relation, then an in-plan
+    // prefix-sum selection over that ≤10⁴-value relation — no sort of the
+    // pair population, no multi-pass radix narrowing (measured 9.6 s →
+    // the counting plan at sf0.1; RadixSelect remains the tool when the
+    // value domain is unbounded), no driver traffic at all. The even/odd
+    // midpoint picks the first values whose running count reaches
+    // (m+1)/2 and (m+2)/2 — both exact integers.
     "q_stats_hodges_lehmann" -> ((s, d) => {
       val li = sampled(s, d).transform(graft.CacheScope.persisted(_))
-      val pairs = li.as("a").join(broadcast(li.as("b")),
+      val cnt = li.as("a").join(broadcast(li.as("b")),
           col("a.rf") === col("b.rf") && col("a.id") <= col("b.id"))
-        .select(col("a.rf").as("rf"), (col("a.x") + col("b.x")).as("s"))
+        .groupBy(col("a.rf").as("rf"), (col("a.x") + col("b.x")).as("s"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("rf").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = cnt.withColumn("cum", sum(col("c")).over(w))
+        .withColumn("m", sum(col("c")).over(Window.partitionBy("rf")))
         .transform(graft.CacheScope.persisted(_))
-      val counts = pairs.groupBy("rf").agg(count(lit(1)).as("m"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sel = cum.groupBy(col("rf"), col("m"))
+        .agg(min(when(col("cum") >= expr("(m + 1) div 2"), col("s"))).as("slo"),
+          min(when(col("cum") >= expr("(m + 2) div 2"), col("s"))).as("shi"))
       val ns = li.groupBy("rf").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val ks = counts.map { case (rf, m) =>
-        rf -> Seq((m + 1) / 2, (m + 2) / 2).distinct }
-      val sel = graft.operators.RadixSelect.ranksByGroup(pairs, "rf", "s", ks)
-      val rows = counts.toSeq.sortBy(_._1).map { case (rf, m) =>
-        val lo = sel((rf, (m + 1) / 2))
-        val hi = sel((rf, (m + 2) / 2))
-        // median of Walsh sums -> /2 midpoint, /2 Walsh average, /100
-        // cents->units: one identical double expression in both engines.
-        (rf, ns(rf), m,
-          BigDecimal((lo + hi).toDouble / 400.0)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
-      import s.implicits._
-      rows.toDF("l_returnflag", "n_items", "m_pairs", "hl_qty")
+      sel.join(broadcast(ns), "rf")
+        .select(col("rf").as("l_returnflag"), col("n").as("n_items"),
+          col("m").as("m_pairs"),
+          round((col("slo") + col("shi")).cast("double") / 400.0, 6)
+            .as("hl_qty"))
     }),
 
     // Bartlett's test for equal value-variance across event types — the
