@@ -282,6 +282,8 @@ object LayoutQueries extends QueryPack {
       s"THEN (CASE WHEN ($x & $s) > 0 THEN 3 ELSE 0 END) " +
       s"ELSE (CASE WHEN ($x & $s) > 0 THEN 2 ELSE 1 END) END)")
 
+  private[graft] def hilbertFold: String = hilbertFoldSpark
+
   private val hilbertFoldSpark: String = {
     val (nx, ny, dd) = hilbertStep("a.x", "a.y", "s")
     s"""aggregate(array(128, 64, 32, 16, 8, 4, 2, 1),

@@ -26,9 +26,10 @@ import graft.{QueryPack, Tables}
   * Scale shapes: the two pairwise operators (tau, HL) run on a
   * deterministic orderkey-modulus sample — the dial documents the 100 TB
   * setting — and generate pairs through a BROADCAST self-join, never a
-  * shuffle on the 3-value group key; the HL median of ~1e6 Walsh sums uses
-  * [[graft.operators.RadixSelect]] (5 bounded aggregations, no sort, no
-  * window); Bartlett is one full-table aggregation to |types| rows; CvM
+  * shuffle on the 3-value group key; the HL median of ~1e6 Walsh sums is
+  * selected in-plan from a (group, value) count relation (the Walsh-sum
+  * domain is value-bounded — see the query comment for why this beats
+  * radix narrowing); Bartlett is one full-table aggregation to |types| rows; CvM
   * ranks ride the 64-shard range partition + triangular prefix-bases join
   * (the q_stats_wilcoxon machinery) so no window is ever unpartitioned.
   */
@@ -59,22 +60,35 @@ object RobustStatsQueries extends QueryPack {
   val CvmShards = 64
 
   /** The sampled lineitem relation both pairwise operators share:
-    * (returnflag, unique id, cents(quantity), cents(extendedprice)).
-    * l_linenumber is 1..7 so orderkey*8+linenumber is injective.
+    * (returnflag, unique pair id, cents(quantity), cents(extendedprice)).
+    * (orderkey, linenumber) is NOT unique in the synthetic data, so the
+    * pair id is a row_number under the deterministic (id, x, y) order —
+    * fully identical rows get distinct uids in an arbitrary-but-
+    * irrelevant order (their pairs contribute only ties), and every
+    * multiset pair is generated exactly once. The window partitions the
+    * 3-value group key over the BOUNDED sample — fine here, and the
+    * reason the sample, not the raw table, carries the uid.
     */
-  private def sampled(s: SparkSession, d: String): DataFrame =
+  private def sampled(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("rf").orderBy("id", "x", "y")
     t(s, d, "lineitem")
       .filter(col("l_orderkey") % PairMod === 0)
       .select(col("l_returnflag").as("rf"),
         (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
         cents(col("l_quantity")).as("x"),
         cents(col("l_extendedprice")).as("y"))
+      .withColumn("uid", row_number().over(w))
+      .drop("id")
+  }
 
   private val SampledSql =
-    s"""SELECT l_returnflag AS rf, l_orderkey * 8 + l_linenumber AS id,
-       |       CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
-       |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
-       |FROM lineitem WHERE l_orderkey % $PairMod = 0""".stripMargin
+    s"""SELECT rf, x, y,
+       |       row_number() OVER (PARTITION BY rf ORDER BY id, x, y) AS uid
+       |FROM (
+       |  SELECT l_returnflag AS rf, l_orderkey * 8 + l_linenumber AS id,
+       |         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+       |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+       |  FROM lineitem WHERE l_orderkey % $PairMod = 0)""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -91,7 +105,7 @@ object RobustStatsQueries extends QueryPack {
       val sgn = (a: Column, b: Column) =>
         when(a < b, -1L).otherwise(when(a > b, 1L).otherwise(0L))
       val pairs = li.as("a").join(broadcast(li.as("b")),
-          col("a.rf") === col("b.rf") && col("a.id") < col("b.id"))
+          col("a.rf") === col("b.rf") && col("a.uid") < col("b.uid"))
         .select(col("a.rf").as("rf"),
           (sgn(col("a.x"), col("b.x")) * sgn(col("a.y"), col("b.y"))).as("cd"))
         .groupBy("rf")
@@ -129,7 +143,7 @@ object RobustStatsQueries extends QueryPack {
     "q_stats_hodges_lehmann" -> ((s, d) => {
       val li = sampled(s, d).transform(graft.CacheScope.persisted(_))
       val cnt = li.as("a").join(broadcast(li.as("b")),
-          col("a.rf") === col("b.rf") && col("a.id") <= col("b.id"))
+          col("a.rf") === col("b.rf") && col("a.uid") <= col("b.uid"))
         .groupBy(col("a.rf").as("rf"), (col("a.x") + col("b.x")).as("s"))
         .agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("rf").orderBy("s")
@@ -256,7 +270,7 @@ object RobustStatsQueries extends QueryPack {
         |), pr AS (
         |  SELECT a.rf,
         |         sign(a.x - b.x) * sign(a.y - b.y) AS cd
-        |  FROM li a JOIN li b ON a.rf = b.rf AND a.id < b.id
+        |  FROM li a JOIN li b ON a.rf = b.rf AND a.uid < b.uid
         |), cd AS (
         |  SELECT rf,
         |         CAST(sum(CASE WHEN cd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
@@ -281,7 +295,7 @@ object RobustStatsQueries extends QueryPack {
       s"""WITH li AS ($SampledSql
         |), p AS (
         |  SELECT a.rf, a.x + b.x AS s
-        |  FROM li a JOIN li b ON a.rf = b.rf AND a.id <= b.id
+        |  FROM li a JOIN li b ON a.rf = b.rf AND a.uid <= b.uid
         |), r AS (
         |  SELECT rf, s, row_number() OVER (PARTITION BY rf ORDER BY s) AS rn,
         |         count(*) OVER (PARTITION BY rf) AS m
