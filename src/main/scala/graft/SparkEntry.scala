@@ -43,6 +43,7 @@ object SparkEntry {
     dedup.DedupQueries,
     sim.SimilarityQueries,
     sim.SelectionQueries,
+    sim.RankEvalQueries,
     sketch.SketchQueries,
     layout.LayoutQueries,
     sources.FormatQueries,

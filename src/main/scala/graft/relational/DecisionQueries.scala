@@ -33,6 +33,49 @@ object DecisionQueries extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Median (τ=0.5) quantile regression of scaled value on hour-of-day
+    // by subgradient descent — the robust-loss sibling of q_stats_linreg
+    // (the conditional MEDIAN line, immune to the value column's heavy
+    // tail) and the iterated-rounds relative of q_stats_logreg: each of
+    // the [[QuantRegIters]] rounds is one events-sized aggregation whose
+    // current weights ride a 1-row broadcast. Subgradient terms are
+    // EXACT halves (±0.5 — sign of the residual, decided by an
+    // identical-operand double comparison in both engines) so g0 sums in
+    // DECIMAL(12,1); the x-weighted terms and the final pinball loss are
+    // round(,9)-pinned decimal folds.
+    "q_ml_quantile_reg" -> ((s, d) => {
+      val dec = DecimalType(20, 9)
+      val ev = t(s, d, "events").select(
+          (hour(col("ts")).cast("double") / lit(24.0)).as("x"),
+          ((col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+            .cast("double") / lit(50000.0)).as("y"))
+        .transform(graft.CacheScope.persisted(_))
+      val yhat = col("w0") + col("w1") * col("x")
+      val half = when(col("y") < yhat, 0.5).otherwise(-0.5)
+      var w: DataFrame = s.range(1).select(
+        lit(0.0).as("w0"), lit(0.0).as("w1"))
+      for (_ <- 1 to QuantRegIters) {
+        val g = ev.crossJoin(broadcast(w))
+          .groupBy("w0", "w1")
+          .agg(sum(half.cast(DecimalType(12, 1))).cast("double").as("g0"),
+            sum(round(half * col("x"), 9).cast(dec)).cast("double").as("g1"),
+            count(lit(1)).as("n"))
+        w = g.select(
+          (col("w0") - col("g0") / col("n").cast("double")).as("w0"),
+          (col("w1") - col("g1") / col("n").cast("double")).as("w1"))
+      }
+      val ind = when(col("y") < yhat, 1.0).otherwise(0.0)
+      ev.crossJoin(broadcast(w))
+        .groupBy("w0", "w1")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round((col("y") - yhat) * (lit(0.5) - ind), 9).cast(dec))
+            .cast("double").as("pl"))
+        .select(col("n_rows"),
+          round(col("w0"), 6).as("w_bias"),
+          round(col("w1"), 6).as("w_hour"),
+          round(col("pl") / col("n_rows").cast("double"), 6).as("pinball"))
+    }),
+
     // Wald's sequential probability ratio test, run per md5-parity
     // variant over the event stream day by day: LLR_t = x_t ln(p1/p0) +
     // (n_t - x_t) ln((1-p1)/(1-p0)) accumulates until it exits
@@ -304,7 +347,39 @@ object DecisionQueries extends QueryPack {
        |         (CAST($qr AS DOUBLE) / CAST($pr + $qr AS DOUBLE)) *
        |         (CAST($qr AS DOUBLE) / CAST($pr + $qr AS DOUBLE)))""".stripMargin
 
+  /** Subgradient rounds for q_ml_quantile_reg (oracle unrolls the same). */
+  val QuantRegIters = 5
+
+  /** One unrolled quantile-regression subgradient round (reads r{i-1}). */
+  private def quantRegCte(i: Int): String =
+    s"""g$i AS (
+       |  SELECT w0, w1,
+       |         CAST(sum(CAST(CASE WHEN y < w0 + w1 * x THEN 0.5 ELSE -0.5 END
+       |                       AS DECIMAL(12,1))) AS DOUBLE) AS g0,
+       |         CAST(sum(CAST(round((CASE WHEN y < w0 + w1 * x THEN 0.5 ELSE -0.5 END) * x, 9)
+       |                       AS DECIMAL(20,9))) AS DOUBLE) AS g1,
+       |         count(*) AS n
+       |  FROM ev CROSS JOIN r${i - 1} GROUP BY w0, w1
+       |), r$i AS (
+       |  SELECT w0 - g0 / n AS w0, w1 - g1 / n AS w1 FROM g$i
+       |)""".stripMargin
+
   override val oracles: Map[String, String] = Map(
+
+    "q_ml_quantile_reg" ->
+      s"""WITH ev AS MATERIALIZED (
+         |  SELECT CAST(hour(ts) AS DOUBLE) / 24.0 AS x,
+         |         CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS DOUBLE) / 50000.0 AS y
+         |  FROM events
+         |), r0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1),
+         |${(1 to QuantRegIters).map(quantRegCte).mkString(",\n")}
+         |SELECT count(*) AS n_rows,
+         |       round(any_value(w0), 6) AS w_bias,
+         |       round(any_value(w1), 6) AS w_hour,
+         |       round(CAST(sum(CAST(round((y - (w0 + w1 * x)) *
+         |                    (0.5 - CASE WHEN y < w0 + w1 * x THEN 1.0 ELSE 0.0 END), 9)
+         |                  AS DECIMAL(20,9))) AS DOUBLE) / count(*), 6) AS pinball
+         |FROM ev CROSS JOIN r$QuantRegIters""".stripMargin,
 
     "q_ml_sprt" ->
       s"""WITH daily AS (
