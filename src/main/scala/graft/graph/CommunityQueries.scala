@@ -33,6 +33,9 @@ object CommunityQueries extends QueryPack {
   /** Truss order: keep edges with ≥ TrussK−2 triangle supports. */
   val TrussK = 4
 
+  /** Rich-club degree thresholds. */
+  val RichClubKs: Seq[Int] = Seq(2, 4, 8, 16)
+
   /** Peel-round budget; the fixpoint typically lands in 2-3 rounds on the
     * co-purchase graph and THROWS if the budget is exhausted (the
     * DedupClusters discipline — never a silently-partial result). The
@@ -142,6 +145,35 @@ object CommunityQueries extends QueryPack {
         .crossJoin(broadcast(d2agg))
     }),
 
+    // Rich-club coefficient φ(k) = E_{>k} / (N_{>k}(N_{>k}−1)) over the
+    // degree thresholds [[RichClubKs]]: the density of the subgraph
+    // induced by nodes of degree > k — do the hubs preferentially trade
+    // with each other? (φ rising with k = elite core; the hub-topology
+    // readout next to q_graph_assortativity's single global number.)
+    // Exact integer counts; two degree equi-joins + a 4-row broadcast
+    // threshold relation.
+    "q_graph_rich_club" -> ((s, d) => {
+      import s.implicits._
+      val e = windowedEdges(s, d).transform(graft.CacheScope.persisted(_))
+      val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+        .transform(graft.CacheScope.persisted(_))
+      val ks = broadcast(RichClubKs.toDF("k"))
+      val nk = deg.crossJoin(ks).filter(col("dg") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+      val ek = e.join(deg.select(col("src"), col("dg").as("da")), "src")
+        .join(deg.select(col("src").as("dst"), col("dg").as("db")), "dst")
+        .crossJoin(ks)
+        .filter(col("da") > col("k") && col("db") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_edges"))
+      nk.join(ek, Seq("k"), "left")
+        .withColumn("n_edges", coalesce(col("n_edges"), lit(0L)))
+        .filter(col("n_nodes") > 1)
+        .select(col("k"), col("n_nodes"), col("n_edges"),
+          round(col("n_edges").cast("double") /
+            (col("n_nodes") * (col("n_nodes") - 1)).cast("double"), 6)
+            .as("phi"))
+    }),
+
     // 4-truss of the co-purchase graph: iteratively drop every edge in
     // fewer than TrussK−2 triangles until stable — the surviving edges
     // form the overlapping-triangle backbone (each edge in a 4-truss lies
@@ -249,6 +281,26 @@ object CommunityQueries extends QueryPack {
          |       (SELECT max(hops) FROM b${GraphPathQueries.BfsRounds}) AS diameter_lb,
          |       (SELECT count(*) FROM b${GraphPathQueries.BfsRounds}) AS n_reached
          |FROM far f""".stripMargin,
+
+    "q_graph_rich_club" ->
+      s"""$windowedEdgesCte,
+         |deg AS (SELECT src, count(*) AS dg FROM edges GROUP BY src),
+         |ks AS (SELECT unnest(ARRAY[${RichClubKs.mkString(", ")}]) AS k),
+         |nk AS (
+         |  SELECT k, count(*) AS n_nodes
+         |  FROM deg CROSS JOIN ks WHERE dg > k GROUP BY k
+         |), ek AS (
+         |  SELECT k, count(*) AS n_edges
+         |  FROM edges e
+         |  JOIN deg a ON a.src = e.src
+         |  JOIN deg b ON b.src = e.dst
+         |  CROSS JOIN ks WHERE a.dg > k AND b.dg > k GROUP BY k
+         |)
+         |SELECT nk.k, nk.n_nodes, coalesce(ek.n_edges, 0) AS n_edges,
+         |       round(CAST(coalesce(ek.n_edges, 0) AS DOUBLE) /
+         |             CAST(nk.n_nodes * (nk.n_nodes - 1) AS DOUBLE), 6) AS phi
+         |FROM nk LEFT JOIN ek ON ek.k = nk.k
+         |WHERE nk.n_nodes > 1""".stripMargin,
 
     "q_graph_truss" ->
       s"""$windowedEdgesCte,

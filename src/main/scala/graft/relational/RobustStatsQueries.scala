@@ -54,6 +54,10 @@ object RobustStatsQueries extends QueryPack {
   /** Event-id modulus for the CvM two-sample ranks (one in 7). */
   val CvmMod = 7
 
+  /** TOST equivalence margin (cents) and one-sided z critical (α=0.05). */
+  val TostDelta = 500.0
+  val TostZCrit = 1.645
+
   /** Value-range shards for the CvM global rank (the q_stats_wilcoxon
     * constant: per-shard window load is ~1/64 of the sample).
     */
@@ -211,6 +215,45 @@ object RobustStatsQueries extends QueryPack {
       chi
     }),
 
+    // TOST equivalence test (two one-sided tests) between click and view
+    // mean values: unlike q_stats_ttest, which can only FAIL to find a
+    // difference, TOST positively establishes |μA−μB| < δ — the "safe to
+    // ship, no worse than control" decision. Welch t-statistics against
+    // both margin bounds from exact scale-0 decimal kernels; equivalence
+    // iff t_lower > z_crit AND t_upper < −z_crit (z≈1.645, α=0.05).
+    "q_stats_tost" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type").as("g"), cents(col("value"))
+          .cast(DecimalType(14, 0)).as("v"))
+      val m = ev.groupBy("g")
+        .agg(count(lit(1)).cast(DecimalType(8, 0)).as("n"),
+          sum(col("v")).cast(DecimalType(19, 0)).as("s1"),
+          sum(col("v") * col("v")).cast(DecimalType(30, 0)).as("s2"))
+        .filter(col("n") > 1)
+        .select(col("g"), col("n").cast("long").as("n"),
+          (col("s1").cast("double") / col("n").cast("double")).as("mu"),
+          ((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1).cast("double")))
+            .as("vv"), col("n").cast("double").as("nd"))
+      val a = m.filter(col("g") === "click")
+        .select(col("n").as("n_a"), col("mu").as("mu_a"),
+          col("vv").as("v_a"), col("nd").as("nd_a"))
+      val b = m.filter(col("g") === "view")
+        .select(col("n").as("n_b"), col("mu").as("mu_b"),
+          col("vv").as("v_b"), col("nd").as("nd_b"))
+      val se = sqrt(col("v_a") / col("nd_a") + col("v_b") / col("nd_b"))
+      val diff = col("mu_a") - col("mu_b")
+      a.crossJoin(broadcast(b))
+        .select(col("n_a"), col("n_b"),
+          round(diff / 100.0, 6).as("diff_value"),
+          round(se / 100.0, 6).as("se_value"),
+          round((diff + TostDelta) / se, 6).as("t_lower"),
+          round((diff - TostDelta) / se, 6).as("t_upper"),
+          ((diff + TostDelta) / se > TostZCrit &&
+            (diff - TostDelta) / se < -TostZCrit).as("equivalent"))
+    }),
+
     // Two-sample Cramér–von Mises between 'click' and 'view' value
     // distributions: T = U/(n·m·N) − (4nm−1)/(6N) with
     // U = n·Σ_A(r_i−i)² + m·Σ_B(s_j−j)², where r−i for an A-element is
@@ -346,6 +389,32 @@ object RobustStatsQueries extends QueryPack {
         |                    (3.0 * CAST(tot.k - 1 AS DOUBLE))), 6) AS chi2,
         |       tot.k - 1 AS dof
         |FROM gt CROSS JOIN tot""".stripMargin,
+
+    "q_stats_tost" ->
+      s"""WITH ev AS (
+        |  SELECT event_type AS g, CAST($CentsSql AS DECIMAL(14,0)) AS v
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |), m AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(CAST(sum(v) AS DECIMAL(19,0)) AS DOUBLE) /
+        |           CAST(count(*) AS DOUBLE) AS mu,
+        |         CAST(CAST(count(*) AS DECIMAL(8,0)) *
+        |                CAST(sum(CAST(v AS DECIMAL(19,0)) * v) AS DECIMAL(30,0)) -
+        |              CAST(sum(v) AS DECIMAL(19,0)) * CAST(sum(v) AS DECIMAL(19,0))
+        |              AS DOUBLE) /
+        |           (CAST(count(*) AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE)) AS vv,
+        |         CAST(count(*) AS DOUBLE) AS nd
+        |  FROM ev GROUP BY g HAVING count(*) > 1
+        |)
+        |SELECT a.n AS n_a, b.n AS n_b,
+        |       round((a.mu - b.mu) / 100.0, 6) AS diff_value,
+        |       round(sqrt(a.vv / a.nd + b.vv / b.nd) / 100.0, 6) AS se_value,
+        |       round((a.mu - b.mu + $TostDelta) / sqrt(a.vv / a.nd + b.vv / b.nd), 6) AS t_lower,
+        |       round((a.mu - b.mu - $TostDelta) / sqrt(a.vv / a.nd + b.vv / b.nd), 6) AS t_upper,
+        |       (a.mu - b.mu + $TostDelta) / sqrt(a.vv / a.nd + b.vv / b.nd) > $TostZCrit AND
+        |       (a.mu - b.mu - $TostDelta) / sqrt(a.vv / a.nd + b.vv / b.nd) < -$TostZCrit AS equivalent
+        |FROM (SELECT * FROM m WHERE g = 'click') a
+        |CROSS JOIN (SELECT * FROM m WHERE g = 'view') b""".stripMargin,
 
     "q_stats_cvm" ->
       s"""WITH e AS (

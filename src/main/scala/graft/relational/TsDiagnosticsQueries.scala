@@ -64,6 +64,15 @@ object TsDiagnosticsQueries extends QueryPack {
   /** Variance-ratio aggregation horizon (hours). */
   val VrQ = 4
 
+  /** Allan-variance averaging times (hours). */
+  val AllanTaus: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** Croston demand threshold (cents) — events above this are "demand"
+    * (~p99 of the value distribution, so most days have zero demand —
+    * the intermittency Croston exists for).
+    */
+  val CrostonCents = 25000L
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // 1-D Kalman filter, local-level model: predict p' = p + Q, gain
@@ -197,6 +206,83 @@ object TsDiagnosticsQueries extends QueryPack {
         .select(col("event_type"), col("b_pairs"), col("a_pairs"),
           round(log(col("b_pairs").cast("double") /
             col("a_pairs").cast("double")), 6).as("sampen"))
+    }),
+
+    // Allan variance of the hourly series at averaging times τ ∈
+    // {1,2,4,8}: σ²(τ) = Σ(ȳ_{k+1} − ȳ_k)²/(2(M−1)) over consecutive
+    // non-overlapping block means — the drift-vs-noise stability metric
+    // (white noise slopes −1 on log-log; random-walk drift +1), the
+    // frequency-domain cousin of q_ts_hurst. With exact block sums S_k,
+    // σ²(τ) = Σ(ΔS)²/(2τ²(M−1)) — every term an exact integer, one
+    // division. Blocks ride the same calendar-bounded windows as hurst.
+    "q_ts_allan" -> ((s, d) => {
+      import s.implicits._
+      val taus = broadcast(AllanTaus.toDF("tau"))
+      val wIdx = Window.partitionBy("event_type").orderBy("hr")
+      val idx = hourlyOf(t(s, d, "events"))
+        .withColumn("i", row_number().over(wIdx))
+      val blk = idx.crossJoin(taus)
+        .withColumn("b", expr("(i - 1) div tau"))
+        .groupBy(col("event_type"), col("tau"), col("b"))
+        .agg(count(lit(1)).as("cnt"), sum(col("c")).as("sb"))
+        .filter(col("cnt") === col("tau"))
+      val wLag = Window.partitionBy("event_type", "tau").orderBy("b")
+      val dd = blk
+        .withColumn("ds", (col("sb") - lag(col("sb"), 1).over(wLag))
+          .cast(DecimalType(16, 0)))
+        .filter(col("ds").isNotNull)
+        .groupBy(col("event_type"), col("tau"))
+        .agg(count(lit(1)).as("mdiff"),
+          sum(col("ds") * col("ds")).cast(DecimalType(36, 0)).as("ssq"))
+        .filter(col("mdiff") >= 1)
+      dd.select(col("event_type"), col("tau"), (col("mdiff") + 1).as("m_blocks"),
+        round(col("ssq").cast("double") /
+          (lit(2.0) * col("tau").cast("double") * col("tau").cast("double") *
+            col("mdiff").cast("double") * lit(10000.0)), 6).as("avar_value"))
+    }),
+
+    // Croston's method for intermittent demand: daily counts of
+    // high-value events per type are mostly zero; separate EWMAs track
+    // the nonzero demand size (z) and the inter-demand interval (p), and
+    // the flat forecast is z/p per day. The calendar (including zero
+    // days) is materialized per type as a bounded day sequence with a
+    // count-map lookup, then ONE array fold (the q_ts_kalman shape); the
+    // oracle replays the identical recursion over generate_series days.
+    "q_ts_croston" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(cents(col("value")) > CrostonCents)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("dem"))
+      val rng = t(s, d, "events")
+        .agg(date_trunc("day", min(col("ts"))).cast("date").as("d0"),
+          date_trunc("day", max(col("ts"))).cast("date").as("d1"))
+      val series = daily.groupBy(col("event_type"))
+        .agg(map_from_entries(collect_list(struct(col("day"), col("dem"))))
+          .as("dm"))
+        .crossJoin(broadcast(rng))
+        .select(col("event_type"),
+          expr("transform(sequence(d0, d1, interval 1 day), dd -> coalesce(element_at(dm, dd), CAST(0 AS BIGINT)))")
+            .as("ds"))
+      series.select(col("event_type"), size(col("ds")).as("n_days"),
+          expr("""aggregate(ds, named_struct(
+              'z', CAST(0.0 AS DOUBLE), 'p', CAST(0.0 AS DOUBLE),
+              'i', CAST(1 AS INT), 'k', CAST(0 AS INT)),
+            (a, x) -> CASE
+              WHEN x > 0 AND a.k = 0 THEN named_struct(
+                'z', CAST(x AS DOUBLE), 'p', CAST(a.i AS DOUBLE),
+                'i', 1, 'k', 1)
+              WHEN x > 0 THEN named_struct(
+                'z', 0.1 * CAST(x AS DOUBLE) + 0.9 * a.z,
+                'p', 0.1 * CAST(a.i AS DOUBLE) + 0.9 * a.p,
+                'i', 1, 'k', a.k + 1)
+              ELSE named_struct('z', a.z, 'p', a.p, 'i', a.i + 1, 'k', a.k)
+            END)""").as("st"))
+        .filter(col("st.k") > 0)
+        .select(col("event_type"), col("n_days"), col("st.k").as("n_demand_days"),
+          round(col("st.z"), 6).as("demand_size"),
+          round(col("st.p"), 6).as("interval_days"),
+          round(col("st.z") / col("st.p"), 6).as("forecast_per_day"))
     }),
 
     // Lo–MacKinlay variance ratio at horizon q: VR = Var(q-step diffs) /
@@ -338,6 +424,79 @@ object TsDiagnosticsQueries extends QueryPack {
          |                CAST(sum(CASE WHEN m3 THEN 1 ELSE 0 END) AS DOUBLE)), 6) AS sampen
          |FROM pairs GROUP BY event_type
          |HAVING sum(CASE WHEN m3 THEN 1 ELSE 0 END) > 0""".stripMargin,
+
+    "q_ts_allan" ->
+      s"""WITH hourly AS ($HourlySql),
+         |idx AS (
+         |  SELECT event_type, c,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i
+         |  FROM hourly
+         |), blk AS (
+         |  SELECT i.event_type, t.tau, (i.i - 1) // t.tau AS b,
+         |         count(*) AS cnt, sum(i.c) AS sb
+         |  FROM idx i CROSS JOIN (SELECT unnest(ARRAY[${AllanTaus.mkString(", ")}]) AS tau) t
+         |  GROUP BY 1, 2, 3
+         |), dd AS (
+         |  SELECT event_type, tau,
+         |         CAST(sb - lag(sb, 1) OVER (PARTITION BY event_type, tau ORDER BY b)
+         |              AS DECIMAL(16,0)) AS ds
+         |  FROM blk WHERE cnt = tau
+         |), m AS (
+         |  SELECT event_type, tau, CAST(count(*) AS BIGINT) AS mdiff,
+         |         CAST(sum(CAST(ds AS DECIMAL(19,0)) * ds) AS DECIMAL(36,0)) AS ssq
+         |  FROM dd WHERE ds IS NOT NULL GROUP BY 1, 2
+         |  HAVING count(*) >= 1
+         |)
+         |SELECT event_type, tau, mdiff + 1 AS m_blocks,
+         |       round(CAST(ssq AS DOUBLE) /
+         |             (2.0 * CAST(tau AS DOUBLE) * CAST(tau AS DOUBLE) *
+         |              CAST(mdiff AS DOUBLE) * 10000.0), 6) AS avar_value
+         |FROM m""".stripMargin,
+
+    "q_ts_croston" ->
+      s"""WITH RECURSIVE rng AS (
+         |  SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+         |         CAST(date_trunc('day', max(ts)) AS DATE) AS d1
+         |  FROM events
+         |), types AS (SELECT DISTINCT event_type FROM events),
+         |dem AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         count(*) AS dem
+         |  FROM events
+         |  WHERE CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) > $CrostonCents
+         |  GROUP BY 1, 2
+         |), grid AS (
+         |  SELECT ty.event_type, CAST(dd.day AS DATE) AS day,
+         |         coalesce(dem.dem, 0) AS x,
+         |         row_number() OVER (PARTITION BY ty.event_type
+         |                            ORDER BY CAST(dd.day AS DATE)) AS j
+         |  FROM types ty
+         |  CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+         |              FROM rng) dd
+         |  LEFT JOIN dem ON dem.event_type = ty.event_type
+         |              AND dem.day = CAST(dd.day AS DATE)
+         |), nn AS (SELECT event_type, CAST(max(j) AS INT) AS n FROM grid GROUP BY 1),
+         |rec(event_type, j, z, p, i, k) AS (
+         |  SELECT event_type, 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), 1, 0
+         |  FROM types
+         |  UNION ALL
+         |  SELECT r.event_type, r.j + 1,
+         |         CASE WHEN g.x > 0 AND r.k = 0 THEN CAST(g.x AS DOUBLE)
+         |              WHEN g.x > 0 THEN 0.1 * CAST(g.x AS DOUBLE) + 0.9 * r.z
+         |              ELSE r.z END,
+         |         CASE WHEN g.x > 0 AND r.k = 0 THEN CAST(r.i AS DOUBLE)
+         |              WHEN g.x > 0 THEN 0.1 * CAST(r.i AS DOUBLE) + 0.9 * r.p
+         |              ELSE r.p END,
+         |         CASE WHEN g.x > 0 THEN 1 ELSE r.i + 1 END,
+         |         CASE WHEN g.x > 0 THEN r.k + 1 ELSE r.k END
+         |  FROM rec r JOIN grid g ON g.event_type = r.event_type AND g.j = r.j + 1
+         |)
+         |SELECT r.event_type, CAST(n.n AS INT) AS n_days, r.k AS n_demand_days,
+         |       round(r.z, 6) AS demand_size,
+         |       round(r.p, 6) AS interval_days,
+         |       round(r.z / r.p, 6) AS forecast_per_day
+         |FROM rec r JOIN nn n ON n.event_type = r.event_type AND r.j = n.n
+         |WHERE r.k > 0""".stripMargin,
 
     "q_ts_varratio" ->
       s"""WITH hourly AS ($HourlySql),
