@@ -60,6 +60,7 @@ object SparkEntry {
     text.EvalQueries,
     text.TextModelQueries,
     text.LexicalQueries,
+    text.TopicModelQueries,
     mm.MultimodalQueries,
     streaming.StreamingQueries)
 
