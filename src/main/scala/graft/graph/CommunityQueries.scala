@@ -181,36 +181,45 @@ object CommunityQueries extends QueryPack {
     // Each peel round is ONE degree-ordered triangle enumeration on the
     // current (shrinking) edge set; rounds are eagerly pinned; exhausting
     // the budget throws rather than returning a partial truss.
-    "q_graph_truss" -> ((s, d) => {
-      // Iteration state rides eager checkpoints (reliable dir on a
-      // cluster, localCheckpoint only in local mode) — the KCore /
-      // DedupClusters pin-and-truncate storage discipline.
-      val sc = s.sparkContext
-      val reliableDir = graft.dedup.DedupClusters.resolveReliableDir(sc, None)
-      graft.dedup.DedupClusters.requireClusterSafe(sc.master, reliableDir)
-      def pin(df: DataFrame): DataFrame =
-        if (reliableDir.isDefined) df.checkpoint(eager = true)
-        else df.localCheckpoint(eager = true)
-      var und = windowedEdges(s, d).filter(col("src") < col("dst"))
-        .select(col("src").as("a"), col("dst").as("b"))
-        .transform(graft.CacheScope.persisted(_))
-      var prev = und.count()
-      var converged = false
-      for (_ <- 1 to TrussMaxRounds if !converged) {
-        val sup = edgeSupport(und)
-        und = pin(und.join(sup, Seq("a", "b"), "left")
-          .filter(coalesce(col("support"), lit(0L)) >= TrussK - 2)
-          .select(col("a"), col("b")))
-        val c = und.count()
-        if (c == prev) converged = true
-        prev = c
-      }
-      require(converged,
-        s"q_graph_truss: no fixpoint within $TrussMaxRounds peel rounds " +
-          s"(${prev} edges remain) — raise TrussMaxRounds")
-      und.join(edgeSupport(und), Seq("a", "b"))
-        .select(col("a"), col("b"), col("support"))
-    }))
+    "q_graph_truss" -> ((s, d) =>
+      trussOf(windowedEdges(s, d))))
+
+  /** The k-truss peel fixpoint over any symmetric (src, dst) relation.
+    * Iteration state rides eager checkpoints (reliable dir on a cluster,
+    * localCheckpoint only in local mode) — the KCore / DedupClusters
+    * pin-and-truncate storage discipline; exercised under a real
+    * multi-JVM master in LocalClusterSmoke.
+    */
+  def trussOf(edgesDf: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val s = edgesDf.sparkSession
+    val sc = s.sparkContext
+    val reliableDir =
+      graft.dedup.DedupClusters.resolveReliableDir(sc, checkpointDir)
+    graft.dedup.DedupClusters.requireClusterSafe(sc.master, reliableDir)
+    def pin(df: DataFrame): DataFrame =
+      if (reliableDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    var und = edgesDf.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .transform(graft.CacheScope.persisted(_))
+    var prev = und.count()
+    var converged = false
+    for (_ <- 1 to TrussMaxRounds if !converged) {
+      val sup = edgeSupport(und)
+      und = pin(und.join(sup, Seq("a", "b"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= TrussK - 2)
+        .select(col("a"), col("b")))
+      val c = und.count()
+      if (c == prev) converged = true
+      prev = c
+    }
+    require(converged,
+      s"trussOf: no fixpoint within $TrussMaxRounds peel rounds " +
+        s"(${prev} edges remain) — raise TrussMaxRounds")
+    und.join(edgeSupport(und), Seq("a", "b"))
+      .select(col("a"), col("b"), col("support"))
+  }
 
   /** One unrolled truss peel round for the oracle (reads u{i-1}). The a<b
     * wedge join is fine at oracle scale; Spark uses the degree-ordered

@@ -130,6 +130,34 @@ object LexicalQueries extends QueryPack {
           round(col("chars").cast("double") / col("bpe_tokens"), 6)
             .as("chars_per_token"))),
 
+    // Greenlist watermark detection (Kirchenbauer-style): a generation
+    // watermark biases each token toward a pseudorandom "green" half of
+    // the vocabulary keyed by the previous token; detection scores the
+    // green fraction of bigram transitions as z = (g − n/2)/√(n/4) —
+    // natural text sits near z≈0, watermarked text far positive. The
+    // green set membership is an md5 parity of the bigram, so detection
+    // is deterministic and needs no model. One narrow scan, bounded
+    // per-doc arrays, exact counts; the only float is the final z.
+    "text_watermark_detect" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          expr(s"filter(${cleanSql("text")}, x -> x != '')").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), (size(col("tk")) - 1).as("n_bigrams"),
+          expr("""size(filter(
+              transform(sequence(1, size(tk) - 1),
+                i -> conv(substring(md5(concat(element_at(tk, i), ' ',
+                                               element_at(tk, i + 1))), 1, 6), 16, 10)),
+              h -> CAST(h AS BIGINT) % 2 = 0))""").as("n_green"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_green"),
+          round((col("n_green").cast("double") -
+              col("n_bigrams").cast("double") / 2.0) /
+            sqrt(col("n_bigrams").cast("double") / 4.0), 6).as("z_green"),
+          ((col("n_green").cast("double") -
+              col("n_bigrams").cast("double") / 2.0) /
+            sqrt(col("n_bigrams").cast("double") / 4.0) > 4.0)
+            .as("flagged"))),
+
     // Character-4-gram uniqueness: distinct 4-grams over total 4-grams in
     // the first 2000 chars — the deterministic proxy for the
     // gzip-compression-ratio quality filter (boilerplate and template
@@ -216,6 +244,27 @@ object LexicalQueries extends QueryPack {
          |       round(CAST(sum(n_chars) AS DOUBLE) / sum(bpe), 6) AS chars_per_token
          |FROM t GROUP BY lang
          |HAVING sum(ws) > 0 AND sum(bpe) > 0""".stripMargin,
+
+    "text_watermark_detect" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +'),
+         |                     x -> x != '') AS tk
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, CAST(len(tk) - 1 AS INT) AS n_bigrams,
+         |         CAST(len(list_filter(
+         |           list_transform(generate_series(1, len(tk) - 1),
+         |             i -> ('0x' || substring(md5(tk[i] || ' ' || tk[i + 1]), 1, 6))::BIGINT),
+         |           h -> h % 2 = 0)) AS INT) AS n_green
+         |  FROM t WHERE len(tk) >= 2
+         |)
+         |SELECT doc_id, n_bigrams, n_green,
+         |       round((CAST(n_green AS DOUBLE) - CAST(n_bigrams AS DOUBLE) / 2.0) /
+         |             sqrt(CAST(n_bigrams AS DOUBLE) / 4.0), 6) AS z_green,
+         |       (CAST(n_green AS DOUBLE) - CAST(n_bigrams AS DOUBLE) / 2.0) /
+         |       sqrt(CAST(n_bigrams AS DOUBLE) / 4.0) > 4.0 AS flagged
+         |FROM g""".stripMargin,
 
     "text_compress_est" ->
       s"""WITH t AS (

@@ -118,6 +118,20 @@ object LocalClusterSmoke {
         Map(20L -> 20L, 30L -> 30L)
       assert(scc == sccExpect, s"scc: $scc")
 
+      // 7. 4-truss peel (the community-pack fixpoint) across executor
+      // JVMs: a K4 (every edge in exactly 2 triangles) survives, a lone
+      // triangle (support 1) and a pendant edge (support 0) peel away.
+      val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+      val extra = Seq((5L, 6L), (6L, 7L), (5L, 7L), (4L, 8L))
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val truss = graph.CommunityQueries
+        .trussOf((k4 ++ extra).toDF("src", "dst"), checkpointDir = Some(ckpt))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      CacheScope.releaseAll()
+      val k4Edges = for (a <- 1L to 4L; b <- 1L to 4L if a < b)
+        yield (a, b, 2L)
+      assert(truss == k4Edges.toSet, s"truss: $truss")
+
       // Reliable checkpoints actually landed on the shared path.
       val st = Files.walk(java.nio.file.Paths.get(ckpt))
       val hasRdd =
