@@ -36,6 +36,9 @@ object CommunityQueries extends QueryPack {
   /** Rich-club degree thresholds. */
   val RichClubKs: Seq[Int] = Seq(2, 4, 8, 16)
 
+  /** Walk length for q_graph_walks. */
+  val WalkLen = 5
+
   /** Peel-round budget; the fixpoint typically lands in 2-3 rounds on the
     * co-purchase graph and THROWS if the budget is exhausted (the
     * DedupClusters discipline — never a silently-partial result). The
@@ -143,6 +146,37 @@ object CommunityQueries extends QueryPack {
         count(lit(1)).as("n_reached"))
       far.select(col("node").as("far_node"), col("hops").as("ecc_first"))
         .crossJoin(broadcast(d2agg))
+    }),
+
+    // Deterministic node2vec-style walks: one length-[[WalkLen]] walk per
+    // node, each step picking neighbor rank md5(start:step) mod degree —
+    // the graph→sequence corpus prep for embedding training (DeepWalk's
+    // input), made reproducible by replacing the RNG with a hash. Each
+    // step is ONE equi-join against the ranked adjacency (src, rank) —
+    // walks never materialize neighbor lists per walker, so hub degree
+    // cannot blow a row up; L steps = L linear joins at any scale.
+    "q_graph_walks" -> ((s, d) => {
+      val e = windowedEdges(s, d).transform(graft.CacheScope.persisted(_))
+      val wAdj = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy("dst")
+      val adj = e.withColumn("rn", row_number().over(wAdj) - 1)
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")))
+        .transform(graft.CacheScope.persisted(_))
+      var walk = e.select(col("src").as("start")).distinct()
+        .select(col("start"), col("start").as("pos"),
+          col("start").cast("string").as("path"))
+      for (t <- 1 to WalkLen) {
+        val pick = conv(substring(md5(
+            concat(col("start").cast("string"), lit(":"), lit(t))), 1, 12),
+          16, 10).cast("long") % col("deg")
+        walk = walk.join(adj, col("pos") === col("src"))
+          .filter(col("rn") === pick)
+          .select(col("start"), col("dst").as("pos"),
+            concat(col("path"), lit("->"), col("dst").cast("string"))
+              .as("path"))
+      }
+      walk.select(col("start"), col("pos").as("end_node"), col("path"))
     }),
 
     // Rich-club coefficient φ(k) = E_{>k} / (N_{>k}(N_{>k}−1)) over the
@@ -290,6 +324,30 @@ object CommunityQueries extends QueryPack {
          |       (SELECT max(hops) FROM b${GraphPathQueries.BfsRounds}) AS diameter_lb,
          |       (SELECT count(*) FROM b${GraphPathQueries.BfsRounds}) AS n_reached
          |FROM far f""".stripMargin,
+
+    "q_graph_walks" -> {
+      def step(i: Int): String =
+        s"""w$i AS MATERIALIZED (
+           |  SELECT w.start, a.dst AS pos,
+           |         w.path || '->' || CAST(a.dst AS VARCHAR) AS path
+           |  FROM w${i - 1} w JOIN adj a ON a.src = w.pos
+           |  WHERE a.rn = ('0x' || substring(md5(CAST(w.start AS VARCHAR) || ':$i'), 1, 12))::BIGINT % a.deg
+           |)""".stripMargin
+      s"""$windowedEdgesCte,
+         |adj AS MATERIALIZED (
+         |  SELECT src, dst,
+         |         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn,
+         |         count(*) OVER (PARTITION BY src) AS deg
+         |  FROM edges
+         |),
+         |w0 AS (
+         |  SELECT DISTINCT src AS start, src AS pos,
+         |         CAST(src AS VARCHAR) AS path
+         |  FROM edges
+         |),
+         |${(1 to WalkLen).map(step).mkString(",\n")}
+         |SELECT start, pos AS end_node, path FROM w$WalkLen""".stripMargin
+    },
 
     "q_graph_rich_club" ->
       s"""$windowedEdgesCte,
