@@ -33,6 +33,62 @@ object DecisionQueries extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Cox proportional-hazards score test + one Newton step from β=0 on
+    // time-to-first-purchase (event = the user purchases, censored at
+    // last activity otherwise) with activity count as the covariate: at
+    // β=0 the partial-likelihood score is U = Σ_events (x_i − mean_R x)
+    // and the information is I = Σ_events var_R(x) over the risk set
+    // R(t) = {time ≥ t}, so β̂₁ = U/I is the one-step hazard-ratio
+    // estimate (does activity level predict conversion TIMING, beyond
+    // KM's marginal curve). Risk-set moments are exact-integer SUFFIX
+    // sums over the calendar-bounded time relation (the survival
+    // triangular join); per-event-time terms are round(,9)-pinned and
+    // decimal-summed.
+    "q_ml_coxph" -> ((s, d) => {
+      val dec = DecimalType(24, 9)
+      val u = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("day", col("ts")).cast("date")).as("fd"),
+          max(date_trunc("day", col("ts")).cast("date")).as("ld"),
+          min(when(col("event_type") === "purchase",
+            date_trunc("day", col("ts")).cast("date"))).as("pd"),
+          count(lit(1)).as("x"))
+        .select(
+          datediff(coalesce(col("pd"), col("ld")), col("fd")).as("lt"),
+          col("pd").isNotNull.as("churned"), col("x"))
+      val byT = u.groupBy(col("lt"))
+        .agg(count(lit(1)).as("a"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+          sum(when(col("churned"), col("x")).otherwise(0L)).as("dx"))
+        .transform(graft.CacheScope.persisted(_))
+      val risk = byT
+        .join(broadcast(byT.select(col("lt").as("t2"), col("a").as("a2"),
+          col("sx").as("sx2"), col("sxx").as("sxx2"))), col("t2") >= col("lt"))
+        .groupBy(col("lt"), col("d"), col("dx"))
+        .agg(sum(col("a2")).as("rn"), sum(col("sx2")).as("rsx"),
+          sum(col("sxx2")).as("rsxx"))
+        .filter(col("d") > 0)
+      val mx = col("rsx").cast("double") / col("rn").cast("double")
+      val terms = risk.select(
+        round(col("dx").cast("double") - col("d").cast("double") * mx, 9)
+          .cast(dec).as("ut"),
+        round(col("d").cast("double") *
+          (col("rsxx").cast("double") / col("rn").cast("double") - mx * mx), 9)
+          .cast(dec).as("it"),
+        col("d"))
+      val tot = terms.agg(sum(col("ut")).cast("double").as("u"),
+        sum(col("it")).cast("double").as("i"), sum(col("d")).as("n_deaths"))
+      val nu = u.agg(count(lit(1)).as("n_users"))
+      tot.crossJoin(broadcast(nu))
+        .filter(col("i") > 0)
+        .select(col("n_users"), col("n_deaths"),
+          round(col("u"), 6).as("score_u"),
+          round(col("i"), 6).as("info_i"),
+          round(col("u") / col("i"), 6).as("beta_1step"),
+          round(col("u") / sqrt(col("i")), 6).as("z_score"))
+    }),
+
     // Median (τ=0.5) quantile regression of scaled value on hour-of-day
     // by subgradient descent — the robust-loss sibling of q_stats_linreg
     // (the conditional MEDIAN line, immune to the value column's heavy
@@ -365,6 +421,49 @@ object DecisionQueries extends QueryPack {
        |)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+
+    "q_ml_coxph" ->
+      """WITH u AS (
+        |  SELECT datediff('day', min(CAST(date_trunc('day', ts) AS DATE)),
+        |                  coalesce(min(CASE WHEN event_type = 'purchase'
+        |                               THEN CAST(date_trunc('day', ts) AS DATE) END),
+        |                           max(CAST(date_trunc('day', ts) AS DATE)))) AS lt,
+        |         min(CASE WHEN event_type = 'purchase'
+        |             THEN CAST(date_trunc('day', ts) AS DATE) END) IS NOT NULL AS churned,
+        |         count(*) AS x
+        |  FROM events GROUP BY user_id
+        |), byt AS (
+        |  SELECT lt, count(*) AS a, sum(x) AS sx, sum(x * x) AS sxx,
+        |         CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |         CAST(sum(CASE WHEN churned THEN x ELSE 0 END) AS BIGINT) AS dx
+        |  FROM u GROUP BY lt
+        |), risk AS (
+        |  SELECT b.lt, b.d, b.dx,
+        |         sum(o.a) AS rn, sum(o.sx) AS rsx, sum(o.sxx) AS rsxx
+        |  FROM byt b JOIN byt o ON o.lt >= b.lt
+        |  GROUP BY 1, 2, 3 HAVING b.d > 0
+        |), terms AS (
+        |  SELECT CAST(round(CAST(dx AS DOUBLE) - CAST(d AS DOUBLE) *
+        |                (CAST(rsx AS DOUBLE) / CAST(rn AS DOUBLE)), 9)
+        |              AS DECIMAL(24,9)) AS ut,
+        |         CAST(round(CAST(d AS DOUBLE) *
+        |                (CAST(rsxx AS DOUBLE) / CAST(rn AS DOUBLE) -
+        |                 (CAST(rsx AS DOUBLE) / CAST(rn AS DOUBLE)) *
+        |                 (CAST(rsx AS DOUBLE) / CAST(rn AS DOUBLE))), 9)
+        |              AS DECIMAL(24,9)) AS it,
+        |         d
+        |  FROM risk
+        |), tot AS (
+        |  SELECT CAST(sum(ut) AS DOUBLE) AS u, CAST(sum(it) AS DOUBLE) AS i,
+        |         CAST(sum(d) AS BIGINT) AS n_deaths
+        |  FROM terms
+        |), nu AS (SELECT count(*) AS n_users FROM u)
+        |SELECT nu.n_users, tot.n_deaths,
+        |       round(tot.u, 6) AS score_u,
+        |       round(tot.i, 6) AS info_i,
+        |       round(tot.u / tot.i, 6) AS beta_1step,
+        |       round(tot.u / sqrt(tot.i), 6) AS z_score
+        |FROM tot CROSS JOIN nu WHERE tot.i > 0""".stripMargin,
 
     "q_ml_quantile_reg" ->
       s"""WITH ev AS MATERIALIZED (
