@@ -141,6 +141,72 @@ class RobustOpsSpec extends SparkSpec {
     }
   }
 
+  test("walks traverse only real edges and have full length") {
+    val walks = q("q_graph_walks").collect()
+    assert(walks.nonEmpty)
+    // the edge set through the same windowed relation the query uses
+    val real = graph.GraphQueries.windowedEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    walks.foreach { r =>
+      val hops = r.getString(2).split("->").map(_.toLong)
+      assert(hops.length == graph.CommunityQueries.WalkLen + 1)
+      assert(hops.head == r.getLong(0) && hops.last == r.getLong(1))
+      hops.sliding(2).foreach { case Array(a, b) =>
+        assert(real.contains((a, b)), s"phantom edge $a->$b")
+      }
+    }
+  }
+
+  test("plsa probabilities are valid and topics are fully populated") {
+    val rows = q("text_plsa").collect()
+    assert(rows.length == 2 * text.TopicModelQueries.PlsaTopK)
+    rows.groupBy(_.getInt(0)).foreach { case (_, g) =>
+      assert(g.map(_.getInt(1)).sorted.toSeq == (1 to text.TopicModelQueries.PlsaTopK))
+    }
+    assert(rows.forall(r => r.getDouble(3) > 0 && r.getDouble(3) <= 1))
+  }
+
+  test("croston state is coherent: positive size, interval >= 1, forecast = z/p") {
+    val rows = q("q_ts_croston").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val z = r.getDouble(3); val p = r.getDouble(4); val f = r.getDouble(5)
+      assert(z > 0 && p >= 1.0)
+      assert(math.abs(f - BigDecimal(z / p)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6)
+    }
+  }
+
+  test("rank metrics agree: ndcg in [0,1]; mrr=1 iff p@5 has a hit at rank 1") {
+    val ndcg = q("q_rank_ndcg").collect()
+    assert(ndcg.nonEmpty)
+    assert(ndcg.forall(r => r.getDouble(4) >= 0 && r.getDouble(4) <= 1))
+    val mrr = q("q_rank_mrr").collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ndcgByQ = ndcg.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a query with zero relevant neighbors must score 0 on both metrics
+    ndcgByQ.filter(_._2 == 0).keys.foreach(qid => assert(mrr(qid) == 0.0))
+  }
+
+  test("watermark detector stays quiet on natural text") {
+    val rows = q("text_watermark_detect").collect()
+    assert(rows.length > 100)
+    val flagged = rows.count(_.getBoolean(4))
+    assert(flagged < rows.length / 20,
+      s"$flagged/${rows.length} docs flagged — detector is too hot")
+  }
+
+  test("allan variance of white-noise-like hourly data decreases with tau") {
+    val rows = q("q_ts_allan").collect()
+      .groupBy(_.getString(0))
+    rows.foreach { case (et, g) =>
+      val byTau = g.map(r => r.getInt(1) -> r.getDouble(3)).toMap
+      if (byTau.contains(1) && byTau.contains(8) && byTau(1) > 0) {
+        assert(byTau(8) < byTau(1),
+          s"$et: avar(8)=${byTau(8)} !< avar(1)=${byTau(1)} — hourly totals should average down")
+      }
+    }
+  }
+
   test("louvain move only relocates nodes with strictly positive gain") {
     val rows = q("q_graph_louvain_move").collect()
     assert(rows.nonEmpty)
