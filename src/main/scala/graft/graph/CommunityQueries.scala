@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.QueryPack
 
@@ -38,6 +39,9 @@ object CommunityQueries extends QueryPack {
 
   /** Walk length for q_graph_walks. */
   val WalkLen = 5
+
+  /** Power-iteration rounds for the spectral-radius estimate. */
+  val SpectralRounds = 4
 
   /** Peel-round budget; the fixpoint typically lands in 2-3 rounds on the
     * co-purchase graph and THROWS if the budget is exhausted (the
@@ -146,6 +150,35 @@ object CommunityQueries extends QueryPack {
         count(lit(1)).as("n_reached"))
       far.select(col("node").as("far_node"), col("hops").as("ecc_first"))
         .crossJoin(broadcast(d2agg))
+    }),
+
+    // Spectral radius of the co-purchase adjacency by unnormalized power
+    // iteration: v_t = A·v_{t-1} from v_0 = 1 in EXACT DECIMAL integers,
+    // λ̂_t = ‖v_t‖₁/‖v_{t-1}‖₁ — the growth-ratio eigenvalue estimate,
+    // with three consecutive ratios emitted so convergence is visible in
+    // the output itself. λ_max bounds epidemic/cascade thresholds
+    // (1/λ_max) and is the scale of the q_graph_katz damping cap. Each
+    // round is one equi-join + aggregation (the PageRank shuffle shape);
+    // no floats exist until the final ratios.
+    "q_graph_spectral_radius" -> ((s, d) => {
+      val e = windowedEdges(s, d).transform(graft.CacheScope.persisted(_))
+      var v = e.select(col("src").as("node")).distinct()
+        .select(col("node"), expr("CAST(1 AS DECIMAL(38,0))").as("v"))
+      val norms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (t <- 0 to SpectralRounds) {
+        norms += v.agg(sum(col("v")).cast(DecimalType(38, 0)).as(s"s$t"))
+        if (t < SpectralRounds) {
+          v = e.join(v, col("dst") === col("node"))
+            .groupBy(col("src")).agg(sum(col("v")).as("v"))
+            .select(col("src").as("node"), col("v"))
+            .transform(graft.CacheScope.persisted(_))
+        }
+      }
+      val joined = norms.map(broadcast).reduce(_.crossJoin(_))
+      joined.select(col("s0").cast("long").as("n_nodes"),
+        round(col("s2").cast("double") / col("s1").cast("double"), 6).as("lam_2"),
+        round(col("s3").cast("double") / col("s2").cast("double"), 6).as("lam_3"),
+        round(col("s4").cast("double") / col("s3").cast("double"), 6).as("lam_4"))
     }),
 
     // Deterministic node2vec-style walks: one length-[[WalkLen]] walk per
@@ -324,6 +357,28 @@ object CommunityQueries extends QueryPack {
          |       (SELECT max(hops) FROM b${GraphPathQueries.BfsRounds}) AS diameter_lb,
          |       (SELECT count(*) FROM b${GraphPathQueries.BfsRounds}) AS n_reached
          |FROM far f""".stripMargin,
+
+    "q_graph_spectral_radius" -> {
+      def round(i: Int): String =
+        s"""v$i AS MATERIALIZED (
+           |  SELECT e.src AS node, sum(v.v) AS v
+           |  FROM edges e JOIN v${i - 1} v ON v.node = e.dst
+           |  GROUP BY 1
+           |)""".stripMargin
+      s"""$windowedEdgesCte,
+         |v0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node, CAST(1 AS DECIMAL(38,0)) AS v
+         |  FROM edges
+         |),
+         |${(1 to SpectralRounds).map(round).mkString(",\n")}
+         |SELECT CAST((SELECT sum(v) FROM v0) AS BIGINT) AS n_nodes,
+         |       round(CAST((SELECT sum(v) FROM v2) AS DOUBLE) /
+         |             CAST((SELECT sum(v) FROM v1) AS DOUBLE), 6) AS lam_2,
+         |       round(CAST((SELECT sum(v) FROM v3) AS DOUBLE) /
+         |             CAST((SELECT sum(v) FROM v2) AS DOUBLE), 6) AS lam_3,
+         |       round(CAST((SELECT sum(v) FROM v4) AS DOUBLE) /
+         |             CAST((SELECT sum(v) FROM v3) AS DOUBLE), 6) AS lam_4""".stripMargin
+    },
 
     "q_graph_walks" -> {
       def step(i: Int): String =
