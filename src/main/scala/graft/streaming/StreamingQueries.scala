@@ -254,6 +254,38 @@ object StreamingQueries extends QueryPack {
           col("ts").as("cross_ts"), col("cum").cast("double").as("cum_value"))
     }),
 
+    // Per-(type, day) EWMA spike detector, batch evaluation of the
+    // [[Ewma]] operator's semantics: fold the day's events in (ts,
+    // event_id) order — seed on the first value, count a spike whenever a
+    // value exceeds 2x the TRAILING average, then smooth with α=0.2.
+    // The streaming twin carries exactly (ewma, n, spikes) per key;
+    // EwmaStreamSpec proves readStream ≡ this fold including an
+    // intra-day two-batch split where state crosses the batch boundary.
+    // 0.2/0.8 literals are IEEE-identical to Scala's α/(1−α), so the
+    // three formulations (Scala scan, this fold, the oracle recursion)
+    // share every bit.
+    "stream_ewma" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"),
+          struct(col("ts"), col("event_id"),
+            col("value").cast(DecimalType(12, 2)).cast("double").as("v"))
+            .as("e"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(array_sort(collect_list(col("e"))).as("es"))
+      ev.select(col("event_type"), col("day"), size(col("es")).as("n_events"),
+          expr("""aggregate(
+              slice(es, 2, size(es) - 1),
+              named_struct('e', es[0].v, 's', CAST(0 AS BIGINT)),
+              (a, x) -> named_struct(
+                'e', 0.2 * x.v + 0.8 * a.e,
+                's', a.s + CASE WHEN x.v > 2.0 * a.e THEN 1 ELSE 0 END))""")
+            .as("st"))
+        .select(col("event_type"), col("day"),
+          col("n_events").cast("long").as("n_events"),
+          round(col("st.e"), 6).as("ewma"), col("st.s").as("n_spikes"))
+    }),
+
     // Per-window top-k event types, batch evaluation of the
     // [[WindowTopK]] operator's semantics (leaderboard/trending shape).
     // Streaming has no rank in append mode, so the streaming twin is a
@@ -321,6 +353,31 @@ object StreamingQueries extends QueryPack {
         |SELECT user_id, CAST(n_events AS BIGINT) AS n_events, ts AS last_ts,
         |       event_type AS last_type, value AS last_value
         |FROM r WHERE rn = 1""".stripMargin,
+
+    "stream_ewma" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v,
+        |         row_number() OVER (PARTITION BY event_type, CAST(date_trunc('day', ts) AS DATE)
+        |                            ORDER BY ts, event_id) AS j
+        |  FROM events
+        |), nn AS (
+        |  SELECT event_type, day, CAST(max(j) AS INT) AS n
+        |  FROM ev GROUP BY 1, 2
+        |), rec(event_type, day, j, e, s) AS (
+        |  SELECT event_type, day, 1, v, CAST(0 AS BIGINT)
+        |  FROM ev WHERE j = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.day, r.j + 1,
+        |         0.2 * x.v + 0.8 * r.e,
+        |         r.s + CASE WHEN x.v > 2.0 * r.e THEN 1 ELSE 0 END
+        |  FROM rec r JOIN ev x ON x.event_type = r.event_type
+        |                      AND x.day = r.day AND x.j = r.j + 1
+        |)
+        |SELECT r.event_type, r.day, CAST(n.n AS BIGINT) AS n_events,
+        |       round(r.e, 6) AS ewma, r.s AS n_spikes
+        |FROM rec r JOIN nn n ON n.event_type = r.event_type
+        |                    AND n.day = r.day AND r.j = n.n""".stripMargin,
 
     "stream_threshold_cross" ->
       s"""WITH c AS (
