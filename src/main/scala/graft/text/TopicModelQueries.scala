@@ -43,10 +43,14 @@ object TopicModelQueries extends QueryPack {
 
     "text_plsa" -> ((s, d) => {
       val stops = Stopwords.reachable.filter(_.nonEmpty)
+      // pinned: both the vocab ranking and the count matrix read this —
+      // without the pin the corpus tokenizes twice (measured 5.2 s -> 3.4
+      // at sf0.1).
       val toks = docs(s, d)
         .select(col("doc_id"),
           explode(TextAnalysisQueries.cleanTokens(col("text"))).as("w"))
         .filter(col("w") =!= "" && !col("w").isInCollection(stops))
+        .transform(graft.CacheScope.persisted(_))
       val vocab = toks.groupBy("w").agg(count(lit(1)).as("cw"))
         .orderBy(col("cw").desc, col("w").asc).limit(PlsaVocab)
         .transform(graft.CacheScope.persisted(_))
