@@ -58,6 +58,9 @@ object RobustStatsQueries extends QueryPack {
   val TostDelta = 500.0
   val TostZCrit = 1.645
 
+  /** SRM chi-square critical value (dof 1, α=0.05). */
+  val SrmChi2Crit = 3.841
+
   /** Value-range shards for the CvM global rank (the q_stats_wilcoxon
     * constant: per-shard window load is ~1/64 of the sample).
     */
@@ -213,6 +216,33 @@ object RobustStatsQueries extends QueryPack {
             6).as("chi2"),
           (col("k") - 1).as("dof"))
       chi
+    }),
+
+    // Sample-ratio-mismatch guardrail: the md5-parity 50/50 assignment
+    // (the q_ml_sprt experiment split) checked against its own design —
+    // chi-square on observed variant USER counts vs n/2 expected. SRM is
+    // the first thing an experimentation platform validates; a triggered
+    // flag invalidates every downstream test on the split. Exact integer
+    // counts; (o−e)²/e = (2o−n)²/(2n) avoids the rational e entirely.
+    "q_stats_srm" -> ((s, d) => {
+      val v = t(s, d, "events")
+        .select(col("user_id")).distinct()
+        .select((conv(substring(md5(col("user_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 2).as("variant"))
+        .groupBy("variant").agg(count(lit(1)).as("o"))
+      val tot = v.agg(sum(col("o")).as("n"))
+      val chi = (lit(2) * col("o") - col("n")) *
+        (lit(2) * col("o") - col("n"))
+      val per = v.crossJoin(broadcast(tot))
+        .select(col("variant"), col("o").as("n_users"),
+          round(chi.cast("double") / (lit(2.0) * col("n").cast("double")), 6)
+            .as("contrib"))
+      val s2 = per.agg(sum(col("contrib").cast(DecimalType(18, 6)))
+        .cast("double").as("chi2"))
+      per.crossJoin(broadcast(s2))
+        .select(col("variant"), col("n_users"), col("contrib"),
+          round(col("chi2"), 6).as("chi2"),
+          (col("chi2") > SrmChi2Crit).as("srm_flag"))
     }),
 
     // TOST equivalence test (two one-sided tests) between click and view
@@ -389,6 +419,25 @@ object RobustStatsQueries extends QueryPack {
         |                    (3.0 * CAST(tot.k - 1 AS DOUBLE))), 6) AS chi2,
         |       tot.k - 1 AS dof
         |FROM gt CROSS JOIN tot""".stripMargin,
+
+    "q_stats_srm" ->
+      s"""WITH v AS (
+        |  SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 6))::BIGINT % 2 AS variant
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |), o AS (
+        |  SELECT variant, count(*) AS o FROM v GROUP BY 1
+        |), tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+        |per AS (
+        |  SELECT variant, o AS n_users,
+        |         round(CAST((2 * o - n) * (2 * o - n) AS DOUBLE) /
+        |               (2.0 * CAST(n AS DOUBLE)), 6) AS contrib
+        |  FROM o CROSS JOIN tot
+        |), s2 AS (
+        |  SELECT CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS chi2 FROM per
+        |)
+        |SELECT variant, n_users, contrib, round(chi2, 6) AS chi2,
+        |       chi2 > $SrmChi2Crit AS srm_flag
+        |FROM per CROSS JOIN s2""".stripMargin,
 
     "q_stats_tost" ->
       s"""WITH ev AS (

@@ -67,6 +67,9 @@ object TsDiagnosticsQueries extends QueryPack {
   /** Allan-variance averaging times (hours). */
   val AllanTaus: Seq[Int] = Seq(1, 2, 4, 8)
 
+  /** PACF depth (Durbin–Levinson recursion length). */
+  val PacfMaxLag = 10
+
   /** Croston demand threshold (cents) — events above this are "demand"
     * (~p99 of the value distribution, so most days have zero demand —
     * the intermittency Croston exists for).
@@ -206,6 +209,67 @@ object TsDiagnosticsQueries extends QueryPack {
         .select(col("event_type"), col("b_pairs"), col("a_pairs"),
           round(log(col("b_pairs").cast("double") /
             col("a_pairs").cast("double")), 6).as("sampen"))
+    }),
+
+    // Partial autocorrelation function via Durbin–Levinson: pacf(k) is
+    // the correlation at lag k AFTER removing the shorter-lag structure —
+    // the AR-order selector q_ts_acf alone cannot provide (an AR(2)
+    // series has nonzero acf at every lag but pacf cuts off at 2). The
+    // autocorrelations ρ_k = Σ d_t·d_{t+k} / Σ d_t² run on EXACT scaled
+    // deviations d_t = n·x_t − Σx (integers — no rational mean ever
+    // materializes), are round(,9)-pinned, and the Levinson recursion
+    // folds the pinned vector identically in both engines: one aggregate
+    // HOF with array state here, a recursive CTE with LIST state in the
+    // oracle. Scale: the lag join and windows ride the calendar-bounded
+    // hourly relation; the recursion state is K doubles per type.
+    "q_ts_pacf" -> ((s, d) => {
+      val wIdx = Window.partitionBy("event_type").orderBy("hr")
+      val idx = hourlyOf(t(s, d, "events"))
+        .withColumn("i", row_number().over(wIdx))
+      val m = idx.groupBy(col("event_type").as("met"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+      val dRel = idx.join(broadcast(m), col("event_type") === col("met"))
+        .select(col("event_type"), col("i"),
+          (col("n") * col("c") - col("sc")).cast(DecimalType(19, 0)).as("dv"))
+        .transform(graft.CacheScope.persisted(_))
+      val a0 = dRel.groupBy(col("event_type"))
+        .agg(sum(col("dv") * col("dv")).cast(DecimalType(38, 0)).as("a0"))
+      val lagged = dRel.select(col("event_type"), col("i"), col("dv"),
+          explode(sequence(lit(1), lit(PacfMaxLag))).as("k"))
+        .join(dRel.select(col("event_type").as("et2"), col("i").as("i2"),
+          col("dv").as("dv2")),
+          col("event_type") === col("et2") && col("i2") === col("i") + col("k"))
+        .groupBy(col("event_type"), col("k"))
+        .agg(sum(col("dv") * col("dv2")).cast(DecimalType(38, 0)).as("ak"))
+      val rhos = lagged.join(broadcast(a0), "event_type")
+        .select(col("event_type"), col("k"),
+          round(col("ak").cast("double") / col("a0").cast("double"), 9).as("rho"))
+        .groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("k"), col("rho")))).as("rs"))
+        .filter(size(col("rs")) === PacfMaxLag)
+        .select(col("event_type"),
+          expr("transform(rs, x -> x.rho)").as("r"))
+      // φ_kk for the NEW lag k given state a over rhos r — repeated
+      // inline because SQL lambdas have no let-binding; the nested fold
+      // is ≤ K elements, re-evaluation is free.
+      val phik = "((element_at(r, k) - aggregate(sequence(1, k - 1), " +
+        "CAST(0.0 AS DOUBLE), (s2, j2) -> s2 + element_at(a.phi, j2) * " +
+        "element_at(r, k - j2))) / a.v)"
+      val pacf = rhos.select(col("event_type"),
+        expr(s"""aggregate(sequence(2, $PacfMaxLag),
+            named_struct('phi', array(element_at(r, 1)),
+                         'v', 1.0 - element_at(r, 1) * element_at(r, 1),
+                         'pk', array(element_at(r, 1))),
+            (a, k) -> named_struct(
+              'phi', concat(transform(sequence(1, k - 1),
+                       j -> element_at(a.phi, j) - $phik * element_at(a.phi, k - j)),
+                     array($phik)),
+              'v', a.v * (1.0 - $phik * $phik),
+              'pk', concat(a.pk, array($phik))),
+            a -> a.pk)""").as("pk"))
+      pacf.select(col("event_type"), posexplode(col("pk")).as(Seq("k0", "p")))
+        .select(col("event_type"), (col("k0") + 1).as("lag"),
+          round(col("p"), 6).as("pacf"))
     }),
 
     // Allan variance of the hourly series at averaging times τ ∈
@@ -424,6 +488,56 @@ object TsDiagnosticsQueries extends QueryPack {
          |                CAST(sum(CASE WHEN m3 THEN 1 ELSE 0 END) AS DOUBLE)), 6) AS sampen
          |FROM pairs GROUP BY event_type
          |HAVING sum(CASE WHEN m3 THEN 1 ELSE 0 END) > 0""".stripMargin,
+
+    "q_ts_pacf" ->
+      s"""WITH RECURSIVE hourly AS ($HourlySql),
+         |idx AS (
+         |  SELECT event_type, c,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i
+         |  FROM hourly
+         |), m AS (
+         |  SELECT event_type, count(*) AS n, sum(c) AS sc FROM idx GROUP BY 1
+         |), dd AS MATERIALIZED (
+         |  SELECT i.event_type, i.i,
+         |         CAST(m.n * i.c - m.sc AS DECIMAL(19,0)) AS dv
+         |  FROM idx i JOIN m USING (event_type)
+         |), a0 AS (
+         |  SELECT event_type, CAST(sum(dv * dv) AS DECIMAL(38,0)) AS a0
+         |  FROM dd GROUP BY 1
+         |), ak AS (
+         |  SELECT a.event_type, k.k,
+         |         CAST(sum(a.dv * b.dv) AS DECIMAL(38,0)) AS ak
+         |  FROM dd a
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $PacfMaxLag)) AS k) k
+         |  JOIN dd b ON b.event_type = a.event_type AND b.i = a.i + k.k
+         |  GROUP BY 1, 2
+         |), rhos AS MATERIALIZED (
+         |  SELECT ak.event_type,
+         |         list(round(CAST(ak.ak AS DOUBLE) / CAST(a0.a0 AS DOUBLE), 9)
+         |              ORDER BY ak.k) AS r
+         |  FROM ak JOIN a0 USING (event_type)
+         |  GROUP BY 1 HAVING count(*) = $PacfMaxLag
+         |), rec(event_type, k, phi, v, pk) AS (
+         |  SELECT event_type, 1, [r[1]], 1.0 - r[1] * r[1], [r[1]] FROM rhos
+         |  UNION ALL
+         |  SELECT event_type, k + 1,
+         |         list_transform(generate_series(1, k),
+         |           j -> phi[j] - phik * phi[k + 1 - j]) || [phik],
+         |         v * (1.0 - phik * phik),
+         |         pk || [phik]
+         |  FROM (
+         |    SELECT rec.event_type, rec.k, rec.phi, rec.v, rec.pk,
+         |           (r2.r[rec.k + 1] -
+         |            coalesce(list_sum(list_transform(generate_series(1, rec.k),
+         |              j -> rec.phi[j] * r2.r[rec.k + 1 - j])), 0.0)) / rec.v AS phik
+         |    FROM rec JOIN rhos r2 USING (event_type)
+         |    WHERE rec.k < $PacfMaxLag
+         |  )
+         |)
+         |SELECT r.event_type, CAST(j.j AS INT) AS lag, round(r.pk[j.j], 6) AS pacf
+         |FROM rec r
+         |CROSS JOIN (SELECT unnest(generate_series(1, $PacfMaxLag)) AS j) j
+         |WHERE r.k = $PacfMaxLag""".stripMargin,
 
     "q_ts_allan" ->
       s"""WITH hourly AS ($HourlySql),
