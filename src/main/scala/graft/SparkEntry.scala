@@ -40,6 +40,7 @@ object SparkEntry {
     relational.RobustStatsQueries,
     relational.TsDiagnosticsQueries,
     relational.HeavyTailQueries,
+    relational.GeoQueries,
     dedup.DedupQueries,
     sim.SimilarityQueries,
     sim.SelectionQueries,
