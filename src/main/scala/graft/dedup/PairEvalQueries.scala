@@ -25,6 +25,12 @@ object PairEvalQueries extends QueryPack {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
+  /** Per-doc token cap for text_wer_pairs — keeps the joint pair vocab
+    * (≤ 2× this) under the 94 printable ASCII codes the char-remap
+    * encoding can address, and bounds the levenshtein DP at O(cap²).
+    */
+  val WerMaxTokens = 40
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "text_rouge_pairs" -> ((s, d) => {
@@ -80,6 +86,118 @@ object PairEvalQueries extends QueryPack {
             (col("na1") + col("nb1")).cast("double"), 6).as("r1_f1"),
           round(lit(2.0) * coalesce(col("o2"), lit(0L)).cast("double") /
             (col("na2") + col("nb2")).cast("double"), 6).as("r2_f1"))
+    }),
+
+    // BLEU-2 over the same LSH candidates (doc_a = reference, doc_b =
+    // hypothesis): clipped n-gram precisions p_n = Σ min(c_hyp, c_ref) /
+    // Σ c_hyp for n=1,2, geometric mean via sqrt (IEEE-exact, unlike the
+    // exp(mean(ln p)) form — library exp/ln are not correctly rounded
+    // across engines), and a LINEAR brevity penalty min(1, |hyp|/|ref|)
+    // in place of the exponential one for the same determinism reason
+    // (documented variant; the ordering it induces is the same in the
+    // c ≤ r regime that matters). Every operation is a correctly-rounded
+    // IEEE op on exact integers, so the two engines agree bit-for-bit.
+    "text_bleu_pairs" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sh = Shingles.docShingles(dd)
+        .transform(graft.CacheScope.persisted(_))
+      val cand = DedupQueries.lshCandidates(sh)
+        .select(col("doc_a"), col("doc_b"))
+        .transform(graft.CacheScope.persisted(_))
+      val candDocs = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val toks = dd.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tk"))
+        .transform(graft.CacheScope.persisted(_))
+      val uni = toks
+        .select(col("doc_id"), explode(col("tk")).as("g"))
+        .filter(col("g") =!= "")
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .transform(graft.CacheScope.persisted(_))
+      val bi = toks
+        .select(col("doc_id"),
+          explode(when(size(col("tk")) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(col("tk")) - 1),
+              i => concat_ws(" ", element_at(col("tk"), i),
+                element_at(col("tk"), i + 1))))).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .transform(graft.CacheScope.persisted(_))
+      def overlap(g: DataFrame): DataFrame = cand
+        .join(g.select(col("doc_id").as("doc_a"), col("g"),
+          col("c").as("ca")), Seq("doc_a"))
+        .join(g.select(col("doc_id").as("doc_b"), col("g"),
+          col("c").as("cb")), Seq("doc_b", "g"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(least(col("ca"), col("cb"))).as("o"))
+      val ut = uni.groupBy("doc_id").agg(sum("c").as("n"))
+      val bt = bi.groupBy("doc_id").agg(sum("c").as("n"))
+      cand
+        .join(overlap(uni), Seq("doc_a", "doc_b"), "left")
+        .join(overlap(bi).withColumnRenamed("o", "o2"),
+          Seq("doc_a", "doc_b"), "left")
+        .join(ut.select(col("doc_id").as("doc_a"), col("n").as("na1")), "doc_a")
+        .join(ut.select(col("doc_id").as("doc_b"), col("n").as("nb1")), "doc_b")
+        .join(bt.select(col("doc_id").as("doc_b"), col("n").as("nb2")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(coalesce(col("o"), lit(0L)).cast("double") /
+            col("nb1").cast("double"), 6).as("p1"),
+          round(when(col("nb2") === 0, lit(0.0)).otherwise(
+            coalesce(col("o2"), lit(0L)).cast("double") /
+              col("nb2").cast("double")), 6).as("p2"),
+          round(least(lit(1.0),
+            col("nb1").cast("double") / col("na1").cast("double")), 6)
+            .as("bp"),
+          round(least(lit(1.0),
+            col("nb1").cast("double") / col("na1").cast("double")) *
+            sqrt((coalesce(col("o"), lit(0L)).cast("double") /
+              col("nb1").cast("double")) *
+              when(col("nb2") === 0, lit(0.0)).otherwise(
+                coalesce(col("o2"), lit(0L)).cast("double") /
+                  col("nb2").cast("double"))), 6).as("bleu2"))
+    }),
+
+    // Token-level word error rate over the same LSH candidates (doc_a =
+    // reference): the alignment DP rides the engines' NATIVE levenshtein
+    // by remapping each pair's joint token vocabulary onto single ASCII
+    // characters — tokens are sliced to the first [[WerMaxTokens]] per
+    // doc, so the joint vocab (≤ 2·[[WerMaxTokens]] < 94 printable ASCII
+    // codes) always fits, the per-pair encoding is a deterministic
+    // function of the sorted distinct vocab, and one string levenshtein
+    // IS the token edit distance. O(L²) per candidate pair with L
+    // bounded — never a hand-rolled DP kernel in either engine.
+    "text_wer_pairs" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sh = Shingles.docShingles(dd)
+        .transform(graft.CacheScope.persisted(_))
+      val cand = DedupQueries.lshCandidates(sh)
+        .select(col("doc_a"), col("doc_b"))
+        .transform(graft.CacheScope.persisted(_))
+      val candDocs = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val toks = dd.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), expr(
+          s"""slice(filter(split(lower(text), '\\\\s+'), t -> t <> ''),
+             |      1, $WerMaxTokens)""".stripMargin).as("tk"))
+        .transform(graft.CacheScope.persisted(_))
+      cand
+        .join(toks.select(col("doc_id").as("doc_a"), col("tk").as("ta")),
+          Seq("doc_a"))
+        .join(toks.select(col("doc_id").as("doc_b"), col("tk").as("tb")),
+          Seq("doc_b"))
+        .filter(size(col("ta")) > 0 && size(col("tb")) > 0)
+        .withColumn("v", array_sort(array_distinct(
+          concat(col("ta"), col("tb")))))
+        .select(col("doc_a"), col("doc_b"),
+          size(col("ta")).as("len_ref"), size(col("tb")).as("len_hyp"),
+          levenshtein(
+            expr("concat_ws('', transform(ta, t -> chr(32 + array_position(v, t))))"),
+            expr("concat_ws('', transform(tb, t -> chr(32 + array_position(v, t))))"))
+            .as("lev_tokens"))
+        .withColumn("wer",
+          round(col("lev_tokens").cast("double") /
+            col("len_ref").cast("double"), 6))
     }),
 
     // IDF-weighted Jaccard over the same LSH candidates — plain set
@@ -203,6 +321,102 @@ object PairEvalQueries extends QueryPack {
          |JOIN ut utb ON utb.doc_id = c.doc_b
          |JOIN bt bta ON bta.doc_id = c.doc_a
          |JOIN bt btb ON btb.doc_id = c.doc_b""".stripMargin,
+
+    "text_bleu_pairs" ->
+      s"""${DedupQueries.bandsCte},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |), cd AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM cand
+         |    UNION ALL SELECT doc_b FROM cand)
+         |), tk AS (
+         |  SELECT d.doc_id, string_split_regex(lower(d.text), '\\s+') AS t
+         |  FROM documents d JOIN cd USING (doc_id)
+         |), uni AS (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(t) AS g FROM tk)
+         |  WHERE g <> '' GROUP BY 1, 2
+         |), bi AS (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+         |        FROM (SELECT doc_id, t,
+         |                     unnest(range(1, greatest(len(t), 1))) AS i
+         |              FROM tk))
+         |  GROUP BY 1, 2
+         |), ut AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM uni GROUP BY 1),
+         |bt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM bi GROUP BY 1),
+         |o1 AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(sum(least(ua.c, ub.c)) AS BIGINT) AS o
+         |  FROM cand c
+         |  JOIN uni ua ON ua.doc_id = c.doc_a
+         |  JOIN uni ub ON ub.doc_id = c.doc_b AND ub.g = ua.g
+         |  GROUP BY 1, 2
+         |), o2 AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(sum(least(ba.c, bb.c)) AS BIGINT) AS o
+         |  FROM cand c
+         |  JOIN bi ba ON ba.doc_id = c.doc_a
+         |  JOIN bi bb ON bb.doc_id = c.doc_b AND bb.g = ba.g
+         |  GROUP BY 1, 2
+         |), m AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         CAST(COALESCE(o1.o, 0) AS DOUBLE) / CAST(utb.n AS DOUBLE) AS p1,
+         |         CASE WHEN btb.n = 0 THEN 0.0
+         |              ELSE CAST(COALESCE(o2.o, 0) AS DOUBLE) / CAST(btb.n AS DOUBLE)
+         |         END AS p2,
+         |         least(1.0, CAST(utb.n AS DOUBLE) / CAST(uta.n AS DOUBLE)) AS bp
+         |  FROM cand c
+         |  LEFT JOIN o1 ON o1.doc_a = c.doc_a AND o1.doc_b = c.doc_b
+         |  LEFT JOIN o2 ON o2.doc_a = c.doc_a AND o2.doc_b = c.doc_b
+         |  JOIN ut uta ON uta.doc_id = c.doc_a
+         |  JOIN ut utb ON utb.doc_id = c.doc_b
+         |  JOIN bt btb ON btb.doc_id = c.doc_b
+         |)
+         |SELECT doc_a, doc_b, round(p1, 6) AS p1, round(p2, 6) AS p2,
+         |       round(bp, 6) AS bp, round(bp * sqrt(p1 * p2), 6) AS bleu2
+         |FROM m""".stripMargin,
+
+    "text_wer_pairs" ->
+      s"""${DedupQueries.bandsCte},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |), cd AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM cand
+         |    UNION ALL SELECT doc_b FROM cand)
+         |), tk AS (
+         |  SELECT d.doc_id,
+         |         (list_filter(string_split_regex(lower(d.text), '\\s+'),
+         |                      t -> t <> ''))[1:$WerMaxTokens] AS tk
+         |  FROM documents d JOIN cd USING (doc_id)
+         |), p AS (
+         |  SELECT c.doc_a, c.doc_b, a.tk AS ta, b.tk AS tb,
+         |         list_sort(list_distinct(a.tk || b.tk)) AS v
+         |  FROM cand c
+         |  JOIN tk a ON a.doc_id = c.doc_a
+         |  JOIN tk b ON b.doc_id = c.doc_b
+         |  WHERE len(a.tk) > 0 AND len(b.tk) > 0
+         |), q AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(ta) AS INT) AS len_ref,
+         |         CAST(len(tb) AS INT) AS len_hyp,
+         |         levenshtein(
+         |           array_to_string(list_transform(ta,
+         |             t -> chr(CAST(32 + list_position(v, t) AS INT))), ''),
+         |           array_to_string(list_transform(tb,
+         |             t -> chr(CAST(32 + list_position(v, t) AS INT))), '')) AS lev
+         |  FROM p
+         |)
+         |SELECT doc_a, doc_b, len_ref, len_hyp,
+         |       CAST(lev AS INT) AS lev_tokens,
+         |       round(CAST(lev AS DOUBLE) / len_ref, 6) AS wer
+         |FROM q""".stripMargin,
 
     "dedup_weighted_jaccard" ->
       s"""${DedupQueries.bandsCte},

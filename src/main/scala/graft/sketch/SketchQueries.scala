@@ -243,10 +243,66 @@ object SketchQueries extends QueryPack {
         .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
         .join(est, Seq("user_id"))
         .select(col("user_id"), col("n_exact"), col("n_est"))
+    }),
+
+    // AMS (tug-of-war) F2 sketch over the per-user event frequency
+    // vector: 8 independent ±1 sign hashes (one LCG parity per
+    // estimator), each estimator is (Σ_events s_i(user))² — the sign sum
+    // over EVENTS equals Σ_u s_i(u)·f(u) with no per-user pre-aggregation
+    // — and the estimate is the median of the 8 (avg of the two middle
+    // order statistics). F2 = Σf² is self-join size, the cardinality the
+    // optimizer needs before committing to a join strategy; the sketch
+    // state is 8 longs total regardless of input size. Everything is
+    // exact integer arithmetic until two final conversions.
+    "q_sketch_ams" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events").select(col("user_id"))
+        .transform(graft.CacheScope.persisted(_))
+      val est = ev
+        .select(col("user_id"), explode(sequence(lit(0), lit(AmsK - 1))).as("i"))
+        .select(col("i"),
+          (lit(1L) - lit(2L) * (((col("user_id") * (lit(48271L) + lit(2L) * col("i"))
+            + lit(911L) * col("i") + lit(13L)) % lit(2147483647L)) % lit(2L)))
+            .as("sgn"))
+        .groupBy("i").agg(sum(col("sgn")).as("z"))
+        .select((col("z") * col("z")).as("y"))
+        .agg(sort_array(collect_list(col("y"))).as("ys"))
+        .select(((element_at(col("ys"), AmsK / 2) +
+          element_at(col("ys"), AmsK / 2 + 1)) / lit(2.0)).as("f2_est"))
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("f"))
+        .agg(sum(col("f") * col("f")).as("f2_exact"))
+      exact.crossJoin(broadcast(est))
+        .select(col("f2_exact"), col("f2_est"),
+          round(abs(col("f2_est") - col("f2_exact").cast("double")) /
+            col("f2_exact").cast("double"), 6).as("rel_err"),
+          lit(AmsK).as("n_estimators"))
     })
   )
 
+  /** AMS estimator count — median of this many ±1-sketch squares. */
+  val AmsK = 8
+
   override val oracles: Map[String, String] = Map(
+
+    "q_sketch_ams" ->
+      s"""WITH sgn AS (
+         |  SELECT i.i,
+         |         CAST(sum(1 - 2 * (((user_id * (48271 + 2 * i.i)
+         |                  + 911 * i.i + 13) % 2147483647) % 2)) AS BIGINT) AS z
+         |  FROM events
+         |  CROSS JOIN (SELECT unnest(range(0, $AmsK)) AS i) i
+         |  GROUP BY 1
+         |), ys AS (
+         |  SELECT list_sort(list(CAST(z * z AS BIGINT))) AS ys FROM sgn
+         |), ex AS (
+         |  SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact
+         |  FROM (SELECT user_id, count(*) AS f FROM events GROUP BY 1)
+         |)
+         |SELECT ex.f2_exact,
+         |       (ys.ys[${AmsK / 2}] + ys.ys[${AmsK / 2 + 1}]) / 2.0 AS f2_est,
+         |       round(abs((ys.ys[${AmsK / 2}] + ys.ys[${AmsK / 2 + 1}]) / 2.0
+         |             - CAST(ex.f2_exact AS DOUBLE)) / ex.f2_exact, 6) AS rel_err,
+         |       $AmsK AS n_estimators
+         |FROM ex CROSS JOIN ys""".stripMargin,
 
     "q_sketch_kmv" ->
       s"""WITH h AS (
