@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant + brute-force-replica checks for the wave-4 operators:
+  * grid-blocked spatial joins (GeoQueries), BLEU/WER pair metrics, and
+  * the AMS F2 sketch.
+  */
+class WaveTwentyOneSpec extends SparkSpec {
+
+  import graft.relational.GeoQueries.{Cell, Radius, World}
+
+  /** Brute-force (customer × supplier) distances at sf0.001 — 150×10
+    * rows, the ground truth the blocked operators must agree with.
+    */
+  private lazy val bruteForce = {
+    val c = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ((col("c_custkey") * 48271L + 11L) % World).as("cx"),
+        ((col("c_custkey") * 69621L + 17L) % World).as("cy"))
+    val s = Tables.load(spark, sfDir, "supplier")
+      .select(col("s_suppkey"),
+        ((col("s_suppkey") * 40503L + 23L) % World).as("sx"),
+        ((col("s_suppkey") * 45989L + 29L) % World).as("sy"))
+    c.crossJoin(s)
+      .select(col("c_custkey"), col("c_mktsegment"), col("s_suppkey"),
+        (col("cx") - col("sx")).as("dx"), (col("cy") - col("sy")).as("dy"),
+        ((col("cx") - col("sx")) * (col("cx") - col("sx")) +
+         (col("cy") - col("sy")) * (col("cy") - col("sy"))).as("d2"))
+      .collect()
+  }
+
+  test("q_geo_knn: reported distances exact; rank-1 = true NN when in-block") {
+    val got = SparkEntry.queries("q_geo_knn")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(got.nonEmpty)
+    val bf = bruteForce.map(r => (r.getLong(0), r.getLong(2)) -> r.getAs[Long]("d2")).toMap
+    // every reported (c, s, d2) matches the recomputed exact distance,
+    // and ranks are ordered with the (d2, s_suppkey) tie-break
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      byRank.foreach { r =>
+        assert(bf((r.getLong(0), r.getLong(2))) == r.getAs[Long]("d2"))
+      }
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          val (da, db) = (a.getAs[Long]("d2"), b.getAs[Long]("d2"))
+          assert(da < db || (da == db && a.getLong(2) < b.getLong(2)))
+        case _ =>
+      }
+    }
+    // blocking guarantee: if the TRUE nearest supplier is within Cell in
+    // both axes (Chebyshev), the 3x3 neighborhood must contain it, so
+    // rank-1 equals the brute-force argmin
+    val rank1 = got.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getAs[Long]("d2"))).toMap
+    bruteForce.groupBy(_.getLong(0)).foreach { case (c, rows) =>
+      val best = rows.minBy(r => (r.getAs[Long]("d2"), r.getLong(2)))
+      if (math.abs(best.getAs[Long]("dx")) <= Cell &&
+          math.abs(best.getAs[Long]("dy")) <= Cell) {
+        assert(rank1.contains(c), s"customer $c missing from blocked kNN")
+        assert(rank1(c) == ((best.getLong(2), best.getAs[Long]("d2"))),
+          s"customer $c: blocked rank-1 ${rank1(c)} != true NN")
+      }
+    }
+  }
+
+  test("q_geo_radius_pairs: blocked count == brute-force count (complete cover)") {
+    val got = SparkEntry.queries("q_geo_radius_pairs")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    val gotN = got.map(_.getAs[Long]("n_pairs")).sum
+    val trueN = bruteForce.count(_.getAs[Long]("d2") <= Radius * Radius)
+    assert(gotN == trueN, s"blocked=$gotN brute=$trueN — R <= Cell cover violated")
+  }
+
+  test("q_geo_morton: z blocks are consistent 256-cell ranges") {
+    val got = SparkEntry.queries("q_geo_morton")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(got.nonEmpty && got.length <= 20)
+    got.foreach { r =>
+      val (blk, zmin, zmax) = (r.getAs[Long]("z_block"),
+        r.getAs[Long]("z_min"), r.getAs[Long]("z_max"))
+      assert(zmin >= blk * 256 && zmax < (blk + 1) * 256 && zmin <= zmax)
+      assert(zmax < (1L << 20))
+      assert(r.getAs[Long]("n_cells") <= 256)
+      assert(r.getAs[Long]("n_points") >= r.getAs[Long]("n_cells"))
+    }
+  }
+
+  test("q_geo_hotspot: score in (0, 9], neighborhood sum >= own count") {
+    val got = SparkEntry.queries("q_geo_hotspot")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("neigh_n") >= r.getAs[Long]("n"))
+      val sc = r.getAs[Double]("score")
+      assert(sc > 0.0 && sc <= 9.0, s"score=$sc")
+    }
+  }
+
+  test("text_bleu_pairs: components in [0,1] and bleu2 = bp*sqrt(p1*p2)") {
+    val got = SparkEntry.queries("text_bleu_pairs")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    got.foreach { r =>
+      val (p1, p2, bp, b) = (r.getAs[Double]("p1"), r.getAs[Double]("p2"),
+        r.getAs[Double]("bp"), r.getAs[Double]("bleu2"))
+      Seq(p1, p2, bp, b).foreach(v => assert(v >= 0.0 && v <= 1.0, s"$v"))
+      assert(math.abs(b - bp * math.sqrt(p1 * p2)) < 1e-4,
+        s"bleu2=$b != bp*sqrt(p1*p2)=${bp * math.sqrt(p1 * p2)}")
+    }
+  }
+
+  test("text_wer_pairs: levenshtein bounds hold") {
+    val got = SparkEntry.queries("text_wer_pairs")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    got.foreach { r =>
+      val (lr, lh, lev) = (r.getAs[Int]("len_ref"), r.getAs[Int]("len_hyp"),
+        r.getAs[Int]("lev_tokens"))
+      assert(lev >= math.abs(lr - lh) && lev <= math.max(lr, lh),
+        s"lev=$lev len_ref=$lr len_hyp=$lh")
+      assert(math.abs(r.getAs[Double]("wer") - lev.toDouble / lr) < 1e-5)
+      assert(lr >= 1 && lr <= dedup.PairEvalQueries.WerMaxTokens)
+    }
+  }
+
+  test("q_sketch_ams: exact F2 bracketed, estimator structure sane") {
+    val r = SparkEntry.queries("q_sketch_ams")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.length == 1)
+    val nEvents = Tables.load(spark, sfDir, "events").count()
+    val f2 = r(0).getAs[Long]("f2_exact")
+    // sum of f^2 over per-user counts f>=1 is at least the event count
+    // and at most its square (all events one user)
+    assert(f2 >= nEvents && f2 <= nEvents * nEvents)
+    assert(r(0).getAs[Int]("n_estimators") == sketch.SketchQueries.AmsK)
+    assert(r(0).getAs[Double]("f2_est") >= 0.0)
+    // median-of-8 tug-of-war on this distribution: loose 3x sanity rail
+    assert(r(0).getAs[Double]("rel_err") <= 3.0)
+  }
+}
