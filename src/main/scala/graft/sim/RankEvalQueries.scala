@@ -138,9 +138,114 @@ object RankEvalQueries extends QueryPack {
           sum(col("rel")).as("rel10"))
         .select(col("q_id"), col("rel5"), col("rel10"),
           round(col("rel5").cast("double") / 5.0, 6).as("p_at_5"),
-          round(col("rel10").cast("double") / RankK.toDouble, 6).as("p_at_10"))))
+          round(col("rel10").cast("double") / RankK.toDouble, 6).as("p_at_10"))),
+
+    // Reciprocal rank fusion of two retrieval signals — the hybrid-search
+    // combiner: the normalized cosine ranking and the raw dot-product
+    // ranking (they disagree exactly where vector norms differ, the same
+    // tension as lexical-vs-semantic lists) fuse as Σ 1/(K + rank_r),
+    // K=[[RrfKConst]]. Rank 0 encodes "absent from that list" so the
+    // output carries no NULLs; fusion terms are round(,9)-pinned decimal
+    // adds, and the fused ordering ties-break on n_id — fully
+    // deterministic. Scale: the same one broadcast-query scan as the
+    // rest of the family, then three windows over per-query bounded
+    // candidate lists.
+    "q_rank_rrf" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+        .withColumn("norm2", norm2Q(col("qe")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
+          col("norm2").as("q_norm2"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          dotQ(col("q_qe"), col("qe")).as("doti"),
+          round(cosine(dotQ(col("q_qe"), col("qe")),
+            col("q_norm2"), col("norm2")), 4).as("cos"))
+      val wc = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+      val wd = Window.partitionBy("q_id").orderBy(col("doti").desc, col("n_id").asc)
+      val both = scored
+        .withColumn("rc", row_number().over(wc))
+        .withColumn("rd", row_number().over(wd))
+        .filter(col("rc") <= RankK || col("rd") <= RankK)
+        .select(col("q_id"), col("n_id"),
+          when(col("rc") <= RankK, col("rc")).otherwise(lit(0)).as("rank_cos"),
+          when(col("rd") <= RankK, col("rd")).otherwise(lit(0)).as("rank_dot"))
+      val fused = both.withColumn("rrf0",
+        when(col("rank_cos") > 0,
+          round(lit(1.0) / (lit(RrfKConst) + col("rank_cos")), 9))
+          .otherwise(lit(0.0)).cast(DecimalType(12, 9)) +
+        when(col("rank_dot") > 0,
+          round(lit(1.0) / (lit(RrfKConst) + col("rank_dot")), 9))
+          .otherwise(lit(0.0)).cast(DecimalType(12, 9)))
+      val wf = Window.partitionBy("q_id").orderBy(col("rrf0").desc, col("n_id").asc)
+      fused.withColumn("fused_rank", row_number().over(wf))
+        .filter(col("fused_rank") <= 5)
+        .select(col("q_id"), col("fused_rank"), col("n_id"),
+          col("rrf0").cast("double").as("rrf"),
+          col("rank_cos"), col("rank_dot"))
+    }))
+
+  /** RRF smoothing constant (the standard 60 from the original paper). */
+  val RrfKConst = 60
 
   override val oracles: Map[String, String] = Map(
+
+    "q_rank_rrf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qe
+         |  FROM embeddings
+         |), ex AS (
+         |  SELECT vec_id, unnest(qe) AS qx,
+         |         unnest(generate_series(1, len(qe))) AS i
+         |  FROM e
+         |), norms AS (
+         |  SELECT vec_id, CAST(sum(qx * qx) AS DOUBLE) / 1000000.0 AS norm2
+         |  FROM ex GROUP BY 1
+         |), dots AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         CAST(sum(q.qx * c.qx) AS DOUBLE) / 1000000.0 AS dot
+         |  FROM ex q JOIN ex c ON q.i = c.i AND q.vec_id < 10
+         |                     AND c.vec_id <> q.vec_id
+         |  GROUP BY 1, 2
+         |), sc AS (
+         |  SELECT d.q_id, d.n_id, d.dot,
+         |         round(d.dot / (sqrt(nq.norm2) * sqrt(nc.norm2)), 4) AS cos
+         |  FROM dots d
+         |  JOIN norms nq ON nq.vec_id = d.q_id
+         |  JOIN norms nc ON nc.vec_id = d.n_id
+         |), rk AS (
+         |  SELECT q_id, n_id,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY cos DESC, n_id ASC) AS rc,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY dot DESC, n_id ASC) AS rd
+         |  FROM sc
+         |), bothr AS (
+         |  SELECT q_id, n_id,
+         |         CAST(CASE WHEN rc <= $RankK THEN rc ELSE 0 END AS INT) AS rank_cos,
+         |         CAST(CASE WHEN rd <= $RankK THEN rd ELSE 0 END AS INT) AS rank_dot
+         |  FROM rk WHERE rc <= $RankK OR rd <= $RankK
+         |), fused AS (
+         |  SELECT q_id, n_id, rank_cos, rank_dot,
+         |         CAST(CASE WHEN rank_cos > 0
+         |              THEN round(1.0 / ($RrfKConst + rank_cos), 9) ELSE 0.0 END
+         |              AS DECIMAL(12,9)) +
+         |         CAST(CASE WHEN rank_dot > 0
+         |              THEN round(1.0 / ($RrfKConst + rank_dot), 9) ELSE 0.0 END
+         |              AS DECIMAL(12,9)) AS rrf0
+         |  FROM bothr
+         |), fr AS (
+         |  SELECT q_id, n_id, rank_cos, rank_dot, rrf0,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY rrf0 DESC, n_id ASC) AS fused_rank
+         |  FROM fused
+         |)
+         |SELECT q_id, CAST(fused_rank AS INT) AS fused_rank, n_id,
+         |       CAST(rrf0 AS DOUBLE) AS rrf, rank_cos, rank_dot
+         |FROM fr WHERE fused_rank <= 5""".stripMargin,
 
     "q_rank_ndcg" ->
       s"""$RankedCte,

@@ -123,6 +123,34 @@ class WaveTwentyOneSpec extends SparkSpec {
     }
   }
 
+  test("q_rank_rrf: fused score reconstructs from the component ranks") {
+    val got = SparkEntry.queries("q_rank_rrf")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(got.nonEmpty)
+    val k = sim.RankEvalQueries.RrfKConst
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      rows.foreach { r =>
+        val (rc, rd) = (r.getAs[Int]("rank_cos"), r.getAs[Int]("rank_dot"))
+        assert(rc >= 0 && rc <= sim.RankEvalQueries.RankK)
+        assert(rd >= 0 && rd <= sim.RankEvalQueries.RankK)
+        assert(rc > 0 || rd > 0)
+        val expected =
+          (if (rc > 0) BigDecimal(1.0 / (k + rc)).setScale(9, BigDecimal.RoundingMode.HALF_UP) else BigDecimal(0)) +
+          (if (rd > 0) BigDecimal(1.0 / (k + rd)).setScale(9, BigDecimal.RoundingMode.HALF_UP) else BigDecimal(0))
+      assert(math.abs(r.getAs[Double]("rrf") - expected.toDouble) < 1e-9)
+      }
+      // fused ranks are 1..m with descending rrf
+      val byRank = rows.sortBy(_.getAs[Int]("fused_rank"))
+      assert(byRank.map(_.getAs[Int]("fused_rank")).toSeq == (1 to rows.length))
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("rrf") >= b.getAs[Double]("rrf") - 1e-12)
+        case _ =>
+      }
+    }
+  }
+
   test("q_sketch_ams: exact F2 bracketed, estimator structure sane") {
     val r = SparkEntry.queries("q_sketch_ams")(spark, sfDir).collect()
     CacheScope.releaseAll()
