@@ -183,6 +183,67 @@ object LayoutQueries extends QueryPack {
     // the end, so the oracle reproduces it bit-for-bit; LayoutSpec
     // asserts the trade itself (zorder's suppkey span is a fraction of
     // linear's full-range span).
+    // Zone-map (min/max file skipping) effectiveness — the readout behind
+    // "should this table be re-sorted before the next 1000 scans": 32
+    // synthetic files under (a) insertion order (orderkey ranges, the
+    // as-ingested layout) and (b) a range-sort on shipdate, each file
+    // summarized by its shipdate zone map [min, max]. Emitted per layout:
+    // average zone span, the count of overlapping zone pairs (range-sorted
+    // is 0 by construction — that IS the point), and a June-1998 probe's
+    // files-scanned + read amplification (rows in scanned files over rows
+    // actually matching). File assignment is value-based integer math
+    // (never row_number over a global sort — no single-partition window),
+    // the min/max pre-pass rides one broadcast row, and the 32×32 overlap
+    // check is a broadcast nested-loop on the FILE relation, whose size is
+    // fixed at any table size.
+    "q_layout_zonemap" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), to_date(col("l_shipdate")).as("sd"))
+      val mm = li.agg(min(col("ok")).as("okmn"), max(col("ok")).as("okmx"),
+        min(col("sd")).as("dmn"), max(col("sd")).as("dmx"))
+      val keyed = li.crossJoin(broadcast(mm))
+        .select(
+          expr(s"((ok - okmn) * $ZmFiles) div (okmx - okmn + 1)").as("f_ins"),
+          expr(s"(datediff(sd, dmn) * $ZmFiles) div (datediff(dmx, dmn) + 1)")
+            .as("f_rng"),
+          datediff(col("sd"), col("dmn")).as("dd"),
+          datediff(lit("1998-06-01").cast("date"), col("dmn")).as("p1"),
+          datediff(lit("1998-06-30").cast("date"), col("dmn")).as("p2"))
+        .transform(CacheScope.persisted(_))
+      val matchRows = keyed
+        .filter(col("dd").between(col("p1"), col("p2")))
+        .agg(count(lit(1)).as("rows_match"))
+      def metrics(fcol: String, name: String): DataFrame = {
+        val files = keyed.groupBy(col(fcol).as("file_id"))
+          .agg(count(lit(1)).as("n"), min("dd").as("dmin"),
+            max("dd").as("dmax"), min("p1").as("p1"), min("p2").as("p2"))
+          .transform(CacheScope.persisted(_))
+        val ov = files.as("a")
+          .join(broadcast(files.as("b")),
+            col("a.file_id") < col("b.file_id") &&
+              col("a.dmin") <= col("b.dmax") && col("b.dmin") <= col("a.dmax"))
+          .agg(count(lit(1)).as("overlap_pairs"))
+        val scanned = files
+          .filter(col("dmin") <= col("p2") && col("dmax") >= col("p1"))
+          .agg(count(lit(1)).as("files_scanned"),
+            sum(col("n")).as("rows_scanned"))
+        files.agg(count(lit(1)).as("n_files"),
+            round(sum(col("dmax") - col("dmin")).cast("double") /
+              count(lit(1)), 4).as("avg_span_days"))
+          .crossJoin(broadcast(ov)).crossJoin(broadcast(scanned))
+          .crossJoin(broadcast(matchRows))
+          .select(lit(name).as("layout"), col("n_files"),
+            col("avg_span_days"), col("overlap_pairs"),
+            col("files_scanned"),
+            coalesce(col("rows_scanned"), lit(0L)).as("rows_scanned"),
+            col("rows_match"),
+            round(coalesce(col("rows_scanned"), lit(0L)).cast("double") /
+              col("rows_match"), 4).as("read_amp"))
+      }
+      metrics("f_ins", "insertion")
+        .unionByName(metrics("f_rng", "range_sorted"))
+    }),
+
     "q_layout_zorder" -> ((s, d) => {
       // Scale both dimensions to the full 16-bit space from their actual
       // min/max (what a real z-order writer does) — order-preserving, so
@@ -324,7 +385,68 @@ object LayoutQueries extends QueryPack {
     */
   val ZBucketW: Long = 1L << 22
 
+  /** Synthetic file count for the zone-map study — a fixed-size file
+    * relation at any table scale.
+    */
+  val ZmFiles = 32
+
   override val oracles: Map[String, String] = Map(
+
+    "q_layout_zonemap" ->
+      s"""WITH li AS (
+         |  SELECT l_orderkey AS ok, CAST(l_shipdate AS DATE) AS sd
+         |  FROM lineitem
+         |), mm AS (
+         |  SELECT min(ok) AS okmn, max(ok) AS okmx,
+         |         min(sd) AS dmn, max(sd) AS dmx
+         |  FROM li
+         |), keyed AS (
+         |  SELECT ((ok - okmn) * $ZmFiles) // (okmx - okmn + 1) AS f_ins,
+         |         (CAST(sd - dmn AS BIGINT) * $ZmFiles) //
+         |           (CAST(dmx - dmn AS BIGINT) + 1) AS f_rng,
+         |         CAST(sd - dmn AS BIGINT) AS dd,
+         |         CAST(DATE '1998-06-01' - dmn AS BIGINT) AS p1,
+         |         CAST(DATE '1998-06-30' - dmn AS BIGINT) AS p2
+         |  FROM li CROSS JOIN mm
+         |), files AS (
+         |  SELECT layout, file_id, count(*) AS n,
+         |         min(dd) AS dmin, max(dd) AS dmax,
+         |         min(p1) AS p1, min(p2) AS p2
+         |  FROM (
+         |    SELECT 'insertion' AS layout, f_ins AS file_id, dd, p1, p2
+         |    FROM keyed
+         |    UNION ALL
+         |    SELECT 'range_sorted', f_rng, dd, p1, p2 FROM keyed
+         |  ) GROUP BY 1, 2
+         |), ov AS (
+         |  SELECT a.layout, count(*) AS overlap_pairs
+         |  FROM files a JOIN files b
+         |    ON b.layout = a.layout AND a.file_id < b.file_id
+         |   AND a.dmin <= b.dmax AND b.dmin <= a.dmax
+         |  GROUP BY 1
+         |), sc AS (
+         |  SELECT layout, count(*) AS files_scanned,
+         |         CAST(sum(n) AS BIGINT) AS rows_scanned
+         |  FROM files WHERE dmin <= p2 AND dmax >= p1 GROUP BY 1
+         |), matchr AS (
+         |  SELECT count(*) AS rows_match FROM keyed WHERE dd BETWEEN p1 AND p2
+         |), agg AS (
+         |  SELECT layout, count(*) AS n_files,
+         |         round(CAST(sum(dmax - dmin) AS DOUBLE) / count(*), 4)
+         |           AS avg_span_days
+         |  FROM files GROUP BY 1
+         |)
+         |SELECT agg.layout, agg.n_files, agg.avg_span_days,
+         |       COALESCE(ov.overlap_pairs, 0) AS overlap_pairs,
+         |       COALESCE(sc.files_scanned, 0) AS files_scanned,
+         |       COALESCE(sc.rows_scanned, 0) AS rows_scanned,
+         |       m.rows_match,
+         |       round(CAST(COALESCE(sc.rows_scanned, 0) AS DOUBLE) /
+         |             m.rows_match, 4) AS read_amp
+         |FROM agg
+         |LEFT JOIN ov ON ov.layout = agg.layout
+         |LEFT JOIN sc ON sc.layout = agg.layout
+         |CROSS JOIN matchr m""".stripMargin,
     "q_layout_zorder" ->
       s"""WITH mm AS (
          |  SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,

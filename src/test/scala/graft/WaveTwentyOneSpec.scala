@@ -123,6 +123,25 @@ class WaveTwentyOneSpec extends SparkSpec {
     }
   }
 
+  test("q_layout_zonemap: range-sort is disjoint and never scans more") {
+    val got = SparkEntry.queries("q_layout_zonemap")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(got.length == 2)
+    val byLayout = got.map(r => r.getString(0) -> r).toMap
+    val ins = byLayout("insertion")
+    val rng = byLayout("range_sorted")
+    // a range-partitioned layout has disjoint zone maps by construction
+    assert(rng.getAs[Long]("overlap_pairs") == 0L)
+    got.foreach { r =>
+      assert(r.getAs[Long]("files_scanned") <= r.getAs[Long]("n_files"))
+      // scanned files must contain every matching row
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_match"))
+      assert(r.getAs[Double]("read_amp") >= 1.0 - 1e-9)
+    }
+    assert(rng.getAs[Long]("files_scanned") <= ins.getAs[Long]("files_scanned"))
+    assert(rng.getAs[Double]("avg_span_days") <= ins.getAs[Double]("avg_span_days"))
+  }
+
   test("q_rank_rrf: fused score reconstructs from the component ranks") {
     val got = SparkEntry.queries("q_rank_rrf")(spark, sfDir).collect()
     CacheScope.releaseAll()
