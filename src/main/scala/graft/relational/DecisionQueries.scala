@@ -44,6 +44,36 @@ object DecisionQueries extends QueryPack {
     // sums over the calendar-bounded time relation (the survival
     // triangular join); per-event-time terms are round(,9)-pinned and
     // decimal-summed.
+    // UCB1 bandit-policy snapshot over event types as arms (reward =
+    // event value): per arm the pull count, the exact-decimal mean
+    // reward, the exploration bonus sqrt(2·ln(N)/n), and which arm the
+    // policy would pull next. ln(N) is round(,9)-pinned (the one
+    // non-correctly-rounded library call), everything after is IEEE
+    // division/sqrt on exact-converted integers — deterministic across
+    // engines. The argmax rides a broadcast 1-row max join, never an
+    // unpartitioned window. One events-sized aggregation; the arm
+    // relation is domain-bounded.
+    "q_decision_ucb" -> ((s, d) => {
+      val arms = t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pulls"), Det.dsum(col("value"), 6).as("sv"))
+        .transform(graft.CacheScope.persisted(_))
+      val tot = arms.agg(sum(col("n_pulls")).as("n_total"))
+      val scored = arms.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_pulls"), col("n_total"),
+          (col("sv") / col("n_pulls")).as("mean0"),
+          (col("sv") / col("n_pulls") +
+            sqrt(lit(2.0) * round(log(col("n_total").cast("double")), 9) /
+              col("n_pulls").cast("double"))).as("ucb0"))
+        .transform(graft.CacheScope.persisted(_))
+      val best = scored.agg(max(col("ucb0")).as("ucb_max"))
+      scored.crossJoin(broadcast(best))
+        .select(col("event_type"), col("n_pulls"), col("n_total"),
+          round(col("mean0"), 6).as("mean_reward"),
+          round(col("ucb0"), 6).as("ucb"),
+          (col("ucb0") === col("ucb_max")).as("chosen"))
+    }),
+
     "q_ml_coxph" -> ((s, d) => {
       val dec = DecimalType(24, 9)
       val u = t(s, d, "events")
@@ -421,6 +451,27 @@ object DecisionQueries extends QueryPack {
        |)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+
+    "q_decision_ucb" ->
+      s"""WITH arms AS (
+         |  SELECT event_type, count(*) AS n_pulls,
+         |         ${Det.dsumSql("value", 6)} AS sv
+         |  FROM events GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(n_pulls) AS BIGINT) AS n_total FROM arms
+         |), scored AS (
+         |  SELECT event_type, n_pulls, n_total,
+         |         sv / n_pulls AS mean0,
+         |         sv / n_pulls +
+         |           sqrt(2.0 * round(ln(CAST(n_total AS DOUBLE)), 9) /
+         |                CAST(n_pulls AS DOUBLE)) AS ucb0
+         |  FROM arms CROSS JOIN tot
+         |), best AS (SELECT max(ucb0) AS ucb_max FROM scored)
+         |SELECT event_type, n_pulls, n_total,
+         |       round(mean0, 6) AS mean_reward,
+         |       round(ucb0, 6) AS ucb,
+         |       ucb0 = ucb_max AS chosen
+         |FROM scored CROSS JOIN best""".stripMargin,
 
     "q_ml_coxph" ->
       """WITH u AS (

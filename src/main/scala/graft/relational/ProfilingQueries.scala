@@ -73,6 +73,45 @@ object ProfilingQueries extends QueryPack {
         .agg(dcorr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
           count(lit(1)).as("n"))),
 
+    // First-order partial correlation r_xy·z — quantity↔price with the
+    // discount channel removed — from the SAME exact-decimal sum kernel
+    // as q_corr: the three pairwise r's are composed UNROUNDED (rounding
+    // intermediates would corrupt the composition) into
+    // (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)); every step after the
+    // exact decimal sums is correctly-rounded IEEE, so both engines
+    // produce the identical double before the single final round. One
+    // grouped aggregation of nine exact sums — the full profile costs
+    // exactly one shuffle of constant-width rows.
+    "q_stats_partial_corr" -> ((s, d) => {
+      val g = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(col("l_quantity"), 2).as("sx"),
+          dsum(col("l_extendedprice"), 4).as("sy"),
+          dsum(col("l_discount"), 4).as("sz"),
+          dsum(col("l_quantity") * col("l_extendedprice"), 4).as("sxy"),
+          dsum(col("l_quantity") * col("l_discount"), 4).as("sxz"),
+          dsum(col("l_extendedprice") * col("l_discount"), 4).as("syz"),
+          dsum(col("l_quantity") * col("l_quantity"), 4).as("sxx"),
+          dsum(col("l_extendedprice") * col("l_extendedprice"), 4).as("syy"),
+          dsum(col("l_discount") * col("l_discount"), 4).as("szz"))
+      def r(sab: org.apache.spark.sql.Column, sa: org.apache.spark.sql.Column,
+          sb: org.apache.spark.sql.Column, saa: org.apache.spark.sql.Column,
+          sbb: org.apache.spark.sql.Column) =
+        (col("n") * sab - sa * sb) /
+          (sqrt(greatest(lit(0.0), col("n") * saa - sa * sa)) *
+            sqrt(greatest(lit(0.0), col("n") * sbb - sb * sb)))
+      val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+      val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+      val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+      g.select(col("l_returnflag"), col("n").cast("long").as("n"),
+        round(rxy, 6).as("r_xy"), round(rxz, 6).as("r_xz"),
+        round(ryz, 6).as("r_yz"),
+        round((rxy - rxz * ryz) /
+          sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6)
+          .as("r_xy_given_z"))
+    }),
+
     // Incremental aggregation (materialized-view maintenance): daily
     // partial states (sum as DECIMAL, count) merge into the monthly
     // rollup. This is the structure an incremental ETL keeps on disk —
@@ -416,5 +455,36 @@ object ProfilingQueries extends QueryPack {
          |       ${dcorrSql("l_quantity", "l_extendedprice")} AS corr_qty_price,
          |       count(*) AS n
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_stats_partial_corr" -> {
+      def rSql(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+        s"""(n * $sab - $sa * $sb) /
+           |  (sqrt(greatest(0.0, n * $saa - $sa * $sa)) *
+           |   sqrt(greatest(0.0, n * $sbb - $sb * $sb)))""".stripMargin
+      val rxy = rSql("sxy", "sx", "sy", "sxx", "syy")
+      val rxz = rSql("sxz", "sx", "sz", "sxx", "szz")
+      val ryz = rSql("syz", "sy", "sz", "syy", "szz")
+      s"""WITH g AS (
+         |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+         |         ${dsumSql("l_quantity", 2)} AS sx,
+         |         ${dsumSql("l_extendedprice", 4)} AS sy,
+         |         ${dsumSql("l_discount", 4)} AS sz,
+         |         ${dsumSql("l_quantity * l_extendedprice", 4)} AS sxy,
+         |         ${dsumSql("l_quantity * l_discount", 4)} AS sxz,
+         |         ${dsumSql("l_extendedprice * l_discount", 4)} AS syz,
+         |         ${dsumSql("l_quantity * l_quantity", 4)} AS sxx,
+         |         ${dsumSql("l_extendedprice * l_extendedprice", 4)} AS syy,
+         |         ${dsumSql("l_discount * l_discount", 4)} AS szz
+         |  FROM lineitem GROUP BY 1
+         |)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         |       round($rxy, 6) AS r_xy,
+         |       round($rxz, 6) AS r_xz,
+         |       round($ryz, 6) AS r_yz,
+         |       round((($rxy) - ($rxz) * ($ryz)) /
+         |             sqrt((1.0 - ($rxz) * ($rxz)) * (1.0 - ($ryz) * ($ryz))), 6)
+         |         AS r_xy_given_z
+         |FROM g""".stripMargin
+    }
   )
 }

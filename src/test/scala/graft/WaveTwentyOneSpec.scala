@@ -123,6 +123,37 @@ class WaveTwentyOneSpec extends SparkSpec {
     }
   }
 
+  test("q_decision_ucb: bonus positive, at least one arm chosen at the max") {
+    val got = SparkEntry.queries("q_decision_ucb")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(got.nonEmpty)
+    val n = got.map(_.getAs[Long]("n_pulls")).sum
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_total") == n)
+      assert(r.getAs[Double]("ucb") > r.getAs[Double]("mean_reward"))
+    }
+    val chosen = got.filter(_.getAs[Boolean]("chosen"))
+    assert(chosen.nonEmpty)
+    val maxUcb = got.map(_.getAs[Double]("ucb")).max
+    chosen.foreach(r => assert(r.getAs[Double]("ucb") == maxUcb))
+  }
+
+  test("q_stats_partial_corr: correlations in [-1,1], composition holds") {
+    val got = SparkEntry.queries("q_stats_partial_corr")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (rxy, rxz, ryz, p) = (r.getAs[Double]("r_xy"), r.getAs[Double]("r_xz"),
+        r.getAs[Double]("r_yz"), r.getAs[Double]("r_xy_given_z"))
+      Seq(rxy, rxz, ryz, p).foreach(v =>
+        assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"r=$v"))
+      val expected = (rxy - rxz * ryz) /
+        math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+      // rounded components reconstruct the partial r to rounding error
+      assert(math.abs(p - expected) < 1e-4, s"p=$p expected=$expected")
+    }
+  }
+
   test("q_layout_zonemap: range-sort is disjoint and never scans more") {
     val got = SparkEntry.queries("q_layout_zonemap")(spark, sfDir).collect()
     CacheScope.releaseAll()
