@@ -34,6 +34,9 @@ object PrivacyQueries extends QueryPack {
   /** DP privacy budget: Laplace scale = sensitivity (1 count) / epsilon. */
   val DpEpsilon = 1.0
 
+  /** t-closeness release threshold on the ordered EMD. */
+  val TClose = 0.2
+
   /** Noisy top-k size. */
   val DpTopK = 10
 
@@ -87,6 +90,52 @@ object PrivacyQueries extends QueryPack {
         .select(col("segment"), col("nation"), col("n_rows"), col("l_div"),
           (col("n_rows") >= KAnon).cast("int").as("k_ok"),
           (col("l_div") >= LDiv).cast("int").as("l_ok"))
+    }),
+
+    // t-closeness of each (segment, nation) quasi-identifier group: the
+    // ordered-EMD between the group's order-priority distribution and
+    // the global one. With p_j − q_j = (n_gj·N − N_j·n_g)/(n_g·N) the
+    // prefix differences have an INTEGER numerator, so
+    // EMD = Σ_k |prefix_k| / (n_g·N·(m−1)) is exact integers until one
+    // final correctly-rounded division — no per-cell floating ratios to
+    // drift. The (group × priority) grid is densified from two bounded
+    // domain relations (a broadcast of the 5-row priority marginal), the
+    // prefix rides a window PARTITIONED by the group, and everything
+    // downstream of the two grouped counts is domain-bounded.
+    "q_dp_tcloseness" -> ((s, d) => {
+      val j = t(s, d, "orders").select(col("o_custkey"), col("o_orderpriority"))
+        .join(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          col("c_nationkey").as("nation"), col("o_orderpriority").as("prio"))
+        .transform(graft.CacheScope.persisted(_))
+      val cell = j.groupBy("segment", "nation", "prio")
+        .agg(count(lit(1)).as("ng_j"))
+      val grp = j.groupBy("segment", "nation").agg(count(lit(1)).as("n_g"))
+      val glob = j.groupBy("prio").agg(count(lit(1)).as("n_j"))
+      val tot = j.agg(count(lit(1)).as("n_tot"),
+        countDistinct(col("prio")).as("m"))
+      val grid = grp.crossJoin(broadcast(glob))
+        .join(cell, Seq("segment", "nation", "prio"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("segment"), col("nation"), col("prio"), col("n_g"),
+          col("n_tot"), col("m"),
+          (coalesce(col("ng_j"), lit(0L)) * col("n_tot") -
+            col("n_j") * col("n_g")).as("term"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("segment", "nation")
+        .orderBy(col("prio").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      grid.withColumn("pref", sum(col("term")).over(w))
+        .groupBy(col("segment"), col("nation"))
+        .agg(min(col("n_g")).as("n_rows"),
+          sum(abs(col("pref"))).as("num"),
+          min(col("n_g") * col("n_tot") * (col("m") - 1)).as("den"))
+        .select(col("segment"), col("nation"), col("n_rows"),
+          round(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("t_close"))
+        .withColumn("t_ok", (col("t_close") <= TClose).cast("int"))
     }),
 
     // Laplace mechanism on the order-priority histogram: counts have
@@ -180,6 +229,46 @@ object PrivacyQueries extends QueryPack {
     }))
 
   override val oracles: Map[String, String] = Map(
+
+    "q_dp_tcloseness" ->
+      s"""WITH j AS (
+         |  SELECT c.c_mktsegment AS segment, c.c_nationkey AS nation,
+         |         o.o_orderpriority AS prio
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |), cell AS (
+         |  SELECT segment, nation, prio, count(*) AS ng_j
+         |  FROM j GROUP BY 1, 2, 3
+         |), grp AS (
+         |  SELECT segment, nation, count(*) AS n_g FROM j GROUP BY 1, 2
+         |), marg AS (
+         |  SELECT prio, count(*) AS n_j FROM j GROUP BY 1
+         |), tot AS (
+         |  SELECT count(*) AS n_tot, count(DISTINCT prio) AS m FROM j
+         |), grid AS (
+         |  SELECT g.segment, g.nation, gl.prio, g.n_g, t.n_tot, t.m,
+         |         COALESCE(c.ng_j, 0) * t.n_tot - gl.n_j * g.n_g AS term
+         |  FROM grp g
+         |  CROSS JOIN marg gl
+         |  CROSS JOIN tot t
+         |  LEFT JOIN cell c ON c.segment = g.segment AND c.nation = g.nation
+         |                  AND c.prio = gl.prio
+         |), pref AS (
+         |  SELECT segment, nation, n_g, n_tot, m,
+         |         sum(term) OVER (PARTITION BY segment, nation
+         |                         ORDER BY prio
+         |                         ROWS UNBOUNDED PRECEDING) AS pref
+         |  FROM grid
+         |), agg AS (
+         |  SELECT segment, nation, min(n_g) AS n_rows,
+         |         CAST(sum(abs(pref)) AS BIGINT) AS num,
+         |         min(n_g * n_tot * (m - 1)) AS den
+         |  FROM pref GROUP BY 1, 2
+         |)
+         |SELECT segment, nation, n_rows,
+         |       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS t_close,
+         |       CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+         |            <= $TClose AS INTEGER) AS t_ok
+         |FROM agg""".stripMargin,
 
     "q_dp_kanonymity" ->
       s"""SELECT c.c_mktsegment AS segment, c.c_nationkey AS nation,

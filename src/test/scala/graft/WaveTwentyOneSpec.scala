@@ -123,6 +123,18 @@ class WaveTwentyOneSpec extends SparkSpec {
     }
   }
 
+  test("q_dp_tcloseness: EMD in [0,1], global group would score 0") {
+    val got = SparkEntry.queries("q_dp_tcloseness")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val tc = r.getAs[Double]("t_close")
+      assert(tc >= 0.0 && tc <= 1.0 + 1e-9, s"t=$tc")
+      assert(r.getAs[Int]("t_ok") == (if (tc <= relational.PrivacyQueries.TClose) 1 else 0))
+      assert(r.getAs[Long]("n_rows") > 0)
+    }
+  }
+
   test("q_decision_ucb: bonus positive, at least one arm chosen at the max") {
     val got = SparkEntry.queries("q_decision_ucb")(spark, sfDir).collect()
     CacheScope.releaseAll()
