@@ -31,6 +31,12 @@ object InferenceQueries extends QueryPack {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+  /** Event-id cap for the Fisher-exact 2×2 sample — exact tests are a
+    * small-table tool, and the cap keeps the hypergeometric support (and
+    * so the whole computation) constant-size at any corpus scale.
+    */
+  val FisherSample = 500L
+
   private def cents(c: Column): Column =
     (c.cast(DecimalType(12, 2)) * 100).cast("long")
 
@@ -84,6 +90,60 @@ object InferenceQueries extends QueryPack {
     // per-user rows, then the 64-shard range-partitioned rank (window is
     // shard-partitioned; shard offsets ride the triangular bases join
     // over a 64-row relation) — no global sort at any scale.
+    // Fisher's exact test on a 2×2 over a BOUNDED order sample (the
+    // key-range cap keeps the hypergeometric support constant at any
+    // corpus scale — exact tests are for small tables; the chi-square
+    // family covers the large-n regime). Log-binomials are built from
+    // 9dp-pinned ln terms folded in exact DECIMAL (one aggregate HOF per
+    // support point, ≤ sample² term evaluations total, no lgamma — Spark
+    // has none and DuckDB's wouldn't match anyway), so every support
+    // point's log-probability is bit-identical across engines; tail
+    // membership (lp ≤ lp_obs + 1e-7, the standard two-sided rule)
+    // therefore decides identically, and the p-values are decimal sums
+    // of 12dp-pinned exp terms. Everything downstream of the one
+    // filtered scan is a ≤ support-size relation.
+    "q_stats_fisher_exact" -> ((s, d) => {
+      val o = t(s, d, "events")
+        .filter(col("event_id") < FisherSample)
+        .select((col("event_type") === "purchase").cast("long").as("x"),
+          (col("value") >= 50.0).cast("long").as("y"))
+      val m = o.agg(count(lit(1)).as("n"), sum(col("x")).as("r1"),
+        sum(col("y")).as("c1"), sum(col("x") * col("y")).as("a"))
+      def lgC(aE: String, bE: String): String =
+        s"""IF(($bE) = 0, CAST(0.0 AS DECIMAL(28,9)),
+           |   aggregate(sequence(1L, CAST(($bE) AS BIGINT)),
+           |     CAST(0.0 AS DECIMAL(28,9)),
+           |     (acc, i) -> CAST(acc + CAST(round(ln(CAST(($aE) - ($bE) + i AS DOUBLE)
+           |                                           / i), 9) AS DECIMAL(28,9))
+           |                      AS DECIMAL(28,9))))""".stripMargin
+      val sup = m
+        .withColumn("lgn", expr(lgC("n", "c1")))
+        .select(col("n"), col("r1"), col("c1"), col("a"), col("lgn"),
+          explode(sequence(greatest(lit(0L), col("r1") + col("c1") - col("n")),
+            least(col("r1"), col("c1")))).as("k"))
+        .withColumn("lp",
+          expr(lgC("r1", "k")) + expr(lgC("n - r1", "c1 - k")) - col("lgn"))
+        .transform(graft.CacheScope.persisted(_))
+      val obs = sup.filter(col("k") === col("a"))
+        .select(col("lp").as("lp_obs"))
+      val joined = sup.crossJoin(broadcast(obs))
+      val pTerm = round(exp(col("lp").cast("double")), 12)
+        .cast(DecimalType(16, 12))
+      joined.agg(
+          min(col("n")).as("n"), min(col("r1")).as("r1"),
+          min(col("c1")).as("c1"), min(col("a")).as("a"),
+          round(min(col("lp_obs")).cast("double"), 6).as("lp_obs"),
+          sum(when(col("k") >= col("a"), pTerm)
+            .otherwise(lit(0.0).cast(DecimalType(16, 12))))
+            .cast("double").as("pg0"),
+          sum(when(col("lp") <= col("lp_obs") + lit(1e-7), pTerm)
+            .otherwise(lit(0.0).cast(DecimalType(16, 12))))
+            .cast("double").as("pt0"))
+        .select(col("n"), col("r1"), col("c1"), col("a"), col("lp_obs"),
+          round(col("pg0"), 9).as("p_greater"),
+          round(col("pt0"), 9).as("p_two_sided"))
+    }),
+
     "q_stats_wilcoxon" -> ((s, d) => {
       val ev = t(s, d, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("us"),
@@ -608,6 +668,52 @@ object InferenceQueries extends QueryPack {
     }))
 
   override val oracles: Map[String, String] = Map(
+
+    "q_stats_fisher_exact" ->
+      s"""WITH o AS (
+         |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+         |         CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS y
+         |  FROM events WHERE event_id < $FisherSample
+         |), m AS (
+         |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS r1,
+         |         CAST(sum(y) AS BIGINT) AS c1, CAST(sum(x * y) AS BIGINT) AS a
+         |  FROM o
+         |), lgn AS (
+         |  SELECT CAST(sum(CAST(round(ln(CAST(n - c1 + i AS DOUBLE) / i), 9)
+         |                       AS DECIMAL(28,9))) AS DECIMAL(28,9)) AS lgn
+         |  FROM (SELECT n, c1, unnest(range(1, c1 + 1)) AS i FROM m)
+         |), ks AS (
+         |  SELECT n, r1, c1, a,
+         |         unnest(range(greatest(0, r1 + c1 - n), least(r1, c1) + 1)) AS k
+         |  FROM m
+         |), t1 AS (
+         |  SELECT k, CAST(sum(CAST(round(ln(CAST(r1 - k + i AS DOUBLE) / i), 9)
+         |                          AS DECIMAL(28,9))) AS DECIMAL(28,9)) AS lg1
+         |  FROM (SELECT k, r1, unnest(range(1, k + 1)) AS i FROM ks) GROUP BY k
+         |), t2 AS (
+         |  SELECT k, CAST(sum(CAST(round(ln(CAST(n - r1 - (c1 - k) + i AS DOUBLE) / i), 9)
+         |                          AS DECIMAL(28,9))) AS DECIMAL(28,9)) AS lg2
+         |  FROM (SELECT k, n, r1, c1, unnest(range(1, c1 - k + 1)) AS i FROM ks)
+         |  GROUP BY k
+         |), lp AS (
+         |  SELECT ks.n, ks.r1, ks.c1, ks.a, ks.k,
+         |         COALESCE(t1.lg1, CAST(0.0 AS DECIMAL(28,9)))
+         |           + COALESCE(t2.lg2, CAST(0.0 AS DECIMAL(28,9)))
+         |           - lgn.lgn AS lp
+         |  FROM ks LEFT JOIN t1 USING (k) LEFT JOIN t2 USING (k) CROSS JOIN lgn
+         |), obs AS (SELECT lp AS lp_obs FROM lp WHERE k = a)
+         |SELECT min(lp.n) AS n, min(lp.r1) AS r1, min(lp.c1) AS c1,
+         |       min(lp.a) AS a,
+         |       round(CAST(min(o.lp_obs) AS DOUBLE), 6) AS lp_obs,
+         |       round(CAST(sum(CASE WHEN lp.k >= lp.a
+         |                  THEN CAST(round(exp(CAST(lp.lp AS DOUBLE)), 12) AS DECIMAL(16,12))
+         |                  ELSE CAST(0.0 AS DECIMAL(16,12)) END) AS DOUBLE), 9)
+         |         AS p_greater,
+         |       round(CAST(sum(CASE WHEN CAST(lp.lp AS DOUBLE) <= CAST(o.lp_obs AS DOUBLE) + 1e-7
+         |                  THEN CAST(round(exp(CAST(lp.lp AS DOUBLE)), 12) AS DECIMAL(16,12))
+         |                  ELSE CAST(0.0 AS DECIMAL(16,12)) END) AS DOUBLE), 9)
+         |         AS p_two_sided
+         |FROM lp CROSS JOIN obs o""".stripMargin,
 
     "q_stats_wilcoxon" ->
       s"""$HalfSql, u AS (

@@ -95,6 +95,42 @@ object TextModelQueries extends QueryPack {
     // collect, no window.
     "text_naive_bayes" -> ((s, d) => naiveBayesOf(docs(s, d))),
 
+    // McNemar's paired test between the two language classifiers the
+    // engine ships — the trained naive Bayes vs the stopword-ratio
+    // heuristic — on the SAME documents (that pairing is the whole
+    // point: discordant counts b/c isolate the docs where exactly one
+    // model is right, which an unpaired accuracy diff cannot). The
+    // continuity-corrected statistic (|b−c|−1)²/(b+c) is exact integer
+    // arithmetic until one final division. One join of two per-doc
+    // prediction relations, then a constant-size aggregation.
+    "q_stats_mcnemar" -> ((s, d) => {
+      val dd = docs(s, d)
+      val nb = nbPredictions(dd)
+        .select(col("doc_id"), col("lang"), col("pred_lang").as("pred_nb"))
+      val toks = TextAnalysisQueries.cleanTokens(col("text"))
+      val hits = TextAnalysisQueries.countIn(
+        toks, graft.text.Stopwords.reachable.filter(_.nonEmpty))
+      val heur = dd.select(col("doc_id"),
+        when(hits.cast("double") / size(toks) >= 0.15, "en")
+          .otherwise("unknown").as("pred_h"))
+      nb.join(heur, Seq("doc_id"))
+        .select(
+          (col("pred_nb") === col("lang")).cast("long").as("nb_ok"),
+          (col("pred_h") === col("lang")).cast("long").as("h_ok"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nb_ok") * col("h_ok")).as("n_both"),
+          sum(col("nb_ok") * (lit(1L) - col("h_ok"))).as("b_nb_only"),
+          sum((lit(1L) - col("nb_ok")) * col("h_ok")).as("c_h_only"))
+        .select(col("n_docs"), col("n_both"), col("b_nb_only"),
+          col("c_h_only"),
+          when(col("b_nb_only") + col("c_h_only") === 0, lit(0.0))
+            .otherwise(round(
+              ((abs(col("b_nb_only") - col("c_h_only")) - 1) *
+               (abs(col("b_nb_only") - col("c_h_only")) - 1)).cast("double") /
+              (col("b_nb_only") + col("c_h_only")).cast("double"), 6))
+            .as("mcnemar_chi2"))
+    }),
+
     // Interpolated Kneser-Ney bigram scoring — the smoothing real LMs
     // actually shipped (KenLM's default): P(w2|w1) = max(c(w1w2)−d,0)/
     // c(w1·) + d·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··), with the famous
@@ -197,7 +233,16 @@ object TextModelQueries extends QueryPack {
     * (doc_id, lang, text) relation — public for planted-corpus specs
     * (see the registration above for the full design notes).
     */
-  def naiveBayesOf(documents: DataFrame): DataFrame = {
+  def naiveBayesOf(documents: DataFrame): DataFrame =
+    nbPredictions(documents)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-document naive-Bayes language prediction (doc_id, lang,
+    * pred_lang) — the relation naiveBayesOf rolls up and
+    * q_stats_mcnemar compares against the heuristic baseline.
+    */
+  def nbPredictions(documents: DataFrame): DataFrame = {
     val tok = documents
       .select(col("doc_id"), col("lang"), explode(cleanTokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
@@ -223,8 +268,7 @@ object TextModelQueries extends QueryPack {
         (col("prior") + col("sll")).as("score"))
     scores.groupBy(col("doc_id"), col("lang"))
       .agg(max(struct(col("score"), col("clang"))).as("m"))
-      .groupBy(col("lang"), col("m.clang").as("pred_lang"))
-      .agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), col("lang"), col("m.clang").as("pred_lang"))
   }
 
   /** Winnowing fingerprint selection over any (doc_id, text) relation —
@@ -402,40 +446,40 @@ object TextModelQueries extends QueryPack {
          |FROM r$TrIters ORDER BY r DESC, node ASC LIMIT $TrTopK""".stripMargin,
 
     "text_naive_bayes" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang,
-        |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS tok
-        |  FROM documents
-        |), tok2 AS (
-        |  SELECT doc_id, lang, tok FROM tok WHERE tok <> ''
-        |), counts AS (
-        |  SELECT lang AS clang, tok, count(*) AS nlt FROM tok2 GROUP BY 1, 2
-        |), pri AS (
-        |  SELECT lang, count(*) AS nd FROM documents GROUP BY 1
-        |), meta AS (
-        |  SELECT c.clang, c.nl, p.nd,
-        |         (SELECT count(DISTINCT tok) FROM tok2) AS v,
-        |         (SELECT count(*) FROM documents) AS ndtot
-        |  FROM (SELECT clang, sum(nlt) AS nl FROM counts GROUP BY 1) c
-        |  JOIN pri p ON p.lang = c.clang
-        |), scores AS (
-        |  SELECT t.doc_id, t.lang, m.clang,
-        |         CAST(round(ln(CAST(m.nd AS DOUBLE) / CAST(m.ndtot AS DOUBLE)), 9) AS DECIMAL(18,9)) +
-        |         CAST(sum(CAST(round(ln(CAST(coalesce(c.nlt, 0) + 1 AS DOUBLE) /
-        |                                 CAST(m.nl + m.v AS DOUBLE)), 9)
-        |                       AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS score
-        |  FROM tok2 t
-        |  CROSS JOIN meta m
-        |  LEFT JOIN counts c ON c.clang = m.clang AND c.tok = t.tok
-        |  GROUP BY 1, 2, 3, m.nd, m.ndtot
-        |), pred AS (
-        |  SELECT doc_id, lang, clang AS pred_lang,
-        |         row_number() OVER (PARTITION BY doc_id
-        |                            ORDER BY score DESC, clang DESC) AS rn
-        |  FROM scores
-        |)
-        |SELECT lang, pred_lang, count(*) AS n
-        |FROM pred WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+      s"""$nbPredCte
+         |SELECT lang, pred_lang, count(*) AS n
+         |FROM pred WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+
+    "q_stats_mcnemar" ->
+      s"""$nbPredCte, nb AS (
+         |  SELECT doc_id, lang, pred_lang AS pred_nb FROM pred WHERE rn = 1
+         |), ht AS (
+         |  SELECT doc_id,
+         |         string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +') AS toks
+         |  FROM documents
+         |), heur AS (
+         |  SELECT doc_id,
+         |         CASE WHEN CAST(len(list_filter(toks, x -> x IN ${TextAnalysisQueries.stopList})) AS DOUBLE)
+         |                   / len(toks) >= 0.15
+         |              THEN 'en' ELSE 'unknown' END AS pred_h
+         |  FROM ht
+         |), ok AS (
+         |  SELECT CASE WHEN nb.pred_nb = nb.lang THEN 1 ELSE 0 END AS nb_ok,
+         |         CASE WHEN h.pred_h = nb.lang THEN 1 ELSE 0 END AS h_ok
+         |  FROM nb JOIN heur h ON h.doc_id = nb.doc_id
+         |), m AS (
+         |  SELECT count(*) AS n_docs,
+         |         CAST(sum(nb_ok * h_ok) AS BIGINT) AS n_both,
+         |         CAST(sum(nb_ok * (1 - h_ok)) AS BIGINT) AS b_nb_only,
+         |         CAST(sum((1 - nb_ok) * h_ok) AS BIGINT) AS c_h_only
+         |  FROM ok
+         |)
+         |SELECT n_docs, n_both, b_nb_only, c_h_only,
+         |       CASE WHEN b_nb_only + c_h_only = 0 THEN 0.0
+         |            ELSE round(CAST((abs(b_nb_only - c_h_only) - 1) *
+         |                            (abs(b_nb_only - c_h_only) - 1) AS DOUBLE) /
+         |                       (b_nb_only + c_h_only), 6) END AS mcnemar_chi2
+         |FROM m""".stripMargin,
 
     // Window-end self-join formulation (deliberately different from the
     // Spark side's bounded-frame window): candidates j in (e-W, e],
@@ -458,6 +502,46 @@ object TextModelQueries extends QueryPack {
          |FROM f a JOIN f b ON b.h = a.h AND a.doc_id < b.doc_id
          |GROUP BY 1, 2
          |HAVING count(*) >= $MinSharedFps""".stripMargin)
+
+  /** Shared naive-Bayes per-doc prediction CTE chain (token counts →
+    * smoothed decimal log-likelihood scores → argmax) closed by a `pred`
+    * relation of (doc_id, lang, pred_lang, rn) — rn = 1 is the
+    * prediction. Used by the text_naive_bayes and q_stats_mcnemar
+    * oracles.
+    */
+  private def nbPredCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |         unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +')) AS tok
+      |  FROM documents
+      |), tok2 AS (
+      |  SELECT doc_id, lang, tok FROM tok WHERE tok <> ''
+      |), counts AS (
+      |  SELECT lang AS clang, tok, count(*) AS nlt FROM tok2 GROUP BY 1, 2
+      |), pri AS (
+      |  SELECT lang, count(*) AS nd FROM documents GROUP BY 1
+      |), meta AS (
+      |  SELECT c.clang, c.nl, p.nd,
+      |         (SELECT count(DISTINCT tok) FROM tok2) AS v,
+      |         (SELECT count(*) FROM documents) AS ndtot
+      |  FROM (SELECT clang, sum(nlt) AS nl FROM counts GROUP BY 1) c
+      |  JOIN pri p ON p.lang = c.clang
+      |), scores AS (
+      |  SELECT t.doc_id, t.lang, m.clang,
+      |         CAST(round(ln(CAST(m.nd AS DOUBLE) / CAST(m.ndtot AS DOUBLE)), 9) AS DECIMAL(18,9)) +
+      |         CAST(sum(CAST(round(ln(CAST(coalesce(c.nlt, 0) + 1 AS DOUBLE) /
+      |                                 CAST(m.nl + m.v AS DOUBLE)), 9)
+      |                       AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS score
+      |  FROM tok2 t
+      |  CROSS JOIN meta m
+      |  LEFT JOIN counts c ON c.clang = m.clang AND c.tok = t.tok
+      |  GROUP BY 1, 2, 3, m.nd, m.ndtot
+      |), pred AS (
+      |  SELECT doc_id, lang, clang AS pred_lang,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY score DESC, clang DESC) AS rn
+      |  FROM scores
+      |)""".stripMargin
 
   /** Shared winnowing-selection CTE chain (tokens → positioned gram
     * hashes → per-window argmin) for the two oracles above.

@@ -123,6 +123,36 @@ class WaveTwentyOneSpec extends SparkSpec {
     }
   }
 
+  test("q_stats_mcnemar: cell counts partition, statistic reconstructs") {
+    val r = SparkEntry.queries("q_stats_mcnemar")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.length == 1)
+    val (n, both, b, c) = (r(0).getAs[Long]("n_docs"), r(0).getAs[Long]("n_both"),
+      r(0).getAs[Long]("b_nb_only"), r(0).getAs[Long]("c_h_only"))
+    assert(both + b + c <= n)
+    val chi2 = r(0).getAs[Double]("mcnemar_chi2")
+    if (b + c > 0) {
+      val exp = math.pow(math.abs(b - c) - 1.0, 2) / (b + c)
+      assert(math.abs(chi2 - exp) < 1e-6, s"chi2=$chi2 exp=$exp")
+    } else assert(chi2 == 0.0)
+  }
+
+  test("q_stats_fisher_exact: p-values bracket the observed table") {
+    val r = SparkEntry.queries("q_stats_fisher_exact")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.length == 1)
+    val (n, r1, c1, a) = (r(0).getAs[Long]("n"), r(0).getAs[Long]("r1"),
+      r(0).getAs[Long]("c1"), r(0).getAs[Long]("a"))
+    assert(a <= r1 && a <= c1 && r1 <= n && c1 <= n)
+    val lpObs = r(0).getAs[Double]("lp_obs")
+    val (pg, pt) = (r(0).getAs[Double]("p_greater"), r(0).getAs[Double]("p_two_sided"))
+    assert(lpObs <= 0.0)
+    // the observed table's own probability is in BOTH tails
+    Seq(pg, pt).foreach { p =>
+      assert(p >= math.exp(lpObs) - 1e-9 && p <= 1.0 + 1e-9, s"p=$p lp=$lpObs")
+    }
+  }
+
   test("q_dp_tcloseness: EMD in [0,1], global group would score 0") {
     val got = SparkEntry.queries("q_dp_tcloseness")(spark, sfDir).collect()
     CacheScope.releaseAll()
