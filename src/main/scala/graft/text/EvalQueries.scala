@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.{QueryPack, Tables}
 import graft.text.TextAnalysisQueries.{cleanTokens, countIn, qualityScore, qualityScoreCte, stopList}
@@ -73,6 +74,75 @@ object EvalQueries extends QueryPack {
     // count is an inequality join over that bounded relation with the
     // smaller side broadcast — the Skyline prefix-max pattern.
     "text_eval_auc" -> ((s, d) => aucOf(labeled(s, d))),
+
+    // DeLong variance of the AUC — the error bar that turns "AUC 0.71"
+    // into "AUC 0.71 ± 0.02", i.e. whether two model versions actually
+    // differ. The structural components ride the SAME bounded per-score
+    // relation as text_eval_auc: every positive at score s shares the
+    // placement V10(s) = (#neg below + ½·#neg tied)/N, so the variance
+    // over positives is a p(s)-weighted sum over score buckets — two
+    // more triangular broadcast joins (cum-below / cum-above), never a
+    // global rank window. Placements and the AUC are 9dp-pinned into
+    // DECIMAL before the squared-deviation sums, so the variance
+    // arithmetic is exact and identical across engines; doubles appear
+    // only in the final sqrt/ratios.
+    "text_eval_auc_delong" -> ((s, d) => {
+      val lab = labeled(s, d)
+      val g = lab.groupBy(col("sc"))
+        .agg(count(when(col("y"), 1)).as("p"),
+          count(when(!col("y"), 1)).as("n"))
+        .transform(graft.CacheScope.persisted(_))
+      def cum(v: String, lower: Boolean, as: String) = {
+        val cond = if (lower) col("sb") < col("sa") else col("sb") > col("sa")
+        g.select(col("sc").as("sa"))
+          .join(broadcast(g.select(col("sc").as("sb"), col(v).as("v"))),
+            cond, "left")
+          .groupBy(col("sa"))
+          .agg(coalesce(sum(col("v")), lit(0L)).as(as))
+      }
+      val conc = g.select(col("sc").as("sa"), col("p").as("pa"))
+        .join(broadcast(g.select(col("sc").as("sb"), col("n").as("nb"))),
+          col("sa") > col("sb"))
+        .agg(coalesce(sum(col("pa") * col("nb")), lit(0L)).as("c"))
+      val ties = g.agg(coalesce(sum(col("p") * col("n")), lit(0L)).as("t"))
+      val tot = g.agg(sum(col("p")).as("np"), sum(col("n")).as("nn"))
+      val dec9 = DecimalType(10, 9)
+      val base = tot.crossJoin(broadcast(conc)).crossJoin(broadcast(ties))
+        .withColumn("auc9",
+          round((col("c").cast("double") + lit(0.5) * col("t").cast("double")) /
+            (col("np").cast("double") * col("nn").cast("double")), 9).cast(dec9))
+      val per = g
+        .join(cum("n", lower = true, "cn"), col("sc") === col("sa")).drop("sa")
+        .join(cum("p", lower = false, "cp"), col("sc") === col("sa")).drop("sa")
+        .crossJoin(broadcast(base))
+        .select(col("p"), col("n"), col("np"), col("nn"), col("c"), col("t"),
+          col("auc9"),
+          round((col("cn").cast("double") + lit(0.5) * col("n")) /
+            col("nn").cast("double"), 9).cast(dec9).as("v10"),
+          round((col("cp").cast("double") + lit(0.5) * col("p")) /
+            col("np").cast("double"), 9).cast(dec9).as("v01"))
+      per.agg(min(col("np")).as("np"), min(col("nn")).as("nn"),
+          min(col("c")).as("c"), min(col("t")).as("t"),
+          min(col("auc9")).as("auc9"),
+          sum((col("v10") - col("auc9")) * (col("v10") - col("auc9")) *
+            col("p").cast(DecimalType(7, 0))).as("sum10"),
+          sum((col("v01") - col("auc9")) * (col("v01") - col("auc9")) *
+            col("n").cast(DecimalType(7, 0))).as("sum01"))
+        .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+          round((col("c").cast("double") + lit(0.5) * col("t").cast("double")) /
+            (col("np").cast("double") * col("nn").cast("double")), 6).as("auc"),
+          col("auc9").cast("double").as("auc9d"),
+          sqrt(col("sum10").cast("double") /
+              ((col("np") - 1).cast("double") * col("np").cast("double")) +
+            col("sum01").cast("double") /
+              ((col("nn") - 1).cast("double") * col("nn").cast("double")))
+            .as("se0"))
+        .select(col("n_pos"), col("n_neg"), col("auc"),
+          round(col("se0"), 6).as("auc_se"),
+          round((col("auc9d") - lit(0.5)) / col("se0"), 4).as("z_vs_half"),
+          round(col("auc") - lit(1.96) * col("se0"), 6).as("ci_lo"),
+          round(col("auc") + lit(1.96) * col("se0"), 6).as("ci_hi"))
+    }),
 
     // Average precision (area under the precision-recall curve, step
     // interpolation) — the ranking metric that, unlike AUC, collapses
@@ -227,6 +297,58 @@ object EvalQueries extends QueryPack {
          |       round((CAST(c AS DOUBLE) + 0.5 * CAST(t AS DOUBLE)) /
          |             (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS auc
          |FROM tot, conc, ties""".stripMargin,
+
+    "text_eval_auc_delong" ->
+      s"""WITH $labeledSql, g AS (
+         |  SELECT sc, count(CASE WHEN y THEN 1 END) AS p,
+         |         count(CASE WHEN NOT y THEN 1 END) AS n
+         |  FROM lab GROUP BY sc
+         |), cumn AS (
+         |  SELECT a.sc, CAST(COALESCE(sum(b.n), 0) AS BIGINT) AS cn
+         |  FROM g a LEFT JOIN g b ON b.sc < a.sc GROUP BY 1
+         |), cump AS (
+         |  SELECT a.sc, CAST(COALESCE(sum(b.p), 0) AS BIGINT) AS cp
+         |  FROM g a LEFT JOIN g b ON b.sc > a.sc GROUP BY 1
+         |), conc AS (
+         |  SELECT CAST(COALESCE(sum(a.p * b.n), 0) AS BIGINT) AS c
+         |  FROM g a, g b WHERE a.sc > b.sc
+         |), ties AS (SELECT CAST(COALESCE(sum(p * n), 0) AS BIGINT) AS t FROM g),
+         |tot AS (SELECT CAST(sum(p) AS BIGINT) AS np,
+         |               CAST(sum(n) AS BIGINT) AS nn FROM g),
+         |base AS (
+         |  SELECT np, nn, c, t,
+         |         CAST(round((CAST(c AS DOUBLE) + 0.5 * CAST(t AS DOUBLE)) /
+         |                    (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 9)
+         |              AS DECIMAL(10,9)) AS auc9
+         |  FROM tot CROSS JOIN conc CROSS JOIN ties
+         |), per AS (
+         |  SELECT g.p, g.n, b.np, b.nn, b.c, b.t, b.auc9,
+         |         CAST(round((cn.cn + 0.5 * g.n) / CAST(b.nn AS DOUBLE), 9)
+         |              AS DECIMAL(10,9)) AS v10,
+         |         CAST(round((cp.cp + 0.5 * g.p) / CAST(b.np AS DOUBLE), 9)
+         |              AS DECIMAL(10,9)) AS v01
+         |  FROM g JOIN cumn cn ON cn.sc = g.sc
+         |         JOIN cump cp ON cp.sc = g.sc CROSS JOIN base b
+         |), m AS (
+         |  SELECT min(np) AS np, min(nn) AS nn, min(c) AS c, min(t) AS t,
+         |         min(auc9) AS auc9,
+         |         sum((v10 - auc9) * (v10 - auc9) * CAST(p AS DECIMAL(7,0))) AS sum10,
+         |         sum((v01 - auc9) * (v01 - auc9) * CAST(n AS DECIMAL(7,0))) AS sum01
+         |  FROM per
+         |), f AS (
+         |  SELECT np AS n_pos, nn AS n_neg,
+         |         round((CAST(c AS DOUBLE) + 0.5 * CAST(t AS DOUBLE)) /
+         |               (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS auc,
+         |         CAST(auc9 AS DOUBLE) AS auc9d,
+         |         sqrt(CAST(sum10 AS DOUBLE) / ((np - 1) * CAST(np AS DOUBLE)) +
+         |              CAST(sum01 AS DOUBLE) / ((nn - 1) * CAST(nn AS DOUBLE))) AS se0
+         |  FROM m
+         |)
+         |SELECT n_pos, n_neg, auc, round(se0, 6) AS auc_se,
+         |       round((auc9d - 0.5) / se0, 4) AS z_vs_half,
+         |       round(auc - 1.96 * se0, 6) AS ci_lo,
+         |       round(auc + 1.96 * se0, 6) AS ci_hi
+         |FROM f""".stripMargin,
 
     "text_eval_avgprec" ->
       s"""WITH $labeledSql, g AS (

@@ -153,6 +153,20 @@ class WaveTwentyOneSpec extends SparkSpec {
     }
   }
 
+  test("text_eval_auc_delong: CI brackets the AUC, z reconstructs") {
+    val r = SparkEntry.queries("text_eval_auc_delong")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.length == 1)
+    val (auc, se) = (r(0).getAs[Double]("auc"), r(0).getAs[Double]("auc_se"))
+    val (lo, hi) = (r(0).getAs[Double]("ci_lo"), r(0).getAs[Double]("ci_hi"))
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(se > 0.0 && se < 0.5, s"se=$se")
+    assert(lo < auc && auc < hi)
+    assert(math.abs((hi - lo) - 2 * 1.96 * se) < 1e-4)
+    val z = r(0).getAs[Double]("z_vs_half")
+    assert(math.abs(z - (auc - 0.5) / se) < 0.01, s"z=$z")
+  }
+
   test("q_dp_tcloseness: EMD in [0,1], global group would score 0") {
     val got = SparkEntry.queries("q_dp_tcloseness")(spark, sfDir).collect()
     CacheScope.releaseAll()
