@@ -78,6 +78,101 @@ object TsDiagnosticsQueries extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Ljung–Box portmanteau test on the daily series' autocorrelations —
+    // the "is anything left in the residuals" gate run after any
+    // q_ts_ar2/holt fit: Q = n(n+2)·Σ_k ρ_k²/(n−k) over the same lag
+    // range (and the same exact-decimal correlation kernel) as q_ts_acf.
+    // Each ρ is pinned at 6dp into DECIMAL (the acf output grain), the
+    // per-lag terms at 12dp, so the sum is exact; Q against χ²(m)
+    // quantiles is the caller's lookup. One events-sized aggregation,
+    // then lag-bounded relations.
+    "q_ts_ljungbox" -> ((s, d) => {
+      val daily = TimeSeriesQueries.dailyOf(t(s, d, "events"))
+        .transform(graft.CacheScope.persisted(_))
+      val nlen = daily.groupBy("event_type").agg(count(lit(1)).as("n_len"))
+      val lagged = daily.select(col("event_type"), col("day"), col("c"),
+        explode(sequence(lit(1), lit(TimeSeriesQueries.AcfMaxLag))).as("lag"))
+      val prev = daily.select(col("event_type").as("pet"),
+        col("day").as("pday"), col("c").as("pc"))
+      val x = col("c").cast(DecimalType(14, 0))
+      val y = col("pc").cast(DecimalType(14, 0))
+      val m = lagged.join(prev,
+          col("event_type") === col("pet") &&
+            col("pday") === date_sub(col("day"), col("lag")))
+        .select(col("event_type"), col("lag"), x.as("x"), y.as("y"))
+        .groupBy("event_type", "lag")
+        .agg(count(lit(1)).cast(DecimalType(6, 0)).as("n"),
+          sum(col("x")).cast(DecimalType(14, 0)).as("sx"),
+          sum(col("y")).cast(DecimalType(14, 0)).as("sy"),
+          sum(col("x") * col("y")).cast(DecimalType(28, 0)).as("sxy"),
+          sum(col("x") * col("x")).cast(DecimalType(28, 0)).as("sxx"),
+          sum(col("y") * col("y")).cast(DecimalType(28, 0)).as("syy"))
+      val rho = m.select(col("event_type"), col("lag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(greatest(lit(0.0),
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))) *
+             sqrt(greatest(lit(0.0),
+               (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))),
+            6).cast(DecimalType(8, 6)).as("rho"))
+        .filter(col("rho").isNotNull)
+      rho.join(nlen, "event_type")
+        .select(col("event_type"), col("n_len"),
+          round((col("rho") * col("rho")).cast("double") /
+            (col("n_len") - col("lag")).cast("double"), 12)
+            .cast(DecimalType(14, 12)).as("term"))
+        .groupBy(col("event_type"), col("n_len"))
+        .agg(count(lit(1)).as("n_lags"), sum(col("term")).as("sterm"))
+        .select(col("event_type"), col("n_len").as("n_obs"), col("n_lags"),
+          round((col("n_len") * (col("n_len") + 2)).cast("double") *
+            col("sterm").cast("double"), 4).as("q_lb"))
+    }),
+
+    // Dickey–Fuller stationarity t-statistic (lag-0, with drift) on the
+    // daily series: OLS of Δc_t on c_{t−1}; β near 0 (t above the ~−2.86
+    // critical value) says unit root / random walk, strongly negative t
+    // says mean-reverting. Everything reduces to six exact decimal sums
+    // over consecutive-day pairs; β, the residual variance and the
+    // t-stat are closed forms on the n-scaled centered kernels (single
+    // correctly-rounded decimal→double conversions), so both engines
+    // produce the identical statistic before the final round.
+    "q_ts_dickey_fuller" -> ((s, d) => {
+      val daily = TimeSeriesQueries.dailyOf(t(s, d, "events"))
+        .transform(graft.CacheScope.persisted(_))
+      val prev = daily.select(col("event_type").as("pet"),
+        col("day").as("pday"), col("c").as("pc"))
+      val pairs = daily.join(prev,
+          col("event_type") === col("pet") &&
+            col("pday") === date_sub(col("day"), 1))
+        .select(col("event_type"),
+          col("pc").cast(DecimalType(14, 0)).as("x"),
+          (col("c") - col("pc")).cast(DecimalType(14, 0)).as("dd"))
+      val m = pairs.groupBy("event_type")
+        .agg(count(lit(1)).cast(DecimalType(6, 0)).as("n"),
+          sum(col("x")).cast(DecimalType(18, 0)).as("s1"),
+          sum(col("x") * col("x")).cast(DecimalType(30, 0)).as("s2"),
+          sum(col("dd")).cast(DecimalType(18, 0)).as("sd"),
+          sum(col("dd") * col("dd")).cast(DecimalType(30, 0)).as("sdd"),
+          sum(col("x") * col("dd")).cast(DecimalType(30, 0)).as("sxd"))
+        .filter(col("n") > 2)
+        .select(col("event_type"), col("n").cast("long").as("n_obs"),
+          col("s1").cast("double").as("s1d"), col("sd").cast("double").as("sdd0"),
+          (col("n") * col("s2") - col("s1") * col("s1")).cast("double").as("a"),
+          (col("n") * col("sxd") - col("s1") * col("sd")).cast("double").as("b"),
+          (col("n") * col("sdd") - col("sd") * col("sd")).cast("double").as("g"))
+        .filter(col("a") > 0)
+      m.select(col("event_type"), col("n_obs"),
+          (col("b") / col("a")).as("beta0"),
+          col("a"), col("b"), col("g"), col("s1d"), col("sdd0"))
+        .filter(col("g") - (col("b") / col("a")) * col("b") > 0)
+        .select(col("event_type"), col("n_obs"),
+          round((col("sdd0") - col("beta0") * col("s1d")) /
+            col("n_obs").cast("double"), 6).as("alpha"),
+          round(col("beta0"), 6).as("beta"),
+          round(col("beta0") /
+            sqrt((col("g") - col("beta0") * col("b")) /
+              ((col("n_obs") - 2).cast("double") * col("a"))), 4).as("t_df"))
+    }),
+
     // 1-D Kalman filter, local-level model: predict p' = p + Q, gain
     // K = p'/(p'+R), update l += K(y − l), p = (1−K)p'. Unlike
     // q_ts_alphabeta's fixed gains, K converges from 1·p0 toward the
@@ -385,6 +480,79 @@ object TsDiagnosticsQueries extends QueryPack {
     }))
 
   override val oracles: Map[String, String] = Map(
+
+    "q_ts_ljungbox" ->
+      s"""WITH daily AS (${TimeSeriesQueries.DailySql}),
+         |nlen AS (SELECT event_type, count(*) AS n_len FROM daily GROUP BY 1),
+         |lagged AS (
+         |  SELECT event_type, day, c,
+         |         CAST(unnest(generate_series(1, ${TimeSeriesQueries.AcfMaxLag})) AS INTEGER) AS lag
+         |  FROM daily
+         |), m AS (
+         |  SELECT a.event_type, a.lag,
+         |         CAST(count(*) AS DECIMAL(6,0)) AS n,
+         |         CAST(sum(CAST(a.c AS DECIMAL(14,0))) AS DECIMAL(14,0)) AS sx,
+         |         CAST(sum(CAST(b.c AS DECIMAL(14,0))) AS DECIMAL(14,0)) AS sy,
+         |         CAST(sum(CAST(a.c AS DECIMAL(14,0)) * CAST(b.c AS DECIMAL(14,0))) AS DECIMAL(28,0)) AS sxy,
+         |         CAST(sum(CAST(a.c AS DECIMAL(14,0)) * CAST(a.c AS DECIMAL(14,0))) AS DECIMAL(28,0)) AS sxx,
+         |         CAST(sum(CAST(b.c AS DECIMAL(14,0)) * CAST(b.c AS DECIMAL(14,0))) AS DECIMAL(28,0)) AS syy
+         |  FROM lagged a JOIN daily b
+         |    ON b.event_type = a.event_type AND b.day = a.day - a.lag
+         |  GROUP BY 1, 2
+         |), rho AS (
+         |  SELECT event_type, lag, CAST(r AS DECIMAL(8,6)) AS rho FROM (
+         |    SELECT event_type, lag,
+         |           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+         |                 (sqrt(greatest(0.0, CAST(n * sxx - sx * sx AS DOUBLE))) *
+         |                  sqrt(greatest(0.0, CAST(n * syy - sy * sy AS DOUBLE)))),
+         |                 6) AS r
+         |    FROM m
+         |  ) WHERE r IS NOT NULL
+         |), terms AS (
+         |  SELECT r.event_type, nl.n_len,
+         |         CAST(round(CAST(r.rho * r.rho AS DOUBLE) /
+         |                    (nl.n_len - r.lag), 12) AS DECIMAL(14,12)) AS term
+         |  FROM rho r JOIN nlen nl ON nl.event_type = r.event_type
+         |)
+         |SELECT event_type, CAST(n_len AS BIGINT) AS n_obs,
+         |       count(*) AS n_lags,
+         |       round(CAST(n_len * (n_len + 2) AS DOUBLE) *
+         |             CAST(sum(term) AS DOUBLE), 4) AS q_lb
+         |FROM terms GROUP BY event_type, n_len""".stripMargin,
+
+    "q_ts_dickey_fuller" ->
+      s"""WITH daily AS (${TimeSeriesQueries.DailySql}),
+         |pairs AS (
+         |  SELECT a.event_type,
+         |         CAST(b.c AS DECIMAL(14,0)) AS x,
+         |         CAST(a.c - b.c AS DECIMAL(14,0)) AS dd
+         |  FROM daily a JOIN daily b
+         |    ON b.event_type = a.event_type AND b.day = a.day - 1
+         |), m AS (
+         |  SELECT event_type, CAST(count(*) AS DECIMAL(6,0)) AS n,
+         |         CAST(sum(x) AS DECIMAL(18,0)) AS s1,
+         |         CAST(sum(x * x) AS DECIMAL(30,0)) AS s2,
+         |         CAST(sum(dd) AS DECIMAL(18,0)) AS sd,
+         |         CAST(sum(dd * dd) AS DECIMAL(30,0)) AS sdd,
+         |         CAST(sum(x * dd) AS DECIMAL(30,0)) AS sxd
+         |  FROM pairs GROUP BY 1 HAVING count(*) > 2
+         |), k AS (
+         |  SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+         |         CAST(s1 AS DOUBLE) AS s1d, CAST(sd AS DOUBLE) AS sdd0,
+         |         CAST(n * s2 - s1 * s1 AS DOUBLE) AS a,
+         |         CAST(n * sxd - s1 * sd AS DOUBLE) AS b,
+         |         CAST(n * sdd - sd * sd AS DOUBLE) AS g
+         |  FROM m
+         |), f AS (
+         |  SELECT event_type, n_obs, s1d, sdd0, a, b, g, b / a AS beta0
+         |  FROM k WHERE a > 0
+         |)
+         |SELECT event_type, n_obs,
+         |       round((sdd0 - beta0 * s1d) / n_obs, 6) AS alpha,
+         |       round(beta0, 6) AS beta,
+         |       round(beta0 / sqrt((g - beta0 * b) /
+         |             ((n_obs - 2) * a)), 4) AS t_df
+         |FROM f WHERE g - beta0 * b > 0""".stripMargin,
 
     "q_ts_kalman" ->
       s"""WITH RECURSIVE hourly AS ($HourlySql),

@@ -167,6 +167,34 @@ class WaveTwentyOneSpec extends SparkSpec {
     assert(math.abs(z - (auc - 0.5) / se) < 0.01, s"z=$z")
   }
 
+  test("q_ts_ljungbox: Q nonnegative, lag count bounded") {
+    val got = SparkEntry.queries("q_ts_ljungbox")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Double]("q_lb") >= 0.0)
+      val nl = r.getAs[Long]("n_lags")
+      assert(nl >= 1 && nl <= relational.TimeSeriesQueries.AcfMaxLag)
+      assert(r.getAs[Long]("n_obs") > nl)
+    }
+  }
+
+  test("q_ts_dickey_fuller: differenced series pulls beta negative-or-small") {
+    val got = SparkEntry.queries("q_ts_dickey_fuller")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      // beta is an OLS slope of a diff on the level: |beta| < 2 for any
+      // real series (beta = -1 is white noise, 0 is a random walk)
+      val b = r.getAs[Double]("beta")
+      assert(b > -2.0 && b < 2.0, s"beta=$b")
+      assert(r.getAs[Long]("n_obs") > 2)
+      // t and beta share a sign (se > 0)
+      val t = r.getAs[Double]("t_df")
+      if (math.abs(b) > 1e-9) assert(t.sign == b.sign, s"t=$t beta=$b")
+    }
+  }
+
   test("q_dp_tcloseness: EMD in [0,1], global group would score 0") {
     val got = SparkEntry.queries("q_dp_tcloseness")(spark, sfDir).collect()
     CacheScope.releaseAll()
