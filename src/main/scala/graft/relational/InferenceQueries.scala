@@ -144,6 +144,44 @@ object InferenceQueries extends QueryPack {
           round(col("pt0"), 9).as("p_two_sided"))
     }),
 
+    // Cochran–Armitage trend test: is the fulfilled-rate MONOTONE in the
+    // (ordered) order priority? The chi-square family only detects "some
+    // difference"; the trend test spends its one degree of freedom on
+    // the ordering, which is the question a priority dial actually
+    // poses. With N-scaled kernels T_N = N·Σsa − A·Σsn and
+    // Var·N³ = A(N−A)(N·Σs²n − (Σsn)²) everything is exact integers and
+    // Z = T_N / √(VarN3/N) is three correctly-rounded IEEE ops. One
+    // grouped count over orders, then a 5-row relation.
+    "q_stats_trend" -> ((s, d) => {
+      val g = t(s, d, "orders")
+        .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("sc"),
+          (col("o_orderstatus") === "F").cast("long").as("y"))
+        .groupBy("sc")
+        .agg(count(lit(1)).as("ni"), sum(col("y")).as("ai"))
+      g.agg(sum(col("ni")).cast(DecimalType(9, 0)).as("nn"),
+          sum(col("ai")).cast(DecimalType(9, 0)).as("aa"),
+          sum(col("sc") * col("ai")).cast(DecimalType(12, 0)).as("ssa"),
+          sum(col("sc") * col("ni")).cast(DecimalType(12, 0)).as("ssn"),
+          sum(col("sc") * col("sc") * col("ni")).cast(DecimalType(13, 0))
+            .as("ss2n"),
+          count(lit(1)).as("n_groups"))
+        .select(col("nn").cast("long").as("n_total"),
+          col("aa").cast("long").as("n_pos"), col("n_groups"),
+          (col("nn") * col("ssa") - col("aa") * col("ssn"))
+            .cast(DecimalType(24, 0)).as("tn"),
+          // staged casts keep every decimal product under width 38 in
+          // BOTH engines (DuckDB errors past 38; Spark silently clamps)
+          ((col("aa") * (col("nn") - col("aa"))).cast(DecimalType(12, 0)) *
+            (col("nn") * col("ss2n") - col("ssn") * col("ssn"))
+              .cast(DecimalType(15, 0)))
+            .cast(DecimalType(38, 0)).as("varn3"),
+          col("nn").cast("double").as("nd"))
+        .filter(col("varn3") > 0)
+        .select(col("n_total"), col("n_pos"), col("n_groups"),
+          round(col("tn").cast("double") /
+            sqrt(col("varn3").cast("double") / col("nd")), 4).as("z_trend"))
+    }),
+
     "q_stats_wilcoxon" -> ((s, d) => {
       val ev = t(s, d, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("us"),
@@ -668,6 +706,36 @@ object InferenceQueries extends QueryPack {
     }))
 
   override val oracles: Map[String, String] = Map(
+
+    "q_stats_trend" ->
+      s"""WITH g AS (
+         |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc,
+         |         count(*) AS ni,
+         |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS ai
+         |  FROM orders GROUP BY 1
+         |), m AS (
+         |  SELECT CAST(sum(ni) AS DECIMAL(9,0)) AS nn,
+         |         CAST(sum(ai) AS DECIMAL(9,0)) AS aa,
+         |         CAST(sum(sc * ai) AS DECIMAL(12,0)) AS ssa,
+         |         CAST(sum(sc * ni) AS DECIMAL(12,0)) AS ssn,
+         |         CAST(sum(sc * sc * ni) AS DECIMAL(13,0)) AS ss2n,
+         |         count(*) AS n_groups
+         |  FROM g
+         |), k AS (
+         |  SELECT CAST(nn AS BIGINT) AS n_total, CAST(aa AS BIGINT) AS n_pos,
+         |         n_groups,
+         |         CAST(nn * ssa - aa * ssn AS DECIMAL(24,0)) AS tn,
+         |         CAST(CAST(aa * (nn - aa) AS DECIMAL(12,0)) *
+         |              CAST(nn * ss2n - ssn * ssn AS DECIMAL(15,0))
+         |              AS DECIMAL(38,0)) AS varn3,
+         |         CAST(nn AS DOUBLE) AS nd
+         |  FROM m
+         |)
+         |SELECT n_total, n_pos, n_groups,
+         |       round(CAST(tn AS DOUBLE) /
+         |             sqrt(CAST(varn3 AS DOUBLE) / nd), 4) AS z_trend
+         |FROM k WHERE varn3 > 0""".stripMargin,
 
     "q_stats_fisher_exact" ->
       s"""WITH o AS (

@@ -173,6 +173,35 @@ object TsDiagnosticsQueries extends QueryPack {
               ((col("n_obs") - 2).cast("double") * col("a"))), 4).as("t_df"))
     }),
 
+    // KPSS level-stationarity statistic — Dickey–Fuller's complement
+    // (stationarity is the NULL here): η = Σ_t S_t² / (n²·σ̂²) over the
+    // demeaned daily series. Scaling the residuals by n makes everything
+    // integer — E_t = n·c_t − Σc, partial sums P_t = Σ E, and
+    // η = ΣP_t² / (n·ΣE_t²) exactly (the n powers cancel), so the whole
+    // statistic is ONE double ratio of two exact decimal sums. The
+    // prefix sum rides a window PARTITIONED by type over the
+    // calendar-bounded relation.
+    "q_ts_kpss" -> ((s, d) => {
+      val daily = TimeSeriesQueries.dailyOf(t(s, d, "events"))
+        .transform(graft.CacheScope.persisted(_))
+      val st = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+      val e = daily.join(st, "event_type")
+        .select(col("event_type"), col("day"), col("n"),
+          (col("n") * col("c") - col("sc")).cast(DecimalType(13, 0)).as("et"))
+      val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      e.withColumn("pt", sum(col("et")).over(w).cast(DecimalType(14, 0)))
+        .groupBy(col("event_type"), col("n"))
+        .agg(sum(col("pt") * col("pt")).cast(DecimalType(38, 0)).as("sp2"),
+          sum(col("et") * col("et")).cast(DecimalType(37, 0)).as("se2"))
+        .filter(col("se2") > 0)
+        .select(col("event_type"), col("n").as("n_obs"),
+          round(col("sp2").cast("double") /
+            (col("n").cast("double") * col("se2").cast("double")), 6)
+            .as("kpss"))
+    }),
+
     // 1-D Kalman filter, local-level model: predict p' = p + Q, gain
     // K = p'/(p'+R), update l += K(y − l), p = (1−K)p'. Unlike
     // q_ts_alphabeta's fixed gains, K converges from 1·p0 toward the
@@ -519,6 +548,32 @@ object TsDiagnosticsQueries extends QueryPack {
          |       round(CAST(n_len * (n_len + 2) AS DOUBLE) *
          |             CAST(sum(term) AS DOUBLE), 4) AS q_lb
          |FROM terms GROUP BY event_type, n_len""".stripMargin,
+
+    "q_ts_kpss" ->
+      s"""WITH daily AS (${TimeSeriesQueries.DailySql}),
+         |st AS (
+         |  SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS sc
+         |  FROM daily GROUP BY 1
+         |), e AS (
+         |  SELECT d.event_type, d.day, st.n,
+         |         CAST(st.n * d.c - st.sc AS DECIMAL(13,0)) AS et
+         |  FROM daily d JOIN st ON st.event_type = d.event_type
+         |), p AS (
+         |  SELECT event_type, n, et,
+         |         CAST(sum(et) OVER (PARTITION BY event_type ORDER BY day
+         |                            ROWS UNBOUNDED PRECEDING)
+         |              AS DECIMAL(14,0)) AS pt
+         |  FROM e
+         |), m AS (
+         |  SELECT event_type, n,
+         |         CAST(sum(pt * pt) AS DECIMAL(38,0)) AS sp2,
+         |         CAST(sum(et * et) AS DECIMAL(37,0)) AS se2
+         |  FROM p GROUP BY 1, 2 HAVING sum(et * et) > 0
+         |)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+         |       round(CAST(sp2 AS DOUBLE) /
+         |             (CAST(n AS DOUBLE) * CAST(se2 AS DOUBLE)), 6) AS kpss
+         |FROM m""".stripMargin,
 
     "q_ts_dickey_fuller" ->
       s"""WITH daily AS (${TimeSeriesQueries.DailySql}),

@@ -195,6 +195,28 @@ class WaveTwentyOneSpec extends SparkSpec {
     }
   }
 
+  test("q_ts_kpss: statistic positive and bounded by (n+1)(2n+1)/6n") {
+    val got = SparkEntry.queries("q_ts_kpss")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_obs"), r.getAs[Double]("kpss"))
+      // eta = sum(P_t^2)/(n*sum(E^2)); Cauchy-Schwarz on the prefix sums
+      // bounds it by sum over t of t^2/n... the loose structural rail:
+      assert(k > 0.0 && k < n.toDouble, s"kpss=$k n=$n")
+    }
+  }
+
+  test("q_stats_trend: z is finite and groups cover the priority domain") {
+    val r = SparkEntry.queries("q_stats_trend")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_groups") == 5)
+    assert(r(0).getAs[Long]("n_pos") <= r(0).getAs[Long]("n_total"))
+    val z = r(0).getAs[Double]("z_trend")
+    assert(!z.isNaN && math.abs(z) < math.sqrt(r(0).getAs[Long]("n_total").toDouble))
+  }
+
   test("q_dp_tcloseness: EMD in [0,1], global group would score 0") {
     val got = SparkEntry.queries("q_dp_tcloseness")(spark, sfDir).collect()
     CacheScope.releaseAll()
