@@ -156,6 +156,81 @@ object EvalQueries extends QueryPack {
     // and only the final /P runs in double.
     "text_eval_avgprec" -> ((s, d) => avgPrecOf(labeled(s, d))),
 
+    // Expected calibration error over the same decile bins as
+    // text_eval_calibration — the one-number summary of "is 0.8 really
+    // 80%". Because the quality score is 6dp-pinned, conf and accuracy
+    // share the integer-scaled form |p_b·10⁶ − Σs6_b|, so
+    // ECE = Σ_b |·| / (N·10⁶) is EXACT integers until one final
+    // division; MCE is the max over ≤ 11 bins of per-bin exact ratios.
+    // One bounded aggregation.
+    "text_eval_ece" -> ((s, d) => {
+      val lab = labeled(s, d).select(col("y"),
+        round(col("sc") * lit(1000000.0), 0).cast("long").as("s6"),
+        floor(col("sc") * 10).cast("int").as("bin"))
+      val b = lab.groupBy("bin")
+        .agg(count(lit(1)).as("nb"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("pb"),
+          sum(col("s6")).as("sb"))
+      b.agg(count(lit(1)).as("n_bins"), sum(col("nb")).as("n"),
+          sum(abs(col("pb") * lit(1000000L) - col("sb"))).as("num"),
+          max(abs(col("pb") * lit(1000000L) - col("sb")).cast("double") /
+            (col("nb").cast("double") * lit(1000000.0))).as("mce0"))
+        .select(col("n_bins"), col("n"),
+          round(col("num").cast("double") /
+            (col("n").cast("double") * lit(1000000.0)), 6).as("ece"),
+          round(col("mce0"), 6).as("mce"))
+    }),
+
+    // Brier score with the Murphy decomposition (reliability −
+    // resolution + uncertainty): the proper-scoring-rule view of the
+    // same calibration question. The raw score is exact integers
+    // ((s6 − y·10⁶)² summed as DECIMAL) over one scan; the
+    // decomposition terms are per-bin exact ratios 12dp-pinned before
+    // the ≤ 11-element decimal sums. WaveTwentyOneSpec checks Murphy's
+    // identity ties the four numbers together.
+    "text_eval_brier" -> ((s, d) => {
+      val lab = labeled(s, d).select(
+        when(col("y"), 1L).otherwise(0L).as("y1"),
+        round(col("sc") * lit(1000000.0), 0).cast("long").as("s6"),
+        floor(col("sc") * 10).cast("int").as("bin"))
+        .transform(graft.CacheScope.persisted(_))
+      val tot = lab.agg(count(lit(1)).as("n"), sum(col("y1")).as("a"),
+        sum(((col("s6") - col("y1") * lit(1000000L)) *
+          (col("s6") - col("y1") * lit(1000000L)))
+          .cast(DecimalType(26, 0))).as("sq"))
+      val b = lab.groupBy("bin")
+        .agg(count(lit(1)).as("nb"), sum(col("y1")).as("pb"),
+          sum(col("s6")).as("sb"))
+      val terms = b.crossJoin(broadcast(tot))
+        .select(col("n"), col("a"), col("sq"),
+          round(((col("pb") * lit(1000000L) - col("sb"))
+              .cast(DecimalType(14, 0)) *
+            (col("pb") * lit(1000000L) - col("sb"))
+              .cast(DecimalType(14, 0))).cast("double") /
+            (col("nb").cast("double") * lit(1e12)), 12)
+            .cast(DecimalType(20, 12)).as("rel_t"),
+          round(((col("pb") * col("n") - col("a") * col("nb"))
+              .cast(DecimalType(16, 0)) *
+            (col("pb") * col("n") - col("a") * col("nb"))
+              .cast(DecimalType(16, 0))).cast("double") /
+            (col("nb").cast("double") * col("n").cast("double") *
+              col("n").cast("double")), 12)
+            .cast(DecimalType(20, 12)).as("res_t"))
+      terms.groupBy(col("n"), col("a"), col("sq"))
+        .agg(sum(col("rel_t")).as("rel0"), sum(col("res_t")).as("res0"))
+        .select(col("n"),
+          round(col("sq").cast("double") /
+            (col("n").cast("double") * lit(1e12)), 6).as("brier"),
+          round(col("rel0").cast("double") / col("n").cast("double"), 6)
+            .as("reliability"),
+          round(col("res0").cast("double") / col("n").cast("double"), 6)
+            .as("resolution"),
+          round(col("a").cast("double") *
+            (col("n") - col("a")).cast("double") /
+            (col("n").cast("double") * col("n").cast("double")), 6)
+            .as("uncertainty"))
+    }),
+
     // Calibration / reliability table: decile bins of the score vs the
     // observed positive rate — the "is 0.8 really 80%?" check before a
     // threshold gate. Constant output (<= 11 bins); the mean score goes
@@ -349,6 +424,60 @@ object EvalQueries extends QueryPack {
          |       round(auc - 1.96 * se0, 6) AS ci_lo,
          |       round(auc + 1.96 * se0, 6) AS ci_hi
          |FROM f""".stripMargin,
+
+    "text_eval_ece" ->
+      s"""WITH $labeledSql, l2 AS (
+         |  SELECT y, CAST(round(sc * 1000000.0, 0) AS BIGINT) AS s6,
+         |         CAST(floor(sc * 10) AS INT) AS bin
+         |  FROM lab
+         |), b AS (
+         |  SELECT bin, count(*) AS nb,
+         |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pb,
+         |         CAST(sum(s6) AS BIGINT) AS sb
+         |  FROM l2 GROUP BY 1
+         |)
+         |SELECT count(*) AS n_bins, CAST(sum(nb) AS BIGINT) AS n,
+         |       round(CAST(sum(abs(pb * 1000000 - sb)) AS DOUBLE) /
+         |             (CAST(sum(nb) AS DOUBLE) * 1000000.0), 6) AS ece,
+         |       round(max(CAST(abs(pb * 1000000 - sb) AS DOUBLE) /
+         |             (CAST(nb AS DOUBLE) * 1000000.0)), 6) AS mce
+         |FROM b""".stripMargin,
+
+    "text_eval_brier" ->
+      s"""WITH $labeledSql, l2 AS (
+         |  SELECT CASE WHEN y THEN 1 ELSE 0 END AS y1,
+         |         CAST(round(sc * 1000000.0, 0) AS BIGINT) AS s6,
+         |         CAST(floor(sc * 10) AS INT) AS bin
+         |  FROM lab
+         |), tot AS (
+         |  SELECT count(*) AS n, CAST(sum(y1) AS BIGINT) AS a,
+         |         CAST(sum(CAST((s6 - y1 * 1000000) * (s6 - y1 * 1000000)
+         |                       AS DECIMAL(26,0))) AS DECIMAL(36,0)) AS sq
+         |  FROM l2
+         |), b AS (
+         |  SELECT bin, count(*) AS nb, CAST(sum(y1) AS BIGINT) AS pb,
+         |         CAST(sum(s6) AS BIGINT) AS sb
+         |  FROM l2 GROUP BY 1
+         |), terms AS (
+         |  SELECT t.n, t.a, t.sq,
+         |         CAST(round(CAST(CAST(pb * 1000000 - sb AS DECIMAL(14,0)) *
+         |                         CAST(pb * 1000000 - sb AS DECIMAL(14,0)) AS DOUBLE) /
+         |                    (CAST(nb AS DOUBLE) * 1e12), 12)
+         |              AS DECIMAL(20,12)) AS rel_t,
+         |         CAST(round(CAST(CAST(pb * t.n - t.a * nb AS DECIMAL(16,0)) *
+         |                         CAST(pb * t.n - t.a * nb AS DECIMAL(16,0)) AS DOUBLE) /
+         |                    (CAST(nb AS DOUBLE) * CAST(t.n AS DOUBLE) *
+         |                     CAST(t.n AS DOUBLE)), 12)
+         |              AS DECIMAL(20,12)) AS res_t
+         |  FROM b CROSS JOIN tot t
+         |)
+         |SELECT n,
+         |       round(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 6) AS brier,
+         |       round(CAST(sum(rel_t) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS reliability,
+         |       round(CAST(sum(res_t) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS resolution,
+         |       round(CAST(a AS DOUBLE) * CAST(n - a AS DOUBLE) /
+         |             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS uncertainty
+         |FROM terms GROUP BY n, a, sq""".stripMargin,
 
     "text_eval_avgprec" ->
       s"""WITH $labeledSql, g AS (

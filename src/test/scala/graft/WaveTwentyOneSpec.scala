@@ -217,6 +217,26 @@ class WaveTwentyOneSpec extends SparkSpec {
     assert(!z.isNaN && math.abs(z) < math.sqrt(r(0).getAs[Long]("n_total").toDouble))
   }
 
+  test("text_eval_ece/brier: bounds hold and Murphy's identity ties them") {
+    val ece = SparkEntry.queries("text_eval_ece")(spark, sfDir).collect()
+    val br = SparkEntry.queries("text_eval_brier")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(ece.length == 1 && br.length == 1)
+    val (e, mce) = (ece(0).getAs[Double]("ece"), ece(0).getAs[Double]("mce"))
+    assert(e >= 0.0 && e <= 1.0 && mce >= e - 1e-9 && mce <= 1.0)
+    val (bs, rel, res, unc) = (br(0).getAs[Double]("brier"),
+      br(0).getAs[Double]("reliability"), br(0).getAs[Double]("resolution"),
+      br(0).getAs[Double]("uncertainty"))
+    assert(bs >= 0.0 && bs <= 1.0 && rel >= 0.0 && res >= 0.0)
+    assert(unc >= 0.0 && unc <= 0.25 + 1e-9)
+    // Murphy: BS = REL - RES + UNC exactly only for bin-CONSTANT
+    // forecasts; with continuous scores in 0.1-wide bins the residual
+    // is the within-bin forecast variance/covariance, bounded by
+    // (width/2)^2 = 0.0025 per bin — rail at 0.01
+    assert(math.abs(bs - (rel - res + unc)) < 0.01,
+      s"bs=$bs rel=$rel res=$res unc=$unc")
+  }
+
   test("q_dp_tcloseness: EMD in [0,1], global group would score 0") {
     val got = SparkEntry.queries("q_dp_tcloseness")(spark, sfDir).collect()
     CacheScope.releaseAll()
