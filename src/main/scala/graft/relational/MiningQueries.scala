@@ -63,6 +63,43 @@ object MiningQueries extends QueryPack {
   private def bucketOf(v: String, vmin: String, vmax: String): String =
     s"CAST(($v - $vmin) * $RankBuckets AS BIGINT) div ($vmax - $vmin + 1)"
 
+  /** The item-CF top-k neighbor relation (part_a, part_b, cooc, cosine,
+    * rk) — shared by q_itemcf_topk and q_rec_coverage.
+    *
+    * q_assoc_rules' basket-explode shape: ONE shuffle builds the basket
+    * sets; pair emission is a narrow double-explode (quadratic only in
+    * basket size), vs the distinct + self-join formulation the ORACLE
+    * deliberately keeps (measured: 5.3s -> the explode shape at sf0.1;
+    * the oracle's join shape proves them equivalent).
+    */
+  private def itemcfTopkOf(s: SparkSession, d: String): DataFrame = {
+    val baskets = t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .transform(CacheScope.persisted(_))
+    val ni = baskets.select(explode(col("ps")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n"))
+    val cooc = baskets
+      .select(explode(col("ps")).as("pk"), col("ps"))
+      .select(col("pk"), explode(col("ps")).as("pk2"))
+      .filter(col("pk") < col("pk2"))
+      .groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= ItemCfMinCooc)
+    val sym = cooc.select(col("pk").as("i"), col("pk2").as("j"), col("c"))
+      .union(cooc.select(col("pk2").as("i"), col("pk").as("j"), col("c")))
+    val scored = sym
+      .join(ni.select(col("pk").as("i"), col("n").as("ni")), "i")
+      .join(ni.select(col("pk").as("j"), col("n").as("nj")), "j")
+      .withColumn("cosine", round(col("c").cast("double") /
+        sqrt((col("ni") * col("nj")).cast("double")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("i").orderBy(col("cosine").desc, col("j").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ItemCfTopK)
+      .select(col("i").as("part_a"), col("j").as("part_b"),
+        col("c").as("cooc"), col("cosine"), col("rk"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // MATCH_RECOGNIZE-style sequence pattern count: per user, how many
@@ -207,38 +244,40 @@ object MiningQueries extends QueryPack {
     // (partitioned by item, never global). Cosine is one double from
     // exact counts, round(,6)-pinned before it orders the window, with
     // the neighbor id breaking ties deterministically.
-    "q_itemcf_topk" -> ((s, d) => {
-      // q_assoc_rules' basket-explode shape: ONE shuffle builds the
-      // basket sets; pair emission is a narrow double-explode (quadratic
-      // only in basket size), vs the distinct + self-join formulation
-      // the ORACLE deliberately keeps (measured here: 5.3s -> the
-      // explode shape at sf0.1; the oracle's join shape proves them
-      // equivalent).
-      val baskets = t(s, d, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(collect_set(col("l_partkey")).as("ps"))
+    "q_itemcf_topk" -> ((s, d) => itemcfTopkOf(s, d)),
+
+    // Recommendation-quality profile of the item-CF artifact: catalog
+    // coverage (what share of the catalog ever gets recommended — the
+    // long-tail health check) and mean novelty −log2(popularity) of the
+    // recommended items (a coverage-blind recommender that only serves
+    // bestsellers scores near the popularity floor). Novelty terms are
+    // 9dp-pinned into exact DECIMAL; coverage is exact counts. The rec
+    // relation is the SAME plan as q_itemcf_topk; everything after is
+    // bounded by items, not the corpus.
+    "q_rec_coverage" -> ((s, d) => {
+      val recs = itemcfTopkOf(s, d).transform(CacheScope.persisted(_))
+      val cat = t(s, d, "part").agg(count(lit(1)).as("n_catalog"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
         .transform(CacheScope.persisted(_))
-      val ni = baskets.select(explode(col("ps")).as("pk"))
-        .groupBy("pk").agg(count(lit(1)).as("n"))
-      val cooc = baskets
-        .select(explode(col("ps")).as("pk"), col("ps"))
-        .select(col("pk"), explode(col("ps")).as("pk2"))
-        .filter(col("pk") < col("pk2"))
-        .groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("c"))
-        .filter(col("c") >= ItemCfMinCooc)
-      val sym = cooc.select(col("pk").as("i"), col("pk2").as("j"), col("c"))
-        .union(cooc.select(col("pk2").as("i"), col("pk").as("j"), col("c")))
-      val scored = sym
-        .join(ni.select(col("pk").as("i"), col("n").as("ni")), "i")
-        .join(ni.select(col("pk").as("j"), col("n").as("nj")), "j")
-        .withColumn("cosine", round(col("c").cast("double") /
-          sqrt((col("ni") * col("nj")).cast("double")), 6))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("i").orderBy(col("cosine").desc, col("j").asc)
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= ItemCfTopK)
-        .select(col("i").as("part_a"), col("j").as("part_b"),
-          col("c").as("cooc"), col("cosine"), col("rk"))
+      val nb = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val ni = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("npk"))
+      val nov = recs
+        .join(ni.select(col("l_partkey").as("part_b"), col("npk")), "part_b")
+        .crossJoin(broadcast(nb))
+        .select(round(-log2(col("npk").cast("double") /
+          col("n_baskets").cast("double")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(16, 9)).as("nv"))
+        .agg(count(lit(1)).as("n_recs"), sum(col("nv")).as("snv"))
+      val cov = recs.select(col("part_b")).distinct()
+        .agg(count(lit(1)).as("n_rec_items"))
+      cov.crossJoin(broadcast(cat)).crossJoin(broadcast(nov))
+        .select(col("n_rec_items"), col("n_catalog"), col("n_recs"),
+          round(col("n_rec_items").cast("double") /
+            col("n_catalog").cast("double"), 6).as("coverage"),
+          round(col("snv").cast("double") /
+            col("n_recs").cast("double"), 6).as("novelty_bits"))
     }),
 
     // Decision stump: the best single threshold on o_totalprice for
@@ -530,6 +569,36 @@ object MiningQueries extends QueryPack {
   private val BucketSqlDuck =
     s"(v - vmin) * $RankBuckets // (vmax - vmin + 1)"
 
+  /** Shared item-CF oracle CTE chain, closed by a `rec` relation of
+    * (part_a, part_b, cooc, cosine, rk) plus the reusable `li`/`ni`
+    * relations — q_itemcf_topk and q_rec_coverage both consume it.
+    */
+  private def itemcfCte: String =
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), ni AS (SELECT pk, count(*) AS n FROM li GROUP BY 1),
+       |cooc AS (
+       |  SELECT a.pk, b.pk AS pk2, count(*) AS c
+       |  FROM li a JOIN li b ON b.ok = a.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $ItemCfMinCooc
+       |), sym AS (
+       |  SELECT pk AS i, pk2 AS j, c FROM cooc
+       |  UNION ALL
+       |  SELECT pk2 AS i, pk AS j, c FROM cooc
+       |), scored AS (
+       |  SELECT s.i, s.j, s.c,
+       |         round(CAST(s.c AS DOUBLE) /
+       |               sqrt(CAST(a.n * b.n AS DOUBLE)), 6) AS cosine
+       |  FROM sym s
+       |  JOIN ni a ON a.pk = s.i
+       |  JOIN ni b ON b.pk = s.j
+       |), rec AS (
+       |  SELECT i AS part_a, j AS part_b, c AS cooc, cosine,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY i ORDER BY cosine DESC, j ASC) AS INTEGER) AS rk
+       |  FROM scored
+       |)""".stripMargin
+
   override val oracles: Map[String, String] = Map(
 
     "q_events_pattern" ->
@@ -628,31 +697,28 @@ object MiningQueries extends QueryPack {
          |FROM fl f JOIN boot b ON b.event_type = f.event_type""".stripMargin,
 
     "q_itemcf_topk" ->
-      s"""WITH li AS (
-         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-         |), ni AS (SELECT pk, count(*) AS n FROM li GROUP BY 1),
-         |cooc AS (
-         |  SELECT a.pk, b.pk AS pk2, count(*) AS c
-         |  FROM li a JOIN li b ON b.ok = a.ok AND a.pk < b.pk
-         |  GROUP BY 1, 2 HAVING count(*) >= $ItemCfMinCooc
-         |), sym AS (
-         |  SELECT pk AS i, pk2 AS j, c FROM cooc
-         |  UNION ALL
-         |  SELECT pk2 AS i, pk AS j, c FROM cooc
-         |), scored AS (
-         |  SELECT s.i, s.j, s.c,
-         |         round(CAST(s.c AS DOUBLE) /
-         |               sqrt(CAST(a.n * b.n AS DOUBLE)), 6) AS cosine
-         |  FROM sym s
-         |  JOIN ni a ON a.pk = s.i
-         |  JOIN ni b ON b.pk = s.j
-         |)
-         |SELECT i AS part_a, j AS part_b, c AS cooc, cosine, rk
-         |FROM (
-         |  SELECT *, CAST(row_number() OVER (
-         |    PARTITION BY i ORDER BY cosine DESC, j ASC) AS INTEGER) AS rk
-         |  FROM scored
-         |) WHERE rk <= $ItemCfTopK""".stripMargin,
+      s"""$itemcfCte
+         |SELECT part_a, part_b, cooc, cosine, rk
+         |FROM rec WHERE rk <= $ItemCfTopK""".stripMargin,
+
+    "q_rec_coverage" ->
+      s"""$itemcfCte, recs AS (
+         |  SELECT part_a, part_b FROM rec WHERE rk <= $ItemCfTopK
+         |), nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM li),
+         |cat AS (SELECT count(*) AS n_catalog FROM part),
+         |nov AS (
+         |  SELECT count(*) AS n_recs,
+         |         sum(CAST(round(-log2(CAST(n.n AS DOUBLE) /
+         |                              CAST(nb.n_baskets AS DOUBLE)), 9)
+         |                  AS DECIMAL(16,9))) AS snv
+         |  FROM recs r JOIN ni n ON n.pk = r.part_b CROSS JOIN nb
+         |), cov AS (SELECT count(DISTINCT part_b) AS n_rec_items FROM recs)
+         |SELECT cov.n_rec_items, cat.n_catalog, nov.n_recs,
+         |       round(CAST(cov.n_rec_items AS DOUBLE) /
+         |             CAST(cat.n_catalog AS DOUBLE), 6) AS coverage,
+         |       round(CAST(nov.snv AS DOUBLE) /
+         |             CAST(nov.n_recs AS DOUBLE), 6) AS novelty_bits
+         |FROM cov CROSS JOIN cat CROSS JOIN nov""".stripMargin,
 
     "q_ml_gbdt_round" ->
       s"""WITH o AS (

@@ -237,6 +237,19 @@ class WaveTwentyOneSpec extends SparkSpec {
       s"bs=$bs rel=$rel res=$res unc=$unc")
   }
 
+  test("q_rec_coverage: coverage in (0,1], novelty positive, counts consistent") {
+    val r = SparkEntry.queries("q_rec_coverage")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.length == 1)
+    val (items, cat, recs) = (r(0).getAs[Long]("n_rec_items"),
+      r(0).getAs[Long]("n_catalog"), r(0).getAs[Long]("n_recs"))
+    assert(items > 0 && items <= cat && recs >= items)
+    val cov = r(0).getAs[Double]("coverage")
+    assert(math.abs(cov - items.toDouble / cat) < 1e-6)
+    // every item appears in >= 1 basket, so -log2(pop) >= 0
+    assert(r(0).getAs[Double]("novelty_bits") >= 0.0)
+  }
+
   test("q_dp_tcloseness: EMD in [0,1], global group would score 0") {
     val got = SparkEntry.queries("q_dp_tcloseness")(spark, sfDir).collect()
     CacheScope.releaseAll()
