@@ -40,6 +40,13 @@ object InferenceQueries extends QueryPack {
   private def cents(c: Column): Column =
     (c.cast(DecimalType(12, 2)) * 100).cast("long")
 
+  /** Standard-normal quantiles for q_stats_power: z_{0.025} (two-sided
+    * α=0.05) and z_{0.2} (80% power) — compile-time literals shared
+    * verbatim with the oracle SQL.
+    */
+  val PowerZAlpha = 1.959964
+  val PowerZBeta = 0.841621
+
   private val CentsSql = "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
 
   /** Value-range shards for the Wilcoxon global rank: a constant-size
@@ -142,6 +149,40 @@ object InferenceQueries extends QueryPack {
         .select(col("n"), col("r1"), col("c1"), col("a"), col("lp_obs"),
           round(col("pg0"), 9).as("p_greater"),
           round(col("pt0"), 9).as("p_two_sided"))
+    }),
+
+    // Power analysis / sample-size calculator for the two-proportion
+    // test — the experiment-design step BEFORE q_stats_two_prop runs:
+    // given the observed purchase vs click conversion-to-high-value
+    // rates, the minimum n per arm to detect that difference at
+    // α=0.05 (two-sided) with 80% power is
+    // n = (z_α/2+z_β)²·(p1q1+p2q2)/Δ². The z quantiles are compile-time
+    // literals (identical in both engines); the p's are exact rationals
+    // from one bounded aggregation; ceil of the one shared double is
+    // the released integer.
+    "q_stats_power" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select((col("event_type") === "purchase").as("g1"),
+          (col("value") >= 50.0).cast("long").as("y"))
+      val agg = ev.agg(
+        sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g1"), col("y")).otherwise(0L)).as("x1"),
+        sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"),
+        sum(when(!col("g1"), col("y")).otherwise(0L)).as("x2"))
+        .filter(col("n1") > 0 && col("n2") > 0)
+      val p1 = col("x1").cast("double") / col("n1").cast("double")
+      val p2 = col("x2").cast("double") / col("n2").cast("double")
+      agg.select(col("n1"), col("x1"), col("n2"), col("x2"),
+          round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+          round(p1 - p2, 6).as("delta"),
+          (p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2)).as("vsum0"),
+          ((p1 - p2) * (p1 - p2)).as("d20"))
+        .filter(col("d20") > 0)
+        .select(col("n1"), col("x1"), col("n2"), col("x2"),
+          col("p1"), col("p2"), col("delta"),
+          ceil(lit((PowerZAlpha + PowerZBeta) * (PowerZAlpha + PowerZBeta)) *
+            col("vsum0") / col("d20")).cast("long").as("n_per_arm"))
     }),
 
     // Cochran–Armitage trend test: is the fulfilled-rate MONOTONE in the
@@ -706,6 +747,31 @@ object InferenceQueries extends QueryPack {
     }))
 
   override val oracles: Map[String, String] = Map(
+
+    "q_stats_power" ->
+      s"""WITH ev AS (
+         |  SELECT event_type = 'purchase' AS g1,
+         |         CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS y
+         |  FROM events WHERE event_type IN ('purchase', 'click')
+         |), agg AS (
+         |  SELECT CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |         CAST(sum(CASE WHEN g1 THEN y ELSE 0 END) AS BIGINT) AS x1,
+         |         CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |         CAST(sum(CASE WHEN NOT g1 THEN y ELSE 0 END) AS BIGINT) AS x2
+         |  FROM ev
+         |), k AS (
+         |  SELECT n1, x1, n2, x2,
+         |         CAST(x1 AS DOUBLE) / n1 AS p1r,
+         |         CAST(x2 AS DOUBLE) / n2 AS p2r
+         |  FROM agg WHERE n1 > 0 AND n2 > 0
+         |)
+         |SELECT n1, x1, n2, x2,
+         |       round(p1r, 6) AS p1, round(p2r, 6) AS p2,
+         |       round(p1r - p2r, 6) AS delta,
+         |       CAST(ceil(($PowerZAlpha + $PowerZBeta) * ($PowerZAlpha + $PowerZBeta) *
+         |            (p1r * (1.0 - p1r) + p2r * (1.0 - p2r)) /
+         |            ((p1r - p2r) * (p1r - p2r))) AS BIGINT) AS n_per_arm
+         |FROM k WHERE (p1r - p2r) * (p1r - p2r) > 0""".stripMargin,
 
     "q_stats_trend" ->
       s"""WITH g AS (

@@ -231,6 +231,33 @@ object EvalQueries extends QueryPack {
             .as("uncertainty"))
     }),
 
+    // Cumulative gains / lift table over the score deciles — the
+    // "how much better than random is targeting the top-k%" readout a
+    // curation gate reads before picking its threshold. Cumulative
+    // counts ride the triangular broadcast join over the bounded bin
+    // relation (the avgprec pattern, never an unpartitioned window);
+    // gain and lift are exact integer ratios with one final division
+    // each (lift = pos_cum·N / (n_cum·P) keeps it a single-divide).
+    "text_eval_lift" -> ((s, d) => {
+      val lab = labeled(s, d)
+      val b = lab.groupBy(floor(col("sc") * 10).cast("int").as("bin"))
+        .agg(count(lit(1)).as("nb"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("pb"))
+        .transform(graft.CacheScope.persisted(_))
+      val cum = b.select(col("bin"))
+        .join(broadcast(b.select(col("bin").as("b2"), col("nb"), col("pb"))),
+          col("b2") >= col("bin"))
+        .groupBy("bin")
+        .agg(sum(col("nb")).as("n_cum"), sum(col("pb")).as("pos_cum"))
+      val tot = b.agg(sum(col("nb")).as("nn"), sum(col("pb")).as("pp"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_cum"), col("pos_cum"),
+          round(col("pos_cum").cast("double") / col("pp").cast("double"), 6)
+            .as("gain"),
+          round((col("pos_cum") * col("nn")).cast("double") /
+            (col("n_cum") * col("pp")).cast("double"), 6).as("lift"))
+    }),
+
     // Calibration / reliability table: decile bins of the score vs the
     // observed positive rate — the "is 0.8 really 80%?" check before a
     // threshold gate. Constant output (<= 11 bins); the mean score goes
@@ -424,6 +451,25 @@ object EvalQueries extends QueryPack {
          |       round(auc - 1.96 * se0, 6) AS ci_lo,
          |       round(auc + 1.96 * se0, 6) AS ci_hi
          |FROM f""".stripMargin,
+
+    "text_eval_lift" ->
+      s"""WITH $labeledSql, b AS (
+         |  SELECT CAST(floor(sc * 10) AS INT) AS bin, count(*) AS nb,
+         |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pb
+         |  FROM lab GROUP BY 1
+         |), cum AS (
+         |  SELECT a.bin, CAST(sum(o.nb) AS BIGINT) AS n_cum,
+         |         CAST(sum(o.pb) AS BIGINT) AS pos_cum
+         |  FROM b a JOIN b o ON o.bin >= a.bin GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(nb) AS BIGINT) AS nn, CAST(sum(pb) AS BIGINT) AS pp
+         |  FROM b
+         |)
+         |SELECT bin, n_cum, pos_cum,
+         |       round(CAST(pos_cum AS DOUBLE) / CAST(pp AS DOUBLE), 6) AS gain,
+         |       round(CAST(pos_cum * nn AS DOUBLE) /
+         |             CAST(n_cum * pp AS DOUBLE), 6) AS lift
+         |FROM cum CROSS JOIN tot""".stripMargin,
 
     "text_eval_ece" ->
       s"""WITH $labeledSql, l2 AS (

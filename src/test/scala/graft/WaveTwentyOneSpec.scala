@@ -250,6 +250,39 @@ class WaveTwentyOneSpec extends SparkSpec {
     assert(r(0).getAs[Double]("novelty_bits") >= 0.0)
   }
 
+  test("q_stats_power: n_per_arm reconstructs from the closed form") {
+    val r = SparkEntry.queries("q_stats_power")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.length == 1)
+    val (n1, x1, n2, x2) = (r(0).getAs[Long]("n1"), r(0).getAs[Long]("x1"),
+      r(0).getAs[Long]("n2"), r(0).getAs[Long]("x2"))
+    val (p1, p2) = (x1.toDouble / n1, x2.toDouble / n2)
+    val zs = relational.InferenceQueries.PowerZAlpha +
+      relational.InferenceQueries.PowerZBeta
+    val exp = math.ceil(zs * zs * (p1 * (1 - p1) + p2 * (1 - p2)) /
+      ((p1 - p2) * (p1 - p2))).toLong
+    assert(r(0).getAs[Long]("n_per_arm") == exp)
+  }
+
+  test("text_eval_lift: gain and lift are monotone where they must be") {
+    val got = SparkEntry.queries("text_eval_lift")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(got.nonEmpty)
+    val byBin = got.sortBy(-_.getInt(0))
+    // cumulative-from-the-top: n_cum and pos_cum grow as bin decreases,
+    // gain ends at 1.0 at the lowest bin
+    byBin.sliding(2).foreach {
+      case Array(hi, lo) =>
+        assert(lo.getAs[Long]("n_cum") >= hi.getAs[Long]("n_cum"))
+        assert(lo.getAs[Long]("pos_cum") >= hi.getAs[Long]("pos_cum"))
+      case _ =>
+    }
+    val bottom = byBin.last
+    assert(math.abs(bottom.getAs[Double]("gain") - 1.0) < 1e-9)
+    assert(math.abs(bottom.getAs[Double]("lift") - 1.0) < 1e-9)
+    got.foreach(r => assert(r.getAs[Double]("lift") >= 0.0))
+  }
+
   test("q_dp_tcloseness: EMD in [0,1], global group would score 0") {
     val got = SparkEntry.queries("q_dp_tcloseness")(spark, sfDir).collect()
     CacheScope.releaseAll()
