@@ -151,6 +151,35 @@ object InferenceQueries extends QueryPack {
           round(col("pt0"), 9).as("p_two_sided"))
     }),
 
+    // Odds ratio with the Woolf logit CI on the SAME bounded 2×2 as
+    // q_stats_fisher_exact — the effect-size companion to that test's
+    // p-value (a tiny p with OR ≈ 1 is a large-sample artifact; the CI
+    // says whether the association is material). Cells are exact
+    // integers; ln(OR) and se ride identical IEEE operands, the CI
+    // endpoints pin exp at 4dp (the perplexity discipline).
+    "q_stats_oddsratio" -> ((s, d) => {
+      val o = t(s, d, "events")
+        .filter(col("event_id") < FisherSample)
+        .select((col("event_type") === "purchase").cast("long").as("x"),
+          (col("value") >= 50.0).cast("long").as("y"))
+      val m = o.agg(count(lit(1)).as("n"),
+          sum(col("x") * col("y")).as("a"),
+          sum(col("x") * (lit(1L) - col("y"))).as("b"),
+          sum((lit(1L) - col("x")) * col("y")).as("c"),
+          sum((lit(1L) - col("x")) * (lit(1L) - col("y"))).as("dd"))
+        .filter(col("a") > 0 && col("b") > 0 && col("c") > 0 && col("dd") > 0)
+      val or0 = (col("a") * col("dd")).cast("double") /
+        (col("b") * col("c")).cast("double")
+      val se0 = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+        lit(1.0) / col("c") + lit(1.0) / col("dd"))
+      m.select(col("n"), col("a"), col("b"), col("c"), col("dd").as("d"),
+        round(or0, 6).as("odds_ratio"),
+        round(log(or0), 6).as("log_or"),
+        round(se0, 6).as("se_log_or"),
+        round(exp(log(or0) - lit(1.96) * se0), 4).as("ci_lo"),
+        round(exp(log(or0) + lit(1.96) * se0), 4).as("ci_hi"))
+    }),
+
     // Power analysis / sample-size calculator for the two-proportion
     // test — the experiment-design step BEFORE q_stats_two_prop runs:
     // given the observed purchase vs click conversion-to-high-value
@@ -747,6 +776,32 @@ object InferenceQueries extends QueryPack {
     }))
 
   override val oracles: Map[String, String] = Map(
+
+    "q_stats_oddsratio" ->
+      s"""WITH o AS (
+         |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+         |         CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS y
+         |  FROM events WHERE event_id < $FisherSample
+         |), m AS (
+         |  SELECT count(*) AS n,
+         |         CAST(sum(x * y) AS BIGINT) AS a,
+         |         CAST(sum(x * (1 - y)) AS BIGINT) AS b,
+         |         CAST(sum((1 - x) * y) AS BIGINT) AS c,
+         |         CAST(sum((1 - x) * (1 - y)) AS BIGINT) AS dd
+         |  FROM o
+         |), k AS (
+         |  SELECT n, a, b, c, dd,
+         |         CAST(a * dd AS DOUBLE) / CAST(b * c AS DOUBLE) AS or0,
+         |         sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / dd) AS se0
+         |  FROM m WHERE a > 0 AND b > 0 AND c > 0 AND dd > 0
+         |)
+         |SELECT n, a, b, c, dd AS d,
+         |       round(or0, 6) AS odds_ratio,
+         |       round(ln(or0), 6) AS log_or,
+         |       round(se0, 6) AS se_log_or,
+         |       round(exp(ln(or0) - 1.96 * se0), 4) AS ci_lo,
+         |       round(exp(ln(or0) + 1.96 * se0), 4) AS ci_hi
+         |FROM k""".stripMargin,
 
     "q_stats_power" ->
       s"""WITH ev AS (

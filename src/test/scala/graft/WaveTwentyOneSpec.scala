@@ -283,6 +283,19 @@ class WaveTwentyOneSpec extends SparkSpec {
     got.foreach(r => assert(r.getAs[Double]("lift") >= 0.0))
   }
 
+  test("q_stats_oddsratio: cells partition n, CI brackets the OR") {
+    val r = SparkEntry.queries("q_stats_oddsratio")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(r.length == 1)
+    val (n, a, b, c, d) = (r(0).getAs[Long]("n"), r(0).getAs[Long]("a"),
+      r(0).getAs[Long]("b"), r(0).getAs[Long]("c"), r(0).getAs[Long]("d"))
+    assert(a + b + c + d == n)
+    val or = r(0).getAs[Double]("odds_ratio")
+    assert(math.abs(or - (a.toDouble * d) / (b.toDouble * c)) < 1e-5)
+    val (lo, hi) = (r(0).getAs[Double]("ci_lo"), r(0).getAs[Double]("ci_hi"))
+    assert(lo > 0.0 && lo < or && or < hi)
+  }
+
   test("q_dp_tcloseness: EMD in [0,1], global group would score 0") {
     val got = SparkEntry.queries("q_dp_tcloseness")(spark, sfDir).collect()
     CacheScope.releaseAll()
