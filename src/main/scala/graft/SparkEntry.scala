@@ -30,6 +30,8 @@ object SparkEntry {
     relational.DtwQueries,
     relational.StatsQueries,
     relational.InferenceQueries,
+    relational.InferenceEffectQueries,
+    relational.InferenceSequentialQueries,
     relational.RecsysQueries,
     relational.MiningQueries,
     relational.ModelPrepQueries,

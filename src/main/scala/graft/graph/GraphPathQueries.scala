@@ -213,11 +213,13 @@ object GraphPathQueries extends QueryPack {
     * equi-joins), keep cross-component edges, per-component minimum edge
     * as ONE min(struct) aggregation over the two-sided (comp, edge)
     * relation (no window over the edge list), distinct the picks (both
-    * endpoints' components may pick the same edge), and relabel through
-    * the generic [[graft.dedup.DedupClusters]] fixpoint over the
-    * CUMULATIVE forest (<= n-1 edges at any point — the per-round
-    * components run on forest-sized, not graph-sized, input). Unique
-    * minima make Borůvka cycle-free, so no cycle check is needed.
+    * endpoints' components may pick the same edge), and relabel
+    * INCREMENTALLY: pointer jumping contracts the successor graph of
+    * THIS round's picks (one edge per live component, so its input at
+    * least halves per round), and one equi-join maps the carried node
+    * labels through the contraction — never re-walking the cumulative
+    * forest. Unique minima make Borůvka cycle-free, so no cycle check
+    * is needed.
     */
   def mstOf(edgesW: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -232,6 +234,12 @@ object GraphPathQueries extends QueryPack {
     // shrinks geometrically (1.2M -> cross-component remnant) and later
     // rounds join the remnant, not the graph (16.6s -> measured below).
     val sc = edgesW.sparkSession.sparkContext
+    val mstLog = org.slf4j.LoggerFactory.getLogger(getClass)
+    def timed[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      mstLog.info(f"[graft] mst $what%-14s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
     // Explicit argument wins; else a dir already installed via
     // sc.setCheckpointDir (the normal cluster deployment shape); only
     // when neither resolves does local mode become a requirement.
@@ -249,33 +257,143 @@ object GraphPathQueries extends QueryPack {
       .select(col("src"), col("dst"), col("w")))
     val nodes = persisted(und0.select(col("src").as("node"))
       .unionByName(und0.select(col("dst").as("node"))).distinct())
+    // Strategy gate, priced once: below DedupClusters' label-broadcast
+    // bound (1M ≈ 64 MB hashed) the per-round label joins BROADCAST and
+    // the successor contraction runs as ONE single-partition union-find
+    // task (comp count ≤ nNodes and halves per round, so memory only
+    // shrinks); above it, shuffle joins + distributed pointer jumping —
+    // the shapes a 1000-executor graph actually needs. Same two-regime
+    // discipline as DedupClusters.
+    val nNodes = nodes.count()
+    val small = nNodes <= graft.dedup.DedupClusters.MaxBroadcastLabels
+    def lblSide(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // Checkpoints PROPAGATE the origin plan's size estimate, and the label
+    // relation feeds back through two joins every round, so sizeInBytes (a
+    // BigInt: joins estimate size as the PRODUCT of their inputs) would
+    // compound double-exponentially — by round ~10 the planner multiplies
+    // million-digit BigInts and hangs in stats estimation (measured: the
+    // r12 bench sat 20+ min in SizeInBytesOnlyStatsPlanVisitor). An RDD
+    // hop over the just-pinned blocks resets the estimate; it is LAZY (no
+    // extra job) and only ever wraps comp/node-sized state, so the
+    // row-conversion cost is noise. AQE re-derives real sizes at runtime
+    // for join planning. In the small regime the state coalesces to one
+    // partition first, so each pin is a single task instead of 32
+    // near-empty ones (the DedupClusters nState discipline).
+    def rebase(df: DataFrame): DataFrame = {
+      val ck = pin(if (small) df.coalesce(1) else df)
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
     var und = und0
     var lbl = nodes.select(col("node"), col("node").as("comp"))
     var chosen: DataFrame = und0.filter(lit(false))
     var done = false
     for (_ <- 1 to MstRounds if !done) {
-      val cross = pin(und
-        .join(lbl.select(col("node").as("src"), col("comp").as("ca")), "src")
-        .join(lbl.select(col("node").as("dst"), col("comp").as("cb")), "dst")
-        .filter(col("ca") =!= col("cb")))
-      if (cross.isEmpty) done = true
+      val cross = timed("cross")(pin(und
+        .join(lblSide(lbl.select(col("node").as("src"), col("comp").as("ca"))),
+          "src")
+        .join(lblSide(lbl.select(col("node").as("dst"), col("comp").as("cb"))),
+          "dst")
+        .filter(col("ca") =!= col("cb"))))
+      if (timed("isEmpty")(cross.isEmpty)) done = true
       else {
         // Borůvka edge cleanup: an intra-component edge can never be
         // picked later, so the surviving cross-component edges ARE the
         // next round's candidate set (checkpoint-truncated above).
         und = cross.select(col("src"), col("dst"), col("w"))
-        val e = struct(col("w"), col("src"), col("dst"))
-        val picked = cross.select(col("ca").as("comp"), e.as("e"))
+        // Carry (ca, cb) through the min as trailing struct fields:
+        // (w, src, dst) is already a UNIQUE total order, so the extra
+        // fields never influence which edge wins, and the winning row
+        // arrives with the component pair the relabel below needs.
+        val e = struct(col("w"), col("src"), col("dst"),
+          col("ca"), col("cb"))
+        val pickedM = timed("pickedM")(rebase(
+          cross.select(col("ca").as("comp"), e.as("e"))
           .unionByName(cross.select(col("cb").as("comp"), e.as("e")))
           .groupBy(col("comp")).agg(min(col("e")).as("m"))
-          .select(col("m.src").as("src"), col("m.dst").as("dst"),
-            col("m.w").as("w"))
-          .distinct()
-        chosen = pin(chosen.unionByName(picked))
-        lbl = graft.dedup.DedupClusters
-          .clusters(chosen.select(col("src").as("doc_a"),
-            col("dst").as("doc_b")), nodes.select(col("node").as("doc_id")))
-          .select(col("doc_id").as("node"), col("cluster_id").as("comp"))
+          .select(col("comp"), col("m.src").as("src"),
+            col("m.dst").as("dst"), col("m.w").as("w"),
+            col("m.ca").as("ca"), col("m.cb").as("cb"))))
+        // No pin: every union arm is an already-pinned pickedM projection,
+        // so the lazy union can never recompute expensive lineage, and
+        // skipping the per-round materialization saves one job per round.
+        chosen = chosen.unionByName(
+          pickedM.select(col("src"), col("dst"), col("w")).distinct())
+        // INCREMENTAL relabel (r11 verdict): contract only the SUCCESSOR
+        // graph of this round's picks — exactly one edge per live
+        // component, so the fixpoint input at least halves per round —
+        // instead of re-running the full union-find over the CUMULATIVE
+        // forest (which re-walked ~n nodes every round). With unique
+        // weights the successor graph is the textbook Borůvka
+        // pseudo-forest: trees hanging off one mutual-min 2-cycle per
+        // merged group, so conditional pointer jumping
+        //   p(c) <- if p(p(c)) == c then min(c, p(c)) else p(p(c))
+        // converges in O(log chain) tiny self-joins to one root per
+        // group (the 2-cycle's smaller id). Component IDENTITY is all
+        // later rounds consume (ca != cb filter, per-comp grouping; the
+        // unique (w,src,dst) order ignores the label values), and
+        // distinct merged groups have disjoint members hence distinct
+        // roots — so the chosen-edge relation, the only output, is
+        // bit-identical to the from-scratch variant.
+        val p: DataFrame = if (small) timed("contract") {
+          // One single-partition task: union-find with path compression
+          // and union-by-min (always hang the LARGER root under the
+          // smaller), so the emitted root IS the min member — gated by
+          // `small`, and the comp-pair count halves per round, so the
+          // task's footprint only shrinks. Replaces ~8 pointer-jump jobs
+          // per round with one narrow pass (measured 1.2 s/round saved).
+          val ss = pickedM.sparkSession
+          val lab = pickedM
+            .select(col("ca").cast("long"), col("cb").cast("long"))
+            .coalesce(1).rdd.mapPartitions { it =>
+              val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+              def find(x: Long): Long = {
+                var r = x
+                while ({ val pr = parent.get(r); pr != null && pr != r }) r = parent.get(r)
+                var c = x
+                while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+                r
+              }
+              val members = new java.util.HashSet[java.lang.Long]()
+              it.foreach { row =>
+                val a = row.getLong(0); val b = row.getLong(1)
+                members.add(a); members.add(b)
+                val ra = find(a); val rb = find(b)
+                if (ra < rb) parent.put(rb, ra)
+                else if (rb < ra) parent.put(ra, rb)
+              }
+              import scala.jdk.CollectionConverters._
+              members.iterator().asScala.map(m => (m.longValue, find(m)))
+            }
+          ss.createDataFrame(lab).toDF("c", "p")
+        } else {
+          var pj = pickedM.select(col("comp").as("c"),
+            when(col("ca") === col("comp"), col("cb")).otherwise(col("ca"))
+              .as("p"))
+          var stable = false
+          var jumps = 0
+          while (!stable) {
+            jumps += 1
+            if (jumps > 40) throw new IllegalStateException(
+              "mstOf: successor-graph contraction did not converge in 40 " +
+                "pointer jumps (2^40 exceeds any component count)")
+            val nextP = when(col("b.p") === col("a.c"),
+              least(col("a.c"), col("a.p"))).otherwise(col("b.p"))
+            val j = timed(s"jump$jumps")(rebase(
+              pj.as("a").join(pj.as("b"), col("a.p") === col("b.c"))
+              .select(col("a.c").as("c"), nextP.as("p"),
+                (nextP =!= col("a.p")).as("chg"))))
+            stable = timed(s"jchk$jumps")(j.filter(col("chg")).isEmpty)
+            pj = j.select(col("c"), col("p"))
+          }
+          pj
+        }
+        // One equi-join maps the carried node labels through the
+        // contraction; comps finished in earlier rounds (absent from the
+        // successor graph) keep their labels — they produce no cross
+        // edges ever again, so staleness is unobservable.
+        lbl = timed("lbl")(rebase(
+          lbl.join(lblSide(p), col("comp") === col("c"), "left")
+          .select(col("node"), coalesce(col("p"), col("comp")).as("comp"))))
       }
     }
     if (!done) throw new IllegalStateException(

@@ -130,12 +130,15 @@ object GeoQueries extends QueryPack {
     // Per-nation spatial profile of the customer point set: bounding box,
     // centroid, and the mean squared distance to the centroid (spatial
     // dispersion) — n·Σ(x²+y²) − (Σx)² − (Σy)² over n², exact integers
-    // until one final correctly-rounded division. The dispersion is ~1e11
-    // with ~16 significant digits, so it is emitted RAW: both operands of
-    // the division convert exactly (< 2^53) and one IEEE division is
-    // bit-identical across engines, while a round(,6) would re-quantize
-    // past the double's precision and diverge (the mm_audio_cepstrum
-    // lesson in PLANS.md).
+    // until one final division. The cross terms are staged through
+    // DECIMAL(38,0) (ADVICE r11): n·Σ(x²+y²) is ~6e16 at sf0.1 and grows
+    // linearly in n², so int64 would wrap around sf10 while the DuckDB
+    // oracle computes in int128 — DECIMAL keeps both engines on the same
+    // exact integer at ANY scale factor. The dispersion is emitted as one
+    // IEEE division of that exact integer (both engines convert the same
+    // value, and nearest-double conversion + one division is
+    // deterministic); a round(,6) would re-quantize past the double's
+    // precision and diverge (the mm_audio_cepstrum lesson in PLANS.md).
     "q_geo_bbox" -> ((s, d) =>
       customers(s, d)
         .groupBy(col("c_nationkey"))
@@ -148,8 +151,9 @@ object GeoQueries extends QueryPack {
           col("min_x"), col("max_x"), col("min_y"), col("max_y"),
           round(col("sx").cast("double") / col("n"), 6).as("centroid_x"),
           round(col("sy").cast("double") / col("n"), 6).as("centroid_y"),
-          ((col("n") * col("sxy2") - col("sx") * col("sx") -
-            col("sy") * col("sy")).cast("double") /
+          ((col("n").cast("decimal(38,0)") * col("sxy2") -
+            col("sx").cast("decimal(38,0)") * col("sx") -
+            col("sy").cast("decimal(38,0)") * col("sy")).cast("double") /
             (col("n") * col("n")).cast("double")).as("dispersion"))),
 
     // Morton (Z-order) layout audit: interleave the 10-bit cell coords

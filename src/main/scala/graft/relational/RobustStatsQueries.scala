@@ -120,12 +120,14 @@ object RobustStatsQueries extends QueryPack {
           sum(when(col("cd") === -1L, 1L).otherwise(0L)).as("disc"))
       def tiePairs(v: String): DataFrame =
         li.groupBy(col("rf"), col(v)).agg(count(lit(1)).as("c"))
-          .groupBy("rf").agg(sum(col("c") * (col("c") - 1) / 2).as(s"t$v"))
+          // Integer div (ADVICE r11): c*(c-1) is even so `div` is exact by
+          // construction, where double `/` relied on staying under 2^53.
+          .groupBy("rf").agg(sum(expr("c * (c - 1) div 2")).as(s"t$v"))
       val n = li.groupBy("rf").agg(count(lit(1)).as("n"))
       val m = n.join(broadcast(tiePairs("x")), "rf")
         .join(broadcast(tiePairs("y")), "rf")
         .join(broadcast(pairs), "rf")
-        .withColumn("n0", col("n") * (col("n") - 1) / 2)
+        .withColumn("n0", expr("n * (n - 1) div 2"))
       m.filter(col("n0") > col("tx") && col("n0") > col("ty"))
         .select(col("rf").as("l_returnflag"), col("n").as("n_items"),
           col("conc").as("concordant"), col("disc").as("discordant"),

@@ -280,16 +280,28 @@ object TsDiagnosticsQueries extends QueryPack {
         .agg((sum(col("rsv").cast(DecimalType(20, 6))).cast("double") /
           count(lit(1))).as("rs_avg"), count(lit(1)).as("nb"))
         .filter(col("nb") >= 2)
-        .select(col("event_type"), log(col("bn")).as("lx"),
+        .select(col("event_type"), round(log(col("bn")), 9).as("lx"),
           round(log(col("rs_avg")), 9).as("ly"))
+      // Pin-before-decimal-sum (ADVICE r11): lx and every summed product
+      // is pinned at 9dp and folded in DECIMAL, so the four-term sums are
+      // partition-order- and engine-independent; the regression itself
+      // then runs as a fixed-shape double expression over those exact
+      // sums — the same discipline as the file's other summed kernels.
       perSize.groupBy("event_type")
-        .agg(count(lit(1)).as("n_sizes"), sum(col("lx")).as("sx"),
-          sum(col("ly")).as("sy"), sum(col("lx") * col("ly")).as("sxy"),
-          sum(col("lx") * col("lx")).as("sxx"))
+        .agg(count(lit(1)).as("n_sizes"),
+          sum(col("lx").cast(DecimalType(20, 9))).as("sx"),
+          sum(col("ly").cast(DecimalType(20, 9))).as("sy"),
+          sum(round(col("lx") * col("ly"), 9)
+            .cast(DecimalType(20, 9))).as("sxy"),
+          sum(round(col("lx") * col("lx"), 9)
+            .cast(DecimalType(20, 9))).as("sxx"))
         .filter(col("n_sizes") >= 3)
         .select(col("event_type"), col("n_sizes"),
-          round((col("n_sizes") * col("sxy") - col("sx") * col("sy")) /
-            (col("n_sizes") * col("sxx") - col("sx") * col("sx")), 6).as("hurst"))
+          round((col("n_sizes").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n_sizes").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("hurst"))
     }),
 
     // Sample entropy SampEn(m=2, r=0.2σ): −ln(A/B) where B counts template
@@ -668,13 +680,19 @@ object TsDiagnosticsQueries extends QueryPack {
          |               sqrt(CAST(CAST(bn AS DECIMAL(4,0)) * s2 - tot * tot AS DOUBLE)), 6) AS rsv
          |  FROM rsq WHERE CAST(bn AS DECIMAL(4,0)) * s2 - tot * tot > 0
          |), persize AS (
-         |  SELECT event_type, ln(bn) AS lx,
+         |  SELECT event_type, round(ln(bn), 9) AS lx,
          |         round(ln(CAST(sum(CAST(rsv AS DECIMAL(20,6))) AS DOUBLE) / count(*)), 9) AS ly
          |  FROM rs GROUP BY event_type, bn HAVING count(*) >= 2
          |)
          |SELECT event_type, count(*) AS n_sizes,
-         |       round((count(*) * sum(lx * ly) - sum(lx) * sum(ly)) /
-         |             (count(*) * sum(lx * lx) - sum(lx) * sum(lx)), 6) AS hurst
+         |       round((CAST(count(*) AS DOUBLE) *
+         |                CAST(sum(CAST(round(lx * ly, 9) AS DECIMAL(20,9))) AS DOUBLE) -
+         |              CAST(sum(CAST(lx AS DECIMAL(20,9))) AS DOUBLE) *
+         |                CAST(sum(CAST(ly AS DECIMAL(20,9))) AS DOUBLE)) /
+         |             (CAST(count(*) AS DOUBLE) *
+         |                CAST(sum(CAST(round(lx * lx, 9) AS DECIMAL(20,9))) AS DOUBLE) -
+         |              CAST(sum(CAST(lx AS DECIMAL(20,9))) AS DOUBLE) *
+         |                CAST(sum(CAST(lx AS DECIMAL(20,9))) AS DOUBLE)), 6) AS hurst
          |FROM persize GROUP BY event_type HAVING count(*) >= 3""".stripMargin,
 
     "q_ts_sampen" ->

@@ -272,7 +272,14 @@ object StreamingQueries extends QueryPack {
             col("value").cast(DecimalType(12, 2)).cast("double").as("v"))
             .as("e"))
         .groupBy(col("event_type"), col("day"))
-        .agg(array_sort(collect_list(col("e"))).as("es"))
+        // Comparator on (ts, event_id) ONLY (ADVICE r11): the bare
+        // struct sort would let v participate as a trailing key, a
+        // contract the streaming twin (Ewma.scan) and the oracle — both
+        // ordering by (ts, event_id) alone — do not share.
+        .agg(expr("""array_sort(collect_list(e), (a, b) -> CASE
+              WHEN a.ts < b.ts THEN -1 WHEN a.ts > b.ts THEN 1
+              WHEN a.event_id < b.event_id THEN -1
+              WHEN a.event_id > b.event_id THEN 1 ELSE 0 END)""").as("es"))
       ev.select(col("event_type"), col("day"), size(col("es")).as("n_events"),
           expr("""aggregate(
               slice(es, 2, size(es) - 1),

@@ -257,8 +257,8 @@ class WaveTwentyOneSpec extends SparkSpec {
     val (n1, x1, n2, x2) = (r(0).getAs[Long]("n1"), r(0).getAs[Long]("x1"),
       r(0).getAs[Long]("n2"), r(0).getAs[Long]("x2"))
     val (p1, p2) = (x1.toDouble / n1, x2.toDouble / n2)
-    val zs = relational.InferenceQueries.PowerZAlpha +
-      relational.InferenceQueries.PowerZBeta
+    val zs = relational.InferenceEffectQueries.PowerZAlpha +
+      relational.InferenceEffectQueries.PowerZBeta
     val exp = math.ceil(zs * zs * (p1 * (1 - p1) + p2 * (1 - p2)) /
       ((p1 - p2) * (p1 - p2))).toLong
     assert(r(0).getAs[Long]("n_per_arm") == exp)

@@ -124,7 +124,7 @@ class WaveTwentySpec extends SparkSpec {
     val gr = SparkEntry.queries("q_stats_grubbs")(spark, sfDir).collect()
     CacheScope.releaseAll()
     assert(esd.nonEmpty)
-    import relational.InferenceQueries.EsdRounds
+    import relational.InferenceSequentialQueries.EsdRounds
     val byType = esd.groupBy(_.getAs[String]("event_type"))
     byType.foreach { case (t, rows) =>
       assert(rows.length == EsdRounds, s"$t rounds=${rows.length}")
