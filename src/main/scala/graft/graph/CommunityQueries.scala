@@ -407,7 +407,7 @@ object CommunityQueries extends QueryPack {
     "q_graph_rich_club" ->
       s"""$windowedEdgesCte,
          |deg AS (SELECT src, count(*) AS dg FROM edges GROUP BY src),
-         |ks AS (SELECT unnest(ARRAY[${RichClubKs.mkString(", ")}]) AS k),
+         |ks AS (SELECT unnest(${graft.ConstTab.duckArray(RichClubKs)}) AS k),
          |nk AS (
          |  SELECT k, count(*) AS n_nodes
          |  FROM deg CROSS JOIN ks WHERE dg > k GROUP BY k

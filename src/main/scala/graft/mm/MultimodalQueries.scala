@@ -57,10 +57,10 @@ object MultimodalQueries extends QueryPack {
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 
   /** The table as a Spark SQL array literal. */
-  val DctCosTabSql: String = DctCosTab.mkString("array(", ", ", ")")
+  val DctCosTabSql: String = graft.ConstTab.sparkArray(DctCosTab)
 
   /** The same values as a DuckDB list literal. */
-  val DctCosTabDuck: String = DctCosTab.mkString("[", ", ", "]")
+  val DctCosTabDuck: String = graft.ConstTab.duckList(DctCosTab)
 
   /** mm_phash_dedup gate distance; 4 bands pigeonhole-guarantee complete
     * candidate recall for hamming <= 3 (one clean band per true pair).

@@ -659,7 +659,7 @@ object TsDiagnosticsQueries extends QueryPack {
          |), blk AS (
          |  SELECT i.event_type, s.bn, (i.i - 1) // s.bn AS b,
          |         (i.i - 1) % s.bn + 1 AS j, i.c, i.i
-         |  FROM idx i CROSS JOIN (VALUES ${HurstSizes.map(n => s"($n)").mkString(", ")}) s(bn)
+         |  FROM idx i CROSS JOIN (VALUES ${graft.ConstTab.valuesRows(HurstSizes)}) s(bn)
          |), scored AS (
          |  SELECT event_type, bn, b, CAST(j AS DECIMAL(4,0)) AS j,
          |         count(*) OVER (PARTITION BY event_type, bn, b) AS cnt,
@@ -789,7 +789,7 @@ object TsDiagnosticsQueries extends QueryPack {
          |), blk AS (
          |  SELECT i.event_type, t.tau, (i.i - 1) // t.tau AS b,
          |         count(*) AS cnt, sum(i.c) AS sb
-         |  FROM idx i CROSS JOIN (SELECT unnest(ARRAY[${AllanTaus.mkString(", ")}]) AS tau) t
+         |  FROM idx i CROSS JOIN (SELECT unnest(${graft.ConstTab.duckArray(AllanTaus)}) AS tau) t
          |  GROUP BY 1, 2, 3
          |), dd AS (
          |  SELECT event_type, tau,
