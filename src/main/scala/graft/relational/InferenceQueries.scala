@@ -66,6 +66,13 @@ object InferenceQueries extends QueryPack {
       .drop("us0", "us1")
   }
 
+  /** Cochran-Q presence threshold (cents): a (type, day) block cell is
+    * "positive" when the type logged at least one event of value >= this
+    * that day — ~p99 of the value distribution, so presence genuinely
+    * varies by day instead of saturating.
+    */
+  val CochranCents = 25000L
+
   private[relational] val HalfSql =
     """WITH ev AS (
       |  SELECT user_id, event_type, epoch_us(ts) AS us,
@@ -370,6 +377,80 @@ object InferenceQueries extends QueryPack {
           round(col("rj2").cast("double") / (lit(2.0) * col("n").cast("double")),
             6).as("mean_rank"),
           col("k").cast("long").as("k"), col("chi2"))
+    }),
+
+    // Cochran's Q: the BINARY sibling of q_stats_friedman — did the k
+    // event types "fire" (log a >= CochranCents event) on the same days,
+    // or do the daily hit patterns differ by type? Blocks are days,
+    // x_ij ∈ {0,1} is presence, and with G_j = per-type hit totals and
+    // L_i = per-day hit totals, Q = (k−1)(k·ΣG² − N²)/(k·N − ΣL²) — ALL
+    // exact integers down to the one final division (absent cells are
+    // honest zeros, so only the presence relation is ever aggregated).
+    // One events-sized scan to the distinct presence cells, then
+    // constant-size aggregates.
+    "q_stats_cochran_q" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"),
+          cents(col("value")).as("c"))
+        .transform(graft.CacheScope.persisted(_))
+      val pres = ev.filter(col("c") >= CochranCents)
+        .select(col("event_type"), col("day")).distinct()
+        .transform(graft.CacheScope.persisted(_))
+      val kb = ev.agg(countDistinct(col("event_type")).as("k"),
+        countDistinct(col("day")).as("b"))
+      val gj = pres.groupBy("event_type").agg(count(lit(1)).as("g"))
+        .agg(sum(col("g")).as("nn"), sum(col("g") * col("g")).as("sg2"))
+      val li = pres.groupBy("day").agg(count(lit(1)).as("l"))
+        .agg(sum(col("l") * col("l")).as("sl2"))
+      kb.crossJoin(broadcast(gj)).crossJoin(broadcast(li))
+        .filter(col("k") * col("nn") - col("sl2") > 0)
+        .select(col("k").cast("long").as("k_treatments"),
+          col("b").cast("long").as("n_blocks"),
+          col("nn").cast("long").as("n_hits"),
+          round(((col("k") - 1) *
+              (col("k") * col("sg2") - col("nn") * col("nn"))).cast("double") /
+            (col("k") * col("nn") - col("sl2")).cast("double"), 6).as("q_stat"))
+    }),
+
+    // Mood's median test: do the event types share a common median value?
+    // The pooled LOWER median (rank (N+1) div 2 — an actual data value)
+    // comes from [[graft.operators.RadixSelect]] (exact distributed
+    // selection, no sort); each type's above/at-or-below counts against
+    // that single cut are exact integers, and the 2×k chi-square
+    // assembles from round(,6)-pinned contributions summed in DECIMAL
+    // (the q_stats_cramers_v discipline). The rank test to reach for
+    // when outliers make q_stats_anova's means meaningless but the
+    // groups' SHAPES differ too much for q_stats_kruskal.
+    "q_stats_mood_median" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"), cents(col("value")).as("c"))
+        .transform(graft.CacheScope.persisted(_))
+      val nTot = ev.count()
+      val m = graft.operators.RadixSelect.kth(
+        ev.select(col("c").as("v")), "v", (nTot + 1) / 2)
+      val g = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("ng"),
+          sum(when(col("c") > m, 1L).otherwise(0L)).as("ag"))
+        .transform(graft.CacheScope.persisted(_))
+      val tot = g.agg(sum(col("ng")).as("n"), sum(col("ag")).as("aa"))
+      val ea = col("ng").cast("double") * col("aa").cast("double") /
+        col("n").cast("double")
+      val el = col("ng").cast("double") *
+        (col("n") - col("aa")).cast("double") / col("n").cast("double")
+      val ad = col("ag").cast("double")
+      val ld = (col("ng") - col("ag")).cast("double")
+      val contrib = round((ad - ea) * (ad - ea) / ea +
+        (ld - el) * (ld - el) / el, 6)
+      g.crossJoin(broadcast(tot))
+        .filter(col("aa") > 0 && col("aa") < col("n"))
+        .select(col("n"), contrib.cast(DecimalType(18, 6)).as("contrib"))
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("k_groups"),
+          sum(col("contrib")).cast("double").as("chi2d"))
+        .select(col("n").as("n_total"), col("k_groups"),
+          round(lit(m).cast("double") / 100.0, 2).as("pooled_median"),
+          round(col("chi2d"), 6).as("chi2"))
     }))
 
   override val oracles: Map[String, String] = Map(
@@ -593,5 +674,69 @@ object InferenceQueries extends QueryPack {
          |       round(CAST(s.rj2 AS DOUBLE) / (2.0 * CAST(s.n AS DOUBLE)), 6)
          |         AS mean_rank,
          |       CAST(c.k AS BIGINT) AS k, c.chi2
-         |FROM sums s CROSS JOIN chi c""".stripMargin)
+         |FROM sums s CROSS JOIN chi c""".stripMargin,
+
+    "q_stats_cochran_q" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         $CentsSql AS c
+         |  FROM events
+         |), kb AS (
+         |  SELECT count(DISTINCT event_type) AS k,
+         |         count(DISTINCT day) AS b
+         |  FROM ev
+         |), pres AS (
+         |  SELECT DISTINCT event_type, day FROM ev WHERE c >= $CochranCents
+         |), gj AS (
+         |  SELECT CAST(sum(g) AS BIGINT) AS nn,
+         |         CAST(sum(g * g) AS BIGINT) AS sg2
+         |  FROM (SELECT event_type, count(*) AS g FROM pres GROUP BY 1)
+         |), li AS (
+         |  SELECT CAST(sum(l * l) AS BIGINT) AS sl2
+         |  FROM (SELECT day, count(*) AS l FROM pres GROUP BY 1)
+         |)
+         |SELECT CAST(kb.k AS BIGINT) AS k_treatments,
+         |       CAST(kb.b AS BIGINT) AS n_blocks, gj.nn AS n_hits,
+         |       round(CAST((kb.k - 1) * (kb.k * gj.sg2 - gj.nn * gj.nn) AS DOUBLE) /
+         |             CAST(kb.k * gj.nn - li.sl2 AS DOUBLE), 6) AS q_stat
+         |FROM kb CROSS JOIN gj CROSS JOIN li
+         |WHERE kb.k * gj.nn - li.sl2 > 0""".stripMargin,
+
+    "q_stats_mood_median" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, $CentsSql AS c FROM events
+         |), med AS (
+         |  SELECT c AS m FROM (
+         |    SELECT c, row_number() OVER (ORDER BY c) AS rn FROM ev)
+         |  WHERE rn = (SELECT (count(*) + 1) // 2 FROM ev)
+         |), g AS (
+         |  SELECT event_type, count(*) AS ng,
+         |         CAST(sum(CASE WHEN c > (SELECT m FROM med)
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS ag
+         |  FROM ev GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(ng) AS BIGINT) AS n,
+         |         CAST(sum(ag) AS BIGINT) AS aa FROM g
+         |), cells AS (
+         |  SELECT tot.n,
+         |         CAST(round(
+         |           (CAST(ag AS DOUBLE) -
+         |              CAST(ng AS DOUBLE) * CAST(aa AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |           (CAST(ag AS DOUBLE) -
+         |              CAST(ng AS DOUBLE) * CAST(aa AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |           (CAST(ng AS DOUBLE) * CAST(aa AS DOUBLE) / CAST(n AS DOUBLE)) +
+         |           (CAST(ng - ag AS DOUBLE) -
+         |              CAST(ng AS DOUBLE) * CAST(n - aa AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |           (CAST(ng - ag AS DOUBLE) -
+         |              CAST(ng AS DOUBLE) * CAST(n - aa AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |           (CAST(ng AS DOUBLE) * CAST(n - aa AS DOUBLE) / CAST(n AS DOUBLE)),
+         |           6) AS DECIMAL(18,6)) AS contrib
+         |  FROM g CROSS JOIN tot
+         |  WHERE aa > 0 AND aa < n
+         |)
+         |SELECT n AS n_total, count(*) AS k_groups,
+         |       round(CAST((SELECT m FROM med) AS DOUBLE) / 100.0, 2)
+         |         AS pooled_median,
+         |       round(CAST(sum(contrib) AS DOUBLE), 6) AS chi2
+         |FROM cells GROUP BY n""".stripMargin)
 }

@@ -136,6 +136,44 @@ object RobustStatsQueries extends QueryPack {
               (col("n0") - col("ty")).cast("double")), 9).as("tau_b"))
     }),
 
+    // Goodman–Kruskal gamma and Somers' D(y|x) on the SAME sampled pair
+    // population as q_stats_kendall — the two concordance coefficients a
+    // tie-heavy ordinal association actually calls for: gamma ignores ALL
+    // tied pairs ((C−D)/(C+D), the right number when ties are structural,
+    // e.g. coarse ordinal scales), Somers' D keeps pairs tied only on the
+    // dependent y in the denominator ((C−D)/(n0−Tx) — the asymmetric
+    // "does x predict y's direction" version, and the statistic under the
+    // AUC identity D = 2·AUC−1 for binary y). Identical exact-integer
+    // pair/tie machinery as kendall (sign comparisons, integer-div tie
+    // counts, one broadcast self-join on the bounded sample); only the
+    // final one-division formulas differ.
+    "q_stats_concordance" -> ((s, d) => {
+      val li = sampled(s, d).transform(graft.CacheScope.persisted(_))
+      val sgn = (a: Column, b: Column) =>
+        when(a < b, -1L).otherwise(when(a > b, 1L).otherwise(0L))
+      val pairs = li.as("a").join(broadcast(li.as("b")),
+          col("a.rf") === col("b.rf") && col("a.uid") < col("b.uid"))
+        .select(col("a.rf").as("rf"),
+          (sgn(col("a.x"), col("b.x")) * sgn(col("a.y"), col("b.y"))).as("cd"))
+        .groupBy("rf")
+        .agg(sum(when(col("cd") === 1L, 1L).otherwise(0L)).as("conc"),
+          sum(when(col("cd") === -1L, 1L).otherwise(0L)).as("disc"))
+      def tiePairs(v: String): DataFrame =
+        li.groupBy(col("rf"), col(v)).agg(count(lit(1)).as("c"))
+          .groupBy("rf").agg(sum(expr("c * (c - 1) div 2")).as(s"t$v"))
+      val n = li.groupBy("rf").agg(count(lit(1)).as("n"))
+      n.join(broadcast(tiePairs("x")), "rf")
+        .join(broadcast(pairs), "rf")
+        .withColumn("n0", expr("n * (n - 1) div 2"))
+        .filter(col("conc") + col("disc") > 0 && col("n0") > col("tx"))
+        .select(col("rf").as("l_returnflag"), col("n").as("n_items"),
+          col("conc").as("concordant"), col("disc").as("discordant"),
+          round((col("conc") - col("disc")).cast("double") /
+            (col("conc") + col("disc")).cast("double"), 9).as("gamma"),
+          round((col("conc") - col("disc")).cast("double") /
+            (col("n0") - col("tx")).cast("double"), 9).as("somers_dyx"))
+    }),
+
     // Hodges–Lehmann pseudomedian of quantity per returnflag: the median
     // of all Walsh averages (x_i + x_j)/2, i <= j — the location estimator
     // whose confidence interval inverts the Wilcoxon signed-rank test,
@@ -365,6 +403,30 @@ object RobustStatsQueries extends QueryPack {
         |                  CAST(n.n * (n.n - 1) // 2 - ty.ty AS DOUBLE)), 9) AS tau_b
         |FROM n JOIN cd USING (rf) JOIN tx USING (rf) JOIN ty USING (rf)
         |WHERE n.n * (n.n - 1) // 2 > tx.tx AND n.n * (n.n - 1) // 2 > ty.ty""".stripMargin,
+
+    "q_stats_concordance" ->
+      s"""WITH li AS ($SampledSql
+        |), pr AS (
+        |  SELECT a.rf,
+        |         sign(a.x - b.x) * sign(a.y - b.y) AS cd
+        |  FROM li a JOIN li b ON a.rf = b.rf AND a.uid < b.uid
+        |), cd AS (
+        |  SELECT rf,
+        |         CAST(sum(CASE WHEN cd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+        |         CAST(sum(CASE WHEN cd = -1 THEN 1 ELSE 0 END) AS BIGINT) AS disc
+        |  FROM pr GROUP BY rf
+        |), tx AS (
+        |  SELECT rf, sum(c * (c - 1) // 2) AS tx FROM (
+        |    SELECT rf, x, count(*) AS c FROM li GROUP BY rf, x) GROUP BY rf
+        |), n AS (SELECT rf, count(*) AS n FROM li GROUP BY rf)
+        |SELECT n.rf AS l_returnflag, n.n AS n_items,
+        |       cd.conc AS concordant, cd.disc AS discordant,
+        |       round(CAST(cd.conc - cd.disc AS DOUBLE) /
+        |             CAST(cd.conc + cd.disc AS DOUBLE), 9) AS gamma,
+        |       round(CAST(cd.conc - cd.disc AS DOUBLE) /
+        |             CAST(n.n * (n.n - 1) // 2 - tx.tx AS DOUBLE), 9) AS somers_dyx
+        |FROM n JOIN cd USING (rf) JOIN tx USING (rf)
+        |WHERE cd.conc + cd.disc > 0 AND n.n * (n.n - 1) // 2 > tx.tx""".stripMargin,
 
     "q_stats_hodges_lehmann" ->
       s"""WITH li AS ($SampledSql
