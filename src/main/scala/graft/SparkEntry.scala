@@ -64,6 +64,7 @@ object SparkEntry {
     text.TextModelQueries,
     text.LexicalQueries,
     text.TopicModelQueries,
+    text.PipelineFilterQueries,
     mm.MultimodalQueries,
     streaming.StreamingQueries)
 

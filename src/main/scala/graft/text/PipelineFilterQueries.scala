@@ -1,0 +1,286 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryPack, Tables}
+
+/** Pre-training corpus-filtering operators the LLM-data pipeline runs
+  * between ingestion and tokenization: Gopher-style rule gates (Rae et
+  * al. 2021 "Scaling Language Models: ... Gopher", Table A1), DSIR
+  * hashed-n-gram importance weighting (Xie et al. 2023 "Data Selection
+  * for Language Models via Importance Resampling"), and train/held-out
+  * OOV-rate audit (the tokenizer-coverage check run before freezing a
+  * vocab).
+  *
+  * Scale design (100 TB):
+  *   - gopher gates are ONE narrow codegen'd projection per document
+  *     (array HOFs over the token split; integer cross-multiplied
+  *     threshold comparisons, no division) followed by a |langs|-row
+  *     aggregate — embarrassingly parallel, zero shuffle before the agg.
+  *   - DSIR aggregates the exploded token stream ONCE to per-(doc,
+  *     bucket) counts; the 64-row bucket log-ratio relation derives from
+  *     that same aggregate and broadcasts back — the raw token stream is
+  *     never joined or shuffled twice, and doc weights are exact DECIMAL
+  *     sums of integer-count x pinned-log products (partition-order
+  *     proof).
+  *   - OOV joins agg-to-agg: per-(lang, token) test counts against the
+  *     distinct train vocab on the token key — an equi-join between two
+  *     already-aggregated relations, never token-stream x token-stream.
+  */
+object PipelineFilterQueries extends QueryPack {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
+
+  /** Whitespace tokens of the lowercased text — the raw-token view the
+    * filter gates run on (SQL twin: string_split_regex(lower(text),
+    * '\s+')).
+    */
+  private def rawTokens(c: Column): Column = split(lower(c), "\\s+")
+
+  /** Gopher gate dials, tuned so every gate genuinely fires on the
+    * synthetic corpus (word counts 10-99, mean word length 3.7-5.3,
+    * duplicate-token fraction 0-0.72 at sf0.01); production swaps the
+    * constants (Gopher's published bounds are 50..100k words, mwl 3..10,
+    * dup fraction implicit in the repetition rules). All thresholds are
+    * rationals applied by integer cross-multiplication — no division
+    * anywhere in the gate math.
+    */
+  val GopherMinWords = 30
+  val GopherMaxWords = 90
+  /** mean word length in [4.2, 4.8]: 10*chars vs {42,48}*words. */
+  val GopherMwlLo = 42
+  val GopherMwlHi = 48
+  /** duplicate-token fraction <= 0.60: 100*(nw-nd) vs 60*nw. */
+  val GopherDupPct = 60
+  /** >= 2 stopword hits ("the"/"a" — the survivors of the synthetic
+    * vocabulary) or the doc fails the stop-word gate.
+    */
+  val GopherMinStops = 2
+
+  /** DSIR hashed-unigram bucket count (2^6; the paper uses 2^16 buckets
+    * of hashed bigrams — same expression, one constant and one n-gram
+    * width changed).
+    */
+  val DsirBuckets = 64
+
+  /** DSIR target slice: importance-weight the corpus toward English docs
+    * (the "high-quality target distribution" stand-in).
+    */
+  val DsirTargetLang = "en"
+
+  /** Top-k docs reported by DSIR importance weight. */
+  val DsirTopK = 20
+
+  /** Per-(doc, lang, bucket) hashed-token counts — the ONE aggregate of
+    * the exploded token stream that every DSIR relation derives from.
+    */
+  private def dsirDocBuckets(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(rawTokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long"),
+          lit(DsirBuckets.toLong)))
+      .groupBy("doc_id", "lang", "bucket")
+      .agg(count(lit(1)).as("c"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gopher-style rule gates: per language, how many docs fail each of
+    // the five named quality gates (too short / too long / mean word
+    // length out of band / too much duplicate-token mass / too few
+    // stopword hits), and how many pass ALL of them. The per-doc gate
+    // vector is one fused narrow projection (array HOFs + integer
+    // comparisons); the output is a |langs|-row aggregate.
+    "text_gopher_rules" -> ((s, d) => {
+      val tk = rawTokens(col("text"))
+      val nw = size(tk).cast("long")
+      val nd = size(array_distinct(tk)).cast("long")
+      val chars = aggregate(tk, lit(0L),
+        (acc, t) => acc + length(t).cast("long"))
+      val stops = size(filter(tk, t => t === "the" || t === "a")).cast("long")
+      val gShort = nw < GopherMinWords
+      val gLong = nw > GopherMaxWords
+      val gMwl = (chars * 10 < nw * GopherMwlLo) ||
+        (chars * 10 > nw * GopherMwlHi)
+      val gDup = (nw - nd) * 100 > nw * GopherDupPct
+      val gStop = stops < GopherMinStops
+      docs(s, d)
+        .select(col("lang"), gShort.as("s1"), gLong.as("s2"), gMwl.as("s3"),
+          gDup.as("s4"), gStop.as("s5"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("s1"), 1L).otherwise(0L)).as("fail_short"),
+          sum(when(col("s2"), 1L).otherwise(0L)).as("fail_long"),
+          sum(when(col("s3"), 1L).otherwise(0L)).as("fail_word_len"),
+          sum(when(col("s4"), 1L).otherwise(0L)).as("fail_dup_frac"),
+          sum(when(col("s5"), 1L).otherwise(0L)).as("fail_stopword"),
+          sum(when(!col("s1") && !col("s2") && !col("s3") && !col("s4") &&
+            !col("s5"), 1L).otherwise(0L)).as("n_kept"))
+    }),
+
+    // DSIR importance weights: score every doc by how much its hashed
+    // unigram distribution looks like the target slice's (lang = en)
+    // rather than the whole corpus's — log w(doc) = sum_b c_doc(b) *
+    // (ln p_target(b) - ln p_corpus(b)) with add-1 smoothing — and
+    // report the top-20 (the resampling head). The 64-bucket log-ratio
+    // relation is pinned at 9dp and broadcast; doc weights are exact
+    // DECIMAL sums of (integer count x pinned ratio), so partition
+    // order can't move the 6dp-rounded result.
+    "text_dsir_weights" -> ((s, d) => {
+      val db = dsirDocBuckets(s, d).transform(graft.CacheScope.persisted(_))
+      val tgt = db.filter(col("lang") === DsirTargetLang)
+        .groupBy("bucket").agg(sum(col("c")).as("tc"))
+      val all = db.groupBy("bucket").agg(sum(col("c")).as("qc"))
+      val tot = db.agg(
+        sum(when(col("lang") === DsirTargetLang, col("c")).otherwise(0L))
+          .as("nt"),
+        sum(col("c")).as("nq"))
+      val lw = all.join(tgt, Seq("bucket"), "left")
+        .na.fill(0L, Seq("tc"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          round(
+            log((col("tc") + 1).cast("double") /
+              (col("nt") + DsirBuckets).cast("double")) -
+              log((col("qc") + 1).cast("double") /
+                (col("nq") + DsirBuckets).cast("double")), 9)
+            .cast(DecimalType(14, 9)).as("lw"))
+      db.join(broadcast(lw), "bucket")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          round(sum(col("c") * col("lw")).cast("double"), 6).as("log_weight"))
+        .orderBy(col("log_weight").desc, col("doc_id"))
+        .limit(DsirTopK)
+    }),
+
+    // OOV-rate audit: build the vocabulary from the even-doc_id half
+    // ("train"), measure per-language out-of-vocabulary token and type
+    // rates on the odd half ("held-out") — the coverage check run before
+    // freezing a tokenizer vocab. Both sides aggregate BEFORE the join:
+    // per-(lang, token) held-out counts left-join the distinct train
+    // vocab on the token key.
+    "text_oov_rate" -> ((s, d) => {
+      val tok = docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(rawTokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .transform(graft.CacheScope.persisted(_))
+      val vocab = tok.filter(col("doc_id") % 2 === 0)
+        .select(col("tok")).distinct()
+        .withColumn("in_vocab", lit(1))
+      val test = tok.filter(col("doc_id") % 2 === 1)
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      test.join(vocab, Seq("tok"), "left")
+        .groupBy("lang")
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          sum(when(col("in_vocab").isNull, col("c")).otherwise(0L))
+            .cast("long").as("n_oov"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+            .cast("long").as("n_oov_types"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"), col("n_types"),
+          col("n_oov_types"),
+          round(col("n_oov").cast("double") / col("n_tokens").cast("double"),
+            6).as("oov_rate"))
+    }))
+
+  override val oracles: Map[String, String] = Map(
+
+    "text_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT lang, string_split_regex(lower(text), '\\s+') AS tk
+         |  FROM documents
+         |), m AS (
+         |  SELECT lang,
+         |         CAST(len(tk) AS BIGINT) AS nw,
+         |         CAST(len(list_distinct(tk)) AS BIGINT) AS nd,
+         |         CAST(list_aggregate(list_transform(tk, x -> length(x)),
+         |                             'sum') AS BIGINT) AS chars,
+         |         CAST(len(list_filter(tk, x -> x IN ('the', 'a')))
+         |              AS BIGINT) AS stops
+         |  FROM t
+         |), g AS (
+         |  SELECT lang,
+         |         nw < $GopherMinWords AS s1,
+         |         nw > $GopherMaxWords AS s2,
+         |         (chars * 10 < nw * $GopherMwlLo OR
+         |          chars * 10 > nw * $GopherMwlHi) AS s3,
+         |         (nw - nd) * 100 > nw * $GopherDupPct AS s4,
+         |         stops < $GopherMinStops AS s5
+         |  FROM m
+         |)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS fail_short,
+         |       CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_long,
+         |       CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+         |       CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS fail_dup_frac,
+         |       CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+         |       CAST(sum(CASE WHEN NOT s1 AND NOT s2 AND NOT s3 AND NOT s4
+         |                 AND NOT s5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM g GROUP BY lang""".stripMargin,
+
+    "text_dsir_weights" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |         unnest(string_split_regex(lower(text), '\\s+')) AS tok
+         |  FROM documents
+         |), db AS (
+         |  SELECT doc_id, lang,
+         |         ('0x' || substring(md5(tok), 1, 6))::BIGINT
+         |           % $DsirBuckets AS bucket,
+         |         count(*) AS c
+         |  FROM tok WHERE tok <> '' GROUP BY 1, 2, 3
+         |), tgt AS (
+         |  SELECT bucket, sum(c) AS tc FROM db
+         |  WHERE lang = '$DsirTargetLang' GROUP BY 1
+         |), alls AS (SELECT bucket, sum(c) AS qc FROM db GROUP BY 1),
+         |tot AS (
+         |  SELECT sum(CASE WHEN lang = '$DsirTargetLang' THEN c ELSE 0 END)
+         |           AS nt,
+         |         sum(c) AS nq
+         |  FROM db
+         |), lw AS (
+         |  SELECT a.bucket,
+         |         CAST(round(ln((coalesce(t.tc, 0) + 1.0) /
+         |                       (tot.nt + $DsirBuckets)) -
+         |                    ln((a.qc + 1.0) / (tot.nq + $DsirBuckets)), 9)
+         |              AS DECIMAL(14,9)) AS lw
+         |  FROM alls a LEFT JOIN tgt t ON a.bucket = t.bucket, tot
+         |)
+         |SELECT db.doc_id, db.lang,
+         |       CAST(sum(db.c) AS BIGINT) AS n_tokens,
+         |       round(CAST(sum(db.c * lw.lw) AS DOUBLE), 6) AS log_weight
+         |FROM db JOIN lw ON db.bucket = lw.bucket
+         |GROUP BY db.doc_id, db.lang
+         |ORDER BY log_weight DESC, db.doc_id
+         |LIMIT $DsirTopK""".stripMargin,
+
+    "text_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |         unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), tk AS (SELECT * FROM tok WHERE tok <> ''),
+        |vocab AS (
+        |  SELECT DISTINCT tok, 1 AS in_vocab FROM tk WHERE doc_id % 2 = 0
+        |), test AS (
+        |  SELECT lang, tok, count(*) AS c FROM tk
+        |  WHERE doc_id % 2 = 1 GROUP BY 1, 2
+        |)
+        |SELECT t.lang,
+        |       CAST(sum(t.c) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.in_vocab IS NULL THEN t.c ELSE 0 END)
+        |            AS BIGINT) AS n_oov,
+        |       count(*) AS n_types,
+        |       CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_oov_types,
+        |       round(CAST(sum(CASE WHEN v.in_vocab IS NULL THEN t.c ELSE 0
+        |                      END) AS DOUBLE) /
+        |             CAST(sum(t.c) AS DOUBLE), 6) AS oov_rate
+        |FROM test t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY t.lang""".stripMargin)
+}
