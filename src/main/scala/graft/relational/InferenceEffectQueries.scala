@@ -160,6 +160,75 @@ object InferenceEffectQueries extends QueryPack {
           sqrt(ph * (lit(1) - ph) *
             (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double"))),
           6).as("z"))
+    }),
+
+    // One-way ANCOVA: do the return-flag groups differ in extended price
+    // AFTER adjusting for quantity (the covariate)? The textbook
+    // closed form — pooled within-group slope b_w = E_xy/E_xx, adjusted
+    // means ybar_g - b_w(xbar_g - xbar), and the F test comparing
+    // covariate-only vs covariate+group residual SS. Scale shape: ONE
+    // lineitem-sized aggregation to k=3 rows of exact DECIMAL moments
+    // (cents products routed through DECIMAL(19,0) so 100 TB can't wrap
+    // int64 — the DuckDB int128 parity trap); every within-group SS is a
+    // per-row double pinned at 6dp and summed in DECIMAL, so partition
+    // order can't move a thing. The slope and grand mean are pinned
+    // BEFORE the adjusted means consume them — determinism by
+    // construction, not by hoping both engines associate identically.
+    "q_stats_ancova" -> ((s, d) => {
+      val dec = (c: Column) => c.cast(DecimalType(19, 0))
+      def d6(c: Column) = round(c, 6).cast(DecimalType(38, 6))
+      val li = t(s, d, "lineitem").select(col("l_returnflag").as("rf"),
+        cents(col("l_quantity")).as("x"),
+        cents(col("l_extendedprice")).as("y"))
+      val nd = col("n").cast("double")
+      val g = li.groupBy("rf").agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+          sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+          sum(dec(col("y")) * dec(col("y"))).as("syy"))
+        .filter(col("n") >= 2)
+        .select(col("rf"), col("n"), col("sx"), col("sy"),
+          col("sxx"), col("sxy"), col("syy"),
+          d6(col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") / nd).as("wxx"),
+          d6(col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double") / nd).as("wxy"),
+          d6(col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double") / nd).as("wyy"))
+        .transform(graft.CacheScope.persisted(_))
+      val ntd = col("nt").cast("double")
+      val kd = col("k").cast("double")
+      val txx = col("sxxt").cast("double") -
+        col("sxt").cast("double") * col("sxt").cast("double") / ntd
+      val txy = col("sxyt").cast("double") -
+        col("sxt").cast("double") * col("syt").cast("double") / ntd
+      val tyy = col("syyt").cast("double") -
+        col("syt").cast("double") * col("syt").cast("double") / ntd
+      val exx = col("exx").cast("double")
+      val exy = col("exy").cast("double")
+      val eyy = col("eyy").cast("double")
+      val ssew = eyy - exy * exy / exx
+      val sset = tyy - txy * txy / txx
+      val stats = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
+          sum(col("sx")).as("sxt"), sum(col("sy")).as("syt"),
+          sum(col("sxx")).as("sxxt"), sum(col("sxy")).as("sxyt"),
+          sum(col("syy")).as("syyt"),
+          sum(col("wxx")).as("exx"), sum(col("wxy")).as("exy"),
+          sum(col("wyy")).as("eyy"))
+        .filter(col("k") >= 2 && col("exx") > 0)
+        .select(col("k"), col("nt"),
+          round(exy / exx, 6).as("slope"),
+          round(col("sxt").cast("double") / ntd, 6).as("grand_mean_x"),
+          round(((sset - ssew) / (kd - 1)) / (ssew / (ntd - kd - 1)), 6)
+            .as("f_stat"))
+      g.crossJoin(broadcast(stats))
+        .select(col("rf").as("l_returnflag"), col("n").cast("long").as("n"),
+          round(col("sx").cast("double") / nd, 6).as("mean_x"),
+          round(col("sy").cast("double") / nd, 6).as("mean_y"),
+          round(col("sy").cast("double") / nd -
+            col("slope") * (col("sx").cast("double") / nd -
+              col("grand_mean_x")), 6).as("adj_mean_y"),
+          col("slope"), col("f_stat"))
     }))
 
   override val oracles: Map[String, String] = Map(
@@ -268,5 +337,72 @@ object InferenceEffectQueries extends QueryPack {
          |                  (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))),
          |             6) AS z
          |FROM agg
-         |WHERE n1 > 0 AND n2 > 0 AND x1 + x2 > 0 AND x1 + x2 < n1 + n2""".stripMargin)
+         |WHERE n1 > 0 AND n2 > 0 AND x1 + x2 > 0 AND x1 + x2 < n1 + n2""".stripMargin,
+
+    "q_stats_ancova" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS rf,
+        |         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem
+        |), g0 AS (
+        |  SELECT rf, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+        |         sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+        |         sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+        |  FROM li GROUP BY rf HAVING count(*) >= 2
+        |), g AS (
+        |  SELECT *,
+        |         CAST(round(CAST(sxx AS DOUBLE) -
+        |                    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
+        |                    CAST(n AS DOUBLE), 6) AS DECIMAL(38,6)) AS wxx,
+        |         CAST(round(CAST(sxy AS DOUBLE) -
+        |                    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) /
+        |                    CAST(n AS DOUBLE), 6) AS DECIMAL(38,6)) AS wxy,
+        |         CAST(round(CAST(syy AS DOUBLE) -
+        |                    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) /
+        |                    CAST(n AS DOUBLE), 6) AS DECIMAL(38,6)) AS wyy
+        |  FROM g0
+        |), tot AS (
+        |  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nt,
+        |         CAST(sum(sx) AS BIGINT) AS sxt, CAST(sum(sy) AS BIGINT) AS syt,
+        |         sum(sxx) AS sxxt, sum(sxy) AS sxyt, sum(syy) AS syyt,
+        |         sum(wxx) AS exx, sum(wxy) AS exy, sum(wyy) AS eyy
+        |  FROM g HAVING count(*) >= 2 AND sum(wxx) > 0
+        |), stats AS (
+        |  SELECT k, nt,
+        |         round(CAST(exy AS DOUBLE) / CAST(exx AS DOUBLE), 6) AS slope,
+        |         round(CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+        |           AS grand_mean_x,
+        |         round((((CAST(syyt AS DOUBLE) -
+        |                  CAST(syt AS DOUBLE) * CAST(syt AS DOUBLE) /
+        |                  CAST(nt AS DOUBLE)) -
+        |                 (CAST(sxyt AS DOUBLE) -
+        |                  CAST(sxt AS DOUBLE) * CAST(syt AS DOUBLE) /
+        |                  CAST(nt AS DOUBLE)) *
+        |                 (CAST(sxyt AS DOUBLE) -
+        |                  CAST(sxt AS DOUBLE) * CAST(syt AS DOUBLE) /
+        |                  CAST(nt AS DOUBLE)) /
+        |                 (CAST(sxxt AS DOUBLE) -
+        |                  CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE) /
+        |                  CAST(nt AS DOUBLE)) -
+        |                 (CAST(eyy AS DOUBLE) -
+        |                  CAST(exy AS DOUBLE) * CAST(exy AS DOUBLE) /
+        |                  CAST(exx AS DOUBLE))) / (CAST(k AS DOUBLE) - 1)) /
+        |               ((CAST(eyy AS DOUBLE) -
+        |                 CAST(exy AS DOUBLE) * CAST(exy AS DOUBLE) /
+        |                 CAST(exx AS DOUBLE)) /
+        |                (CAST(nt AS DOUBLE) - CAST(k AS DOUBLE) - 1)), 6)
+        |           AS f_stat
+        |  FROM tot
+        |)
+        |SELECT g.rf AS l_returnflag, CAST(g.n AS BIGINT) AS n,
+        |       round(CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS mean_x,
+        |       round(CAST(g.sy AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS mean_y,
+        |       round(CAST(g.sy AS DOUBLE) / CAST(g.n AS DOUBLE) -
+        |             s.slope * (CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE) -
+        |                        s.grand_mean_x), 6) AS adj_mean_y,
+        |       s.slope, s.f_stat
+        |FROM g CROSS JOIN stats s""".stripMargin)
 }

@@ -379,6 +379,57 @@ object InferenceQueries extends QueryPack {
           col("k").cast("long").as("k"), col("chi2"))
     }),
 
+    // Page's L trend test: the ORDERED alternative to q_stats_friedman —
+    // not "do the k event types differ per day?" but "do they differ in
+    // a fixed direction?" (treatments ordered alphabetically here; a real
+    // deployment orders by dose/version/date). Reuses the friedman rank
+    // machinery verbatim: complete day blocks, doubled midranks r2 (exact
+    // integers), rank sums R_j — then L = sum_j j*R_j with j the
+    // treatment's 1-based alphabetical index, computed as a bounded
+    // triangular self-count over the k-row sums relation (never a window,
+    // so no unpartitioned WindowExec). L2 = 2L stays an exact integer
+    // through every aggregate; the normal approximation
+    // z = (12L - 3bk(k+1)^2) / (k(k+1)*sqrt(b(k-1))) is one final pinned
+    // double expression over identical operands in both engines.
+    "q_stats_page_trend" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(cents(col("value"))).as("x"))
+        .transform(graft.CacheScope.persisted(_))
+      val k = daily.agg(countDistinct(col("event_type")).as("k"))
+      val complete = daily.groupBy("day").agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(k)).filter(col("c") === col("k"))
+        .select(col("day"))
+      val blocks = daily.join(complete, "day")
+        .transform(graft.CacheScope.persisted(_))
+      val rank2 = blocks.as("a")
+        .join(blocks.select(col("day").as("bd"), col("x").as("bx")).as("b"),
+          col("a.day") === col("bd"))
+        .groupBy(col("a.day").as("day"), col("a.event_type").as("event_type"))
+        .agg((lit(2) * sum(when(col("bx") < col("a.x"), 1L).otherwise(0L)) +
+          sum(when(col("bx") === col("a.x"), 1L).otherwise(0L)) + 1).as("r2"))
+      val sums = rank2.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("r2")).as("rj2"))
+        .transform(graft.CacheScope.persisted(_))
+      val ord = sums.select(col("event_type").as("t1"))
+        .join(broadcast(sums.select(col("event_type").as("t2"))),
+          col("t2") <= col("t1"))
+        .groupBy(col("t1").as("event_type")).agg(count(lit(1)).as("j"))
+      val kd = col("k").cast("double")
+      val bd = col("b").cast("double")
+      val ld = col("l2").cast("double") / 2.0
+      sums.join(broadcast(ord), "event_type")
+        .agg(count(lit(1)).as("k"), max(col("n")).as("b"),
+          sum(col("j") * col("rj2")).as("l2"))
+        .filter(col("k") >= 2)
+        .select(col("k").cast("long").as("k_treatments"),
+          col("b").cast("long").as("n_blocks"),
+          round(ld, 6).as("page_l"),
+          round((lit(12.0) * ld - lit(3.0) * bd * kd * (kd + 1) * (kd + 1)) /
+            (kd * (kd + 1) * sqrt(bd * (kd - 1))), 6).as("z"))
+    }),
+
     // Cochran's Q: the BINARY sibling of q_stats_friedman — did the k
     // event types "fire" (log a >= CochranCents event) on the same days,
     // or do the daily hit patterns differ by type? Blocks are days,
@@ -675,6 +726,46 @@ object InferenceQueries extends QueryPack {
          |         AS mean_rank,
          |       CAST(c.k AS BIGINT) AS k, c.chi2
          |FROM sums s CROSS JOIN chi c""".stripMargin,
+
+    "q_stats_page_trend" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         sum($CentsSql) AS x
+         |  FROM events GROUP BY 1, 2
+         |), kk AS (SELECT count(DISTINCT event_type) AS k FROM daily),
+         |complete AS (
+         |  SELECT day FROM daily GROUP BY 1
+         |  HAVING count(*) = (SELECT k FROM kk)
+         |), blocks AS (
+         |  SELECT d.* FROM daily d JOIN complete c ON c.day = d.day
+         |), rank2 AS (
+         |  SELECT a.day, a.event_type,
+         |         2 * sum(CASE WHEN b.x < a.x THEN 1 ELSE 0 END) +
+         |         sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) + 1 AS r2
+         |  FROM blocks a JOIN blocks b ON b.day = a.day
+         |  GROUP BY 1, 2
+         |), sums AS (
+         |  SELECT event_type, count(*) AS n, sum(r2) AS rj2
+         |  FROM rank2 GROUP BY 1
+         |), ord AS (
+         |  SELECT a.event_type, count(*) AS j
+         |  FROM sums a JOIN sums b ON b.event_type <= a.event_type
+         |  GROUP BY 1
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS k_treatments,
+         |       CAST(max(s.n) AS BIGINT) AS n_blocks,
+         |       round(CAST(sum(o.j * s.rj2) AS DOUBLE) / 2.0, 6) AS page_l,
+         |       round((12.0 * (CAST(sum(o.j * s.rj2) AS DOUBLE) / 2.0) -
+         |              3.0 * CAST(max(s.n) AS DOUBLE) *
+         |              CAST(count(*) AS DOUBLE) *
+         |              (CAST(count(*) AS DOUBLE) + 1) *
+         |              (CAST(count(*) AS DOUBLE) + 1)) /
+         |             (CAST(count(*) AS DOUBLE) *
+         |              (CAST(count(*) AS DOUBLE) + 1) *
+         |              sqrt(CAST(max(s.n) AS DOUBLE) *
+         |                   (CAST(count(*) AS DOUBLE) - 1))), 6) AS z
+         |FROM sums s JOIN ord o ON o.event_type = s.event_type
+         |HAVING count(*) >= 2""".stripMargin,
 
     "q_stats_cochran_q" ->
       s"""WITH ev AS (
