@@ -294,6 +294,42 @@ object InferenceSequentialQueries extends QueryPack {
         col("n2").cast("long").as("n_second"),
         round(expr("((sse_p - sse_s) / 2) / (sse_s / (n1d + n2d - 4))"), 6)
           .as("f_stat"))
+    }),
+
+    // Entropy rate of the per-user event-type Markov chain — how
+    // PREDICTABLE is the next action given the current one? The scalar
+    // that summarizes q_markov_transitions' whole matrix: H_rate =
+    // -sum_{s,t} (n_st/N) ln(n_st/n_s), with perplexity exp(H) the
+    // effective branching factor (H -> 0: sessions are scripted; H ->
+    // ln k: the chain adds nothing over the marginal). Transition counts
+    // are exact integers from ONE lead() pass (window partitioned by
+    // user); the |types|^2 per-cell contributions are pinned at 9dp and
+    // summed in DECIMAL, so partition order can't move the 6dp result.
+    "q_markov_entropy_rate" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .transform(graft.CacheScope.persisted(_))
+      val rows = pairs.groupBy("from_type").agg(sum(col("n")).as("rt"))
+      val tot = pairs.agg(sum(col("n")).as("nn"),
+        countDistinct(col("from_type")).as("k"))
+      val p = col("n").cast("double") / col("nn").cast("double")
+      val c = col("n").cast("double") / col("rt").cast("double")
+      val h = col("hh").cast("double")
+      pairs.join(broadcast(rows), "from_type")
+        .crossJoin(broadcast(tot))
+        .select(col("nn"), col("k"),
+          round(-p * log(c), 9).cast(DecimalType(16, 9)).as("e"))
+        .groupBy(col("nn"), col("k"))
+        .agg(sum(col("e")).as("hh"))
+        .select(col("nn").cast("long").as("n_transitions"),
+          col("k").cast("long").as("n_states"),
+          round(h, 6).as("entropy_rate"),
+          round(exp(h), 6).as("perplexity"))
     }))
 
   override val oracles: Map[String, String] = Map(
@@ -527,5 +563,33 @@ object InferenceSequentialQueries extends QueryPack {
          |       CAST(n2 AS BIGINT) AS n_second,
          |       round(((sse_p - sse_s) / 2) / (sse_s / (n1d + n2d - 4)), 6)
          |         AS f_stat
-         |FROM g WHERE sse_s > 0""".stripMargin)
+         |FROM g WHERE sse_s > 0""".stripMargin,
+
+    "q_markov_entropy_rate" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts ASC, event_id ASC) AS to_type
+        |  FROM events
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |), r AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS rt FROM c GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |         count(DISTINCT from_type) AS k
+        |  FROM c
+        |), h AS (
+        |  SELECT max(tot.nn) AS nn, max(tot.k) AS k,
+        |         CAST(sum(CAST(round(
+        |             -(CAST(c.n AS DOUBLE) / CAST(tot.nn AS DOUBLE)) *
+        |             ln(CAST(c.n AS DOUBLE) / CAST(r.rt AS DOUBLE)), 9)
+        |           AS DECIMAL(16,9))) AS DOUBLE) AS hh
+        |  FROM c JOIN r ON r.from_type = c.from_type CROSS JOIN tot
+        |)
+        |SELECT CAST(nn AS BIGINT) AS n_transitions, CAST(k AS BIGINT) AS n_states,
+        |       round(hh, 6) AS entropy_rate,
+        |       round(exp(hh), 6) AS perplexity
+        |FROM h""".stripMargin)
 }

@@ -2,6 +2,7 @@ package graft.relational
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.{QueryPack, Tables}
 
@@ -90,6 +91,41 @@ object PrivacyQueries extends QueryPack {
         .select(col("segment"), col("nation"), col("n_rows"), col("l_div"),
           (col("n_rows") >= KAnon).cast("int").as("k_ok"),
           (col("l_div") >= LDiv).cast("int").as("l_ok"))
+    }),
+
+    // Entropy l-diversity of each (segment, nation) quasi-identifier
+    // group — the STRONGER criterion behind q_dp_kanonymity's distinct
+    // count (Machanavajjhala et al. 2007): a class with 3 distinct
+    // sensitive values 98/1/1 passes distinct-l but leaks; entropy-l =
+    // exp(H) weighs the distribution. Per-cell entropy contributions are
+    // pinned at 9dp and summed in DECIMAL (partition-order proof); the
+    // release flag compares the 4dp-pinned exp on both engines. Scale
+    // shape: one orders-sized join+groupBy to the bounded QI x sensitive
+    // grid; everything after is domain-bounded agg-to-agg.
+    "q_dp_entropy_ldiv" -> ((s, d) => {
+      val j = t(s, d, "orders").select(col("o_custkey"), col("o_orderpriority"))
+        .join(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          col("c_nationkey").as("nation"), col("o_orderpriority").as("prio"))
+      val cell = j.groupBy("segment", "nation", "prio")
+        .agg(count(lit(1)).as("c"))
+        .transform(graft.CacheScope.persisted(_))
+      val grp = cell.groupBy("segment", "nation")
+        .agg(sum(col("c")).as("n_g"), count(lit(1)).as("l_distinct"))
+      val p = col("c").cast("double") / col("n_g").cast("double")
+      val el = round(exp(col("hh").cast("double")), 4)
+      cell.join(broadcast(grp), Seq("segment", "nation"))
+        .select(col("segment"), col("nation"), col("n_g"), col("l_distinct"),
+          round(-p * log(p), 9).cast(DecimalType(14, 9)).as("h"))
+        .groupBy(col("segment"), col("nation"))
+        .agg(first(col("n_g")).cast("long").as("n_rows"),
+          first(col("l_distinct")).cast("long").as("l_distinct"),
+          sum(col("h")).as("hh"))
+        .select(col("segment"), col("nation"), col("n_rows"),
+          col("l_distinct"), el.as("entropy_l"),
+          when(el >= LDiv, 1).otherwise(0).as("el_ok"))
     }),
 
     // t-closeness of each (segment, nation) quasi-identifier group: the
@@ -278,6 +314,33 @@ object PrivacyQueries extends QueryPack {
          |       CAST(count(DISTINCT o.o_orderpriority) >= $LDiv AS INTEGER) AS l_ok
          |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          |GROUP BY 1, 2""".stripMargin,
+
+    "q_dp_entropy_ldiv" ->
+      s"""WITH j AS (
+         |  SELECT c.c_mktsegment AS segment, c.c_nationkey AS nation,
+         |         o.o_orderpriority AS prio
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |), cell AS (
+         |  SELECT segment, nation, prio, count(*) AS c FROM j GROUP BY 1, 2, 3
+         |), grp AS (
+         |  SELECT segment, nation, CAST(sum(c) AS BIGINT) AS n_g,
+         |         count(*) AS l_distinct
+         |  FROM cell GROUP BY 1, 2
+         |), hh AS (
+         |  SELECT cell.segment, cell.nation,
+         |         CAST(max(g.n_g) AS BIGINT) AS n_rows,
+         |         CAST(max(g.l_distinct) AS BIGINT) AS l_distinct,
+         |         round(exp(CAST(sum(CAST(round(
+         |             -(CAST(cell.c AS DOUBLE) / CAST(g.n_g AS DOUBLE)) *
+         |             ln(CAST(cell.c AS DOUBLE) / CAST(g.n_g AS DOUBLE)), 9)
+         |           AS DECIMAL(14,9))) AS DOUBLE)), 4) AS entropy_l
+         |  FROM cell JOIN grp g
+         |    ON g.segment = cell.segment AND g.nation = cell.nation
+         |  GROUP BY 1, 2
+         |)
+         |SELECT segment, nation, n_rows, l_distinct, entropy_l,
+         |       CASE WHEN entropy_l >= $LDiv THEN 1 ELSE 0 END AS el_ok
+         |FROM hh""".stripMargin,
 
     "q_dp_laplace_hist" ->
       s"""SELECT o_orderpriority AS priority,

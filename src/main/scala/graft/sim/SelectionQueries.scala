@@ -31,6 +31,12 @@ object SelectionQueries extends QueryPack {
   /** Number of centers the greedy traversal picks. */
   val KCenterK = 8
 
+  /** Triplet-mining anchor sampling: every vec_id divisible by this is an
+    * anchor (a 10% deterministic sample; production swaps in the current
+    * training batch's ids).
+    */
+  val TripletEvery = 10
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "sim_kcenter" -> ((s, d) => {
@@ -58,6 +64,51 @@ object SelectionQueries extends QueryPack {
       s.createDataFrame(out).toDF("sel_order", "vec_id", "d2")
         .select(col("sel_order"), col("vec_id"),
           round(col("d2").cast("double") / 1e6, 6).as("radius2"))
+    }),
+
+    // Hard-triplet mining (FaceNet, Schroff et al. 2015): for every 10th
+    // vector (the anchor sample), the HARDEST positive (same label,
+    // minimum cosine — the pair metric learning must pull together) and
+    // the HARDEST negative (different label, maximum cosine — the pair
+    // it must push apart), plus the margin and the violation flag
+    // (negative closer than positive = the triplet a training batch
+    // should contain). Scale shape: anchors broadcast against ONE narrow
+    // scan (codegen'd DotQ per pair), windows partitioned by anchor;
+    // everything that orders a pick is the exact int64 1e-4 cosine grain
+    // with vec_id tie-break (the MMR discipline), so no float argmax can
+    // flip a selection.
+    "sim_triplet_mining" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qe"))
+        .withColumn("n2", VecMath.norm2Q(col("qe")))
+        .transform(CacheScope.persisted(_))
+      val anchors = e.filter(col("vec_id") % TripletEvery === 0)
+        .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+          col("qe").as("a_qe"), col("n2").as("a_n2"))
+      val scored = e.join(broadcast(anchors), col("vec_id") =!= col("a_id"))
+        .select(col("a_id"), col("a_label"), col("vec_id").as("c_id"),
+          col("label").as("c_label"),
+          round(VecMath.cosine(VecMath.dotQ(col("a_qe"), col("qe")),
+            col("a_n2"), col("n2")) * 10000, 0).cast("long").as("rel"))
+        .transform(CacheScope.persisted(_))
+      val wp = Window.partitionBy("a_id").orderBy(col("rel").asc, col("c_id").asc)
+      val wn = Window.partitionBy("a_id").orderBy(col("rel").desc, col("c_id").asc)
+      val pos = scored.filter(col("c_label") === col("a_label"))
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+        .select(col("a_id"), col("a_label").as("label"),
+          col("c_id").as("pos_id"),
+          (col("rel").cast("double") / 10000.0).as("pos_cos"))
+      val neg = scored.filter(col("c_label") =!= col("a_label"))
+        .withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
+        .select(col("a_id").as("a2"), col("c_id").as("neg_id"),
+          (col("rel").cast("double") / 10000.0).as("neg_cos"))
+      pos.join(neg, col("a_id") === col("a2"))
+        .select(col("a_id").as("anchor_id"), col("label"), col("pos_id"),
+          col("pos_cos"), col("neg_id"), col("neg_cos"),
+          round(col("pos_cos") - col("neg_cos"), 4).as("margin"),
+          when(col("neg_cos") >= col("pos_cos"), 1).otherwise(0)
+            .as("violation"))
     }))
 
   /** Unrolled oracle: round r defines dx (distance of every vector to
@@ -97,5 +148,49 @@ object SelectionQueries extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
-    "sim_kcenter" -> kcenterOracle)
+    "sim_kcenter" -> kcenterOracle,
+
+    "sim_triplet_mining" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0)
+         |              AS BIGINT) AS qx
+         |  FROM embeddings
+         |), norms AS (
+         |  SELECT vec_id, CAST(sum(qx * qx) AS DOUBLE) / 1000000.0 AS norm2
+         |  FROM e GROUP BY 1
+         |), lab AS (SELECT vec_id, label FROM embeddings),
+         |dots AS (
+         |  SELECT a.vec_id AS a_id, c.vec_id AS c_id,
+         |         CAST(sum(a.qx * c.qx) AS DOUBLE) / 1000000.0 AS dot
+         |  FROM e a JOIN e c ON c.i = a.i AND a.vec_id % $TripletEvery = 0
+         |                   AND c.vec_id <> a.vec_id
+         |  GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT d.a_id, la.label AS a_label, d.c_id, lc.label AS c_label,
+         |         CAST(round(d.dot / (sqrt(na.norm2) * sqrt(nc.norm2)) *
+         |                    10000, 0) AS BIGINT) AS rel
+         |  FROM dots d
+         |  JOIN norms na ON na.vec_id = d.a_id
+         |  JOIN norms nc ON nc.vec_id = d.c_id
+         |  JOIN lab la ON la.vec_id = d.a_id
+         |  JOIN lab lc ON lc.vec_id = d.c_id
+         |), pos AS (
+         |  SELECT a_id, a_label AS label, c_id AS pos_id,
+         |         CAST(rel AS DOUBLE) / 10000.0 AS pos_cos
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+         |          ORDER BY rel ASC, c_id ASC) AS rn
+         |        FROM scored WHERE c_label = a_label) WHERE rn = 1
+         |), neg AS (
+         |  SELECT a_id, c_id AS neg_id,
+         |         CAST(rel AS DOUBLE) / 10000.0 AS neg_cos
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+         |          ORDER BY rel DESC, c_id ASC) AS rn
+         |        FROM scored WHERE c_label <> a_label) WHERE rn = 1
+         |)
+         |SELECT p.a_id AS anchor_id, p.label, p.pos_id, p.pos_cos,
+         |       n.neg_id, n.neg_cos,
+         |       round(p.pos_cos - n.neg_cos, 4) AS margin,
+         |       CASE WHEN n.neg_cos >= p.pos_cos THEN 1 ELSE 0 END AS violation
+         |FROM pos p JOIN neg n ON n.a_id = p.a_id""".stripMargin)
 }
