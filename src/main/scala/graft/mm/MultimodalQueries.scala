@@ -44,6 +44,14 @@ object MultimodalQueries extends QueryPack {
   /** Signature bit width (62 keeps the MSB-first fold non-negative). */
   val PhashBits = 62
 
+  /** Blur-detect scanline length and the variance gate (the corpus'
+    * Laplacian variance spans ~600..11k with median ~5.6k, so 4000
+    * genuinely splits it; a real deployment calibrates this on decoded
+    * pixels).
+    */
+  val BlurSamples = 64
+  val BlurVarThreshold = 4000L
+
   /** DCT cos basis for mm_phash_dct, 1e9-scaled integers: entry
     * [u*16 + x] = round(cos(π(2x+1)u/32) * 1e9) for u in 0..3, x in
     * 0..15 — computed ONCE here and embedded as the SAME literal array
@@ -192,6 +200,36 @@ object MultimodalQueries extends QueryPack {
       phashOf(Tables.load(s, d, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"), col("phash"),
           bit_count(col("phash")).as("nbits"))),
+
+    // Blur detection — variance of the Laplacian, the standard sharpness
+    // gate an image-ingest pipeline runs right after decode (OpenCV's
+    // cv2.Laplacian(img).var() recipe): low second-derivative variance =
+    // no edges = blurry/empty frame, drop before it wastes training
+    // tokens. Same decode stand-in as the hash family (the 64
+    // deterministic payload samples are the "scanline"); the 1-D
+    // Laplacian x[i-1] - 2x[i] + x[i+1], its variance n*Σl² - (Σl)², and
+    // the gate compare are ALL exact int64 (one constant division reaches
+    // the reported double) — a narrow zero-shuffle map at any scale.
+    "mm_blur_detect" -> ((s, d) => {
+      val m = BlurSamples - 2 // interior points carrying a Laplacian value
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), length(col("text")).as("n"), col("text"))
+        .withColumn("codes", expr(
+          s"""transform(sequence(0, ${BlurSamples - 1}),
+             |  i -> ascii(substr(text, CAST(1 + (i * (n - 1)) div ${BlurSamples - 1} AS INT), 1)))"""
+            .stripMargin))
+        .withColumn("lap", expr(
+          s"""transform(sequence(2, ${BlurSamples - 1}),
+             |  i -> element_at(codes, i - 1) - 2 * element_at(codes, i) +
+             |       element_at(codes, i + 1))""".stripMargin))
+        .withColumn("sl", expr("aggregate(lap, 0L, (a, x) -> a + x)"))
+        .withColumn("sq", expr("aggregate(lap, 0L, (a, x) -> a + x * x)"))
+        .select(col("doc_id"), lit(m.toLong).as("n_samples"),
+          round((lit(m.toLong) * col("sq") - col("sl") * col("sl"))
+            .cast("double") / lit((m.toLong * m).toDouble), 6).as("lap_var"),
+          when(lit(m.toLong) * col("sq") - col("sl") * col("sl") <
+            lit(BlurVarThreshold * m * m), 1).otherwise(0).as("is_blurry"))
+    }),
 
     // DCT perceptual hash — the REAL pHash algorithm shape next to
     // mm_phash's average-hash: the 256 deterministic payload samples
@@ -547,6 +585,36 @@ object MultimodalQueries extends QueryPack {
     AspectBuckets.map { case (n, r) => s"('$n', $r)" }.mkString(", ")
 
   override val oracles: Map[String, String] = Map(
+
+    "mm_blur_detect" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS n FROM documents
+         |), c AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(0, ${BlurSamples - 1}),
+         |           i -> ascii(substr(text,
+         |                  CAST(1 + (i * (n - 1)) // ${BlurSamples - 1} AS INT),
+         |                  1))) AS codes
+         |  FROM d
+         |), l AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(2, ${BlurSamples - 1}),
+         |           i -> codes[i-1] - 2 * codes[i] + codes[i+1]) AS lap
+         |  FROM c
+         |), m AS (
+         |  SELECT doc_id,
+         |         CAST(list_aggregate(lap, 'sum') AS BIGINT) AS sl,
+         |         CAST(list_aggregate(list_transform(lap, x -> x * x),
+         |                             'sum') AS BIGINT) AS sq
+         |  FROM l
+         |)
+         |SELECT doc_id, CAST(${BlurSamples - 2} AS BIGINT) AS n_samples,
+         |       round(CAST(${BlurSamples - 2} * sq - sl * sl AS DOUBLE) /
+         |             ${(BlurSamples - 2) * (BlurSamples - 2)}.0, 6) AS lap_var,
+         |       CASE WHEN ${BlurSamples - 2} * sq - sl * sl <
+         |                 ${BlurVarThreshold * (BlurSamples - 2) * (BlurSamples - 2)}
+         |            THEN 1 ELSE 0 END AS is_blurry
+         |FROM m""".stripMargin,
 
     "mm_aspect_bucket" ->
       s"""WITH dims AS (

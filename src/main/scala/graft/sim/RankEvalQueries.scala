@@ -184,12 +184,120 @@ object RankEvalQueries extends QueryPack {
         .select(col("q_id"), col("fused_rank"), col("n_id"),
           col("rrf0").cast("double").as("rrf"),
           col("rank_cos"), col("rank_dot"))
+    }),
+
+    // Matryoshka truncation eval (Kusupati et al. 2022 "Matryoshka
+    // Representation Learning"): how much top-5 recall survives when the
+    // index stores only the first 8 / 16 of 64 dimensions? THE sizing
+    // question for an MRL-trained embedding deployment — prefix dims cut
+    // index bytes linearly, this measures what they cost. Each prefix
+    // ranking is the same broadcast-query narrow scan on SLICED quantized
+    // vectors (prefix dots and norms are exact int64 like the full ones;
+    // the 1e-4 cosine grain + n_id tie-break pins every rank), compared
+    // against the full-dimension exact top-5 by a set join.
+    "sim_mrl_recall" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+        .transform(graft.CacheScope.persisted(_))
+      def topk(p: Int): DataFrame = {
+        val ep = e.select(col("vec_id"),
+          (if (p == 0) col("qe") else slice(col("qe"), 1, p)).as("qp"))
+          .withColumn("n2", norm2Q(col("qp")))
+        val q = ep.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("qp").as("q_qp"),
+            col("n2").as("q_n2"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("rel").desc, col("n_id").asc)
+        ep.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            round(cosine(dotQ(col("q_qp"), col("qp")),
+              col("q_n2"), col("n2")) * 10000, 0).cast("long").as("rel"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= MrlK)
+          .select(col("q_id"), col("n_id"))
+      }
+      val exact = topk(0).transform(graft.CacheScope.persisted(_))
+      def recallOf(p: Int): DataFrame = {
+        val hits = exact.join(topk(p), Seq("q_id", "n_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(broadcast(hits))
+          .select(lit(p.toLong).as("prefix_dims"), col("n_exact"),
+            col("n_hits"),
+            round(col("n_hits").cast("double") /
+              col("n_exact").cast("double"), 6).as("recall"))
+      }
+      MrlPrefixes.map(recallOf).reduce(_.unionByName(_))
+        .orderBy("prefix_dims")
     }))
 
   /** RRF smoothing constant (the standard 60 from the original paper). */
   val RrfKConst = 60
 
+  /** Matryoshka eval dials: prefix widths scored and the top-k depth. */
+  val MrlPrefixes: Seq[Int] = Seq(8, 16)
+  val MrlK = 5
+
+  /** One prefix-truncated top-[[MrlK]] ranking as a CTE pair
+    * (`nrm_T`/`top_T` with tag T), p = 0 meaning all dimensions — the
+    * SQL twin of the Spark `topk` closure.
+    */
+  private def mrlTopCte(tag: String, p: Int): String = {
+    val dimFilter = if (p == 0) "" else s" WHERE i <= $p"
+    val dimJoin = if (p == 0) "" else s" AND q.i <= $p"
+    s"""nrm_$tag AS (
+       |  SELECT vec_id, CAST(sum(qx * qx) AS DOUBLE) / 1000000.0 AS n2
+       |  FROM ex$dimFilter GROUP BY 1
+       |), dot_$tag AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         CAST(sum(q.qx * c.qx) AS DOUBLE) / 1000000.0 AS dot
+       |  FROM ex q JOIN ex c ON q.i = c.i AND q.vec_id < 10
+       |                     AND c.vec_id <> q.vec_id$dimJoin
+       |  GROUP BY 1, 2
+       |), top_$tag AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT d.q_id, d.n_id,
+       |           row_number() OVER (PARTITION BY d.q_id ORDER BY
+       |             CAST(round(d.dot / (sqrt(nq.n2) * sqrt(nc.n2)) * 10000,
+       |                        0) AS BIGINT) DESC, d.n_id ASC) AS rnk
+       |    FROM dot_$tag d
+       |    JOIN nrm_$tag nq ON nq.vec_id = d.q_id
+       |    JOIN nrm_$tag nc ON nc.vec_id = d.n_id
+       |  ) WHERE rnk <= $MrlK
+       |)""".stripMargin
+  }
+
+  private lazy val mrlOracle: String = {
+    val pref = MrlPrefixes.map(p => mrlTopCte(s"p$p", p)).mkString(",\n")
+    val rows = MrlPrefixes.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS prefix_dims,
+         |       (SELECT count(*) FROM top_full) AS n_exact,
+         |       (SELECT count(*) FROM top_p$p t
+         |        WHERE EXISTS (SELECT 1 FROM top_full f
+         |                      WHERE f.q_id = t.q_id AND f.n_id = t.n_id))
+         |         AS n_hits""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qe
+       |  FROM embeddings
+       |), ex AS (
+       |  SELECT vec_id, unnest(qe) AS qx,
+       |         unnest(generate_series(1, len(qe))) AS i
+       |  FROM e
+       |), ${mrlTopCte("full", 0)},
+       |$pref
+       |SELECT prefix_dims, n_exact, n_hits,
+       |       round(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+       |         AS recall
+       |FROM ($rows)
+       |ORDER BY prefix_dims""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
+
+    "sim_mrl_recall" -> mrlOracle,
 
     "q_rank_rrf" ->
       s"""WITH e AS (

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -186,6 +187,47 @@ object PipelineFilterQueries extends QueryPack {
           col("n_oov_types"),
           round(col("n_oov").cast("double") / col("n_tokens").cast("double"),
             6).as("oov_rate"))
+    }),
+
+    // CCNet-style perplexity split (Wenzek et al. 2020): score every doc
+    // by per-token cross-entropy under the corpus unigram LM, then cut
+    // each LANGUAGE into head/middle/tail terciles — the standard
+    // "keep the head, sample the middle, drop the tail" curation move.
+    // Per-token NLLs are 9dp-pinned decimal sums (order-proof); the doc
+    // score is pinned at 6dp BEFORE ranking so the tercile rank
+    // (h asc, doc_id asc) is engine-exact. The per-lang rank rides a
+    // lang-partitioned window — at 100 TB a language is too big for one
+    // partition, so production swaps the exact rank for cut points from
+    // a per-lang quantile sketch (q_quantile_sketch); the bucket
+    // semantics and everything upstream are unchanged.
+    "text_ccnet_split" -> ((s, d) => {
+      val tok = docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(rawTokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .transform(graft.CacheScope.persisted(_))
+      val lm = tok.groupBy("tok").agg(count(lit(1)).as("n"))
+      val tot = lm.agg(sum(col("n")).as("nn"))
+      val nll = round(-log(col("n").cast("double") /
+        col("nn").cast("double")), 9).cast(DecimalType(18, 9))
+      val perDoc = tok.join(lm, "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("nt"), sum(nll).as("snll"))
+        .select(col("doc_id"), col("lang"),
+          round(col("snll").cast("double") / col("nt").cast("double"), 6)
+            .as("h"))
+      val wl = Window.partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)
+      perDoc.withColumn("rn", row_number().over(wl))
+        .withColumn("nl", count(lit(1)).over(Window.partitionBy("lang")))
+        .withColumn("bucket",
+          when(col("rn") * 3 <= col("nl"), "head")
+            .when(col("rn") * 3 <= col("nl") * 2, "middle")
+            .otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("h")), 6).as("min_ce"),
+          round(max(col("h")), 6).as("max_ce"))
     }))
 
   override val oracles: Map[String, String] = Map(
@@ -258,6 +300,40 @@ object PipelineFilterQueries extends QueryPack {
          |GROUP BY db.doc_id, db.lang
          |ORDER BY log_weight DESC, db.doc_id
          |LIMIT $DsirTopK""".stripMargin,
+
+    "text_ccnet_split" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |         unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), tk AS (SELECT * FROM tok WHERE tok <> ''),
+        |lm AS (SELECT tok, count(*) AS n FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM lm),
+        |pd AS (
+        |  SELECT t.doc_id, t.lang, count(*) AS nt,
+        |         sum(CAST(round(-ln(CAST(l.n AS DOUBLE) /
+        |                            CAST(tot.nn AS DOUBLE)), 9)
+        |             AS DECIMAL(18,9))) AS snll
+        |  FROM tk t JOIN lm l ON l.tok = t.tok CROSS JOIN tot
+        |  GROUP BY 1, 2
+        |), hs AS (
+        |  SELECT doc_id, lang,
+        |         round(CAST(snll AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS h
+        |  FROM pd
+        |), b AS (
+        |  SELECT lang, h,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY h ASC, doc_id ASC) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS nl
+        |  FROM hs
+        |)
+        |SELECT lang,
+        |       CASE WHEN rn * 3 <= nl THEN 'head'
+        |            WHEN rn * 3 <= nl * 2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket,
+        |       count(*) AS n_docs,
+        |       round(min(h), 6) AS min_ce, round(max(h), 6) AS max_ce
+        |FROM b GROUP BY 1, 2""".stripMargin,
 
     "text_oov_rate" ->
       """WITH tok AS (
