@@ -27,7 +27,10 @@ object GraftFunctions {
       classOf[StemExpr].getCanonicalName),
     ("dot_q", exprs => DotQ(exprs(0), exprs(1)),
       "dot_q(arr1, arr2) - exact int64 dot product of quantized vectors (codegen)",
-      classOf[DotQ].getCanonicalName))
+      classOf[DotQ].getCanonicalName),
+    ("dct16", exprs => Dct16(exprs.head),
+      "dct16(arr) - 16 raw low-frequency DCT sums of 256 int samples (codegen)",
+      classOf[Dct16].getCanonicalName))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

@@ -59,10 +59,7 @@ object MultimodalQueries extends QueryPack {
     * shared-constants pattern), so no libm call and no literal-parsing
     * divergence can reach the hot path.
     */
-  val DctCosTab: IndexedSeq[Long] =
-    for (u <- 0 to 3; x <- 0 to 15) yield
-      BigDecimal(math.cos(math.Pi * (2 * x + 1) * u / 32.0) * 1e9)
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  val DctCosTab: IndexedSeq[Long] = graft.functions.Dct16.CosTab.toIndexedSeq
 
   /** The table as a Spark SQL array literal. */
   val DctCosTabSql: String = graft.ConstTab.sparkArray(DctCosTab)
@@ -245,51 +242,35 @@ object MultimodalQueries extends QueryPack {
     // libm from the hot path entirely; an earlier in-expression
     // cos(3.14...) form additionally hit Spark parsing the bare literal
     // as DECIMAL(16,15) and truncating the angle). The 2D transform is
-    // SEPARABLE and computed that way: 64 row sums r[x,v] =
-    // Σ_y m[x,y]·cos_v[y] (exact int64, ≤ 2.1e12), sign-symmetrically
-    // truncated to 1e5 units (CASE on abs — Spark `div` truncates toward
-    // zero while DuckDB `//` floors, and they only agree on positives),
-    // then 16 column projections over the truncated rows (≤ 3.3e17,
-    // int64-safe). Versus the naive 4096-term DECIMAL(38) fold per doc
-    // this is 5x fewer multiplies on machine longs instead of interpreted
-    // BigDecimal — measured 16.8 s -> sub-second at sf0.1 — and the
-    // truncation's worst-case coefficient error (16·1e9·1e5/1e12 = 1.6
-    // of a unit) is part of the hash definition, mirrored exactly in the
-    // oracle. Coefficients land as round(/1e7) int64 so the threshold
-    // compare stays exact integer arithmetic (ci*15 > Σci). The sample,
-    // row-sum, and coefficient vectors cross PERSISTED projection
-    // boundaries: left in one chained projection, CollapseProject
-    // inlines the folds into every downstream reference and the DCT
-    // re-evaluates dozens of times per row (measured: the sf0.1 verify
-    // write sat 35+ minutes single-task; with the barriers the scan is
-    // seconds).
+    // SEPARABLE: 64 row sums r[x,v] = Σ_y m[x,y]·cos_v[y] (exact int64,
+    // ≤ 2.1e12), sign-symmetrically truncated to 1e5 units (Spark `div`
+    // truncates toward zero while DuckDB `//` floors — they only agree
+    // on positives), then 16 column projections over the truncated rows
+    // (≤ 3.3e17, int64-safe). Both stages now run inside ONE native
+    // codegen expression ([[graft.functions.Dct16]] — a primitive loop
+    // in whole-stage codegen; the r11 nested transform/aggregate HOF
+    // form paid interpreted lambdas per element, measured 3.3 s isolated
+    // at sf0.1 vs 1.7 s for this — the remainder is the interpreted
+    // 256-sample transform, shared with the whole hash family). Only
+    // the final /1e7 rounding stays in
+    // the SQL layer (a 16-element transform) so the expression is pure
+    // int64 — no rounding mode to keep in sync. Coefficients land as
+    // round(/1e7) int64 so the threshold compare stays exact integer
+    // arithmetic (ci*15 > Σci); the oracle is the unchanged independent
+    // unnest/sum formulation over the same literal table, so the
+    // expression swap is hash-checked, not trusted.
     "mm_phash_dct" -> ((s, d) => {
-      val samples = Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("text"))
+      val coefs = Tables.load(s, d, "documents")
         .select(col("doc_id"), length(col("text")).as("n"), col("text"))
-        .select(col("doc_id"), col("n"), expr(
+        .withColumn("m", expr(
           """transform(sequence(0, 255),
             |  p -> ascii(substr(text, CAST(1 + (p * (n - 1)) div 255 AS INT), 1)))"""
-            .stripMargin).as("m"))
-        .transform(graft.CacheScope.persisted(_))
-      // r[x*4 + v] = sign-symmetric 1e5-truncation of Σ_y m[16x+y]·cos_v[y]
-      // (inner transform materializes each exact fold once; the outer
-      // transform maps the truncation over the already-built array)
-      val rows = samples.select(col("doc_id"), col("n"), expr(
-          s"""transform(
-             |  transform(sequence(0, 63), i ->
-             |    aggregate(sequence(0, 15), CAST(0 AS BIGINT),
-             |      (a, y) -> a + CAST(element_at(m, CAST((i div 4) * 16 + y + 1 AS INT)) AS BIGINT) *
-             |        CAST(element_at($DctCosTabSql, CAST((i % 4) * 16 + y + 1 AS INT)) AS BIGINT))),
-             |  v -> CASE WHEN v >= 0 THEN v div 100000
-             |            ELSE -((-v) div 100000) END)""".stripMargin).as("r"))
-        .transform(graft.CacheScope.persisted(_))
-      val coefs = rows.select(col("doc_id"), col("n"), expr(
-          s"""transform(sequence(0, 15), uv ->
-             |  CAST(round(CAST(aggregate(sequence(0, 15), CAST(0 AS BIGINT),
-             |    (a, x) -> a + CAST(element_at($DctCosTabSql, CAST((uv div 4) * 16 + x + 1 AS INT)) AS BIGINT) *
-             |      element_at(r, CAST(x * 4 + (uv % 4) + 1 AS INT))) AS DOUBLE) / 10000000.0, 0)
-             |  AS BIGINT))""".stripMargin).as("coefs"))
+            .stripMargin))
+        .withColumn("raw", graft.functions.Dct16(col("m")))
+        .select(col("doc_id"), col("n"), expr(
+          """transform(raw,
+            |  v -> CAST(round(CAST(v AS DOUBLE) / 10000000.0, 0) AS BIGINT))"""
+            .stripMargin).as("coefs"))
         .transform(graft.CacheScope.persisted(_))
       coefs
         .withColumn("ac", expr("slice(coefs, 2, 15)"))
