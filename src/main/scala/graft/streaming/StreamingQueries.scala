@@ -342,6 +342,33 @@ object StreamingQueries extends QueryPack {
         .toDF()
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), col("n_event_types"))
+    }),
+
+    // Tumbling OHLC bars per event type — the market-data candlestick
+    // rollup, and the general "first/last/extreme per window" shape any
+    // metering pipeline needs. Open/close ride the stream_latest_state
+    // min/max(struct) pattern (ts, event_id, cents — event_id is unique,
+    // so the pick is total-ordered and the trailing payload never
+    // decides); high/low are exact-cents extremes; all four land as
+    // exact two-decimal doubles. The same agg runs unchanged as a
+    // watermarked streaming window (min/max are declarative aggregates;
+    // state is one struct pair per (window, type)).
+    "stream_ohlc" -> ((s, d) => {
+      val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+      events(s, d)
+        .select(window(col("ts"), "1 hour").as("w"), col("event_type"),
+          col("ts"), col("event_id"), cents.as("c"))
+        .groupBy(col("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_trades"),
+          min(struct(col("ts"), col("event_id"), col("c"))).as("o"),
+          max(struct(col("ts"), col("event_id"), col("c"))).as("cl"),
+          max(col("c")).as("hi"), min(col("c")).as("lo"))
+        .select(col("w.start").as("window_start"),
+          col("w.end").as("window_end"), col("event_type"), col("n_trades"),
+          (col("o.c").cast("double") / 100).as("open"),
+          (col("hi").cast("double") / 100).as("high"),
+          (col("lo").cast("double") / 100).as("low"),
+          (col("cl.c").cast("double") / 100).as("close"))
     })
   )
 
@@ -360,6 +387,22 @@ object StreamingQueries extends QueryPack {
         |SELECT user_id, CAST(n_events AS BIGINT) AS n_events, ts AS last_ts,
         |       event_type AS last_type, value AS last_value
         |FROM r WHERE rn = 1""".stripMargin,
+
+    "stream_ohlc" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |         event_type, ts, event_id,
+        |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |)
+        |SELECT window_start,
+        |       window_start + INTERVAL '1 hour' AS window_end,
+        |       event_type, count(*) AS n_trades,
+        |       CAST(first(c ORDER BY ts, event_id) AS DOUBLE) / 100 AS open,
+        |       CAST(max(c) AS DOUBLE) / 100 AS high,
+        |       CAST(min(c) AS DOUBLE) / 100 AS low,
+        |       CAST(last(c ORDER BY ts, event_id) AS DOUBLE) / 100 AS close
+        |FROM b GROUP BY 1, 2, 3""".stripMargin,
 
     "stream_ewma" ->
       """WITH RECURSIVE ev AS (

@@ -691,4 +691,49 @@ class StreamingSpec extends SparkSpec {
       srb.intersect(sm.map(_._2)).isEmpty,
       "a row emitted both matched and null-padded")
   }
+
+  test("streaming OHLC bars == batch result (min/max struct state)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ohlc").toString
+    Tables.load(spark, sfDir, "events").write.mode("overwrite").parquet(tmp)
+
+    val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(tmp).schema)
+      .parquet(tmp)
+      .withWatermark("ts", "10 minutes")
+      .select(window(col("ts"), "1 hour").as("w"), col("event_type"),
+        col("ts"), col("event_id"), cents.as("c"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_trades"),
+        min(struct(col("ts"), col("event_id"), col("c"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("c"))).as("cl"),
+        max(col("c")).as("hi"), min(col("c")).as("lo"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("event_type"), col("n_trades"),
+        (col("o.c").cast("double") / 100).as("open"),
+        (col("hi").cast("double") / 100).as("high"),
+        (col("lo").cast("double") / 100).as("low"),
+        (col("cl.c").cast("double") / 100).as("close"))
+
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("ohlc_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(300000), "stream did not finish in time")
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getTimestamp(1), r.getString(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    val streamed = spark.table("ohlc_out").collect().map(key).toSet
+    val batch = StreamingQueries.queries("stream_ohlc")(spark, sfDir)
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // bar sanity: low <= open/close <= high on every bar
+    batch.foreach { case (_, _, _, _, o, h, l, c) =>
+      assert(l <= o && o <= h && l <= c && c <= h)
+    }
+  }
 }
