@@ -283,6 +283,53 @@ object RelationalQueries extends QueryPack {
       agg.select(col("exact_sum"), col("est_sum"),
         round(ci, 2).as("ci_half"),
         (abs(col("est_sum") - col("exact_sum")) <= ci).as("covered"))
+    }),
+
+    // Stratified AQP estimator: the same 1/64 deterministic sample, but
+    // the total-revenue estimate is assembled per l_returnflag stratum
+    // (N_g · sample-mean_g) — the textbook variance-reduction move when
+    // strata differ in level, and the reason real AQP engines keep
+    // group-by stats. Per-stratum sample moments are exact cents
+    // DECIMALs from ONE scan; each stratum's variance term
+    // N_g²·v_g/n_g is a 6dp-pinned double summed in DECIMAL, so the
+    // combined standard error is partition-order-proof. Output: one row
+    // per stratum (exact vs estimate) with the combined stratified SE
+    // attached — compare it against q_aqp_ci's unstratified SE on the
+    // identical sample.
+    "q_aqp_stratified" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val li = t(s, d, "lineitem")
+      val inSample = aqpBucket(col("l_orderkey"), col("l_linenumber"))
+      val c = (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")
+      val g = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("ng_all"),
+          dsum(col("l_extendedprice"), 4).as("exact_sum"),
+          sum(when(inSample, 1L).otherwise(0L)).as("n_s"),
+          sum(when(inSample, c).otherwise(0L)).as("s_c"),
+          sum(when(inSample, (c * c).cast(DecimalType(24, 0)))
+            .otherwise(lit(BigDecimal(0)).cast(DecimalType(24, 0))))
+            .cast(DecimalType(38, 0)).as("q_c"))
+        .filter(col("n_s") >= 2)
+        .transform(graft.CacheScope.persisted(_))
+      val nsd = col("n_s").cast("double")
+      val est = col("ng_all").cast("double") *
+        (col("s_c").cast("double") / nsd) / 100.0
+      val vg = (nsd * col("q_c").cast("double") -
+        col("s_c").cast("double") * col("s_c").cast("double")) /
+        (nsd * (nsd - 1))
+      val gg = g.select(col("l_returnflag"), col("ng_all"), col("exact_sum"),
+        col("n_s"), round(est, 2).as("est_sum"),
+        round(col("ng_all").cast("double") * col("ng_all").cast("double") *
+          vg / nsd / 10000.0, 6).cast(DecimalType(28, 6)).as("vterm"))
+      val se = gg.agg(sum(col("vterm")).as("vsum"))
+        .select(round(sqrt(col("vsum").cast("double")), 2).as("se_strat"))
+      gg.crossJoin(broadcast(se))
+        .select(col("l_returnflag"), col("ng_all").as("n_exact"),
+          col("n_s").as("n_sample"), col("exact_sum"), col("est_sum"),
+          round(abs(col("est_sum") - col("exact_sum").cast("double")) /
+            col("exact_sum").cast("double"), 6).as("rel_err"),
+          col("se_strat"))
     })
   )
 
@@ -333,6 +380,43 @@ object RelationalQueries extends QueryPack {
          |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
          |             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
          |      FROM lineitem)""".stripMargin,
+
+    "q_aqp_stratified" ->
+      s"""WITH base AS (
+         |  SELECT l_returnflag, l_extendedprice,
+         |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+         |         $aqpBucketSql AS in_s
+         |  FROM lineitem
+         |), g AS (
+         |  SELECT l_returnflag, count(*) AS ng_all,
+         |         ${dsumSql("l_extendedprice", 4)} AS exact_sum,
+         |         CAST(sum(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_s,
+         |         CAST(sum(CASE WHEN in_s THEN c ELSE 0 END) AS BIGINT) AS s_c,
+         |         sum(CASE WHEN in_s THEN CAST(c AS DECIMAL(24,0)) *
+         |                                 CAST(c AS DECIMAL(24,0))
+         |             ELSE CAST(0 AS DECIMAL(24,0)) END) AS q_c
+         |  FROM base GROUP BY 1 HAVING n_s >= 2
+         |), gg AS (
+         |  SELECT l_returnflag, ng_all, exact_sum, n_s,
+         |         round(CAST(ng_all AS DOUBLE) *
+         |               (CAST(s_c AS DOUBLE) / CAST(n_s AS DOUBLE)) / 100.0, 2)
+         |           AS est_sum,
+         |         CAST(round(CAST(ng_all AS DOUBLE) * CAST(ng_all AS DOUBLE) *
+         |                ((CAST(n_s AS DOUBLE) * CAST(q_c AS DOUBLE) -
+         |                  CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE)) /
+         |                 (CAST(n_s AS DOUBLE) * (CAST(n_s AS DOUBLE) - 1))) /
+         |                CAST(n_s AS DOUBLE) / 10000.0, 6) AS DECIMAL(28,6))
+         |           AS vterm
+         |  FROM g
+         |), se AS (
+         |  SELECT round(sqrt(CAST(sum(vterm) AS DOUBLE)), 2) AS se_strat FROM gg
+         |)
+         |SELECT gg.l_returnflag, gg.ng_all AS n_exact, gg.n_s AS n_sample,
+         |       gg.exact_sum, gg.est_sum,
+         |       round(abs(gg.est_sum - gg.exact_sum) / gg.exact_sum, 6)
+         |         AS rel_err,
+         |       se.se_strat
+         |FROM gg CROSS JOIN se""".stripMargin,
 
     "q_aqp_groupby" ->
       s"""SELECT l_returnflag,

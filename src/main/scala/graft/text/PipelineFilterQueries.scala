@@ -228,6 +228,40 @@ object PipelineFilterQueries extends QueryPack {
         .agg(count(lit(1)).as("n_docs"),
           round(min(col("h")), 6).as("min_ce"),
           round(max(col("h")), 6).as("max_ce"))
+    }),
+
+    // Dataset card: the per-source summary a corpus release ships (the
+    // "What's In My Big Data" reporting pass) — doc and token counts,
+    // mean doc length, and language diversity as the effective number of
+    // languages exp(H(lang)) (1 = monolingual source, 5 = uniform over
+    // five). One docs-sized narrow scan to (source, lang) cells; the
+    // entropy contributions are 9dp-pinned decimal sums over the bounded
+    // cell grid.
+    "text_corpus_card" -> ((s, d) => {
+      val cell = docs(s, d)
+        .select(col("source"), col("lang"),
+          size(rawTokens(col("text"))).cast("long").as("nw"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("c"), sum(col("nw")).as("w"))
+        .transform(graft.CacheScope.persisted(_))
+      val grp = cell.groupBy("source")
+        .agg(sum(col("c")).as("n_docs"), sum(col("w")).as("n_tokens"),
+          count(lit(1)).as("n_langs"))
+      val p = col("c").cast("double") / col("n_docs").cast("double")
+      cell.join(broadcast(grp), "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_langs"),
+          round(-p * log(p), 9).cast(DecimalType(14, 9)).as("h"))
+        .groupBy(col("source"))
+        .agg(first(col("n_docs")).cast("long").as("n_docs"),
+          first(col("n_tokens")).cast("long").as("n_tokens"),
+          first(col("n_langs")).cast("long").as("n_langs"),
+          sum(col("h")).as("hh"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_langs"),
+          round(col("n_tokens").cast("double") /
+            col("n_docs").cast("double"), 4).as("avg_tokens"),
+          round(exp(col("hh").cast("double")), 4).as("eff_langs"))
     }))
 
   override val oracles: Map[String, String] = Map(
@@ -300,6 +334,30 @@ object PipelineFilterQueries extends QueryPack {
          |GROUP BY db.doc_id, db.lang
          |ORDER BY log_weight DESC, db.doc_id
          |LIMIT $DsirTopK""".stripMargin,
+
+    "text_corpus_card" ->
+      """WITH cell AS (
+        |  SELECT source, lang, count(*) AS c,
+        |         CAST(sum(len(string_split_regex(lower(text), '\s+')))
+        |              AS BIGINT) AS w
+        |  FROM documents GROUP BY 1, 2
+        |), grp AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |         CAST(sum(w) AS BIGINT) AS n_tokens, count(*) AS n_langs
+        |  FROM cell GROUP BY 1
+        |)
+        |SELECT cell.source,
+        |       CAST(max(g.n_docs) AS BIGINT) AS n_docs,
+        |       CAST(max(g.n_tokens) AS BIGINT) AS n_tokens,
+        |       CAST(max(g.n_langs) AS BIGINT) AS n_langs,
+        |       round(CAST(max(g.n_tokens) AS DOUBLE) /
+        |             CAST(max(g.n_docs) AS DOUBLE), 4) AS avg_tokens,
+        |       round(exp(CAST(sum(CAST(round(
+        |           -(CAST(cell.c AS DOUBLE) / CAST(g.n_docs AS DOUBLE)) *
+        |           ln(CAST(cell.c AS DOUBLE) / CAST(g.n_docs AS DOUBLE)), 9)
+        |         AS DECIMAL(14,9))) AS DOUBLE)), 4) AS eff_langs
+        |FROM cell JOIN grp g ON g.source = cell.source
+        |GROUP BY 1""".stripMargin,
 
     "text_ccnet_split" ->
       """WITH tok AS (
