@@ -26,7 +26,9 @@ object SparkEntry {
     relational.SqlFeatureQueries,
     relational.ProfilingQueries,
     relational.EventOpsQueries,
+    relational.MarkovQueries,
     relational.TimeSeriesQueries,
+    relational.SpectralQueries,
     relational.DtwQueries,
     relational.StatsQueries,
     relational.InferenceQueries,
@@ -35,6 +37,7 @@ object SparkEntry {
     relational.RecsysQueries,
     relational.MiningQueries,
     relational.ModelPrepQueries,
+    relational.EntityResolutionQueries,
     relational.PrivacyQueries,
     relational.DecisionQueries,
     relational.FeatureQueries,

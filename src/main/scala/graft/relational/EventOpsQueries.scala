@@ -99,63 +99,7 @@ object EventOpsQueries extends QueryPack {
           col("buy_ts"))
     }),
 
-    // First-order Markov transition matrix over user event sequences:
-    // P(next_type | type), the sequence-mining / next-action-model
-    // primitive. One user-partitioned lead() window pairs each event
-    // with its successor, one aggregation counts transitions, and the
-    // row-normalizing denominator comes from a window over the
-    // TRANSITION MATRIX itself (|types|^2 rows — constant at any scale),
-    // not a second pass over events. Probabilities are exact
-    // integer-ratio doubles rounded to 9.
-    "q_markov_transitions" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val pairs = t(s, d, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("from_type"),
-          lead(col("event_type"), 1).over(w).as("to_type"))
-        .filter(col("to_type").isNotNull)
-        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
-      val rowTotal = Window.partitionBy("from_type")
-      pairs.select(col("from_type"), col("to_type"), col("n"),
-        round(col("n").cast("double") / sum(col("n")).over(rowTotal), 9)
-          .as("p"))
-    }),
 
-    // Stationary distribution of that Markov chain — where the behavior
-    // converges if the observed dynamics persist, the long-run mix a
-    // capacity model plans against. Power iteration in INTEGER fixed
-    // point (the PageRank discipline on a |types|x|types| matrix): mass
-    // m·n div rt per step with the product routed through DECIMAL so a
-    // 100 TB transition count cannot overflow, MarkovIters rounds
-    // unrolled identically in the oracle. Everything after the one
-    // events-sized lead/count pass runs on the constant-size matrix.
-    "q_markov_stationary" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val cnts = t(s, d, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("from_type"),
-          lead(col("event_type"), 1).over(w).as("to_type"))
-        .filter(col("to_type").isNotNull)
-        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
-        .transform(graft.CacheScope.persisted(_))
-      val rt = cnts.groupBy("from_type").agg(sum(col("n")).as("rt"))
-      val pm = cnts.join(rt, "from_type")
-        .transform(graft.CacheScope.persisted(_))
-      var pi = rt.select(col("from_type").as("state"),
-        lit(MarkovScale).as("m"))
-      for (_ <- 1 to MarkovIters) {
-        pi = pm.join(pi, col("from_type") === col("state"))
-          .select(col("to_type"),
-            expr("CAST((CAST(m AS DECIMAL(20,0)) * n) div rt AS BIGINT)").as("c"))
-          .groupBy(col("to_type")).agg(sum(col("c")).as("m"))
-          .select(col("to_type").as("state"), col("m"))
-      }
-      pi.crossJoin(broadcast(pi.agg(sum(col("m")).as("tm"))))
-        .select(col("state"), col("m").as("pi_fixed"),
-          round(col("m").cast("double") / col("tm").cast("double"), 9).as("pi"))
-    }),
 
     // DAU / WAU / MAU / stickiness per day — the product-analytics
     // rolling-distinct-users readout. A windowed COUNT DISTINCT cannot
@@ -192,51 +136,6 @@ object EventOpsQueries extends QueryPack {
           (datediff(col("day"), col("d0")) >= MauWindow - 1).as("full_window"))
     }),
 
-    // Expected steps to ABSORPTION in the 'error' state from each
-    // transient state — the "how many more actions before this user hits
-    // an error" readout next to q_markov_stationary's long-run mix.
-    // Truncated value iteration e_{k+1}(s) = 1 + Σ_to P(s,to)·e_k(to)
-    // with e(error) ≡ 0, AbsorbIters unrolled rounds in the SAME
-    // fixed-point integer units as the stationary query (Scale per step,
-    // integer div — bit-reproducible in any partitioning, oracle unrolls
-    // identically). The truncation UNDERestimates by the geometric tail
-    // — the documented trade; states that cannot reach 'error' saturate
-    // at AbsorbIters steps, which the is_saturated flag calls out.
-    "q_markov_absorption" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val cnts = t(s, d, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("from_type"),
-          lead(col("event_type"), 1).over(w).as("to_type"))
-        .filter(col("to_type").isNotNull)
-        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
-        .transform(graft.CacheScope.persisted(_))
-      val rt = cnts.groupBy("from_type").agg(sum(col("n")).as("rt"))
-      val pm = cnts.join(rt, "from_type")
-        .filter(col("from_type") =!= MarkovAbsorb)
-        .transform(graft.CacheScope.persisted(_))
-      var e = rt.filter(col("from_type") =!= MarkovAbsorb)
-        .select(col("from_type").as("state"), lit(0L).as("m"))
-      for (_ <- 1 to AbsorbIters) {
-        e = pm
-          .join(e.select(col("state").as("to_state"), col("m").as("em")),
-            col("to_type") === col("to_state"), "left")
-          .groupBy(col("from_type"))
-          .agg(sum(expr(
-            "CAST((CAST(coalesce(em, 0) AS DECIMAL(20,0)) * n) div rt AS BIGINT)"))
-            .as("sm"))
-          .select(col("from_type").as("state"),
-            (lit(MarkovScale) + col("sm")).as("m"))
-      }
-      e.select(col("state"), col("m").as("steps_fixed"),
-        round(col("m").cast("double") / MarkovScale.toDouble, 6)
-          .as("expected_steps"),
-        // div truncation sheds <1 unit per to-state per round, so a
-        // saturated (error-unreachable) state lands a hair under
-        // k·Scale — the slack absorbs it
-        (col("m") >= lit(MarkovScale) * AbsorbIters - 1000L).as("is_saturated"))
-    }),
 
     // Time-series resampling to OHLC bars: per (event_type, day) —
     // open/close via min/max(struct(ts, event_id, value)) argmin/argmax
@@ -612,62 +511,10 @@ object EventOpsQueries extends QueryPack {
   val EwmaAlpha = 0.2
   val EwmaTaps = 8
 
-  /** q_markov_stationary dials: mass units per state at init, power-
-    * iteration rounds (unrolled in the oracle).
-    */
-  val MarkovScale = 1000000000000L
-  val MarkovIters = 8
-
-  /** Absorbing state and value-iteration depth for q_markov_absorption. */
-  val MarkovAbsorb = "error"
-  val AbsorbIters = 12
 
   /** Rolling-active windows (days) for q_events_stickiness. */
   val WauWindow = 7
   val MauWindow = 28
-
-  /** One unrolled absorption-time step (reads e{i-1}). */
-  private def absorbIterCte(i: Int): String =
-    s"""e$i AS (
-       |  SELECT pm.from_type AS state,
-       |         CAST($MarkovScale + sum(
-       |           (CAST(coalesce(p.m, 0) AS HUGEINT) * pm.n) // pm.rt)
-       |           AS BIGINT) AS m
-       |  FROM pm LEFT JOIN e${i - 1} p ON p.state = pm.to_type
-       |  GROUP BY 1
-       |)""".stripMargin
-
-  /** One unrolled stationary-distribution step (reads pi{i-1}). */
-  private def markovIterCte(i: Int): String =
-    s"""pi$i AS (
-       |  SELECT pm.to_type AS state,
-       |         CAST(sum((p.m * pm.n) // pm.rt) AS HUGEINT) AS m
-       |  FROM pm JOIN pi${i - 1} p ON p.state = pm.from_type
-       |  GROUP BY 1
-       |)""".stripMargin
-
-  private lazy val markovStationaryOracle: String =
-    s"""WITH pr AS (
-       |  SELECT event_type AS from_type,
-       |         lead(event_type) OVER (PARTITION BY user_id
-       |                                ORDER BY ts ASC, event_id ASC) AS to_type
-       |  FROM events
-       |), c AS (
-       |  SELECT from_type, to_type, count(*) AS n
-       |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2
-       |), rt AS (
-       |  SELECT from_type, CAST(sum(n) AS BIGINT) AS rt FROM c GROUP BY 1
-       |), pm AS (
-       |  SELECT c.from_type, c.to_type, c.n, r.rt
-       |  FROM c JOIN rt r ON r.from_type = c.from_type
-       |), pi0 AS (
-       |  SELECT from_type AS state, CAST($MarkovScale AS HUGEINT) AS m FROM rt
-       |),
-       |${(1 to MarkovIters).map(markovIterCte).mkString(",\n")}
-       |SELECT state, CAST(m AS BIGINT) AS pi_fixed,
-       |       round(CAST(m AS DOUBLE) /
-       |             (SELECT CAST(sum(m) AS DOUBLE) FROM pi$MarkovIters), 9) AS pi
-       |FROM pi$MarkovIters""".stripMargin
 
   override val oracles: Map[String, String] = Map(
 
@@ -910,8 +757,6 @@ object EventOpsQueries extends QueryPack {
         |                  CAST(n1 * n1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6) AS z
         |FROM w""".stripMargin,
 
-    "q_markov_stationary" -> markovStationaryOracle,
-
     "q_events_stickiness" ->
       s"""WITH du AS (
          |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
@@ -934,48 +779,6 @@ object EventOpsQueries extends QueryPack {
          |WHERE c.rday <= rng.d1
          |GROUP BY c.rday""".stripMargin,
 
-    "q_markov_absorption" ->
-      s"""WITH pr AS (
-         |  SELECT event_type AS from_type,
-         |         lead(event_type) OVER (PARTITION BY user_id
-         |                                ORDER BY ts ASC, event_id ASC) AS to_type
-         |  FROM events
-         |), c AS (
-         |  SELECT from_type, to_type, count(*) AS n
-         |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2
-         |), rt AS (
-         |  SELECT from_type, CAST(sum(n) AS BIGINT) AS rt FROM c GROUP BY 1
-         |), pm AS (
-         |  SELECT c.from_type, c.to_type, c.n, r.rt
-         |  FROM c JOIN rt r ON r.from_type = c.from_type
-         |  WHERE c.from_type <> '$MarkovAbsorb'
-         |), e0 AS (
-         |  SELECT from_type AS state, CAST(0 AS BIGINT) AS m FROM rt
-         |  WHERE from_type <> '$MarkovAbsorb'
-         |),
-         |${(1 to AbsorbIters).map(absorbIterCte).mkString(",\n")}
-         |SELECT state, m AS steps_fixed,
-         |       round(CAST(m AS DOUBLE) / ${MarkovScale.toDouble}, 6)
-         |         AS expected_steps,
-         |       m >= ${MarkovScale}::BIGINT * $AbsorbIters - 1000 AS is_saturated
-         |FROM e$AbsorbIters""".stripMargin,
-
-    "q_markov_transitions" ->
-      """WITH p AS (
-        |  SELECT event_type AS from_type,
-        |         lead(event_type) OVER (PARTITION BY user_id
-        |                                ORDER BY ts ASC, event_id ASC) AS to_type
-        |  FROM events
-        |), c AS (
-        |  SELECT from_type, to_type, count(*) AS n
-        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
-        |)
-        |SELECT from_type, to_type, n,
-        |       round(CAST(n AS DOUBLE) /
-        |             sum(n) OVER (PARTITION BY from_type), 9) AS p
-        |FROM c""".stripMargin,
-
-    // Independent open/close: row_number windows instead of struct argmin.
     "q_ohlc_bars" ->
       s"""WITH e AS (
          |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -50,10 +50,6 @@ object TimeSeriesQueries extends QueryPack {
       |         sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS c
       |  FROM events GROUP BY 1, 2""".stripMargin
 
-  /** Longest candidate period scanned by q_ts_spectral_entropy (the
-    * frequency grid is periods 2..SpecMaxPeriod days).
-    */
-  val SpecMaxPeriod = 16
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -96,105 +92,6 @@ object TimeSeriesQueries extends QueryPack {
                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))),
             6).as("acf"))
         .filter(col("acf").isNotNull)
-    }),
-
-    // Periodogram probe at candidate periods (7 / 14 / 30 days): the
-    // spectral sibling of q_ts_acf — amplitude of the Fourier component
-    // at each period, 2·|Σ dev_d · e^(iω d)| / n, the direct "how strong
-    // is the weekly cycle" gauge a seasonality model reads before picking
-    // its period. Runs entirely on the bounded daily relation: per-type
-    // means ride a broadcast aggregate, each (day, period) row emits one
-    // cos + one sin contribution, and one bounded aggregation finishes.
-    // Determinism: cos/sin are libm calls that may differ by 1 ulp across
-    // engines, so the trig VALUES (only |period| distinct angles each)
-    // are round(,9)-pinned before multiplying, contributions are
-    // round(,4)-pinned, and the sums fold in exact DECIMAL.
-    "q_ts_periodogram" -> ((s, d) => {
-      val daily = dailyOf(t(s, d, "events"))
-        .select(col("event_type"),
-          datediff(col("day"), to_date(lit("1970-01-01"))).as("ti"), col("c"))
-        .transform(CacheScope.persisted(_))
-      val st = daily.groupBy("event_type")
-        .agg(count(lit(1)).as("nd"), sum(col("c")).as("sumc"))
-        .select(col("event_type").as("set"), col("nd"),
-          (col("sumc").cast("double") / col("nd").cast("double")).as("mean"))
-      val tau = lit(6.283185307179586)
-      val per = daily.join(broadcast(st), col("event_type") === col("set"))
-        .select(col("event_type"), col("nd"), col("ti"),
-          (col("c").cast("double") - col("mean")).as("dev"),
-          explode(array(lit(7), lit(14), lit(30))).as("period"))
-      val ang = tau * (col("ti") % col("period")).cast("double") /
-        col("period").cast("double")
-      per.select(col("event_type"), col("period"), col("nd"),
-          round(col("dev") * round(cos(ang), 9), 4)
-            .cast(DecimalType(24, 4)).as("cc"),
-          round(col("dev") * round(sin(ang), 9), 4)
-            .cast(DecimalType(24, 4)).as("ss"))
-        .groupBy("event_type", "period")
-        .agg(max(col("nd")).as("n_days"),
-          sum(col("cc")).as("cs"), sum(col("ss")).as("sn"))
-        .select(col("event_type"), col("period").cast("long").as("period"),
-          col("n_days"),
-          round(lit(2.0) * sqrt(col("cs").cast("double") * col("cs").cast("double") +
-            col("sn").cast("double") * col("sn").cast("double")) /
-            col("n_days").cast("double"), 4).as("amplitude"))
-    }),
-
-    // Normalized spectral entropy per event type — ONE number for "is
-    // this series periodic or noise": H = −Σ p·ln p over the
-    // periodogram's power shares across SpecPeriods candidate periods,
-    // divided by ln K (1.0 = flat/white, →0 = one dominant cycle), plus
-    // the argmax period. Same pinned-trig discipline as
-    // q_ts_periodogram (round(cos,9) factors, round(,4) DECIMAL power
-    // sums); the per-type entropy fold runs over a K-row relation with
-    // round(,9)-pinned p·ln p terms, and the dominant period is one
-    // max(struct) with ties to the SHORTEST period.
-    "q_ts_spectral_entropy" -> ((s, d) => {
-      val daily = dailyOf(t(s, d, "events"))
-        .select(col("event_type"),
-          datediff(col("day"), to_date(lit("1970-01-01"))).as("ti"), col("c"))
-        .transform(CacheScope.persisted(_))
-      val st = daily.groupBy("event_type")
-        .agg(count(lit(1)).as("nd"), sum(col("c")).as("sumc"))
-        .select(col("event_type").as("set"), col("nd"),
-          (col("sumc").cast("double") / col("nd").cast("double")).as("mean"))
-      val tau = lit(6.283185307179586)
-      val per = daily.join(broadcast(st), col("event_type") === col("set"))
-        .select(col("event_type"), col("ti"),
-          (col("c").cast("double") - col("mean")).as("dev"),
-          explode(expr(s"sequence(2, ${SpecMaxPeriod})")).as("period"))
-      val ang = tau * (col("ti") % col("period")).cast("double") /
-        col("period").cast("double")
-      val pw = per.select(col("event_type"), col("period"),
-          round(col("dev") * round(cos(ang), 9), 4)
-            .cast(DecimalType(24, 4)).as("cc"),
-          round(col("dev") * round(sin(ang), 9), 4)
-            .cast(DecimalType(24, 4)).as("ss"))
-        .groupBy("event_type", "period")
-        .agg(sum(col("cc")).as("cs"), sum(col("ss")).as("sn"))
-        .select(col("event_type"), col("period"),
-          round(col("cs").cast("double") * col("cs").cast("double") +
-            col("sn").cast("double") * col("sn").cast("double"), 4)
-            .cast(DecimalType(30, 4)).as("p4"))
-        .transform(CacheScope.persisted(_))
-      val tot = pw.groupBy(col("event_type").as("tet"))
-        .agg(sum(col("p4")).as("tp"), count(lit(1)).as("k"))
-      pw.join(broadcast(tot), col("event_type") === col("tet"))
-        .filter(col("tp") > 0)
-        .select(col("event_type"), col("k"),
-          struct(col("p4"), (-col("period")).as("np")).as("cand"),
-          round(when(col("p4") > 0,
-            -(col("p4").cast("double") / col("tp").cast("double")) *
-              log(col("p4").cast("double") / col("tp").cast("double")))
-            .otherwise(lit(0.0)), 9)
-            .cast(DecimalType(18, 9)).as("h"))
-        .groupBy("event_type")
-        .agg(first(col("k")).as("k"), max(col("cand")).as("top"),
-          sum(col("h")).as("sh"))
-        .select(col("event_type"),
-          (-col("top.np")).cast("long").as("dominant_period"),
-          round(col("sh").cast("double") /
-            log(col("k").cast("double")), 6).as("spectral_entropy"))
     }),
 
     // Theil–Sen robust trend per event_type: the median of all pairwise
@@ -796,81 +693,6 @@ object TimeSeriesQueries extends QueryPack {
          |               6) AS acf
          |  FROM m
          |) WHERE acf IS NOT NULL""".stripMargin,
-
-    "q_ts_periodogram" ->
-      s"""WITH daily AS (
-         |  SELECT event_type, CAST(day - DATE '1970-01-01' AS INTEGER) AS ti, c
-         |  FROM ($DailySql)
-         |), st AS (
-         |  SELECT event_type, count(*) AS nd,
-         |         CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
-         |  FROM daily GROUP BY 1
-         |), per AS (
-         |  SELECT d.event_type, p.period, s.nd,
-         |         CAST(round((CAST(d.c AS DOUBLE) - s.mean) *
-         |           round(cos(6.283185307179586 * (d.ti % p.period) / CAST(p.period AS DOUBLE)), 9), 4)
-         |           AS DECIMAL(24,4)) AS cc,
-         |         CAST(round((CAST(d.c AS DOUBLE) - s.mean) *
-         |           round(sin(6.283185307179586 * (d.ti % p.period) / CAST(p.period AS DOUBLE)), 9), 4)
-         |           AS DECIMAL(24,4)) AS ss
-         |  FROM daily d
-         |  JOIN st s ON s.event_type = d.event_type
-         |  CROSS JOIN (VALUES (7), (14), (30)) p(period)
-         |)
-         |SELECT event_type, CAST(period AS BIGINT) AS period,
-         |       max(nd) AS n_days,
-         |       round(2.0 * sqrt(CAST(sum(cc) AS DOUBLE) * CAST(sum(cc) AS DOUBLE) +
-         |                        CAST(sum(ss) AS DOUBLE) * CAST(sum(ss) AS DOUBLE)) /
-         |             CAST(max(nd) AS DOUBLE), 4) AS amplitude
-         |FROM per GROUP BY 1, 2""".stripMargin,
-
-    "q_ts_spectral_entropy" ->
-      s"""WITH daily AS (
-         |  SELECT event_type, CAST(day - DATE '1970-01-01' AS INTEGER) AS ti, c
-         |  FROM ($DailySql)
-         |), st AS (
-         |  SELECT event_type, count(*) AS nd,
-         |         CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
-         |  FROM daily GROUP BY 1
-         |), per AS (
-         |  SELECT d.event_type, p.period,
-         |         CAST(round((CAST(d.c AS DOUBLE) - s.mean) *
-         |           round(cos(6.283185307179586 * (d.ti % p.period) / CAST(p.period AS DOUBLE)), 9), 4)
-         |           AS DECIMAL(24,4)) AS cc,
-         |         CAST(round((CAST(d.c AS DOUBLE) - s.mean) *
-         |           round(sin(6.283185307179586 * (d.ti % p.period) / CAST(p.period AS DOUBLE)), 9), 4)
-         |           AS DECIMAL(24,4)) AS ss
-         |  FROM daily d
-         |  JOIN st s ON s.event_type = d.event_type
-         |  CROSS JOIN (SELECT unnest(generate_series(2, $SpecMaxPeriod)) AS period) p
-         |), pw AS (
-         |  SELECT event_type, period,
-         |         CAST(round(CAST(sum(cc) AS DOUBLE) * CAST(sum(cc) AS DOUBLE) +
-         |                    CAST(sum(ss) AS DOUBLE) * CAST(sum(ss) AS DOUBLE), 4)
-         |              AS DECIMAL(30,4)) AS p4
-         |  FROM per GROUP BY 1, 2
-         |), tot AS (
-         |  SELECT event_type, sum(p4) AS tp, count(*) AS k
-         |  FROM pw GROUP BY 1
-         |), h AS (
-         |  SELECT pw.event_type, t.k, pw.period, pw.p4,
-         |         CAST(round(CASE WHEN pw.p4 > 0 THEN
-         |           -(CAST(pw.p4 AS DOUBLE) / CAST(t.tp AS DOUBLE)) *
-         |            ln(CAST(pw.p4 AS DOUBLE) / CAST(t.tp AS DOUBLE))
-         |           ELSE 0.0 END, 9) AS DECIMAL(18,9)) AS h
-         |  FROM pw JOIN tot t ON t.event_type = pw.event_type
-         |  WHERE t.tp > 0
-         |), dom AS (
-         |  SELECT event_type, period AS dominant_period
-         |  FROM h
-         |  QUALIFY row_number() OVER (PARTITION BY event_type
-         |                             ORDER BY p4 DESC, period ASC) = 1
-         |)
-         |SELECT h.event_type, CAST(d.dominant_period AS BIGINT) AS dominant_period,
-         |       round(CAST(sum(h.h) AS DOUBLE) / ln(CAST(max(h.k) AS DOUBLE)), 6)
-         |         AS spectral_entropy
-         |FROM h JOIN dom d ON d.event_type = h.event_type
-         |GROUP BY 1, 2""".stripMargin,
 
     "q_ts_theilsen" ->
       s"""WITH daily AS (

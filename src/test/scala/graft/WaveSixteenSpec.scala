@@ -55,7 +55,7 @@ class WaveSixteenSpec extends SparkSpec {
     val matches = SparkEntry.queries("q_er_fellegi")(spark, "/root/testdata/sf0.01")
       .collect()
     CacheScope.releaseAll()
-    val off = graft.relational.ModelPrepQueries.ErSuppOffset
+    val off = graft.relational.EntityResolutionQueries.ErSuppOffset
     // one label per node, kinds agree with the id-space split
     assert(rows.map(_.getAs[Long]("node_id")).distinct.length == rows.length)
     rows.foreach { r =>

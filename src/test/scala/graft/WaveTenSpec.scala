@@ -221,7 +221,7 @@ class WaveTenSpec extends SparkSpec {
     assert(math.abs(piSum - 1.0) < 1e-6, s"pi sum $piSum")
     val mass = rows.map(_.getAs[Long]("pi_fixed")).sum
     // integer truncation only loses mass vs the injected total.
-    assert(mass <= rows.length.toLong * EventOpsQueries.MarkovScale)
+    assert(mass <= rows.length.toLong * relational.MarkovQueries.MarkovScale)
   }
 
   test("q_graph_mst equals a sequential Kruskal forest edge-for-edge") {

@@ -69,7 +69,7 @@ class WaveThirteenSpec extends SparkSpec {
     // and every emitted one clears the floor
     assert(rows.map(_.getAs[Double]("score")).distinct.length <= 8)
     rows.foreach { r =>
-      assert(r.getAs[Double]("score") >= graft.relational.ModelPrepQueries.FsScoreFloor)
+      assert(r.getAs[Double]("score") >= graft.relational.EntityResolutionQueries.FsScoreFloor)
       Seq("agree_id", "agree_band", "agree_sign").foreach { c =>
         val v = r.getAs[Int](c); assert(v == 0 || v == 1)
       }

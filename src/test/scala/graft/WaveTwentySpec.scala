@@ -210,7 +210,7 @@ class WaveTwentySpec extends SparkSpec {
     val r = SparkEntry.queries("q_ts_spectral_entropy")(spark, sfDir).collect()
     CacheScope.releaseAll()
     assert(r.nonEmpty)
-    import relational.TimeSeriesQueries.SpecMaxPeriod
+    import relational.SpectralQueries.SpecMaxPeriod
     r.foreach { row =>
       val h = row.getAs[Double]("spectral_entropy")
       assert(h >= 0.0 && h <= 1.0 + 1e-6, s"H=$h")
@@ -298,7 +298,7 @@ class WaveTwentySpec extends SparkSpec {
     val r = SparkEntry.queries("q_markov_absorption")(spark, sfDir).collect()
     CacheScope.releaseAll()
     assert(r.nonEmpty)
-    import relational.EventOpsQueries.{AbsorbIters, MarkovAbsorb}
+    import relational.MarkovQueries.{AbsorbIters, MarkovAbsorb}
     r.foreach { row =>
       assert(row.getAs[String]("state") != MarkovAbsorb)
       val e = row.getAs[Double]("expected_steps")
