@@ -300,6 +300,97 @@ object ModelPrepQueries extends QueryPack {
     // c·ln(cN/(c_x·c_y)) terms are round(,9)-pinned into an exact DECIMAL
     // fold. Buckets are integer (floor on non-negative ints), so binning
     // is engine-exact.
+    // mRMR feature selection (Peng et al. 2005 "minimum Redundancy
+    // Maximum Relevance"): rank each candidate feature by its MI with
+    // the label MINUS its mean MI with the OTHER candidates — the step
+    // after q_ml_mutual_info's relevance-only ranking, and the standard
+    // fix for "the top-2 by relevance are near-duplicates of each
+    // other". Six MI scalars (3 relevance + 3 pairwise redundancy) all
+    // derive from ONE persisted feature scan, each a bounded-cell
+    // aggregation with the q_ml_mutual_info pinning (9dp terms summed
+    // in DECIMAL); each MI lands as an EXACT 1e9-scaled integer
+    // (sign-symmetric half-up division — the sim_embed_covariance
+    // discipline, because the first cut re-rounded the derived mrmr at
+    // 9dp and hit a genuine half-boundary tie the two engines' round()
+    // implementations split on), so every derived number is integer
+    // algebra down to one final division.
+    "q_ml_mrmr" -> ((s, d) => {
+      // ONE lineitem-sized pass to the 4-way contingency cube (bounded:
+      // |f1|x|f2|x|f3|x|lbl| ~ 6k cells at any corpus size), eager-pinned
+      // (bounded count — the MST/clusters discipline) so the 24 lineage
+      // references below read the cache; all six pairwise marginal tables
+      // derive from the cube, never from a second corpus scan.
+      val cube = t(s, d, "lineitem").select(
+          expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) div 1000")
+            .as("f1"),
+          expr("CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) div 2")
+            .as("f2"),
+          col("l_linenumber").cast("long").as("f3"),
+          col("l_returnflag").as("lbl"))
+        .groupBy("f1", "f2", "f3", "lbl").agg(count(lit(1)).as("cc"))
+        .transform(CacheScope.persisted(_))
+      cube.count()
+      // All six MI pipelines run as ONE tagged relation (explode the 6
+      // (feature-pair) views of each cube cell, keys stringified so one
+      // schema carries them): one cells aggregation, tag-keyed marginal
+      // joins, one term fold — 4 aggregations total instead of 6x4
+      // separate jobs (measured 4.3 s -> under 2 s).
+      def tagged(tag: String, a: Column, b: Column) =
+        struct(lit(tag).as("tag"), a.cast("string").as("fa"),
+          b.cast("string").as("fb"), col("cc").as("cc"))
+      val cells = cube.select(explode(array(
+          tagged("m1l", col("f1"), col("lbl")),
+          tagged("m2l", col("f2"), col("lbl")),
+          tagged("m3l", col("f3"), col("lbl")),
+          tagged("m12", col("f1"), col("f2")),
+          tagged("m13", col("f1"), col("f3")),
+          tagged("m23", col("f2"), col("f3")))).as("e"))
+        .select(col("e.tag").as("tag"), col("e.fa").as("fa"),
+          col("e.fb").as("fb"), col("e.cc").as("cc"))
+        .groupBy("tag", "fa", "fb").agg(sum(col("cc")).as("c"))
+        .transform(CacheScope.persisted(_))
+      val mx = cells.groupBy("tag", "fa").agg(sum(col("c")).as("cx"))
+      val my = cells.groupBy("tag", "fb").agg(sum(col("c")).as("cy"))
+      val nn = cells.groupBy("tag").agg(sum(col("c")).as("nn"))
+      val mi6 = cells.join(mx, Seq("tag", "fa")).join(my, Seq("tag", "fb"))
+        .join(broadcast(nn), "tag")
+        .select(col("tag"),
+          round(dd(col("c")) * log(dd(col("c")) * dd(col("nn")) /
+              (dd(col("cx")) * dd(col("cy")))), 9)
+            .cast(DecimalType(28, 9)).as("term"),
+          col("nn"))
+        .groupBy("tag", "nn")
+        .agg(sum(col("term")).cast(DecimalType(32, 9)).as("ts"))
+        .select(col("tag"), expr(
+          """CASE WHEN ts >= 0
+            |  THEN CAST((CAST(ts * 1000000000 AS DECIMAL(38,0)) * 2 + nn)
+            |            div (2 * nn) AS BIGINT)
+            |  ELSE -CAST((CAST(-ts * 1000000000 AS DECIMAL(38,0)) * 2 + nn)
+            |             div (2 * nn) AS BIGINT) END""".stripMargin)
+          .as("mi9"))
+      val w = mi6.agg(
+        max(when(col("tag") === "m1l", col("mi9"))).as("m1l"),
+        max(when(col("tag") === "m2l", col("mi9"))).as("m2l"),
+        max(when(col("tag") === "m3l", col("mi9"))).as("m3l"),
+        max(when(col("tag") === "m12", col("mi9"))).as("m12"),
+        max(when(col("tag") === "m13", col("mi9"))).as("m13"),
+        max(when(col("tag") === "m23", col("mi9"))).as("m23"))
+      def outS(name: String, rel: String, ra: String, rb: String) =
+        struct(lit(name).as("feature"),
+          (col(rel).cast("double") / 1e9).as("mi_label"),
+          ((col(ra) + col(rb)).cast("double") / 2e9).as("mean_redundancy"),
+          ((col(rel) * 2 - col(ra) - col(rb)).cast("double") / 2e9)
+            .as("mrmr"))
+      w.select(explode(array(
+          outS("qty_decade", "m1l", "m12", "m13"),
+          outS("disc_band", "m2l", "m12", "m23"),
+          outS("linenumber", "m3l", "m13", "m23"))).as("r"))
+        .select(col("r.feature").as("feature"),
+          col("r.mi_label").as("mi_label"),
+          col("r.mean_redundancy").as("mean_redundancy"),
+          col("r.mrmr").as("mrmr"))
+    }),
+
     "q_ml_mutual_info" -> ((s, d) => {
       val li = t(s, d, "lineitem").select(
         expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) div 1000")
@@ -608,6 +699,59 @@ object ModelPrepQueries extends QueryPack {
          |         AS mean_rank,
          |       h.n_obs, h.n_groups, h.h_stat, h.h_tie
          |FROM grp g, hrow h""".stripMargin,
+
+    "q_ml_mrmr" -> {
+      def miSql(tag: String, a: String, b: String) =
+        s"""$tag AS MATERIALIZED (
+           |  WITH cells AS (
+           |    SELECT $a AS fa, $b AS fb, CAST(sum(cc) AS BIGINT) AS c
+           |    FROM cube0 GROUP BY 1, 2
+           |  ), mx AS (SELECT fa, sum(c) AS cx FROM cells GROUP BY 1),
+           |  my AS (SELECT fb, sum(c) AS cy FROM cells GROUP BY 1),
+           |  nn AS (SELECT sum(c) AS nn FROM cells)
+           |  SELECT CASE WHEN ts >= 0
+           |    THEN CAST((CAST(ts * 1000000000 AS HUGEINT) * 2 + nn)
+           |              // (2 * nn) AS BIGINT)
+           |    ELSE -CAST((CAST(-ts * 1000000000 AS HUGEINT) * 2 + nn)
+           |               // (2 * nn) AS BIGINT) END AS mi9
+           |  FROM (
+           |    SELECT CAST(sum(CAST(round(CAST(c AS DOUBLE) *
+           |        ln(CAST(c AS DOUBLE) * CAST(nn.nn AS DOUBLE) /
+           |           (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 9)
+           |        AS DECIMAL(28,9))) AS DECIMAL(32,9)) AS ts,
+           |      max(nn.nn) AS nn
+           |    FROM cells JOIN mx USING (fa) JOIN my USING (fb), nn
+           |  )
+           |)""".stripMargin
+      def rowSql(name: String, rel: String, ra: String, rb: String) =
+        s"""SELECT '$name' AS feature,
+           |       CAST($rel.mi9 AS DOUBLE) / 1e9 AS mi_label,
+           |       CAST($ra.mi9 + $rb.mi9 AS DOUBLE) / 2e9 AS mean_redundancy,
+           |       CAST($rel.mi9 * 2 - $ra.mi9 - $rb.mi9 AS DOUBLE) / 2e9 AS mrmr
+           |FROM $rel, $ra, $rb""".stripMargin
+      s"""WITH cube0 AS MATERIALIZED (
+         |  SELECT f1, f2, f3, lbl, count(*) AS cc FROM (
+         |    SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) // 1000
+         |             AS f1,
+         |           CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) // 2
+         |             AS f2,
+         |           CAST(l_linenumber AS BIGINT) AS f3,
+         |           l_returnflag AS lbl
+         |    FROM lineitem
+         |  ) GROUP BY 1, 2, 3, 4
+         |),
+         |${miSql("m1l", "f1", "lbl")},
+         |${miSql("m2l", "f2", "lbl")},
+         |${miSql("m3l", "f3", "lbl")},
+         |${miSql("m12", "f1", "f2")},
+         |${miSql("m13", "f1", "f3")},
+         |${miSql("m23", "f2", "f3")}
+         |${rowSql("qty_decade", "m1l", "m12", "m13")}
+         |UNION ALL
+         |${rowSql("disc_band", "m2l", "m12", "m23")}
+         |UNION ALL
+         |${rowSql("linenumber", "m3l", "m13", "m23")}""".stripMargin
+    },
 
     "q_ml_mutual_info" ->
       """WITH li AS (
