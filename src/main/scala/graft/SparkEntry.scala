@@ -46,6 +46,8 @@ object SparkEntry {
     relational.TsDiagnosticsQueries,
     relational.HeavyTailQueries,
     relational.GeoQueries,
+    relational.CausalQueries,
+    relational.RegDiagQueries,
     dedup.DedupQueries,
     sim.SimilarityQueries,
     sim.SelectionQueries,
