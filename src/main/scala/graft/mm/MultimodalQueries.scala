@@ -332,6 +332,54 @@ object MultimodalQueries extends QueryPack {
         phashDocs(s, d).select(col("doc_id")))
     }),
 
+    // Cross-modal retrieval eval (the CLIP-alignment readout): each item
+    // has a modality-A embedding and a derived modality-B embedding in
+    // the SAME space (B = A + a deterministic per-(id, dim) integer
+    // perturbation — the stand-in for a second encoder, exactly like the
+    // decode stub stands in for a codec). For the query ids, rank ALL
+    // B-vectors by exact quantized cosine and report recall@5 / MRR of
+    // the true counterpart — the metric that gates whether paired
+    // image-text data is aligned well enough to train on. Scale shape:
+    // the query side broadcasts (bounded), the candidate scan is one
+    // narrow map + a per-query bounded aggregation; per-query reciprocal
+    // ranks are pinned at 9dp and DECIMAL-folded.
+    "mm_crossmodal_recall" -> ((s, d) => {
+      import graft.sim.VecMath._
+      import org.apache.spark.sql.types.DecimalType
+      val base = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qa"))
+        .select(col("vec_id"), col("qa"),
+          transform(col("qa"), (x, i) =>
+            x + ((col("vec_id") * 37 + i + 1) % 11 - 5) * CrossModalNoise).as("qb"))
+        .transform(graft.CacheScope.persisted(_))
+      val cand = base.select(col("vec_id").as("n_id"), col("qb"),
+        norm2Q(col("qb")).as("nb"))
+      val qs = base.filter(col("vec_id") < CrossModalQueries)
+        .select(col("vec_id").as("q_id"), col("qa"), norm2Q(col("qa")).as("na"))
+      val scored = cand.crossJoin(broadcast(qs))
+        .select(col("q_id"), col("n_id"),
+          round(cosine(dotQ(col("qa"), col("qb")), col("na"), col("nb")), 4)
+            .as("cos"))
+        .transform(graft.CacheScope.persisted(_))
+      val truth = scored.filter(col("q_id") === col("n_id"))
+        .select(col("q_id").as("tq"), col("cos").as("tcos"))
+      val ranks = scored.join(broadcast(truth), col("q_id") === col("tq"))
+        .groupBy(col("q_id"))
+        .agg(sum(when(col("cos") > col("tcos") ||
+            (col("cos") === col("tcos") && col("n_id") < col("q_id")), 1L)
+          .otherwise(0L)).as("nbetter"))
+        .select(col("q_id"), (col("nbetter") + 1).as("rank_true"))
+      ranks.agg(count(lit(1)).as("n_queries"),
+          sum(when(col("rank_true") <= 5, 1L).otherwise(0L)).as("n_hits"),
+          sum(round(lit(1.0) / col("rank_true").cast("double"), 9)
+            .cast(DecimalType(18, 9))).as("srr"))
+        .select(col("n_queries"),
+          round(col("n_hits").cast("double") /
+            col("n_queries").cast("double"), 6).as("recall_at_5"),
+          round(col("srr").cast("double") /
+            col("n_queries").cast("double"), 6).as("mrr"))
+    }),
+
     // Frame sampling: every 10th frame index of a fake n_frames-long video.
     "mm_frame_sample" -> ((s, d) => {
       val nFrames = (length(col("payload")) % 96) + 1
@@ -565,7 +613,60 @@ object MultimodalQueries extends QueryPack {
   private val AspectBucketsSql: String =
     AspectBuckets.map { case (n, r) => s"('$n', $r)" }.mkString(", ")
 
+  /** Cross-modal eval query-set size (vec_id < this are the queries). */
+  val CrossModalQueries = 32L
+
+  /** Per-(id, dim) perturbation scale (quantized units) for the derived
+    * modality-B encoder: 100 puts the true counterpart's rank genuinely
+    * at risk (recall@5 ~ 0.8 at sf0.01) without burying it — the regime
+    * where the metric discriminates between encoders.
+    */
+  val CrossModalNoise = 100L
+
   override val oracles: Map[String, String] = Map(
+
+    "mm_crossmodal_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS qa
+         |  FROM embeddings
+         |), eb AS (
+         |  SELECT vec_id, i, qa,
+         |         qa + ((vec_id * 37 + i) % 11 - 5) * $CrossModalNoise AS qb
+         |  FROM e
+         |), na AS (
+         |  SELECT vec_id, CAST(sum(qa * qa) AS DOUBLE) / 1000000.0 AS na
+         |  FROM eb GROUP BY 1
+         |), nb AS (
+         |  SELECT vec_id, CAST(sum(qb * qb) AS DOUBLE) / 1000000.0 AS nb
+         |  FROM eb GROUP BY 1
+         |), dots AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         CAST(sum(q.qa * c.qb) AS DOUBLE) / 1000000.0 AS dot
+         |  FROM eb q JOIN eb c ON c.i = q.i
+         |  WHERE q.vec_id < $CrossModalQueries
+         |  GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT d.q_id, d.n_id,
+         |         round(d.dot / (sqrt(a.na) * sqrt(b2.nb)), 4) AS cos
+         |  FROM dots d JOIN na a ON a.vec_id = d.q_id
+         |  JOIN nb b2 ON b2.vec_id = d.n_id
+         |), tr AS (
+         |  SELECT q_id AS tq, cos AS tcos FROM scored WHERE q_id = n_id
+         |), rk AS (
+         |  SELECT s.q_id,
+         |         1 + sum(CASE WHEN s.cos > t.tcos OR
+         |               (s.cos = t.tcos AND s.n_id < s.q_id)
+         |               THEN 1 ELSE 0 END) AS rank_true
+         |  FROM scored s JOIN tr t ON t.tq = s.q_id GROUP BY 1
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |       round(CAST(sum(CASE WHEN rank_true <= 5 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |             CAST(count(*) AS DOUBLE), 6) AS recall_at_5,
+         |       round(CAST(sum(CAST(round(1.0 / CAST(rank_true AS DOUBLE), 9)
+         |                          AS DECIMAL(18,9))) AS DOUBLE) /
+         |             CAST(count(*) AS DOUBLE), 6) AS mrr
+         |FROM rk""".stripMargin,
 
     "mm_blur_detect" ->
       s"""WITH d AS (

@@ -369,6 +369,41 @@ object StreamingQueries extends QueryPack {
           (col("hi").cast("double") / 100).as("high"),
           (col("lo").cast("double") / 100).as("low"),
           (col("cl.c").cast("double") / 100).as("close"))
+    }),
+
+    // Per-(type, day) one-sided CUSUM drift detector, batch evaluation of
+    // the [[Cusum]] operator's semantics: fold the day's events in (ts,
+    // event_id) order with S = max(0, S + (v − K)), alarm + reset at
+    // S >= H. The K/H literals and the greatest() expression shape are
+    // IEEE-identical across the Scala scan, this fold, and the oracle
+    // recursion. CusumStreamSpec proves readStream ≡ this fold including
+    // an intra-day two-batch split where (S, n, alarms) state crosses the
+    // micro-batch boundary.
+    "stream_cusum" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"),
+          struct(col("ts"), col("event_id"),
+            col("value").cast(DecimalType(12, 2)).cast("double").as("v"))
+            .as("e"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(expr("""array_sort(collect_list(e), (a, b) -> CASE
+              WHEN a.ts < b.ts THEN -1 WHEN a.ts > b.ts THEN 1
+              WHEN a.event_id < b.event_id THEN -1
+              WHEN a.event_id > b.event_id THEN 1 ELSE 0 END)""").as("es"))
+      ev.select(col("event_type"), col("day"), size(col("es")).as("n_events"),
+          expr(s"""aggregate(
+              es,
+              named_struct('s', CAST(0.0 AS DOUBLE), 'a', CAST(0 AS BIGINT)),
+              (acc, x) -> CASE
+                WHEN greatest(CAST(0.0 AS DOUBLE), acc.s + (x.v - ${Cusum.K}D)) >= ${Cusum.H}D
+                THEN named_struct('s', CAST(0.0 AS DOUBLE), 'a', acc.a + 1)
+                ELSE named_struct(
+                  's', greatest(CAST(0.0 AS DOUBLE), acc.s + (x.v - ${Cusum.K}D)),
+                  'a', acc.a) END)""").as("st"))
+        .select(col("event_type"), col("day"),
+          col("n_events").cast("long").as("n_events"),
+          round(col("st.s"), 6).as("cusum"), col("st.a").as("n_alarms"))
     })
   )
 
@@ -403,6 +438,37 @@ object StreamingQueries extends QueryPack {
         |       CAST(min(c) AS DOUBLE) / 100 AS low,
         |       CAST(last(c ORDER BY ts, event_id) AS DOUBLE) / 100 AS close
         |FROM b GROUP BY 1, 2, 3""".stripMargin,
+
+    "stream_cusum" ->
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v,
+         |         row_number() OVER (PARTITION BY event_type, CAST(date_trunc('day', ts) AS DATE)
+         |                            ORDER BY ts, event_id) AS j
+         |  FROM events
+         |), nn AS (
+         |  SELECT event_type, day, CAST(max(j) AS INT) AS n
+         |  FROM ev GROUP BY 1, 2
+         |), rec(event_type, day, j, s, a) AS (
+         |  SELECT event_type, day, 1,
+         |         CASE WHEN greatest(0.0, v - ${Cusum.K}) >= ${Cusum.H}
+         |              THEN 0.0 ELSE greatest(0.0, v - ${Cusum.K}) END,
+         |         CASE WHEN greatest(0.0, v - ${Cusum.K}) >= ${Cusum.H}
+         |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         |  FROM ev WHERE j = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.day, r.j + 1,
+         |         CASE WHEN greatest(0.0, r.s + (x.v - ${Cusum.K})) >= ${Cusum.H}
+         |              THEN 0.0 ELSE greatest(0.0, r.s + (x.v - ${Cusum.K})) END,
+         |         r.a + CASE WHEN greatest(0.0, r.s + (x.v - ${Cusum.K})) >= ${Cusum.H}
+         |               THEN 1 ELSE 0 END
+         |  FROM rec r JOIN ev x ON x.event_type = r.event_type
+         |                      AND x.day = r.day AND x.j = r.j + 1
+         |)
+         |SELECT r.event_type, r.day, CAST(n.n AS BIGINT) AS n_events,
+         |       round(r.s, 6) AS cusum, r.a AS n_alarms
+         |FROM rec r JOIN nn n ON n.event_type = r.event_type
+         |                    AND n.day = r.day AND r.j = n.n""".stripMargin,
 
     "stream_ewma" ->
       """WITH RECURSIVE ev AS (
