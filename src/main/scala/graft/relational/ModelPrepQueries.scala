@@ -471,6 +471,39 @@ object ModelPrepQueries extends QueryPack {
             col("rsq2").as("r2_alone"), col("rsq12").as("r2_joint"),
             round(lit(0.5) * col("rsq2") +
               lit(0.5) * (col("rsq12") - col("rsq1")), 9).as("shapley")))
+    }),
+
+    // DP-SGD gradient-clipping audit over per-example L2 norms (the
+    // embedding vector standing in for a per-example gradient): how many
+    // examples exceed the clip norm C, and what average scale-down the
+    // clip applies — the two numbers that decide whether C is so low the
+    // signal is crushed or so high the noise multiplier dominates. The
+    // clipped flag is EXACT (sum of int64 squared quantized elements vs
+    // the integer threshold C²·1e6 — no float in the gate); per-row
+    // scales/norms are identical-operand doubles pinned at 9dp and
+    // DECIMAL-folded. Scale shape: one narrow map over the collection,
+    // one global agg.
+    "q_ml_grad_clip" -> ((s, d) => {
+      import graft.sim.VecMath.quantize
+      val v = t(s, d, "embeddings")
+        .select(graft.functions.DotQ(quantize(col("embedding")),
+          quantize(col("embedding"))).as("q2"))
+        .select(col("q2"),
+          (col("q2") > GradClipQ2).as("clipped"),
+          sqrt(col("q2").cast("double") / 1e6).as("nrm"))
+      v.agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("clipped"), 1L).otherwise(0L)).as("n_clipped"),
+          sum(round(col("nrm"), 9).cast(DecimalType(24, 9))).as("snorm"),
+          sum(round(when(col("clipped"), lit(GradClipNorm) / col("nrm"))
+            .otherwise(lit(1.0)), 9).cast(DecimalType(24, 9))).as("sscale"))
+        .filter(col("n_vectors") > 0)
+        .select(col("n_vectors"), col("n_clipped"),
+          round(col("n_clipped").cast("double") /
+            col("n_vectors").cast("double"), 6).as("clip_frac"),
+          round(col("snorm").cast("double") /
+            col("n_vectors").cast("double"), 6).as("mean_norm"),
+          round(col("sscale").cast("double") /
+            col("n_vectors").cast("double"), 6).as("mean_scale"))
     }))
 
 
@@ -489,7 +522,38 @@ object ModelPrepQueries extends QueryPack {
       |       CAST(sum(y * y) AS DECIMAL(30,0)) AS syy
       |FROM li GROUP BY fold""".stripMargin
 
+  /** DP-SGD clip norm and its exact integer-squared-quantized threshold
+    * (clipped ⇔ Σq² > C²·1e6). The corpus' norms sit at 1.0 ± 1e-3, so
+    * C = 1.0 genuinely splits it.
+    */
+  val GradClipNorm = 1.0
+  val GradClipQ2 = 1000000L
+
   override val oracles: Map[String, String] = Map(
+
+    "q_ml_grad_clip" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS qx
+         |  FROM embeddings
+         |), v AS (
+         |  SELECT vec_id, sum(qx * qx) AS q2,
+         |         sum(qx * qx) > $GradClipQ2 AS clipped,
+         |         sqrt(CAST(sum(qx * qx) AS DOUBLE) / 1e6) AS nrm
+         |  FROM e GROUP BY 1
+         |), agg AS (
+         |  SELECT count(*) AS n_vectors,
+         |         CAST(sum(CASE WHEN clipped THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+         |         sum(CAST(round(nrm, 9) AS DECIMAL(24,9))) AS snorm,
+         |         sum(CAST(round(CASE WHEN clipped THEN $GradClipNorm / nrm
+         |               ELSE 1.0 END, 9) AS DECIMAL(24,9))) AS sscale
+         |  FROM v
+         |)
+         |SELECT n_vectors, n_clipped,
+         |       round(CAST(n_clipped AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) AS clip_frac,
+         |       round(CAST(snorm AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) AS mean_norm,
+         |       round(CAST(sscale AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) AS mean_scale
+         |FROM agg WHERE n_vectors > 0""".stripMargin,
 
     "q_ml_cvfolds" ->
       s"""WITH li AS (${DesignSql.format(CvFolds)}),

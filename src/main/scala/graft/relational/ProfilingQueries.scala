@@ -304,9 +304,120 @@ object ProfilingQueries extends QueryPack {
           max(col(c)).cast("string").as("max_str")))
         .reduce(_ unionByName _)
     }),
+
+    // Per-column schema/profile drift between the two o_orderdate halves:
+    // row and distinct counts per half, NEW values appearing only in the
+    // second half (the schema-drift signal a static profile misses —
+    // fresh categories, fresh keys), and for the numeric column the exact
+    // cross-multiplied mean-shift gate (20·|ΔS| > S ⇔ |mean shift| > 5%,
+    // no float in the flag). The monitoring pass a warehouse runs before
+    // pointing models at a fresh partition. Scale shape: per column one
+    // orders-sized conditional agg + one distinct anti-join (both keyed,
+    // bounded output); columns are a compile-time list, so the union is
+    // constant-width.
+    "q_dq_schema_drift" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val o = t(s, d, "orders")
+        .withColumn("us", unix_micros(col("o_orderdate")))
+      val rng = o.agg(min(col("us")).as("us0"), max(col("us")).as("us1"))
+      val h = o.crossJoin(broadcast(rng))
+        .withColumn("fh", expr("us < us0 + (us1 - us0) div 2"))
+        .transform(graft.CacheScope.persisted(_))
+      val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")
+      def block(c: String, numeric: Boolean): DataFrame = {
+        val m = h.agg(
+          sum(when(col("fh"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("fh"), 1L).otherwise(0L)).as("nb"),
+          countDistinct(when(col("fh"), col(c).cast("string"))).as("da"),
+          countDistinct(when(!col("fh"), col(c).cast("string"))).as("db"),
+          sum(when(col("fh"), cents).otherwise(0L))
+            .cast(DecimalType(19, 0)).as("sa"),
+          sum(when(!col("fh"), cents).otherwise(0L))
+            .cast(DecimalType(19, 0)).as("sb"))
+        val nv = h.filter(!col("fh")).select(col(c).cast("string").as("v"))
+          .distinct()
+          .join(h.filter(col("fh")).select(col(c).cast("string").as("v"))
+            .distinct(), Seq("v"), "left_anti")
+          .agg(count(lit(1)).as("nv"))
+        val dsb = col("sb") * col("na").cast(DecimalType(12, 0))
+        val dsa = col("sa") * col("nb").cast(DecimalType(12, 0))
+        m.crossJoin(broadcast(nv)).select(
+          lit(c).as("column_name"),
+          col("na").as("n_first"), col("nb").as("n_second"),
+          col("da").as("distinct_first"), col("db").as("distinct_second"),
+          col("nv").as("distinct_new"),
+          (if (numeric)
+            round((dsb - dsa).cast("double") / dsa.cast("double"), 6)
+          else lit(0.0)).as("mean_shift_pct"),
+          (if (numeric) col("nv") > 0 || abs(dsb - dsa) * 20 > dsa
+          else col("nv") > 0).as("drift_flag"))
+      }
+      DriftCols.map(c => block(c, c == "o_totalprice"))
+        .reduce(_ unionByName _)
+    }),
   )
 
+  /** Columns q_dq_schema_drift audits (cast to string for a shared
+    * distinct-set shape; o_totalprice additionally gets the numeric
+    * mean-shift check).
+    */
+  val DriftCols: Seq[String] =
+    Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
+
   override val oracles: Map[String, String] = Map(
+
+    "q_dq_schema_drift" -> {
+      def block(c: String, numeric: Boolean): String = {
+        val meanShift =
+          if (numeric)
+            """round(CAST(sb * CAST(na AS DECIMAL(12,0)) -
+              |             sa * CAST(nb AS DECIMAL(12,0)) AS DOUBLE) /
+              |       CAST(sa * CAST(nb AS DECIMAL(12,0)) AS DOUBLE), 6)""".stripMargin
+          else "0.0"
+        val numFlag =
+          if (numeric)
+            """ OR 20 * abs(sb * CAST(na AS DECIMAL(12,0)) -
+              |            sa * CAST(nb AS DECIMAL(12,0))) >
+              |      sa * CAST(nb AS DECIMAL(12,0))""".stripMargin
+          else ""
+        s"""SELECT '$c' AS column_name,
+           |       CAST(na AS BIGINT) AS n_first, CAST(nb AS BIGINT) AS n_second,
+           |       CAST(da AS BIGINT) AS distinct_first,
+           |       CAST(db AS BIGINT) AS distinct_second,
+           |       CAST(nv AS BIGINT) AS distinct_new,
+           |       $meanShift AS mean_shift_pct,
+           |       nv > 0$numFlag AS drift_flag
+           |FROM (
+           |  SELECT sum(CASE WHEN fh THEN 1 ELSE 0 END) AS na,
+           |         sum(CASE WHEN NOT fh THEN 1 ELSE 0 END) AS nb,
+           |         count(DISTINCT CASE WHEN fh THEN CAST($c AS VARCHAR) END) AS da,
+           |         count(DISTINCT CASE WHEN NOT fh THEN CAST($c AS VARCHAR) END) AS db,
+           |         CAST(sum(CASE WHEN fh THEN
+           |           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           |           ELSE 0 END) AS DECIMAL(19,0)) AS sa,
+           |         CAST(sum(CASE WHEN NOT fh THEN
+           |           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           |           ELSE 0 END) AS DECIMAL(19,0)) AS sb
+           |  FROM h
+           |) CROSS JOIN (
+           |  SELECT count(*) AS nv FROM (
+           |    SELECT DISTINCT CAST($c AS VARCHAR) AS v FROM h WHERE NOT fh
+           |  ) b WHERE v NOT IN (
+           |    SELECT DISTINCT CAST($c AS VARCHAR) FROM h WHERE fh)
+           |)""".stripMargin
+      }
+      s"""WITH rng AS (
+         |  SELECT min(epoch_us(o_orderdate)) AS us0,
+         |         max(epoch_us(o_orderdate)) AS us1
+         |  FROM orders
+         |), h AS (
+         |  SELECT o.*,
+         |         epoch_us(o_orderdate) < us0 + (us1 - us0) // 2 AS fh
+         |  FROM orders o CROSS JOIN rng
+         |)
+         |${DriftCols.map(c => block(c, c == "o_totalprice")).mkString("\nUNION ALL\n")}""".stripMargin
+    },
 
     "q_user_entropy" ->
       """WITH c AS (

@@ -264,7 +264,43 @@ object CorpusOpsQueries extends QueryPack {
     // flattened mix. See [[temperatureSampleOf]].
     "text_sample_temperature" -> ((s, d) =>
       temperatureSampleOf(docs(s, d), TempAlpha)),
+
+    // Mixture-epochs plan: given per-source token counts, a temperature-
+    // reweighted target mixture (w_s ∝ tokens^τ, the multilingual/
+    // multi-source up-weighting convention), and a token budget of
+    // [[MixBudgetMult]]× the corpus, how many EPOCHS of each source does
+    // training consume? epochs > 1 means the source repeats — the number
+    // a data-mixing plan checks against repetition-harm thresholds
+    // before the run starts. Per-source pow terms are pinned and
+    // DECIMAL-folded (bounded source relation); epochs is one fixed-shape
+    // double expression over those pinned terms; the oversampled flag
+    // compares the PINNED epochs value.
+    "text_mixture_epochs" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val pw = docs(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), "\\s+")).cast("long")).as("tokens"))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          round(pow(col("tokens").cast("double"), lit(MixTau)), 9).as("pt"))
+        .transform(graft.CacheScope.persisted(_))
+      val tot = pw.agg(sum(col("tokens")).as("ttot"),
+        sum(col("pt").cast(DecimalType(28, 9))).as("ptot"))
+      pw.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          round(col("pt") / col("ptot").cast("double"), 6).as("weight"),
+          round(lit(MixBudgetMult) * col("ttot").cast("double") * col("pt") /
+            col("ptot").cast("double") / col("tokens").cast("double"), 6)
+            .as("epochs"))
+        .withColumn("oversampled", col("epochs") > lit(1.0))
+    }),
   )
+
+  /** Mixture temperature (w_s ∝ tokens^τ) and the training token budget
+    * as a multiple of the corpus — shared with the oracle SQL.
+    */
+  val MixTau = 0.7
+  val MixBudgetMult = 2.0
 
   /** CDC boundary modulus: expected chunk length in tokens. */
   val CdcMod = 64L
@@ -476,6 +512,31 @@ object CorpusOpsQueries extends QueryPack {
        |)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+
+    "text_mixture_epochs" ->
+      s"""WITH per AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT))
+         |              AS BIGINT) AS tokens
+         |  FROM documents GROUP BY 1
+         |), pw AS (
+         |  SELECT source, n_docs, tokens,
+         |         round(pow(CAST(tokens AS DOUBLE), $MixTau), 9) AS pt
+         |  FROM per
+         |), tot AS (
+         |  SELECT CAST(sum(tokens) AS BIGINT) AS ttot,
+         |         sum(CAST(pt AS DECIMAL(28,9))) AS ptot
+         |  FROM pw
+         |), o AS (
+         |  SELECT source, n_docs, tokens,
+         |         round(pt / CAST(ptot AS DOUBLE), 6) AS weight,
+         |         round($MixBudgetMult * CAST(ttot AS DOUBLE) * pt /
+         |               CAST(ptot AS DOUBLE) / CAST(tokens AS DOUBLE), 6) AS epochs
+         |  FROM pw CROSS JOIN tot
+         |)
+         |SELECT source, n_docs, tokens, weight, epochs,
+         |       epochs > 1.0 AS oversampled
+         |FROM o""".stripMargin,
 
     "text_boilerplate" ->
       s"""WITH toks AS (
