@@ -53,7 +53,7 @@ object RegDiagQueries extends QueryPack {
     val slope = (col("n") * col("sty") - col("st") * col("sy")).cast("double") /
       (col("n") * col("stt") - col("st") * col("st")).cast("double")
     daily.join(broadcast(m), col("event_type") === col("et"))
-      .select(col("event_type"), col("ti"), col("n"),
+      .select(col("event_type"), col("ti"), col("n"), col("st"), col("stt"),
         // residual = y - slope*ti - (sy - slope*st)/n, pinned at 6dp: the
         // one derived double that downstream kernels re-sum.
         round((col("y").cast("double") - slope * col("ti").cast("double") -
@@ -81,7 +81,7 @@ object RegDiagQueries extends QueryPack {
       |  HAVING count(*) >= 3 AND CAST(count(*) AS DECIMAL(6,0)) * CAST(sum(ti * ti) AS DECIMAL(19,0)) -
       |         CAST(sum(ti) AS DECIMAL(19,0)) * CAST(sum(ti) AS DECIMAL(19,0)) > 0
       |), fit AS (
-      |  SELECT event_type, ti, n,
+      |  SELECT event_type, ti, n, st, stt,
       |         round((CAST(y AS DOUBLE) -
       |               CAST(n * sty - st * sy AS DOUBLE) /
       |               CAST(n * stt - st * st AS DOUBLE) * CAST(ti AS DOUBLE) -
@@ -215,6 +215,74 @@ object RegDiagQueries extends QueryPack {
     // constant-size triangular broadcast join (no unpartitioned window);
     // per-time E and V are pinned at 9dp and DECIMAL-folded. Scale: one
     // events-sized agg to per-user rows, then bounded per-day relations.
+    // Cook's distance on the daily-trend fit: which single days, if
+    // dropped, would move the fitted line the most? The influence audit
+    // that catches "the trend is three outlier days" before anyone trusts
+    // the slope. Leverage and D are fixed-shape double expressions over
+    // the same exact moments as the fit; per-type SSE folds pinned e²
+    // terms as DECIMAL; ranking windows partition by type over the
+    // bounded day relation. Released: each type's top-3 most influential
+    // days.
+    "q_stats_cooks_distance" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cooks_d").desc, col("ti").asc)
+      val f = dailyFit(s, d)
+      val sse = f.groupBy(col("event_type").as("et2"))
+        .agg(sum(round(col("e") * col("e"), 6).cast(DecimalType(24, 6)))
+          .as("sse"), count(lit(1)).as("nd"))
+        .filter(col("nd") >= 4 && col("sse") > 0)
+      val tBar = col("st").cast("double") / col("n").cast("double")
+      val sxxC = (col("n") * col("stt") - col("st") * col("st")).cast("double") /
+        col("n").cast("double")
+      val h = lit(1.0) / col("n").cast("double") +
+        (col("ti").cast("double") - tBar) * (col("ti").cast("double") - tBar) / sxxC
+      val s2 = col("sse").cast("double") / (col("n").cast("double") - 2.0)
+      f.join(broadcast(sse), col("event_type") === col("et2"))
+        .select(col("event_type"), col("ti"), col("e"),
+          round(h, 6).as("leverage"),
+          round(col("e") * col("e") * h /
+            (lit(2.0) * s2 * (lit(1.0) - h) * (lit(1.0) - h)), 6).as("cooks_d"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("event_type"), col("ti").cast("long").as("day_idx"),
+          col("e").as("residual"), col("leverage"), col("cooks_d"),
+          col("rnk"))
+    }),
+
+    // Anderson–Darling uniformity test of event TIMING per type: under
+    // "events arrive uniformly over the range", the scaled timestamps are
+    // U(0,1) and A² stays small; bursty or ramping types blow it up —
+    // the arrival-model check behind capacity planning and synthetic-
+    // corpus QA. The PIT is an exact integer ratio (smoothed to keep ln
+    // off the 0/1 endpoints); each order-statistic term is pinned at 9dp
+    // and DECIMAL-folded; the rank window partitions by type.
+    "q_stats_anderson_darling" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      val ev = t(s, d, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val rng = ev.agg(min(col("us")).as("us0"), max(col("us")).as("us1"))
+      val u = ev.crossJoin(broadcast(rng))
+        .select(col("event_type"), col("us"), col("event_id"),
+          ((col("us") - col("us0") + 1).cast("double") /
+            (col("us1") - col("us0") + 2).cast("double")).as("pit"))
+        .withColumn("i", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      u.groupBy(col("event_type"))
+        .agg(max(col("nn")).as("n"),
+          sum(round((lit(2.0) * col("i").cast("double") - 1.0) *
+              log(col("pit")), 9).cast(DecimalType(28, 9))).as("slo"),
+          sum(round((lit(2.0) * (col("nn") - col("i")).cast("double") + 1.0) *
+              log(lit(1.0) - col("pit")), 9).cast(DecimalType(28, 9))).as("shi"))
+        .filter(col("n") >= 2)
+        .select(col("event_type"), col("n").as("n_events"),
+          round(lit(-1.0) * col("n").cast("double") -
+            (col("slo").cast("double") + col("shi").cast("double")) /
+              col("n").cast("double"), 6).as("ad_stat"))
+    }),
+
     "q_stats_logrank" -> ((s, d) => {
       val u = t(s, d, "events")
         .groupBy(col("user_id"))
@@ -257,6 +325,68 @@ object RegDiagQueries extends QueryPack {
     }))
 
   override val oracles: Map[String, String] = Map(
+
+    "q_stats_cooks_distance" ->
+      s"""WITH $DailyFitSql, sse AS (
+         |  SELECT event_type AS et2,
+         |         sum(CAST(round(e * e, 6) AS DECIMAL(24,6))) AS sse,
+         |         count(*) AS nd
+         |  FROM fit GROUP BY 1
+         |  HAVING count(*) >= 4 AND sum(CAST(round(e * e, 6) AS DECIMAL(24,6))) > 0
+         |), cd AS (
+         |  SELECT f.event_type, f.ti, f.e,
+         |         round(1.0 / CAST(n AS DOUBLE) +
+         |               (CAST(ti AS DOUBLE) - CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |               (CAST(ti AS DOUBLE) - CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |               (CAST(n * stt - st * st AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         |           AS leverage,
+         |         round(e * e * (1.0 / CAST(n AS DOUBLE) +
+         |               (CAST(ti AS DOUBLE) - CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |               (CAST(ti AS DOUBLE) - CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |               (CAST(n * stt - st * st AS DOUBLE) / CAST(n AS DOUBLE))) /
+         |               (2.0 * (CAST(sse AS DOUBLE) / (CAST(n AS DOUBLE) - 2.0)) *
+         |                (1.0 - (1.0 / CAST(n AS DOUBLE) +
+         |               (CAST(ti AS DOUBLE) - CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |               (CAST(ti AS DOUBLE) - CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |               (CAST(n * stt - st * st AS DOUBLE) / CAST(n AS DOUBLE)))) *
+         |                (1.0 - (1.0 / CAST(n AS DOUBLE) +
+         |               (CAST(ti AS DOUBLE) - CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |               (CAST(ti AS DOUBLE) - CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |               (CAST(n * stt - st * st AS DOUBLE) / CAST(n AS DOUBLE))))), 6)
+         |           AS cooks_d
+         |  FROM fit f JOIN sse ON f.event_type = et2
+         |), rk AS (
+         |  SELECT event_type, ti, e, leverage, cooks_d,
+         |         row_number() OVER (PARTITION BY event_type
+         |                            ORDER BY cooks_d DESC, ti ASC) AS rnk
+         |  FROM cd
+         |)
+         |SELECT event_type, CAST(ti AS BIGINT) AS day_idx, e AS residual,
+         |       leverage, cooks_d, rnk
+         |FROM rk WHERE rnk <= 3""".stripMargin,
+
+    "q_stats_anderson_darling" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us FROM events
+        |), rng AS (
+        |  SELECT min(us) AS us0, max(us) AS us1 FROM ev
+        |), u AS (
+        |  SELECT event_type,
+        |         CAST(us - us0 + 1 AS DOUBLE) /
+        |         CAST(us1 - us0 + 2 AS DOUBLE) AS pit,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY us ASC, event_id ASC) AS i,
+        |         count(*) OVER (PARTITION BY event_type) AS nn
+        |  FROM ev CROSS JOIN rng
+        |)
+        |SELECT event_type, CAST(max(nn) AS BIGINT) AS n_events,
+        |       round(-1.0 * CAST(max(nn) AS DOUBLE) -
+        |             (CAST(sum(CAST(round((2.0 * CAST(i AS DOUBLE) - 1.0) * ln(pit), 9)
+        |                        AS DECIMAL(28,9))) AS DOUBLE) +
+        |              CAST(sum(CAST(round((2.0 * CAST(nn - i AS DOUBLE) + 1.0) * ln(1.0 - pit), 9)
+        |                        AS DECIMAL(28,9))) AS DOUBLE)) /
+        |             CAST(max(nn) AS DOUBLE), 6) AS ad_stat
+        |FROM u GROUP BY 1 HAVING max(nn) >= 2""".stripMargin,
 
     "q_stats_durbin_watson" ->
       s"""WITH $DailyFitSql, diff AS (

@@ -58,6 +58,38 @@ class RegDiagSpec extends SparkSpec {
     }
   }
 
+  test("cooks distance returns each type's top-3 with valid leverage") {
+    val rows = RegDiagQueries.queries("q_stats_cooks_distance")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(rs.head.fieldIndex("rnk"))).sorted.toSeq ==
+        (1 to rs.length))
+      // ranked descending by influence
+      val ds = rs.sortBy(_.getInt(rs.head.fieldIndex("rnk")))
+        .map(_.getDouble(rs.head.fieldIndex("cooks_d")))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+    }
+    rows.foreach { r =>
+      val h = r.getDouble(r.fieldIndex("leverage"))
+      assert(h > 0.0 && h < 1.0, s"leverage out of (0,1): $h")
+      assert(r.getDouble(r.fieldIndex("cooks_d")) >= 0.0)
+    }
+  }
+
+  test("anderson-darling timing stat is small for the uniform corpus") {
+    val rows = RegDiagQueries.queries("q_stats_anderson_darling")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ad = r.getDouble(r.fieldIndex("ad_stat"))
+      assert(ad > 0.0, s"A2 must be positive: $ad")
+      // events are generated ~uniformly over the range; A2 for a truly
+      // uniform sample is ~1; even a loose 20x band catches a broken PIT
+      assert(ad < 20.0, s"A2 implausibly large for uniform arrivals: $ad")
+    }
+  }
+
   test("log-rank O/E/V agree with a driver-side hazard-table replica") {
     val sess = spark
     import sess.implicits._
