@@ -48,6 +48,7 @@ object SparkEntry {
     relational.GeoQueries,
     relational.CausalQueries,
     relational.RegDiagQueries,
+    relational.GrowthQueries,
     dedup.DedupQueries,
     sim.SimilarityQueries,
     sim.SelectionQueries,

@@ -43,6 +43,63 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("mean_norm")) > 0.0)
   }
 
+  test("bass diffusion fit recovers a plausible market size at sf0.01") {
+    // sf0.001's 15-user series is degenerate (c >= 0) and the gates
+    // correctly release nothing there; fit on the 150-user series.
+    val dir = "/root/testdata/sf0.01"
+    val rows = graft.relational.GrowthQueries
+      .queries("q_events_bass")(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    val users = Tables.load(spark, dir, "events")
+      .select("user_id").distinct().count()
+    val m = r.getDouble(r.fieldIndex("m_hat"))
+    val p = r.getDouble(r.fieldIndex("p_hat"))
+    val q = r.getDouble(r.fieldIndex("q_hat"))
+    // the fitted ceiling brackets the true adopter population
+    assert(m > 0.5 * users && m < 2.0 * users, s"m_hat=$m users=$users")
+    assert(p > 0.0 && q >= 0.0, s"p=$p q=$q")
+    // driver-side OLS replica of the linearization on the same series
+    val ev = Tables.load(spark, dir, "events")
+    val sess = spark
+    import sess.implicits._
+    val firstDays = ev.groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.date_trunc("day", $"ts").cast("date"))
+        .as("fd"))
+      .select($"fd".cast("string")).as[String].collect().sorted
+    val d0 = firstDays.min
+    val byDay = firstDays.groupBy(identity).view.mapValues(_.length).toMap
+    val allDays = ev.select(
+      org.apache.spark.sql.functions.date_trunc("day", $"ts").cast("date")
+        .cast("string")).as[String].collect().distinct.sorted
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    def idx(s: String) = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(d0, fmt), java.time.LocalDate.parse(s, fmt)).toInt
+    val maxT = allDays.map(idx).max
+    val n = Array.tabulate(maxT + 1)(t =>
+      byDay.collect { case (dstr, c) if idx(dstr) == t => c }.sum.toDouble)
+    val c = n.scanLeft(0.0)(_ + _).dropRight(1)
+    val x = c; val x2 = c.map(v => v * v); val y = n
+    val nn = y.length.toDouble
+    def s(a: Array[Double]) = a.sum
+    def sp(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (u, v) => u * v }.sum
+    val (s1, s2v, s3, s4v) = (s(x), s(x2), sp(x, x2), sp(x2, x2))
+    val (sy, sxy, sx2y) = (s(y), sp(x, y), sp(x2, y))
+    def det3(m: Array[Array[Double]]) =
+      m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+        m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+        m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+    val dM = det3(Array(Array(nn, s1, s2v), Array(s1, s2v, s3), Array(s2v, s3, s4v)))
+    val aHat = det3(Array(Array(sy, s1, s2v), Array(sxy, s2v, s3), Array(sx2y, s3, s4v))) / dM
+    val bHat = det3(Array(Array(nn, sy, s2v), Array(s1, sxy, s3), Array(s2v, sx2y, s4v))) / dM
+    val cHat = det3(Array(Array(nn, s1, sy), Array(s1, s2v, sxy), Array(s2v, s3, sx2y))) / dM
+    assert(math.abs(r.getDouble(r.fieldIndex("a")) - aHat) < 1e-4, s"a=$aHat")
+    assert(math.abs(r.getDouble(r.fieldIndex("b")) - bHat) < 1e-4, s"b=$bHat")
+    assert(math.abs(r.getDouble(r.fieldIndex("c")) - cHat) < 1e-6, s"c=$cHat")
+  }
+
   test("mixture weights sum to one and epochs honor the budget") {
     val rows = CorpusOpsQueries.queries("text_mixture_epochs")(spark, sfDir)
       .collect()
