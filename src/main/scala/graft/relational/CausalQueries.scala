@@ -299,6 +299,94 @@ object CausalQueries extends QueryPack {
             .as("avg_match_dist"))
     }),
 
+    // Doubly-robust (AIPW) ATE: combine the stratified propensity
+    // (event_type strata, exact rationals) with per-arm linear OUTCOME
+    // models in hour-of-day — consistent if EITHER model is right, the
+    // estimator a production experimentation system actually ships. The
+    // key scale/determinism move: rows collapse to (arm, stratum, hour)
+    // cells first (<= 2·|types|·24 groups with exact integer n and cents
+    // sums), the outcome-model coefficients pin at 9dp, and each CELL's
+    // closed-form contribution is pinned and DECIMAL-folded — so the
+    // per-row AIPW sum is exact algebra over a bounded relation, never a
+    // float sum over N rows. Non-overlap strata are dropped whole (the
+    // positivity restriction, applied identically to weights and models).
+    "q_causal_dr" -> ((s, d) => {
+      val g0 = t(s, d, "events")
+        .select((col("user_id") % 2 === 0).as("w"),
+          col("event_type").as("st"), hour(col("ts")).as("x"),
+          cents(col("value")).as("c"))
+        .groupBy(col("w"), col("st"), col("x"))
+        .agg(count(lit(1)).as("ng"), sum(col("c")).as("yg"))
+        .transform(graft.CacheScope.persisted(_))
+      val strata = g0.groupBy(col("st"))
+        .agg(sum(col("ng")).as("ns"),
+          sum(when(col("w"), col("ng")).otherwise(0L)).as("nt"),
+          sum(when(!col("w"), col("ng")).otherwise(0L)).as("nc"))
+        .filter(col("nt") > 0 && col("nc") > 0)
+        .select(col("st").as("st2"), col("ns"), col("nt"), col("nc"))
+      val g = g0.join(broadcast(strata), col("st") === col("st2"))
+        .transform(graft.CacheScope.persisted(_))
+      // per-arm outcome-model moments over the overlap cells (x <= 23,
+      // so every product is int64-safe before the DECIMAL casts)
+      def armMoments(flag: Boolean, sfx: String) = Seq(
+        sum(when(col("w") === flag, col("ng")).otherwise(0L))
+          .cast(DecimalType(12, 0)).as(s"n_$sfx"),
+        sum(when(col("w") === flag, col("ng") * col("x")).otherwise(0L))
+          .cast(DecimalType(19, 0)).as(s"sx_$sfx"),
+        sum(when(col("w") === flag, col("ng") * col("x") * col("x"))
+          .otherwise(0L)).cast(DecimalType(19, 0)).as(s"sxx_$sfx"),
+        sum(when(col("w") === flag, col("yg")).otherwise(0L))
+          .cast(DecimalType(19, 0)).as(s"sy_$sfx"),
+        sum(when(col("w") === flag, col("yg") * col("x")).otherwise(0L))
+          .cast(DecimalType(20, 0)).as(s"sxy_$sfx"))
+      val mAgg = g.agg((armMoments(true, "t") ++ armMoments(false, "c")).head,
+        (armMoments(true, "t") ++ armMoments(false, "c")).tail: _*)
+      def beta(sfx: String): Column =
+        round((col(s"n_$sfx") * col(s"sxy_$sfx") -
+          col(s"sx_$sfx") * col(s"sy_$sfx")).cast("double") /
+          (col(s"n_$sfx") * col(s"sxx_$sfx") -
+            col(s"sx_$sfx") * col(s"sx_$sfx")).cast("double") / 100.0, 9)
+      def varOk(sfx: String): Column =
+        col(s"n_$sfx") * col(s"sxx_$sfx") - col(s"sx_$sfx") * col(s"sx_$sfx") > 0
+      val m = mAgg.filter(col("n_t") >= 2 && col("n_c") >= 2 &&
+          varOk("t") && varOk("c"))
+        .select(col("n_t"), col("n_c"),
+          beta("t").as("b1"), beta("c").as("b0"),
+          // alpha in currency from the PINNED beta (identical doubles)
+          round((col("sy_t").cast("double") / 100.0 -
+            beta("t") * col("sx_t").cast("double")) /
+            col("n_t").cast("double"), 9).as("a1"),
+          round((col("sy_c").cast("double") / 100.0 -
+            beta("c") * col("sx_c").cast("double")) /
+            col("n_c").cast("double"), 9).as("a0"))
+      // per-cell AIPW contribution from pinned coefficients and exact
+      // cell/stratum integers; e_s enters as the exact ratio ns/nt (ns/nc)
+      val mu1 = col("a1") + col("b1") * col("x").cast("double")
+      val mu0 = col("a0") + col("b0") * col("x").cast("double")
+      val yCur = col("yg").cast("double") / 100.0
+      val term = when(col("w"),
+        (yCur - col("ng").cast("double") * mu1) *
+          col("ns").cast("double") / col("nt").cast("double"))
+        .otherwise((col("ng").cast("double") * mu0 - yCur) *
+          col("ns").cast("double") / col("nc").cast("double")) +
+        col("ng").cast("double") * (mu1 - mu0)
+      g.crossJoin(broadcast(m))
+        .select(col("ng"), round(term, 9).cast(DecimalType(28, 9)).as("tm"),
+          (col("b1") - col("b0")).as("bdiff"), (col("a1") - col("a0")).as("adiff"),
+          col("x"))
+        .agg(sum(col("ng")).as("n_rows"), count(lit(1)).as("n_cells"),
+          sum(col("tm")).as("tsum"),
+          max(col("adiff")).as("ad"), max(col("bdiff")).as("bd"),
+          sum(col("ng") * col("x")).as("sxall"))
+        .filter(col("n_rows") > 0)
+        .select(col("n_rows"), col("n_cells"),
+          round(col("tsum").cast("double") / col("n_rows").cast("double"), 6)
+            .as("ate_dr"),
+          round(col("ad") + col("bd") *
+            (col("sxall").cast("double") / col("n_rows").cast("double")), 6)
+            .as("ate_outcome_model"))
+    }),
+
     // Regression discontinuity at the zero-balance cutoff: customers
     // just below vs just above a credit threshold are as-good-as-random,
     // so the jump between the two local-linear intercepts AT the cutoff
@@ -359,6 +447,77 @@ object CausalQueries extends QueryPack {
     }))
 
   override val oracles: Map[String, String] = Map(
+
+    "q_causal_dr" ->
+      s"""WITH g0 AS (
+         |  SELECT user_id % 2 = 0 AS w, event_type AS st,
+         |         EXTRACT(hour FROM ts) AS x,
+         |         count(*) AS ng, sum($CentsSql) AS yg
+         |  FROM events GROUP BY 1, 2, 3
+         |), strata AS (
+         |  SELECT st AS st2, sum(ng) AS ns,
+         |         sum(CASE WHEN w THEN ng ELSE 0 END) AS nt,
+         |         sum(CASE WHEN NOT w THEN ng ELSE 0 END) AS nc
+         |  FROM g0 GROUP BY 1
+         |  HAVING sum(CASE WHEN w THEN ng ELSE 0 END) > 0
+         |     AND sum(CASE WHEN NOT w THEN ng ELSE 0 END) > 0
+         |), g AS (
+         |  SELECT g0.*, ns, nt, nc FROM g0 JOIN strata ON st = st2
+         |), mm AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN w THEN ng ELSE 0 END) AS DECIMAL(12,0)) AS n_t,
+         |    CAST(sum(CASE WHEN w THEN ng * x ELSE 0 END) AS DECIMAL(19,0)) AS sx_t,
+         |    CAST(sum(CASE WHEN w THEN ng * x * x ELSE 0 END) AS DECIMAL(19,0)) AS sxx_t,
+         |    CAST(sum(CASE WHEN w THEN yg ELSE 0 END) AS DECIMAL(19,0)) AS sy_t,
+         |    CAST(sum(CASE WHEN w THEN yg * x ELSE 0 END) AS DECIMAL(20,0)) AS sxy_t,
+         |    CAST(sum(CASE WHEN NOT w THEN ng ELSE 0 END) AS DECIMAL(12,0)) AS n_c,
+         |    CAST(sum(CASE WHEN NOT w THEN ng * x ELSE 0 END) AS DECIMAL(19,0)) AS sx_c,
+         |    CAST(sum(CASE WHEN NOT w THEN ng * x * x ELSE 0 END) AS DECIMAL(19,0)) AS sxx_c,
+         |    CAST(sum(CASE WHEN NOT w THEN yg ELSE 0 END) AS DECIMAL(19,0)) AS sy_c,
+         |    CAST(sum(CASE WHEN NOT w THEN yg * x ELSE 0 END) AS DECIMAL(20,0)) AS sxy_c
+         |  FROM g
+         |), coef AS (
+         |  SELECT n_t, n_c,
+         |    round(CAST(n_t * sxy_t - sx_t * sy_t AS DOUBLE) /
+         |          CAST(n_t * sxx_t - sx_t * sx_t AS DOUBLE) / 100.0, 9) AS b1,
+         |    round(CAST(n_c * sxy_c - sx_c * sy_c AS DOUBLE) /
+         |          CAST(n_c * sxx_c - sx_c * sx_c AS DOUBLE) / 100.0, 9) AS b0,
+         |    round((CAST(sy_t AS DOUBLE) / 100.0 -
+         |           round(CAST(n_t * sxy_t - sx_t * sy_t AS DOUBLE) /
+         |                 CAST(n_t * sxx_t - sx_t * sx_t AS DOUBLE) / 100.0, 9) *
+         |           CAST(sx_t AS DOUBLE)) / CAST(n_t AS DOUBLE), 9) AS a1,
+         |    round((CAST(sy_c AS DOUBLE) / 100.0 -
+         |           round(CAST(n_c * sxy_c - sx_c * sy_c AS DOUBLE) /
+         |                 CAST(n_c * sxx_c - sx_c * sx_c AS DOUBLE) / 100.0, 9) *
+         |           CAST(sx_c AS DOUBLE)) / CAST(n_c AS DOUBLE), 9) AS a0
+         |  FROM mm
+         |  WHERE n_t >= 2 AND n_c >= 2
+         |    AND n_t * sxx_t - sx_t * sx_t > 0 AND n_c * sxx_c - sx_c * sx_c > 0
+         |), cells AS (
+         |  SELECT g.ng, g.x,
+         |         CAST(round(
+         |           CASE WHEN g.w
+         |             THEN (CAST(yg AS DOUBLE) / 100.0 -
+         |                   CAST(ng AS DOUBLE) * (a1 + b1 * CAST(x AS DOUBLE))) *
+         |                  CAST(ns AS DOUBLE) / CAST(nt AS DOUBLE)
+         |             ELSE (CAST(ng AS DOUBLE) * (a0 + b0 * CAST(x AS DOUBLE)) -
+         |                   CAST(yg AS DOUBLE) / 100.0) *
+         |                  CAST(ns AS DOUBLE) / CAST(nc AS DOUBLE)
+         |           END +
+         |           CAST(ng AS DOUBLE) * ((a1 + b1 * CAST(x AS DOUBLE)) -
+         |                                 (a0 + b0 * CAST(x AS DOUBLE))), 9)
+         |           AS DECIMAL(28,9)) AS tm,
+         |         a1 - a0 AS adiff, b1 - b0 AS bdiff
+         |  FROM g CROSS JOIN coef
+         |)
+         |SELECT CAST(sum(ng) AS BIGINT) AS n_rows,
+         |       count(*) AS n_cells,
+         |       round(CAST(sum(tm) AS DOUBLE) / CAST(sum(ng) AS DOUBLE), 6) AS ate_dr,
+         |       round(max(adiff) + max(bdiff) *
+         |             (CAST(sum(ng * x) AS DOUBLE) / CAST(sum(ng) AS DOUBLE)), 6)
+         |         AS ate_outcome_model
+         |FROM cells
+         |HAVING sum(ng) > 0""".stripMargin,
 
     "q_causal_did" ->
       s"""$HalfSql, cell AS (

@@ -53,6 +53,22 @@ class CausalSpec extends SparkSpec {
     }
   }
 
+  test("doubly-robust estimate lands near the simple arm difference") {
+    val r = one("q_causal_dr")
+    val nCells = r.getLong(r.fieldIndex("n_cells"))
+    assert(nCells > 0 && nCells <= 2L * 5 * 24, s"cells=$nCells")
+    val dr = r.getDouble(r.fieldIndex("ate_dr"))
+    val om = r.getDouble(r.fieldIndex("ate_outcome_model"))
+    // under randomized assignment all estimators target the same truth;
+    // DR and the pure outcome-model estimate must agree within the
+    // stratum-weighting correction's scale
+    assert(math.abs(dr - om) < 5.0, s"dr=$dr om=$om diverge")
+    // and both against the raw IV intent-to-treat outcome difference
+    val iv = one("q_causal_iv")
+    val itt = iv.getDouble(iv.fieldIndex("itt_outcome"))
+    assert(math.abs(dr - itt) < 5.0, s"dr=$dr itt=$itt diverge")
+  }
+
   test("matching att agrees with a brute-force nearest-control scan") {
     val sess = spark
     import sess.implicits._
