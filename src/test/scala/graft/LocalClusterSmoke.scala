@@ -132,6 +132,71 @@ object LocalClusterSmoke {
         yield (a, b, 2L)
       assert(truss == k4Edges.toSet, s"truss: $truss")
 
+      // 8. Stateful streaming CUSUM across separate executor JVMs: the
+      // HDFS-backed state store files land under the shared
+      // checkpointLocation and the flatMapGroupsWithState state (case
+      // classes + tuple keys) round-trips executor serialization; the
+      // result must equal the shared scan rule run driver-side.
+      {
+        import org.apache.spark.sql.streaming.Trigger
+        val evTmp = Files.createTempDirectory("graft-lc-ev").toString
+        def ts(h: Int) = new java.sql.Timestamp(1709251200000L + h * 3600000L)
+        val raw = Seq(
+          ("a", ts(0), 1L, 95.0, 1L, "{}"), ("a", ts(1), 2L, 96.0, 1L, "{}"),
+          ("a", ts(2), 3L, 97.0, 1L, "{}"), ("b", ts(0), 4L, 10.0, 2L, "{}"),
+          ("b", ts(1), 5L, 99.0, 2L, "{}"), ("b", ts(2), 6L, 98.0, 2L, "{}"))
+          .toDF("event_type", "ts", "event_id", "value", "user_id", "props")
+        raw.write.mode("overwrite").parquet(evTmp)
+        val in = spark.readStream
+          .schema(spark.read.parquet(evTmp).schema).parquet(evTmp)
+        val q = streaming.Cusum.cusum(streaming.Ewma.fromRaw(in))
+          .writeStream.format("memory").queryName("lc_cusum")
+          .outputMode("append")
+          .option("checkpointLocation", s"$ckpt/cusum")
+          .trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(300000), "lc cusum stream timed out")
+        val streamed = spark.table("lc_cusum").collect()
+          .map(r => r.getString(0) ->
+            ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+        val day = new java.sql.Date(1709251200000L)
+        def expect(key: String) = {
+          val evs = raw.collect().toSeq
+            .filter(_.getString(0) == key)
+            .map(r => streaming.Ewma.VEvent(key, day, r.getTimestamp(1),
+              r.getLong(2), r.getDouble(3)))
+          val st = streaming.Cusum.scan(None, evs)
+          (st.n, st.s, st.alarms)
+        }
+        assert(streamed == Map("a" -> expect("a"), "b" -> expect("b")),
+          s"lc cusum: $streamed")
+        assert(streamed("a")._3 == 1L, s"key a must alarm: $streamed")
+      }
+
+      // 9. The causal matching walk (segment-partitioned ignore-nulls
+      // first/last windows + exact tie-breaks) across executor JVMs on a
+      // hand-built panel with a control-free segment.
+      {
+        val dir = Files.createTempDirectory("graft-lc-causal").toString
+        Seq((2L, "n", 1, 100.0, "A"), (3L, "n", 1, 200.0, "A"),
+          (4L, "n", 1, 300.0, "B"), (6L, "n", 1, 400.0, "B"))
+          .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment")
+          .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+        Seq((1L, 2L, "O", 50.0, new java.sql.Timestamp(1709251200000L),
+            "1-URGENT"),
+          (2L, 3L, "O", 70.0, new java.sql.Timestamp(1709254800000L),
+            "1-URGENT"))
+          .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        val att = relational.CausalQueries
+          .queries("q_causal_matching_att")(spark, dir).collect()
+        CacheScope.releaseAll()
+        assert(att.length == 1 && att(0).getLong(0) == 1L &&
+          math.abs(att(0).getDouble(1) - (-20.0)) < 1e-6,
+          s"lc matching: ${att.mkString(", ")}")
+      }
+
       // Reliable checkpoints actually landed on the shared path.
       val st = Files.walk(java.nio.file.Paths.get(ckpt))
       val hasRdd =
