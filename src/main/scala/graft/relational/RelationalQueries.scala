@@ -179,6 +179,26 @@ object RelationalQueries extends QueryPack {
       bal.intersect(sup)
     }),
 
+    // Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicities
+    // matter — a nation with 40 high-balance customers and 3 high-balance
+    // suppliers keeps 3 intersect-all rows and 37 except-all rows, which
+    // the distinct variants above collapse. Spark plans both as an
+    // aggregate + join on (value, replicated min-count) — no sort-based
+    // set op; the grouped output keeps the compare stable at any SF.
+    "q_set_ops_all" -> ((s, d) => {
+      val bal = t(s, d, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, d, "supplier").filter(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").as("nationkey"))
+      bal.intersectAll(sup).groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), col("nationkey"), col("n"))
+        .unionByName(
+          bal.exceptAll(sup).groupBy(col("nationkey"))
+            .agg(count(lit(1)).as("n"))
+            .select(lit("except_all").as("op"), col("nationkey"), col("n")))
+    }),
+
     // EXCEPT (distinct set difference) over the same projections: nations
     // with high-balance customers but no high-balance supplier. Spark
     // plans both set ops as aggregate + left-anti/semi join — the
@@ -524,6 +544,19 @@ object RelationalQueries extends QueryPack {
       """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
         |INTERSECT
         |SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000""".stripMargin,
+
+    "q_set_ops_all" ->
+      """SELECT 'intersect_all' AS op, nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
+        |  INTERSECT ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+        |) GROUP BY 2
+        |UNION ALL
+        |SELECT 'except_all' AS op, nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
+        |  EXCEPT ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+        |) GROUP BY 2""".stripMargin,
 
     "q_except" ->
       """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
