@@ -90,6 +90,46 @@ object PipelineFilterQueries extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Per-source quality-outlier audit: within each source, documents
+    // whose quality score sits beyond [[QualityZ]] sample standard
+    // deviations of the source mean — the "one crawl shard went bad"
+    // detector that per-corpus thresholds (text_quality_filter) miss
+    // because a source's own distribution defines its normal. The score
+    // enters as the exact 1e6-scaled integer (the text_quality_deciles
+    // grain), moments are exact DECIMAL, and the z comparison runs on
+    // identical-operand doubles in both engines. Scale: one documents
+    // agg to per-source moments (broadcast back), one counting agg.
+    "text_quality_outliers" -> ((s, d) => {
+      val q = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysisQueries.qualityScore.as("qs"))
+        .select(col("doc_id"), col("source"),
+          expr("CAST(round(qs * 1000000.0) AS BIGINT)").as("mu"))
+        .transform(graft.CacheScope.persisted(_))
+      val m = q.groupBy(col("source").as("src2"))
+        .agg(count(lit(1)).cast(DecimalType(12, 0)).as("n"),
+          sum(col("mu")).cast(DecimalType(19, 0)).as("sm"),
+          sum(col("mu").cast(DecimalType(19, 0)) * col("mu"))
+            .cast(DecimalType(28, 0)).as("smm"))
+        .filter(col("n") >= 2 &&
+          col("n") * col("smm") - col("sm") * col("sm").cast(DecimalType(18, 0)) > 0)
+      val sd = sqrt((col("n") * col("smm") -
+        col("sm") * col("sm").cast(DecimalType(18, 0))).cast("double") /
+        (col("n").cast("double") * (col("n").cast("double") - 1.0)))
+      val z = (col("mu").cast("double") -
+        col("sm").cast("double") / col("n").cast("double")) / sd
+      q.join(broadcast(m), col("source") === col("src2"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(abs(z) > QualityZ, 1L).otherwise(0L)).as("n_outliers"),
+          max(col("sm")).as("smx"), max(col("n")).as("nx"))
+        .select(col("source"), col("n_docs"), col("n_outliers"),
+          round(col("n_outliers").cast("double") /
+            col("n_docs").cast("double"), 6).as("outlier_rate"),
+          round(col("smx").cast("double") / col("nx").cast("double") /
+            1000000.0, 6).as("mean_quality"))
+    }),
+
     // Gopher-style rule gates: per language, how many docs fail each of
     // the five named quality gates (too short / too long / mean word
     // length out of band / too much duplicate-token mass / too few
@@ -264,7 +304,49 @@ object PipelineFilterQueries extends QueryPack {
           round(exp(col("hh").cast("double")), 4).as("eff_langs"))
     }))
 
+  /** Outlier gate in sample standard deviations (compile-time literal
+    * shared with the oracle): 2.0 is the discriminating regime on this
+    * corpus (11 of 20 sources flag 1-2 docs at sf0.01; 2.5 flags nothing
+    * at the 25-doc source size — the max |z| a well-behaved small sample
+    * reaches is ~2).
+    */
+  val QualityZ = 2.0
+
   override val oracles: Map[String, String] = Map(
+
+    "text_quality_outliers" ->
+      s"""WITH ${TextAnalysisQueries.qualityScoreCte}, qm AS (
+         |  SELECT d.source, q.doc_id,
+         |         CAST(round(q.quality_score * 1000000.0) AS BIGINT) AS mu
+         |  FROM qscore q JOIN documents d USING (doc_id)
+         |), mo AS (
+         |  SELECT source AS src2,
+         |         CAST(count(*) AS DECIMAL(12,0)) AS n,
+         |         CAST(sum(mu) AS DECIMAL(19,0)) AS sm,
+         |         CAST(sum(CAST(mu AS DECIMAL(19,0)) * mu) AS DECIMAL(28,0)) AS smm
+         |  FROM qm GROUP BY 1
+         |  HAVING count(*) >= 2 AND
+         |         CAST(count(*) AS DECIMAL(12,0)) *
+         |           CAST(sum(CAST(mu AS DECIMAL(19,0)) * mu) AS DECIMAL(28,0)) -
+         |         CAST(sum(mu) AS DECIMAL(19,0)) *
+         |           CAST(CAST(sum(mu) AS DECIMAL(19,0)) AS DECIMAL(18,0)) > 0
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN abs(
+         |             (CAST(mu AS DOUBLE) - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |             sqrt(CAST(n * smm - sm * CAST(sm AS DECIMAL(18,0)) AS DOUBLE) /
+         |                  (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) > $QualityZ
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |       round(CAST(sum(CASE WHEN abs(
+         |             (CAST(mu AS DOUBLE) - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |             sqrt(CAST(n * smm - sm * CAST(sm AS DECIMAL(18,0)) AS DOUBLE) /
+         |                  (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) > $QualityZ
+         |           THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |         AS outlier_rate,
+         |       round(CAST(max(sm) AS DOUBLE) / CAST(max(n) AS DOUBLE) / 1000000.0, 6)
+         |         AS mean_quality
+         |FROM qm JOIN mo ON source = src2
+         |GROUP BY source""".stripMargin,
 
     "text_gopher_rules" ->
       s"""WITH t AS (

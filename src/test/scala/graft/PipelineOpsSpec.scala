@@ -43,6 +43,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("mean_norm")) > 0.0)
   }
 
+  test("quality outliers discriminate at sf0.01 and rates are consistent") {
+    val rows = graft.text.PipelineFilterQueries
+      .queries("text_quality_outliers")(spark, "/root/testdata/sf0.01")
+      .collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_docs"))
+      val o = r.getLong(r.fieldIndex("n_outliers"))
+      assert(o >= 0 && o <= n)
+      assert(math.abs(r.getDouble(r.fieldIndex("outlier_rate")) -
+        o.toDouble / n) < 1e-5)
+      val mq = r.getDouble(r.fieldIndex("mean_quality"))
+      assert(mq > 0.0 && mq < 1.0)
+    }
+    // the z gate sits in the discriminating regime: some source flags,
+    // no source flags a majority
+    assert(rows.exists(_.getLong(2) > 0), "no outliers anywhere — gate dead")
+    assert(rows.forall(r => r.getLong(2) * 2 < r.getLong(1)),
+      "a source flags most of its docs — gate too loose")
+  }
+
   test("bass diffusion fit recovers a plausible market size at sf0.01") {
     // sf0.001's 15-user series is degenerate (c >= 0) and the gates
     // correctly release nothing there; fit on the 150-user series.
