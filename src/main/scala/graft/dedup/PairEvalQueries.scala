@@ -39,13 +39,15 @@ object PairEvalQueries extends QueryPack {
         .transform(graft.CacheScope.persisted(_))
       val cand = DedupQueries.lshCandidates(sh)
         .select(col("doc_a"), col("doc_b"))
-        .transform(graft.CacheScope.persisted(_))
+        // eager pin: fans out to concurrent stage/broadcast jobs
+        .transform(graft.CacheScope.persistedEager(_))
       val candDocs = cand
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
       val toks = dd.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tk"))
-        .transform(graft.CacheScope.persisted(_))
+        // eager pin: fans out to concurrent stage/broadcast jobs
+        .transform(graft.CacheScope.persistedEager(_))
       val uni = toks
         .select(col("doc_id"), explode(col("tk")).as("g"))
         .filter(col("g") =!= "")
@@ -103,13 +105,15 @@ object PairEvalQueries extends QueryPack {
         .transform(graft.CacheScope.persisted(_))
       val cand = DedupQueries.lshCandidates(sh)
         .select(col("doc_a"), col("doc_b"))
-        .transform(graft.CacheScope.persisted(_))
+        // eager pin: fans out to concurrent stage/broadcast jobs
+        .transform(graft.CacheScope.persistedEager(_))
       val candDocs = cand
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
       val toks = dd.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tk"))
-        .transform(graft.CacheScope.persisted(_))
+        // eager pin: fans out to concurrent stage/broadcast jobs
+        .transform(graft.CacheScope.persistedEager(_))
       val uni = toks
         .select(col("doc_id"), explode(col("tk")).as("g"))
         .filter(col("g") =!= "")
@@ -172,7 +176,8 @@ object PairEvalQueries extends QueryPack {
         .transform(graft.CacheScope.persisted(_))
       val cand = DedupQueries.lshCandidates(sh)
         .select(col("doc_a"), col("doc_b"))
-        .transform(graft.CacheScope.persisted(_))
+        // eager pin: fans out to concurrent stage/broadcast jobs
+        .transform(graft.CacheScope.persistedEager(_))
       val candDocs = cand
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
@@ -216,7 +221,8 @@ object PairEvalQueries extends QueryPack {
         .transform(graft.CacheScope.persisted(_))
       val cand = DedupQueries.lshCandidates(sh)
         .select(col("doc_a"), col("doc_b"))
-        .transform(graft.CacheScope.persisted(_))
+        // eager pin: fans out to concurrent stage/broadcast jobs
+        .transform(graft.CacheScope.persistedEager(_))
       val candDocs = cand
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()

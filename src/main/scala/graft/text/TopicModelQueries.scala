@@ -50,13 +50,19 @@ object TopicModelQueries extends QueryPack {
         .select(col("doc_id"),
           explode(TextAnalysisQueries.cleanTokens(col("text"))).as("w"))
         .filter(col("w") =!= "" && !col("w").isInCollection(stops))
-        .transform(graft.CacheScope.persisted(_))
+        // eager: the vocab BROADCAST job and ndw's stage job otherwise
+        // race to materialize this cache (broadcast exchanges run as
+        // independent jobs)
+        .transform(graft.CacheScope.persistedEager(_))
       val vocab = toks.groupBy("w").agg(count(lit(1)).as("cw"))
         .orderBy(col("cw").desc, col("w").asc).limit(PlsaVocab)
         .transform(graft.CacheScope.persisted(_))
       val ndw = toks.join(broadcast(vocab.select(col("w"))), "w")
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
-        .transform(graft.CacheScope.persisted(_))
+        // eager: ndw feeds every EM branch of one action (and its count
+        // also serializes the toks/vocab cache builds upstream) — see
+        // CacheScope.persistedEager
+        .transform(graft.CacheScope.persistedEager(_))
       // deterministic init: integer weights 1..5 per (word, topic)
       val hz = conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long")
       val aw = vocab.select(col("w"), (hz % 5 + 1).as("a0"), ((hz + 3) % 5 + 1).as("a1"))
