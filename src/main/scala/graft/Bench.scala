@@ -47,6 +47,16 @@ object Bench {
     // warm-up run, and the shared JVM keeps the comparison focused on
     // Spark-state isolation rather than JIT cold starts.
     val isolated = sys.env.get("SPARK_GRAFT_BENCH_ISOLATED").exists(_.nonEmpty)
+    // MEMO-COLD mode (VERDICT r12 #1): LabelsMemo is cleared before EVERY
+    // timed repetition, so each run pays the full shared-intermediate
+    // re-derivation (edge build + write + read) instead of a warm parquet
+    // read. This is the honest STANDALONE cost of a memo-consumer query —
+    // the number a user running just that one query would see — and the
+    // adjudication tool for the r12 builder-vs-driver 11-38x gap on the
+    // six co-purchase-edge consumers (the non-isolated warm-up pass
+    // pre-populates the memo, so plain medians measure the amortized
+    // cost). Composes with ISOLATED (fresh context per query) or alone.
+    val memoCold = sys.env.get("SPARK_GRAFT_BENCH_MEMO_COLD").exists(_.nonEmpty)
     def selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (k, _) => only.isEmpty || only(k) }
     def newSession(): SparkSession = {
@@ -85,6 +95,7 @@ object Bench {
         CacheScope.releaseAll()
       }
       val times = (1 to n).map { _ =>
+        if (memoCold) LabelsMemo.clear()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -108,7 +119,8 @@ object Bench {
     // Isolated runs land in their own files so a drift adjudication can
     // never clobber the round's full-suite medians record.
     val outFiles =
-      if (isolated) Seq("target/bench-isolated.json", "bench/isolated.json")
+      if (memoCold) Seq("target/bench-memo-cold.json", "bench/memo-cold.json")
+      else if (isolated) Seq("target/bench-isolated.json", "bench/isolated.json")
       else Seq("target/bench-medians.json", "bench/medians.json")
     for (p <- outFiles) {
       try {

@@ -98,18 +98,21 @@ object GraphPathQueries extends QueryPack {
     * relation. Exact integer arithmetic end to end.
     */
   def katzOf(edgesDf: DataFrame): DataFrame = {
-    val e = edgesDf.transform(graft.CacheScope.persisted(_))
-    val nodes = e.select(col("src").as("node")).distinct()
-      .transform(graft.CacheScope.persisted(_))
-    var x = nodes.select(col("node"), lit(KatzScale).as("x"))
+    // r13 cold-path cut (the pagerankOf discipline): the graph is
+    // symmetric, so every node receives at least one neighbor
+    // contribution each round and the old per-round "left join nodes +
+    // coalesce(contrib, 0)" re-attach was the identity — one equi-join +
+    // one aggregation per round, no nodes pin, bit-identical output.
+    val e = graft.CacheScope.persistedOnce(edgesDf)
+    var x = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(KatzScale).as("x"))
     for (_ <- 1 to KatzIters) {
-      val contrib = e.join(x, col("src") === col("node"))
+      x = e.join(x, col("src") === col("node"))
         .select(col("dst"), col("x"))
-        .groupBy("dst").agg(sum(col("x")).as("contrib"))
-      x = nodes.join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(KatzScale) +
-            expr(s"($KatzAlphaPct * coalesce(contrib, 0L)) div 100")).as("x"))
+        .groupBy("dst")
+        .agg((lit(KatzScale) +
+          expr(s"($KatzAlphaPct * sum(x)) div 100")).as("x"))
+        .select(col("dst").as("node"), col("x"))
     }
     x.select(col("node"), col("x").as("katz_fixed"))
   }
