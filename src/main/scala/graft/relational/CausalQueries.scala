@@ -193,12 +193,17 @@ object CausalQueries extends QueryPack {
             .cast(DecimalType(19, 6)).as("syc"))
       // Degeneracy gates on EXACT decimals: both arms populated and both
       // centered second moments strictly positive.
-      // (19,6)x(18,6) products: precision 38 on the Spark side (no
-      // precision-loss rescale) and int128-backed in DuckDB (an int64x
-      // int64 decimal multiply overflows there) — exact in both engines
-      // for panels up to ~1e9 users.
+      // (19,6)x(18,6) products are exact at (38,12) in both engines, but
+      // the SUBTRACTION n*sxy - sx*sy needs precision 39, which Spark's
+      // allowPrecisionLoss rescales to (38,11) while DuckDB's int128
+      // keeps (38,12) — a latent 5e-12 asymmetry that can flip a >0 gate
+      // or a 6dp round boundary (ADVICE r12). Fix: pin the cross term to
+      // scale 6 BEFORE subtracting — round() is HALF_UP away-from-zero
+      // on exact decimals in BOTH engines (verified against DuckDB
+      // 1.0.0), so (32,6) - (33,6) = (34,6) stays inside precision 38
+      // and the two engines see bit-identical centered moments.
       def p(a: String, b: String): Column =
-        col(a) * col(b).cast(DecimalType(18, 6))
+        round(col(a) * col(b).cast(DecimalType(18, 6)), 6)
       val sXX = col("n") * col("sxx") - p("sx", "sx")
       val sXY = col("n") * col("sxy") - p("sx", "sy")
       val sYY = col("n") * col("syy") - p("sy", "sy")
@@ -594,21 +599,21 @@ object CausalQueries extends QueryPack {
          |  FROM u
          |)
          |SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_control,
-         |       round(CAST(n * sxy - sx * CAST(sy AS DECIMAL(18,6)) AS DOUBLE) /
-         |             CAST(n * sxx - sx * CAST(sx AS DECIMAL(18,6)) AS DOUBLE), 6) AS theta,
+         |       round(CAST(n * sxy - round(sx * CAST(sy AS DECIMAL(18,6)), 6) AS DOUBLE) /
+         |             CAST(n * sxx - round(sx * CAST(sx AS DECIMAL(18,6)), 6) AS DOUBLE), 6) AS theta,
          |       round(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) -
          |             CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS ate_raw,
          |       round((CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) -
          |              CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE)) -
-         |             CAST(n * sxy - sx * CAST(sy AS DECIMAL(18,6)) AS DOUBLE) /
-         |             CAST(n * sxx - sx * CAST(sx AS DECIMAL(18,6)) AS DOUBLE) *
+         |             CAST(n * sxy - round(sx * CAST(sy AS DECIMAL(18,6)), 6) AS DOUBLE) /
+         |             CAST(n * sxx - round(sx * CAST(sx AS DECIMAL(18,6)), 6) AS DOUBLE) *
          |             (CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE) -
          |              CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE)), 6) AS ate_cuped,
-         |       round(CAST(n * sxy - sx * CAST(sy AS DECIMAL(18,6)) AS DOUBLE) * CAST(n * sxy - sx * CAST(sy AS DECIMAL(18,6)) AS DOUBLE) /
-         |             (CAST(n * sxx - sx * CAST(sx AS DECIMAL(18,6)) AS DOUBLE) * CAST(n * syy - sy * CAST(sy AS DECIMAL(18,6)) AS DOUBLE)),
+         |       round(CAST(n * sxy - round(sx * CAST(sy AS DECIMAL(18,6)), 6) AS DOUBLE) * CAST(n * sxy - round(sx * CAST(sy AS DECIMAL(18,6)), 6) AS DOUBLE) /
+         |             (CAST(n * sxx - round(sx * CAST(sx AS DECIMAL(18,6)), 6) AS DOUBLE) * CAST(n * syy - round(sy * CAST(sy AS DECIMAL(18,6)), 6) AS DOUBLE)),
          |             6) AS rho2
          |FROM m
-         |WHERE nt >= 2 AND nc >= 2 AND n * sxx - sx * CAST(sx AS DECIMAL(18,6)) > 0 AND n * syy - sy * CAST(sy AS DECIMAL(18,6)) > 0""".stripMargin,
+         |WHERE nt >= 2 AND nc >= 2 AND n * sxx - round(sx * CAST(sx AS DECIMAL(18,6)), 6) > 0 AND n * syy - round(sy * CAST(sy AS DECIMAL(18,6)), 6) > 0""".stripMargin,
 
     "q_causal_ipw" ->
       s"""WITH per AS (

@@ -335,10 +335,16 @@ object ProfilingQueries extends QueryPack {
             .cast(DecimalType(19, 0)).as("sa"),
           sum(when(!col("fh"), cents).otherwise(0L))
             .cast(DecimalType(19, 0)).as("sb"))
+        // Null-safe anti join (<=>), mirrored by IS NOT DISTINCT FROM in
+        // the oracle's NOT EXISTS: a NULL-bearing audited column gets
+        // set-membership semantics with NULL as a first-class value in
+        // BOTH engines (a plain `=` anti join would flag a second-half
+        // NULL as new even when the first half had NULLs, and the old
+        // NOT IN oracle went UNKNOWN on them — ADVICE r12).
         val nv = h.filter(!col("fh")).select(col(c).cast("string").as("v"))
           .distinct()
-          .join(h.filter(col("fh")).select(col(c).cast("string").as("v"))
-            .distinct(), Seq("v"), "left_anti")
+          .join(h.filter(col("fh")).select(col(c).cast("string").as("v0"))
+            .distinct(), col("v") <=> col("v0"), "left_anti")
           .agg(count(lit(1)).as("nv"))
         val dsb = col("sb") * col("na").cast(DecimalType(12, 0))
         val dsa = col("sa") * col("nb").cast(DecimalType(12, 0))
@@ -401,10 +407,14 @@ object ProfilingQueries extends QueryPack {
            |           ELSE 0 END) AS DECIMAL(19,0)) AS sb
            |  FROM h
            |) CROSS JOIN (
+           |  -- NOT EXISTS, not NOT IN: a NULL in the audited column must count
+           |  -- as a new value like the Spark side's left_anti does; NOT IN
+           |  -- goes UNKNOWN on NULLs (and zeroes the whole count if the
+           |  -- first half holds one) — ADVICE r12
            |  SELECT count(*) AS nv FROM (
            |    SELECT DISTINCT CAST($c AS VARCHAR) AS v FROM h WHERE NOT fh
-           |  ) b WHERE v NOT IN (
-           |    SELECT DISTINCT CAST($c AS VARCHAR) FROM h WHERE fh)
+           |  ) b WHERE NOT EXISTS (
+           |    SELECT 1 FROM h WHERE fh AND CAST($c AS VARCHAR) IS NOT DISTINCT FROM b.v)
            |)""".stripMargin
       }
       s"""WITH rng AS (

@@ -142,7 +142,12 @@ object RegDiagQueries extends QueryPack {
             .cast(DecimalType(30, 6)).as("suu"))
       val sTT = col("n") * col("stt") - col("st") * col("st")
       val sTU = col("n") * col("stu") - col("st") * col("su")
-      val sUU = col("n") * col("suu") - col("su") * col("su").cast(DecimalType(18, 6))
+      // su*su pinned to scale 6 BEFORE subtracting — without it the
+      // difference needs precision 39 and Spark's allowPrecisionLoss
+      // rescales to a different scale than DuckDB's int128 keeps (the
+      // CausalQueries q_causal_cuped note has the full arithmetic;
+      // ADVICE r12).
+      val sUU = col("n") * col("suu") - round(col("su") * col("su").cast(DecimalType(18, 6)), 6)
       val r2 = sTU.cast("double") * sTU.cast("double") /
         (sTT.cast("double") * sUU.cast("double"))
       m.filter(col("n") >= 3 && sTT > 0 && sUU > 0)
@@ -427,14 +432,14 @@ object RegDiagQueries extends QueryPack {
          |SELECT event_type, CAST(n AS BIGINT) AS n_days,
          |       round(CAST(n * stu - st * su AS DOUBLE) * CAST(n * stu - st * su AS DOUBLE) /
          |             (CAST(n * stt - st * st AS DOUBLE) *
-         |              CAST(n * suu - su * CAST(su AS DECIMAL(18,6)) AS DOUBLE)), 6) AS r2_aux,
+         |              CAST(n * suu - round(su * CAST(su AS DECIMAL(18,6)), 6) AS DOUBLE)), 6) AS r2_aux,
          |       round(CAST(n AS DOUBLE) *
          |             CAST(n * stu - st * su AS DOUBLE) * CAST(n * stu - st * su AS DOUBLE) /
          |             (CAST(n * stt - st * st AS DOUBLE) *
-         |              CAST(n * suu - su * CAST(su AS DECIMAL(18,6)) AS DOUBLE)), 6) AS bp_stat
+         |              CAST(n * suu - round(su * CAST(su AS DECIMAL(18,6)), 6) AS DOUBLE)), 6) AS bp_stat
          |FROM bm
          |WHERE n >= 3 AND n * stt - st * st > 0
-         |  AND n * suu - su * CAST(su AS DECIMAL(18,6)) > 0""".stripMargin,
+         |  AND n * suu - round(su * CAST(su AS DECIMAL(18,6)), 6) > 0""".stripMargin,
 
     "q_stats_vif" ->
       """WITH li AS (
