@@ -51,6 +51,7 @@ object SparkEntry {
     relational.GrowthQueries,
     dedup.DedupQueries,
     sim.SimilarityQueries,
+    sim.KnnGraphQueries,
     sim.SelectionQueries,
     sim.RankEvalQueries,
     sketch.SketchQueries,
@@ -61,6 +62,7 @@ object SparkEntry {
     graph.SccQueries,
     graph.CommunityQueries,
     text.TextAnalysisQueries,
+    text.TokenStatsQueries,
     dedup.SemanticDedupQueries,
     dedup.PairEvalQueries,
     text.BpeQueries,

@@ -89,6 +89,37 @@ object Pq {
     */
   def codesAndQtab(
       e: DataFrame, ex0: DataFrame, p: Params): (DataFrame, DataFrame) = {
+    val distF = persisted(subspaceDistF(e, ex0, p))
+    (argminCodes(distF), qtabOf(distF, p))
+  }
+
+  /** The per-subspace code from a trained distance relation: each
+    * vector's nearest (m, cell). Split out of [[codesAndQtab]] (r13) so
+    * [[IvfPq]] can route the trained distance relation through a
+    * cross-query memo.
+    */
+  private[sim] def argminCodes(dist: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vid", "m")
+      .orderBy(col("dd").asc, col("cell").asc)
+    dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vid"), col("m"), col("cell"))
+  }
+
+  /** The query-side ADC lookup table from the same trained distance
+    * relation: each query's distance to EVERY (m, cell).
+    */
+  private[sim] def qtabOf(distF: DataFrame, p: Params): DataFrame =
+    distF.filter(col("vid") < p.nQueries)
+      .select(col("vid").as("q_id"), col("m").as("qm"),
+        col("cell").as("qcell"), col("dd"))
+
+  /** Train the M sub-quantizers and return the FULL (vid, m, cell, dd)
+    * distance relation against the trained codebooks — the single
+    * relation both ADC consumables ([[argminCodes]], [[qtabOf]]) derive
+    * from narrowly, and therefore the unit [[IvfPq]] memoizes.
+    */
+  private[sim] def subspaceDistF(
+      e: DataFrame, ex0: DataFrame, p: Params): DataFrame = {
     val ex = ex0.withColumn("m", pmod(col("i"), lit(p.m)))
 
     /** Per-subspace rank-equivalent squared distance of every vector to
@@ -107,13 +138,6 @@ object Pq {
           ((lit(-2.0) * col("vs")) / col("n") +
             col("ss").cast("double") / (col("n") * col("n"))).as("dd"))
     }
-    def argmin(dist: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vid", "m")
-        .orderBy(col("dd").asc, col("cell").asc)
-      dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vid"), col("m"), col("cell"))
-    }
-
     // One hash-picked seed set feeds all M subspaces (each seed's m-th
     // subvector seeds subspace m; cell id = seed vec_id).
     val seeds = e.select(col("vec_id"), md5(col("vec_id").cast("string")).as("h"))
@@ -122,21 +146,14 @@ object Pq {
     var cent = ex.join(broadcast(seeds), Seq("vec_id"))
       .select(col("m"), col("cell"), col("i"), col("qx").as("s"), lit(1L).as("n"))
     for (_ <- 1 to p.iters) {
-      val assign = persisted(argmin(distances(cent))
+      val assign = persisted(argminCodes(distances(cent))
         .select(col("vid"), col("m").as("am"), col("cell")))
       cent = ex
         .join(assign, ex("vec_id") === assign("vid") && ex("m") === assign("am"))
         .groupBy(ex("m"), col("cell"), col("i"))
         .agg(sum("qx").as("s"), count(lit(1)).as("n"))
     }
-
-    val distF = persisted(distances(cent))
-    val codes = argmin(distF)
-    // The query's ADC lookup table: its distance to EVERY (m, cell).
-    val qtab = distF.filter(col("vid") < p.nQueries)
-      .select(col("vid").as("q_id"), col("m").as("qm"),
-        col("cell").as("qcell"), col("dd"))
-    (codes, qtab)
+    distances(cent)
   }
 
   /** DuckDB oracle CTEs for the same Params, appended after the shared

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
 
-import graft.sim.{SimilarityQueries, VecMath}
+import graft.sim.{KnnGraphQueries, SimilarityQueries, VecMath}
 
 /** Planted-geometry checks for the nearest-centroid confusion matrix and
   * the LSH knn graph: separable clusters classify to the diagonal, a
@@ -35,7 +35,7 @@ class CentroidKnnSpec extends SparkSpec {
       (11L, 1, vec(1, 1.0f)), (12L, 1, vec(1, 0.9f)), (13L, 1, vec(1, 0.8f)),
       (99L, 1, vec(0, 1.0f)))
     val got =
-      try SimilarityQueries.centroidConfusionOf(embDf(rows))
+      try KnnGraphQueries.centroidConfusionOf(embDf(rows))
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
       finally CacheScope.releaseAll()
     // The mislabel drags label-1's centroid slightly off axis 1, but the
@@ -53,7 +53,7 @@ class CentroidKnnSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"), col("qe"),
         VecMath.norm2Q(col("qe")).as("norm2"))
     val got =
-      try SimilarityQueries.knnGraphOf(e)
+      try KnnGraphQueries.knnGraphOf(e)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
       finally CacheScope.releaseAll()
     // All four share direction (same sign bucket, pairwise cos 1.0), so
