@@ -33,6 +33,35 @@ object PairEvalQueries extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Split-leakage audit over the NEAR-DUP candidate pairs: how many
+    // LSH-proposed pairs straddle a naive doc-hash train/eval split
+    // (md5(doc_id) % 10, 80/20)? Every straddling pair is an eval
+    // document with a near-duplicate in training — the contamination
+    // that inflates eval scores and that dedup_split_safe's
+    // cluster-keyed split exists to prevent; this query MEASURES the
+    // exposure a doc-keyed split would actually have. One aggregation
+    // over the band-join candidates (never all-pairs); counts exact,
+    // the one released rate is an identical-operand division.
+    "dedup_split_leakage" -> ((s, d) => {
+      def half(c: org.apache.spark.sql.Column) =
+        when(conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10 < 8, "train").otherwise("eval")
+      val sh = Shingles.docShingles(docs(s, d))
+        .transform(graft.CacheScope.persisted(_))
+      DedupQueries.lshCandidates(sh)
+        .select(half(col("doc_a")).as("sa"), half(col("doc_b")).as("sb"))
+        .agg(count(lit(1)).as("n_candidate_pairs"),
+          sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+            .as("n_leaked_pairs"),
+          sum(when(col("sa") === "eval" || col("sb") === "eval", 1L)
+            .otherwise(0L)).as("n_pairs_touching_eval"))
+        .select(col("n_candidate_pairs"), col("n_leaked_pairs"),
+          col("n_pairs_touching_eval"),
+          round(col("n_leaked_pairs").cast("double") /
+            greatest(col("n_candidate_pairs"), lit(1L)).cast("double"), 6)
+            .as("leak_rate"))
+    }),
+
     "text_rouge_pairs" -> ((s, d) => {
       val dd = docs(s, d)
       val sh = Shingles.docShingles(dd)
@@ -271,6 +300,27 @@ object PairEvalQueries extends QueryPack {
     }))
 
   override val oracles: Map[String, String] = Map(
+
+    "dedup_split_leakage" ->
+      s"""${DedupQueries.bandsCte},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |), lab AS (
+         |  SELECT CASE WHEN ('0x' || substring(md5(CAST(doc_a AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
+         |              THEN 'train' ELSE 'eval' END AS sa,
+         |         CASE WHEN ('0x' || substring(md5(CAST(doc_b AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
+         |              THEN 'train' ELSE 'eval' END AS sb
+         |  FROM cand
+         |)
+         |SELECT count(*) AS n_candidate_pairs,
+         |       CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_pairs,
+         |       CAST(sum(CASE WHEN sa = 'eval' OR sb = 'eval' THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_touching_eval,
+         |       round(CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS DOUBLE) /
+         |             CAST(greatest(count(*), 1) AS DOUBLE), 6) AS leak_rate
+         |FROM lab""".stripMargin,
 
     "text_rouge_pairs" ->
       s"""${DedupQueries.bandsCte},

@@ -45,6 +45,27 @@ object FeatureQueries extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Class-imbalance weights over the embedding labels — the reweighting
+    // table a trainer consumes when the label distribution is skewed:
+    // inverse-frequency (N / (K·n_c), the sklearn "balanced" convention)
+    // and the gentler sqrt-inverse (√(N/n_c), the common LLM-data
+    // mixture compromise that under-corrects rare classes instead of
+    // exploding their variance). One label-sized aggregation + a 1-row
+    // broadcast; counts are exact integers, the two released doubles are
+    // identical-operand divisions (sqrt is IEEE correctly-rounded in
+    // both engines) under round(,6) pins.
+    "q_ml_class_weights" -> ((s, d) => {
+      val cls = t(s, d, "embeddings").groupBy(col("label"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cls.agg(sum(col("n")).as("nn"), count(lit(1)).as("k"))
+      cls.crossJoin(broadcast(tot))
+        .select(col("label"), col("n").as("n_samples"),
+          round(col("nn").cast("double") /
+            (col("k") * col("n")).cast("double"), 6).as("w_invfreq"),
+          round(sqrt(col("nn").cast("double") / col("n").cast("double")), 6)
+            .as("w_sqrtinv"))
+    }),
+
     // Leave-one-out target encoding of part brand against the lineitem
     // return label, with m=10 prior smoothing: for a row with label y,
     // enc = (sum_y - y + prior·m) / (n - 1 + m). The category relation is
@@ -447,6 +468,14 @@ object FeatureQueries extends QueryPack {
        |   (1.0 / (1.0 + 0.2316419 * ($z))) * 1.330274429))))), 9)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+
+    "q_ml_class_weights" ->
+      """WITH cls AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS k FROM cls)
+        |SELECT label, n AS n_samples,
+        |       round(CAST(nn AS DOUBLE) / CAST(k * n AS DOUBLE), 6) AS w_invfreq,
+        |       round(sqrt(CAST(nn AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS w_sqrtinv
+        |FROM cls, tot""".stripMargin,
 
     "q_ml_target_encode" ->
       s"""WITH cat AS (

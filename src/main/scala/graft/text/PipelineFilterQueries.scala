@@ -90,6 +90,73 @@ object PipelineFilterQueries extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Stratification audit of the deterministic hash split (md5(doc_id)
+    // % 10 -> 8/1/1 train/val/test, the split every other operator here
+    // would consume): per (split, lang) counts with the within-split
+    // fraction, the corpus-wide fraction, and their gap — the imbalance
+    // a stratified splitter would have to correct. All counts are exact;
+    // the three released doubles are identical-operand divisions under
+    // round(,6). Scale: one documents-sized aggregation to a
+    // |splits|x|langs| relation; everything downstream is bounded.
+    "text_split_stratified" -> ((s, d) => {
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10
+      val cell = docs(s, d)
+        .select(when(h < 8, "train").when(h === 8, "val").otherwise("test")
+          .as("split"), col("lang"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+        .transform(graft.CacheScope.persisted(_))
+      val bySplit = cell.groupBy("split").agg(sum("n_docs").as("n_split"))
+      val byLang = cell.groupBy("lang").agg(sum("n_docs").as("n_lang"))
+      val tot = cell.agg(sum("n_docs").as("nn"))
+      cell.join(bySplit, "split").join(byLang, "lang")
+        .crossJoin(broadcast(tot))
+        .select(col("split"), col("lang"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_split").cast("double"), 6)
+            .as("frac_in_split"),
+          round(col("n_lang").cast("double") / col("nn").cast("double"), 6)
+            .as("frac_overall"),
+          round(col("n_docs").cast("double") / col("n_split").cast("double") -
+            col("n_lang").cast("double") / col("nn").cast("double"), 6)
+            .as("skew"))
+    }),
+
+    // Pairwise SOURCE similarity: cosine between per-source term-
+    // frequency vectors — the corpus-mixing audit that finds
+    // near-duplicate ingestion feeds before they double-count a domain
+    // in the mixture weights (vocab-overlap Jaccard saturates on a
+    // shared vocabulary; the FREQUENCY profile is what distinguishes
+    // sources). Exact integer (source, token) counts; dot products and
+    // norms fold in DECIMAL over the |sources|x|vocab|-bounded count
+    // relation, so the only doubles are the final identical-operand
+    // cosine divisions under round(,6). Scale: one token-stream
+    // aggregation down to the bounded counts, then a token-keyed
+    // self-join of bounded relations — never stream x stream.
+    "text_source_similarity" -> ((s, d) => {
+      val tf = docs(s, d)
+        .select(col("source"),
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+        .transform(graft.CacheScope.persisted(_))
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val norm = tf.groupBy("source")
+        .agg(sum(col("n").cast(dec) * col("n").cast(dec)).as("n2"))
+      val dot = tf.select(col("source").as("sa"), col("tok"), col("n").as("na"))
+        .join(tf.select(col("source").as("sb"), col("tok"), col("n").as("nb")),
+          Seq("tok"))
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb")
+        .agg(sum(col("na").cast(dec) * col("nb").cast(dec)).as("dt"))
+      dot
+        .join(norm.select(col("source").as("sa"), col("n2").as("n2a")), "sa")
+        .join(norm.select(col("source").as("sb"), col("n2").as("n2b")), "sb")
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          round(col("dt").cast("double") /
+            (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))),
+            6).as("tf_cosine"))
+    }),
+
     // Per-source quality-outlier audit: within each source, documents
     // whose quality score sits beyond [[QualityZ]] sample standard
     // deviations of the source mean — the "one crawl shard went bad"
@@ -313,6 +380,49 @@ object PipelineFilterQueries extends QueryPack {
   val QualityZ = 2.0
 
   override val oracles: Map[String, String] = Map(
+
+    "text_split_stratified" ->
+      """WITH cell AS (
+        |  SELECT CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+        |              WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 8 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         lang, count(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2
+        |), bs AS (SELECT split, CAST(sum(n_docs) AS BIGINT) AS n_split FROM cell GROUP BY 1),
+        |bl AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang FROM cell GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM cell)
+        |SELECT c.split, c.lang, c.n_docs,
+        |       round(CAST(c.n_docs AS DOUBLE) / CAST(bs.n_split AS DOUBLE), 6) AS frac_in_split,
+        |       round(CAST(bl.n_lang AS DOUBLE) / CAST(tot.nn AS DOUBLE), 6) AS frac_overall,
+        |       round(CAST(c.n_docs AS DOUBLE) / CAST(bs.n_split AS DOUBLE) -
+        |             CAST(bl.n_lang AS DOUBLE) / CAST(tot.nn AS DOUBLE), 6) AS skew
+        |FROM cell c
+        |JOIN bs ON bs.split = c.split
+        |JOIN bl ON bl.lang = c.lang
+        |CROSS JOIN tot""".stripMargin,
+
+    "text_source_similarity" ->
+      """WITH tf AS (
+        |  SELECT source, tok, count(*) AS n FROM (
+        |    SELECT source,
+        |           unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents
+        |  ) WHERE tok <> '' GROUP BY 1, 2
+        |), nrm AS (
+        |  SELECT source, sum(CAST(n AS HUGEINT) * n) AS n2 FROM tf GROUP BY 1
+        |), dt AS (
+        |  SELECT a.source AS sa, b.source AS sb,
+        |         sum(CAST(a.n AS HUGEINT) * b.n) AS dt
+        |  FROM tf a JOIN tf b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT dt.sa AS source_a, dt.sb AS source_b,
+        |       round(CAST(dt.dt AS DOUBLE) /
+        |             (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+        |             6) AS tf_cosine
+        |FROM dt
+        |JOIN nrm na ON na.source = dt.sa
+        |JOIN nrm nb ON nb.source = dt.sb""".stripMargin,
 
     "text_quality_outliers" ->
       s"""WITH ${TextAnalysisQueries.qualityScoreCte}, qm AS (
