@@ -109,8 +109,23 @@ object Bench {
     val total = results.map(_._2).sum
     // Per-query MIN alongside the median (VERDICT r3 #4): post-warm-up,
     // a big median-vs-min gap flags run-to-run variance, not a plan issue.
+    // Totals under BOTH statistics (VERDICT r13 #4): ambient interference
+    // is strictly one-sided (a burst can only ADD time), so min-of-n is
+    // the burst-robust round-over-round comparison statistic; the median
+    // stays for continuity with r03-r13 records. PLANS.md states the
+    // comparison rule: adjudicate regressions on MIN, report both.
+    val totalMin = results.map(_._3).sum
+    // The run's measurement regime, embedded so adjudication records can
+    // never silently mix regimes (ADVICE r13: a combined isolated+memo-cold
+    // run used to overwrite bench/memo-cold.json with no marker).
+    val mode = (isolated, memoCold) match {
+      case (true, true) => "isolated+memo-cold"
+      case (true, false) => "isolated"
+      case (false, true) => "memo-cold"
+      case (false, false) => "suite"
+    }
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$n,"stat":"median","queries":${jmap(results.map(r => r._1 -> r._2))},"queries_min":${jmap(results.map(r => r._1 -> r._3))},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_min":$totalMin%.3f,"unit":"sec","n":$n,"stat":"median","mode":"$mode","queries":${jmap(results.map(r => r._1 -> r._2))},"queries_min":${jmap(results.map(r => r._1 -> r._3))},"sf":"$sfDir"}"""
     // Written to BOTH the scratch target/ and the git-tracked bench/ dir:
     // BENCH_r06's stdout-tail truncation destroyed the r6 per-query
     // record, so the full maps must live somewhere the round commit
@@ -119,7 +134,9 @@ object Bench {
     // Isolated runs land in their own files so a drift adjudication can
     // never clobber the round's full-suite medians record.
     val outFiles =
-      if (memoCold) Seq("target/bench-memo-cold.json", "bench/memo-cold.json")
+      if (memoCold && isolated)
+        Seq("target/bench-memo-cold-isolated.json", "bench/memo-cold-isolated.json")
+      else if (memoCold) Seq("target/bench-memo-cold.json", "bench/memo-cold.json")
       else if (isolated) Seq("target/bench-isolated.json", "bench/isolated.json")
       else Seq("target/bench-medians.json", "bench/medians.json")
     for (p <- outFiles) {
@@ -140,7 +157,7 @@ object Bench {
     val headline = results.filter(r => anchors(r._1) || slowest(r._1))
       .map(r => r._1 -> r._2)
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$n,"stat":"median","n_queries":${results.size},"queries":${jmap(headline)},"families":${jmap(families)},"detail":"target/bench-medians.json","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_min":$totalMin%.3f,"unit":"sec","n":$n,"stat":"median","mode":"$mode","n_queries":${results.size},"queries":${jmap(headline)},"families":${jmap(families)},"detail":"target/bench-medians.json","sf":"$sfDir"}"""
     println(json)
     // Teardown hatch: reclaim scopes orphaned by any worker thread (safe
     // here — the harness is single-threaded and done with all queries).

@@ -81,13 +81,6 @@ object CacheScope {
     p
   }
 
-  /** Alias of [[persisted]], kept at the call sites whose fan-out races
-    * were individually measured (r13) — materialization is now eager for
-    * every pin, see [[persisted]].
-    */
-  def persistedEager(df: DataFrame, level: StorageLevel = DefaultLevel): DataFrame =
-    persisted(df, level)
-
   /** [[persisted]] unless the plan is ALREADY pinned in this session's
     * cache manager (Dataset.storageLevel is a canonicalized-plan lookup,
     * not object identity) — for builders whose input may arrive pre-pinned

@@ -23,7 +23,8 @@ object PprProbe {
       CacheScope.releaseAll()
     }
 
-    def walk(seedRestart: Boolean, seededInit: Boolean): DataFrame = {
+    def walk(seedRestart: Boolean, seededInit: Boolean,
+        frontierPrune: Boolean = false): DataFrame = {
       val edgesDf = Tables.load(spark, sfDir, "lineitem")
         .groupBy(col("l_orderkey")).agg(collect_set(col("l_partkey")).as("pks"))
         .select(explode(col("pks")).as("src"), col("pks"))
@@ -41,6 +42,7 @@ object PprProbe {
       var r = nodes.select(col("node"),
         (if (seededInit) when(col("seed"), lit(GraphQueries.Scale)).otherwise(lit(0L))
          else lit(GraphQueries.Scale)).as("r"))
+      if (frontierPrune) r = r.filter(col("r") > 0)
       for (_ <- 1 to GraphQueries.Iters) {
         val contrib = ed.join(r, col("src") === col("node"))
           .select(col("dst"), expr("r div outdeg").as("c"))
@@ -51,14 +53,39 @@ object PprProbe {
             ((if (seedRestart) when(col("seed"), lit(base)).otherwise(lit(0L))
               else lit(base).cast("long")) +
               expr(s"(${GraphQueries.DampPct} * coalesce(contrib, 0L)) div 100")).as("r"))
+        if (frontierPrune) r = r.filter(col("r") > 0)
       }
       r
     }
 
+    // How fast does the seeds' basin saturate? (decides whether the
+    // frontier prune can matter at this graph's expansion rate)
+    {
+      val e = Tables.load(spark, sfDir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(collect_set(col("l_partkey")).as("pks"))
+        .select(explode(col("pks")).as("src"), col("pks"))
+        .select(col("src"), explode(array_remove(col("pks"), col("src"))).as("dst"))
+        .distinct().transform(CacheScope.persisted(_))
+      val nNodes = e.select(col("src")).distinct().count()
+      var f = e.select(col("src")).distinct()
+        .filter(col("src") % GraphQueries.PprSeedMod === 0)
+        .withColumnRenamed("src", "node")
+      println(s"[pprprobe] nodes=$nNodes seeds=${f.count()}")
+      for (i <- 1 to GraphQueries.Iters) {
+        f = e.join(f, col("src") === col("node")).select(col("dst").as("node"))
+          .union(f).distinct().transform(CacheScope.persisted(_))
+        println(s"[pprprobe] frontier after round $i: ${f.count()}")
+      }
+      CacheScope.releaseAll()
+    }
+
     time("uniform (pagerank-ish)")(walk(seedRestart = false, seededInit = false))
-    time("seeded-init only")(walk(seedRestart = false, seededInit = true))
-    time("full ppr")(walk(seedRestart = true, seededInit = true))
-    time("full ppr again")(walk(seedRestart = true, seededInit = true))
+    time("full ppr unpruned")(walk(seedRestart = true, seededInit = true))
+    time("full ppr pruned")(walk(seedRestart = true, seededInit = true,
+      frontierPrune = true))
+    time("full ppr pruned again")(walk(seedRestart = true, seededInit = true,
+      frontierPrune = true))
+    time("full ppr unpruned again")(walk(seedRestart = true, seededInit = true))
     spark.stop()
   }
 }

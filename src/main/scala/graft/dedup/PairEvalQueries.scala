@@ -68,15 +68,13 @@ object PairEvalQueries extends QueryPack {
         .transform(graft.CacheScope.persisted(_))
       val cand = DedupQueries.lshCandidates(sh)
         .select(col("doc_a"), col("doc_b"))
-        // eager pin: fans out to concurrent stage/broadcast jobs
-        .transform(graft.CacheScope.persistedEager(_))
+        .transform(graft.CacheScope.persisted(_))
       val candDocs = cand
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
       val toks = dd.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tk"))
-        // eager pin: fans out to concurrent stage/broadcast jobs
-        .transform(graft.CacheScope.persistedEager(_))
+        .transform(graft.CacheScope.persisted(_))
       val uni = toks
         .select(col("doc_id"), explode(col("tk")).as("g"))
         .filter(col("g") =!= "")
@@ -134,15 +132,13 @@ object PairEvalQueries extends QueryPack {
         .transform(graft.CacheScope.persisted(_))
       val cand = DedupQueries.lshCandidates(sh)
         .select(col("doc_a"), col("doc_b"))
-        // eager pin: fans out to concurrent stage/broadcast jobs
-        .transform(graft.CacheScope.persistedEager(_))
+        .transform(graft.CacheScope.persisted(_))
       val candDocs = cand
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
       val toks = dd.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tk"))
-        // eager pin: fans out to concurrent stage/broadcast jobs
-        .transform(graft.CacheScope.persistedEager(_))
+        .transform(graft.CacheScope.persisted(_))
       val uni = toks
         .select(col("doc_id"), explode(col("tk")).as("g"))
         .filter(col("g") =!= "")
@@ -205,8 +201,7 @@ object PairEvalQueries extends QueryPack {
         .transform(graft.CacheScope.persisted(_))
       val cand = DedupQueries.lshCandidates(sh)
         .select(col("doc_a"), col("doc_b"))
-        // eager pin: fans out to concurrent stage/broadcast jobs
-        .transform(graft.CacheScope.persistedEager(_))
+        .transform(graft.CacheScope.persisted(_))
       val candDocs = cand
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
@@ -250,8 +245,7 @@ object PairEvalQueries extends QueryPack {
         .transform(graft.CacheScope.persisted(_))
       val cand = DedupQueries.lshCandidates(sh)
         .select(col("doc_a"), col("doc_b"))
-        // eager pin: fans out to concurrent stage/broadcast jobs
-        .transform(graft.CacheScope.persistedEager(_))
+        .transform(graft.CacheScope.persisted(_))
       val candDocs = cand
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()

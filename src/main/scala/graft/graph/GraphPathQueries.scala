@@ -94,8 +94,16 @@ object GraphPathQueries extends QueryPack {
   /** Truncation depth of the Katz series (a dial the oracle unrolls). */
   val KatzIters = 5
 
-  /** The truncated-Katz fixpoint over any symmetric (src, dst) edge
+  /** The truncated-Katz fixpoint over a symmetric (src, dst) edge
     * relation. Exact integer arithmetic end to end.
+    *
+    * PRECONDITION (ADVICE r13): every node must receive at least one
+    * in-edge each round — symmetric relations satisfy this for free. The
+    * r13 cold-path cut dropped the per-round "left join nodes +
+    * coalesce" re-attach, so on a non-symmetric input a zero-in-degree
+    * node VANISHES from the output instead of keeping its base score
+    * (every registered caller passes the symmetric windowed co-purchase
+    * relation, where the contract holds by construction).
     */
   def katzOf(edgesDf: DataFrame): DataFrame = {
     // r13 cold-path cut (the pagerankOf discipline): the graph is

@@ -152,6 +152,20 @@ object GraphQueries extends QueryPack {
     val nodes = deg.select(col("src").as("node"),
       (col("src") % PprSeedMod === 0).as("seed"))
     val base = (100L - DampPct) * Scale / 100L
+    // FRONTIER PRUNE — tried and REJECTED (VERDICT r13 #2, r14 A/B
+    // probe): filtering r > 0 per round so early rounds join only the
+    // seeds' expanding basin is bit-identical (zero-rank sources
+    // contribute exactly 0, absent contributions coalesce to 0, the
+    // final filter dropped r = 0 rows anyway) but measured 3x SLOWER
+    // (PprProbe, sf0.1, n=2 each, interleaved: pruned 8.02/7.62 s vs
+    // unpruned 2.60/2.95 s) — the per-round Filter above the left join
+    // degrades the rank side's join planning without buying coverage,
+    // because the basin SATURATES after one round at this degree:
+    // 400 seeds (2%) reach 18,197 of 20,000 nodes in round 1 and all
+    // 20,000 by round 2 (avg degree ~45). A frontier prune only pays on
+    // graphs whose basin stays small for several rounds — long-diameter
+    // or low-degree relations — and should gate on a measured expansion
+    // rate, not be unconditional. Probe committed: bench/r14-ppr-probe.txt.
     var r = nodes.select(col("node"),
       when(col("seed"), lit(Scale)).otherwise(lit(0L)).as("r"))
     for (_ <- 1 to Iters) {
@@ -620,8 +634,15 @@ object GraphQueries extends QueryPack {
     */
   val LpaRounds = 3
 
-  /** Fixed-round synchronous label propagation over any symmetric
-    * (src, dst) edge relation: labels start as the node id; each round
+  /** Fixed-round synchronous label propagation over a SYMMETRIC
+    * (src, dst) edge relation — the precondition is load-bearing (ADVICE
+    * r13): the r13 cold-path cut dropped the per-round "left join nodes
+    * + coalesce(lbl, node)" re-attach, so a node with no in-edges would
+    * silently vanish instead of keeping its own label; in a symmetric
+    * relation every node is some edge's dst and the argmax covers all of
+    * them (every registered caller passes symmetric relations).
+    *
+    * Labels start as the node id; each round
     * every node adopts the argmax neighbor label by (count desc, label
     * asc). The argmax is max(struct(n, -lbl)) — one aggregation, no
     * window — and each round is the same equi-join + aggregate shuffle

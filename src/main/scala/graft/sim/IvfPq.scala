@@ -85,7 +85,12 @@ object IvfPq {
       memo: (String, () => DataFrame) => DataFrame = (_, f) => f()): DataFrame = {
     import VecMath._
     val e = persisted(emb0.select(col("vec_id"), col("qe"), col("norm2")))
-    val ex = persisted(e.select(col("vec_id"),
+    // Lazy (ADVICE r13): the n×d posexplode relation feeds ONLY the two
+    // trainers, which run inside the memo closures — when both memoized
+    // trained relations are warm the closures never fire, and the
+    // steady-state path must not pay an unused cache build + count. The
+    // lazy val forces (and pins) it on the first cold trainer only.
+    lazy val ex = persisted(e.select(col("vec_id"),
       posexplode(col("qe")).as(Seq("i", "qx"))))
 
     // route: cell equi-join of collection assignments and query probes

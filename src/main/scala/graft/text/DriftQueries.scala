@@ -51,8 +51,7 @@ object DriftQueries extends QueryPack {
         .groupBy("tok")
         .agg(count(when(col("h") === 0, 1)).as("c0"),
           count(when(col("h") === 1, 1)).as("c1"))
-        // eager pin: fans out to concurrent stage/broadcast jobs
-        .transform(graft.CacheScope.persistedEager(_))
+        .transform(graft.CacheScope.persisted(_))
       val tot = g.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
         count(lit(1)).as("v"))
       val p = (col("c0") + 1).cast("double") / (col("n0") + col("v")).cast("double")

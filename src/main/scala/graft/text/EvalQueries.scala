@@ -347,8 +347,7 @@ object EvalQueries extends QueryPack {
       .select(col("doc_id"), held.as("held"),
         explode(cleanTokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
-    // eager pin: fans out to concurrent stage/broadcast jobs
-      .transform(graft.CacheScope.persistedEager(_))
+      .transform(graft.CacheScope.persisted(_))
     val vocab = tok.filter(!col("held"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .transform(graft.CacheScope.persisted(_))

@@ -470,7 +470,7 @@ object TextAnalysisQueries extends QueryPack {
         .filter(col("sr") >= 0.15 && col("quality_score") >= 0.5)
         // eager: scored feeds the keep-aggregate AND the output join of
         // one action — racing AQE stage jobs would double-build the cache
-        .transform(graft.CacheScope.persistedEager(_))
+        .transform(graft.CacheScope.persisted(_))
       val keep = scored
         .groupBy(col("k")).agg(min(col("doc_id")).as("doc_id"))
       scored

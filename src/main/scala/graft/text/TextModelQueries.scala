@@ -61,8 +61,7 @@ object TextModelQueries extends QueryPack {
         .select(col("doc_id"), explode(cleanTokens(col("text"))).as("term"))
         .filter(col("term") =!= "")
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        // eager pin: fans out to concurrent stage/broadcast jobs
-        .transform(CacheScope.persistedEager(_))
+        .transform(CacheScope.persisted(_))
       val dec = (c: Column) => c.cast(DecimalType(38, 0))
       val u1 = td.groupBy("doc_id").agg(sum(col("tf")).as("u1"))
       val v1 = td.join(u1, "doc_id")
@@ -71,8 +70,7 @@ object TextModelQueries extends QueryPack {
         .groupBy("doc_id").agg(sum(dec(col("tf")) * dec(col("v1"))).as("u2"))
       val v2 = td.join(u2, "doc_id")
         .groupBy("term").agg(sum(dec(col("tf")) * dec(col("u2"))).as("v2"))
-        // eager pin: fans out to concurrent stage/broadcast jobs
-        .transform(CacheScope.persistedEager(_))
+        .transform(CacheScope.persisted(_))
       val mx = v2.agg(max(abs(col("v2"))).as("mx"))
       v2.crossJoin(broadcast(mx))
         .select(col("term"),
@@ -163,7 +161,7 @@ object TextModelQueries extends QueryPack {
         // eager: v2 fans out to left/cont/tot/join in one action — the
         // count serializes the cache build (and bg's, upstream of it)
         // before AQE's parallel stage jobs race on it
-        .transform(graft.CacheScope.persistedEager(_))
+        .transform(graft.CacheScope.persisted(_))
       val left = v2.groupBy("w1")
         .agg(sum(col("n2")).as("n1"), count(lit(1)).as("f1"))
       val cont = v2.groupBy("w2").agg(count(lit(1)).as("c2"))
@@ -222,8 +220,7 @@ object TextModelQueries extends QueryPack {
     "text_winnowing_pairs" -> ((s, d) => {
       val fp = winnowingOf(docs(s, d))
         .select(col("doc_id"), col("fingerprint")).distinct()
-        // eager pin: fans out to concurrent stage/broadcast jobs
-        .transform(CacheScope.persistedEager(_))
+        .transform(CacheScope.persisted(_))
       val rare = fp.groupBy("fingerprint").agg(count(lit(1)).as("nd"))
         .filter(col("nd") <= MaxFpDocs)
         .select("fingerprint")
@@ -327,8 +324,7 @@ object TextModelQueries extends QueryPack {
       .union(bg.select(col("w2").as("src"), col("w1").as("dst")))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       .filter(col("w") >= TrMinCooc)
-    // eager pin: fans out to concurrent stage/broadcast jobs
-      .transform(CacheScope.persistedEager(_))
+      .transform(CacheScope.persisted(_))
     val deg = und.groupBy("src").agg(sum(col("w")).as("wdeg"))
       .transform(CacheScope.persisted(_))
     val ed = und.join(deg, "src")

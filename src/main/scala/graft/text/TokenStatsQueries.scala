@@ -76,8 +76,7 @@ object TokenStatsQueries extends QueryPack {
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
         .transform(graft.CacheScope.persisted(_))
       val v2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-        // eager pin: fans out to concurrent stage/broadcast jobs
-        .transform(graft.CacheScope.persistedEager(_))
+        .transform(graft.CacheScope.persisted(_))
       val v1 = v2.groupBy("w1").agg(sum(col("n2")).as("n1"))
       val lp = round(log(col("n2").cast("double") / col("n1").cast("double")), 9)
         .cast(dec)
@@ -114,8 +113,7 @@ object TokenStatsQueries extends QueryPack {
       val v2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
       val uni = tk.select(explode(col("tk")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("nu"))
-        // eager pin: fans out to concurrent stage/broadcast jobs
-        .transform(graft.CacheScope.persistedEager(_))
+        .transform(graft.CacheScope.persisted(_))
       val totals = bg.agg(count(lit(1)).as("nb"))
         .crossJoin(broadcast(uni.agg(sum(col("nu")).as("ntok"))))
       val pmi = round(log(

@@ -53,7 +53,7 @@ object TopicModelQueries extends QueryPack {
         // eager: the vocab BROADCAST job and ndw's stage job otherwise
         // race to materialize this cache (broadcast exchanges run as
         // independent jobs)
-        .transform(graft.CacheScope.persistedEager(_))
+        .transform(graft.CacheScope.persisted(_))
       val vocab = toks.groupBy("w").agg(count(lit(1)).as("cw"))
         .orderBy(col("cw").desc, col("w").asc).limit(PlsaVocab)
         .transform(graft.CacheScope.persisted(_))
@@ -61,8 +61,8 @@ object TopicModelQueries extends QueryPack {
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
         // eager: ndw feeds every EM branch of one action (and its count
         // also serializes the toks/vocab cache builds upstream) — see
-        // CacheScope.persistedEager
-        .transform(graft.CacheScope.persistedEager(_))
+        // CacheScope.persisted
+        .transform(graft.CacheScope.persisted(_))
       // deterministic init: integer weights 1..5 per (word, topic)
       val hz = conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long")
       val aw = vocab.select(col("w"), (hz % 5 + 1).as("a0"), ((hz + 3) % 5 + 1).as("a1"))
