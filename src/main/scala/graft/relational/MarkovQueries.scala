@@ -69,20 +69,36 @@ object MarkovQueries extends QueryPack {
           lead(col("event_type"), 1).over(w).as("to_type"))
         .filter(col("to_type").isNotNull)
         .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
-        .transform(graft.CacheScope.persisted(_))
-      val rt = cnts.groupBy("from_type").agg(sum(col("n")).as("rt"))
-      val pm = cnts.join(rt, "from_type")
-        .transform(graft.CacheScope.persisted(_))
-      var pi = rt.select(col("from_type").as("state"),
-        lit(MarkovScale).as("m"))
+      // DOCUMENTED BOUNDED COLLECT (r14): one events-sized lead/count
+      // pass reduces the corpus to the |types|² transition matrix —
+      // constant-size at any corpus scale (event_type is an enum-shaped
+      // domain; the guard fails fast rather than trust that silently).
+      // The r14 isolated adjudication showed the old 8-round join/agg
+      // unroll on this constant relation was pure per-job fixed latency
+      // (~8 × 0.3 s against microseconds of arithmetic — the conformal/
+      // k-center bounded-driver-literal precedent, PLANS r11). The
+      // rounds run here in exact BigInt arithmetic — bit-identical to
+      // the join form and to the oracle's unrolled HUGEINT CTEs, which
+      // is what keeps the hash gate meaningful; the final ratio stays a
+      // Spark expression so float rounding is engine-identical.
+      val cells = cnts.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      require(cells.length <= 4096,
+        s"transition matrix ${cells.length} cells — not a bounded enum domain")
+      val rt = cells.groupBy(_._1).map { case (f, cs) => f -> cs.map(_._3).sum }
+      var pi: Map[String, BigInt] =
+        rt.keysIterator.map(_ -> BigInt(MarkovScale)).toMap
       for (_ <- 1 to MarkovIters) {
-        pi = pm.join(pi, col("from_type") === col("state"))
-          .select(col("to_type"),
-            expr("CAST((CAST(m AS DECIMAL(20,0)) * n) div rt AS BIGINT)").as("c"))
-          .groupBy(col("to_type")).agg(sum(col("c")).as("m"))
-          .select(col("to_type").as("state"), col("m"))
+        val next = collection.mutable.Map.empty[String, BigInt]
+          .withDefaultValue(BigInt(0))
+        for ((f, to, n) <- cells; m <- pi.get(f))
+          next(to) += m * n / rt(f)
+        pi = next.toMap
       }
-      pi.crossJoin(broadcast(pi.agg(sum(col("m")).as("tm"))))
+      import s.implicits._
+      val piDf = pi.toSeq.map { case (st, m) => (st, m.toLong) }
+        .sortBy(_._1).toDF("state", "m")
+      piDf.crossJoin(broadcast(piDf.agg(sum(col("m")).as("tm"))))
         .select(col("state"), col("m").as("pi_fixed"),
           round(col("m").cast("double") / col("tm").cast("double"), 9).as("pi"))
     }),
@@ -106,31 +122,35 @@ object MarkovQueries extends QueryPack {
           lead(col("event_type"), 1).over(w).as("to_type"))
         .filter(col("to_type").isNotNull)
         .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
-        .transform(graft.CacheScope.persisted(_))
-      val rt = cnts.groupBy("from_type").agg(sum(col("n")).as("rt"))
-      val pm = cnts.join(rt, "from_type")
-        .filter(col("from_type") =!= MarkovAbsorb)
-        .transform(graft.CacheScope.persisted(_))
-      var e = rt.filter(col("from_type") =!= MarkovAbsorb)
-        .select(col("from_type").as("state"), lit(0L).as("m"))
+      // Same bounded-collect fixpoint as q_markov_stationary (r14): the
+      // |types|² matrix is constant-size, and the 12 unrolled
+      // value-iteration rounds were per-job latency, not compute. Exact
+      // BigInt arithmetic replicates the old DECIMAL div semantics
+      // (positive truncating division) and the oracle's HUGEINT CTEs.
+      val cells = cnts.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      require(cells.length <= 4096,
+        s"transition matrix ${cells.length} cells — not a bounded enum domain")
+      val rt = cells.groupBy(_._1).map { case (f, cs) => f -> cs.map(_._3).sum }
+      val trans = cells.filter(_._1 != MarkovAbsorb)
+      val states = rt.keysIterator.filter(_ != MarkovAbsorb).toSeq.sorted
+      var e: Map[String, BigInt] = states.map(_ -> BigInt(0)).toMap
       for (_ <- 1 to AbsorbIters) {
-        e = pm
-          .join(e.select(col("state").as("to_state"), col("m").as("em")),
-            col("to_type") === col("to_state"), "left")
-          .groupBy(col("from_type"))
-          .agg(sum(expr(
-            "CAST((CAST(coalesce(em, 0) AS DECIMAL(20,0)) * n) div rt AS BIGINT)"))
-            .as("sm"))
-          .select(col("from_type").as("state"),
-            (lit(MarkovScale) + col("sm")).as("m"))
+        val sm = collection.mutable.Map.empty[String, BigInt]
+          .withDefaultValue(BigInt(0))
+        for ((f, to, n) <- trans)
+          sm(f) += e.getOrElse(to, BigInt(0)) * n / rt(f)
+        e = states.map(st => st -> (BigInt(MarkovScale) + sm(st))).toMap
       }
-      e.select(col("state"), col("m").as("steps_fixed"),
-        round(col("m").cast("double") / MarkovScale.toDouble, 6)
-          .as("expected_steps"),
-        // div truncation sheds <1 unit per to-state per round, so a
-        // saturated (error-unreachable) state lands a hair under
-        // k·Scale — the slack absorbs it
-        (col("m") >= lit(MarkovScale) * AbsorbIters - 1000L).as("is_saturated"))
+      import s.implicits._
+      states.map(st => (st, e(st).toLong)).toDF("state", "m")
+        .select(col("state"), col("m").as("steps_fixed"),
+          round(col("m").cast("double") / MarkovScale.toDouble, 6)
+            .as("expected_steps"),
+          // div truncation sheds <1 unit per to-state per round, so a
+          // saturated (error-unreachable) state lands a hair under
+          // k·Scale — the slack absorbs it
+          (col("m") >= lit(MarkovScale) * AbsorbIters - 1000L).as("is_saturated"))
     }))
 
   /** One unrolled absorption-time step (reads e{i-1}). */
