@@ -157,7 +157,7 @@ object Bench {
     val headline = results.filter(r => anchors(r._1) || slowest(r._1))
       .map(r => r._1 -> r._2)
     val json =
-      f"""{"metric":"total","value":$total%.3f,"value_min":$totalMin%.3f,"unit":"sec","n":$n,"stat":"median","mode":"$mode","n_queries":${results.size},"queries":${jmap(headline)},"families":${jmap(families)},"detail":"target/bench-medians.json","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_min":$totalMin%.3f,"unit":"sec","n":$n,"stat":"median","mode":"$mode","n_queries":${results.size},"queries":${jmap(headline)},"families":${jmap(families)},"detail":"${outFiles.head}","sf":"$sfDir"}"""
     println(json)
     // Teardown hatch: reclaim scopes orphaned by any worker thread (safe
     // here — the harness is single-threaded and done with all queries).
