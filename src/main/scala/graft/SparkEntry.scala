@@ -50,6 +50,7 @@ object SparkEntry {
     relational.RegDiagQueries,
     relational.GrowthQueries,
     dedup.DedupQueries,
+    dedup.DedupReportQueries,
     sim.SimilarityQueries,
     sim.KnnGraphQueries,
     sim.SelectionQueries,
@@ -58,6 +59,7 @@ object SparkEntry {
     layout.LayoutQueries,
     sources.FormatQueries,
     graph.GraphQueries,
+    graph.GraphProfileQueries,
     graph.GraphPathQueries,
     graph.SccQueries,
     graph.CommunityQueries,

@@ -41,7 +41,7 @@ object DedupQueries extends QueryPack {
     * query `dedup_clusters` deliberately does NOT go through the memo —
     * its benched cost stays the honest full-pipeline cost.
     */
-  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+  private[dedup] def clusterLabels(s: SparkSession, d: String): DataFrame =
     graft.LabelsMemo.getOrCompute(s"dedup_clusters:$d", s)(
       queries("dedup_clusters")(s, d))
 
@@ -111,22 +111,6 @@ object DedupQueries extends QueryPack {
     // the 60-bit shingle hashes — body in [[lshPairs]] so specs can run
     // it over planted corpora.
     "dedup_minhash_lsh" -> ((s, d) => lshPairs(docs(s, d))),
-
-    // Threshold CALIBRATION curve (r14): the LSH candidate pairs
-    // histogrammed into 0.05-wide Jaccard buckets — the one-page readout
-    // that justifies the 0.3 clustering threshold before a run commits
-    // to it (a bimodal histogram separates boilerplate families from
-    // band-collision noise; a flat one says the bands are too loose).
-    // One bounded aggregation over the verified pair relation; bucket
-    // arithmetic is the same IEEE double ops in both engines.
-    "dedup_threshold_sweep" -> ((s, d) =>
-      lshPairs(docs(s, d))
-        .select(floor(col("jaccard") * 20).cast("int").as("bucket"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_pairs"))
-        .select(col("bucket"),
-          round(col("bucket") / lit(20.0), 2).as("jaccard_lo"),
-          col("n_pairs"))),
 
     // Asymmetric containment over the LSH candidates — catches a doc
     // quoted/embedded inside a larger one (low Jaccard, high one-sided
@@ -264,31 +248,6 @@ object DedupQueries extends QueryPack {
         .filter(col("jaccard") >= 0.3)
         .select(col("doc_a"), col("doc_b"))
       DedupClusters.clusters(lsh, docs(s, d).select(col("doc_id")))
-    }),
-
-    // Per-SOURCE near-dup contamination (r14): for each document source,
-    // the fraction of its docs that sit in a multi-document near-dup
-    // cluster — the readout a corpus-mixing decision reads next to
-    // text_source_similarity (a source that is 40% near-dup against the
-    // pool adds far less novel data than its row count claims, and
-    // up-weighting it double-feeds the duplicates). Fourth LabelsMemo
-    // consumer: global cluster sizes are one bounded aggregation over
-    // the materialized labels; the size attach is a cluster-keyed
-    // equi-join (|clusters| rows — NOT broadcast: at 100 TB the cluster
-    // relation is corpus-sized), then one groupBy(source). Exact-count
-    // double pinned at 6.
-    "dedup_rate_by_source" -> ((s, d) => {
-      val lbl = clusterLabels(s, d)
-        .transform(graft.CacheScope.persisted(_))
-      val sizes = lbl.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
-      lbl.join(sizes, "cluster_id")
-        .join(docs(s, d).select(col("doc_id"), col("source")), "doc_id")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
-        .select(col("source"), col("n_docs"), col("n_dup_docs"),
-          round(col("n_dup_docs").cast("double") /
-            col("n_docs").cast("double"), 6).as("dup_frac"))
     }),
 
     // Leakage-safe train/validation split: the deterministic 90/10 md5
@@ -717,51 +676,6 @@ object DedupQueries extends QueryPack {
     // sharing the oracle verbatim IS the reconciliation correctness claim.
     "dedup_incremental_reconcile" -> clustersOracle,
 
-    // Same candidate/verify CTEs as dedup_minhash_lsh, bucketed.
-    "dedup_threshold_sweep" ->
-      s"""$bandsCte,
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         count(*) AS n_shared_bands
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
-         |  GROUP BY 1, 2
-         |), pj AS (
-         |  SELECT round(CAST(COALESCE(i.inter, 0) AS DOUBLE) /
-         |               (za.sz + zb.sz - COALESCE(i.inter, 0)), 6) AS jaccard
-         |  FROM cand c
-         |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |  JOIN sz za ON za.doc_id = c.doc_a
-         |  JOIN sz zb ON zb.doc_id = c.doc_b
-         |)
-         |SELECT CAST(floor(jaccard * 20) AS INT) AS bucket,
-         |       round(CAST(floor(jaccard * 20) AS INT) / 20.0, 2) AS jaccard_lo,
-         |       count(*) AS n_pairs
-         |FROM pj GROUP BY 1, 2""".stripMargin,
-
-    // Same cluster labels joined back to sources; sizes are global.
-    "dedup_rate_by_source" ->
-      s"""$clustersCtes,
-         |csz AS (
-         |  SELECT cluster_id, count(*) AS sz FROM lbl GROUP BY 1
-         |)
-         |SELECT d.source, count(*) AS n_docs,
-         |       CAST(sum(CASE WHEN z.sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |         AS n_dup_docs,
-         |       round(CAST(sum(CASE WHEN z.sz > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-         |             / count(*), 6) AS dup_frac
-         |FROM lbl l
-         |JOIN csz z USING (cluster_id)
-         |JOIN documents d USING (doc_id)
-         |GROUP BY d.source""".stripMargin,
-
     // Same cluster labels; the split hash is keyed by cluster_id.
     "dedup_split_safe" ->
       s"""$clustersCtes
@@ -954,7 +868,7 @@ object DedupQueries extends QueryPack {
     * algorithm (recursion vs distributed fixpoint) that must land on
     * identical cluster assignments.
     */
-  private lazy val clustersCtes: String = {
+  private[dedup] lazy val clustersCtes: String = {
     val lshCtes = bandsCte.replaceFirst("WITH toks", "WITH RECURSIVE toks")
     s"""$lshCtes,
        |cand AS (

@@ -8,8 +8,9 @@ import graft.{QueryPack, Tables}
 
 /** Iterative graph analytics over a derived co-occurrence graph — the
   * power-iteration sibling of the dedup family's connected components
-  * ([[graft.dedup.DedupClusters]]): PageRank with a fixed iteration count,
-  * plus the degree-distribution profile.
+  * ([[graft.dedup.DedupClusters]]): PageRank with a fixed iteration count
+  * and its personalized variant (the structural profile readouts live in
+  * [[GraphProfileQueries]]).
   *
   * Graph: parts co-purchased within an order (distinct (orderkey, partkey)
   * pairs self-joined per order). TPC-H orders hold <= 7 lineitems, so the
@@ -80,7 +81,7 @@ object GraphQueries extends QueryPack {
     * builds from [[edgesRaw]] directly, so its benched number keeps the
     * full build cost; the others read the materialized copy.
     */
-  private def edges(s: SparkSession, d: String): DataFrame =
+  private[graph] def edges(s: SparkSession, d: String): DataFrame =
     graft.LabelsMemo.getOrCompute(s"copurchase-edges:$d", s)(edgesRaw(s, d))
 
   /** 5-iteration fixed-point PageRank over the co-purchase graph (the
@@ -185,51 +186,6 @@ object GraphQueries extends QueryPack {
     "q_graph_pagerank" -> ((s, d) => pagerank(s, d)),
 
     "q_graph_ppr" -> ((s, d) => pprOf(edges(s, d))),
-
-    // Degree-distribution profile of the same graph: the skew gauge you
-    // read BEFORE running the iterative jobs (a power-law tail here is
-    // what motivates salting/AQE on the rank join).
-    "q_graph_degree" -> ((s, d) =>
-      edges(s, d).groupBy("src").agg(count(lit(1)).as("outdeg"))
-        .groupBy("outdeg").agg(count(lit(1)).as("n_nodes"))),
-
-    // Degree assortativity (Newman): the Pearson correlation of endpoint
-    // degrees over every directed edge — one scalar that says whether
-    // hubs attach to hubs (r > 0, social-graph shape) or to leaves
-    // (r < 0, the hub-and-spoke shape that drives skew mitigation). Two
-    // degree joins + exact-DECIMAL moment sums (the q_ts_acf discipline:
-    // degrees are bounded ints, products stay inside DECIMAL(38), the
-    // single double division is round(,6)-pinned). On the symmetric
-    // co-purchase relation this is the undirected coefficient.
-    "q_graph_assortativity" -> ((s, d) => {
-      val e = edges(s, d).transform(graft.CacheScope.persisted(_))
-      val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
-        .transform(graft.CacheScope.persisted(_))
-      // Precision budget (Spark multiply: DECIMAL(p1)*DECIMAL(p2) ->
-      // DECIMAL(p1+p2+1), clamped at 38 with silent-null/ANSI-throw past
-      // it): n(12)*sxy(25)+1 = 38 and sx(18)*sy(18)+1 = 37, so NO product
-      // below is clamped — the exactness invariant genuinely holds for
-      // deg <= 1e6, edges < 1e12, deg·edges < 1e18 (ADVICE r10: the old
-      // 14/20/26 casts put n*sxy at precision 41, silently clamped).
-      val x = col("da").cast(DecimalType(12, 0))
-      val y = col("db").cast(DecimalType(12, 0))
-      val m = e
-        .join(deg.select(col("src"), col("dg").as("da")), "src")
-        .join(deg.select(col("src").as("dst"), col("dg").as("db")), "dst")
-        .agg(count(lit(1)).cast(DecimalType(12, 0)).as("n"),
-          sum(x).cast(DecimalType(18, 0)).as("sx"),
-          sum(y).cast(DecimalType(18, 0)).as("sy"),
-          sum(x * y).cast(DecimalType(25, 0)).as("sxy"),
-          sum(x * x).cast(DecimalType(25, 0)).as("sxx"),
-          sum(y * y).cast(DecimalType(25, 0)).as("syy"))
-      m.select(col("n").cast("long").as("n_edges"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt(greatest(lit(0.0),
-            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))) *
-           sqrt(greatest(lit(0.0),
-             (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))),
-          6).as("assortativity"))
-    }),
 
     // Per-node triangle counts with the DEGREE-ORDERED orientation: each
     // undirected edge points from lower to higher (degree, id), which (a)
@@ -668,7 +624,7 @@ object GraphQueries extends QueryPack {
     lab.select(col("node"), col("lbl").as("community"))
   }
 
-  private val edgesCte: String =
+  private[graph] val edgesCte: String =
     """WITH li AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
       |), edges AS (
@@ -906,33 +862,6 @@ object GraphQueries extends QueryPack {
          |r0 AS (SELECT src AS node, $Scale AS r FROM deg),
          |${(1 to Iters).map(iterCte).mkString(",\n")}
          |SELECT node, CAST(r AS BIGINT) AS pr_fixed FROM r$Iters""".stripMargin,
-
-    "q_graph_degree" ->
-      s"""$edgesCte
-         |SELECT outdeg, count(*) AS n_nodes FROM deg GROUP BY outdeg""".stripMargin,
-
-    "q_graph_assortativity" ->
-      s"""$edgesCte,
-         |m AS (
-         |  SELECT CAST(count(*) AS DECIMAL(14,0)) AS n,
-         |         CAST(sum(CAST(a.outdeg AS DECIMAL(12,0))) AS DECIMAL(20,0)) AS sx,
-         |         CAST(sum(CAST(b.outdeg AS DECIMAL(12,0))) AS DECIMAL(20,0)) AS sy,
-         |         CAST(sum(CAST(a.outdeg AS DECIMAL(12,0)) * CAST(b.outdeg AS DECIMAL(12,0))) AS DECIMAL(26,0)) AS sxy,
-         |         CAST(sum(CAST(a.outdeg AS DECIMAL(12,0)) * CAST(a.outdeg AS DECIMAL(12,0))) AS DECIMAL(26,0)) AS sxx,
-         |         CAST(sum(CAST(b.outdeg AS DECIMAL(12,0)) * CAST(b.outdeg AS DECIMAL(12,0))) AS DECIMAL(26,0)) AS syy
-         |  FROM edges e
-         |  JOIN deg a ON a.src = e.src
-         |  JOIN deg b ON b.src = e.dst
-         |)
-         |SELECT CAST(n AS BIGINT) AS n_edges,
-         |       round(CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT) -
-         |                  CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) /
-         |             (sqrt(greatest(0.0, CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT) -
-         |                  CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE))) *
-         |              sqrt(greatest(0.0, CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT) -
-         |                  CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)))),
-         |             6) AS assortativity
-         |FROM m""".stripMargin,
 
     // Wedge-join formulation — deliberately different from the Spark
     // side's adjacency-intersect (see the query comment).
