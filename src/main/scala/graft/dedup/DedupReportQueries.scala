@@ -26,9 +26,13 @@ object DedupReportQueries extends QueryPack {
     // to it (a bimodal histogram separates boilerplate families from
     // band-collision noise; a flat one says the bands are too loose).
     // One bounded aggregation over the verified pair relation; bucket
-    // arithmetic is the same IEEE double ops in both engines.
+    // arithmetic is the same IEEE double ops in both engines. The pair
+    // relation rides [[DedupQueries.lshPairsAll]] (r15): the sweep needs
+    // the UNTHRESHOLDED jaccard column, which is exactly what that memo
+    // now materializes — the honest pipeline cost stays on
+    // dedup_minhash_lsh.
     "dedup_threshold_sweep" -> ((s, d) =>
-      DedupQueries.lshPairs(docs(s, d))
+      DedupQueries.lshPairsAll(s, d)
         .select(floor(col("jaccard") * 20).cast("int").as("bucket"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_pairs"))

@@ -103,9 +103,12 @@ object GraphPathQueries extends QueryPack {
     * coalesce" re-attach, so on a non-symmetric input a zero-in-degree
     * node VANISHES from the output instead of keeping its base score
     * (every registered caller passes the symmetric windowed co-purchase
-    * relation, where the contract holds by construction).
+    * relation, where the contract holds by construction; a debug-mode
+    * [[EdgeChecks.requireSymmetric]] makes a future non-symmetric caller
+    * fail loudly — EdgeSymmetrySpec runs the registered callers under it).
     */
   def katzOf(edgesDf: DataFrame): DataFrame = {
+    EdgeChecks.requireSymmetric(edgesDf, "katzOf")
     // r13 cold-path cut (the pagerankOf discipline): the graph is
     // symmetric, so every node receives at least one neighbor
     // contribution each round and the old per-round "left join nodes +

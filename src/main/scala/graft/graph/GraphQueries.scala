@@ -596,7 +596,9 @@ object GraphQueries extends QueryPack {
     * + coalesce(lbl, node)" re-attach, so a node with no in-edges would
     * silently vanish instead of keeping its own label; in a symmetric
     * relation every node is some edge's dst and the argmax covers all of
-    * them (every registered caller passes symmetric relations).
+    * them (every registered caller passes symmetric relations; a
+    * debug-mode [[EdgeChecks.requireSymmetric]] makes a future
+    * non-symmetric caller fail loudly — see EdgeSymmetrySpec).
     *
     * Labels start as the node id; each round
     * every node adopts the argmax neighbor label by (count desc, label
@@ -607,6 +609,7 @@ object GraphQueries extends QueryPack {
     * rounds at cluster scale).
     */
   def lpaOf(edgesDf: DataFrame, rounds: Int = LpaRounds): DataFrame = {
+    EdgeChecks.requireSymmetric(edgesDf, "lpaOf")
     // r13 cold-path cut: in a symmetric edge relation every node is some
     // edge's src, so the per-round argmax covers EVERY node and the old
     // "left join nodes + coalesce(lbl, node)" re-attach was the identity

@@ -81,10 +81,17 @@ object MarkovQueries extends QueryPack {
       // the join form and to the oracle's unrolled HUGEINT CTEs, which
       // is what keeps the hash gate meaningful; the final ratio stays a
       // Spark expression so float rounding is engine-identical.
-      val cells = cnts.collect()
+      // limit(guard+1) probes the bound BEFORE materializing (ADVICE
+      // r14): a non-enum domain ships at most 4097 rows to the driver
+      // and fails fast, instead of collecting the full |types|² relation
+      // first and only then hitting the require; when the guard holds,
+      // the limited collect IS the complete relation (limit above the
+      // row count is the identity, and the fixpoint below is
+      // order-insensitive — it folds cells into keyed maps).
+      val cells = cnts.limit(4097).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       require(cells.length <= 4096,
-        s"transition matrix ${cells.length} cells — not a bounded enum domain")
+        "transition matrix exceeds 4096 cells — not a bounded enum domain")
       val rt = cells.groupBy(_._1).map { case (f, cs) => f -> cs.map(_._3).sum }
       var pi: Map[String, BigInt] =
         rt.keysIterator.map(_ -> BigInt(MarkovScale)).toMap
@@ -127,10 +134,17 @@ object MarkovQueries extends QueryPack {
       // value-iteration rounds were per-job latency, not compute. Exact
       // BigInt arithmetic replicates the old DECIMAL div semantics
       // (positive truncating division) and the oracle's HUGEINT CTEs.
-      val cells = cnts.collect()
+      // limit(guard+1) probes the bound BEFORE materializing (ADVICE
+      // r14): a non-enum domain ships at most 4097 rows to the driver
+      // and fails fast, instead of collecting the full |types|² relation
+      // first and only then hitting the require; when the guard holds,
+      // the limited collect IS the complete relation (limit above the
+      // row count is the identity, and the fixpoint below is
+      // order-insensitive — it folds cells into keyed maps).
+      val cells = cnts.limit(4097).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       require(cells.length <= 4096,
-        s"transition matrix ${cells.length} cells — not a bounded enum domain")
+        "transition matrix exceeds 4096 cells — not a bounded enum domain")
       val rt = cells.groupBy(_._1).map { case (f, cs) => f -> cs.map(_._3).sum }
       val trans = cells.filter(_._1 != MarkovAbsorb)
       val states = rt.keysIterator.filter(_ != MarkovAbsorb).toSeq.sorted
