@@ -39,24 +39,24 @@ object BenchMerge {
       }
       (p, qmap("queries"), qmap("queries_min"))
     }
-    val keySets = runs.map(_._2.keySet)
-    require(keySets.forall(_ == keySets.head),
-      "key sets differ across runs: " + runs.map { case (p, q, _) =>
-        s"$p=${q.size}" }.mkString(", ") +
-        "; symmetric diff sample: " +
-        keySets.reduce((a, b) => (a diff b) ++ (b diff a)).take(5))
-    val keys = keySets.head.toSeq.sorted
+    // Union of keys: a key registered mid-round exists only in later
+    // runs — its floor is then a min over FEWER separated runs, which the
+    // output must say rather than hide (partial_keys below), because a
+    // single-run floor has no cross-run burst robustness yet.
+    val keys = runs.flatMap(_._2.keySet).distinct.sorted
+    val partial = keys.filter(k => runs.exists(r => !r._2.contains(k)))
     def mergedOf(pick: ((String, Map[String, Double], Map[String, Double])) =>
         Map[String, Double]): Seq[(String, Double)] =
-      keys.map(k => k -> runs.map(r => pick(r)(k)).min)
+      keys.map(k => k -> runs.flatMap(r => pick(r).get(k)).min)
     val med = mergedOf(_._2)
     val min = mergedOf(_._3)
     def jmap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
     val srcs = runs.map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
+    val partialJson = partial.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":${med.map(_._2).sum}%.3f,"value_min":${min.map(_._2).sum}%.3f,"unit":"sec","n":${runs.size},"stat":"min-across-runs","mode":"merged","n_queries":${keys.size},"sources":$srcs,"queries":${jmap(med)},"queries_min":${jmap(min)}}"""
+      f"""{"metric":"total","value":${med.map(_._2).sum}%.3f,"value_min":${min.map(_._2).sum}%.3f,"unit":"sec","n":${runs.size},"stat":"min-across-runs","mode":"merged","n_queries":${keys.size},"sources":$srcs,"partial_keys":$partialJson,"queries":${jmap(med)},"queries_min":${jmap(min)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(s"[bench-merge] ${runs.size} runs -> $out " +
       f"(total median-floor ${med.map(_._2).sum}%.1f s, " +

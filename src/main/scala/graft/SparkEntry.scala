@@ -76,6 +76,7 @@ object SparkEntry {
     text.TopicModelQueries,
     text.PipelineFilterQueries,
     mm.MultimodalQueries,
+    mm.MediaCodecQueries,
     streaming.StreamingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

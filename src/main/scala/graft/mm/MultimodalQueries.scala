@@ -16,7 +16,10 @@ import graft.{QueryPack, Tables}
   *
   * The stub derives (width, height, channels) from the payload length, so
   * the whole flow is still oracle-checkable in DuckDB — the plumbing is
-  * verified end-to-end even though the codec is fake.
+  * verified end-to-end even though the codec is fake. The REAL-bytes
+  * twin lives in [[MediaCodecQueries]] (r15): mm_decode_png /
+  * mm_decode_wav run this same decode shape with the JDK's own ImageIO /
+  * AudioSystem codecs over genuine PNG/WAV payloads.
   *
   * Scale notes: payload stays in one column (parquet binary, never
   * exploded); decode is a narrow mapPartitions (no shuffle); frame
