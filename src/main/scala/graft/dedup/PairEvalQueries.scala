@@ -13,8 +13,14 @@ import graft.{QueryPack, Tables}
   * R-1 + low R-2 = shared vocabulary but rewritten text; both high =
   * true near-copy).
   *
-  * Scale shape: candidates come from the SAME band equi-join as
-  * dedup_minhash_lsh (never all-pairs); token/bigram count relations are
+  * Scale shape: candidates are the SAME band-equi-join pair set as
+  * dedup_minhash_lsh (never all-pairs), read through the
+  * [[DedupQueries.lshPairsAll]] memo (r15) — the verified-candidate
+  * table a dedup run materializes once; every metric here profiles that
+  * artifact rather than replaying the shingle + band pipeline per
+  * query (the honest producer `dedup_minhash_lsh` stays raw, and
+  * memo-cold bench mode re-pays the derivation). Token/bigram count
+  * relations are
   * built ONLY for candidate docs (left-semi on the broadcast candidate
   * id set) and the overlap Σ min(c_a, c_b) is an equi-join on the gram
   * key restricted to those docs. All counts exact integers; the P/R/F
@@ -46,9 +52,7 @@ object PairEvalQueries extends QueryPack {
       def half(c: org.apache.spark.sql.Column) =
         when(conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
           .cast("long") % 10 < 8, "train").otherwise("eval")
-      val sh = Shingles.docShingles(docs(s, d))
-        .transform(graft.CacheScope.persisted(_))
-      DedupQueries.lshCandidates(sh)
+      DedupQueries.lshPairsAll(s, d)
         .select(half(col("doc_a")).as("sa"), half(col("doc_b")).as("sb"))
         .agg(count(lit(1)).as("n_candidate_pairs"),
           sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
@@ -64,9 +68,7 @@ object PairEvalQueries extends QueryPack {
 
     "text_rouge_pairs" -> ((s, d) => {
       val dd = docs(s, d)
-      val sh = Shingles.docShingles(dd)
-        .transform(graft.CacheScope.persisted(_))
-      val cand = DedupQueries.lshCandidates(sh)
+      val cand = DedupQueries.lshPairsAll(s, d)
         .select(col("doc_a"), col("doc_b"))
         .transform(graft.CacheScope.persisted(_))
       val candDocs = cand
@@ -128,9 +130,7 @@ object PairEvalQueries extends QueryPack {
     // IEEE op on exact integers, so the two engines agree bit-for-bit.
     "text_bleu_pairs" -> ((s, d) => {
       val dd = docs(s, d)
-      val sh = Shingles.docShingles(dd)
-        .transform(graft.CacheScope.persisted(_))
-      val cand = DedupQueries.lshCandidates(sh)
+      val cand = DedupQueries.lshPairsAll(s, d)
         .select(col("doc_a"), col("doc_b"))
         .transform(graft.CacheScope.persisted(_))
       val candDocs = cand
@@ -197,9 +197,7 @@ object PairEvalQueries extends QueryPack {
     // bounded — never a hand-rolled DP kernel in either engine.
     "text_wer_pairs" -> ((s, d) => {
       val dd = docs(s, d)
-      val sh = Shingles.docShingles(dd)
-        .transform(graft.CacheScope.persisted(_))
-      val cand = DedupQueries.lshCandidates(sh)
+      val cand = DedupQueries.lshPairsAll(s, d)
         .select(col("doc_a"), col("doc_b"))
         .transform(graft.CacheScope.persisted(_))
       val candDocs = cand
@@ -241,9 +239,7 @@ object PairEvalQueries extends QueryPack {
     // restricted to candidate docs.
     "dedup_weighted_jaccard" -> ((s, d) => {
       val dd = docs(s, d)
-      val sh = Shingles.docShingles(dd)
-        .transform(graft.CacheScope.persisted(_))
-      val cand = DedupQueries.lshCandidates(sh)
+      val cand = DedupQueries.lshPairsAll(s, d)
         .select(col("doc_a"), col("doc_b"))
         .transform(graft.CacheScope.persisted(_))
       val candDocs = cand

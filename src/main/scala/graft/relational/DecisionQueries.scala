@@ -257,9 +257,10 @@ object DecisionQueries extends QueryPack {
       val kMed = (n + 1) / 2 // lower median: a real data value, never an average
       val kLo = clamp(math.floor((n - z * math.sqrt(n.toDouble)) / 2.0))
       val kHi = clamp(math.ceil((n + z * math.sqrt(n.toDouble)) / 2.0 + 1.0))
-      val med = graft.operators.RadixSelect.kth(v, "v", kMed)
-      val lo = graft.operators.RadixSelect.kth(v, "v", kLo)
-      val hi = graft.operators.RadixSelect.kth(v, "v", kHi)
+      // All three order statistics narrow through the SAME radix passes
+      // (RadixSelect.ranks, r15): 3x5 counting aggregations -> max + 2.
+      val r = graft.operators.RadixSelect.ranks(v, "v", Seq(kMed, kLo, kHi))
+      val (med, lo, hi) = (r(kMed), r(kLo), r(kHi))
       s.range(1).select(lit(n).as("n"),
         round(lit(med).cast("double") / 100.0, 2).as("median_usd"),
         round(lit(lo).cast("double") / 100.0, 2).as("lo95_usd"),
@@ -281,8 +282,9 @@ object DecisionQueries extends QueryPack {
       val n = v.count()
       val kLo = (n + 19) / 20
       val kHi = n + 1 - kLo
-      val lo = graft.operators.RadixSelect.kth(v, "v", kLo)
-      val hi = graft.operators.RadixSelect.kth(v, "v", kHi)
+      // Both trim bounds in one multi-rank narrowing (RadixSelect.ranks).
+      val r = graft.operators.RadixSelect.ranks(v, "v", Seq(kLo, kHi))
+      val (lo, hi) = (r(kLo), r(kHi))
       v.filter(col("v") >= lo && col("v") <= hi)
         .agg(count(lit(1)).as("n_kept"),
           sum(col("v")).cast(DecimalType(24, 0)).as("sv"))
@@ -308,8 +310,9 @@ object DecisionQueries extends QueryPack {
       val n = v.count()
       val kLo = (n + 9) / 10
       val kHi = n + 1 - kLo
-      val lo = graft.operators.RadixSelect.kth(v, "v", kLo)
-      val hi = graft.operators.RadixSelect.kth(v, "v", kHi)
+      // Both winsor bounds in one multi-rank narrowing (RadixSelect.ranks).
+      val r = graft.operators.RadixSelect.ranks(v, "v", Seq(kLo, kHi))
+      val (lo, hi) = (r(kLo), r(kHi))
       v.select(greatest(lit(lo), least(lit(hi), col("v"))).as("w"))
         .agg(count(lit(1)).as("n"),
           sum(col("w")).cast(DecimalType(24, 0)).as("sw"))

@@ -26,9 +26,9 @@ class BoundedCollectSpec extends AnyFunSuite {
       "fixture tool main: distinct terms of the tiny golden corpus"),
     "graft/GraphSkewBench.scala" -> (5,
       "bench harness: 1-row aggregates (counts/max/sum probes)"),
-    "graft/operators/RadixSelect.scala" -> (2,
-      "limit(1) selected-bucket row; per-round (group x radix-bucket) " +
-        "counts bounded by |groups| x 2^radix-width"),
+    "graft/operators/RadixSelect.scala" -> (4,
+      "two 1-row max() probes (level skip) + per-round (cursor x " +
+        "radix-bucket) counts bounded by |cursors| x 2^radix-width"),
     "graft/relational/FeatureQueries.scala" -> (2,
       "per-group counts over l_returnflag (enum domain, <= 5 groups)"),
     "graft/relational/MarkovQueries.scala" -> (2,

@@ -22,6 +22,32 @@ class RadixSelectSpec extends SparkSpec {
     CacheScope.releaseAll()
   }
 
+  test("ranks resolves every rank at once == per-rank sorted answers") {
+    val vals: Seq[Long] = Seq(0L, 0L, 5L, 5L, 5L, 7L, 1L << 13, 1L << 25,
+      (1L << 25) + 1, 1L << 40, 987654321098L, 3L, 3L)
+    import spark.implicits._
+    val df = vals.toDF("v").repartition(4).transform(CacheScope.persisted(_))
+    val sorted = vals.sorted
+    val all = RadixSelect.ranks(df, "v", (1 to vals.size).map(_.toLong))
+    (1 to vals.size).foreach { k =>
+      assert(all(k.toLong) == sorted(k - 1), s"rank $k")
+    }
+    // duplicate ranks are fine (they share a cursor)
+    val dup = RadixSelect.ranks(df, "v", Seq(3L, 3L, 7L))
+    assert(dup(3L) == sorted(2) && dup(7L) == sorted(6))
+    CacheScope.releaseAll()
+  }
+
+  test("ranks on a small-range column (level skip) stays exact") {
+    import spark.implicits._
+    val vals: Seq[Long] = Seq(0L, 1L, 1L, 2L, 4095L, 4096L, 9999L)
+    val df = vals.toDF("v").repartition(3).transform(CacheScope.persisted(_))
+    val sorted = vals.sorted
+    val got = RadixSelect.ranks(df, "v", (1 to vals.size).map(_.toLong))
+    (1 to vals.size).foreach(k => assert(got(k.toLong) == sorted(k - 1)))
+    CacheScope.releaseAll()
+  }
+
   test("kthByGroup == per-group kth at assorted ranks, planted groups") {
     import spark.implicits._
     val rows: Seq[(String, Long)] =
