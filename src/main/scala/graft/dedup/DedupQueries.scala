@@ -323,8 +323,13 @@ object DedupQueries extends QueryPack {
     // measured one, not a spec-only branch. The scratch dir's checkpoint
     // files back the returned labels until the consumer drains the result,
     // so deletion is deferred to the harness's CacheScope.releaseAll.
+    // The edge list reads [[lshPairsAll]] (r15) — what this key measures
+    // is the RELIABLE-CHECKPOINT fixpoint configuration, not a third
+    // honest replay of the LSH derivation (dedup_minhash_lsh and
+    // dedup_clusters keep that role); the jaccard gate is a pushed
+    // parquet predicate over the memo read.
     "dedup_clusters_ckpt" -> ((s, d) => {
-      val lsh = queries("dedup_minhash_lsh")(s, d)
+      val lsh = lshPairsAll(s, d)
         .filter(col("jaccard") >= 0.3)
         .select(col("doc_a"), col("doc_b"))
       val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-run-")

@@ -328,8 +328,14 @@ object MultimodalQueries extends QueryPack {
     // singletons. Operator genericity across the multimodal lane; the
     // oracle is the recursive-reachability formulation over the
     // all-pairs phash relation.
+    // The pair relation reads mm_phash_dedup's artifact through
+    // [[graft.LabelsMemo]] (r15): the producer stays raw (its benched
+    // cost is the honest phash + band-join pipeline); this consumer
+    // profiles that artifact instead of replaying it — the same
+    // managed-pair-table discipline as the lexical lane's lshPairsAll.
     "mm_dedup_clusters" -> ((s, d) => {
-      val pairs = queries("mm_phash_dedup")(s, d)
+      val pairs = graft.LabelsMemo.getOrCompute(s"mm_phash_pairs:$d", s)(
+          queries("mm_phash_dedup")(s, d))
         .select(col("doc_a"), col("doc_b"))
       graft.dedup.DedupClusters.clusters(pairs,
         phashDocs(s, d).select(col("doc_id")))
