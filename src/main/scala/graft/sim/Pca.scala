@@ -48,23 +48,36 @@ object Pca {
     * max absolute projection.
     */
   def project(emb0: DataFrame): DataFrame = {
-    val q = emb0.select(col("vec_id"), VecMath.quantize(col("embedding")).as("qe"))
-    val ex = persisted(q.select(col("vec_id"),
-      posexplode(col("qe")).as(Seq("i", "qx"))))
-    val m1 = ex.groupBy("i").agg(sum(col("qx")).as("s1"))
-      .transform(persisted(_))
-    // countDistinct, matching the oracle's COUNT(DISTINCT vec_id): a
-    // row-count-derived n would diverge on duplicated vec_ids or ragged
-    // vector lengths.
-    val stats = ex.agg(countDistinct(col("vec_id")).as("n"))
-    // Upper-triangle exact products, mirrored to the full symmetric matrix
-    // (the matvec needs both triangles; the d²-row relation is tiny).
-    val pairs = q.select(explode(flatten(transform(col("qe"), (xi, i) =>
-      transform(slice(col("qe"), i + 1, size(col("qe")) - i), (xj, jj) =>
-        struct(i.as("i"), (i + jj).as("j"), (xi * xj).as("p"))))))
+    // ONE corpus scan (r16, guide §6/§1.2): the quantized vectors are
+    // pinned, and BOTH the first moments and the upper-triangle products
+    // ride the SAME generator — first moments travel as sentinel entries
+    // (i, -1, qx) beside the products, so moments + products cost one
+    // aggregation over one pass instead of two separate corpus scans.
+    // The projection pass re-reads the pinned q (narrow posexplode), not
+    // the parquet. The cached relation is n×d quantized ints — strictly
+    // smaller than the exploded (vec_id, i, qx) relation r15 cached.
+    val q = persisted(emb0
+      .select(col("vec_id"), VecMath.quantize(col("embedding")).as("qe")))
+    val ex = q.select(col("vec_id"), posexplode(col("qe")).as(Seq("i", "qx")))
+    val ents = q.select(explode(concat(
+      flatten(transform(col("qe"), (xi, i) =>
+        transform(slice(col("qe"), i + 1, size(col("qe")) - i), (xj, jj) =>
+          struct(i.as("i"), (i + jj).as("j"), (xi * xj).as("p"))))),
+      transform(col("qe"), (x, i) =>
+        struct(i.as("i"), lit(-1).as("j"), x.as("p")))))
       .as("e"))
       .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
-    val s2u = pairs.groupBy("i", "j").agg(sum(col("p")).as("sp"))
+      .groupBy("i", "j").agg(sum(col("p")).as("sp"))
+      .transform(persisted(_))
+    val m1 = ents.filter(col("j") === -1)
+      .select(col("i"), col("sp").as("s1"))
+    // countDistinct, matching the oracle's COUNT(DISTINCT vec_id): a
+    // row-count-derived n would diverge on duplicated vec_ids or ragged
+    // vector lengths. Over the EXPLODED rows (an empty embedding must not
+    // count, exactly as in the oracle's `e` CTE) — ex is a narrow
+    // posexplode of the pinned q, not a corpus re-scan.
+    val stats = ex.agg(countDistinct(col("vec_id")).as("n"))
+    val s2u = ents.filter(col("j") >= 0)
     val s2f = s2u.unionByName(s2u.filter(col("i") =!= col("j"))
       .select(col("j").as("i"), col("i").as("j"), col("sp")))
     // A = n·sp − s1_i·s1_j, with every operand cast to DECIMAL(38,0)

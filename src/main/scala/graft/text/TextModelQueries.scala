@@ -246,27 +246,43 @@ object TextModelQueries extends QueryPack {
     * q_stats_mcnemar compares against the heuristic baseline.
     */
   def nbPredictions(documents: DataFrame): DataFrame = {
-    val tok = documents
+    // (doc, tok)-collapsed scoring (r16, guide §2.3 "aggregate before you
+    // shuffle"): everything downstream — the (lang, tok) training counts,
+    // the vocab size, and the per-candidate-language scoring join — needs
+    // only per-document token COUNTS, never the raw occurrence stream. One
+    // corpus pass collapses occurrences to (doc_id, lang, tok, tf) with
+    // map-side partial aggregation; the scoring cross-product (the
+    // |langs|-bounded multiplier) then fans out distinct doc-token pairs
+    // instead of every occurrence, and each occurrence's log-prob
+    // contribution arrives as the EXACT decimal product tf · lp
+    // (DECIMAL(18,9) times an integer — identical to summing lp tf times).
+    val dtf = documents
       .select(col("doc_id"), col("lang"), explode(cleanTokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
       .transform(CacheScope.persisted(_))
-    val counts = tok.groupBy(col("lang").as("clang"), col("tok"))
-      .agg(count(lit(1)).as("nlt"))
+    val counts = dtf.groupBy(col("lang").as("clang"), col("tok"))
+      .agg(sum(col("tf")).as("nlt"))
     val pri = documents.groupBy("lang").agg(count(lit(1)).as("nd"))
     val meta = counts.groupBy("clang").agg(sum(col("nlt")).as("nl"))
       .join(pri.select(col("lang").as("clang"), col("nd")), "clang")
-      .crossJoin(broadcast(tok.agg(countDistinct(col("tok")).as("v"))))
+      .crossJoin(broadcast(dtf.agg(countDistinct(col("tok")).as("v"))))
       .crossJoin(broadcast(documents.agg(count(lit(1)).as("ndtot"))))
     val dec = DecimalType(18, 9)
     val lp = round(log((coalesce(col("nlt"), lit(0L)) + 1).cast("double") /
       (col("nl") + col("v")).cast("double")), 9).cast(dec)
     val prior = round(log(col("nd").cast("double") / col("ndtot").cast("double")), 9)
       .cast(dec)
-    val scores = tok
+    val scores = dtf
       .join(broadcast(meta), expr("true"))
       .join(counts, Seq("clang", "tok"), "left")
       .groupBy(col("doc_id"), col("lang"), col("clang"), prior.as("prior"))
-      .agg(sum(lp).as("sll"))
+      // tf bounded by one document's token count, so DECIMAL(9,0) is
+      // generous; the product stays decimal(28,9) — exact, no
+      // precision-loss adjustment (a raw long multiplicand would push the
+      // result past precision 38).
+      .agg(sum(col("tf").cast(DecimalType(9, 0)) * lp).as("sll"))
       .select(col("doc_id"), col("lang"), col("clang"),
         (col("prior") + col("sll")).as("score"))
     scores.groupBy(col("doc_id"), col("lang"))

@@ -43,24 +43,30 @@ object TopicModelQueries extends QueryPack {
 
     "text_plsa" -> ((s, d) => {
       val stops = Stopwords.reachable.filter(_.nonEmpty)
-      // pinned: both the vocab ranking and the count matrix read this —
-      // without the pin the corpus tokenizes twice (measured 5.2 s -> 3.4
-      // at sf0.1).
-      val toks = docs(s, d)
+      // (doc, word)-collapsed count matrix in ONE corpus pass (r16, guide
+      // §2.3 "aggregate before you shuffle"): the raw occurrence stream is
+      // never cached or shuffled — partial aggregation collapses each map
+      // task to its distinct (doc_id, w) pairs before the only
+      // stream-sized exchange. The vocab ranking then reads this
+      // already-aggregated cache (sum of per-doc counts == the occurrence
+      // count, exact integers), and the vocab-restricted matrix is a
+      // broadcast semi-join of the SAME cache — the r15 shape paid a full
+      // second pass over the cached occurrence stream for each.
+      val dwc = docs(s, d)
         .select(col("doc_id"),
           explode(TextAnalysisQueries.cleanTokens(col("text"))).as("w"))
         .filter(col("w") =!= "" && !col("w").isInCollection(stops))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
         // eager: the vocab BROADCAST job and ndw's stage job otherwise
         // race to materialize this cache (broadcast exchanges run as
         // independent jobs)
         .transform(graft.CacheScope.persisted(_))
-      val vocab = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+      val vocab = dwc.groupBy("w").agg(sum(col("n")).as("cw"))
         .orderBy(col("cw").desc, col("w").asc).limit(PlsaVocab)
         .transform(graft.CacheScope.persisted(_))
-      val ndw = toks.join(broadcast(vocab.select(col("w"))), "w")
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
-        // eager: ndw feeds every EM branch of one action (and its count
-        // also serializes the toks/vocab cache builds upstream) — see
+      val ndw = dwc.join(broadcast(vocab.select(col("w"))), "w")
+        .select(col("doc_id"), col("w"), col("n"))
+        // eager: ndw feeds every EM branch of one action — see
         // CacheScope.persisted
         .transform(graft.CacheScope.persisted(_))
       // deterministic init: integer weights 1..5 per (word, topic)

@@ -29,8 +29,16 @@ class BoundedCollectSpec extends AnyFunSuite {
     "graft/operators/RadixSelect.scala" -> (4,
       "two 1-row max() probes (level skip) + per-round (cursor x " +
         "radix-bucket) counts bounded by |cursors| x 2^radix-width"),
+    "graft/relational/DecisionQueries.scala" -> (3,
+      "1-row (count, max) aggregates feeding RadixSelect's rank bounds " +
+        "and level skip (r16 fold of the former .count() probes)"),
     "graft/relational/FeatureQueries.scala" -> (2,
-      "per-group counts over l_returnflag (enum domain, <= 5 groups)"),
+      "per-group (count, max) over l_returnflag (enum domain, <= 5 " +
+        "groups) feeding RadixSelect's per-group level skip"),
+    "graft/relational/InferenceQueries.scala" -> (1,
+      "1-row (count, max) aggregate feeding RadixSelect's level skip"),
+    "graft/relational/ModelPrepQueries.scala" -> (1,
+      "1-row (count, max) aggregate feeding RadixSelect's level skip"),
     "graft/relational/MarkovQueries.scala" -> (2,
       "transition matrix probed via limit(4097) BEFORE materializing, " +
         "require(<= 4096 cells) — ADVICE r14"),

@@ -82,6 +82,58 @@ class RadixSelectSpec extends SparkSpec {
     CacheScope.releaseAll()
   }
 
+  test("ranksByGroup per-group level skip: mixed-range groups stay exact") {
+    import spark.implicits._
+    // "lo" lives entirely below 2^12 (every level above 12 skipped for
+    // it); "hi" spans to 2^40 (wakes levels 36/24/12); "mid" to 2^20.
+    val rows: Seq[(String, Long)] =
+      Seq.tabulate(50)(i => "lo" -> (i % 7).toLong) ++
+        Seq("hi" -> (1L << 40), "hi" -> 12L, "hi" -> (1L << 24), "hi" -> 0L,
+          "hi" -> ((1L << 40) + 5)) ++
+        Seq("mid" -> 1000000L, "mid" -> 5L, "mid" -> 999999L)
+    val df = rows.toDF("g", "v").repartition(4).transform(CacheScope.persisted(_))
+    val byG = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).sorted }
+    val ks = byG.map { case (g, vs) => g -> Seq(1L, (vs.size + 1L) / 2, vs.size.toLong) }
+    val got = RadixSelect.ranksByGroup(df, "g", "v", ks)
+    ks.foreach { case (g, rks) =>
+      rks.foreach { k =>
+        assert(got((g, k)) == byG(g)(k.toInt - 1), s"group $g rank $k")
+      }
+    }
+    // Identical answers when the caller supplies the per-group maxes.
+    val maxes = byG.map { case (g, vs) => g -> vs.last }
+    val got2 = RadixSelect.ranksByGroup(df, "g", "v", ks, Some(maxes))
+    assert(got2 == got)
+    CacheScope.releaseAll()
+  }
+
+  test("ranks with caller-supplied max == self-computed max") {
+    import spark.implicits._
+    val vals: Seq[Long] = Seq(0L, 3L, 3L, 7L, 1L << 25, 987654321098L)
+    val df = vals.toDF("v").repartition(3).transform(CacheScope.persisted(_))
+    val ksr = (1 to vals.size).map(_.toLong)
+    val a = RadixSelect.ranks(df, "v", ksr)
+    val b = RadixSelect.ranks(df, "v", ksr, Some(vals.max))
+    assert(a == b)
+    CacheScope.releaseAll()
+  }
+
+  test("contracts fail loudly: >= 2^60 values and cursor-count bound") {
+    import spark.implicits._
+    val big = Seq(1L << 61, 1L).toDF("v")
+    assertThrows[IllegalArgumentException] {
+      RadixSelect.kth(big, "v", 1L)
+    }
+    val small = Seq(1L, 2L, 3L).toDF("v")
+    assertThrows[IllegalArgumentException] {
+      RadixSelect.ranks(small, "v", (1 to RadixSelect.MaxCursors + 1).map(_.toLong))
+    }
+    assertThrows[IllegalArgumentException] {
+      RadixSelect.ranksByGroup(small.withColumn("g", lit("x")), "g", "v",
+        Map("x" -> (1 to RadixSelect.MaxCursors + 1).map(_.toLong)))
+    }
+  }
+
   test("median via kth agrees with Spark's own sort on real data") {
     val v = Tables.load(spark, sfDir, "lineitem")
       .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
