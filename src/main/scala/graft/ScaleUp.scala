@@ -45,7 +45,10 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (t <- Tables.All) {
-      val base = spark.read.parquet(s"$src/$t.parquet")
+      // Through Tables.load: events.parquet ships TIMESTAMP(NANOS), which
+      // the raw vectorized reader rejects; load normalizes it (and the
+      // rewritten copy round-trips as plain TimestampType).
+      val base = Tables.load(spark, src, t)
       val shifts = keyCols(t)
       val reps = if (shifts.isEmpty) 1 else k
       val scaled: DataFrame = (0 until reps).map { r =>

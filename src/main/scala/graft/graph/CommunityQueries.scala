@@ -272,20 +272,29 @@ object CommunityQueries extends QueryPack {
       .transform(graft.CacheScope.persisted(_))
     var prev = und.count()
     var converged = false
+    // Each round's pin CARRIES the support it peeled on (r16): on the
+    // converged round the edge set didn't change (the filter only removes,
+    // so equal counts mean the identical set), hence the support computed
+    // that round IS the final edge set's support — the output reads the
+    // pinned (a, b, support) relation directly instead of re-running the
+    // whole triangle enumeration one more time (the old final
+    // edgeSupport(und) pass, the single costliest job of the query).
+    var cur = und.select(col("a"), col("b"), lit(0L).as("support"))
     for (_ <- 1 to TrussMaxRounds if !converged) {
       val sup = edgeSupport(und)
-      und = pin(und.join(sup, Seq("a", "b"), "left")
+      cur = pin(und.join(sup, Seq("a", "b"), "left")
         .filter(coalesce(col("support"), lit(0L)) >= TrussK - 2)
-        .select(col("a"), col("b")))
-      val c = und.count()
+        .select(col("a"), col("b"),
+          coalesce(col("support"), lit(0L)).as("support")))
+      und = cur.select(col("a"), col("b"))
+      val c = cur.count()
       if (c == prev) converged = true
       prev = c
     }
     require(converged,
       s"trussOf: no fixpoint within $TrussMaxRounds peel rounds " +
         s"(${prev} edges remain) — raise TrussMaxRounds")
-    und.join(edgeSupport(und), Seq("a", "b"))
-      .select(col("a"), col("b"), col("support"))
+    cur.select(col("a"), col("b"), col("support"))
   }
 
   /** One unrolled truss peel round for the oracle (reads u{i-1}). The a<b

@@ -52,17 +52,17 @@ object SimilarityQueries extends QueryPack {
     // so ~1e9 vectors stay under 2^63), and the only float math is the
     // final identical-operand-order covariance division, rounded to 9.
     "sim_embed_covariance" -> ((s, d) => {
-      // ONE corpus scan (r16): the quantized vectors are pinned once and
-      // both the product pass and the first-moment pass read the cache —
-      // the r15 shape quantize+exploded the parquet twice. (A/B'd against
-      // the Pca-style fused sentinel generator: fusing moments INTO the
-      // product generator regressed 2.34 -> 3.10 iso here, because concat
-      // re-copies the 2080-struct product array per row and the fused agg
-      // needs its own pin job — the two-pass-over-cache shape keeps the
-      // heavy generator flowing straight into the final action.)
+      // Two scans KEPT after a three-way r16 A/B (all isolated n=5,
+      // sf0.1 min): (a) this shape 2.26 s; (b) Pca-style fused sentinel
+      // generator (moments ride the product explode) 3.10 s — concat
+      // re-copies the 2080-struct array per row and the fused agg needs
+      // its own pin job; (c) pin the quantized arrays, both passes read
+      // the cache (1 parquet scan) 2.90 s — materializing the n×64-long
+      // array cache costs more than the second cheap columnar scan.
+      // Parquet re-reads of a pruned column are nearly free at any SF
+      // (guide §6); the wide-array cache is not.
       val q = Tables.load(s, d, "embeddings")
         .select(quantize(col("embedding")).as("q"))
-        .transform(graft.CacheScope.persisted(_))
       val pairs = q
         .select(explode(flatten(transform(col("q"), (xi, i) =>
           transform(slice(col("q"), i + 1, size(col("q")) - i), (xj, jj) =>
